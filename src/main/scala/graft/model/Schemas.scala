@@ -1,0 +1,100 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Data model of the engine (SURVEY.md §1).
+ *
+ * The reference keeps every field a string (reference `main.py:35`,
+ * `main.py:53-54`); this engine uses honest types — `Long` unix seconds for
+ * the hit timestamp, `Int` 0/1 for event flags (kept summable, preserving the
+ * `main.py:35` intent), strings for identifiers — and only reconstructs the
+ * all-string CSV shape at the sink boundary (graft.exports).
+ */
+
+/** One parsed web-analytics hit (reference `main.py:61-77`). */
+final case class Hit(
+    ts: Long,            // unix seconds (reference col 0)
+    user_id: String,     // col1 + "_" + col2 (reference `main.py:48`)
+    tracking_code: String,
+    line_number: String, // 2nd `;`-field of the product string (`main.py:55-57`)
+    page: String,
+    site_server: String,
+    ibm_id: String,
+    scv_id: String,
+    // 0/1 event flags decoded from the comma-separated event-code list
+    // (reference `main.py:26-42`); rfb (code 13) is mapped but never
+    // projected by the reference — mirrored here (absent).
+    order: Int,
+    pdp_view: Int,
+    checkout: Int,
+    atb: Int,
+    bag_view: Int,
+    payment: Int
+)
+
+/** One visit (session): reference `main.py:127-132`. */
+final case class Visit(
+    visit_key: String, // user_id + "_" + visit_start (`main.py:122`)
+    user_id: String,
+    visit_start: Long, // min(ts) within the session (`main.py:120`)
+    visit_end: Long    // max(ts) within the session (`main.py:121`)
+)
+
+/** One visitor id-mapping row (reference `main.py:157-160`). */
+final case class Visitor(user_id: String, ibm_id: String, scv_id: String)
+
+object Schemas {
+  /**
+   * Named event → numeric code (reference `main.py:26-34`). `rfb` is part of
+   * the reference's map but never projected into the hit record — kept here
+   * as data so the omission is a documented decision, not an accident.
+   */
+  val eventCodes: Map[String, String] = Map(
+    "order"    -> "1",
+    "pdp_view" -> "2",
+    "checkout" -> "11",
+    "atb"      -> "12",
+    "rfb"      -> "13",
+    "bag"      -> "14",
+    "payment"  -> "204"
+  )
+
+  /** Flags projected into `Hit`, in reference output order (`main.py:104-107`). */
+  val projectedFlags: Seq[(String, String)] = Seq(
+    "pdp_view" -> "2",
+    "atb"      -> "12",
+    "bag_view" -> "14",
+    "checkout" -> "11",
+    "payment"  -> "204",
+    "order"    -> "1"
+  )
+
+  /** Session inactivity gap: 30 minutes (reference `main.py:207`). */
+  val SessionGapSeconds: Long = 1800L
+  val SessionGapUs: Long      = SessionGapSeconds * 1000000L
+  val SessionGap: String      = "30 minutes"
+
+  /** Raw 10-column Adobe-style TSV contract (FIXTURES.md §1). */
+  val rawFeedColumns: Seq[String] = Seq(
+    "ts", "visitor_id_hi", "visitor_id_lo", "tracking_code",
+    "products_string", "events", "page", "site_server", "ibm_id", "scv_id"
+  )
+
+  val hitSchema: StructType = StructType(Seq(
+    StructField("ts", LongType, nullable = false),
+    StructField("user_id", StringType, nullable = false),
+    StructField("tracking_code", StringType, nullable = true),
+    StructField("line_number", StringType, nullable = true),
+    StructField("page", StringType, nullable = true),
+    StructField("site_server", StringType, nullable = true),
+    StructField("ibm_id", StringType, nullable = true),
+    StructField("scv_id", StringType, nullable = true),
+    StructField("order", IntegerType, nullable = false),
+    StructField("pdp_view", IntegerType, nullable = false),
+    StructField("checkout", IntegerType, nullable = false),
+    StructField("atb", IntegerType, nullable = false),
+    StructField("bag_view", IntegerType, nullable = false),
+    StructField("payment", IntegerType, nullable = false)
+  ))
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.session.Sessionize
+import graft.sources.Tables
+
+/**
+ * Sessionization / clickstream query surface — the reference's own
+ * capabilities (SURVEY.md §2 O1-O11) re-expressed over the `events` table.
+ */
+object CoreQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** §7.2 flagship slice: scan → event time → session window → agg → derive. */
+  val qSessionize = Q(
+    "q_sessionize",
+    (s, dir) => Sessionize.visits(events(s, dir)),
+    Some(s"""${Sessionize.islandsSql()}
+      |SELECT user_id, MIN(ts_us) AS visit_start_us, MAX(ts_us) AS visit_end_us,
+      |       COUNT(*) AS n_events,
+      |       CAST(user_id AS VARCHAR) || '_' || CAST(MIN(ts_us) AS VARCHAR) AS visit_key
+      |FROM s GROUP BY user_id, session_id""".stripMargin)
+  )
+
+  /** Per-hit enrichment: every event + its session's visit_key (O6/O8/O9). */
+  val qHitsEnriched = Q(
+    "q_hits_enriched",
+    (s, dir) =>
+      Sessionize
+        .hitsEnriched(events(s, dir))
+        .select("event_id", "user_id", "ts_us", "event_type", "visit_key"),
+    Some(s"""${Sessionize.islandsSql()}
+      |SELECT event_id, user_id, ts_us, event_type,
+      |       CAST(user_id AS VARCHAR) || '_' ||
+      |       CAST(MIN(ts_us) OVER (PARTITION BY user_id, session_id) AS VARCHAR) AS visit_key
+      |FROM s""".stripMargin)
+  )
+
+  /**
+   * Conversion funnel — the declared purpose of the reference's 0/1 flag
+   * encoding ("so it can be summed up later on", `main.py:35`): per-user
+   * event-type counts and a converted flag.
+   */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          (count(when(col("event_type") === "purchase", 1)) > 0)
+            .cast("int").as("converted")
+        ),
+    Some("""SELECT user_id,
+      |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS INT) AS converted
+      |FROM events GROUP BY user_id""".stripMargin)
+  )
+
+  /**
+   * Visitor projection, duplicates retained — reference parity quirk: the
+   * visitors branch taps the stream before grouping, one row per hit
+   * (`main.py:214`, SURVEY.md §1.5).
+   */
+  val qVisitorsRaw = Q(
+    "q_visitors_raw",
+    (s, dir) => events(s, dir).select("user_id"),
+    Some("SELECT user_id FROM events")
+  )
+
+  /** The honest variant the reference lacked: deduplicated visitors. */
+  val qVisitorsDedup = Q(
+    "q_visitors_dedup",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(min("ts_us").as("first_seen_us"), max("ts_us").as("last_seen_us"),
+             count(lit(1)).as("n_events")),
+    Some("""SELECT user_id, MIN(epoch_us(ts)) AS first_seen_us,
+      |       MAX(epoch_us(ts)) AS last_seen_us, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin)
+  )
+
+  /**
+   * Property extraction (reference O1/O1a: event-code decode from a packed
+   * field): pull the numeric `k` out of the JSON `props` string and decode
+   * 0/1 flags from `event_type` — regexp + conditional projection, all
+   * codegen'd built-ins.
+   */
+  val qParseExtract = Q(
+    "q_parse_extract",
+    (s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+            .cast("long").as("k"),
+          (col("event_type") === "purchase").cast("int").as("is_order"),
+          (col("event_type") === "view").cast("int").as("is_view")
+        ),
+    Some("""SELECT event_id, user_id,
+      |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+      |       CAST(event_type = 'purchase' AS INT) AS is_order,
+      |       CAST(event_type = 'view' AS INT) AS is_view
+      |FROM events""".stripMargin)
+  )
+
+  /**
+   * Session statistics over the sessionized stream: per-user visit counts
+   * and dwell (reference's three outputs logically re-joined — the analysis
+   * the hits/visits/visitors exports exist to serve).
+   */
+  val qVisitStats = Q(
+    "q_visit_stats",
+    (s, dir) =>
+      Sessionize
+        .visits(events(s, dir))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_visits"),
+          sum("n_events").as("total_events"),
+          max("n_events").as("max_events_per_visit"),
+          sum(col("visit_end_us") - col("visit_start_us")).as("total_dwell_us")
+        ),
+    Some(s"""${Sessionize.islandsSql()}
+      |, v AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS vs, MAX(ts_us) AS ve, COUNT(*) AS n
+      |  FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_visits, CAST(SUM(n) AS BIGINT) AS total_events,
+      |       MAX(n) AS max_events_per_visit, CAST(SUM(ve - vs) AS BIGINT) AS total_dwell_us
+      |FROM v GROUP BY user_id""".stripMargin)
+  )
+
+  /**
+   * CSV export formatting (reference O10/O11/K1, `main.py:99-107`): the
+   * all-string comma-joined line shape, reconstructed at the boundary only.
+   */
+  val qCsvFormat = Q(
+    "q_csv_format",
+    (s, dir) =>
+      Sessionize
+        .visits(events(s, dir))
+        .select(
+          concat_ws(",", col("visit_key"), col("user_id"),
+                    col("visit_start_us"), col("visit_end_us")).as("line")
+        ),
+    Some(s"""${Sessionize.islandsSql()}
+      |, v AS (
+      |  SELECT user_id, MIN(ts_us) AS vs, MAX(ts_us) AS ve
+      |  FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT CAST(user_id AS VARCHAR) || '_' || CAST(vs AS VARCHAR) || ',' ||
+      |       CAST(user_id AS VARCHAR) || ',' || CAST(vs AS VARCHAR) || ',' ||
+      |       CAST(ve AS VARCHAR) AS line
+      |FROM v""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(
+    qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
+    qParseExtract, qVisitStats, qCsvFormat
+  )
+}

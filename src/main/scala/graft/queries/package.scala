@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** A query surface entry: Spark implementation + optional DuckDB oracle.
+    * Keeping both in one value guarantees the `queries`/`oracleSql` maps in
+    * [[graft.SparkEntry]] can never drift apart on names. */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+}

@@ -1,0 +1,121 @@
+package graft.session
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/**
+ * Sessionization — the core of the reference pipeline (`main.py:207-232`):
+ * re-assemble per-user hit streams into visits with a 30-minute inactivity
+ * gap, derive `visit_key = user_id + "_" + visit_start`, and expose both the
+ * per-visit rollup and the per-hit enrichment.
+ *
+ * Two formulations, both shuffle-once:
+ *
+ *  1. [[visits]] — `groupBy(user_id, session_window(ts))`: Spark's native
+ *     merging session windows (mirrors Beam `Sessions(1800)` at
+ *     `main.py:217`; same operator runs under Structured Streaming with a
+ *     watermark — graft.streaming). One `Exchange hashpartitioning(user_id)`;
+ *     sessions merge incrementally inside the aggregate — no per-group list
+ *     is ever materialized, unlike the reference's `GroupByKey` +
+ *     `list(...)` (`main.py:115-119`), so a pathological million-hit session
+ *     cannot OOM an executor at 100 TB scale.
+ *
+ *  2. [[withSessionIds]] — gaps-and-islands via window functions
+ *     (`lag` → gap flag → running sum): per-row session ids with one
+ *     sort-within-partition, the skew-safe shape for per-hit enrichment and
+ *     the formulation a DuckDB/ANSI oracle can replicate exactly.
+ *
+ * Boundary semantics (SURVEY.md §7.2): a gap of EXACTLY the timeout starts a
+ * new session — Beam merges `[t, t+gap)` intervals only when they overlap,
+ * and Spark's session windows likewise treat window end as exclusive — so
+ * the islands formulation must split on `diff >= gap`, and `visit_end` is
+ * `max(ts)` (reference `main.py:121`), never the window's extent end.
+ *
+ * All timestamps are integer µs since epoch (`ts_us`), keeping the oracle
+ * comparison float-free (see [[graft.sources.Tables.events]]).
+ */
+object Sessionize {
+
+  /** visit_key = user_id + "_" + visit_start (reference `main.py:122`). */
+  def visitKey(userId: Column, visitStart: Column): Column =
+    concat_ws("_", userId, visitStart)
+
+  /**
+   * Per-visit rollup via native session windows.
+   * Output: user_id, visit_start_us, visit_end_us, n_events, visit_key.
+   */
+  def visits(events: DataFrame,
+             gap: String = Schemas.SessionGap,
+             userCol: String = "user_id",
+             tsCol: String = "ts_t",
+             tsUsCol: String = "ts_us"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(
+        min(tsUsCol).as("visit_start_us"),
+        max(tsUsCol).as("visit_end_us"),
+        count(lit(1)).as("n_events")
+      )
+      .select(
+        col(userCol),
+        col("visit_start_us"),
+        col("visit_end_us"),
+        col("n_events"),
+        visitKey(col(userCol), col("visit_start_us")).as("visit_key")
+      )
+
+  /**
+   * Gaps-and-islands: adds `session_id` (0-based per user) and
+   * `visit_start_us`/`visit_key` to every event row without materializing
+   * groups. `diff >= gap` splits (see boundary note above).
+   */
+  def withSessionIds(events: DataFrame,
+                     gapUs: Long = Schemas.SessionGapUs,
+                     userCol: String = "user_id",
+                     tsUsCol: String = "ts_us"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsUsCol)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSid = events
+      .withColumn("prev_ts_us", lag(tsUsCol, 1).over(byUser))
+      .withColumn(
+        "session_break",
+        when(col(tsUsCol) - col("prev_ts_us") >= gapUs, 1).otherwise(0)
+      )
+      .withColumn("session_id", sum("session_break").over(running))
+      .drop("prev_ts_us", "session_break")
+    val bySession = Window.partitionBy(userCol, "session_id")
+    withSid
+      .withColumn("visit_start_us", min(tsUsCol).over(bySession))
+      .withColumn("visit_key", visitKey(col(userCol), col("visit_start_us")))
+  }
+
+  /**
+   * Per-hit enrichment (reference O6/O8/O9 fan-out, `main.py:124-125` +
+   * `main.py:153-164`): every event carries its session's visit_key. The
+   * reference achieved this by materializing each group as a list and
+   * writing the key back in a loop; here it is a window aggregate — no
+   * group list, no skew hazard.
+   */
+  def hitsEnriched(events: DataFrame): DataFrame =
+    withSessionIds(events)
+
+  /**
+   * ANSI gaps-and-islands SQL equivalent (DuckDB-runnable) of
+   * [[withSessionIds]] over the `events` table — shared by oracle entries.
+   */
+  def islandsSql(gapUs: Long = Schemas.SessionGapUs): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+       |), g AS (
+       |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= $gapUs
+       |            THEN 1 ELSE 0 END AS session_break
+       |  FROM e
+       |), s AS (
+       |  SELECT *, SUM(session_break) OVER (PARTITION BY user_id ORDER BY ts_us
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g
+       |)""".stripMargin
+}

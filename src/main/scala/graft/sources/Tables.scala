@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Readers for the driver-generated parquet tables (TESTDATA.md) and for
+ * reference-format TSV hit feeds (SURVEY.md §2 S1/E1).
+ *
+ * Scale notes: all readers are plain declarative scans, so Catalyst pushes
+ * filters and prunes columns into the parquet reader; at cluster scale the
+ * same code paths read partitioned/bucketed layouts without change.
+ */
+object Tables {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Read one testdata table by name. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is µs
+      // and the vanilla reader rejects NANOS (PARQUET_TYPE_ILLEGAL). Reading
+      // nanos as a raw long keeps full precision and, after `div 1000`,
+      // agrees bit-for-bit with DuckDB's read (which truncates ns → µs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /**
+   * The events stream table with normalized time columns:
+   *   ts_us — µs since epoch (long; exact, matches DuckDB `epoch_us(ts)`)
+   *   ts_t  — TimestampType at µs precision (for `session_window` etc.)
+   * Integer µs everywhere keeps the DuckDB oracle comparison float-free.
+   */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  /**
+   * Reference-format TSV hit feed (one line per hit). Charset selectable to
+   * subsume the reference's standalone transcoder (`encoding_update.py`):
+   * instead of a separate gzip ISO-8859-1→UTF-8 re-encode pass, the charset
+   * conversion folds into the scan. Gzip decompression is by extension,
+   * matching Beam's `ReadFromText` behavior.
+   */
+  def rawFeed(spark: SparkSession, path: String,
+              encoding: String = "UTF-8"): DataFrame =
+    spark.read
+      .option("lineSep", "\n")
+      .option("encoding", encoding)
+      .text(path)
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local dev-only correctness checker mirroring the driver's DuckDB oracle
+gate (BASELINE.md t2). NOT part of the shipped library — the Scala code never
+depends on this; it exists so `sbt "runMain graft.Verify"` output can be
+checked against DuckDB before the driver does the same.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical value form: strings; floats at full repr (both engines write
+    # float64, bit-equal values stringify identically)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            out[c] = col.astype(str)
+        else:
+            out[c] = col.map(lambda v: repr(v))
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        if not s.equals(d):
+            neq = (s != d).any(axis=1)
+            print(f"FAIL {name}: {neq.sum()} differing rows; first few:")
+            print(pd.concat({"spark": s[neq].head(3), "duck": d[neq].head(3)}, axis=1))
+            n_fail += 1
+            continue
+        # dtype drift warning (driver may hash raw values pre-stringify)
+        raw_s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        raw_d = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        for c in raw_s.columns:
+            if str(raw_s[c].dtype) != str(raw_d[c].dtype):
+                print(f"  warn {name}.{c}: dtype spark={raw_s[c].dtype} duck={raw_d[c].dtype}")
+        print(f"PASS {name} ({len(s)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
