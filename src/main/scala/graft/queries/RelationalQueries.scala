@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Standard relational coverage (SURVEY.md §7.3, §2.1 "what doesn't exist in
+ * the reference made explicit"): filter/project, aggregation, broadcast and
+ * shuffle joins, semi/anti joins, top-k, set operations, window ranking, and
+ * rollup — over the TPC-H-ish testdata tables.
+ *
+ * Numeric-exactness policy: money columns are doubles in the parquet; all
+ * SUM aggregates convert to integer cents first
+ * (`CAST(ROUND(x * 100) AS BIGINT)`) so Spark and the DuckDB oracle sum
+ * exactly — no float-summation-order nondeterminism can flip the driver's
+ * hash compare. Pass-through doubles (no arithmetic) stay doubles: both
+ * engines read identical bits from the same parquet.
+ *
+ * Scale notes (100 TB posture):
+ *  - `q_join_broadcast` pins the dimension side with an explicit
+ *    `broadcast()` hint — at cluster scale customer/nation-sized dims must
+ *    never shuffle the fact table.
+ *  - `q_join_shuffle` is the deliberate big-big join: two fact tables hash
+ *    partitioned on the join key, one exchange each, AQE free to pick SMJ.
+ *  - `q_topk` aggregates THEN orders+limits: `TakeOrderedAndProject` on the
+ *    already-reduced per-customer rollup, never a global sort of raw rows.
+ *  - Window ranks partition by small keys (nation) — no single-partition
+ *    global window anywhere.
+ */
+object RelationalQueries {
+
+  /** Integer cents from a double money column — exact under summation. */
+  private def cents(c: String): org.apache.spark.sql.Column =
+    round(col(c) * 100).cast("long")
+
+  private def centsSql(c: String): String =
+    s"CAST(ROUND($c * 100) AS BIGINT)"
+
+  /** Filter + projection that must reach the parquet scan as PushedFilters
+    * + pruned ReadSchema (reference O1's hand-rolled early projection,
+    * done declaratively). */
+  val qFilterProject = Q(
+    "q_filter_project",
+    (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_quantity") < 10)
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          cents("l_extendedprice").as("price_cents"),
+          col("l_returnflag")),
+    Some("""SELECT l_orderkey, l_partkey, l_linenumber,
+      |       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |       l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_quantity < 10""".stripMargin)
+  )
+
+  /** TPC-H Q1-shaped aggregation: group-by with multiple exact aggregates;
+    * partial (map-side) aggregation makes this a single small shuffle at any
+    * scale. */
+  val qAggGroupby = Q(
+    "q_agg_groupby",
+    (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(cents("l_extendedprice")).as("sum_base_c"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("sum_disc_c"),
+          count(lit(1)).as("count_order")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |       CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** Fact ⋈ broadcast-dimension: explicit broadcast hint so the fact table
+    * never shuffles for a dim-sized side. */
+  val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, dir) => {
+      val orders = Tables.read(s, dir, "orders")
+      val customer = Tables.read(s, dir, "customer")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(cents("o_totalprice")).as("revenue_cents"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin)
+  )
+
+  /** Big ⋈ big shuffle join (lineitem ⋈ orders): both sides hash-partition
+    * on the key; AQE picks the physical join. */
+  val qJoinShuffle = Q(
+    "q_join_shuffle",
+    (s, dir) => {
+      val lineitem = Tables.read(s, dir, "lineitem")
+      val orders = Tables.read(s, dir, "orders")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderpriority""".stripMargin)
+  )
+
+  /** Semi join: customers that placed at least one urgent order.
+    * `LEFT SEMI` never duplicates or widens rows — the right side only
+    * filters. */
+  val qJoinSemi = Q(
+    "q_join_semi",
+    (s, dir) => {
+      val customer = Tables.read(s, dir, "customer")
+      val urgent = Tables.read(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      customer
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')""".stripMargin)
+  )
+
+  /** Anti join: customers with no orders at all. */
+  val qJoinAnti = Q(
+    "q_join_anti",
+    (s, dir) => {
+      val customer = Tables.read(s, dir, "customer")
+      val orders = Tables.read(s, dir, "orders")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+  )
+
+  /** Top-k: aggregate first (shrinks to one row per customer), then a
+    * bounded TakeOrderedAndProject — never a full sort of raw rows.
+    * Deterministic tiebreak on custkey. */
+  val qTopk = Q(
+    "q_topk",
+    (s, dir) =>
+      Tables.read(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(cents("o_totalprice")).as("revenue_cents"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue_cents").desc, col("o_custkey").asc)
+        .limit(10),
+    Some(s"""SELECT o_custkey, CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10""".stripMargin)
+  )
+
+  /** Set operations — UNION / INTERSECT / EXCEPT (all distinct-semantics)
+    * in one surface: building-segment customers ∪ (big spenders ∩ urgent
+    * customers) ∖ negative-balance customers. */
+  val qSetOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val customer = Tables.read(s, dir, "customer")
+      val orders = Tables.read(s, dir, "orders")
+      val building = customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val bigSpenders = orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val negative = customer.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      building
+        .union(bigSpenders.intersect(urgent))
+        .distinct()
+        .except(negative)
+    },
+    Some("""SELECT custkey FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      |   INTERSECT
+      |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |)
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin)
+  )
+
+  /** Window ranking: per-nation top-5 customers by account balance, with
+    * rank / dense_rank / lag coverage. Partition key is small (25 nations)
+    * but per-partition data is what shuffles — no global single-partition
+    * window. Deterministic order: (acctbal DESC, custkey ASC). */
+  val qWindowRank = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.read(s, dir, "customer")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prev_bal_cents", lag(cents("c_acctbal"), 1).over(w))
+        .filter(col("rnk") <= 5)
+        .select("c_nationkey", "c_custkey", "rnk", "drnk", "prev_bal_cents")
+    },
+    Some("""SELECT c_nationkey, c_custkey, rnk, drnk, prev_bal_cents FROM (
+      |  SELECT c_nationkey, c_custkey,
+      |         RANK() OVER w AS rnk,
+      |         DENSE_RANK() OVER w AS drnk,
+      |         LAG(CAST(ROUND(c_acctbal * 100) AS BIGINT), 1) OVER w AS prev_bal_cents
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      |) WHERE rnk <= 5""".stripMargin)
+  )
+
+  /** ROLLUP over region → nation: subtotals + grand total; customer joins
+    * through the two broadcast-sized dims.
+    *
+    * Built via `spark.sql` on a temp view rather than `Dataset.rollup`:
+    * Spark 4.1's `DetectAmbiguousSelfJoin` false-positives on
+    * rollup-after-join in the Dataset API (the analyzer's Expand duplicates
+    * the tagged child plan), while the parsed-SQL path carries no dataset-id
+    * tags. Identical logical plan otherwise. */
+  val qAggRollup = Q(
+    "q_agg_rollup",
+    (s, dir) => {
+      val customer = Tables.read(s, dir, "customer")
+      val nation = Tables.read(s, dir, "nation")
+      val region = Tables.read(s, dir, "region")
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("graft_rollup_src")
+      s.sql("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+              |       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS balance_cents
+              |FROM graft_rollup_src
+              |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |       CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS balance_cents
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  )
+
+  /** Exact distinct counting per group (no sketch — the exact path; the
+    * approximate path is a separate surface). */
+  val qDistinctAgg = Q(
+    "q_distinct_agg",
+    (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_lines")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(
+    qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
+    qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg
+  )
+}
