@@ -241,27 +241,22 @@ object RelationalQueries {
   /** ROLLUP over region → nation: subtotals + grand total; customer joins
     * through the two broadcast-sized dims.
     *
-    * Built via `spark.sql` on a temp view rather than `Dataset.rollup`:
-    * Spark 4.1's `DetectAmbiguousSelfJoin` false-positives on
-    * rollup-after-join in the Dataset API (the analyzer's Expand duplicates
-    * the tagged child plan), while the parsed-SQL path carries no dataset-id
-    * tags. Identical logical plan otherwise. */
+    * Built via `spark.sql` over direct `parquet.` path references rather
+    * than `Dataset.rollup`: Spark 4.1's `DetectAmbiguousSelfJoin`
+    * false-positives on rollup-after-join in the Dataset API (the analyzer's
+    * Expand duplicates the tagged child plan), while the parsed-SQL path
+    * carries no dataset-id tags. View-free and stateless — no session-global
+    * temp-view registration, so concurrent queries can't collide. */
   val qAggRollup = Q(
     "q_agg_rollup",
-    (s, dir) => {
-      val customer = Tables.read(s, dir, "customer")
-      val nation = Tables.read(s, dir, "nation")
-      val region = Tables.read(s, dir, "region")
-      customer
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("graft_rollup_src")
-      s.sql("""SELECT r_name, n_name, COUNT(*) AS n_customers,
+    (s, dir) =>
+      s.sql(s"""SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+              |       r_name, n_name, COUNT(*) AS n_customers,
               |       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS balance_cents
-              |FROM graft_rollup_src
-              |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
-    },
+              |FROM parquet.`$dir/customer.parquet` AS customer
+              |JOIN parquet.`$dir/nation.parquet` AS nation ON c_nationkey = n_nationkey
+              |JOIN parquet.`$dir/region.parquet` AS region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)""".stripMargin),
     Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
       |       CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS balance_cents
       |FROM customer

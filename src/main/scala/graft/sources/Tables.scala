@@ -18,17 +18,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** Read one testdata table by name. */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark's TimestampType is µs
-      // and the vanilla reader rejects NANOS (PARQUET_TYPE_ILLEGAL). Reading
-      // nanos as a raw long keeps full precision and, after `div 1000`,
-      // agrees bit-for-bit with DuckDB's read (which truncates ns → µs).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+  /** Read one testdata table by name.
+    *
+    * Sessions reading `events` must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Bench,
+    * Verify, and the test fixture all do): events.ts is parquet
+    * TIMESTAMP(NANOS); Spark's TimestampType is µs and the vanilla reader
+    * rejects NANOS (PARQUET_TYPE_ILLEGAL). Reading nanos as a raw long keeps
+    * full precision and, after `div 1000`, agrees bit-for-bit with DuckDB's
+    * read (which truncates ns → µs). The conf is session-build-time state,
+    * not something a reader should mutate mid-flight. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /**
    * The events stream table with normalized time columns:
