@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/**
+ * Deduplication operators over `documents.parquet` / `embeddings.parquet`
+ * (SURVEY.md §7.4) — the LLM-training-data dedup family: exact
+ * (content-hash), MinHash+LSH banding, n-gram Jaccard verification,
+ * SimHash, and embedding-cosine near-dup.
+ *
+ * 100 TB posture, per operator:
+ *  - exact dedup groups on a 128-bit content hash, never on the text
+ *    itself — the shuffle carries 16-byte keys, not documents;
+ *  - near-dup candidates come from LSH **banding** (docs sharing a band
+ *    signature bucket), so the join is an equi-join on (band, signature) —
+ *    never an O(n²) cross join; candidate count is tunable via bands×rows
+ *    (here b=8, r=2 ⇒ P(candidate) ≈ J², keeping the pair set sparse);
+ *  - the exact-Jaccard verify stage runs only on LSH candidates, so its
+ *    cost is bounded by the banding, not by n²;
+ *  - embedding near-dup buckets by `label` (standing in for any coarse
+ *    partition key — an IVF cell id at scale) and only intra-bucket pairs
+ *    are scored.
+ *
+ * Exactness: hashes are md5 hex strings and similarity math is integer
+ * (see [[graft.text.TextOps]] / [[graft.vector.VectorOps]]) — the DuckDB
+ * oracle replays every computation bit-for-bit.
+ */
+object DedupQueries {
+
+  private val NumBands = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  /** (doc_id, shingle) — word-3-gram shingles, one row per occurrence. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle")
+    )
+
+  /** Shared DuckDB CTE prefix: shingles per doc (matches [[shingled]]). */
+  private val shingleCte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM d
+      |)""".stripMargin
+
+  /** MinHash band signatures: per (doc, band), concat of r=2 salted-md5
+    * minima. Docs agreeing on a full band signature become candidates. */
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .withColumn("band", explode(sequence(lit(0), lit(NumBands - 1))))
+      .groupBy("doc_id", "band")
+      .agg(concat(
+        min(TextOps.bandRowHash(col("band"), 0, col("shingle"))),
+        min(TextOps.bandRowHash(col("band"), 1, col("shingle")))
+      ).as("sig"))
+
+  private val bandSigCte: String =
+    s"""$shingleCte,
+      |sig AS (
+      |  SELECT doc_id, b.band,
+      |         min(md5('r0:' || b.band || ':' || shingle)) ||
+      |         min(md5('r1:' || b.band || ':' || shingle)) AS sig
+      |  FROM sh, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
+      |  GROUP BY doc_id, b.band
+      |)""".stripMargin
+
+  /** LSH candidate pairs (a_id < b_id) from band-signature agreement. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = bandSignatures(s, dir)
+    val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("band").as("band_b"),
+                        col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+              col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  private val candidateCte: String =
+    s"""$bandSigCte,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sig a JOIN sig b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Exact dedup on the md5 of normalized text: one group per distinct
+    * content, canonical id = min doc_id. The 16-byte hash is the shuffle
+    * key — at 100 TB the text never leaves the map side. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin)
+  )
+
+  /** MinHash LSH near-dup candidates: b=8 bands × r=2 rows of salted-md5
+    * minima; pairs sharing any full band signature. */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => candidatePairs(s, dir),
+    Some(s"""$candidateCte
+      |SELECT a_id, b_id FROM cand""".stripMargin)
+  )
+
+  /** Exact word-3-gram Jaccard verification of the LSH candidates:
+    * distinct-shingle intersection/union as exact integers plus a
+    * near_dup flag at J ≥ 0.5. The verify stage's cost is bounded by the
+    * banding — it never sees a non-candidate pair. */
+  val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      val cand = candidatePairs(s, dir)
+      val ss = shingled(s, dir).distinct()
+      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val sa = ss.select(col("doc_id").as("sa_id"), col("shingle").as("sa_sh"))
+      val sb = ss.select(col("doc_id").as("sb_id"), col("shingle").as("sb_sh"))
+      val inter = cand
+        .join(sa, col("a_id") === col("sa_id"))
+        .join(sb, col("b_id") === col("sb_id") && col("sa_sh") === col("sb_sh"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_inter"))
+      val za = sizes.select(col("doc_id").as("za_id"), col("n_sh").as("na_sh"))
+      val zb = sizes.select(col("doc_id").as("zb_id"), col("n_sh").as("nb_sh"))
+      inter
+        .join(za, col("a_id") === col("za_id"))
+        .join(zb, col("b_id") === col("zb_id"))
+        .select(
+          col("a_id"), col("b_id"), col("n_inter"),
+          (col("na_sh") + col("nb_sh") - col("n_inter")).as("n_union"),
+          (col("n_inter") * 2 >= col("na_sh") + col("nb_sh") - col("n_inter"))
+            .cast("int").as("near_dup")
+        )
+    },
+    Some(s"""$candidateCte,
+      |ss AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ss GROUP BY doc_id),
+      |iv AS (
+      |  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN ss sa ON sa.doc_id = c.a_id
+      |  JOIN ss sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+      |  GROUP BY c.a_id, c.b_id
+      |)
+      |SELECT i.a_id, i.b_id, CAST(i.n_inter AS BIGINT) AS n_inter,
+      |       CAST(za.n_sh + zb.n_sh - i.n_inter AS BIGINT) AS n_union,
+      |       CAST(2 * i.n_inter >= za.n_sh + zb.n_sh - i.n_inter AS INT) AS near_dup
+      |FROM iv i
+      |JOIN sz za ON za.doc_id = i.a_id
+      |JOIN sz zb ON zb.doc_id = i.b_id""".stripMargin)
+  )
+
+  /** 32-bit SimHash per document: per-bit majority vote over the md5 bits
+    * of every token occurrence; band_hi (top 16 bits) is the grouping key a
+    * hamming-ball search would bucket on at scale. */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      tok
+        .withColumn("j", explode(sequence(lit(0), lit(31))))
+        .withColumn("bit", TextOps.md5Bit(md5(col("tok")), col("j")))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("bit") * 2 - 1).as("w"))
+        .groupBy("doc_id")
+        .agg(sum(
+          when(col("w") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L)
+        ).as("simhash"))
+        .select(
+          col("doc_id"), col("simhash"),
+          floor(col("simhash") / lit(65536)).cast("long").as("band_hi")
+        )
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tb AS (
+      |  SELECT doc_id, tok, unnest(generate_series(0, 31)) AS j FROM tok
+      |), bt AS (
+      |  SELECT doc_id, j,
+      |    CAST(FLOOR((strpos('0123456789abcdef',
+      |                       substring(md5(tok), CAST(FLOOR(j / 4) AS INT) + 1, 1)) - 1)
+      |               / POWER(2, j % 4)) AS INT) % 2 AS bit
+      |  FROM tb
+      |), w AS (
+      |  SELECT doc_id, j, SUM(2 * bit - 1) AS w FROM bt GROUP BY doc_id, j
+      |), sh2 AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN w > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM w GROUP BY doc_id
+      |)
+      |SELECT doc_id, simhash,
+      |       CAST(FLOOR(simhash / 65536.0) AS BIGINT) AS band_hi
+      |FROM sh2""".stripMargin)
+  )
+
+  /** Winnowing-style document fingerprints: shingle stream partitioned by
+    * position mod 4; fingerprint = min shingle hash per partition. Four
+    * 128-bit fingerprints per doc — the compact sketch a plagiarism/overlap
+    * index would join on at scale. */
+  val qDocFingerprint = Q(
+    "q_doc_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+                posexplode(TextOps.shingles(TextOps.tokens(col("text")))))
+        .select(col("doc_id"), (col("pos") % 4).as("band"),
+                md5(col("col")).as("h"))
+        .groupBy("doc_id", "band")
+        .agg(min("h").as("fp")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d2 AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sl
+      |  FROM d
+      |), sh AS (
+      |  SELECT doc_id, unnest(sl) AS shingle,
+      |         unnest(generate_series(0, len(sl) - 1)) AS pos
+      |  FROM d2
+      |)
+      |SELECT doc_id, pos % 4 AS band, MIN(md5(shingle)) AS fp
+      |FROM sh GROUP BY doc_id, pos % 4""".stripMargin)
+  )
+
+  /** Embedding near-dup: quantized-integer cosine ≥ 0.3 between intra-label
+    * pairs (label ≡ the coarse bucket an IVF index provides at scale). */
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    (s, dir) => {
+      val e = Tables.read(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                VectorOps.quantize(col("embedding")).as("q"))
+        .withColumn("nsq", VectorOps.intNormSq(col("q")))
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+                       col("q").as("qa"), col("nsq").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+                       col("q").as("qb"), col("nsq").as("nb"))
+      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+        .select("a_id", "b_id", "dot")
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, q,
+      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM e
+      |), p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.nsq AS na, b.nsq AS nb,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT a_id, b_id, dot FROM p
+      |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash,
+    qDocFingerprint, qDedupEmbed
+  )
+}

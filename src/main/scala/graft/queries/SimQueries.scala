@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.vector.VectorOps
+
+/**
+ * Approximate-nearest-neighbor search over `embeddings.parquet`
+ * (SURVEY.md §7.4): brute-force top-k as the correctness baseline, and an
+ * LSH sign-bucketed variant as the scale path.
+ *
+ * 100 TB posture: the query set is tiny relative to the corpus, so it is
+ * `broadcast()` to every executor — the corpus never shuffles for the
+ * brute-force scan, and the LSH variant turns the scan into an equi-join on
+ * the bucket key. Ranking is per-query (`Window.partitionBy(q_id)`) — never
+ * a global sort. Similarity is the exact quantized-integer dot product
+ * ([[graft.vector.VectorOps]]), so ordering is deterministic and the DuckDB
+ * oracle replays it exactly; `vec_id` breaks ties.
+ */
+object SimQueries {
+
+  private val TopK = 10
+
+  /** (vec_id, label, q = quantized embedding) */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              VectorOps.quantize(col("embedding")).as("q"))
+
+  private val quantCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Brute-force exact top-k by integer dot product: every 100th vector is
+    * a query; scan all candidates; row_number per query. The baseline every
+    * ANN variant is measured against. */
+  val qSimSearch = Q(
+    "q_sim_search",
+    (s, dir) => {
+      val e = quantized(s, dir)
+      val queries = e.select(col("vec_id").as("q_id"), col("q").as("qq"))
+        .filter(col("q_id") % 100 === 0)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""$quantCte,
+      |qs AS (SELECT vec_id AS q_id, q AS qq FROM e WHERE vec_id % 100 = 0),
+      |p AS (
+      |  SELECT q_id, vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |                i -> q[i] * qq[i])) AS BIGINT) AS dot
+      |  FROM e, qs WHERE vec_id <> q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin)
+  )
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign bucket
+    * (first 8 quantized coords ⇒ 256 orthant-prefix buckets), then exact
+    * ranking within the bucket. The join is an equi-join on the bucket key —
+    * this is the plan shape that survives a 100× corpus: probe cost scales
+    * with bucket size, not corpus size. Recall vs the brute-force baseline
+    * is measured in the test suite. */
+  val qSimSearchLsh = Q(
+    "q_sim_search_lsh",
+    (s, dir) => {
+      val e = quantized(s, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("q")))
+      val queries = e.select(col("vec_id").as("q_id"), col("q").as("qq"),
+                             col("bucket").as("q_bucket"))
+        .filter(col("q_id") % 100 === 0)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      e.join(broadcast(queries),
+             col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""$quantCte,
+      |eb AS (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |                i -> CASE WHEN q[i] >= 0 THEN CAST(POWER(2, i - 1) AS BIGINT)
+      |                          ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM e
+      |),
+      |qs AS (SELECT vec_id AS q_id, q AS qq, bucket AS q_bucket
+      |       FROM eb WHERE vec_id % 100 = 0),
+      |p AS (
+      |  SELECT q_id, vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |                i -> q[i] * qq[i])) AS BIGINT) AS dot
+      |  FROM eb JOIN qs ON bucket = q_bucket AND vec_id <> q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh)
+}

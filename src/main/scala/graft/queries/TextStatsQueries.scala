@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps
+
+/**
+ * Text-analysis operators over `documents.parquet` (SURVEY.md §7.4):
+ * corpus statistics, token counting, quality scoring, language
+ * identification, and multimodal (binary-column) metadata extraction —
+ * the per-document scoring passes an LLM-training-data pipeline runs
+ * before filtering a 100 TB corpus.
+ *
+ * All per-document scores are single-pass projections (no shuffle at all —
+ * they pipeline inside whole-stage codegen); the corpus-level passes
+ * shuffle once on small keys (lang, token). Ratios are emitted as
+ * FLOOR-scaled integers so the DuckDB oracle compares exactly.
+ */
+object TextStatsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  /** Stopword list for quality scoring (function words in the fixture's
+    * vocabulary; any real deployment swaps its own list in). */
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Corpus statistics per language: doc/char/token volume and vocabulary
+    * size — the first profiling pass over any new corpus. */
+  val qTextStats = Q(
+    "q_text_stats",
+    (s, dir) => {
+      val base = docs(s, dir).select(
+        col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).as("n_toks"))
+      val agg = base.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_toks").as("sum_tokens"))
+      val vocab = docs(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(countDistinct("tok").as("n_distinct_tokens"))
+      agg.join(vocab, "lang")
+    },
+    Some("""WITH base AS (
+      |  SELECT lang, n_chars, len(string_split(text, ' ')) AS n_toks FROM documents
+      |), agg AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+      |  FROM base GROUP BY lang
+      |), dt AS (
+      |  SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY lang
+      |)
+      |SELECT a.lang, a.n_docs, a.sum_chars, a.sum_tokens, dt.n_distinct_tokens
+      |FROM agg a JOIN dt ON a.lang = dt.lang""".stripMargin)
+  )
+
+  /** Token counting, three ways: whitespace tokens, regex word-tokens, and
+    * a chars/4 BPE-style token estimate — the cheap proxies a pipeline uses
+    * to budget context windows before running a real tokenizer. */
+  val qTokenCount = Q(
+    "q_token_count",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        floor((length(col("text")) + 3) / lit(4.0)).cast("long").as("est_bpe_tokens")
+      ),
+    Some("""SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+      |       CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |       CAST(FLOOR((length(text) + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents""".stripMargin)
+  )
+
+  /** Quality scoring: duplication, stopword, and token-length heuristics as
+    * FLOOR-scaled integer percentages plus a categorical quality tier —
+    * the filter signals of a C4/RefinedWeb-style cleaning pass. */
+  val qQualityScore = Q(
+    "q_quality_score",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val stopArr = array(Stopwords.map(lit): _*)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"),
+          size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_tok_len")
+        )
+        .select(
+          col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          floor(lit(100.0) * (col("n_toks") - col("n_distinct")) / col("n_toks"))
+            .cast("long").as("dup_pct"),
+          floor(lit(100.0) * col("n_stop") / col("n_toks"))
+            .cast("long").as("stop_pct"),
+          floor(lit(100.0) * col("sum_tok_len") / col("n_toks"))
+            .cast("long").as("avg_tok_len_x100"),
+          when(col("n_toks") >= 20 &&
+               lit(100.0) * (col("n_toks") - col("n_distinct")) / col("n_toks") < 60, "good")
+            .when(col("n_toks") >= 10, "fair")
+            .otherwise("poor").as("quality")
+        )
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         len(toks) AS n_toks,
+      |         len(list_distinct(toks)) AS n_distinct,
+      |         len(list_filter(toks, x -> list_contains(${Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS n_stop,
+      |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |       CAST(n_toks AS BIGINT) AS n_toks,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct,
+      |       CAST(FLOOR(100.0 * (n_toks - n_distinct) / n_toks) AS BIGINT) AS dup_pct,
+      |       CAST(FLOOR(100.0 * n_stop / n_toks) AS BIGINT) AS stop_pct,
+      |       CAST(FLOOR(100.0 * sum_tok_len / n_toks) AS BIGINT) AS avg_tok_len_x100,
+      |       CASE WHEN n_toks >= 20 AND 100.0 * (n_toks - n_distinct) / n_toks < 60 THEN 'good'
+      |            WHEN n_toks >= 10 THEN 'fair'
+      |            ELSE 'poor' END AS quality
+      |FROM m""".stripMargin)
+  )
+
+  /** Language identification by corpus-trained token profiles: top-10
+    * tokens per language (frequency-ranked, deterministic tiebreak), then
+    * each doc is classified to the language whose profile it overlaps most.
+    * A self-training n-gram heuristic — no external model, all relational. */
+  val qLangId = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
+      val top = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wf))
+        .filter(col("r") <= 10)
+        .select(col("lang").as("cand_lang"), col("tok").as("ctok"))
+      val docTok = tok.select("doc_id", "tok").distinct()
+      val wp = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("cand_lang").asc)
+      val pick = docTok.join(top, col("tok") === col("ctok"))
+        .groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("r2", row_number().over(wp))
+        .filter(col("r2") === 1)
+        .select(col("doc_id").as("p_id"), col("cand_lang"))
+      docs(s, dir).select("doc_id", "lang")
+        .join(pick, col("doc_id") === col("p_id"), "left")
+        .select(
+          col("doc_id"), col("lang"),
+          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+          (col("lang") === coalesce(col("cand_lang"), lit("und")))
+            .cast("int").as("is_correct")
+        )
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), freq AS (
+      |  SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+      |), top AS (
+      |  SELECT lang AS cand_lang, tok AS ctok FROM (
+      |    SELECT lang, tok,
+      |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+      |    FROM freq
+      |  ) WHERE r <= 10
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM tok
+      |), ov AS (
+      |  SELECT doc_id, cand_lang, COUNT(*) AS ov
+      |  FROM dt JOIN top ON tok = ctok
+      |  GROUP BY doc_id, cand_lang
+      |), pick AS (
+      |  SELECT doc_id, cand_lang FROM (
+      |    SELECT doc_id, cand_lang,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, cand_lang ASC) AS r
+      |    FROM ov
+      |  ) WHERE r = 1
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       COALESCE(p.cand_lang, 'und') AS pred_lang,
+      |       CAST(d.lang = COALESCE(p.cand_lang, 'und') AS INT) AS is_correct
+      |FROM documents d LEFT JOIN pick p ON p.doc_id = d.doc_id""".stripMargin)
+  )
+
+  /** Multimodal metadata surface: documents carried as opaque binary
+    * content (cast to UTF-8 bytes here; image/audio bytes in production)
+    * with byte size, content hash, and a header byte — the projection a
+    * media pipeline runs before any decode. The decode/feature-extract
+    * plumbing itself lives in [[graft.multimodal.MediaOps]] (binary columns
+    * are not DuckDB-oracle territory; it is unit-tested instead). */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("content", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_hash"),
+          ascii(col("text")).cast("long").as("first_byte")
+        ),
+    Some("""SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_hash,
+      |       CAST(ascii(text) AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(
+    qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta
+  )
+}

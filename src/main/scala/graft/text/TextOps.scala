@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for the LLM-data-pipeline operators
+ * (SURVEY.md §7.4): tokenization, normalization, shingling, and portable
+ * hashing. The reference has no text operators — this is the extension
+ * surface a training-data pipeline needs at 100 TB.
+ *
+ * Portability invariant: every hash that feeds a DuckDB-oracle-checked
+ * query is `md5` over an explicit string — Spark's `md5` and DuckDB's `md5`
+ * produce identical lowercase hex for identical bytes, so signatures,
+ * fingerprints, and band keys compare exactly across engines. (Spark's
+ * `hash`/`xxhash64` are fast but engine-private; they'd be the choice if an
+ * oracle didn't have to replay the computation.)
+ *
+ * Everything here is pure `org.apache.spark.sql.functions` — codegen'd,
+ * no UDFs, fully visible to Catalyst.
+ */
+object TextOps {
+
+  /** Whitespace tokens (the fixture's `documents.text` is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Normalized dedup key text: lowercase, trimmed, whitespace collapsed. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /**
+   * Word n-gram shingles as an array: shingle i (1-based) joins tokens
+   * i..i+n-1 with single spaces. Matches the DuckDB oracle formulation
+   * `list_transform(generate_series(1, len(toks)-(n-1)), i -> ...)`.
+   *
+   * The `when` guard matters: Spark's `sequence(1, k)` with k < 1 produces a
+   * DESCENDING array (DuckDB's `generate_series` yields empty), so short
+   * docs must short-circuit to an empty array for cross-engine agreement.
+   */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /**
+   * MinHash band signature input string: salting the shingle with the band
+   * and row index makes each (band, row) an independent hash function.
+   * Signature of one band = concat of the per-row minima of
+   * `md5(salt)` — lexicographic MIN over hex strings, portable to any
+   * engine with md5.
+   */
+  def bandRowHash(band: Column, row: Int, shingle: Column): Column =
+    md5(concat_ws(":", lit(s"r$row"), band, shingle))
+
+  /**
+   * Value of one lowercase hex digit (md5 output) — portable as
+   * Spark `conv(c,16,10)` ≡ DuckDB `strpos('0123456789abcdef', c) - 1`.
+   */
+  def hexDigitVal(c: Column): Column = conv(c, 16, 10).cast("int")
+
+  /** `(v >> k) & 1` for nonnegative v with a column shift amount
+    * (functions.shiftright only takes a literal shift): FLOOR division by
+    * 2^k then parity. FLOOR is explicit because cast-double-to-int rounding
+    * differs across engines (Spark truncates, DuckDB rounds) — the oracle
+    * replays `CAST(FLOOR(v / POWER(2,k)) AS INT) % 2` exactly. POWER(2,k)
+    * is integer-exact in double for k ≤ 52. */
+  def bitAt(v: Column, k: Column): Column =
+    floor(v / pow(lit(2), k)).cast("int") % 2
+
+  /**
+   * Bit j (0-based, j < 128) of an md5 hex string, via the nibble at hex
+   * position FLOOR(j/4): `(digitVal >> (j%4)) & 1`. The oracle replays the
+   * identical arithmetic, so the bit mapping is engine-independent.
+   */
+  def md5Bit(hexStr: Column, j: Column): Column =
+    bitAt(hexDigitVal(hexStr.substr(floor(j / 4).cast("int") + 1, lit(1))), j % 4)
+}

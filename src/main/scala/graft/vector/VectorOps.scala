@@ -1,0 +1,73 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector operations for similarity search and embedding-based
+ * near-duplicate detection (SURVEY.md §7.4) over `array<float>` columns.
+ *
+ * Exactness design: the oracle-checked queries never compare floats. Vectors
+ * are quantized to integers (`round(x * 1000)` — float→double conversion is
+ * exact, ×1000 is one deterministic IEEE op, and no float times 1000 can
+ * land exactly on .5, so Spark's and DuckDB's round agree on every input),
+ * then all similarity math is 64-bit integer arithmetic:
+ *
+ *   - dot(a, b)           — exact integer dot product
+ *   - cos(a,b) ≥ τ        — as  dot > 0  ∧  den²·dot² ≥ num²·‖a‖²·‖b‖²
+ *                           with τ = num/den, entirely in BIGINT
+ *
+ * Magnitudes: |x| ≤ ~1 ⇒ quantized coords ≤ ~10³, 64-dim dot ≤ ~10⁸,
+ * dot² ≤ 10¹⁶ — comfortably inside Long for the τ-comparison.
+ *
+ * The true floating-point [[cosine]] is also provided for library users
+ * (tested in scalatest, not oracle-compared).
+ *
+ * All of it is higher-order `functions._` (`transform`/`zip_with`/
+ * `aggregate`) — codegen'd, no UDFs, no driver-side loops; at 100 TB these
+ * are per-row projections that pipeline inside whole-stage codegen.
+ */
+object VectorOps {
+
+  /** Integer-quantized copy of a float vector: round(x · scale) per coord. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two equal-length long vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact integer). */
+  def intNormSq(q: Column): Column = intDot(q, q)
+
+  /**
+   * Exact integer predicate for `cos(a,b) ≥ num/den` given the quantized
+   * dot and squared norms: positive dot and den²·dot² ≥ num²·na²·nb².
+   */
+  def cosAtLeast(dot: Column, naSq: Column, nbSq: Column,
+                 num: Int, den: Int): Column =
+    dot > 0 && dot * dot * (den.toLong * den) >= naSq * nbSq * (num.toLong * num)
+
+  /** True floating-point cosine similarity (double), for library users. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+                        lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+                            lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+                            lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /**
+   * LSH-style sign bucket from the first `bits` quantized coordinates:
+   * bucket = Σ (qᵢ ≥ 0) · 2ⁱ. Deterministic and oracle-replayable (no
+   * random hyperplanes to ship). Vectors in the same orthant-prefix share a
+   * bucket; ANN search then joins only within buckets — the shuffle is on
+   * the bucket key, never an all-pairs cross join.
+   */
+  def signBucket(q: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(q, i + 1) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+}
