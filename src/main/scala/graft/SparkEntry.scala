@@ -10,7 +10,8 @@ object SparkEntry {
   /** Full query surface, one [[Q]] per operator family (SURVEY.md §2/§7.3). */
   def allQueries: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++
-      DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all
+      DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all ++
+      IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,51 @@
+package graft.exports
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.session.Sessionize
+
+/**
+ * The reference's three denormalized exports (SURVEY.md §1.5, K1 sink —
+ * `main.py:229-234`) as real sharded CSV writes: one part-file per task,
+ * exactly Beam's `WriteToText` shard model. Writing is embarrassingly
+ * parallel — no coalesce, no global sort; at 100 TB the sink scales with
+ * the task count.
+ *
+ * Input is the parsed-hit frame ([[graft.ingest.HitParser.parse]] output:
+ * ts in unix seconds + the 13 reference fields).
+ */
+object Exports {
+
+  /** hits.csv — 12 fields in reference order (`main.py:104-107`). */
+  def hitsFrame(parsedHits: DataFrame): DataFrame =
+    Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
+      .select("visit_key", "ts", "site_server", "tracking_code", "page",
+              "line_number", "pdp_view", "atb", "bag_view", "checkout",
+              "payment", "order")
+
+  /** visits.csv — 4 fields (`main.py:99-102`). */
+  def visitsFrame(parsedHits: DataFrame): DataFrame =
+    Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("visit_start"), max("ts").as("visit_end"))
+      .select(
+        Sessionize.visitKey(col("user_id"), col("visit_start")).as("visit_key"),
+        col("user_id"), col("visit_start"), col("visit_end"))
+
+  /** visitors.csv — reference parity: one row per hit, duplicates retained
+    * (`main.py:214`; SURVEY.md §1.5 quirk). `dedup = true` is the honest
+    * variant. */
+  def visitorsFrame(parsedHits: DataFrame, dedup: Boolean = false): DataFrame = {
+    val v = parsedHits.select("user_id", "ibm_id", "scv_id")
+    if (dedup) v.dropDuplicates() else v
+  }
+
+  /** Write all three exports under `baseDir/{hits,visits,visitors}` as
+    * sharded CSV (part-file per task ≡ Beam shard-per-bundle). */
+  def writeAll(parsedHits: DataFrame, baseDir: String): Unit = {
+    hitsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/hits")
+    visitsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/visits")
+    visitorsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/visitors")
+  }
+}

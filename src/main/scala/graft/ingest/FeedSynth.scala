@@ -1,0 +1,126 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic reference-format TSV synthesis from the `events` table —
+ * the bridge that lets the TSV ingest path (SURVEY.md §2 S1/O1/O1a) run
+ * inside the DuckDB-oracle-checked query surface: both engines build the
+ * identical 10-column Adobe-style line (FIXTURES.md §1), then parse it
+ * back, so `HitParser`'s whole drop/extract contract is replayed
+ * relationally.
+ *
+ * Planted malformations (all deterministic on event_id):
+ *   - `% 97 == 0` → 8-column legacy row (the defect that zeroed the
+ *     reference's own fixture, SURVEY.md §5) — dropped by the ≥10-col gate;
+ *   - `% 89 == 0` → empty timestamp (`main.py:92` drop path);
+ *   - `% 83 == 0` → product string without `;` (`main.py:55-57` IndexError
+ *     drop path).
+ *
+ * Event-code mapping (reference `main.py:26-34`): purchase → order+payment
+ * codes, view → pdp_view, click → atb+bag, signup → checkout,
+ * error → rfb (mapped by the reference but never projected).
+ */
+object FeedSynth {
+
+  /** Event-type → comma-separated numeric event-code list. */
+  def eventCodes(eventType: Column): Column =
+    when(eventType === "purchase", "1,204")
+      .when(eventType === "view", "2")
+      .when(eventType === "click", "12,14")
+      .when(eventType === "signup", "11")
+      .otherwise("13")
+
+  /**
+   * One TSV line per event, on the normalized events frame
+   * (`Tables.events`: needs ts_us, user_id, event_id, event_type, value).
+   */
+  def synthLines(events: DataFrame): DataFrame = {
+    val tsSec = when(col("event_id") % 89 === 0, lit(""))
+      .otherwise(expr("CAST(ts_us div 1000000 AS STRING)"))
+    val products = when(col("event_id") % 83 === 0, lit("NOSEMI"))
+      .when(col("value") > 50, concat(lit("PROD;SKU"), col("event_id") % 7))
+      .otherwise(lit(""))
+    val common = Seq(
+      tsSec,
+      col("user_id").cast("string"),
+      lit("d0"),
+      col("event_type"),
+      products,
+      eventCodes(col("event_type")),
+      concat(lit("P"), col("event_id") % 20),
+      concat(lit("srv"), col("user_id") % 3)
+    )
+    val full = common ++ Seq(
+      concat(lit("ibm"), col("user_id")),
+      concat(lit("scv"), col("user_id"))
+    )
+    events.select(
+      when(col("event_id") % 97 === 0, concat_ws("\t", common: _*))
+        .otherwise(concat_ws("\t", full: _*))
+        .as("value")
+    )
+  }
+
+  /**
+   * DuckDB CTE replaying [[synthLines]] + [[HitParser.parse]] over `events`:
+   * exposes a `hits` relation with the parser's 14 output columns. Kept here
+   * next to the Spark implementation so the two line-build/parse contracts
+   * can never drift apart silently.
+   */
+  val parsedHitsCte: String =
+    """WITH raw AS (
+      |  SELECT CASE WHEN event_id % 97 = 0
+      |    THEN concat_ws(chr(9),
+      |      CASE WHEN event_id % 89 = 0 THEN '' ELSE CAST(epoch_us(ts) // 1000000 AS VARCHAR) END,
+      |      CAST(user_id AS VARCHAR), 'd0', event_type,
+      |      CASE WHEN event_id % 83 = 0 THEN 'NOSEMI'
+      |           WHEN value > 50 THEN 'PROD;SKU' || CAST(event_id % 7 AS VARCHAR)
+      |           ELSE '' END,
+      |      CASE WHEN event_type = 'purchase' THEN '1,204'
+      |           WHEN event_type = 'view' THEN '2'
+      |           WHEN event_type = 'click' THEN '12,14'
+      |           WHEN event_type = 'signup' THEN '11'
+      |           ELSE '13' END,
+      |      'P' || CAST(event_id % 20 AS VARCHAR), 'srv' || CAST(user_id % 3 AS VARCHAR))
+      |    ELSE concat_ws(chr(9),
+      |      CASE WHEN event_id % 89 = 0 THEN '' ELSE CAST(epoch_us(ts) // 1000000 AS VARCHAR) END,
+      |      CAST(user_id AS VARCHAR), 'd0', event_type,
+      |      CASE WHEN event_id % 83 = 0 THEN 'NOSEMI'
+      |           WHEN value > 50 THEN 'PROD;SKU' || CAST(event_id % 7 AS VARCHAR)
+      |           ELSE '' END,
+      |      CASE WHEN event_type = 'purchase' THEN '1,204'
+      |           WHEN event_type = 'view' THEN '2'
+      |           WHEN event_type = 'click' THEN '12,14'
+      |           WHEN event_type = 'signup' THEN '11'
+      |           ELSE '13' END,
+      |      'P' || CAST(event_id % 20 AS VARCHAR), 'srv' || CAST(user_id % 3 AS VARCHAR),
+      |      'ibm' || CAST(user_id AS VARCHAR), 'scv' || CAST(user_id AS VARCHAR))
+      |    END AS value
+      |  FROM events
+      |), cols AS (
+      |  SELECT string_split(value, chr(9)) AS c FROM raw
+      |), ok AS (
+      |  SELECT c FROM cols
+      |  WHERE len(c) >= 10
+      |    AND regexp_matches(c[1], '^[0-9]+$')
+      |    AND (c[5] = '' OR len(string_split(c[5], ';')) >= 2)
+      |), hits AS (
+      |  SELECT CAST(c[1] AS BIGINT) AS ts,
+      |         c[2] || '_' || c[3] AS user_id,
+      |         c[4] AS tracking_code,
+      |         CASE WHEN c[5] = '' THEN '' ELSE string_split(c[5], ';')[2] END AS line_number,
+      |         c[7] AS page,
+      |         c[8] AS site_server,
+      |         c[9] AS ibm_id,
+      |         c[10] AS scv_id,
+      |         CAST(list_contains(string_split(c[6], ','), '1') AS INT) AS "order",
+      |         CAST(list_contains(string_split(c[6], ','), '2') AS INT) AS pdp_view,
+      |         CAST(list_contains(string_split(c[6], ','), '11') AS INT) AS checkout,
+      |         CAST(list_contains(string_split(c[6], ','), '12') AS INT) AS atb,
+      |         CAST(list_contains(string_split(c[6], ','), '14') AS INT) AS bag_view,
+      |         CAST(list_contains(string_split(c[6], ','), '204') AS INT) AS payment
+      |  FROM ok
+      |)""".stripMargin
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque bytes + typed metadata. At scale this row shape
+  * lives in parquet with the binary column chunked/compressed per page;
+  * metadata prunes without touching content. */
+final case class MediaRecord(media_id: Long, media_type: String,
+                             n_bytes: Long, content: Array[Byte])
+
+/** Extracted per-item features (from the batched decode pass). */
+final case class MediaFeatures(media_id: Long, media_type: String,
+                               n_bytes: Long, byte_sum: Long,
+                               histogram: Array[Long], n_frames_sampled: Int)
+
+/**
+ * Multimodal-column plumbing (SURVEY.md §7.4): image/audio/video carried as
+ * opaque `binary` columns with typed metadata; decode / feature-extract /
+ * frame-sample run partition-wise in fixed-size batches — the exact batch
+ * shape a Pandas-UDF / `mapInPandas` decode has, expressed as typed
+ * `mapPartitions` (the deliberate per-partition imperative exception: a
+ * codec call is genuinely not a Catalyst expression).
+ *
+ * STUB NOTE: this container ships no image/audio codecs, so [[decodeStub]]
+ * is a deterministic fake (byte histogram). The Spark-side contract —
+ * schema, binary column, batch grouping, partition parallelism — is real
+ * and unit-tested; a production deployment swaps `decodeStub` for the codec
+ * and nothing else changes.
+ */
+object MediaOps {
+
+  /** Documents as fake media: text bytes as content (deterministic stand-in
+    * for real image/audio payloads). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      col("text").cast("binary").as("content")
+    )
+
+  /** STUB decode: deterministic 16-bin byte histogram standing in for a
+    * real codec (`???` in spirit — swap for libjpeg/ffmpeg bindings in
+    * production). */
+  def decodeStub(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xff) >> 4) += 1
+      i += 1
+    }
+    hist
+  }
+
+  /** Frame sampling: every `stride`-th byte (stand-in for every N-th video
+    * frame); returns the sampled "frames". */
+  def frameSample(content: Array[Byte], stride: Int): Array[Byte] =
+    content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
+
+  /**
+   * Partition-wise batched feature extraction. `batchSize` bounds peak
+   * memory per task exactly like `spark.sql.execution.arrow.maxRecordsPerBatch`
+   * bounds a Pandas-UDF batch: the decoder sees fixed-size groups, never a
+   * whole partition.
+   */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      batchSize: Int = 64, frameStride: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decode call" per batch — the codec boundary in production
+        batch.map { m =>
+          val hist = decodeStub(m.content)
+          val frames = frameSample(m.content, frameStride)
+          MediaFeatures(m.media_id, m.media_type, m.n_bytes,
+                        m.content.foldLeft(0L)((a, b) => a + (b & 0xff)),
+                        hist, frames.length)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{FeedSynth, HitParser}
+import graft.session.Sessionize
+import graft.sources.Tables
+
+/**
+ * The reference's actual ingest surface, oracle-checked end-to-end
+ * (SURVEY.md §2 S1/O1/O1a + O10): reference-format TSV lines are built
+ * deterministically from `events` ([[FeedSynth]]), parsed by
+ * [[HitParser]] — exercising the ≥10-column gate, the numeric-ts gate, and
+ * the product-SKU extraction with all three planted drop paths — then
+ * sessionized and formatted as the reference's 12-field hits export
+ * (`main.py:104-107`).
+ *
+ * The DuckDB oracle replays the identical line-build + split + filters, so
+ * the parser's whole observable contract (including what gets DROPPED) is
+ * hash-compared, not just spot-checked.
+ */
+object IngestQueries {
+
+  /** TSV roundtrip: synth lines → HitParser → typed hits (drops included). */
+  val qTsvParse = Q(
+    "q_tsv_parse",
+    (s, dir) => HitParser.parse(FeedSynth.synthLines(Tables.events(s, dir))),
+    Some(s"""${FeedSynth.parsedHitsCte}
+      |SELECT * FROM hits""".stripMargin)
+  )
+
+  /** The reference's hits.csv line (12 fields, `main.py:104-107` order):
+    * parsed hits sessionized at 30 min on second-resolution timestamps,
+    * visit_key = user_id + "_" + visit_start — string seconds, exactly the
+    * reference's key derivation (`main.py:122`). */
+  val qHitsExport = Q(
+    "q_hits_export",
+    (s, dir) => {
+      val parsed = HitParser.parse(FeedSynth.synthLines(Tables.events(s, dir)))
+      Sessionize
+        .withSessionIds(parsed, gapUs = 1800L, tsUsCol = "ts")
+        .select(concat_ws(",",
+          col("visit_key"), col("ts"), col("site_server"), col("tracking_code"),
+          col("page"), col("line_number"), col("pdp_view"), col("atb"),
+          col("bag_view"), col("checkout"), col("payment"), col("order")
+        ).as("line"))
+    },
+    Some(s"""${FeedSynth.parsedHitsCte},
+      |g AS (
+      |  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+      |            THEN 1 ELSE 0 END AS brk
+      |  FROM hits
+      |), sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g
+      |), v AS (
+      |  SELECT *, MIN(ts) OVER (PARTITION BY user_id, sid) AS vs FROM sess
+      |)
+      |SELECT user_id || '_' || CAST(vs AS VARCHAR) || ',' ||
+      |       CAST(ts AS VARCHAR) || ',' || site_server || ',' ||
+      |       tracking_code || ',' || page || ',' || line_number || ',' ||
+      |       CAST(pdp_view AS VARCHAR) || ',' || CAST(atb AS VARCHAR) || ',' ||
+      |       CAST(bag_view AS VARCHAR) || ',' || CAST(checkout AS VARCHAR) || ',' ||
+      |       CAST(payment AS VARCHAR) || ',' || CAST("order" AS VARCHAR) AS line
+      |FROM v""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qTsvParse, qHitsExport)
+}
