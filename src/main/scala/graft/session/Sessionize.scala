@@ -29,10 +29,16 @@ import graft.model.Schemas
  *     the formulation a DuckDB/ANSI oracle can replicate exactly.
  *
  * Boundary semantics (SURVEY.md §7.2): a gap of EXACTLY the timeout starts a
- * new session — Beam merges `[t, t+gap)` intervals only when they overlap,
- * and Spark's session windows likewise treat window end as exclusive — so
- * the islands formulation must split on `diff >= gap`, and `visit_end` is
- * `max(ts)` (reference `main.py:121`), never the window's extent end.
+ * new session — Beam merges `[t, t+gap)` intervals only when they OVERLAP,
+ * so abutting windows (diff == gap) stay separate. Spark's `session_window`
+ * is the opposite: it merges when the next event lands ON the extent end
+ * (boundary-inclusive — verified by SessionizeSpec's exact-1800 s test).
+ * Since the engine's event time is integer microseconds, [[visits]] passes
+ * `gapUs - 1` microseconds to `session_window`, which makes Spark's
+ * inclusive merge (diff ≤ gap-1µs) exactly Beam's exclusive one
+ * (diff < gap ⟺ split at diff ≥ gap). The islands formulation splits on
+ * `diff >= gap` directly, and `visit_end` is `max(ts)` (reference
+ * `main.py:121`), never the window's extent end.
  *
  * All timestamps are integer µs since epoch (`ts_us`), keeping the oracle
  * comparison float-free (see [[graft.sources.Tables.events]]).
@@ -48,12 +54,13 @@ object Sessionize {
    * Output: user_id, visit_start_us, visit_end_us, n_events, visit_key.
    */
   def visits(events: DataFrame,
-             gap: String = Schemas.SessionGap,
+             gapUs: Long = Schemas.SessionGapUs,
              userCol: String = "user_id",
              tsCol: String = "ts_t",
              tsUsCol: String = "ts_us"): DataFrame =
     events
-      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      // gapUs - 1: Beam-exclusive boundary on µs event time (scaladoc above)
+      .groupBy(col(userCol), session_window(col(tsCol), s"${gapUs - 1} microseconds"))
       .agg(
         min(tsUsCol).as("visit_start_us"),
         max(tsUsCol).as("visit_end_us"),

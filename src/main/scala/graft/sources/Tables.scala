@@ -48,11 +48,19 @@ object Tables {
    * instead of a separate gzip ISO-8859-1→UTF-8 re-encode pass, the charset
    * conversion folds into the scan. Gzip decompression is by extension,
    * matching Beam's `ReadFromText` behavior.
+   *
+   * Implemented over the CSV reader (the `text` source ignores the
+   * `encoding` option — TablesSpec pins this) with an unused separator and
+   * quoting disabled, so each physical line lands verbatim in one `value`
+   * column.  never occurs in Adobe-style TSV feeds.
    */
   def rawFeed(spark: SparkSession, path: String,
               encoding: String = "UTF-8"): DataFrame =
     spark.read
+      .option("sep", "")
+      .option("quote", "")
       .option("lineSep", "\n")
       .option("encoding", encoding)
-      .text(path)
+      .schema("value STRING")
+      .csv(path)
 }

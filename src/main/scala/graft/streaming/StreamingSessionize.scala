@@ -31,11 +31,12 @@ object StreamingSessionize {
    * n_events, visit_key.
    */
   def visitsStream(events: DataFrame,
-                   gap: String = Schemas.SessionGap,
+                   gapUs: Long = Schemas.SessionGapUs,
                    watermarkDelay: String = Schemas.SessionGap): DataFrame =
     events
       .withWatermark("ts_t", watermarkDelay)
-      .groupBy(col("user_id"), session_window(col("ts_t"), gap))
+      // gapUs - 1: Beam-exclusive boundary, same as the batch path
+      .groupBy(col("user_id"), session_window(col("ts_t"), s"${gapUs - 1} microseconds"))
       .agg(
         min("ts_us").as("visit_start_us"),
         max("ts_us").as("visit_end_us"),

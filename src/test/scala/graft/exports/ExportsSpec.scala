@@ -1,0 +1,53 @@
+package graft.exports
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.{FeedSynth, HitParser}
+import graft.sources.Tables
+
+/** The three sharded CSV exports (reference K1, `main.py:229-234`) written
+  * and read back — sink glue on top of the proven frames. */
+class ExportsSpec extends SparkSpec {
+
+  private lazy val parsed =
+    HitParser.parse(FeedSynth.synthLines(
+      Tables.events(spark, "/root/testdata/sf0.001"))).cache()
+
+  test("writeAll: three sharded CSV dirs, row counts consistent") {
+    val dir = Files.createTempDirectory("graft-exports").toString
+    Exports.writeAll(parsed, dir)
+    val hits = spark.read.csv(s"$dir/hits")
+    val visits = spark.read.csv(s"$dir/visits")
+    val visitors = spark.read.csv(s"$dir/visitors")
+    val n = parsed.count()
+    assert(hits.count() === n)      // one line per hit
+    assert(visitors.count() === n)  // reference parity: dupes retained
+    assert(visits.count() > 0 && visits.count() <= n)
+    assert(hits.columns.length === 12)
+    assert(visits.columns.length === 4)
+    assert(visitors.columns.length === 3)
+  }
+
+  test("visits frame: key joins back to hits frame (the relational re-join the exports serve)") {
+    val visits = Exports.visitsFrame(parsed)
+    val hits = Exports.hitsFrame(parsed)
+    // every hit's visit_key exists in visits
+    val orphans = hits.join(visits.select("visit_key"), Seq("visit_key"), "left_anti")
+    assert(orphans.count() === 0)
+    // visit bounds bracket their hits
+    val joined = hits.select(col("visit_key"), col("ts"))
+      .join(visits, "visit_key")
+    assert(joined.filter(col("ts") < col("visit_start") ||
+                         col("ts") > col("visit_end")).count() === 0)
+  }
+
+  test("visitors dedup variant collapses duplicates") {
+    val raw = Exports.visitorsFrame(parsed)
+    val dedup = Exports.visitorsFrame(parsed, dedup = true)
+    assert(dedup.count() === parsed.select("user_id").distinct().count())
+    assert(dedup.count() < raw.count())
+  }
+}

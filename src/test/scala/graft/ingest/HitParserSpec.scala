@@ -1,0 +1,95 @@
+package graft.ingest
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Parser contract tests (reference `main.py:44-81`; fixture shapes from
+  * FIXTURES.md §1, including the 8-column legacy rows that zeroed the
+  * reference's own test fixture — SURVEY.md §5). */
+class HitParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(lines: String*) =
+    HitParser.parse(lines.toDF("value"))
+
+  private val happy =
+    "1517958846\t10001026\t3484482593\tTRK1\tPROD;SKU42;1\t2,12,204\tM:Home\tm.example.com\tibm1\tscv1"
+
+  test("10-column happy path: all 14 fields") {
+    val rows = parse(happy).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("ts") === 1517958846L)
+    assert(r.getAs[String]("user_id") === "10001026_3484482593")
+    assert(r.getAs[String]("tracking_code") === "TRK1")
+    assert(r.getAs[String]("line_number") === "SKU42")
+    assert(r.getAs[String]("page") === "M:Home")
+    assert(r.getAs[String]("site_server") === "m.example.com")
+    assert(r.getAs[String]("ibm_id") === "ibm1")
+    assert(r.getAs[String]("scv_id") === "scv1")
+    // codes present: 2 (pdp_view), 12 (atb), 204 (payment)
+    assert(r.getAs[Int]("pdp_view") === 1)
+    assert(r.getAs[Int]("atb") === 1)
+    assert(r.getAs[Int]("payment") === 1)
+    assert(r.getAs[Int]("order") === 0)
+    assert(r.getAs[Int]("checkout") === 0)
+    assert(r.getAs[Int]("bag_view") === 0)
+  }
+
+  test("all projected event codes decode (main.py:26-34)") {
+    def withCodes(codes: String) =
+      s"1000\tu\tv\t\t\t$codes\tp\tsrv\ti\ts"
+    val r = parse(withCodes("1,2,11,12,14,204")).collect().head
+    for (f <- Seq("order", "pdp_view", "checkout", "atb", "bag_view", "payment"))
+      assert(r.getAs[Int](f) === 1, f)
+    val r0 = parse(withCodes("99,100")).collect().head
+    for (f <- Seq("order", "pdp_view", "checkout", "atb", "bag_view", "payment"))
+      assert(r0.getAs[Int](f) === 0, f)
+    // rfb (code 13) is mapped by the reference but never projected —
+    // its presence must not set any projected flag
+    val r13 = parse(withCodes("13")).collect().head
+    for (f <- Seq("order", "pdp_view", "checkout", "atb", "bag_view", "payment"))
+      assert(r13.getAs[Int](f) === 0, f)
+  }
+
+  test("substring codes don't false-positive (1 vs 11 vs 12)") {
+    val r = parse("1000\tu\tv\t\t\t11\tp\tsrv\ti\ts").collect().head
+    assert(r.getAs[Int]("checkout") === 1)
+    assert(r.getAs[Int]("order") === 0) // '1' is not in [11]
+  }
+
+  test("8-column legacy rows dropped (the reference fixture bug)") {
+    // the exact shape of /root/reference/data-test/test.tsv rows
+    val legacy = "1517958846\t10001026\t3484482593\t\t\t102,106\tM:Home\tm.example.com"
+    assert(parse(legacy).count() === 0)
+    assert(parse(legacy, happy).count() === 1)
+  }
+
+  test("empty or non-numeric ts dropped (main.py:88-92)") {
+    val emptyTs = "\tu\tv\t\t\t2\tp\tsrv\ti\ts"
+    val badTs = "12ab34\tu\tv\t\t\t2\tp\tsrv\ti\ts"
+    assert(parse(emptyTs, badTs).count() === 0)
+  }
+
+  test("product string: empty → empty line_number; no ';' → row dropped (main.py:55-57)") {
+    val noProd = "1000\tu\tv\t\t\t2\tp\tsrv\ti\ts"
+    assert(parse(noProd).collect().head.getAs[String]("line_number") === "")
+    val noSemi = "1000\tu\tv\t\tNOSEMI\t2\tp\tsrv\ti\ts"
+    assert(parse(noSemi).count() === 0) // reference IndexError → drop
+    val multi = "1000\tu\tv\t\ta;b;c;d\t2\tp\tsrv\ti\ts"
+    assert(parse(multi).collect().head.getAs[String]("line_number") === "b")
+  }
+
+  test("parseWithMetrics records input and surviving counts (main.py:80 TODO)") {
+    val raw = Seq(happy, "\tu\tv\t\t\t2\tp\tsrv\ti\ts", "short\trow").toDF("value")
+    val parsed = HitParser.parseWithMetrics(raw)
+    // collect() drives parsed's OWN QueryExecution — observed metrics are
+    // attached per-execution, so a different action (e.g. count()) would
+    // leave this QE's metrics empty
+    assert(parsed.collect().length === 1) // 2 of 3 dropped
+    val observed = parsed.queryExecution.observedMetrics
+    assert(observed("graft_parse_in") === Row(3L))
+    assert(observed("graft_parse_out") === Row(1L))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world", "en", "s", 11L),
+    (1L, "abc", "fr", "s", 3L),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("fromDocuments: binary content with typed metadata") {
+    val m = MediaOps.fromDocuments(docs).as[MediaRecord].collect()
+      .map(r => r.media_id -> r).toMap
+    assert(m(0L).n_bytes === 11L)
+    assert(new String(m(0L).content, "UTF-8") === "hello world")
+    assert(m(0L).media_type === "image")
+    assert(m(1L).media_type === "audio")
+    assert(m(2L).media_type === "video")
+  }
+
+  test("decodeStub: deterministic histogram summing to byte count") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val h1 = MediaOps.decodeStub(bytes)
+    val h2 = MediaOps.decodeStub(bytes)
+    assert(h1.toSeq === h2.toSeq)
+    assert(h1.sum === bytes.length)
+    assert(h1.length === 16)
+  }
+
+  test("extractFeatures: batch size never changes results (mapInPandas batch-shape contract)") {
+    val media = MediaOps.fromDocuments(docs)
+    def run(bs: Int) =
+      MediaOps.extractFeatures(spark, media, batchSize = bs)
+        .collect().sortBy(_.media_id)
+        .map(f => (f.media_id, f.n_bytes, f.byte_sum, f.histogram.toSeq, f.n_frames_sampled))
+    val small = run(1)
+    val large = run(1000)
+    assert(small === large)
+    // histogram mass equals byte count; frame sample = ceil(n/stride)
+    small.foreach { case (_, nBytes, _, hist, nFrames) =>
+      assert(hist.sum === nBytes)
+      assert(nFrames === (nBytes + 7) / 8)
+    }
+  }
+
+  test("frameSample: every stride-th byte") {
+    val s = MediaOps.frameSample(Array[Byte](10, 11, 12, 13, 14, 15, 16), 3)
+    assert(s.toSeq === Seq[Byte](10, 13, 16))
+  }
+}

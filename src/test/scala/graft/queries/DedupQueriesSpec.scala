@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Behavior tests for the dedup family on planted fixtures: exact dups,
+  * heavy-overlap near-dups, and unrelated docs written as a documents/
+  * embeddings table pair in a temp dir, then run through the REAL query
+  * surface (same code path the driver oracles). */
+class DedupQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted corpus: 0 and 1 identical (modulo case/whitespace); 2 and 3
+    * near-identical (one token changed in 12); 4 unrelated. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, "  Alpha beta GAMMA delta epsilon zeta eta theta iota kappa lambda mu ", "en", "s1", 70L),
+      (2L, base, "en", "s2", base.length.toLong),
+      (3L, base.replace("theta", "CHANGED"), "en", "s3", 70L),
+      (4L, "one two three four five six seven eight nine ten eleven twelve", "fr", "s4", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val up = Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)
+    val upNear = 0.99f +: Seq.fill(7)(1.0f) ++: 0.1f +: Seq.fill(7)(0.0f)
+    val ortho = Seq.fill(8)(0.0f) ++ Seq.fill(8)(1.0f)
+    Seq(
+      (0L, up, 0), (1L, upNear, 0), (2L, ortho, 0), (3L, up.map(-_), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q_dedup_exact: case/whitespace-normalized dups collapse to one group") {
+    val groups = q("q_dedup_exact")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    // docs 0, 1, 2 share normalized content → canonical 0, n_copies 3
+    assert(groups.map(g => (g._2, g._3)).toSet === Set((0L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("q_dedup_minhash: exact dups and the near-dup pair are candidates; unrelated doc is not") {
+    val pairs = q("q_dedup_minhash").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))             // identical docs always collide
+    assert(pairs.contains((0L, 3L)) || pairs.contains((2L, 3L))) // near-dup found
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })  // no shared shingles
+  }
+
+  test("q_ngram_jaccard: identical docs score J=1, near-dups score high but < 1") {
+    val rows = q("q_ngram_jaccard")
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, i02, u02, nd02) = rows((0L, 2L))
+    assert(i02 === u02 && nd02 === 1) // identical → intersection == union
+    rows.get((0L, 3L)).orElse(rows.get((2L, 3L))).foreach {
+      case (_, _, i, u, nd) =>
+        assert(i < u)                  // one changed token → not identical
+        assert(i * 2 >= u && nd === 1) // but still a near-dup at J >= 0.5
+    }
+  }
+
+  test("q_dedup_simhash: identical texts hash identically; unrelated text differs") {
+    val h = q("q_dedup_simhash")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(h(0L) === h(2L))
+    assert(h(0L) !== h(4L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
+    val fps = q("q_doc_fingerprint")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(fps(0L).size === 4)
+    assert(fps(0L) === fps(2L))
+    assert(fps(0L) !== fps(4L))
+  }
+
+  test("q_dedup_embed: near-parallel intra-label pair found; orthogonal and cross-label not") {
+    val pairs = q("q_dedup_embed")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs === Set((0L, 1L))) // 0~1 parallel; 2 orthogonal; 3 other label
+  }
+
+  test("q_sim_search: nearest neighbor of the query is the near-parallel vector") {
+    // vec 0 is the only query (vec_id % 100 == 0)
+    val top = SparkEntry.queries("q_sim_search")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(_._4 === 1L)
+    assert(top.map(t => (t._1, t._2)).toSet === Set((0L, 1L)))
+  }
+
+  test("q_sim_search_lsh results are a subset of brute-force with matching dots") {
+    val brute = SparkEntry.queries("q_sim_search")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = SparkEntry.queries("q_sim_search_lsh")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // LSH restricts candidates; it must never invent a pair, mis-score a
+    // dot, or mis-order ranks
+    lsh.foreach { case (q, v, dot, _) =>
+      assert(q != v)
+      brute.get((q, v)).foreach(bd => assert(bd === dot))
+    }
+    for ((_, rows) <- lsh.groupBy(_._1)) {
+      val byRank = rows.sortBy(_._4).map(_._3)
+      byRank.zip(byRank.tail).foreach { case (d1, d2) => assert(d1 >= d2) }
+    }
+  }
+}

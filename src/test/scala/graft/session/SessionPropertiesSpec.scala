@@ -1,0 +1,96 @@
+package graft.session
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based session invariants (SURVEY.md §5): generated hit streams
+  * must satisfy the session axioms under BOTH formulations, and the result
+  * must be insensitive to input row order. Generators are scalacheck `Gen`
+  * driven by fixed seeds (the scalatest↔scalacheck bridge artifact isn't in
+  * the offline cache, so sampling is explicit — and deterministic, which a
+  * CI run prefers anyway). */
+class SessionPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapUs = 1800L * 1000000L
+
+  private val streamGen: Gen[List[(String, Long)]] = for {
+    nUsers <- Gen.choose(1, 4)
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0, nUsers - 1)
+      // ts in seconds over a ~3-day range so gaps straddle 1800 s
+      ts <- Gen.choose(0L, 250000L)
+    } yield (s"u$u", ts * 1000000L))
+  } yield rows
+
+  private def sample(seed: Long): List[(String, Long)] =
+    streamGen.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+  private def toDf(rows: List[(String, Long)]) =
+    rows.toDF("user_id", "ts_us")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  test("every hit lands in exactly one session; min/max bracket; gap bounds hold") {
+    for (seed <- 1L to 15L) {
+      val rows = sample(seed)
+      if (rows.nonEmpty) {
+        val withSid = Sessionize.withSessionIds(toDf(rows)).collect()
+        assert(withSid.length === rows.length, s"seed=$seed: no hit lost or duplicated")
+        val bySession = withSid.groupBy(r =>
+          (r.getAs[String]("user_id"), r.getAs[Long]("session_id")))
+        for ((_, hits) <- bySession) {
+          val ts = hits.map(_.getAs[Long]("ts_us")).sorted
+          val vs = hits.head.getAs[Long]("visit_start_us")
+          assert(vs === ts.min, s"seed=$seed: visit_start = min(ts)")
+          ts.zip(ts.tail).foreach { case (a, b) =>
+            assert(b - a < gapUs, s"seed=$seed: intra-session gap < timeout")
+          }
+        }
+        for ((_, g) <- withSid.groupBy(_.getAs[String]("user_id"))) {
+          val spans = g.groupBy(_.getAs[Long]("session_id")).toSeq
+            .map { case (_, hs) =>
+              val t = hs.map(_.getAs[Long]("ts_us")); (t.min, t.max)
+            }.sortBy(_._1)
+          spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) =>
+            assert(s2 - e1 >= gapUs, s"seed=$seed: sessions separated by >= gap")
+          }
+        }
+      }
+    }
+  }
+
+  test("both formulations produce identical visit sets") {
+    for (seed <- 16L to 30L) {
+      val rows = sample(seed)
+      if (rows.nonEmpty) {
+        val df = toDf(rows)
+        val win = Sessionize.visits(df)
+          .select("user_id", "visit_start_us", "visit_end_us", "n_events")
+          .as[(String, Long, Long, Long)].collect().sorted
+        val isl = Sessionize.withSessionIds(df)
+          .groupBy("user_id", "session_id")
+          .agg(min("ts_us").as("s"), max("ts_us").as("e"), count(lit(1)).as("n"))
+          .select("user_id", "s", "e", "n")
+          .as[(String, Long, Long, Long)].collect().sorted
+        assert(win === isl, s"seed=$seed")
+      }
+    }
+  }
+
+  test("order-insensitivity: shuffled input yields identical visits") {
+    for (seed <- 31L to 40L) {
+      val rows = sample(seed)
+      if (rows.nonEmpty) {
+        def visitsOf(rs: List[(String, Long)]) =
+          Sessionize.visits(toDf(rs))
+            .select("user_id", "visit_start_us", "visit_end_us", "n_events")
+            .as[(String, Long, Long, Long)].collect().sorted
+        assert(visitsOf(rows) === visitsOf(rows.reverse), s"seed=$seed")
+      }
+    }
+  }
+}

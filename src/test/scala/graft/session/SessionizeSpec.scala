@@ -1,0 +1,81 @@
+package graft.session
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sessionization semantics: the reference's golden case, the exact-gap
+  * boundary, and agreement between the two formulations
+  * (session_window vs gaps-and-islands) — SURVEY.md §5 test plan. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (user_id, ts seconds) → frame with the ts_t/ts_us contract. */
+  private def eventsOf(rows: (String, Long)*): DataFrame =
+    rows.toDF("user_id", "ts_sec")
+      .withColumn("ts_us", col("ts_sec") * 1000000L)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .drop("ts_sec")
+
+  /** The golden scenario from the reference's own fixture
+    * (`data-test/test.tsv` + `data-test/output.csv-00000-of-00001`): one
+    * user, 5 hits clustered within 76 s + 1 hit ~5.8 days earlier ⇒ two
+    * visits whose starts are the two cluster minima. */
+  test("golden: 6 hits, >30-min gap ⇒ 2 visits with correct starts") {
+    val u = "10001026_3484482593"
+    val df = eventsOf(
+      u -> 1517958846L, u -> 1517958850L, u -> 1517958899L,
+      u -> 1517958913L, u -> 1517958922L, u -> 1517458988L)
+    val visits = Sessionize.visits(df).collect()
+    assert(visits.length === 2)
+    val starts = visits.map(_.getAs[Long]("visit_start_us") / 1000000L).sorted
+    assert(starts === Array(1517458988L, 1517958846L))
+    val keys = visits.map(_.getAs[String]("visit_key")).sorted
+    assert(keys === Array(s"${u}_1517458988000000", s"${u}_1517958846000000"))
+    val byStart = visits.map(v => v.getAs[Long]("visit_start_us") -> v).toMap
+    assert(byStart(1517458988000000L).getAs[Long]("n_events") === 1L)
+    assert(byStart(1517958846000000L).getAs[Long]("n_events") === 5L)
+    assert(byStart(1517958846000000L).getAs[Long]("visit_end_us") === 1517958922000000L)
+  }
+
+  test("gap of exactly 1800 s splits; 1799 s merges (end-exclusive windows)") {
+    val split = Sessionize.visits(eventsOf("u" -> 1000L, "u" -> 2800L))
+    assert(split.count() === 2)
+    val merged = Sessionize.visits(eventsOf("u" -> 1000L, "u" -> 2799L))
+    assert(merged.count() === 1)
+    // islands formulation must agree on the same boundary
+    val islSplit = Sessionize.withSessionIds(eventsOf("u" -> 1000L, "u" -> 2800L))
+      .select("session_id").distinct()
+    assert(islSplit.count() === 2)
+    val islMerged = Sessionize.withSessionIds(eventsOf("u" -> 1000L, "u" -> 2799L))
+      .select("session_id").distinct()
+    assert(islMerged.count() === 1)
+  }
+
+  test("visit_end is max(ts), never the session-window extent end") {
+    val v = Sessionize.visits(eventsOf("u" -> 1000L, "u" -> 1100L)).collect().head
+    assert(v.getAs[Long]("visit_end_us") === 1100L * 1000000L)
+  }
+
+  test("interleaved users sessionize independently") {
+    val df = eventsOf("a" -> 1000L, "b" -> 1001L, "a" -> 1002L,
+                      "b" -> 9000L, "a" -> 9001L)
+    val visits = Sessionize.visits(df)
+      .select("user_id", "n_events").as[(String, Long)].collect().sorted
+    assert(visits === Array(("a", 1L), ("a", 2L), ("b", 1L), ("b", 1L)))
+  }
+
+  test("formulation agreement: session_window ≡ gaps-and-islands on real events") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val fromWindow = Sessionize.visits(ev)
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events")
+    val fromIslands = Sessionize.withSessionIds(ev)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("visit_start_us"), max("ts_us").as("visit_end_us"),
+           count(lit(1)).as("n_events"))
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events")
+    assert(fromWindow.exceptAll(fromIslands).isEmpty &&
+           fromIslands.exceptAll(fromWindow).isEmpty)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.io.{FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import graft.ingest.HitParser
+
+/** Source coverage: gzip + ISO-8859-1 charset fold-in (reference E1,
+  * `encoding_update.py` — subsumed by the scan) and glob reading (S1). */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeGz(path: String, charset: String, lines: Seq[String]): Unit = {
+    val w = new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(path)), charset)
+    try w.write(lines.mkString("\n")) finally w.close()
+  }
+
+  test("rawFeed reads gzip ISO-8859-1 feeds without a separate transcode pass") {
+    val dir = Files.createTempDirectory("graft-feed").toString
+    // é in the page field: ISO-8859-1 byte 0xE9, not valid UTF-8
+    val line = "1000\tu\tv\tTRK\t\t2\tcafé\tsrv\ti\ts"
+    writeGz(s"$dir/feed.tsv.gz", "ISO-8859-1", Seq(line))
+    val decoded = Tables.rawFeed(spark, s"$dir/*.tsv.gz", encoding = "ISO-8859-1")
+      .as[String].collect()
+    assert(decoded === Array(line)) // é survives the charset fold-in
+    val parsed = HitParser.parse(
+      Tables.rawFeed(spark, s"$dir/*.tsv.gz", encoding = "ISO-8859-1"))
+    assert(parsed.collect().head.getAs[String]("page") === "café")
+  }
+
+  test("rawFeed glob expansion reads multiple shards (Beam ReadFromText parity)") {
+    val dir = Files.createTempDirectory("graft-shards").toString
+    writeGz(s"$dir/part-0.tsv.gz", "UTF-8", Seq("1000\tu\tv\t\t\t2\tp\tsrv\ti\ts"))
+    writeGz(s"$dir/part-1.tsv.gz", "UTF-8", Seq("2000\tu\tv\t\t\t2\tp\tsrv\ti\ts"))
+    val n = Tables.rawFeed(spark, s"$dir/part-*.tsv.gz").count()
+    assert(n === 2)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.session.Sessionize
+
+/** One event for the memory-stream source. */
+final case class StreamEvent(user_id: String, ts_us: Long)
+
+/** batch ≡ streaming: the same sessionization body must produce identical
+  * visits whether run over a bounded frame or a watermarked stream
+  * (SURVEY.md §2.1 "same query runs as batch and streaming"). */
+class StreamingSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Golden events (the reference fixture scenario) + a second user. */
+  private val events = Seq(
+    StreamEvent("u1", 1517958846L * 1000000L),
+    StreamEvent("u1", 1517958850L * 1000000L),
+    StreamEvent("u1", 1517958922L * 1000000L),
+    StreamEvent("u1", 1517458988L * 1000000L),
+    StreamEvent("u2", 1517958850L * 1000000L)
+  )
+
+  // one event far past everything: advances the watermark so all real
+  // sessions finalize and append mode emits them
+  private val sentinel = StreamEvent("zz_sentinel", 1600000000L * 1000000L)
+
+  test("streaming visits (append mode, watermark) equal batch visits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val streamDf = input.toDF()
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+    val query = StreamingSessionize.visitsStream(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_visits")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      input.addData(Seq(sentinel))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("graft_stream_visits")
+      .filter(col("user_id") =!= "zz_sentinel")
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events", "visit_key")
+      .as[(String, Long, Long, Long, String)].collect().sorted
+
+    val batch = Sessionize.visits(
+      events.toDF("user_id", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us"))))
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events", "visit_key")
+      .as[(String, Long, Long, Long, String)].collect().sorted
+
+    assert(streamed === batch)
+    assert(batch.length === 3) // u1: 2 visits (5.8-day gap), u2: 1
+  }
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText: lowercase, trim, whitespace collapse") {
+    val out = Seq("  Hello   WORLD\tfoo  ").toDF("text")
+      .select(TextOps.normText(col("text"))).as[String].collect().head
+    assert(out === "hello world foo")
+  }
+
+  test("shingles: word 3-grams in order; short docs yield empty (not descending-sequence garbage)") {
+    def sh(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(TextOps.shingles(TextOps.tokens(col("text"))))
+        .as[Seq[String]].collect().head
+    assert(sh("a b c d e") === Seq("a b c", "b c d", "c d e"))
+    assert(sh("a b c") === Seq("a b c"))
+    assert(sh("a b") === Seq.empty)
+    assert(sh("a") === Seq.empty)
+  }
+
+  test("md5Bit matches a JVM-side md5 bit extraction for all 32 positions") {
+    def jvmMd5Hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val word = "spark"
+    val hex = jvmMd5Hex(word)
+    val expected = (0 until 32).map { j =>
+      val digit = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+      (digit >> (j % 4)) & 1
+    }
+    val got = Seq(word).toDF("tok")
+      .select((0 until 32).map(j =>
+        TextOps.md5Bit(md5(col("tok")), lit(j)).as(s"b$j")): _*)
+      .collect().head
+    (0 until 32).foreach(j => assert(got.getInt(j) === expected(j), s"bit $j"))
+  }
+
+  test("bandRowHash: distinct per band and row salt, stable for equal input") {
+    val df = Seq(("x y z")).toDF("shingle")
+    val r = df.select(
+      TextOps.bandRowHash(lit(0), 0, col("shingle")).as("h00"),
+      TextOps.bandRowHash(lit(1), 0, col("shingle")).as("h10"),
+      TextOps.bandRowHash(lit(0), 1, col("shingle")).as("h01")
+    ).collect().head
+    assert(r.getString(0) !== r.getString(1))
+    assert(r.getString(0) !== r.getString(2))
+    assert(r.getString(0).length === 32)
+  }
+}

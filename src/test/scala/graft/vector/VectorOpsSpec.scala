@@ -1,0 +1,62 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pair(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+
+  test("quantize + intDot: exact integer dot product") {
+    val dot = pair(Seq(0.1f, -0.2f, 0.3f), Seq(1.0f, 0.5f, -1.0f))
+      .select(VectorOps.intDot(VectorOps.quantize(col("a")),
+                               VectorOps.quantize(col("b"))))
+      .as[Long].collect().head
+    // round(100)*round(1000) + round(-200)*round(500) + round(300)*round(-1000)
+    assert(dot === 100L * 1000 + (-200L) * 500 + 300L * (-1000))
+  }
+
+  test("cosine: identical vectors → 1.0; orthogonal → 0.0") {
+    val c1 = pair(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))
+      .select(VectorOps.cosine(col("a"), col("b"))).as[Double].collect().head
+    assert(math.abs(c1 - 1.0) < 1e-12)
+    val c0 = pair(Seq(1f, 0f), Seq(0f, 1f))
+      .select(VectorOps.cosine(col("a"), col("b"))).as[Double].collect().head
+    assert(c0 === 0.0)
+  }
+
+  test("cosAtLeast agrees with floating-point cosine on a threshold sweep") {
+    val vecs = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0.1f, 0f)),   // cos ≈ 0.995
+      (Seq(1f, 1f, 0f), Seq(1f, 0f, 0f)),     // cos ≈ 0.707
+      (Seq(1f, 0f, 0f), Seq(0.3f, 1f, 0f)),   // cos ≈ 0.287
+      (Seq(1f, 0f, 0f), Seq(-1f, 0f, 0f))     // cos = -1
+    )
+    val rows = vecs.toDF("a", "b")
+      .select(
+        VectorOps.cosine(col("a"), col("b")).as("cos"),
+        VectorOps.cosAtLeast(
+          VectorOps.intDot(VectorOps.quantize(col("a")), VectorOps.quantize(col("b"))),
+          VectorOps.intNormSq(VectorOps.quantize(col("a"))),
+          VectorOps.intNormSq(VectorOps.quantize(col("b"))),
+          3, 10).as("ge03")
+      ).as[(Double, Boolean)].collect()
+    rows.foreach { case (cos, ge03) =>
+      // quantization error at scale 1000 is ~1e-3; test points are ≥ 0.01
+      // away from the 0.3 threshold so both sides must agree
+      assert(ge03 === (cos >= 0.3), s"cos=$cos")
+    }
+  }
+
+  test("signBucket: orthant prefix of the first 8 coords") {
+    val b = Seq(Seq(1f, -1f, 1f, 1f, -1f, -1f, 1f, -1f, 99f))
+      .toDF("v")
+      .select(VectorOps.signBucket(VectorOps.quantize(col("v"))))
+      .as[Long].collect().head
+    // bits: + - + + - - + -  → 1,0,1,1,0,0,1,0 → 1 + 4 + 8 + 64
+    assert(b === (1L + 4 + 8 + 64))
+  }
+}
