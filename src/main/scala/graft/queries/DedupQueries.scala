@@ -37,12 +37,27 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
-  /** (doc_id, shingle) — word-3-gram shingles, one row per occurrence. */
+  /** Documents hash-distributed by doc_id BEFORE the explode-heavy stages.
+    * The shingle×band fanout multiplies each doc ~400×; without this
+    * exchange a compact scan (one small parquet split) would run the whole
+    * blowup in one task. The pre-explode shuffle moves only the compact doc
+    * rows; AQE is free to coalesce it, and on a real multi-file corpus it
+    * additionally balances the explode factor across executors. */
+  private def docsDistributed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(col("doc_id"))
+
+  /** (doc_id, shingle) — word-3-gram shingles, one row per occurrence.
+    *
+    * Tokens are materialized in their own projection BEFORE the shingle
+    * HOF: lambda bodies are interpreted (no codegen) and Catalyst does not
+    * CSE inside them, so `shingles(split(text))` re-runs the regex split
+    * for every element_at — O(tokens²) per doc, measured 8× slower than
+    * this two-step shape. CollapseProject keeps the split materialized
+    * because it is referenced more than once. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle")
-    )
+    docsDistributed(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"))).as("shingle"))
 
   /** Shared DuckDB CTE prefix: shingles per doc (matches [[shingled]]). */
   private val shingleCte: String =
@@ -74,17 +89,23 @@ object DedupQueries {
       |  GROUP BY doc_id, b.band
       |)""".stripMargin
 
-  /** LSH candidate pairs (a_id < b_id) from band-signature agreement. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = bandSignatures(s, dir)
-    val a = sigs.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-    val b = sigs.select(col("doc_id").as("b_id"), col("band").as("band_b"),
-                        col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-              col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+  /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
+    *
+    * Bucket-local pairing rather than a sig⋈sig self-join: grouping by
+    * (band, sig) computes the signature pipeline ONCE (a self-join would
+    * recompute the whole shingle+md5 DAG per side) and emits pairs inside
+    * each bucket. Bucket sizes are the LSH knob (b×r) — tiny by
+    * construction; a degenerate corpus (thousands of identical docs in one
+    * bucket) is exactly the case exact-dedup removes first at scale. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandSignatures(s, dir)
+      .groupBy("band", "sig")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .distinct()
-  }
 
   private val candidateCte: String =
     s"""$bandSigCte,
@@ -172,7 +193,7 @@ object DedupQueries {
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => {
-      val tok = docs(s, dir)
+      val tok = docsDistributed(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       tok
         .withColumn("j", explode(sequence(lit(0), lit(31))))
@@ -217,9 +238,10 @@ object DedupQueries {
   val qDocFingerprint = Q(
     "q_doc_fingerprint",
     (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-                posexplode(TextOps.shingles(TextOps.tokens(col("text")))))
+      docsDistributed(s, dir)
+        // two-step: materialized toks, then the shingle HOF (see shingled)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(TextOps.shingles(col("toks"))))
         .select(col("doc_id"), (col("pos") % 4).as("band"),
                 md5(col("col")).as("h"))
         .groupBy("doc_id", "band")
@@ -243,7 +265,10 @@ object DedupQueries {
   val qDedupEmbed = Q(
     "q_dedup_embed",
     (s, dir) => {
+      // repartition: the pair fanout (intra-label cross) and 64-dim dots
+      // must not run inside one compact-scan task (see docsDistributed)
       val e = Tables.read(s, dir, "embeddings")
+        .repartition(col("vec_id"))
         .select(col("vec_id"), col("label"),
                 VectorOps.quantize(col("embedding")).as("q"))
         .withColumn("nsq", VectorOps.intNormSq(col("q")))

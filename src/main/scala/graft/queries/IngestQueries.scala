@@ -24,7 +24,11 @@ object IngestQueries {
   /** TSV roundtrip: synth lines → HitParser → typed hits (drops included). */
   val qTsvParse = Q(
     "q_tsv_parse",
-    (s, dir) => HitParser.parse(FeedSynth.synthLines(Tables.events(s, dir))),
+    // repartition: the line-build + parse is pure map work; balancing it
+    // across tasks costs one exchange of compact rows (AQE-coalescible) and
+    // keeps a single-split local scan from serializing the whole parse
+    (s, dir) => HitParser.parse(FeedSynth.synthLines(
+      Tables.events(s, dir).repartition(col("event_id")))),
     Some(s"""${FeedSynth.parsedHitsCte}
       |SELECT * FROM hits""".stripMargin)
   )
@@ -36,7 +40,8 @@ object IngestQueries {
   val qHitsExport = Q(
     "q_hits_export",
     (s, dir) => {
-      val parsed = HitParser.parse(FeedSynth.synthLines(Tables.events(s, dir)))
+      val parsed = HitParser.parse(FeedSynth.synthLines(
+        Tables.events(s, dir).repartition(col("event_id"))))
       Sessionize
         .withSessionIds(parsed, gapUs = 1800L, tsUsCol = "ts")
         .select(concat_ws(",",

@@ -24,9 +24,14 @@ object SimQueries {
 
   private val TopK = 10
 
-  /** (vec_id, label, q = quantized embedding) */
+  /** (vec_id, label, q = quantized embedding), hash-distributed by vec_id:
+    * the per-candidate dot products must not run inside one compact-scan
+    * task — under a broadcast join the probe side keeps the scan's
+    * partitioning, and the fixture is a single small parquet split. The
+    * exchange moves compact vectors once; AQE can coalesce it. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
               VectorOps.quantize(col("embedding")).as("q"))
 

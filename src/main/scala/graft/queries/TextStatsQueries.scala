@@ -145,7 +145,10 @@ object TextStatsQueries {
   val qLangId = Q(
     "q_lang_id",
     (s, dir) => {
+      // hash-distribute before the token explode (single-split scan would
+      // otherwise run the fanout serially; see DedupQueries.docsDistributed)
       val tok = docs(s, dir)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
       val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
       val top = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
