@@ -68,25 +68,38 @@ object DedupQueries {
       |  FROM d
       |)""".stripMargin
 
-  /** MinHash band signatures: per (doc, band), concat of r=2 salted-md5
-    * minima. Docs agreeing on a full band signature become candidates. */
+  /** MinHash band signatures: per (doc, band), r=2 salted-md5 numeric
+    * minima (60-bit md5 prefixes — see [[TextOps.md5Prefix60]]: keeps the
+    * MIN hash-aggregatable and the shuffle rows compact). Docs agreeing on
+    * a full band signature (sig0, sig1) become candidates. */
   private def bandSignatures(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .withColumn("band", explode(sequence(lit(0), lit(NumBands - 1))))
       .groupBy("doc_id", "band")
-      .agg(concat(
-        min(TextOps.bandRowHash(col("band"), 0, col("shingle"))),
-        min(TextOps.bandRowHash(col("band"), 1, col("shingle")))
-      ).as("sig"))
+      .agg(
+        min(TextOps.md5Prefix60(TextOps.bandRowHash(col("band"), 0, col("shingle")))).as("sig0"),
+        min(TextOps.md5Prefix60(TextOps.bandRowHash(col("band"), 1, col("shingle")))).as("sig1")
+      )
+
+  /** DuckDB replay of [[TextOps.md5Prefix60]] over a hex-string column. */
+  private def hex60(h: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 15),
+       |   k -> CAST(strpos('0123456789abcdef', $h[k]) - 1 AS BIGINT)
+       |        * CAST(POWER(16, 15 - k) AS BIGINT))) AS BIGINT)""".stripMargin
 
   private val bandSigCte: String =
     s"""$shingleCte,
-      |sig AS (
-      |  SELECT doc_id, b.band,
-      |         min(md5('r0:' || b.band || ':' || shingle)) ||
-      |         min(md5('r1:' || b.band || ':' || shingle)) AS sig
+      |shb AS (
+      |  SELECT doc_id, b.band AS band,
+      |         md5('r0:' || b.band || ':' || shingle) AS h0,
+      |         md5('r1:' || b.band || ':' || shingle) AS h1
       |  FROM sh, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
-      |  GROUP BY doc_id, b.band
+      |), sig AS (
+      |  SELECT doc_id, band,
+      |         MIN(${hex60("h0")}) AS sig0,
+      |         MIN(${hex60("h1")}) AS sig1
+      |  FROM shb
+      |  GROUP BY doc_id, band
       |)""".stripMargin
 
   /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
@@ -99,7 +112,7 @@ object DedupQueries {
     * bucket) is exactly the case exact-dedup removes first at scale. */
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
     bandSignatures(s, dir)
-      .groupBy("band", "sig")
+      .groupBy("band", "sig0", "sig1")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("a_id"), col("ids"))
@@ -112,7 +125,8 @@ object DedupQueries {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM sig a JOIN sig b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |    ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+      |       AND a.doc_id < b.doc_id
       |)""".stripMargin
 
   /** Exact dedup on the md5 of normalized text: one group per distinct
@@ -278,7 +292,15 @@ object DedupQueries {
                        col("q").as("qb"), col("nsq").as("nb"))
       a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
         .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
-        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+        // Optimizer fence: without it, PushPredicateThroughNonJoin inlines
+        // the filter into the join condition, re-evaluating the interpreted
+        // HOF dot product 3x per pair (verified via explain). The
+        // nondeterministic column blocks the pushdown so `dot` is computed
+        // once; the `>= 0` conjunct is vacuously true (ids are nonnegative)
+        // and only exists to keep column pruning from erasing the fence.
+        .withColumn("_fence", monotonically_increasing_id())
+        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10) &&
+                col("_fence") >= 0)
         .select("a_id", "b_id", "dot")
     },
     Some("""WITH e AS (

@@ -62,6 +62,17 @@ object TextOps {
    */
   def hexDigitVal(c: Column): Column = conv(c, 16, 10).cast("int")
 
+  /**
+   * First 15 hex digits of an md5 hex string as a BIGINT (60-bit prefix,
+   * order-preserving). Numeric hashes instead of 32-char strings make the
+   * MIN aggregate hash-aggregatable (Spark's `min(string)` falls back to
+   * SortAggregate) and shrink the shuffle 4×. DuckDB replays it as the
+   * base-16 polynomial over `strpos`-decoded digits — 16^k is a power of
+   * two, so the double-precision POWER is exact.
+   */
+  def md5Prefix60(hexStr: Column): Column =
+    conv(substring(hexStr, 1, 15), 16, 10).cast("long")
+
   /** `(v >> k) & 1` for nonnegative v with a column shift amount
     * (functions.shiftright only takes a literal shift): FLOOR division by
     * 2^k then parity. FLOOR is explicit because cast-double-to-int rounding

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** 100 TB layout posture (SURVEY.md §4.3, BASELINE north star): the same
+  * declarative readers must exploit bucketed and partitioned physical
+  * layouts — co-located joins without exchanges, partition pruning at the
+  * scan. The fixtures are single-file parquet, so these properties are
+  * proven here against written-out layouts. */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val lineitem = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
+    val orders = Tables.read(spark, "/root/testdata/sf0.001", "orders")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_layout LOCATION '$dir'")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_layout.lineitem_b")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_layout.orders_b")
+    // disable auto-broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_layout.lineitem_b")
+        .join(spark.table("graft_layout.orders_b"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // bucket-co-located join: no exchange below the join; the only
+      // allowed shuffle is the final small groupBy on o_orderpriority
+      assert(exchanges.length <= 1,
+             s"expected bucketing to remove join shuffles, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() === 5)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("partition pruning: a partition filter reaches the scan and prunes files") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.read(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite")
+      .partitionBy("o_year")
+      .parquet(s"$dir/orders_p")
+    val all = spark.read.parquet(s"$dir/orders_p")
+    val years = all.select("o_year").distinct().count()
+    assert(years > 1) // layout actually has multiple partitions
+    val pruned = all.filter(col("o_year") === 1996)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the pruned scan must read strictly fewer partitions than exist
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("o_year"),
+           s"partition filter not pushed: ${scan.metadata}")
+    assert(pruned.count() > 0)
+    assert(scan.selectedPartitions.partitionCount === 1,
+           s"expected exactly the 1996 partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+}
