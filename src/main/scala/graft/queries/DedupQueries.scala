@@ -68,39 +68,76 @@ object DedupQueries {
       |  FROM d
       |)""".stripMargin
 
-  /** MinHash band signatures: per (doc, band), r=2 salted-md5 numeric
-    * minima (60-bit md5 prefixes — see [[TextOps.md5Prefix60]]: keeps the
-    * MIN hash-aggregatable and the shuffle rows compact). Docs agreeing on
-    * a full band signature (sig0, sig1) become candidates. */
-  private def bandSignatures(s: SparkSession, dir: String): DataFrame =
+  /** Universal-hashing multipliers/offsets for the b×r MinHash family:
+    * h_{band,row}(x) = (A·x + C) mod 2³², A odd and < 2³⁰ so A·x < 2⁶²
+    * never overflows BIGINT in either engine (DuckDB errors on int64
+    * overflow rather than wrapping). Index = band·2 + row. */
+  private val HashA: Seq[Long] = Seq(
+    0x2545F491L, 0x34D01A4DL, 0x1B873593L, 0x2E1F6B75L,
+    0x27D4EB2FL, 0x165667B1L, 0x9E3779B1L & 0x3FFFFFFFL, 0x61C88647L & 0x3FFFFFFFL,
+    0x38495AB5L, 0x2B7E1517L, 0x13198A2FL, 0x243F6A89L,
+    0x31A6D1C5L, 0x1F83D9ABL, 0x2ED55D17L, 0x3C6EF373L)
+  private val HashC: Seq[Long] = Seq(
+    0x85EBCA6BL, 0xC2B2AE35L, 0x27220A95L, 0x165667919L & 0xFFFFFFFFL,
+    0xD3A2646CL, 0xFD7046C5L, 0xB55A4F09L, 0x8F462907L,
+    0xCA62C1D6L, 0x5A827999L, 0x6ED9EBA1L, 0x8F1BBCDCL,
+    0x76543210L, 0x0FEDCBA9L, 0x89ABCDEFL, 0x13579BDFL)
+  private val Mod32 = 4294967296L // 2^32
+
+  /**
+   * MinHash band signatures via one md5 per shingle + b×r universal-hash
+   * permutations (the standard one-hash MinHash family): the 32-bit md5
+   * prefix is the base hash, and each (band, row) applies (A·x+C) mod 2³².
+   * One md5 per shingle occurrence instead of 2·b salted md5s — 16× less
+   * hashing — and the MIN is over BIGINTs, so the aggregate stays a
+   * HashAggregate and the signature shuffle carries 8-byte keys. Docs
+   * agreeing on a full band signature (sig0, sig1) become candidates.
+   */
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
+    def perm(band: Column, row: Int, base: Column): Column = {
+      val a = element_at(array(HashA.map(lit): _*), band * 2 + row + 1)
+      val c = element_at(array(HashC.map(lit): _*), band * 2 + row + 1)
+      (base * a + c) % Mod32
+    }
     shingled(s, dir)
+      // base hash materialized BEFORE the band explode: one md5 per
+      // shingle, reused by all 8 bands
+      .select(col("doc_id"),
+              TextOps.md5Prefix32(md5(col("shingle"))).as("base"))
       .withColumn("band", explode(sequence(lit(0), lit(NumBands - 1))))
       .groupBy("doc_id", "band")
       .agg(
-        min(TextOps.md5Prefix60(TextOps.bandRowHash(col("band"), 0, col("shingle")))).as("sig0"),
-        min(TextOps.md5Prefix60(TextOps.bandRowHash(col("band"), 1, col("shingle")))).as("sig1")
+        min(perm(col("band"), 0, col("base"))).as("sig0"),
+        min(perm(col("band"), 1, col("base"))).as("sig1")
       )
+  }
 
-  /** DuckDB replay of [[TextOps.md5Prefix60]] over a hex-string column. */
-  private def hex60(h: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, 15),
+  /** DuckDB replay of [[TextOps.md5Prefix32]] over a hex-string column. */
+  private def hex32(h: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
        |   k -> CAST(strpos('0123456789abcdef', $h[k]) - 1 AS BIGINT)
-       |        * CAST(POWER(16, 15 - k) AS BIGINT))) AS BIGINT)""".stripMargin
+       |        * CAST(POWER(16, 8 - k) AS BIGINT))) AS BIGINT)""".stripMargin
 
-  private val bandSigCte: String =
+  private val bandSigCte: String = {
+    def sqlList(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
     s"""$shingleCte,
       |shb AS (
-      |  SELECT doc_id, b.band AS band,
-      |         md5('r0:' || b.band || ':' || shingle) AS h0,
-      |         md5('r1:' || b.band || ':' || shingle) AS h1
-      |  FROM sh, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
+      |  SELECT doc_id, ${hex32("md5(shingle)")} AS base FROM sh
+      |), sbb AS (
+      |  SELECT doc_id, b.band AS band, base,
+      |         (${sqlList(HashA)})[b.band * 2 + 1] AS a0,
+      |         (${sqlList(HashC)})[b.band * 2 + 1] AS c0,
+      |         (${sqlList(HashA)})[b.band * 2 + 2] AS a1,
+      |         (${sqlList(HashC)})[b.band * 2 + 2] AS c1
+      |  FROM shb, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) b
       |), sig AS (
       |  SELECT doc_id, band,
-      |         MIN(${hex60("h0")}) AS sig0,
-      |         MIN(${hex60("h1")}) AS sig1
-      |  FROM shb
+      |         MIN((base * a0 + c0) % $Mod32) AS sig0,
+      |         MIN((base * a1 + c1) % $Mod32) AS sig1
+      |  FROM sbb
       |  GROUP BY doc_id, band
       |)""".stripMargin
+  }
 
   /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
     *

@@ -73,6 +73,12 @@ object TextOps {
   def md5Prefix60(hexStr: Column): Column =
     conv(substring(hexStr, 1, 15), 16, 10).cast("long")
 
+  /** First 8 hex digits of an md5 hex string as a BIGINT (32-bit base hash
+    * for universal-hashing families: small enough that (A·x+C) with
+    * A < 2³⁰ never overflows int64 in any engine). */
+  def md5Prefix32(hexStr: Column): Column =
+    conv(substring(hexStr, 1, 8), 16, 10).cast("long")
+
   /** `(v >> k) & 1` for nonnegative v with a column shift amount
     * (functions.shiftright only takes a literal shift): FLOOR division by
     * 2^k then parity. FLOOR is explicit because cast-double-to-int rounding
