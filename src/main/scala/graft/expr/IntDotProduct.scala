@@ -1,0 +1,105 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/**
+ * Native integer dot product over two `array<bigint>` columns — the hot
+ * inner loop of the similarity/near-dup operators ([[graft.vector.VectorOps]]).
+ *
+ * Why a custom Catalyst expression (SURVEY.md §7.4 decision rule: built-ins
+ * first, custom `Expression` only when they genuinely can't do the job):
+ * the built-in formulation `aggregate(zip_with(a, b, _*_), 0, _+_)` is
+ * CORRECT but runs interpreted — higher-order functions have no codegen —
+ * and allocates an intermediate array per row. This expression generates a
+ * tight primitive loop inside whole-stage codegen: no allocation, no
+ * virtual calls, no boxing.
+ *
+ * Null semantics match the HOF chain it replaces exactly: null input array,
+ * length mismatch (zip_with pads with null), or any null element (null
+ * propagates through * and +) → null result.
+ */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_int_dot requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long s = 0L;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    s += $a.getLong(i) * $b.getLong(i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The engine's SQL function surface, one (identifier, info, builder)
+  * tuple per function — shared by the session extension and by direct
+  * registry registration (tests, notebooks on an already-built session). */
+object GraftFunctions {
+  val intDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_int_dot"),
+    new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_int_dot takes exactly 2 arguments")
+      IntDotProduct(children.head, children(1))
+    }
+  )
+}
+
+/**
+ * Session-extension registration (`spark.sql.extensions=graft.expr.GraftExtensions`):
+ * exposes the expression to SQL as `graft_int_dot(a, b)`. The Column-API
+ * path ([[graft.vector.VectorOps.intDot]]) doesn't need the extension — it
+ * builds the expression directly.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.intDot)
+}

@@ -33,8 +33,18 @@ object VectorOps {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two equal-length long vectors. */
+  /** Exact integer dot product of two equal-length long vectors — a native
+    * codegen'd expression ([[graft.expr.IntDotProduct]]); same null/length
+    * semantics as the HOF formulation [[intDotHof]] it replaced. */
   def intDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.IntDotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Built-in-only dot product (interpreted HOFs) — kept as the reference
+    * implementation the custom expression is tested against. */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared L2 norm of a quantized vector (exact integer). */

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column ↔ Expression bridge for the engine's custom Catalyst expressions
+ * (`graft.expr`). Spark 4 wraps Columns around ColumnNodes and keeps the
+ * converter (`ExpressionUtils`) `private[sql]`, so libraries that build
+ * expressions directly need one file inside the `org.apache.spark.sql`
+ * namespace — the established extension pattern (only this accessor lives
+ * here; all engine logic stays in `graft.*`).
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

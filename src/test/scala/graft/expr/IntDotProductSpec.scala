@@ -1,0 +1,48 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.vector.VectorOps
+
+/** The native codegen'd dot product must be a drop-in replacement for the
+  * HOF formulation: identical values and identical null semantics. */
+class IntDotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the HOF formulation on random vectors") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)((
+      Seq.fill(16)(rnd.nextLong() % 100000L),
+      Seq.fill(16)(rnd.nextLong() % 100000L)))
+    val out = rows.toDF("a", "b")
+      .select(
+        VectorOps.intDot(col("a"), col("b")).as("native"),
+        VectorOps.intDotHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("null semantics: length mismatch and null elements yield null (HOF parity)") {
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), Some(2L)), Seq[Option[Long]](Some(3L))),           // length mismatch
+      (Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(3L), Some(4L))),     // null element
+      (Seq[Option[Long]](Some(2L), Some(5L)), Seq[Option[Long]](Some(7L), Some(11L))) // clean
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorOps.intDot(col("a"), col("b")).as("native"),
+      VectorOps.intDotHof(col("a"), col("b")).as("hof")
+    ).collect()
+    out.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1)) }
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getLong(0) === 2L * 7 + 5 * 11)
+  }
+
+  test("SQL surface: the same builder tuple GraftExtensions injects") {
+    val (id, info, builder) = GraftFunctions.intDot
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val r = spark.sql("SELECT graft_int_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].collect().head
+    assert(r === 4L + 10 + 18)
+  }
+}
