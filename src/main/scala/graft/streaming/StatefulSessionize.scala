@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Schemas
+
+/** One event on the custom-state path (event time in µs since epoch;
+  * the stream must also carry a watermarked `ts_t` timestamp column). */
+final case class SessionEvent(user_id: String, ts_us: Long)
+
+/** An open (not yet finalized) session held in state. */
+final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+/** A finalized visit — same contract as the session_window path. */
+final case class SessionVisit(user_id: String, visit_start_us: Long,
+                              visit_end_us: Long, n_events: Long,
+                              visit_key: String)
+
+/**
+ * Sessionization via `flatMapGroupsWithState` — the custom-state streaming
+ * formulation (SURVEY.md §2 O4 fallback; the brief's
+ * mapGroupsWithState/flatMapGroupsWithState surface). Functionally
+ * identical to [[StreamingSessionize.visitsStream]]; this path exists for
+ * session semantics `session_window` cannot express (per-session derived
+ * state, mid-session emission, custom merge rules) and as the template for
+ * any custom streaming-state operator.
+ *
+ * State protocol, per user key:
+ *  - each trigger merges its (batch-sorted) events into the open session,
+ *    closing and EMITTING a session whenever the next event starts
+ *    ≥ gap after the session end (Beam-exclusive boundary, same as batch);
+ *  - the still-open session is kept in state with an event-time timeout at
+ *    `end + gap`; when the watermark passes it, the timed-out invocation
+ *    emits the final visit and clears state.
+ *
+ * State size is ONE OpenSession per active user — bounded by concurrent
+ * activity, not history; exactly the property that lets this run against a
+ * firehose indefinitely.
+ */
+object StatefulSessionize {
+
+  def visits(spark: SparkSession,
+             events: Dataset[SessionEvent],
+             gapUs: Long = Schemas.SessionGapUs): Dataset[SessionVisit] = {
+    import spark.implicits._
+
+    def finalize(userId: String, s: OpenSession): SessionVisit =
+      SessionVisit(userId, s.start_us, s.end_us, s.n,
+                   s"${userId}_${s.start_us}")
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+                              GroupStateTimeout.EventTimeTimeout()) {
+        (userId: String, batch: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(finalize(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.map(_.ts_us).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionVisit]
+            for (ts <- sorted) {
+              open match {
+                case Some(s) if ts - s.end_us < gapUs =>
+                  open = Some(OpenSession(s.start_us, math.max(s.end_us, ts), s.n + 1))
+                case Some(s) => // gap >= timeout: close and start fresh
+                  closed += finalize(userId, s)
+                  open = Some(OpenSession(ts, ts, 1))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // event-time timeout fires once the watermark passes end+gap
+              state.setTimeoutTimestamp(s.end_us / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

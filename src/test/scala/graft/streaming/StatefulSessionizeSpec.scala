@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.session.Sessionize
+
+/** The flatMapGroupsWithState sessionizer must agree with BOTH the
+  * session_window streaming path and the batch path — three formulations,
+  * one answer. */
+class StatefulSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    SessionEvent("u1", 1517958846L * 1000000L),
+    SessionEvent("u1", 1517958850L * 1000000L),
+    SessionEvent("u1", 1517958922L * 1000000L),
+    SessionEvent("u1", 1517458988L * 1000000L), // 5.8 days earlier → own visit
+    SessionEvent("u2", 1517958850L * 1000000L)
+  )
+  private val sentinel = SessionEvent("zz_sentinel", 1600000000L * 1000000L)
+
+  private def runStateful(batches: Seq[Seq[SessionEvent]]): Array[(String, Long, Long, Long, String)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val withTime = input.toDS()
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "30 minutes")
+      .as[SessionEvent]
+    val name = s"graft_stateful_${System.nanoTime()}"
+    val q = StatefulSessionize.visits(spark, withTime)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      // one more empty-ish trigger so event-time timeouts fire after the
+      // watermark advanced past end+gap
+      input.addData(Seq(sentinel.copy(ts_us = sentinel.ts_us + 1))); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") =!= "zz_sentinel")
+      .as[(String, Long, Long, Long, String)].collect().sorted
+  }
+
+  private lazy val batchVisits =
+    Sessionize.visits(
+      events.toDF("user_id", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us"))))
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events", "visit_key")
+      .as[(String, Long, Long, Long, String)].collect().sorted
+
+  test("all events in one trigger: custom state ≡ batch") {
+    assert(runStateful(Seq(events)) === batchVisits)
+  }
+
+  test("events split across triggers (session spanning batches): custom state ≡ batch") {
+    // split in event-time order: anything older than watermark − delay is
+    // correctly dropped as late data, so a split must not time-travel
+    val chronological = events.sortBy(_.ts_us)
+    val (first, second) = chronological.splitAt(2)
+    assert(runStateful(Seq(first, second)) === batchVisits)
+  }
+
+  test("gap boundary: exactly the timeout splits, one microsecond less merges") {
+    def visitsOf(ts: Seq[Long]) =
+      runStateful(Seq(ts.map(SessionEvent("u", _))))
+    val base = 1517958846L * 1000000L
+    val gap = 1800L * 1000000L
+    assert(visitsOf(Seq(base, base + gap)).length === 2)
+    assert(visitsOf(Seq(base, base + gap - 1)).length === 1)
+  }
+}
