@@ -170,8 +170,85 @@ object CoreQueries {
       |FROM v""".stripMargin)
   )
 
+  /**
+   * Ordered conversion funnel — stage sequencing, not just flag counts
+   * (the analysis `q_funnel`'s summable flags exist to feed): a user
+   * reaches stage k only if step k happened AT OR AFTER step k-1. All
+   * conditional aggregates + two broadcast-sized joins on user_id.
+   */
+  val qFunnelOrdered = Q(
+    "q_funnel_ordered",
+    (s, dir) => {
+      val e = events(s, dir).select("user_id", "event_type", "ts_us")
+      val tView = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val tClick = e.filter(col("event_type") === "click")
+        .join(tView, "user_id")
+        .filter(col("ts_us") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts_us").as("t_click"))
+      val tBuy = e.filter(col("event_type") === "purchase")
+        .join(tClick, "user_id")
+        .filter(col("ts_us") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts_us").as("t_buy"))
+      events(s, dir).select("user_id").distinct()
+        .join(tView, Seq("user_id"), "left")
+        .join(tClick, Seq("user_id"), "left")
+        .join(tBuy, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          (when(col("t_buy").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0)).as("stage_reached")
+        )
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ts_us) AS t_click
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_us >= t_view GROUP BY e.user_id),
+      |b AS (SELECT e.user_id, MIN(ts_us) AS t_buy
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |       CASE WHEN b.t_buy IS NOT NULL THEN 3
+      |            WHEN c.t_click IS NOT NULL THEN 2
+      |            WHEN v.t_view IS NOT NULL THEN 1
+      |            ELSE 0 END AS stage_reached
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN b ON u.user_id = b.user_id""".stripMargin)
+  )
+
+  /**
+   * Cohort retention: users grouped by first-active day, counted per
+   * day-offset of later activity — the visitors table's raison d'être at
+   * analysis time. Day arithmetic in integer µs (86400000000 µs/day), so
+   * the oracle replays it exactly.
+   */
+  val qRetention = Q(
+    "q_retention",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+      e.distinct()
+        .join(cohort, "user_id")
+        .groupBy("cohort_day", "d")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"),
+                col("n_users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day, d - cohort_day AS day_offset, COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY cohort_day, d""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
-    qParseExtract, qVisitStats, qCsvFormat
+    qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention
   )
 }
