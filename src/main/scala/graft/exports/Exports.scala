@@ -3,6 +3,7 @@ package graft.exports
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.model.Schemas
 import graft.session.Sessionize
 
 /**
@@ -17,12 +18,11 @@ import graft.session.Sessionize
  */
 object Exports {
 
-  /** hits.csv — 12 fields in reference order (`main.py:104-107`). */
+  /** hits.csv — 12 fields in reference order (`Schemas.hitsExportColumns`,
+    * from `main.py:104-107`). */
   def hitsFrame(parsedHits: DataFrame): DataFrame =
     Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
-      .select("visit_key", "ts", "site_server", "tracking_code", "page",
-              "line_number", "pdp_view", "atb", "bag_view", "checkout",
-              "payment", "order")
+      .select(Schemas.hitsExportColumns.map(col): _*)
 
   /** visits.csv — 4 fields (`main.py:99-102`). */
   def visitsFrame(parsedHits: DataFrame): DataFrame =
@@ -42,10 +42,24 @@ object Exports {
   }
 
   /** Write all three exports under `baseDir/{hits,visits,visitors}` as
-    * sharded CSV (part-file per task ≡ Beam shard-per-bundle). */
+    * sharded CSV (part-file per task ≡ Beam shard-per-bundle). The
+    * sessionized frame is computed ONCE and cached across the three writes
+    * — without it each sink re-reads and re-sessionizes the input (three
+    * scans, two identical shuffles). */
   def writeAll(parsedHits: DataFrame, baseDir: String): Unit = {
-    hitsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/hits")
-    visitsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/visits")
-    visitorsFrame(parsedHits).write.mode("overwrite").csv(s"$baseDir/visitors")
+    val sess = Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
+      .persist()
+    try {
+      sess.select(Schemas.hitsExportColumns.map(col): _*)
+        .write.mode("overwrite").csv(s"$baseDir/hits")
+      sess.groupBy("user_id", "session_id")
+        .agg(min("ts").as("visit_start"), max("ts").as("visit_end"))
+        .select(
+          Sessionize.visitKey(col("user_id"), col("visit_start")).as("visit_key"),
+          col("user_id"), col("visit_start"), col("visit_end"))
+        .write.mode("overwrite").csv(s"$baseDir/visits")
+      sess.select("user_id", "ibm_id", "scv_id")
+        .write.mode("overwrite").csv(s"$baseDir/visitors")
+    } finally sess.unpersist()
   }
 }

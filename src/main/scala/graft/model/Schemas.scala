@@ -70,6 +70,13 @@ object Schemas {
     "order"    -> "1"
   )
 
+  /** hits.csv export field order (reference `main.py:104-107`) — the ONE
+    * definition both the CSV sink (graft.exports) and the oracle-checked
+    * q_hits_export line format derive from. */
+  val hitsExportColumns: Seq[String] = Seq(
+    "visit_key", "ts", "site_server", "tracking_code", "page", "line_number",
+    "pdp_view", "atb", "bag_view", "checkout", "payment", "order")
+
   /** Session inactivity gap: 30 minutes (reference `main.py:207`). */
   val SessionGapSeconds: Long = 1800L
   val SessionGapUs: Long      = SessionGapSeconds * 1000000L

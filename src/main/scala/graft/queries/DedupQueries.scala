@@ -293,7 +293,7 @@ object DedupQueries {
         // two-step: materialized toks, then the shingle HOF (see shingled)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), posexplode(TextOps.shingles(col("toks"))))
-        .select(col("doc_id"), (col("pos") % 4).as("band"),
+        .select(col("doc_id"), (col("pos") % 4).cast("long").as("band"),
                 md5(col("col")).as("h"))
         .groupBy("doc_id", "band")
         .agg(min("h").as("fp")),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{FeedSynth, HitParser}
+import graft.model.Schemas
 import graft.session.Sessionize
 import graft.sources.Tables
 
@@ -44,11 +45,7 @@ object IngestQueries {
         Tables.events(s, dir).repartition(col("event_id"))))
       Sessionize
         .withSessionIds(parsed, gapUs = 1800L, tsUsCol = "ts")
-        .select(concat_ws(",",
-          col("visit_key"), col("ts"), col("site_server"), col("tracking_code"),
-          col("page"), col("line_number"), col("pdp_view"), col("atb"),
-          col("bag_view"), col("checkout"), col("payment"), col("order")
-        ).as("line"))
+        .select(concat_ws(",", Schemas.hitsExportColumns.map(col): _*).as("line"))
     },
     Some(s"""${FeedSynth.parsedHitsCte},
       |g AS (

@@ -222,8 +222,10 @@ object RelationalQueries {
       val w = Window.partitionBy("c_nationkey")
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       Tables.read(s, dir, "customer")
-        .withColumn("rnk", rank().over(w))
-        .withColumn("drnk", dense_rank().over(w))
+        // cast: rank() is int32 while the oracle's RANK() is BIGINT — keep
+        // the driver's dtype compare exact, not warn-and-coerce
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
         .withColumn("prev_bal_cents", lag(cents("c_acctbal"), 1).over(w))
         .filter(col("rnk") <= 5)
         .select("c_nationkey", "c_custkey", "rnk", "drnk", "prev_bal_cents")

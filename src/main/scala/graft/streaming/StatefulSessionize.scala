@@ -37,6 +37,14 @@ final case class SessionVisit(user_id: String, visit_start_us: Long,
  * State size is ONE OpenSession per active user — bounded by concurrent
  * activity, not history; exactly the property that lets this run against a
  * firehose indefinitely.
+ *
+ * Out-of-order data: each trigger interval-merge-sweeps its events together
+ * with the open session (sorted by start), so any reordering the watermark
+ * admits within or against the OPEN session resolves exactly. A session
+ * already emitted (closed by a gap inside an earlier trigger) cannot be
+ * reopened by a later-arriving in-watermark event — the single-open-session
+ * state trades that (rare: requires reordering across a closed gap) for
+ * bounded state; tighten `watermarkDelay` upstream to bound it further.
  */
 object StatefulSessionize {
 
@@ -60,25 +68,29 @@ object StatefulSessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.map(_.ts_us).toArray.sorted
-            var open = state.getOption
+            // Interval-merge sweep over (this batch's events + the open
+            // session), sorted by interval START: handles in-watermark
+            // out-of-order events exactly — a late event older than the
+            // open session extends its start or forms its own earlier
+            // session, rather than being glued to the newer one (a naive
+            // `ts - end < gap` merge corrupts visit_start for such events).
+            val items = (batch.map(e => OpenSession(e.ts_us, e.ts_us, 1)) ++
+              state.getOption.iterator).toArray.sortBy(s => (s.start_us, s.end_us))
+            var open = items.head
             val closed = Seq.newBuilder[SessionVisit]
-            for (ts <- sorted) {
-              open match {
-                case Some(s) if ts - s.end_us < gapUs =>
-                  open = Some(OpenSession(s.start_us, math.max(s.end_us, ts), s.n + 1))
-                case Some(s) => // gap >= timeout: close and start fresh
-                  closed += finalize(userId, s)
-                  open = Some(OpenSession(ts, ts, 1))
-                case None =>
-                  open = Some(OpenSession(ts, ts, 1))
+            for (iv <- items.iterator.drop(1)) {
+              if (iv.start_us - open.end_us < gapUs)
+                open = OpenSession(open.start_us,
+                                   math.max(open.end_us, iv.end_us),
+                                   open.n + iv.n)
+              else {
+                closed += finalize(userId, open)
+                open = iv
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              // event-time timeout fires once the watermark passes end+gap
-              state.setTimeoutTimestamp(s.end_us / 1000 + gapUs / 1000)
-            }
+            state.update(open)
+            // event-time timeout fires once the watermark passes end+gap
+            state.setTimeoutTimestamp(open.end_us / 1000 + gapUs / 1000)
             closed.result().iterator
           }
       }

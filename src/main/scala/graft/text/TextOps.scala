@@ -47,35 +47,18 @@ object TextOps {
     ).otherwise(array().cast("array<string>"))
 
   /**
-   * MinHash band signature input string: salting the shingle with the band
-   * and row index makes each (band, row) an independent hash function.
-   * Signature of one band = concat of the per-row minima of
-   * `md5(salt)` — lexicographic MIN over hex strings, portable to any
-   * engine with md5.
-   */
-  def bandRowHash(band: Column, row: Int, shingle: Column): Column =
-    md5(concat_ws(":", lit(s"r$row"), band, shingle))
-
-  /**
    * Value of one lowercase hex digit (md5 output) — portable as
    * Spark `conv(c,16,10)` ≡ DuckDB `strpos('0123456789abcdef', c) - 1`.
    */
   def hexDigitVal(c: Column): Column = conv(c, 16, 10).cast("int")
 
-  /**
-   * First 15 hex digits of an md5 hex string as a BIGINT (60-bit prefix,
-   * order-preserving). Numeric hashes instead of 32-char strings make the
-   * MIN aggregate hash-aggregatable (Spark's `min(string)` falls back to
-   * SortAggregate) and shrink the shuffle 4×. DuckDB replays it as the
-   * base-16 polynomial over `strpos`-decoded digits — 16^k is a power of
-   * two, so the double-precision POWER is exact.
-   */
-  def md5Prefix60(hexStr: Column): Column =
-    conv(substring(hexStr, 1, 15), 16, 10).cast("long")
-
   /** First 8 hex digits of an md5 hex string as a BIGINT (32-bit base hash
-    * for universal-hashing families: small enough that (A·x+C) with
-    * A < 2³⁰ never overflows int64 in any engine). */
+    * for universal-hashing MinHash families: small enough that (A·x+C)
+    * with A < 2³⁰ never overflows int64 in any engine, and numeric — so
+    * MIN stays a HashAggregate; Spark's `min(string)` falls back to
+    * SortAggregate. The oracle replays it as the base-16 polynomial over
+    * `strpos`-decoded digits; 16^k is a power of two, so double POWER is
+    * exact). */
   def md5Prefix32(hexStr: Column): Column =
     conv(substring(hexStr, 1, 8), 16, 10).cast("long")
 

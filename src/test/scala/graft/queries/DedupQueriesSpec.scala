@@ -76,7 +76,7 @@ class DedupQueriesSpec extends SparkSpec {
 
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
     val fps = q("q_doc_fingerprint")
-      .as[(Long, Int, String)].collect()
+      .as[(Long, Long, String)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
     assert(fps(0L).size === 4)
     assert(fps(0L) === fps(2L))

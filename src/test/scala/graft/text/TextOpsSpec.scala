@@ -43,15 +43,15 @@ class TextOpsSpec extends SparkSpec {
     (0 until 32).foreach(j => assert(got.getInt(j) === expected(j), s"bit $j"))
   }
 
-  test("bandRowHash: distinct per band and row salt, stable for equal input") {
-    val df = Seq(("x y z")).toDF("shingle")
-    val r = df.select(
-      TextOps.bandRowHash(lit(0), 0, col("shingle")).as("h00"),
-      TextOps.bandRowHash(lit(1), 0, col("shingle")).as("h10"),
-      TextOps.bandRowHash(lit(0), 1, col("shingle")).as("h01")
-    ).collect().head
-    assert(r.getString(0) !== r.getString(1))
-    assert(r.getString(0) !== r.getString(2))
-    assert(r.getString(0).length === 32)
+  test("md5Prefix32 equals the JVM big-endian 32-bit md5 prefix") {
+    def jvmMd5Hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (w <- Seq("spark", "graft", "x y z")) {
+      val expected = java.lang.Long.parseLong(jvmMd5Hex(w).take(8), 16)
+      val got = Seq(w).toDF("s")
+        .select(TextOps.md5Prefix32(md5(col("s")))).as[Long].collect().head
+      assert(got === expected, w)
+    }
   }
 }
