@@ -247,8 +247,34 @@ object CoreQueries {
       |GROUP BY cohort_day, d""".stripMargin)
   )
 
+  /**
+   * Skew-safe two-phase aggregation (salting): phase 1 aggregates on
+   * (user_id, salt) — a hot key's rows spread over 16 reducers — phase 2
+   * combines the partials per user_id. The salt is deterministic
+   * (event_id mod 16, not rand()) so results are reproducible and the
+   * oracle can replay the UNSALTED equivalent: the decomposition is
+   * algebraically invisible, which is exactly the point. At 100 TB this is
+   * the pattern for power-law keys; AQE's skew-join handles joins, salting
+   * handles aggregations.
+   */
+  val qAggSalted = Q(
+    "q_agg_salted",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pc"),
+             sum(round(col("value") * 100).cast("long")).as("pv"))
+        .groupBy("user_id")
+        .agg(sum("pc").as("n_events"), sum("pv").as("value_cents")),
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY user_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
-    qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention
+    qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
+    qAggSalted
   )
 }
