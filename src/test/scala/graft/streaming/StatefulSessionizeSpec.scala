@@ -63,6 +63,36 @@ class StatefulSessionizeSpec extends SparkSpec {
     assert(runStateful(Seq(first, second)) === batchVisits)
   }
 
+  test("property: random streams under random chronological trigger splits ≡ batch") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nUsers <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0, nUsers - 1)
+        ts <- Gen.choose(0L, 250000L) // seconds over ~3 days
+      } yield SessionEvent(s"u$u", ts * 1000000L))
+      cut <- Gen.choose(0, n)
+    } yield (rows, cut)
+    for (seed <- 1L to 5L) {
+      val (rows, cut) = gen(Gen.Parameters.default, Seed(seed)).get
+      // triggers must be chronological (late-beyond-watermark data is
+      // legitimately dropped otherwise); within a trigger order is free
+      val chrono = rows.sortBy(_.ts_us)
+      val batches = Seq(chrono.take(cut).reverse, chrono.drop(cut)).filter(_.nonEmpty)
+      if (batches.nonEmpty) {
+        val streamed = runStateful(batches)
+        val batch = Sessionize.visits(
+          rows.map(e => (e.user_id, e.ts_us)).toDF("user_id", "ts_us")
+            .withColumn("ts_t", timestamp_micros(col("ts_us"))))
+          .select("user_id", "visit_start_us", "visit_end_us", "n_events", "visit_key")
+          .as[(String, Long, Long, Long, String)].collect().sorted
+        assert(streamed === batch, s"seed=$seed cut=$cut")
+      }
+    }
+  }
+
   test("gap boundary: exactly the timeout splits, one microsecond less merges") {
     def visitsOf(ts: Seq[Long]) =
       runStateful(Seq(ts.map(SessionEvent("u", _))))
