@@ -282,8 +282,74 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)
   )
 
+  /** Correlated scalar subquery — customers above their nation's average
+    * balance. Exercises Catalyst's subquery decorrelation: the optimizer
+    * rewrites the per-row subquery into an aggregate + join (one pass over
+    * customer, never a subquery-per-row at scale). Integer-cents compare
+    * avoids float-average nondeterminism: avg is compared via
+    * sum·n ordering — bal·cnt > sum — which is exact in BIGINT. */
+  val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, dir) =>
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+              |       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+              |FROM parquet.`$dir/customer.parquet` c
+              |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+              |      (SELECT COUNT(*) FROM parquet.`$dir/customer.parquet` c2
+              |       WHERE c2.c_nationkey = c.c_nationkey)
+              |    > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              |       FROM parquet.`$dir/customer.parquet` c2
+              |       WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin),
+    Some("""SELECT c_custkey, c_nationkey,
+      |       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer c
+      |WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+      |      (SELECT COUNT(*) FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |       FROM customer c2
+      |       WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  )
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one Expand pass — the sibling of q_agg_rollup's hierarchy subtotals. */
+  val qAggCube = Q(
+    "q_agg_cube",
+    (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_lines"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+  )
+
+  /** Sliding window frame: 3-order trailing revenue per customer
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
+    * variant the rank/lag/full-frame queries don't cover. Deterministic
+    * frame contents via (orderdate, orderkey) ordering; exact cents. */
+  val qWindowSliding = Q(
+    "q_window_sliding",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.read(s, dir, "orders")
+        .withColumn("trailing3_cents", sum(cents("o_totalprice")).over(w))
+        .select("o_custkey", "o_orderkey", "trailing3_cents")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing3_cents
+      |FROM orders""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
-    qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg
+    qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
+    qSubqueryScalar, qAggCube, qWindowSliding
   )
 }
