@@ -157,7 +157,9 @@ object TextStatsQueries {
         .select(col("lang").as("cand_lang"), col("tok").as("ctok"))
       val docTok = tok.select("doc_id", "tok").distinct()
       val wp = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("cand_lang").asc)
-      val pick = docTok.join(top, col("tok") === col("ctok"))
+      // top is ≤10 rows per language at ANY corpus size — always broadcast
+      // (the plan audit caught AQE picking SMJ here)
+      val pick = docTok.join(broadcast(top), col("tok") === col("ctok"))
         .groupBy("doc_id", "cand_lang")
         .agg(count(lit(1)).as("ov"))
         .withColumn("r2", row_number().over(wp))
