@@ -31,6 +31,18 @@ class TablesSpec extends SparkSpec {
     assert(parsed.collect().head.getAs[String]("page") === "café")
   }
 
+  test("rawFeed passes quote and comma characters through verbatim (CSV quoting disabled)") {
+    val dir = Files.createTempDirectory("graft-quotes").toString
+    // page field contains quotes and commas — the CSV-reader-based line
+    // source must not interpret them
+    val line = "1000\tu\tv\t\t\t2\tsaid \"hi\", twice\tsrv\ti\ts"
+    writeGz(s"$dir/feed.tsv.gz", "UTF-8", Seq(line))
+    val got = Tables.rawFeed(spark, s"$dir/*.tsv.gz").as[String].collect()
+    assert(got === Array(line))
+    val parsed = HitParser.parse(Tables.rawFeed(spark, s"$dir/*.tsv.gz"))
+    assert(parsed.collect().head.getAs[String]("page") === "said \"hi\", twice")
+  }
+
   test("rawFeed glob expansion reads multiple shards (Beam ReadFromText parity)") {
     val dir = Files.createTempDirectory("graft-shards").toString
     writeGz(s"$dir/part-0.tsv.gz", "UTF-8", Seq("1000\tu\tv\t\t\t2\tp\tsrv\ti\ts"))
