@@ -272,9 +272,36 @@ object CoreQueries {
       |FROM events GROUP BY user_id""".stripMargin)
   )
 
+  /**
+   * PIVOT: event_type values become columns (explicit value list — at
+   * scale, never let pivot scan for distinct values first). The oracle
+   * replays it as conditional aggregation, which is also exactly the
+   * physical plan Spark generates: pivot is sugar over
+   * CASE-WHEN aggregates, one pass, one shuffle.
+   */
+  val qPivot = Q(
+    "q_pivot",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+        .agg(coalesce(sum(round(col("value") * 100).cast("long")), lit(0L)))
+        .withColumnsRenamed(Map(
+          "view" -> "view_cents", "click" -> "click_cents",
+          "signup" -> "signup_cents", "purchase" -> "purchase_cents",
+          "error" -> "error_cents")),
+    Some("""SELECT user_id,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT), 0) AS view_cents,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT), 0) AS click_cents,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT), 0) AS signup_cents,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT), 0) AS purchase_cents,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT), 0) AS error_cents
+      |FROM events GROUP BY user_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
-    qAggSalted
+    qAggSalted, qPivot
   )
 }
