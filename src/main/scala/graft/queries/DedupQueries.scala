@@ -93,13 +93,13 @@ object DedupQueries {
    * HashAggregate and the signature shuffle carries 8-byte keys. Docs
    * agreeing on a full band signature (sig0, sig1) become candidates.
    */
-  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def bandSignatures(shingleFrame: DataFrame): DataFrame = {
     def perm(band: Column, row: Int, base: Column): Column = {
       val a = element_at(array(HashA.map(lit): _*), band * 2 + row + 1)
       val c = element_at(array(HashC.map(lit): _*), band * 2 + row + 1)
       (base * a + c) % Mod32
     }
-    shingled(s, dir)
+    shingleFrame
       // base hash materialized BEFORE the band explode: one md5 per
       // shingle, reused by all 8 bands
       .select(col("doc_id"),
@@ -147,8 +147,8 @@ object DedupQueries {
     * each bucket. Bucket sizes are the LSH knob (b×r) — tiny by
     * construction; a degenerate corpus (thousands of identical docs in one
     * bucket) is exactly the case exact-dedup removes first at scale. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    bandSignatures(s, dir)
+  private def candidatePairs(shingleFrame: DataFrame): DataFrame =
+    bandSignatures(shingleFrame)
       .groupBy("band", "sig0", "sig1")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 1)
@@ -186,7 +186,7 @@ object DedupQueries {
     * minima; pairs sharing any full band signature. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
-    (s, dir) => candidatePairs(s, dir),
+    (s, dir) => candidatePairs(shingled(s, dir)),
     Some(s"""$candidateCte
       |SELECT a_id, b_id FROM cand""".stripMargin)
   )
@@ -198,7 +198,12 @@ object DedupQueries {
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
-      val cand = candidatePairs(s, dir)
+      // candidates intentionally derive from the raw (dup-carrying) shingle
+      // frame: routing them through the verify stage's distinct() frame was
+      // measured 3.5x SLOWER — the (doc, shingle)-keyed distinct shuffle of
+      // every shingle string costs far more than recomputing the linear
+      // signature chain, and ReuseExchange does not amortize it
+      val cand = candidatePairs(shingled(s, dir))
       val ss = shingled(s, dir).distinct()
       val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val sa = ss.select(col("doc_id").as("sa_id"), col("shingle").as("sa_sh"))
