@@ -60,6 +60,16 @@ object MediaOps {
   def frameSample(content: Array[Byte], stride: Int): Array[Byte] =
     content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
 
+  /** Resize stub: deterministic box-filter downsample by `factor` — each
+    * output byte is the truncated mean of its input block (stand-in for an
+    * image resize; the real kernel swaps in here). */
+  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0)
+    content.grouped(factor).map { block =>
+      (block.foldLeft(0L)((a, b) => a + (b & 0xff)) / block.length).toByte
+    }.toArray
+  }
+
   /**
    * Partition-wise batched feature extraction. `batchSize` bounds peak
    * memory per task exactly like `spark.sql.execution.arrow.maxRecordsPerBatch`

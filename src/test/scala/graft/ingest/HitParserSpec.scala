@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.Row
 
 import graft.SparkSpec
+import graft.ingest.FeedSynth
 
 /** Parser contract tests (reference `main.py:44-81`; fixture shapes from
   * FIXTURES.md §1, including the 8-column legacy rows that zeroed the
@@ -79,6 +80,19 @@ class HitParserSpec extends SparkSpec {
     assert(parse(noSemi).count() === 0) // reference IndexError → drop
     val multi = "1000\tu\tv\t\ta;b;c;d\t2\tp\tsrv\ti\ts"
     assert(parse(multi).collect().head.getAs[String]("line_number") === "b")
+  }
+
+  test("FeedSynth planted drops account for exactly the parse losses") {
+    import graft.sources.Tables
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val parsed = HitParser.parse(FeedSynth.synthLines(events))
+    // expected survivors: rows hit by none of the three planted defects
+    // (8-column short row, empty ts, product string without ';')
+    val expected = events.filter(
+      !(org.apache.spark.sql.functions.col("event_id") % 97 === 0) &&
+      !(org.apache.spark.sql.functions.col("event_id") % 89 === 0) &&
+      !(org.apache.spark.sql.functions.col("event_id") % 83 === 0)).count()
+    assert(parsed.count() === expected)
   }
 
   test("parseWithMetrics records input and surviving counts (main.py:80 TODO)") {

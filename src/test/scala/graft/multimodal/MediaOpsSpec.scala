@@ -50,4 +50,10 @@ class MediaOpsSpec extends SparkSpec {
     val s = MediaOps.frameSample(Array[Byte](10, 11, 12, 13, 14, 15, 16), 3)
     assert(s.toSeq === Seq[Byte](10, 13, 16))
   }
+
+  test("resizeStub: box-filter downsample, deterministic, handles ragged tail") {
+    val r = MediaOps.resizeStub(Array[Byte](10, 20, 30, 40, 50), 2)
+    assert(r.toSeq === Seq[Byte](15, 35, 50)) // (10+20)/2, (30+40)/2, 50/1
+    assert(MediaOps.resizeStub(Array[Byte](1, 2, 3), 1).toSeq === Seq[Byte](1, 2, 3))
+  }
 }
