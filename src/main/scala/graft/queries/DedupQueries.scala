@@ -243,29 +243,28 @@ object DedupQueries {
       |JOIN sz zb ON zb.doc_id = i.b_id""".stripMargin)
   )
 
-  /** 32-bit SimHash per document: per-bit majority vote over the md5 bits
-    * of every token occurrence; band_hi (top 16 bits) is the grouping key a
-    * hamming-ball search would bucket on at scale. */
-  val qDedupSimhash = Q(
-    "q_dedup_simhash",
-    (s, dir) => {
-      val tok = docsDistributed(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      tok
-        .withColumn("j", explode(sequence(lit(0), lit(31))))
-        .withColumn("bit", TextOps.md5Bit(md5(col("tok")), col("j")))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("bit") * 2 - 1).as("w"))
-        .groupBy("doc_id")
-        .agg(sum(
-          when(col("w") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L)
-        ).as("simhash"))
-        .select(
-          col("doc_id"), col("simhash"),
-          floor(col("simhash") / lit(65536)).cast("long").as("band_hi")
-        )
-    },
-    Some("""WITH tok AS (
+  /** 32-bit SimHash frame (doc_id, simhash, band_hi): per-bit majority
+    * vote over the md5 bits of every token occurrence. */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsDistributed(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    tok
+      .withColumn("j", explode(sequence(lit(0), lit(31))))
+      .withColumn("bit", TextOps.md5Bit(md5(col("tok")), col("j")))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(
+        when(col("w") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L)
+      ).as("simhash"))
+      .select(
+        col("doc_id"), col("simhash"),
+        floor(col("simhash") / lit(65536)).cast("long").as("band_hi")
+      )
+  }
+
+  private val simhashCte: String =
+    """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), tb AS (
       |  SELECT doc_id, tok, unnest(generate_series(0, 31)) AS j FROM tok
@@ -281,10 +280,47 @@ object DedupQueries {
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN w > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM w GROUP BY doc_id
-      |)
-      |SELECT doc_id, simhash,
-      |       CAST(FLOOR(simhash / 65536.0) AS BIGINT) AS band_hi
-      |FROM sh2""".stripMargin)
+      |), sim AS (
+      |  SELECT doc_id, simhash,
+      |         CAST(FLOOR(simhash / 65536.0) AS BIGINT) AS band_hi
+      |  FROM sh2
+      |)""".stripMargin
+
+  /** Per-doc SimHash values; band_hi (top 16 bits) is the grouping key the
+    * hamming-pair stage buckets on. */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => simhashFrame(s, dir),
+    Some(s"""$simhashCte
+      |SELECT doc_id, simhash, band_hi FROM sim""".stripMargin)
+  )
+
+  /** SimHash near-dup pairs: bucket on band_hi (equal top 16 bits — the
+    * cheap prefilter), then exact hamming distance via
+    * `bit_count(a XOR b)` ≤ 4. Bucket-local pairing again: the simhash
+    * pipeline runs once; candidate cost is bounded by bucket size, never
+    * n². At scale, multiple rotated band keys catch pairs whose diff bits
+    * fall in the high half — this surface demonstrates one band. */
+  val qSimhashPairs = Q(
+    "q_simhash_pairs",
+    (s, dir) =>
+      simhashFrame(s, dir)
+        .groupBy("band_hi")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(col("xs")).as("a"), col("xs"))
+        .select(col("a.doc_id").as("a_id"), col("a.simhash").as("ha"),
+                explode(col("xs")).as("b"))
+        .filter(col("a_id") < col("b.doc_id"))
+        .withColumn("hamming",
+                    bit_count(col("ha").bitwiseXOR(col("b.simhash"))).cast("long"))
+        .filter(col("hamming") <= 4)
+        .select(col("a_id"), col("b.doc_id").as("b_id"), col("hamming")),
+    Some(s"""$simhashCte
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sim a JOIN sim b ON a.band_hi = b.band_hi AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin)
   )
 
   /** Winnowing-style document fingerprints: shingle stream partitioned by
@@ -365,7 +401,7 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash,
+    qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDocFingerprint, qDedupEmbed
   )
 }

@@ -74,6 +74,13 @@ class DedupQueriesSpec extends SparkSpec {
     assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("q_simhash_pairs: identical docs pair at hamming 0; pairs stay within threshold") {
+    val pairs = q("q_simhash_pairs")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.contains((0L, 2L, 0L))) // identical text → identical simhash
+    pairs.foreach { case (a, b, h) => assert(a < b && h <= 4) }
+  }
+
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
     val fps = q("q_doc_fingerprint")
       .as[(Long, Long, String)].collect()
