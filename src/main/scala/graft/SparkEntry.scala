@@ -13,13 +13,25 @@ object SparkEntry {
       DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all ++
       IngestQueries.all
 
+  /** The contract boundary is the one layer that receives FOREIGN sessions
+    * (the driver builds its own SparkSession for the smoke check), so
+    * session-compat confs are applied here — never inside shared readers
+    * (see Tables.read scaladoc): events.parquet is TIMESTAMP(NANOS) and
+    * needs the legacy long read. Idempotent. */
+  private def withSessionDefaults(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      fn(s, dir)
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.qSessionize.fn(spark, "/root/testdata/sf0.001")
+    withSessionDefaults(CoreQueries.qSessionize.fn)(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQueries.map(q => q.name -> q.fn).toMap
+    allQueries.map(q => q.name -> withSessionDefaults(q.fn)).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

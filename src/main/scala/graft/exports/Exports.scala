@@ -14,30 +14,45 @@ import graft.session.Sessionize
  * the task count.
  *
  * Input is the parsed-hit frame ([[graft.ingest.HitParser.parse]] output:
- * ts in unix seconds + the 13 reference fields).
+ * ts in unix seconds + the 13 reference fields). Each export has exactly
+ * ONE definition (the `*From` helpers on the sessionized frame); the
+ * public per-frame API and [[writeAll]] both go through them.
  */
 object Exports {
 
-  /** hits.csv — 12 fields in reference order (`Schemas.hitsExportColumns`,
-    * from `main.py:104-107`). */
-  def hitsFrame(parsedHits: DataFrame): DataFrame =
+  private def sessionized(parsedHits: DataFrame): DataFrame =
     Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
-      .select(Schemas.hitsExportColumns.map(col): _*)
 
-  /** visits.csv — 4 fields (`main.py:99-102`). */
-  def visitsFrame(parsedHits: DataFrame): DataFrame =
-    Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
-      .groupBy("user_id", "session_id")
+  /** hits rows from an already-sessionized frame — 12 fields in reference
+    * order (`Schemas.hitsExportColumns`, from `main.py:104-107`). */
+  private def hitsFrom(sess: DataFrame): DataFrame =
+    sess.select(Schemas.hitsExportColumns.map(col): _*)
+
+  /** visits rows from an already-sessionized frame (`main.py:99-102`). */
+  private def visitsFrom(sess: DataFrame): DataFrame =
+    sess.groupBy("user_id", "session_id")
       .agg(min("ts").as("visit_start"), max("ts").as("visit_end"))
       .select(
         Sessionize.visitKey(col("user_id"), col("visit_start")).as("visit_key"),
         col("user_id"), col("visit_start"), col("visit_end"))
 
-  /** visitors.csv — reference parity: one row per hit, duplicates retained
-    * (`main.py:214`; SURVEY.md §1.5 quirk). `dedup = true` is the honest
-    * variant. */
+  /** visitors rows (`main.py:157-160`): reference parity keeps one row per
+    * hit (`main.py:214`; SURVEY.md §1.5 quirk). */
+  private def visitorsFrom(frame: DataFrame): DataFrame =
+    frame.select("user_id", "ibm_id", "scv_id")
+
+  /** hits.csv frame. */
+  def hitsFrame(parsedHits: DataFrame): DataFrame =
+    hitsFrom(sessionized(parsedHits))
+
+  /** visits.csv frame. */
+  def visitsFrame(parsedHits: DataFrame): DataFrame =
+    visitsFrom(sessionized(parsedHits))
+
+  /** visitors.csv frame; `dedup = true` is the honest variant the
+    * reference lacked. */
   def visitorsFrame(parsedHits: DataFrame, dedup: Boolean = false): DataFrame = {
-    val v = parsedHits.select("user_id", "ibm_id", "scv_id")
+    val v = visitorsFrom(parsedHits)
     if (dedup) v.dropDuplicates() else v
   }
 
@@ -47,19 +62,11 @@ object Exports {
     * — without it each sink re-reads and re-sessionizes the input (three
     * scans, two identical shuffles). */
   def writeAll(parsedHits: DataFrame, baseDir: String): Unit = {
-    val sess = Sessionize.withSessionIds(parsedHits, gapUs = 1800L, tsUsCol = "ts")
-      .persist()
+    val sess = sessionized(parsedHits).persist()
     try {
-      sess.select(Schemas.hitsExportColumns.map(col): _*)
-        .write.mode("overwrite").csv(s"$baseDir/hits")
-      sess.groupBy("user_id", "session_id")
-        .agg(min("ts").as("visit_start"), max("ts").as("visit_end"))
-        .select(
-          Sessionize.visitKey(col("user_id"), col("visit_start")).as("visit_key"),
-          col("user_id"), col("visit_start"), col("visit_end"))
-        .write.mode("overwrite").csv(s"$baseDir/visits")
-      sess.select("user_id", "ibm_id", "scv_id")
-        .write.mode("overwrite").csv(s"$baseDir/visitors")
+      hitsFrom(sess).write.mode("overwrite").csv(s"$baseDir/hits")
+      visitsFrom(sess).write.mode("overwrite").csv(s"$baseDir/visits")
+      visitorsFrom(sess).write.mode("overwrite").csv(s"$baseDir/visitors")
     } finally sess.unpersist()
   }
 }

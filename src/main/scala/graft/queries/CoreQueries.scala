@@ -233,10 +233,10 @@ object CoreQueries {
       val e = events(s, dir)
         .select(col("user_id"), expr("ts_us div 86400000000").as("d"))
       val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
-      e.distinct()
-        .join(cohort, "user_id")
-        .groupBy("cohort_day", "d")
-        .agg(countDistinct("user_id").as("n_users"))
+      e.distinct() // (user_id, d) unique ⇒ plain count per (cohort, d) IS
+        .join(cohort, "user_id") // the distinct-user count — no second
+        .groupBy("cohort_day", "d") // distinct-aggregate shuffle needed
+        .agg(count(lit(1)).as("n_users"))
         .select(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"),
                 col("n_users"))
     },

@@ -37,16 +37,10 @@ object Tables {
    *   ts_t  — TimestampType at µs precision (for `session_window` etc.)
    * Integer µs everywhere keeps the DuckDB oracle comparison float-free.
    */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Defensive, idempotent: an external caller (the driver smoke-checking
-    // SparkEntry.entry) may build its own session without the conf; without
-    // it the nanos-typed scan throws PARQUET_TYPE_ILLEGAL. Harness sessions
-    // also set it at build time (the preferred place — see read()).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
-  }
 
   /**
    * Reference-format TSV hit feed (one line per hit). Charset selectable to

@@ -89,8 +89,11 @@ object StatefulSessionize {
               }
             }
             state.update(open)
-            // event-time timeout fires once the watermark passes end+gap
-            state.setTimeoutTimestamp(open.end_us / 1000 + gapUs / 1000)
+            // event-time timeout fires once the watermark passes end+gap;
+            // CEIL to ms — floor truncation would fire up to ~1ms early for
+            // a gap that isn't a whole number of ms, splitting a session
+            // batch would merge
+            state.setTimeoutTimestamp((open.end_us + gapUs + 999) / 1000)
             closed.result().iterator
           }
       }
