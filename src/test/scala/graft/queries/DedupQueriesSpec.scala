@@ -96,6 +96,72 @@ class DedupQueriesSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L))) // 0~1 parallel; 2 orthogonal; 3 other label
   }
 
+  test("simhashPairs multi-band: high-half diffs are caught; >2-quarter spreads are the documented miss") {
+    // A/B differ only in bit 31 (quarter 3) — r3's single top-16-bit band
+    // missed exactly this shape; bands (2,1)/(2,0)/(1,0) now catch it.
+    // C differs from A in bits 31, 23, 15 — three quarters touched, only
+    // one clean → (A,C) is not a candidate despite hamming 3 (the residual
+    // miss the scaladoc documents; exact k=4 coverage needs a wider hash).
+    // (B,C) differ in bits 23, 15 only — two quarters → caught via (3,0).
+    val base = 0x01020304L
+    val sim = Seq(
+      (0L, base), (1L, base ^ (1L << 31)),
+      (2L, base ^ (1L << 31) ^ (1L << 23) ^ (1L << 15))
+    ).toDF("doc_id", "simhash")
+    val pairs = DedupQueries.simhashPairs(sim)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L, 1L), (1L, 2L, 2L)))
+  }
+
+  /** Run `body` with AQE off and restore after: `qe.observedMetrics`
+    * cannot see a CollectMetrics node inside an AdaptiveSparkPlanExec
+    * wrapper (its plan isn't part of the `collect`-visible tree in Spark
+    * 4.1.2), so metric ASSERTIONS read a non-adaptive plan. The guard
+    * itself is plan-shape-independent — the AQE-on path is exercised by
+    * every other test in this suite. */
+  private def withoutAqe[A](body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("boundedBucketPairs: oversized bucket is dropped before expansion and accounted") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val rows = (0 until 1000).map(i => (1L, 100L + i)) ++ Seq((2L, 1L), (2L, 2L))
+    withoutAqe {
+      val pairs = DedupQueries.boundedBucketPairs(
+        rows.toDF("bkey", "doc_id"), Seq("bkey"), struct(col("doc_id")),
+        maxBucket = 16, guard = "g")
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      // collect() on pairs ITSELF: metrics live on the executed plan's
+      // QueryExecution (an .as[...] view would execute a different one)
+      assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+      val m = pairs.queryExecution.observedMetrics("g")
+      assert(m.getAs[Long]("skewed_rows") === 1000L)
+      assert(m.getAs[Long]("max_bucket") === 1000L)
+    }
+  }
+
+  test("q_simhash_pairs: a degenerate corpus of 1000 identical docs completes via the skew guard") {
+    val d = Files.createTempDirectory("graft-skew").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    (0L until 1000L).map(i => (i, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // 1000 identical docs → one 1000-doc bucket per band, all above
+    // MaxBucket → dropped with accounting instead of 6x10^6 exploded pairs
+    // (the convention: exact-dedup removes byte-identical mass first)
+    assert(SparkEntry.queries("q_simhash_pairs")(spark, d).collect().isEmpty)
+    withoutAqe {
+      val pairs = SparkEntry.queries("q_simhash_pairs")(spark, d)
+      assert(pairs.collect().isEmpty)
+      val m = pairs.queryExecution.observedMetrics("graft_simhash_skew")
+      assert(m.getAs[Long]("skewed_rows") === 6000L)
+      assert(m.getAs[Long]("max_bucket") === 1000L)
+    }
+  }
+
   test("q_sim_search: nearest neighbor of the query is the near-parallel vector") {
     // vec 0 is the only query (vec_id % 100 == 0)
     val top = SparkEntry.queries("q_sim_search")(spark, dir)
