@@ -378,10 +378,11 @@ object DedupQueries {
   private val QuarterPairs: Seq[(Int, Int)] =
     Seq((3, 2), (3, 1), (3, 0), (2, 1), (2, 0), (1, 0))
 
-  /** SimHash near-dup pairs, multi-band: bucket on each of the 6
-    * quarter-pair 16-bit keys (docs agreeing on ANY pair of 8-bit
-    * quarters become candidates), union the per-band candidates, then the
-    * exact hamming filter `bit_count(a XOR b)` ≤ 4.
+  /** Multi-band hamming-pair stage over a (doc_id, simhash) frame —
+    * bucket on each of the 6 quarter-pair 16-bit keys (docs agreeing on
+    * ANY pair of 8-bit quarters become candidates), union the per-band
+    * candidates, then the exact hamming filter `bit_count(a XOR b)` ≤ 4.
+    * [[qSimhashPairs]] is this over [[simhashFrame]].
     *
     * Coverage: a pair is a candidate iff its differing bits avoid two
     * quarters, i.e. are confined to ≤ 2 of the 4 quarters — which makes
@@ -395,8 +396,6 @@ object DedupQueries {
     * 16-bit keys and full k=4 coverage are mutually exclusive, and 16-bit
     * keys (bucket entropy) are the property that matters at 100 TB.
     * Candidate cost stays bucket-local and skew-guarded — never n². */
-  /** Multi-band hamming-pair stage over a (doc_id, simhash) frame — see
-    * [[qSimhashPairs]] for the coverage statement. */
   private[queries] def simhashPairs(sim: DataFrame,
                                     maxBucket: Int = MaxBucket): DataFrame = {
     def quarter(k: Int): Column =

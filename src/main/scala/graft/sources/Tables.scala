@@ -49,10 +49,16 @@ object Tables {
    * conversion folds into the scan. Gzip decompression is by extension,
    * matching Beam's `ReadFromText` behavior.
    *
-   * Implemented over the CSV reader (the `text` source ignores the
-   * `encoding` option — TablesSpec pins this) with an unused separator and
-   * quoting disabled, so each physical line lands verbatim in one `value`
-   * column.  never occurs in Adobe-style TSV feeds.
+   * Implemented over the CSV reader — the `text` source ignores the
+   * `encoding` option (TablesSpec pins this), so CSV is the one line
+   * source that can transcode. Reader contract relied on here — this is
+   * observed behavior, not documented API, so TablesSpec pins every piece
+   * of it against Spark upgrades: an empty `sep` resolves to the sentinel
+   * delimiter `\u0001` (verified: a planted `\u0001` DOES split a line),
+   * a character that never occurs in Adobe-style TSV feeds, so feed lines
+   * land verbatim in the single `value` column; an empty `quote` DISABLES
+   * quoting, keeping `"` characters literal; and
+   * `lineSep="\n"` fixes the record boundary explicitly.
    */
   def rawFeed(spark: SparkSession, path: String,
               encoding: String = "UTF-8"): DataFrame =

@@ -9,8 +9,12 @@ import graft.model.Schemas
   * the stream must also carry a watermarked `ts_t` timestamp column). */
 final case class SessionEvent(user_id: String, ts_us: Long)
 
-/** An open (not yet finalized) session held in state. */
+/** A session interval held in state (open or gap-closed but not yet past
+  * the watermark). */
 final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+/** Per-user state: every session the watermark has not yet sealed. */
+final case class SessionBuffer(sessions: List[OpenSession])
 
 /** A finalized visit — same contract as the session_window path. */
 final case class SessionVisit(user_id: String, visit_start_us: Long,
@@ -27,24 +31,29 @@ final case class SessionVisit(user_id: String, visit_start_us: Long,
  * any custom streaming-state operator.
  *
  * State protocol, per user key:
- *  - each trigger merges its (batch-sorted) events into the open session,
- *    closing and EMITTING a session whenever the next event starts
- *    ≥ gap after the session end (Beam-exclusive boundary, same as batch);
- *  - the still-open session is kept in state with an event-time timeout at
- *    `end + gap`; when the watermark passes it, the timed-out invocation
- *    emits the final visit and clears state.
+ *  - each trigger interval-merge-sweeps its (sorted) events together with
+ *    ALL held sessions, closing a session whenever the next interval
+ *    starts ≥ gap after it (Beam-exclusive boundary, same as batch);
+ *  - a session is EMITTED only once the watermark passes `end + gap` —
+ *    until then it stays in state, because an admissible future event
+ *    (event time ≥ watermark) could still merge into it. This is what
+ *    makes the operator exact under ANY in-watermark reordering: r3's
+ *    single-open-session variant emitted gap-closed sessions immediately
+ *    and could not reopen them when a late event landed inside the gap
+ *    (mis-assigning that event to a fresh session).
+ *  - the event-time timeout is armed at min(end)+gap over held sessions;
+ *    the timed-out invocation flushes whatever became ripe and re-arms.
  *
- * State size is ONE OpenSession per active user — bounded by concurrent
- * activity, not history; exactly the property that lets this run against a
- * firehose indefinitely.
+ * Emission exactness: an event admitted by the watermark has
+ * ts ≥ wm ≥ end + gap for every emitted session, so ts − end ≥ gap — it
+ * can never have merged into one (merge needs ts − end < gap). The
+ * watermark comparison truncates to the millisecond the runtime reports,
+ * which only ever HOLDS a session longer, never emits early.
  *
- * Out-of-order data: each trigger interval-merge-sweeps its events together
- * with the open session (sorted by start), so any reordering the watermark
- * admits within or against the OPEN session resolves exactly. A session
- * already emitted (closed by a gap inside an earlier trigger) cannot be
- * reopened by a later-arriving in-watermark event — the single-open-session
- * state trades that (rare: requires reordering across a closed gap) for
- * bounded state; tighten `watermarkDelay` upstream to bound it further.
+ * State size is the sessions inside one watermark-delay window per active
+ * user — at the default delay = gap that is ≤ 2 — bounded by concurrent
+ * activity and the delay, not by history; the property that lets this run
+ * against a firehose indefinitely.
  */
 object StatefulSessionize {
 
@@ -62,40 +71,45 @@ object StatefulSessionize {
       .flatMapGroupsWithState(OutputMode.Append(),
                               GroupStateTimeout.EventTimeTimeout()) {
         (userId: String, batch: Iterator[SessionEvent],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(finalize(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            // Interval-merge sweep over (this batch's events + the open
-            // session), sorted by interval START: handles in-watermark
-            // out-of-order events exactly — a late event older than the
-            // open session extends its start or forms its own earlier
-            // session, rather than being glued to the newer one (a naive
-            // `ts - end < gap` merge corrupts visit_start for such events).
-            val items = (batch.map(e => OpenSession(e.ts_us, e.ts_us, 1)) ++
-              state.getOption.iterator).toArray.sortBy(s => (s.start_us, s.end_us))
+         state: GroupState[SessionBuffer]) =>
+          val held = state.getOption.map(_.sessions).getOrElse(Nil)
+          // ms → µs floor: the conservative side (holds, never early-emits)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // Interval-merge sweep over (this batch's events + every held
+          // session), sorted by interval START: any in-watermark
+          // reordering — within the open session, against a gap-closed
+          // one, or bridging two of them — resolves exactly.
+          val items = (batch.map(e => OpenSession(e.ts_us, e.ts_us, 1)) ++
+            held.iterator).toArray.sortBy(s => (s.start_us, s.end_us))
+          val merged = List.newBuilder[OpenSession]
+          if (items.nonEmpty) {
             var open = items.head
-            val closed = Seq.newBuilder[SessionVisit]
             for (iv <- items.iterator.drop(1)) {
               if (iv.start_us - open.end_us < gapUs)
                 open = OpenSession(open.start_us,
                                    math.max(open.end_us, iv.end_us),
                                    open.n + iv.n)
               else {
-                closed += finalize(userId, open)
+                merged += open
                 open = iv
               }
             }
-            state.update(open)
-            // event-time timeout fires once the watermark passes end+gap;
-            // CEIL to ms — floor truncation would fire up to ~1ms early for
-            // a gap that isn't a whole number of ms, splitting a session
-            // batch would merge
-            state.setTimeoutTimestamp((open.end_us + gapUs + 999) / 1000)
-            closed.result().iterator
+            merged += open
           }
+          val (ripe, kept) =
+            merged.result().partition(s => s.end_us + gapUs <= wmUs)
+          if (kept.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionBuffer(kept))
+            // earliest possible seal time over held sessions; CEIL to ms —
+            // floor truncation would fire up to ~1ms early for a gap that
+            // isn't a whole number of ms. Always > current watermark
+            // because kept sessions have end+gap > wmUs.
+            state.setTimeoutTimestamp(
+              (kept.map(_.end_us).min + gapUs + 999) / 1000)
+          }
+          ripe.iterator.map(finalize(userId, _))
       }
   }
 }

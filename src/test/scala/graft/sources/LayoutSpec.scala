@@ -2,11 +2,12 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 
 /** 100 TB layout posture (SURVEY.md §4.3, BASELINE north star): the same
   * declarative readers must exploit bucketed and partitioned physical
@@ -66,5 +67,25 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() > 0)
     assert(scan.selectedPartitions.partitionCount === 1,
            s"expected exactly the 1996 partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("q_partition_prune reads exactly the 7 selected day partitions of 30") {
+    val df = SparkEntry.queries("q_partition_prune")(spark, "/root/testdata/sf0.001")
+    assert(df.collect().length === 7) // one row per day of the first week
+    // the aggregation wraps the plan in AQE, and materialized stages hang
+    // off QueryStageExec.plan rather than children — recurse through both
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"no file scan found:\n${df.queryExecution.executedPlan}")
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("day"),
+           s"day filter not a partition filter: ${scan.metadata}")
+    assert(scan.selectedPartitions.partitionCount === 7,
+           s"expected 7 pruned day partitions, got ${scan.selectedPartitions.partitionCount}")
   }
 }

@@ -43,6 +43,18 @@ class TablesSpec extends SparkSpec {
     assert(parsed.collect().head.getAs[String]("page") === "said \"hi\", twice")
   }
 
+  test("rawFeed's empty-sep contract: the effective delimiter is the u0001 sentinel") {
+    val dir = Files.createTempDirectory("graft-sep").toString
+    // Pin the reader behavior the rawFeed scaladoc documents: with sep=""
+    // the CSV reader resolves to the \u0001 sentinel delimiter. A planted
+    // \u0001 DOES split (truncating to the one-column schema) -- proving
+    // which character is live -- while tab/comma/quote lines never split.
+    val u1 = "\u0001"
+    writeGz(s"$dir/feed.tsv.gz", "UTF-8", Seq(s"a\tb${u1}c\td", "plain\tline"))
+    val got = Tables.rawFeed(spark, s"$dir/*.tsv.gz").as[String].collect().sorted
+    assert(got === Array("a\tb", "plain\tline"))
+  }
+
   test("rawFeed glob expansion reads multiple shards (Beam ReadFromText parity)") {
     val dir = Files.createTempDirectory("graft-shards").toString
     writeGz(s"$dir/part-0.tsv.gz", "UTF-8", Seq("1000\tu\tv\t\t\t2\tp\tsrv\ti\ts"))

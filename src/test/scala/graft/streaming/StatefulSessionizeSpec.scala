@@ -93,6 +93,29 @@ class StatefulSessionizeSpec extends SparkSpec {
     }
   }
 
+  test("cross-trigger late event reopens a gap-closed session and bridges it (r3 gap)") {
+    // Trigger 1: two events exactly one gap apart — the in-trigger sweep
+    // closes the first session. Trigger 2: an in-watermark event lands
+    // INSIDE that gap (admissible: watermark after trigger 1 is
+    // max - delay = base). It must merge with the closed session AND
+    // bridge it to the second — one visit, not three. The r3 state
+    // protocol emitted the gap-closed session immediately at trigger 1
+    // and could never produce this answer.
+    val base = 1517958846L * 1000000L
+    val gap = 1800L * 1000000L
+    val all = Seq(
+      SessionEvent("u", base), SessionEvent("u", base + gap),
+      SessionEvent("u", base + gap - 100L * 1000000L))
+    val streamed = runStateful(Seq(all.take(2), all.drop(2)))
+    val batch = Sessionize.visits(
+      all.map(e => (e.user_id, e.ts_us)).toDF("user_id", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us"))))
+      .select("user_id", "visit_start_us", "visit_end_us", "n_events", "visit_key")
+      .as[(String, Long, Long, Long, String)].collect().sorted
+    assert(streamed === batch)
+    assert(streamed.length === 1 && streamed.head._4 === 3L) // one merged visit of 3 events
+  }
+
   test("gap boundary: exactly the timeout splits, one microsecond less merges") {
     def visitsOf(ts: Seq[Long]) =
       runStateful(Seq(ts.map(SessionEvent("u", _))))
