@@ -1,10 +1,12 @@
 package graft.exports
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
 import graft.session.Sessionize
+import graft.sources.Tables
 
 /**
  * The reference's three denormalized exports (SURVEY.md §1.5, K1 sink —
@@ -68,5 +70,46 @@ object Exports {
       visitsFrom(sess).write.mode("overwrite").csv(s"$baseDir/visits")
       visitorsFrom(sess).write.mode("overwrite").csv(s"$baseDir/visitors")
     } finally sess.unpersist()
+  }
+
+  /**
+   * The write-back transcode job — `encoding_update.py:21-29` parity as a
+   * FILE-PRODUCING job, for consumers that want re-encoded feeds on disk
+   * rather than the scan-folded decode ([[Tables.rawFeed]] subsumes the
+   * need inside this engine; this serves everyone else). Reads gzipped
+   * feeds in `fromEncoding`, writes gzipped UTF-8 feeds (Spark's text sink
+   * always emits UTF-8, so the decode IS the transcode). Unlike the
+   * reference's single-node 64 KiB-block loop, this is one distributed
+   * map: no shuffle, one output shard per input split, scales with tasks.
+   */
+  def transcodeFeed(spark: SparkSession, inGlob: String, outDir: String,
+                    fromEncoding: String = "ISO-8859-1"): Unit =
+    Tables.rawFeed(spark, inGlob, fromEncoding)
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .text(outDir)
+
+  /**
+   * Beam `WriteToText` shard-name parity (`main.py:229-234` emits
+   * `<prefix>-SSSSS-of-NNNNN`; Spark emits `part-*`): renames the
+   * part-files of a finished write so a consumer glob-matching Beam names
+   * keeps working. A pure metadata operation through the Hadoop
+   * FileSystem API (works on HDFS/object stores, O(#shards), no data
+   * movement — renames are what Beam's own finalize step does). Shard
+   * order follows part-file name order, matching the task-number order
+   * both systems use. Returns the new names.
+   */
+  def beamShardNames(spark: SparkSession, dir: String,
+                     prefix: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val n = parts.length
+    parts.zipWithIndex.map { case (src, i) =>
+      val name = f"$prefix-$i%05d-of-$n%05d"
+      require(fs.rename(src, new Path(p, name)), s"rename failed: $src")
+      name
+    }.toSeq
   }
 }

@@ -44,6 +44,43 @@ class ExportsSpec extends SparkSpec {
                          col("ts") > col("visit_end")).count() === 0)
   }
 
+  test("transcodeFeed: gzip ISO-8859-1 in, gzip UTF-8 out (encoding_update.py parity)") {
+    import java.io.{FileOutputStream, OutputStreamWriter}
+    import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+    val in = Files.createTempDirectory("graft-transcode-in").toString
+    val out = s"${Files.createTempDirectory("graft-transcode-out")}/feeds"
+    val line = "1000\tu\tv\tTRK\t\t2\tcafé\tsrv\ti\ts"
+    val w = new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(s"$in/feed.tsv.gz")), "ISO-8859-1")
+    try w.write(line) finally w.close()
+    Exports.transcodeFeed(spark, s"$in/*.tsv.gz", out)
+    // the produced artifact must be gzip whose UNCOMPRESSED BYTES are UTF-8
+    val gz = new java.io.File(out).listFiles().filter(_.getName.endsWith(".gz"))
+    assert(gz.nonEmpty)
+    val bytes = gz.flatMap { f =>
+      val s = new GZIPInputStream(new java.io.FileInputStream(f))
+      try Iterator.continually(s.read()).takeWhile(_ >= 0).map(_.toByte).toArray
+      finally s.close()
+    }
+    assert(new String(bytes, "UTF-8").trim === line) // é is two UTF-8 bytes now
+    // and the engine reads it back with no encoding option at all
+    assert(Tables.rawFeed(spark, s"$out/*.gz").collect().map(_.getString(0)) === Array(line))
+  }
+
+  test("beamShardNames renames part-files to <prefix>-SSSSS-of-NNNNN") {
+    val dir = Files.createTempDirectory("graft-shardnames").toString
+    Exports.visitsFrame(parsed).repartition(3)
+      .write.mode("overwrite").csv(s"$dir/visits")
+    val names = Exports.beamShardNames(spark, s"$dir/visits", "visits.csv")
+    assert(names === (0 until 3).map(i => f"visits.csv-$i%05d-of-00003"))
+    val listed = new java.io.File(s"$dir/visits").listFiles().map(_.getName)
+    assert(names.forall(listed.contains))
+    assert(!listed.exists(_.startsWith("part-")))
+    // content survives the rename untouched
+    assert(spark.read.csv(s"$dir/visits/visits.csv-*").count() ===
+      Exports.visitsFrame(parsed).count())
+  }
+
   test("visitors dedup variant collapses duplicates") {
     val raw = Exports.visitorsFrame(parsed)
     val dedup = Exports.visitorsFrame(parsed, dedup = true)
