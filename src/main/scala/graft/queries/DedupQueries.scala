@@ -435,6 +435,88 @@ object DedupQueries {
       |    + CAST(((m >> 8) & 255) = 0 AS INT) + CAST((m & 255) = 0 AS INT) >= 2""".stripMargin)
   )
 
+  /**
+   * Dedup cluster resolution: connected components over the LSH candidate
+   * pairs, one row per document with its canonical `cluster_id` = the
+   * smallest doc_id reachable through near-dup edges (singletons map to
+   * themselves). Pairs alone don't dedup a corpus — A~B and B~C must
+   * collapse to ONE keeper even when A~C was never a candidate; this is
+   * the step that turns the pair stages into an actual dedup decision.
+   *
+   * Execution is iterative min-label propagation (the Pregel pattern,
+   * what GraphX connected-components does under the hood): every doc
+   * starts labeled with itself; each round labels flow across edges and
+   * each node keeps the minimum; fixpoint after ≤ diameter rounds.
+   * Near-dup components are band-bucket cliques chained by overlap, so
+   * diameters are tiny (single digits at any scale). Per round the work
+   * is one equi-join + one min-aggregate — all shuffles on the label key,
+   * never any pair blowup. The driver-side loop is a CONVERGENCE loop,
+   * not a data loop — the only values reaching the driver are one label
+   * checksum per round.
+   *
+   * Two load-bearing mechanics of iterating DataFrames:
+   *  - each round's labels are `localCheckpoint`ed — a persist() would
+   *    cache the DATA but leave the logical plan nesting the previous
+   *    round's plan (the tree triples per round; analysis alone went
+   *    exponential — measured 1.3s → 82s/round by round 7 before OOM).
+   *    localCheckpoint truncates lineage to the materialized partitions.
+   *    On a cluster you'd use reliable checkpoint() to survive executor
+   *    loss; same loop.
+   *  - convergence is a label-sum checksum, not a prev⋈next diff join:
+   *    labels only ever decrease, so the sum (exact, decimal) is strictly
+   *    monotone until fixpoint — one cheap aggregate per round instead of
+   *    a join.
+   */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = candidatePairs(shingled(s, dir))
+      // materialized once — every round reuses the edge list without
+      // re-running the shingle+LSH chain
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      // only docs with at least one near-dup edge enter the loop: the
+      // iteration scales with the LSH OUTPUT (paired docs + edges), never
+      // the corpus — singletons (the vast majority of any real corpus)
+      // join back once at the end
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint()
+      var prevSum: Any = None
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        labels = labels.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), col("lbl"))
+          .union(labels)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        val sumNow = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().get(0)
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      docs(s, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    },
+    // the oracle states the fixpoint directly: min label reachable through
+    // the undirected candidate edges (recursive CTE, UNION-distinct; the
+    // RECURSIVE keyword must head the whole WITH list in DuckDB)
+    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |e2 AS (SELECT a_id AS s, b_id AS d FROM cand
+      |       UNION ALL SELECT b_id, a_id FROM cand),
+      |walk(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
+      |)
+      |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin)
+  )
+
   /** Winnowing-style document fingerprints: shingle stream partitioned by
     * position mod 4; fingerprint = min shingle hash per partition. Four
     * 128-bit fingerprints per doc — the compact sketch a plagiarism/overlap
@@ -513,6 +595,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDocFingerprint, qDedupEmbed
+    qDedupClusters, qDocFingerprint, qDedupEmbed
   )
 }

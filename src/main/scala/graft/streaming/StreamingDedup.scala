@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/**
+ * Exact dedup at ingest — the streaming face of `q_dedup_exact`
+ * (SURVEY.md §7.4): incoming documents are keyed by the md5 of their
+ * normalized text and duplicates are suppressed with
+ * `dropDuplicatesWithinWatermark`, so a firehose of scraped/replayed
+ * documents yields first-arrival-unique content downstream.
+ *
+ * 100 TB posture: state holds ONE 16-byte hash per distinct document
+ * seen within the watermark horizon — never the text — and the watermark
+ * expires state continuously, so memory is bounded by distinct-rate ×
+ * delay, not by history. The trade is explicit and documented: a
+ * duplicate arriving after its original's watermark window re-emits
+ * (cross-horizon dedup belongs to the batch pass, `q_dedup_exact`).
+ * The input must carry a watermarked `ts_t` event-time column.
+ */
+object StreamingDedup {
+
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(TextOps.normText(col("text"))))
+      .dropDuplicatesWithinWatermark("content_hash")
+}

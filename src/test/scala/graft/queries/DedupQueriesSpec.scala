@@ -81,6 +81,23 @@ class DedupQueriesSpec extends SparkSpec {
     pairs.foreach { case (a, b, h) => assert(a < b && h <= 4) }
   }
 
+  test("q_dedup_clusters: transitively linked near-dups collapse to one canonical id") {
+    val clusters = q("q_dedup_clusters")
+      .as[(Long, Long)].collect().toMap
+    // docs 0/2 are shingle-identical (always candidates) and 3 is a
+    // near-dup of the base text — candidate to SOME of them but
+    // transitively linked to all → one cluster, canonical min id 0.
+    // (Doc 1 is the case-variant: shingles are case-sensitive, so its
+    // linkage is probabilistic — covered by the consistency check below.)
+    // Doc 4 shares no shingle with anyone → singleton.
+    assert(clusters(0L) === 0L && clusters(2L) === 0L && clusters(3L) === 0L)
+    assert(clusters(4L) === 4L)
+    assert(clusters.size === 5) // one row per doc, singletons included
+    // every candidate pair must land in the same cluster (transitivity)
+    val pairs = q("q_dedup_minhash").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
+  }
+
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
     val fps = q("q_doc_fingerprint")
       .as[(Long, Long, String)].collect()

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class DocEvent(doc_id: Long, text: String, ts_us: Long)
+
+/** Streaming exact dedup: first arrival of each normalized content is
+  * kept, in-watermark duplicates are suppressed — across triggers, not
+  * just within one. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("in-watermark duplicate content is suppressed across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val withTime = input.toDS()
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+    val name = s"graft_sdedup_${System.nanoTime()}"
+    val q = StreamingDedup.dedupByContent(withTime)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val t0 = 1517958846L * 1000000L
+      // trigger 1: two case/whitespace variants of the same content + one
+      // distinct doc
+      input.addData(Seq(
+        DocEvent(1L, "hello world", t0),
+        DocEvent(2L, "  Hello   WORLD ", t0 + 1000000L),
+        DocEvent(3L, "something else", t0 + 2000000L)))
+      q.processAllAvailable()
+      // trigger 2: a replay of the first content (in-watermark → dropped)
+      // and fresh content (kept)
+      input.addData(Seq(
+        DocEvent(4L, "HELLO world", t0 + 3000000L),
+        DocEvent(5L, "fresh text", t0 + 4000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // exactly one row per distinct normalized content
+    assert(rows.length === 3)
+    assert(rows.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 5L))) // 4 is a dup, never emitted
+    assert(rows.count(r => Set(1L, 2L).contains(r._1)) === 1)  // one hello-world variant
+    assert(rows.exists(_._1 === 3L) && rows.exists(_._1 === 5L))
+  }
+}
