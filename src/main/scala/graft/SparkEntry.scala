@@ -17,11 +17,14 @@ object SparkEntry {
     * (the driver builds its own SparkSession for the smoke check), so
     * session-compat confs are applied here — never inside shared readers
     * (see Tables.read scaladoc): events.parquet is TIMESTAMP(NANOS) and
-    * needs the legacy long read. Idempotent. */
+    * needs the legacy long read, and the oracle compares against DuckDB's
+    * timezone-naive timestamps, so date/day derivations (q_partition_prune)
+    * must run in UTC regardless of the host session's zone. Idempotent. */
   private def withSessionDefaults(
       fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       fn(s, dir)
     }
 

@@ -83,11 +83,22 @@ object Exports {
    * map: no shuffle, one output shard per input split, scales with tasks.
    */
   def transcodeFeed(spark: SparkSession, inGlob: String, outDir: String,
-                    fromEncoding: String = "ISO-8859-1"): Unit =
+                    fromEncoding: String = "ISO-8859-1"): Unit = {
+    // Guard pass: rawFeed's CSV-reader line contract uses \u0001 as the
+    // live delimiter, so a line CONTAINING \u0001 would be silently
+    // truncated — tolerable for in-engine scans (documented on rawFeed),
+    // not for a file-producing job external consumers read. \u0001 decodes
+    // identically under UTF-8 and the ISO-8859-x family (ASCII range), so
+    // the cheap text-source scan sees exactly what rawFeed would split on.
+    val tainted = spark.read.text(inGlob)
+      .filter(col("value").contains("\u0001")).count()
+    require(tainted == 0L,
+      s"$tainted input line(s) contain \\u0001 — transcodeFeed would corrupt them")
     Tables.rawFeed(spark, inGlob, fromEncoding)
       .write.mode("overwrite")
       .option("compression", "gzip")
       .text(outDir)
+  }
 
   /**
    * Beam `WriteToText` shard-name parity (`main.py:229-234` emits
@@ -103,8 +114,19 @@ object Exports {
                      prefix: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val listed = fs.listStatus(p).map(_.getPath)
+    val parts = listed.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val renamed = listed.map(_.getName)
+      .filter(_.startsWith(s"$prefix-")).sorted.toSeq
+    // Idempotency/partial-failure guard: renames aren't atomic as a group.
+    // A directory that already holds ONLY renamed shards is a completed
+    // earlier run — return them unchanged. A MIX of part-* and renamed
+    // files is an interrupted run whose shard totals would come out
+    // inconsistent — fail loudly; re-write the export and rename again.
+    if (parts.isEmpty) return renamed
+    require(renamed.isEmpty,
+      s"$dir holds both part-* and $prefix-* files (interrupted rename?) — " +
+        "re-write the export before renaming")
     val n = parts.length
     parts.zipWithIndex.map { case (src, i) =>
       val name = f"$prefix-$i%05d-of-$n%05d"

@@ -40,6 +40,14 @@ case class IntDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  /** Always nullable: a length mismatch yields null even when both child
+    * arrays are non-nullable. Inheriting children-based nullability would
+    * (a) let the optimizer fold IsNull(dot) to false and (b) make
+    * nullSafeCodeGen bind ev.isNull to the FalseLiteral, so the generated
+    * `isNull = true` assignment would not compile and the stage would
+    * silently fall back to interpreted execution. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_int_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -273,6 +273,11 @@ object DedupQueries {
                   .cast("long").as("n_inter"),
                 size(col("sa_shs")).cast("long").as("na_sh"),
                 size(col("sb_shs")).cast("long").as("nb_sh"))
+        // a candidate with ZERO shared distinct shingles (possible only via
+        // a 32-bit base-hash collision between different shingles) is not a
+        // verified pair — the oracle's shingle-equality join drops it, and
+        // so must we
+        .filter(col("n_inter") > 0)
         .select(
           col("a_id"), col("b_id"), col("n_inter"),
           (col("na_sh") + col("nb_sh") - col("n_inter")).as("n_union"),

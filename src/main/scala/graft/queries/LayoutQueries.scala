@@ -23,11 +23,19 @@ import graft.sources.Tables
 object LayoutQueries {
 
   /** Root for engine-derived physical layouts, keyed by the source dir's
-    * basename so each SF gets its own layout. Derived data lives outside
-    * the (read-only) testdata tree; a stale layout is detected against the
-    * source mtime and rebuilt. */
-  private def layoutRoot(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-layouts/${new File(sfDir).getName}"
+    * basename PLUS a hash of its canonical path — two corpora that share a
+    * basename (a copied `sf0.01/`) must not collide on one cache entry.
+    * Derived data lives outside the (read-only) testdata tree; a stale
+    * layout is detected against the source mtime and rebuilt. The
+    * build-if-missing guard is synchronized within this JVM; concurrent
+    * builds from SEPARATE processes race on the overwrite (acceptable for
+    * a tmp-dir dev cache — a shared cluster would materialize layouts as
+    * managed tables under a real catalog instead). */
+  private def layoutRoot(sfDir: String): String = {
+    val f = new File(sfDir).getCanonicalFile
+    val key = f"${f.getName}-${f.getPath.hashCode & 0x7FFFFFFF}%08x"
+    s"${sys.props("java.io.tmpdir")}/graft-layouts/$key"
+  }
 
   /** Newest mtime in a file-or-directory tree (parquet outputs are dirs). */
   private def newestMtime(f: File): Long =

@@ -130,6 +130,37 @@ class DedupQueriesSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L, 1L), (1L, 2L, 2L)))
   }
 
+  test("property: simhashPairs ≡ brute-force band-coverage semantics on random hashes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // brute-force reference: hamming ≤ 4 AND diffs confined to ≤ 2 quarters
+    def ref(hs: Map[Long, Long]): Set[(Long, Long, Long)] = {
+      val ids = hs.keys.toSeq.sorted
+      (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        m = hs(ids(i)) ^ hs(ids(j))
+        ham = java.lang.Long.bitCount(m)
+        clean = (0 until 4).count(q => ((m >> (8 * q)) & 255L) == 0L)
+        if ham <= 4 && clean >= 2
+      } yield (ids(i), ids(j), ham.toLong)).toSet
+    }
+    val gen = for {
+      n <- Gen.choose(2, 30)
+      base <- Gen.choose(0L, (1L << 32) - 1)
+      // cluster hashes around a base so near-pairs actually occur
+      hs <- Gen.listOfN(n, for {
+        flips <- Gen.choose(0, 6)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 31))
+      } yield bits.foldLeft(base)((h, b) => h ^ (1L << b)))
+    } yield hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toMap
+    for (seed <- 1L to 4L) {
+      val hs = gen(Gen.Parameters.default, Seed(seed)).get
+      val got = DedupQueries.simhashPairs(hs.toSeq.toDF("doc_id", "simhash"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === ref(hs), s"seed=$seed")
+    }
+  }
+
   /** Run `body` with AQE off and restore after: `qe.observedMetrics`
     * cannot see a CollectMetrics node inside an AdaptiveSparkPlanExec
     * wrapper (its plan isn't part of the `collect`-visible tree in Spark
