@@ -183,9 +183,10 @@ object DedupQueries {
       .groupBy(keys: _*)
       .agg(collect_list(col("it")).as("xs"))
       .filter(size(col("xs")) > 1)
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
+      .withColumn("a", explode(col("xs")))
+      .withColumn("b", explode(col("xs")))
       .filter(col("a") < col("b"))
+      .drop("xs") // output: key columns + the (a, b) item pair
   }
 
   /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
@@ -413,14 +414,24 @@ object DedupQueries {
               }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Canonical-band dedup instead of a distinct(): a pair agreeing on
+    // several bands surfaces once per band, but each pair row carries BOTH
+    // simhashes, so "is this the FIRST band that matches" is a per-row
+    // predicate — the standard LSH trick that replaces a full shuffle of
+    // the pair set with a codegen'd filter.
+    val m = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def clean(q: Int): Column = m.bitwiseAND(lit(255L << (8 * q))) === 0L
+    val firstBand = QuarterPairs.zipWithIndex.tail.foldLeft(
+      when(clean(QuarterPairs.head._1) && clean(QuarterPairs.head._2), lit(0))) {
+      case (acc, ((i, j), b)) => acc.when(clean(i) && clean(j), lit(b))
+    }
     boundedBucketPairs(banded, Seq("band", "bkey"),
                        struct(col("doc_id"), col("simhash")),
                        maxBucket = maxBucket, guard = "graft_simhash_skew")
+      .filter(col("band") === firstBand)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-                .cast("long").as("hamming"))
+              bit_count(m).cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
-      .distinct()
   }
 
   val qSimhashPairs = Q(
