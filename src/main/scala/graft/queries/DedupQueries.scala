@@ -502,12 +502,18 @@ object DedupQueries {
       var prevSum: Any = None
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
-        labels = labels.join(edges, col("id") === col("src"))
+      // one label-flow step: push labels across edges, keep the min
+      def hop(l: DataFrame): DataFrame =
+        l.join(edges, col("id") === col("src"))
           .select(col("dst").as("id"), col("lbl"))
-          .union(labels)
+          .union(l)
           .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint()
+      while (!converged && rounds < 50) {
+        // two hops per materialization: labels travel distance 2 per round
+        // (halving driver round-trips for the same diameter), and since
+        // labels only ever decrease, sum-stability still detects the
+        // fixpoint exactly
+        labels = hop(hop(labels)).localCheckpoint()
         val sumNow = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().get(0)
         converged = sumNow == prevSum
         prevSum = sumNow
