@@ -227,7 +227,35 @@ object TextStatsQueries {
       |FROM documents""".stripMargin)
   )
 
+  /** Per-language document-length quartiles — the distribution-profiling
+    * pass that sizes length filters before a 100 TB corpus cut. Exact
+    * interpolated percentiles (SQL `percentile_cont` semantics): both
+    * engines compute index p·(n−1) and linearly interpolate, and on
+    * integer inputs with quarter fractions every intermediate is an exact
+    * double, so the oracle compares bit-for-bit (verified empirically).
+    * At scale the per-group sort behind an exact percentile is the cost —
+    * the approx path (`percentile_approx`, a t-digest) is the same one
+    * expression swap away, traded here for oracle exactness. */
+  val qQuantiles = Q(
+    "q_quantiles",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.25)").as("q1"),
+             expr("percentile(n_chars, 0.5)").as("q2"),
+             expr("percentile(n_chars, 0.75)").as("q3"),
+             count(lit(1)).as("n_docs")),
+    Some("""SELECT lang,
+      |       quantile_cont(n_chars, 0.25) AS q1,
+      |       quantile_cont(n_chars, 0.5) AS q2,
+      |       quantile_cont(n_chars, 0.75) AS q3,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents
+      |GROUP BY lang""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta
+    qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
+    qQuantiles
   )
 }
