@@ -61,6 +61,11 @@ object LayoutQueries {
       if (!marker.exists() || marker.lastModified() < srcMtime) {
         Tables.events(s, sfDir)
           .withColumn("day", to_date(col("ts_t")))
+          // cluster rows by the partition column before the partitioned
+          // write: without it every task writes a file into every day
+          // directory (tasks × days small files — the classic partitioned-
+          // write mistake at scale); with it each day gets its writers
+          .repartition(col("day"))
           .write.mode("overwrite").partitionBy("day").parquet(path)
       }
       s.read.parquet(path)
