@@ -539,6 +539,26 @@ object DedupQueries {
       |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin)
   )
 
+  /**
+   * The end-to-end dedup decision as one library call: the full corpus
+   * minus near-duplicates — every document whose doc_id IS its cluster's
+   * canonical id (cluster members with larger ids are the removed dupes;
+   * singletons are their own canonical and always survive). This is the
+   * composition a training-data pipeline actually runs:
+   * shingle → MinHash bands → candidate pairs → connected components →
+   * keep one per cluster. Not an oracle query (it reuses
+   * [[qDedupClusters]]'s chain verbatim — re-running it in the gate would
+   * double-charge the bench for the same proven plan); contract-tested in
+   * `DedupQueriesSpec`.
+   */
+  def dedupedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters.fn(s, dir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("keep_id"))
+    docs(s, dir).join(clusters, col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+  }
+
   /** Winnowing-style document fingerprints: shingle stream partitioned by
     * position mod 4; fingerprint = min shingle hash per partition. Four
     * 128-bit fingerprints per doc — the compact sketch a plagiarism/overlap

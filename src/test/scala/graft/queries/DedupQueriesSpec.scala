@@ -98,6 +98,15 @@ class DedupQueriesSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
   }
 
+  test("dedupedCorpus keeps exactly one canonical doc per cluster plus singletons") {
+    val kept = DedupQueries.dedupedCorpus(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val clusters = q("q_dedup_clusters").as[(Long, Long)].collect()
+    assert(kept === clusters.map(_._2).toSet)  // exactly the canonical ids
+    assert(kept.contains(0L) && kept.contains(4L)) // cluster keeper + singleton
+    assert(!kept.contains(2L) && !kept.contains(3L)) // near-dups of 0 removed
+  }
+
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
     val fps = q("q_doc_fingerprint")
       .as[(Long, Long, String)].collect()
