@@ -146,16 +146,24 @@ object TextStatsQueries {
     "q_lang_id",
     (s, dir) => {
       // hash-distribute before the token explode (single-split scan would
-      // otherwise run the fanout serially; see DedupQueries.docsDistributed)
-      val tok = docs(s, dir)
+      // otherwise run the fanout serially; see DedupQueries.docsDistributed),
+      // then aggregate ONCE to per-doc token counts: the groupBy clusters on
+      // doc_id so it is shuffle-free after the repartition, and it serves
+      // BOTH downstream shapes — language frequencies by summing the
+      // counts, and the (doc, token) distinct pairs directly (the r3 shape
+      // re-ran the explode per consumer and paid a full distinct shuffle
+      // of every (doc_id, tok) string)
+      val tokCounts = docs(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("cnt"))
       val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
-      val top = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val top = tokCounts.groupBy("lang", "tok").agg(sum("cnt").as("c"))
         .withColumn("r", row_number().over(wf))
         .filter(col("r") <= 10)
         .select(col("lang").as("cand_lang"), col("tok").as("ctok"))
-      val docTok = tok.select("doc_id", "tok").distinct()
+      val docTok = tokCounts.select("doc_id", "tok")
       val wp = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("cand_lang").asc)
       // top is ≤10 rows per language at ANY corpus size — always broadcast
       // (the plan audit caught AQE picking SMJ here)
