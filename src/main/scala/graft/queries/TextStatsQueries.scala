@@ -147,12 +147,15 @@ object TextStatsQueries {
     (s, dir) => {
       // hash-distribute before the token explode (single-split scan would
       // otherwise run the fanout serially; see DedupQueries.docsDistributed),
-      // then aggregate ONCE to per-doc token counts: the groupBy clusters on
-      // doc_id so it is shuffle-free after the repartition, and it serves
-      // BOTH downstream shapes — language frequencies by summing the
-      // counts, and the (doc, token) distinct pairs directly (the r3 shape
-      // re-ran the explode per consumer and paid a full distinct shuffle
-      // of every (doc_id, tok) string)
+      // then aggregate to per-doc token counts: the groupBy clusters on
+      // doc_id so it is shuffle-free after the repartition, and one frame
+      // serves BOTH downstream shapes — language frequencies by summing
+      // the counts, and the (doc, token) distinct pairs directly. NOTE:
+      // this is PLAN-NEUTRAL vs the r3 two-consumer shape (verified by
+      // diffing PlanAudit rows — the old distinct() was also satisfied by
+      // the doc_id partitioning, and each consumer branch still evaluates
+      // its subtree); the value is the single source of truth for the
+      // token aggregation, not a saved shuffle.
       val tokCounts = docs(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -249,17 +252,25 @@ object TextStatsQueries {
     (s, dir) =>
       docs(s, dir)
         .groupBy("lang")
-        .agg(expr("percentile(n_chars, 0.25)").as("q1"),
-             expr("percentile(n_chars, 0.5)").as("q2"),
-             expr("percentile(n_chars, 0.75)").as("q3"),
-             count(lit(1)).as("n_docs")),
+        // one array-argument percentile: all three quartiles come from a
+        // single per-group buffer and sort, not three independent
+        // aggregates each keeping its own value map
+        .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("qs"),
+             count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+                element_at(col("qs"), 1).as("q1"),
+                element_at(col("qs"), 2).as("q2"),
+                element_at(col("qs"), 3).as("q3"),
+                col("n_docs")),
     Some("""SELECT lang,
-      |       quantile_cont(n_chars, 0.25) AS q1,
-      |       quantile_cont(n_chars, 0.5) AS q2,
-      |       quantile_cont(n_chars, 0.75) AS q3,
-      |       CAST(COUNT(*) AS BIGINT) AS n_docs
-      |FROM documents
-      |GROUP BY lang""".stripMargin)
+      |       qs[1] AS q1, qs[2] AS q2, qs[3] AS q3, n_docs
+      |FROM (
+      |  SELECT lang,
+      |         quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs,
+      |         CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents
+      |  GROUP BY lang
+      |)""".stripMargin)
   )
 
   val all: Seq[Q] = Seq(
