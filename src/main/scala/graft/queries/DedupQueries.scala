@@ -245,25 +245,24 @@ object DedupQueries {
   val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, dir) => {
-      // candidates intentionally derive from the raw (dup-carrying) shingle
-      // frame: routing them through a (doc, shingle)-keyed distinct frame
-      // was measured 3.5x SLOWER in r2 — that distinct shuffles every
-      // shingle string, costing far more than recomputing the linear
-      // signature chain
-      val cand = candidatePairs(shingled(s, dir))
-      // Per-doc DISTINCT shingle sets as ONE array row per doc: the verify
-      // side is doc-count-sized (each row the same order of magnitude as
-      // the doc's own text), both joins are plain equi-joins on doc ids,
-      // and the exact intersection is a codegen'd array_intersect. The r3
-      // shape instead re-ran the scan+tokenize+shingle chain for each of
-      // THREE relational uses (per-doc sizes + both exploded join sides,
-      // 3.85s at sf0.1); this runs the chain twice total — once for
-      // candidates, once for the sets — and collect_set aggregates on the
-      // doc_id partitioning docsDistributed already established, adding no
-      // exchange.
+      // The scan+tokenize+shingle chain runs ONCE: per-doc DISTINCT
+      // shingle sets (one array row per doc, built by a collect_set that
+      // clusters on the doc_id partitioning docsDistributed established —
+      // no exchange) are materialized via localCheckpoint, and BOTH stages
+      // read them: the LSH candidates re-explode the sets (MinHash minima
+      // over distinct shingles ≡ minima over occurrences, so signatures
+      // are identical), and the verify stage joins the arrays directly
+      // with a codegen'd array_intersect. History: r2 measured a
+      // (doc, shingle)-keyed distinct() routing 3.5x slower — that shape
+      // paid a full distinct SHUFFLE of every shingle string, which the
+      // clustered collect_set does not; r3 ran the chain 4x (candidates +
+      // sizes + both exploded join sides, 3.85s at sf0.1).
       val ssets = shingled(s, dir)
         .groupBy("doc_id")
         .agg(collect_set(col("shingle")).as("shs"))
+        .localCheckpoint()
+      val cand = candidatePairs(
+        ssets.select(col("doc_id"), explode(col("shs")).as("shingle")))
       val a = ssets.select(col("doc_id").as("sa_id"), col("shs").as("sa_shs"))
       val b = ssets.select(col("doc_id").as("sb_id"), col("shs").as("sb_shs"))
       cand
