@@ -1,0 +1,99 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Word n-gram shingles over a token array — the hot inner loop of the
+ * dedup family (MinHash, Jaccard, winnowing fingerprints all start by
+ * shingling every document).
+ *
+ * Why a custom Catalyst expression (SURVEY.md §7.4 decision rule, same
+ * precedent as [[IntDotProduct]]): the built-in formulation
+ * `transform(sequence(1, size-n+1), i -> concat_ws(" ", element_at...))`
+ * is CORRECT but the lambda body is interpreted per shingle — higher-order
+ * functions have no codegen — and it materializes an index array per row.
+ * This expression generates a tight loop inside whole-stage codegen:
+ * per shingle, n slice lookups and one `UTF8String.concatWs`.
+ *
+ * Semantics match [[graft.text.TextOps.shinglesHof]] exactly: null input
+ * → null; fewer than n tokens → EMPTY array (the cross-engine guard the
+ * HOF encoded with a `when`, because Spark's `sequence(1, k)` descends
+ * for k < 1 while DuckDB's `generate_series` is empty); null tokens are
+ * skipped by concatWs — the same SQL `concat_ws` semantics the HOF used.
+ */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements() - (n - 1)
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < m) {
+        var k = 0
+        while (k < n) {
+          parts(k) = if (toks.isNullAt(i + k)) null else toks.getUTF8String(i + k)
+          k += 1
+        }
+        out(i) = UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val sepRef = ctx.addReferenceObj("sep", sep, classOf[UTF8String].getName)
+      // freshName locals — the expression may appear several times in one
+      // codegen function (see IntDotProduct)
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val utf8 = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |int $m = $in.numElements() - ${n - 1};
+         |if ($m <= 0) {
+         |  ${ev.value} = new $gad(new Object[0]);
+         |} else {
+         |  Object[] $out = new Object[$m];
+         |  $utf8[] $parts = new $utf8[$n];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $parts[$k] = $in.isNullAt($i + $k) ? null : $in.getUTF8String($i + $k);
+         |    }
+         |    $out[$i] = $utf8.concatWs($sepRef, $parts);
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

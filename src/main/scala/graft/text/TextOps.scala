@@ -32,12 +32,24 @@ object TextOps {
    * Word n-gram shingles as an array: shingle i (1-based) joins tokens
    * i..i+n-1 with single spaces. Matches the DuckDB oracle formulation
    * `list_transform(generate_series(1, len(toks)-(n-1)), i -> ...)`.
+   * Backed by the codegen'd [[graft.expr.WordShingles]] — the HOF
+   * formulation it replaced stays below as [[shinglesHof]], the reference
+   * implementation the expression is property-tested against.
+   */
+  def shingles(toks: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n))
+
+  /**
+   * Built-in-only shingles (interpreted HOFs) — kept as the reference
+   * implementation [[shingles]] is tested against.
    *
    * The `when` guard matters: Spark's `sequence(1, k)` with k < 1 produces a
    * DESCENDING array (DuckDB's `generate_series` yields empty), so short
    * docs must short-circuit to an empty array for cross-engine agreement.
    */
-  def shingles(toks: Column, n: Int = 3): Column =
+  def shinglesHof(toks: Column, n: Int = 3): Column =
     when(
       size(toks) >= n,
       transform(

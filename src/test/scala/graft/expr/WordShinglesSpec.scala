@@ -1,0 +1,54 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextOps
+
+/** The native codegen'd shingle expression must be a drop-in replacement
+  * for the HOF formulation: identical arrays and identical guards. */
+class WordShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the HOF formulation on random token arrays, incl. short docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "longertoken")
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+    val out = rows.toDF("toks")
+      .select(TextOps.shingles(col("toks")).as("native"),
+              TextOps.shinglesHof(col("toks")).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("guards: null input is null, short arrays are empty, n=1 is identity") {
+    val df = Seq(
+      (1, Option(Seq("a", "b"))),      // 2 tokens < n=3 → empty
+      (2, Option(Seq.empty[String])),  // empty → empty
+      (3, None),                       // null input → null
+      (4, Option(Seq("a", "b", "c", "d")))
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), TextOps.shingles(col("toks")).as("s"))
+      .as[(Int, Option[Seq[String]])].collect().toMap
+    assert(got(1) === Some(Seq.empty))
+    assert(got(2) === Some(Seq.empty))
+    assert(got(3) === None)
+    assert(got(4) === Some(Seq("a b c", "b c d")))
+    val ident = df.filter(col("id") === 4)
+      .select(TextOps.shingles(col("toks"), n = 1).as("s"))
+      .as[Seq[String]].head()
+    assert(ident === Seq("a", "b", "c", "d"))
+  }
+
+  test("appears twice in one projection without codegen collisions") {
+    // the IntDotProduct lesson: fixed locals break the stage when the
+    // expression repeats — assert both copies evaluate (and agree)
+    val row = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .select(TextOps.shingles(col("toks")).as("s1"),
+              TextOps.shingles(col("toks"), n = 2).as("s2"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(row._1 === Seq("a b c", "b c d"))
+    assert(row._2 === Seq("a b", "b c", "c d"))
+  }
+}
