@@ -107,6 +107,19 @@ object GraftFunctions {
       IntDotProduct(children.head, children(1))
     }
   )
+
+  /** `graft_shingles(toks[, n])` — n defaults to 3 and must be a literal. */
+  val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => children match {
+      case Seq(toks) => WordShingles(toks, 3)
+      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        WordShingles(toks, n)
+      case _ => throw new IllegalArgumentException(
+        "graft_shingles takes (array<string>[, literal int n])")
+    }
+  )
 }
 
 /**
@@ -116,6 +129,8 @@ object GraftFunctions {
  * builds the expression directly.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.intDot)
+    ext.injectFunction(GraftFunctions.shingles)
+  }
 }

@@ -41,6 +41,17 @@ class WordShinglesSpec extends SparkSpec {
     assert(ident === Seq("a", "b", "c", "d"))
   }
 
+  test("SQL surface: graft_shingles registers and defaults n=3") {
+    val (id, info, builder) = GraftFunctions.shingles
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val got = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d')) AS s3, " +
+        "graft_shingles(array('a','b','c','d'), 2) AS s2")
+      .as[(Seq[String], Seq[String])].head()
+    assert(got._1 === Seq("a b c", "b c d"))
+    assert(got._2 === Seq("a b", "b c", "c d"))
+  }
+
   test("appears twice in one projection without codegen collisions") {
     // the IntDotProduct lesson: fixed locals break the stage when the
     // expression repeats — assert both copies evaluate (and agree)
