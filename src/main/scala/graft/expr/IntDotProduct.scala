@@ -108,16 +108,26 @@ object GraftFunctions {
     }
   )
 
-  /** `graft_shingles(toks[, n])` — n defaults to 3 and must be a literal. */
+  /** `graft_shingles(toks[, n])` — n defaults to 3; any FOLDABLE integral
+    * expression works (function resolution runs before constant folding,
+    * so `1 + 1` or `CAST(2 AS INT)` arrive unfolded — evaluate rather than
+    * pattern-match a bare literal). */
   val shingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
     (children: Seq[Expression]) => children match {
       case Seq(toks) => WordShingles(toks, 3)
-      case Seq(toks, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
-        WordShingles(toks, n)
+      case Seq(toks, e) if e.foldable =>
+        e.eval() match {
+          case n: Int => WordShingles(toks, n)
+          case n: Short => WordShingles(toks, n.toInt)
+          case n: Byte => WordShingles(toks, n.toInt)
+          case n: Long if n.isValidInt => WordShingles(toks, n.toInt)
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be a constant integer, got $other")
+        }
       case _ => throw new IllegalArgumentException(
-        "graft_shingles takes (array<string>[, literal int n])")
+        "graft_shingles takes (array<string>[, constant integer n])")
     }
   )
 }

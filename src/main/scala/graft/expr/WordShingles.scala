@@ -20,11 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * This expression generates a tight loop inside whole-stage codegen:
  * per shingle, n slice lookups and one `UTF8String.concatWs`.
  *
- * Semantics match [[graft.text.TextOps.shinglesHof]] exactly: null input
- * → null; fewer than n tokens → EMPTY array (the cross-engine guard the
- * HOF encoded with a `when`, because Spark's `sequence(1, k)` descends
- * for k < 1 while DuckDB's `generate_series` is empty); null tokens are
- * skipped by concatWs — the same SQL `concat_ws` semantics the HOF used.
+ * Semantics: null input → null (standard SQL null propagation — also what
+ * DuckDB's `list_transform` over a NULL list yields, so the oracle agrees;
+ * the original HOF accidentally returned an EMPTY array for null input as
+ * an artifact of its `size() >= n` guard, and [[graft.text.TextOps
+ * .shinglesHof]] was aligned to null-propagation when this expression
+ * replaced it); fewer than n tokens → EMPTY array (the cross-engine guard:
+ * Spark's `sequence(1, k)` descends for k < 1 while DuckDB's
+ * `generate_series` is empty); null tokens are skipped by concatWs — the
+ * same SQL `concat_ws` semantics.
  */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {

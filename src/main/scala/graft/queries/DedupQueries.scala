@@ -49,16 +49,16 @@ object DedupQueries {
 
   /** (doc_id, shingle) — word-3-gram shingles, one row per occurrence.
     *
-    * Tokens are materialized in their own projection BEFORE the shingle
-    * HOF: lambda bodies are interpreted (no codegen) and Catalyst does not
-    * CSE inside them, so `shingles(split(text))` re-runs the regex split
-    * for every element_at — O(tokens²) per doc, measured 8× slower than
-    * this two-step shape. CollapseProject keeps the split materialized
-    * because it is referenced more than once. */
+    * Single projection: the codegen'd [[graft.expr.WordShingles]] binds
+    * its child ONCE per row. (History: the r1–r3 HOF shape needed a
+    * separate token-materialization step because Catalyst does not CSE
+    * inside interpreted lambda bodies — `shingles(split(text))` re-ran
+    * the split per element_at, O(tokens²), measured 8× slower; the native
+    * expression removed that hazard along with the interpretation.) */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docsDistributed(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("toks"))).as("shingle"))
+      .select(col("doc_id"),
+              explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle"))
 
   /** Shared DuckDB CTE prefix: shingles per doc (matches [[shingled]]). */
   private val shingleCte: String =
@@ -256,7 +256,13 @@ object DedupQueries {
       // (doc, shingle)-keyed distinct() routing 3.5x slower — that shape
       // paid a full distinct SHUFFLE of every shingle string, which the
       // clustered collect_set does not; r3 ran the chain 4x (candidates +
-      // sizes + both exploded join sides, 3.85s at sf0.1).
+      // sizes + both exploded join sides, 3.85s at sf0.1). Lifecycle: the
+      // checkpoint blocks are freed by the ContextCleaner once the
+      // returned frame becomes unreachable — per-invocation storage, not
+      // a session-lifetime cache. NOTE for PLANS.md readers: the
+      // materialization job (scan+shingle+collect_set, incl. its
+      // repartition exchange) runs eagerly here, BEFORE the audited final
+      // plan — the audit row shows only the post-checkpoint shuffles.
       val ssets = shingled(s, dir)
         .groupBy("doc_id")
         .agg(collect_set(col("shingle")).as("shs"))
@@ -566,9 +572,8 @@ object DedupQueries {
     "q_doc_fingerprint",
     (s, dir) =>
       docsDistributed(s, dir)
-        // two-step: materialized toks, then the shingle HOF (see shingled)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), posexplode(TextOps.shingles(col("toks"))))
+        .select(col("doc_id"),
+                posexplode(TextOps.shingles(TextOps.tokens(col("text")))))
         .select(col("doc_id"), (col("pos") % 4).cast("long").as("band"),
                 md5(col("col")).as("h"))
         .groupBy("doc_id", "band")

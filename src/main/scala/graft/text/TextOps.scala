@@ -45,9 +45,12 @@ object TextOps {
    * Built-in-only shingles (interpreted HOFs) — kept as the reference
    * implementation [[shingles]] is tested against.
    *
-   * The `when` guard matters: Spark's `sequence(1, k)` with k < 1 produces a
-   * DESCENDING array (DuckDB's `generate_series` yields empty), so short
-   * docs must short-circuit to an empty array for cross-engine agreement.
+   * Two guards: Spark's `sequence(1, k)` with k < 1 produces a DESCENDING
+   * array (DuckDB's `generate_series` yields empty), so short NON-NULL
+   * inputs must short-circuit to an empty array; and a NULL input must
+   * stay NULL (standard null propagation, matching [[graft.expr
+   * .WordShingles]] — a bare `otherwise(empty)` would silently turn null
+   * into empty because `size(null)` is null under default sizeOfNull).
    */
   def shinglesHof(toks: Column, n: Int = 3): Column =
     when(
@@ -56,7 +59,7 @@ object TextOps {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
       )
-    ).otherwise(array().cast("array<string>"))
+    ).otherwise(when(toks.isNotNull, array().cast("array<string>")))
 
   /**
    * Value of one lowercase hex digit (md5 output) — portable as

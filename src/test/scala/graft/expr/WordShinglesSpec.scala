@@ -10,16 +10,18 @@ import graft.text.TextOps
 class WordShinglesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("matches the HOF formulation on random token arrays, incl. short docs") {
+  test("matches the HOF formulation on random token arrays, incl. short docs and NULL input") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "longertoken")
-    val rows = Seq.fill(300)(
-      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+    val rows: Seq[Option[Seq[String]]] = Seq.fill(300)(
+      if (rnd.nextInt(10) == 0) None // null token arrays must agree too
+      else Some(Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))))
     val out = rows.toDF("toks")
       .select(TextOps.shingles(col("toks")).as("native"),
               TextOps.shinglesHof(col("toks")).as("hof"))
-      .as[(Seq[String], Seq[String])].collect()
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect()
     out.foreach { case (n, h) => assert(n === h) }
+    assert(out.exists(_._1.isEmpty)) // the null case actually occurred
   }
 
   test("guards: null input is null, short arrays are empty, n=1 is identity") {
@@ -41,15 +43,20 @@ class WordShinglesSpec extends SparkSpec {
     assert(ident === Seq("a", "b", "c", "d"))
   }
 
-  test("SQL surface: graft_shingles registers and defaults n=3") {
+  test("SQL surface: graft_shingles registers, defaults n=3, accepts foldable n") {
     val (id, info, builder) = GraftFunctions.shingles
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    val got = spark.sql(
-      "SELECT graft_shingles(array('a','b','c','d')) AS s3, " +
-        "graft_shingles(array('a','b','c','d'), 2) AS s2")
-      .as[(Seq[String], Seq[String])].head()
-    assert(got._1 === Seq("a b c", "b c d"))
-    assert(got._2 === Seq("a b", "b c", "c d"))
+    try {
+      val got = spark.sql(
+        "SELECT graft_shingles(array('a','b','c','d')) AS s3, " +
+          "graft_shingles(array('a','b','c','d'), 2) AS s2, " +
+          "graft_shingles(array('a','b','c','d'), 1 + 1) AS sf")
+        .as[(Seq[String], Seq[String], Seq[String])].head()
+      assert(got._1 === Seq("a b c", "b c d"))
+      assert(got._2 === Seq("a b", "b c", "c d"))
+      assert(got._3 === got._2) // foldable expression, not just a bare literal
+    } finally spark.sessionState.functionRegistry.dropFunction(id)
+    // registration must not leak into the shared session
   }
 
   test("appears twice in one projection without codegen collisions") {
