@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Physical-layout maintenance utilities (SURVEY.md §4.3 posture). The
+ * query-surface face of layouts lives in `graft.queries.LayoutQueries`;
+ * these are the jobs an operator runs against the lake itself.
+ */
+object Layouts {
+
+  /**
+   * Compact a parquet directory into ~`targetBytes` output files — the
+   * small-files maintenance job: many-task writes, streaming micro-batch
+   * sinks, and per-partition writers all accumulate files far below the
+   * scan-efficient size, and at 100 TB the resulting task-per-tiny-file
+   * scheduling (plus namenode/listing pressure) dominates read cost.
+   *
+   * Sizing reads the directory's actual byte size (one `getContentSummary`
+   * metadata call, recursive over partition dirs) rather than guessing
+   * from row counts, then `repartition(ceil(bytes / targetBytes))` — a
+   * single shuffle whose output is written once to `outDir`. Write-then-
+   * swap is left to the caller/catalog (atomic directory swap is
+   * filesystem-specific); this job never mutates its input.
+   *
+   * Returns (input bytes, output file count).
+   */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L << 20): (Long, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new Path(outDir))
+      .count(s => s.getPath.getName.startsWith("part-"))
+    (bytes, outFiles)
+  }
+}

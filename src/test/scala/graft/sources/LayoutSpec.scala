@@ -69,6 +69,25 @@ class LayoutSpec extends SparkSpec {
            s"expected exactly the 1996 partition, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("compactParquet collapses a many-file layout into size-targeted files") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val src = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
+    src.repartition(24).write.mode("overwrite").parquet(s"$dir/scattered")
+    val scattered = new java.io.File(s"$dir/scattered").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(scattered === 24)
+    // target far above the corpus size → everything compacts to one file
+    val (bytes, outFiles) =
+      Layouts.compactParquet(spark, s"$dir/scattered", s"$dir/compact")
+    assert(bytes > 0 && outFiles === 1)
+    assert(spark.read.parquet(s"$dir/compact").count() === src.count())
+    // a small target produces multiple size-bounded files
+    val (_, outFiles2) = Layouts.compactParquet(
+      spark, s"$dir/scattered", s"$dir/compact2", targetBytes = bytes / 4)
+    assert(outFiles2 >= 4)
+    assert(spark.read.parquet(s"$dir/compact2").count() === src.count())
+  }
+
   test("q_partition_prune reads exactly the 7 selected day partitions of 30") {
     val df = SparkEntry.queries("q_partition_prune")(spark, "/root/testdata/sf0.001")
     assert(df.collect().length === 7) // one row per day of the first week
