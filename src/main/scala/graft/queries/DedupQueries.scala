@@ -488,12 +488,12 @@ object DedupQueries {
    *    monotone until fixpoint — one cheap aggregate per round instead of
    *    a join.
    */
-  val qDedupClusters = Q(
-    "q_dedup_clusters",
-    (s, dir) => {
-      val pairs = candidatePairs(shingled(s, dir))
+  /** Min-label-propagation connected components over (a_id, b_id) pair
+    * edges: one (id, lbl) row per NODE THAT HAS AN EDGE, lbl = smallest id
+    * in its component. See [[qDedupClusters]] for the full mechanics. */
+  private def components(pairs: DataFrame): DataFrame = {
       // materialized once — every round reuses the edge list without
-      // re-running the shingle+LSH chain
+      // re-running the chain that produced the pairs
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint()
@@ -525,6 +525,13 @@ object DedupQueries {
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
+      labels
+  }
+
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val labels = components(candidatePairs(shingled(s, dir)))
       docs(s, dir).select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
         .select(col("doc_id"),
@@ -551,17 +558,26 @@ object DedupQueries {
    * singletons are their own canonical and always survive). This is the
    * composition a training-data pipeline actually runs:
    * shingle → MinHash bands → candidate pairs → connected components →
-   * keep one per cluster. Not an oracle query (it reuses
-   * [[qDedupClusters]]'s chain verbatim — re-running it in the gate would
-   * double-charge the bench for the same proven plan); contract-tested in
-   * `DedupQueriesSpec`.
+   * keep one per cluster. With `verify = true` the edges are the
+   * Jaccard-VERIFIED near-dup pairs (J ≥ 0.5) instead of raw LSH
+   * candidates — the precision knob: LSH false positives can chain
+   * unrelated documents into one component and silently over-delete,
+   * which verification bounds at the cost of the intersection stage.
+   * Not an oracle query (it reuses [[qDedupClusters]]'s chain verbatim —
+   * re-running it in the gate would double-charge the bench for the same
+   * proven plan); contract-tested in `DedupQueriesSpec`.
    */
-  def dedupedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val clusters = qDedupClusters.fn(s, dir)
-      .filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id").as("keep_id"))
-    docs(s, dir).join(clusters, col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+  def dedupedCorpus(s: SparkSession, dir: String,
+                    verify: Boolean = false): DataFrame = {
+    val pairs =
+      if (verify) qNgramJaccard.fn(s, dir)
+        .filter(col("near_dup") === 1).select("a_id", "b_id")
+      else candidatePairs(shingled(s, dir))
+    // paired docs that are NOT their component's min are the removals;
+    // everything else (canonical ids + singletons) survives
+    val removed = components(pairs)
+      .filter(col("id") =!= col("lbl")).select(col("id"))
+    docs(s, dir).join(removed, col("doc_id") === col("id"), "left_anti")
   }
 
   /** Winnowing-style document fingerprints: shingle stream partitioned by

@@ -105,6 +105,11 @@ class DedupQueriesSpec extends SparkSpec {
     assert(kept === clusters.map(_._2).toSet)  // exactly the canonical ids
     assert(kept.contains(0L) && kept.contains(4L)) // cluster keeper + singleton
     assert(!kept.contains(2L) && !kept.contains(3L)) // near-dups of 0 removed
+    // verified mode: edges are J >= 0.5 pairs — on this corpus the same
+    // dups are confirmed, so the same keepers survive
+    val keptVerified = DedupQueries.dedupedCorpus(spark, dir, verify = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptVerified === kept)
   }
 
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
