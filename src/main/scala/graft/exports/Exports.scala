@@ -84,20 +84,36 @@ object Exports {
    */
   def transcodeFeed(spark: SparkSession, inGlob: String, outDir: String,
                     fromEncoding: String = "ISO-8859-1"): Unit = {
-    // Guard pass: rawFeed's CSV-reader line contract uses \u0001 as the
-    // live delimiter, so a line CONTAINING \u0001 would be silently
-    // truncated — tolerable for in-engine scans (documented on rawFeed),
-    // not for a file-producing job external consumers read. \u0001 decodes
-    // identically under UTF-8 and the ISO-8859-x family (ASCII range), so
-    // the cheap text-source scan sees exactly what rawFeed would split on.
-    val tainted = spark.read.text(inGlob)
-      .filter(col("value").contains("\u0001")).count()
-    require(tainted == 0L,
-      s"$tainted input line(s) contain \\u0001 — transcodeFeed would corrupt them")
-    Tables.rawFeed(spark, inGlob, fromEncoding)
+    // overwrite deletes outDir before the lazy read runs - refuse an
+    // output that is the input's own directory
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(outPath) != fs.makeQualified(new Path(inGlob).getParent),
+      s"transcodeFeed cannot write into its input directory ($outDir)")
+    // Single-pass \u0001 guard: rawFeed's line contract uses \u0001 as
+    // the live delimiter (see Tables.rawFeed), so a line CONTAINING it
+    // would be silently truncated - tolerable for in-engine scans, not
+    // for a file-producing job external consumers read. Reading with a
+    // second schema column catches exactly those lines (the split
+    // remainder lands in `extra`), an `observe` counts them DURING the
+    // transcode's own scan (no second decompress pass), and a nonzero
+    // count fails the job after deleting the partial output -
+    // write-then-verify.
+    val obs = org.apache.spark.sql.Observation("graft_transcode_guard")
+    Tables.rawFeedWithSchema(spark, inGlob, fromEncoding,
+                             "value STRING, extra STRING")
+      .observe(obs, sum(when(col("extra").isNotNull, 1L).otherwise(0L))
+                      .as("tainted"))
+      .select("value")
       .write.mode("overwrite")
       .option("compression", "gzip")
       .text(outDir)
+    val tainted = Option(obs.get("tainted")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (tainted > 0L) {
+      fs.delete(outPath, true)
+      throw new IllegalStateException(
+        s"$tainted input line(s) contain \\u0001 - transcode output deleted")
+    }
   }
 
   /**
@@ -115,9 +131,16 @@ object Exports {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listed = fs.listStatus(p).map(_.getPath)
-    val parts = listed.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    // NUMERIC task-number order, not lexicographic: "part-100000" sorts
+    // before "part-99999" as a string, so ≥100k-shard exports would get
+    // out-of-order shard indices under a name sort
+    def taskNum(name: String): Long =
+      "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(Long.MaxValue)
+    val parts = listed.filter(_.getName.startsWith("part-"))
+      .sortBy(f => (taskNum(f.getName), f.getName))
     val renamed = listed.map(_.getName)
-      .filter(_.startsWith(s"$prefix-")).sorted.toSeq
+      .filter(_.startsWith(s"$prefix-"))
+      .sortBy(n => (taskNum(n.stripPrefix(s"$prefix-")), n)).toSeq
     // Idempotency/partial-failure guard: renames aren't atomic as a group.
     // A directory that already holds ONLY renamed shards is a completed
     // earlier run — return them unchanged. A MIX of part-* and renamed

@@ -220,7 +220,7 @@ object DedupQueries {
     "q_dedup_exact",
     (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("content_hash"))
+        .select(col("doc_id"), TextOps.contentHash(col("text")).as("content_hash"))
         .groupBy("content_hash")
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
     Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -419,24 +419,23 @@ object DedupQueries {
               }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Canonical-band dedup instead of a distinct(): a pair agreeing on
-    // several bands surfaces once per band, but each pair row carries BOTH
-    // simhashes, so "is this the FIRST band that matches" is a per-row
-    // predicate — the standard LSH trick that replaces a full shuffle of
-    // the pair set with a codegen'd filter.
-    val m = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    def clean(q: Int): Column = m.bitwiseAND(lit(255L << (8 * q))) === 0L
-    val firstBand = QuarterPairs.zipWithIndex.tail.foldLeft(
-      when(clean(QuarterPairs.head._1) && clean(QuarterPairs.head._2), lit(0))) {
-      case (acc, ((i, j), b)) => acc.when(clean(i) && clean(j), lit(b))
-    }
+    // Pair dedup is a distinct() over the (small) pair set. A canonical-
+    // band emission ("keep the row whose band is the pair's FIRST clean
+    // band" — a per-row predicate that would save this shuffle) was tried
+    // and REVERTED: it composes unsoundly with the skew guard. The
+    // canonical band is computed from the XOR mask alone, but if that
+    // band's bucket was skew-dropped the pair only surfaces in a LATER
+    // surviving band — whose row the filter then deletes, silently losing
+    // a pair the guard accounting doesn't cover (regression-tested:
+    // "skew-dropped canonical band" in DedupQueriesSpec).
     boundedBucketPairs(banded, Seq("band", "bkey"),
                        struct(col("doc_id"), col("simhash")),
                        maxBucket = maxBucket, guard = "graft_simhash_skew")
-      .filter(col("band") === firstBand)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              bit_count(m).cast("long").as("hamming"))
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+                .cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
+      .distinct()
   }
 
   val qSimhashPairs = Q(

@@ -31,6 +31,11 @@ object Layouts {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite deletes the target BEFORE the lazy read scans it — an
+    // in-place call would destroy the input, so refuse it outright
+    require(fs.makeQualified(p) != fs.makeQualified(new Path(outDir)),
+      s"compactParquet cannot compact in place ($inDir): write to a new " +
+        "directory and swap afterwards")
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

@@ -53,20 +53,30 @@ object Tables {
    * `encoding` option (TablesSpec pins this), so CSV is the one line
    * source that can transcode. Reader contract relied on here — this is
    * observed behavior, not documented API, so TablesSpec pins every piece
-   * of it against Spark upgrades: an empty `sep` resolves to the sentinel
-   * delimiter `\u0001` (verified: a planted `\u0001` DOES split a line),
-   * a character that never occurs in Adobe-style TSV feeds, so feed lines
-   * land verbatim in the single `value` column; an empty `quote` DISABLES
-   * quoting, keeping `"` characters literal; and
+   * of it against Spark upgrades: `sep` is EXPLICITLY the `\u0001`
+   * sentinel (the original source carried it as a raw invisible byte; it
+   * is now a visible escape), a character that never occurs in
+   * Adobe-style TSV feeds, so feed lines land verbatim in the single
+   * `value` column (verified: a planted `\u0001` DOES split a line);
+   * an empty `quote` DISABLES quoting, keeping `"` characters literal; and
    * `lineSep="\n"` fixes the record boundary explicitly.
    */
   def rawFeed(spark: SparkSession, path: String,
               encoding: String = "UTF-8"): DataFrame =
+    rawFeedWithSchema(spark, path, encoding, "value STRING")
+
+  /** [[rawFeed]]'s reader contract with a caller-supplied schema - single-
+    * sourced so variants needing a guard column (a second field catches
+    * lines the sentinel delimiter would split; see Exports.transcodeFeed)
+    * can never drift from the line-source options. */
+  private[graft] def rawFeedWithSchema(spark: SparkSession, path: String,
+                                       encoding: String,
+                                       schema: String): DataFrame =
     spark.read
-      .option("sep", "")
+      .option("sep", "\u0001") // the sentinel delimiter, as a VISIBLE escape
       .option("quote", "")
       .option("lineSep", "\n")
       .option("encoding", encoding)
-      .schema("value STRING")
+      .schema(schema)
       .csv(path)
 }

@@ -24,6 +24,9 @@ object StreamingDedup {
 
   def dedupByContent(docs: DataFrame): DataFrame =
     docs
-      .withColumn("content_hash", md5(TextOps.normText(col("text"))))
+      .withColumn("content_hash", TextOps.contentHash(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
+      // schema-preserving: the working column must not leak into sinks
+      // expecting the input document schema
+      .drop("content_hash")
 }

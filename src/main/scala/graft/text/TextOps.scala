@@ -28,6 +28,13 @@ object TextOps {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** THE content-identity key for exact dedup — md5 of normalized text.
+    * Single definition shared by the batch pass
+    * ([[graft.queries.DedupQueries]] `q_dedup_exact`) and the streaming
+    * pass ([[graft.streaming.StreamingDedup]]), so the two faces of the
+    * operator can never desynchronize on normalization. */
+  def contentHash(text: Column): Column = md5(normText(text))
+
   /**
    * Word n-gram shingles as an array: shingle i (1-based) joins tokens
    * i..i+n-1 with single spaces. Matches the DuckDB oracle formulation

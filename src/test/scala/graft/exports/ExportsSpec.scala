@@ -67,6 +67,20 @@ class ExportsSpec extends SparkSpec {
     assert(Tables.rawFeed(spark, s"$out/*.gz").collect().map(_.getString(0)) === Array(line))
   }
 
+  test("transcodeFeed fails on sentinel-tainted input and deletes the partial output") {
+    import java.io.{FileOutputStream, OutputStreamWriter}
+    import java.util.zip.GZIPOutputStream
+    val in = Files.createTempDirectory("graft-taint-in").toString
+    val out = s"${Files.createTempDirectory("graft-taint-out")}/feeds"
+    val w = new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(s"$in/feed.tsv.gz")), "UTF-8")
+    try w.write("good\tline\nbad\u0001line") finally w.close()
+    val e = intercept[IllegalStateException](
+      Exports.transcodeFeed(spark, s"$in/*.tsv.gz", out))
+    assert(e.getMessage.contains("1 input line"))
+    assert(!new java.io.File(out).exists()) // partial output removed
+  }
+
   test("beamShardNames renames part-files to <prefix>-SSSSS-of-NNNNN") {
     val dir = Files.createTempDirectory("graft-shardnames").toString
     Exports.visitsFrame(parsed).repartition(3)

@@ -175,6 +175,24 @@ class DedupQueriesSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs: a pair whose canonical band is skew-dropped still surfaces via a surviving band") {
+    // A and B share an identical hash; C..F share A's top half (quarters
+    // 3,2) but have distinct low halves. With maxBucket = 4 the band-0
+    // bucket (all 6 docs) is dropped, but band (1,0)'s {A,B} bucket
+    // survives — the (A,B) pair must still be emitted. (This is the case
+    // that killed the canonical-band emission optimization: firstBand of
+    // an identical pair is 0, so filtering band === firstBand deleted the
+    // surviving band-5 row.)
+    val h = 0x01020304L
+    val sim = Seq(
+      (0L, h), (1L, h),
+      (2L, h ^ 1L), (3L, h ^ 2L), (4L, h ^ 4L), (5L, h ^ 8L)
+    ).toDF("doc_id", "simhash")
+    val pairs = DedupQueries.simhashPairs(sim, maxBucket = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L, 0L)))
+  }
+
   /** Run `body` with AQE off and restore after: `qe.observedMetrics`
     * cannot see a CollectMetrics node inside an AdaptiveSparkPlanExec
     * wrapper (its plan isn't part of the `collect`-visible tree in Spark

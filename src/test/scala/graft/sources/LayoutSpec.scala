@@ -2,9 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, SparkSpec}
@@ -91,15 +90,10 @@ class LayoutSpec extends SparkSpec {
   test("q_partition_prune reads exactly the 7 selected day partitions of 30") {
     val df = SparkEntry.queries("q_partition_prune")(spark, "/root/testdata/sf0.001")
     assert(df.collect().length === 7) // one row per day of the first week
-    // the aggregation wraps the plan in AQE, and materialized stages hang
-    // off QueryStageExec.plan rather than children — recurse through both
-    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case f: FileSourceScanExec => Seq(f)
-      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      case q: QueryStageExec => scansOf(q.plan)
-      case other => other.children.flatMap(scansOf)
-    }
-    val scans = scansOf(df.queryExecution.executedPlan)
+    // AQE hides materialized stages from collect() — use the shared
+    // flattener (graft.PlanAudit.flatten) every plan assertion goes through
+    val scans = graft.PlanAudit.flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty, s"no file scan found:\n${df.queryExecution.executedPlan}")
     val scan = scans.head
     assert(scan.metadata("PartitionFilters").contains("day"),
