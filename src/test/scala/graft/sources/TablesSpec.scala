@@ -43,12 +43,12 @@ class TablesSpec extends SparkSpec {
     assert(parsed.collect().head.getAs[String]("page") === "said \"hi\", twice")
   }
 
-  test("rawFeed's empty-sep contract: the effective delimiter is the u0001 sentinel") {
+  test("rawFeed's sentinel-sep contract: the live delimiter is u0001 and nothing else") {
     val dir = Files.createTempDirectory("graft-sep").toString
-    // Pin the reader behavior the rawFeed scaladoc documents: with sep=""
-    // the CSV reader resolves to the \u0001 sentinel delimiter. A planted
-    // \u0001 DOES split (truncating to the one-column schema) -- proving
-    // which character is live -- while tab/comma/quote lines never split.
+    // Pin the delimiter the rawFeed scaladoc documents: sep is explicitly
+    // the \u0001 sentinel. A planted \u0001 DOES split (truncating to
+    // the one-column schema) -- proving which character is live -- while
+    // tab/comma/quote lines never split.
     val u1 = "\u0001"
     writeGz(s"$dir/feed.tsv.gz", "UTF-8", Seq(s"a\tb${u1}c\td", "plain\tline"))
     val got = Tables.rawFeed(spark, s"$dir/*.tsv.gz").as[String].collect().sorted
