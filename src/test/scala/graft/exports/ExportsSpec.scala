@@ -95,6 +95,21 @@ class ExportsSpec extends SparkSpec {
       Exports.visitsFrame(parsed).count())
   }
 
+  test("beamShardNames orders shards numerically, not lexicographically") {
+    val dir = Files.createTempDirectory("graft-shardnum").toString
+    // "part-100000" < "part-99999" as strings — the shard index must
+    // follow the numeric task id regardless
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/part-99999-uuid.csv"), "low-task")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/part-100000-uuid.csv"), "high-task")
+    val names = Exports.beamShardNames(spark, dir, "x.csv")
+    assert(names === Seq("x.csv-00000-of-00002", "x.csv-00001-of-00002"))
+    // the lower task id must have become shard 0
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$dir/x.csv-00000-of-00002")) === "low-task")
+  }
+
   test("visitors dedup variant collapses duplicates") {
     val raw = Exports.visitorsFrame(parsed)
     val dedup = Exports.visitorsFrame(parsed, dedup = true)
