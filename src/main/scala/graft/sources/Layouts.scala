@@ -24,10 +24,18 @@ object Layouts {
    * swap is left to the caller/catalog (atomic directory swap is
    * filesystem-specific); this job never mutates its input.
    *
+   * For a PARTITIONED layout pass its partition columns — the output is
+   * re-written `partitionBy` those columns (clustered first, so each
+   * partition directory gets dedicated writers, not one file per task per
+   * partition) and the directory structure survives. Omitting them on a
+   * partitioned input would silently flatten the layout: the partition
+   * columns become plain data columns and every pruning consumer breaks.
+   *
    * Returns (input bytes, output file count).
    */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-                     targetBytes: Long = 128L << 20): (Long, Int) = {
+                     targetBytes: Long = 128L << 20,
+                     partitionCols: Seq[String] = Nil): (Long, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -38,11 +46,16 @@ object Layouts {
         "directory and swap afterwards")
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .repartition(parts)
-      .write.mode("overwrite").parquet(outDir)
-    val outFiles = fs.listStatus(new Path(outDir))
-      .count(s => s.getPath.getName.startsWith("part-"))
+    val df = spark.read.parquet(inDir)
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(parts).write
+      else df.repartition(parts, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(outDir)
+    // count data files recursively (partitioned outputs nest them)
+    val it = fs.listFiles(new Path(outDir), true)
+    var outFiles = 0
+    while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) outFiles += 1 }
     (bytes, outFiles)
   }
 }

@@ -87,6 +87,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/compact2").count() === src.count())
   }
 
+  test("compactParquet preserves a partitioned layout when given its partition columns") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString
+    Tables.read(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/by_year")
+    val (_, files) = Layouts.compactParquet(
+      spark, s"$dir/by_year", s"$dir/by_year_c", partitionCols = Seq("o_year"))
+    // directory structure survives: year dirs exist, pruning still works
+    val yearDirs = new java.io.File(s"$dir/by_year_c").listFiles()
+      .filter(_.getName.startsWith("o_year=")).map(_.getName).toSet
+    assert(yearDirs.size > 1)
+    val all = spark.read.parquet(s"$dir/by_year_c")
+    assert(all.count() ===
+      spark.read.parquet(s"$dir/by_year").count())
+    assert(files <= yearDirs.size * 2) // clustered writers, no task-x-partition blowup
+    val pruned = all.filter(col("o_year") === 1996)
+    val scans = graft.PlanAudit.flatten(pruned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.head.selectedPartitions.partitionCount === 1)
+  }
+
   test("q_partition_prune reads exactly the 7 selected day partitions of 30") {
     val df = SparkEntry.queries("q_partition_prune")(spark, "/root/testdata/sf0.001")
     assert(df.collect().length === 7) // one row per day of the first week
