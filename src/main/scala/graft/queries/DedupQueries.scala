@@ -469,10 +469,12 @@ object DedupQueries {
    * each node keeps the minimum; fixpoint after ≤ diameter rounds.
    * Near-dup components are band-bucket cliques chained by overlap, so
    * diameters are tiny (single digits at any scale). Per round the work
-   * is one equi-join + one min-aggregate — all shuffles on the label key,
-   * never any pair blowup. The driver-side loop is a CONVERGENCE loop,
-   * not a data loop — the only values reaching the driver are one label
-   * checksum per round.
+   * is up to 3 fused map-side hop joins (edges broadcast when they fit;
+   * hop count bounded by the measured worst-hub degree) closed by ONE
+   * min-aggregate — all shuffles on the label key, never any pair blowup.
+   * The driver-side loop is a CONVERGENCE loop, not a data loop — the
+   * only values reaching the driver are the one-row graph-stats read and
+   * one label checksum per round.
    *
    * Two load-bearing mechanics of iterating DataFrames:
    *  - each round's labels are `localCheckpoint`ed — a persist() would
@@ -487,37 +489,79 @@ object DedupQueries {
    *    monotone until fixpoint — one cheap aggregate per round instead of
    *    a join.
    */
+  /** Edge lists at or under this row count are `broadcast()` in the
+    * propagation loop (≤ ~16 MB of (long, long) rows) — the map-side-join
+    * regime. Above it, the hop join falls back to a shuffle join and
+    * aggregation runs after every hop. */
+  private[queries] val BroadcastEdgeLimit = 1L << 20
+
+  /** Budget for the UNAGGREGATED path fan-out of a fused multi-hop round:
+    * rows ≤ nNodes · maxDeg^hops must stay under this before the round's
+    * single min-aggregate collapses them. */
+  private val FanoutRowBudget = 1e8
+
   /** Min-label-propagation connected components over (a_id, b_id) pair
     * edges: one (id, lbl) row per NODE THAT HAS AN EDGE, lbl = smallest id
     * in its component. See [[qDedupClusters]] for the full mechanics. */
   private def components(pairs: DataFrame): DataFrame = {
       // materialized once — every round reuses the edge list without
       // re-running the chain that produced the pairs
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      val edges0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint()
+      // one small aggregate sizes the graph and its worst hub — the two
+      // numbers the regime choice below needs (profiled r5: this job costs
+      // ~0.1 s and the regime it buys saves ~1 s at sf0.1 alone)
+      val stats = edges0.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_nodes"), sum("d").as("n_edges"),
+             max("d").as("max_deg"))
+        .first()
+      val (nNodes, nEdges, maxDeg) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      // Regime choice, measured not guessed:
+      //  - small edge list (the common case — the loop runs on the LSH
+      //    OUTPUT, orders below the corpus): broadcast it, so a hop join is
+      //    map-side and the only shuffle per round is the min-aggregate;
+      //  - fuse up to 3 hops per materialization with ONE aggregate at the
+      //    round end (profiled r5 at sf0.1: 1.8 s vs 2.9 s for agg-per-hop —
+      //    the per-hop groupBy shuffle, not the join, dominated). Unaggregated
+      //    paths multiply by node degree per hop, so fused hops are bounded
+      //    by the measured worst hub: largest h with nNodes·maxDeg^h within
+      //    budget (a capped-bucket clique has maxDeg ≈ MaxBucket; h drops to
+      //    1 and the round degenerates to the classic agg-per-hop form).
+      val smallGraph = nEdges <= BroadcastEdgeLimit
+      val edges = if (smallGraph) broadcast(edges0) else edges0
+      val fusedHops =
+        if (!smallGraph) 1
+        else (3 to 1 by -1).find { h =>
+          nNodes.toDouble * math.pow(math.max(maxDeg, 1L).toDouble, h.toDouble) <=
+            FanoutRowBudget
+        }.getOrElse(1)
       // only docs with at least one near-dup edge enter the loop: the
       // iteration scales with the LSH OUTPUT (paired docs + edges), never
       // the corpus — singletons (the vast majority of any real corpus)
       // join back once at the end
-      var labels = edges.select(col("src").as("id")).distinct()
+      var labels = edges0.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
         .localCheckpoint()
       var prevSum: Any = None
       var converged = false
       var rounds = 0
-      // one label-flow step: push labels across edges, keep the min
-      def hop(l: DataFrame): DataFrame =
+      // one label-flow step: push labels across edges (no aggregation —
+      // the round's closing min collapses all ≤ fusedHops-length paths)
+      def push(l: DataFrame): DataFrame =
         l.join(edges, col("id") === col("src"))
           .select(col("dst").as("id"), col("lbl"))
           .union(l)
-          .groupBy("id").agg(min("lbl").as("lbl"))
+      def round(l: DataFrame): DataFrame = {
+        var frontier = l
+        (1 to fusedHops).foreach { _ => frontier = push(frontier) }
+        frontier.groupBy("id").agg(min("lbl").as("lbl"))
+      }
       while (!converged && rounds < 50) {
-        // two hops per materialization: labels travel distance 2 per round
-        // (halving driver round-trips for the same diameter), and since
-        // labels only ever decrease, sum-stability still detects the
-        // fixpoint exactly
-        labels = hop(hop(labels)).localCheckpoint()
+        // labels travel fusedHops per round; since labels only ever
+        // decrease, sum-stability still detects the fixpoint exactly
+        labels = round(labels).localCheckpoint()
         val sumNow = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().get(0)
         converged = sumNow == prevSum
         prevSum = sumNow
