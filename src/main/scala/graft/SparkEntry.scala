@@ -11,7 +11,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++
       DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all ++
-      IngestQueries.all ++ LayoutQueries.all
+      IngestQueries.all ++ LayoutQueries.all ++
+      JoinQueries.all ++ CurationQueries.all
 
   /** The contract boundary is the one layer that receives FOREIGN sessions
     * (the driver builds its own SparkSession for the smoke check), so

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark's built-in surface lacks as primitives:
+ * as-of join and interval/range join. The reference has no joins at all
+ * (SURVEY.md §2.1); these are the two join shapes every event-stream
+ * analysis eventually needs, built per the survey's decision rule —
+ * compose existing operators when semantics allow (rule (a)) — because
+ * both have exact, scalable formulations in pure relational algebra.
+ *
+ * Why composition and not a custom SparkPlan: the naive formulations
+ * (`t1 <= t2` inequality joins) plan as BroadcastNestedLoopJoin — O(n·m)
+ * per key and a single-task hazard at any real scale. The formulations
+ * here are shaped as ONE hash shuffle + window (as-of) or an equi-join
+ * on a derived bin key (range), which is what a dedicated physical
+ * operator does internally anyway (cf. Flink's interval join and
+ * DuckDB's ASOF JOIN, both key-partition + time-sort under the hood) —
+ * Catalyst plans it without extension hooks.
+ */
+object Joins {
+
+  /**
+   * As-of join: each left row picks the LATEST right row of the same key
+   * with `rightT <= leftT` (inclusive — the "price as of the trade time"
+   * semantics). Left rows with no prior right row survive with nulls.
+   *
+   * Shape: union the two sides tagged, ONE hash shuffle on `key`, one
+   * per-key time sort, and a running `last(_, ignoreNulls)` carries the
+   * most recent right payload forward onto every left row — never an
+   * inequality join, never a per-key list. Cost is the sort-shuffle of
+   * |left| + |right|, the same bound a native as-of operator has.
+   *
+   * Determinism: among right rows tied on (key, rightT) the payload-
+   * lexicographically LARGEST wins (`payload` cols compared in order) —
+   * callers put the tiebreaker id first.
+   *
+   * @param key     equi-key column names present in BOTH sides
+   * @param payload right-side columns to carry onto left rows; names
+   *                must not collide with left column names.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftT: String, rightT: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nonKey = leftCols.filterNot(key.contains)
+    require(payload.forall(!leftCols.contains(_)),
+            s"payload ${payload.mkString(",")} collides with left columns")
+    val pStruct = struct(payload.map(col): _*)
+    val taggedRight = right.select(
+      key.map(col) ++ Seq(col(rightT).cast("long").as("__t"),
+                          lit(0).as("__tag"), pStruct.as("__p")): _*)
+    val rightShaped = taggedRight.select(
+      taggedRight.columns.map(col).toSeq ++
+        nonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftShaped = left.select(
+      key.map(col) ++ Seq(col(leftT).cast("long").as("__t"),
+                          lit(1).as("__tag"),
+                          lit(null).cast(taggedRight.schema("__p").dataType)
+                            .as("__p")) ++ nonKey.map(col): _*)
+    // tag 0 sorts right rows BEFORE left rows at equal t ⇒ inclusive <=
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightShaped.unionByName(leftShaped)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__asof.$p").as(p)): _*)
+  }
+
+  /**
+   * Range (point-in-interval) join, equi-join-shaped: intervals explode
+   * into the fixed-width bins they overlap, points carry their single
+   * bin, and the join runs on `(key, bin)` — the exact containment check
+   * `pt ∈ (lo, hi]` (start-exclusive, end-inclusive) is emitted as
+   * boolean `inRangeCol`, NOT applied as a filter, so LEFT semantics
+   * hold: every interval row survives and callers aggregate with
+   * conditional counts to keep zero-match intervals. A point matches an
+   * interval at most once — its bin occurs once in the interval's bin
+   * sequence — so no post-join dedup.
+   *
+   * Scale posture: bins/interval = len/binWidth + 1 — pick `binWidth` ≈
+   * the typical interval length so the explode factor is ~2 and the
+   * bucket key spreads time-uniformly. The bin arithmetic is integer
+   * (`div`), never a double `floor` (µs epochs overflow a double's 2⁵³
+   * mantissa within ~285 years).
+   *
+   * Point columns are prefixed `pointPrefix` in the output (and the
+   * join), so the two sides may derive from the same source frame
+   * without ambiguous-attribute hazards.
+   */
+  def rangeJoinBinned(intervals: DataFrame, points: DataFrame,
+                      key: Seq[String], lo: String, hi: String, pt: String,
+                      binWidth: Long, inRangeCol: String,
+                      pointPrefix: String = "pt_"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // SQL `div` (exact BIGINT division — a double round-trip would round
+    // past 2^53) over materialized temp columns, since Column has no
+    // integer-division method
+    val binned = intervals
+      .withColumn("__lov", col(lo).cast("long"))
+      .withColumn("__hiv", col(hi).cast("long"))
+      .withColumn("__bin", explode(sequence(expr(s"__lov div $binWidth"),
+                                            expr(s"__hiv div $binWidth"))))
+      .drop("__lov", "__hiv")
+    val renamed = points.columns.foldLeft(points) {
+      (df, c) => df.withColumnRenamed(c, pointPrefix + c)
+    }.withColumn("__ptv", col(pointPrefix + pt).cast("long"))
+      .withColumn("__ptbin", expr(s"__ptv div $binWidth"))
+      .drop("__ptv")
+    val cond = key.map(k => col(k) === col(pointPrefix + k)).reduce(_ && _) &&
+      col("__bin") === col("__ptbin")
+    binned.join(renamed, cond, "left")
+      .withColumn(inRangeCol,
+                  coalesce(col(pointPrefix + pt) > col(lo) &&
+                             col(pointPrefix + pt) <= col(hi), lit(false)))
+      .drop("__bin", "__ptbin")
+  }
+}

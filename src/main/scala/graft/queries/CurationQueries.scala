@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps
+
+/**
+ * Corpus-curation operators (SURVEY.md §7.4 extension surface): the
+ * filters and assignments a training-data pipeline runs AFTER dedup —
+ * repetition-based quality gating (the Gopher/C4 rule family) and
+ * deterministic train/validation/test splitting.
+ *
+ * 100 TB posture: repetition signals are per-document aggregates over
+ * doc_id-clustered exploded tokens — the shuffles carry (doc_id, token)
+ * counts, never documents, and after the `docsDistributed`-style
+ * repartition the whole chain is exchange-free. Split assignment is a
+ * pure stateless projection on a content hash: stable under any
+ * partitioning, re-run, or cluster size — `rand()`-based splits are NOT
+ * (they reshuffle on every retry, poisoning eval sets), which is why
+ * the hash formulation is the only defensible one at scale.
+ */
+object CurationQueries {
+
+  /** Documents hash-distributed by doc_id before explode-heavy stages
+    * (same rationale as DedupQueries.docsDistributed). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents").repartition(col("doc_id"))
+
+  /**
+   * Gopher-style repetition signals per document, all exact integers:
+   * token totals/types, the heaviest token and bigram, and the
+   * `repetitive` gate — top-bigram fraction > 1/5 OR distinct-token
+   * ratio < 3/4 (integer cross-multiplication, no float thresholds).
+   */
+  val qRepetitionFilter = Q(
+    "q_repetition_filter",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val uni = d
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+             max("c").as("top_tok_n"))
+      val bi = d
+        .select(col("doc_id"),
+                explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+      d.select("doc_id")
+        .join(uni, Seq("doc_id"), "left")
+        .join(bi, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+        .withColumn(
+          "repetitive",
+          (col("top_bigram_n") * 5 > col("n_bigrams") ||
+            col("n_types") * 4 < col("n_tok") * 3).cast("int"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |u AS (SELECT doc_id, tok, COUNT(*) AS c
+      |      FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
+      |              CAST(MAX(c) AS BIGINT) AS top_tok_n
+      |       FROM u GROUP BY doc_id),
+      |b AS (SELECT doc_id, bg, COUNT(*) AS c
+      |      FROM (SELECT doc_id,
+      |                   unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |            FROM d) GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |              CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      |       FROM b GROUP BY doc_id),
+      |j AS (
+      |  SELECT d.doc_id,
+      |         COALESCE(ua.n_tok, 0) AS n_tok,
+      |         COALESCE(ua.n_types, 0) AS n_types,
+      |         COALESCE(ua.top_tok_n, 0) AS top_tok_n,
+      |         COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+      |         COALESCE(ba.top_bigram_n, 0) AS top_bigram_n
+      |  FROM d LEFT JOIN ua ON ua.doc_id = d.doc_id
+      |         LEFT JOIN ba ON ba.doc_id = d.doc_id
+      |)
+      |SELECT *, CAST(top_bigram_n * 5 > n_bigrams
+      |               OR n_types * 4 < n_tok * 3 AS INT) AS repetitive
+      |FROM j""".stripMargin)
+  )
+
+  /**
+   * Deterministic train/val/test split on the content hash (80/10/10):
+   * bucket = first 32 md5 bits of the NORMALIZED text mod 10. Keying on
+   * content (not doc_id) also pins exact duplicates to the same split —
+   * they can never straddle a train/eval boundary and leak.
+   */
+  val qSplitAssign = Q(
+    "q_split_assign",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+                pmod(TextOps.md5Prefix32(TextOps.contentHash(col("text"))),
+                     lit(10L)).as("bucket"))
+        .withColumn("split",
+                    when(col("bucket") <= 7, "train")
+                      .when(col("bucket") === 8, "val")
+                      .otherwise("test")),
+    Some(s"""WITH h AS (
+      |  SELECT doc_id,
+      |         ${DedupQueries.hex32(
+                   "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
+      |           % 10 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, bucket,
+      |       CASE WHEN bucket <= 7 THEN 'train'
+      |            WHEN bucket = 8 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM h""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign)
+}

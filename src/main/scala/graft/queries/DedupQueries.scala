@@ -114,7 +114,7 @@ object DedupQueries {
   }
 
   /** DuckDB replay of [[TextOps.md5Prefix32]] over a hex-string column. */
-  private def hex32(h: String): String =
+  private[queries] def hex32(h: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 8),
        |   k -> CAST(strpos('0123456789abcdef', $h[k]) - 1 AS BIGINT)
        |        * CAST(POWER(16, 8 - k) AS BIGINT))) AS BIGINT)""".stripMargin

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+import graft.sources.Tables
+
+/**
+ * Oracle instances of the temporal join operators
+ * ([[graft.operators.Joins]]) over the `events` clickstream:
+ *
+ *  - `q_asof_join` — last-touch attribution: every purchase matched to
+ *    the same user's most recent click at-or-before it. THE canonical
+ *    as-of use (trade↔quote, event↔config-version, hit↔deploy).
+ *  - `q_range_join` — post-purchase activity: events falling in the
+ *    hour after each purchase, counted per purchase with zero-match
+ *    purchases retained.
+ *
+ * Both oracles state the naive inequality-join semantics directly —
+ * DuckDB plans those fine at oracle scale (IEJoin); the Spark side runs
+ * the scalable formulations, and the specs assert the plans carry no
+ * nested-loop join.
+ */
+object JoinQueries {
+
+  private val HourUs = 3600000000L
+
+  /** Purchases annotated with the latest prior click (ties: max click_id),
+    * plus the attribution gap. One shuffle on user_id. */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+                col("ts_us").as("click_ts_us"))
+      Joins.asOfJoin(purchases, clicks, Seq("user_id"),
+                     leftT = "ts_us", rightT = "click_ts_us",
+                     payload = Seq("click_id", "click_ts_us"))
+        .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.click_ts_us,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.click_ts_us DESC, c.click_id DESC) AS rn
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND c.click_ts_us <= p.ts_us
+      |)
+      |SELECT event_id, user_id, ts_us, click_id, click_ts_us,
+      |       ts_us - click_ts_us AS gap_us
+      |FROM j WHERE rn = 1""".stripMargin)
+  )
+
+  /** Events within (purchase, purchase + 1 h] per purchase — binned
+    * equi-join (bin = the window width ⇒ explode factor 2), conditional
+    * count keeps zero-follow purchases. */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val points = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val intervals = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+                col("ts_us").as("p_ts_us"))
+        .withColumn("p_end_us", col("p_ts_us") + HourUs)
+      Joins.rangeJoinBinned(intervals, points, Seq("user_id"),
+                            lo = "p_ts_us", hi = "p_end_us", pt = "ts_us",
+                            binWidth = HourUs, inRangeCol = "in_rng")
+        .groupBy("p_id", "user_id", "p_ts_us")
+        .agg(count(when(col("in_rng"), 1)).as("n_follow"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.p_id, p.user_id, p.p_ts_us,
+      |       COUNT(CASE WHEN e.ts_us > p.p_ts_us
+      |                   AND e.ts_us <= p.p_ts_us + 3600000000 THEN 1 END) AS n_follow
+      |FROM p LEFT JOIN e ON e.user_id = p.user_id
+      |GROUP BY 1, 2, 3""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin)
+}

@@ -119,5 +119,99 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh)
+  /** Every `CentStride`-th vector is an IVF centroid (deterministic
+    * stand-in for trained k-means centers — the partitioning mechanics,
+    * not centroid quality, are what an engine owns). */
+  private val CentStride = 200
+  private val NProbe = 2
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid's cell (one pass over a broadcast centroid table —
+    * the classic IVF train/assign shape), queries probe their `NProbe`
+    * nearest cells, and exact integer-dot ranking runs inside the probed
+    * cells only. THE scale path beyond `q_sim_search_lsh`: cell count
+    * grows with the corpus (k ≈ n/stride), so probe cost stays
+    * ~NProbe·n/k per query regardless of corpus size, and the
+    * cell-assignment output is exactly what a partitioned ANN layout
+    * would be bucketed by on disk.
+    *
+    * Cell choice ranks by true cosine (dot/√centroid-norm; the vector's
+    * own norm cancels within a fixed vec_id partition). The key is an
+    * IEEE double — int-exact inputs, one correctly-rounded sqrt and one
+    * divide — so DuckDB replays the ordering bit-for-bit; c_id breaks
+    * ties. */
+  val qSimSearchIvf = Q(
+    "q_sim_search_ivf",
+    (s, dir) => {
+      val e = quantized(s, dir)
+      val cents = e.filter(col("vec_id") % CentStride === 0)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"),
+                VectorOps.intNormSq(col("q")).as("cn"))
+      // one pass over the vec × centroid cross: checkpointed because both
+      // the corpus cells (crn = 1) and the query probe set (crn <= NProbe)
+      // read it — without materialization the n·k dot-product pass runs
+      // twice (the qNgramJaccard share-the-chain pattern)
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("ckey").desc, col("c_id").asc)
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("cdot", VectorOps.intDot(col("q"), col("cq")))
+        .withColumn("ckey",
+                    col("cdot").cast("double") / sqrt(col("cn").cast("double")))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= NProbe)
+        .select("vec_id", "c_id", "crn")
+        .localCheckpoint()
+      val cells = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
+      val probes = ranked.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
+      val corpus = e.join(cells, col("vec_id") === col("cell_vid"))
+        .select(col("vec_id"), col("q"), col("cell"))
+      val queries = e.select(col("vec_id").as("qv_id"), col("q").as("qq"))
+        .join(probes, col("qv_id") === col("q_id"))
+        .select(col("q_id"), col("qq"), col("p_cell"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      corpus.join(broadcast(queries),
+                  col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""$quantCte,
+      |cents AS (
+      |  SELECT vec_id AS c_id, q AS cq,
+      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn
+      |  FROM e WHERE vec_id % $CentStride = 0
+      |),
+      |rk AS (
+      |  SELECT e.vec_id, c.c_id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY e.vec_id
+      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+      |                            i -> e.q[i] * c.cq[i])) AS BIGINT)
+      |                    / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+      |                    c.c_id ASC) AS crn
+      |  FROM e CROSS JOIN cents c
+      |),
+      |cell AS (SELECT vec_id, c_id AS cell FROM rk WHERE crn = 1),
+      |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+      |           WHERE vec_id % 100 = 0 AND crn <= $NProbe),
+      |p AS (
+      |  SELECT pr.q_id, ce.vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM probes pr
+      |  JOIN cell ce ON ce.cell = pr.cell AND ce.vec_id <> pr.q_id
+      |  JOIN e a ON a.vec_id = ce.vec_id
+      |  JOIN e b ON b.vec_id = pr.q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf)
 }

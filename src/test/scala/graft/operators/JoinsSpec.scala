@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.JoinQueries
+
+/** Behavior + plan-shape tests for the temporal join operators. The
+  * semantics cases run on planted frames; the plan assertions run the
+  * REAL oracle queries on testdata and reject any nested-loop join —
+  * the entire point of these formulations. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, "A", 100L), // after two quotes
+    (2L, "A", 205L), // exactly at quote t=205 → inclusive match
+    (3L, "A", 10L),  // before any quote → nulls
+    (4L, "B", 500L)  // other key: only B quotes visible
+  ).toDF("trade_id", "sym", "t")
+
+  private lazy val quotes = Seq(
+    (11L, "A", 50L), (12L, "A", 90L), (13L, "A", 205L),
+    (21L, "B", 499L), (22L, "B", 501L),
+    // same (key, t) as quote 12 — payload tiebreak picks the larger id
+    (14L, "A", 90L)
+  ).toDF("q_id", "sym", "qt")
+    .select(col("sym"), col("q_id"), col("qt"))
+
+  test("asOfJoin: latest at-or-before quote per trade, nulls when none") {
+    val got = Joins
+      .asOfJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("q_id", "qt"))
+      .select("trade_id", "q_id", "qt")
+      .collect().map(r => (r.getLong(0),
+                           if (r.isNullAt(1)) -1L else r.getLong(1),
+                           if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 14L, 90L),  // t=100: latest quote t=90; tie (12 vs 14) → max id 14
+      (2L, 13L, 205L), // equal timestamps match (inclusive <=)
+      (3L, -1L, -1L),  // no prior quote survives with nulls
+      (4L, 21L, 499L)  // B sees only B quotes; 501 is in the future
+    ))
+  }
+
+  test("rangeJoinBinned: (lo, hi] containment, one match per point, zero-match intervals survive") {
+    val intervals = Seq(
+      (1L, "u", 10L, 20L),  // catches 15 and 20, not 10 (exclusive) nor 21
+      (2L, "u", 100L, 110L) // catches nothing
+    ).toDF("iv_id", "k", "lo", "hi")
+    val points = Seq(
+      ("u", 10L), ("u", 15L), ("u", 20L), ("u", 21L), ("v", 15L)
+    ).toDF("k", "p")
+    // binWidth 7 ≪ interval length: intervals span several bins, so a
+    // point double-counted per overlapping bin would show up here
+    val got = Joins
+      .rangeJoinBinned(intervals, points, Seq("k"), "lo", "hi", "p",
+                       binWidth = 7L, inRangeCol = "ok")
+      .groupBy("iv_id")
+      .agg(count(when(col("ok"), 1)).as("n"),
+           collect_set(when(col("ok"), col("pt_p"))).as("ps"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3.sorted)).toMap
+    assert(got(1L) === ((2L, Seq(15L, 20L))))
+    assert(got(2L) === ((0L, Seq.empty))) // interval retained at zero matches
+  }
+
+  test("oracle join queries plan NO nested-loop/cartesian join") {
+    val dir = "/root/testdata/sf0.001"
+    Seq(JoinQueries.qAsofJoin, JoinQueries.qRangeJoin).foreach { q =>
+      val df = q.fn(spark, dir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+             s"${q.name} planned a nested-loop join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+             s"${q.name} planned a cartesian product:\n$plan")
+    }
+  }
+}

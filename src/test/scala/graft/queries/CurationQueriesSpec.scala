@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-corpus tests for the curation family: exact repetition
+  * counts and the Gopher-style gate, and the determinism/leak-safety
+  * properties the hash split exists for. */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-curation").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam", "en", "s", 29L),   // degenerate
+      (1L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
+      (2L, "hello", "en", "s", 5L),                            // no bigrams
+      (3L, "  The QUICK brown fox jumps over a lazy dog ", "en", "s", 44L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_repetition_filter: exact counts and the repetition gate") {
+    val rows = CurationQueries.qRepetitionFilter.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // "spam"×6: one type, bigram "spam spam"×5 — both rules fire
+    assert(rows(0L) === ((0L, 6L, 1L, 6L, 5L, 5L, 1)))
+    // fully distinct pangram-ish line: 9 tokens, 8 bigrams, all unique
+    assert(rows(1L) === ((1L, 9L, 9L, 1L, 8L, 1L, 0)))
+    // single token: no bigrams, not flagged (0 > 0 and 4 < 3 both false)
+    assert(rows(2L) === ((2L, 1L, 1L, 1L, 0L, 0L, 0)))
+  }
+
+  test("q_split_assign: deterministic, partitioning-invariant, dup-safe") {
+    val a = CurationQueries.qSplitAssign.fn(spark, dir)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = CurationQueries.qSplitAssign.fn(spark, dir)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // stable across runs — never rand()-seeded
+    assert(a.forall(r => r._2 >= 0 && r._2 <= 9))
+    assert(a.forall(r => Set("train", "val", "test").contains(r._3)))
+    // docs 1 and 3 are the same text modulo case/whitespace: the split
+    // keys on NORMALIZED content, so dups can never straddle train/eval
+    val byId = a.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) === byId(3L))
+  }
+}
