@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Global total-order ranking that never collapses to one partition.
+ *
+ * The naive `row_number() OVER (ORDER BY ...)` plans a SINGLE-partition
+ * window — every row funnels through one task, which is exactly the
+ * anti-pattern that kills a 100 TB sort. The scalable decomposition
+ * (the same one `zipWithIndex` uses, kept declarative):
+ *
+ *   1. `repartitionByRange` on the sort key — Spark's range exchange
+ *      (sampled boundaries) puts partition p's rows all-before
+ *      partition p+1's;
+ *   2. per-partition `row_number` — a window PARTITIONED by the range
+ *      partition id, so it scales out;
+ *   3. partition row-counts (one tiny aggregate) prefix-summed into
+ *      offsets — a single-partition window over ~#partitions rows,
+ *      which is O(cluster size), not O(data) — broadcast back.
+ *
+ * Global rank = partition offset + local row_number.
+ *
+ * Determinism requires `sortCols` to be a total order (include a unique
+ * tiebreaker); with ties at a range boundary the split is
+ * partitioner-dependent and tied rows' ranks could swap.
+ */
+object GlobalRank {
+
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     numPartitions: Int, rankCol: String): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // counts/offsets frame: #numPartitions rows — the one deliberately
+    // single-partition window in the library, bounded by cluster width
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, (row_number().over(wLocal) + col("__off")).cast("long"))
+      .drop("__pid", "__off")
+  }
+}

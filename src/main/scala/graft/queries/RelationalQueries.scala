@@ -347,9 +347,65 @@ object RelationalQueries {
       |FROM orders""".stripMargin)
   )
 
+  /** Global total-order ranking via [[graft.operators.GlobalRank]]:
+    * range exchange + per-partition row_number + broadcast offsets.
+    * The oracle is the single-window formulation (fine at oracle scale);
+    * the Spark plan never funnels data through one task — the plan
+    * assertion in GlobalRankSpec pins RangePartitioning, not SinglePartition,
+    * on the data path. Sort key includes the unique (orderkey, linenumber)
+    * tiebreak, making the rank a total order both engines agree on. */
+  val qGlobalRank = Q(
+    "q_global_rank",
+    (s, dir) =>
+      graft.operators.GlobalRank.withGlobalRank(
+        Tables.read(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_shipdate"),
+        Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+        numPartitions = 32, rankCol = "rnk")
+        .select("l_orderkey", "l_linenumber", "rnk"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      |       CAST(ROW_NUMBER() OVER (
+      |         ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rnk
+      |FROM lineitem""".stripMargin)
+  )
+
+  /** UNPIVOT/melt: the four lineitem measures to (measure, value_cents)
+    * rows — the write-side inverse of q_pivot. Spark's `unpivot` plans an
+    * Expand (one pass, rows ×4, no shuffle); the oracle replays it as
+    * UNION ALL. Cents conversion keeps the hash compare float-free. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                cents("l_quantity").as("quantity"),
+                cents("l_extendedprice").as("extendedprice"),
+                cents("l_discount").as("discount"),
+                cents("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+                 Array(col("quantity"), col("extendedprice"),
+                       col("discount"), col("tax")),
+                 "measure", "value_cents"),
+    Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS value_cents
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS m,
+      |         CAST(ROUND(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount',
+      |         CAST(ROUND(l_discount * 100) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax',
+      |         CAST(ROUND(l_tax * 100) AS BIGINT) FROM lineitem
+      |)""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
-    qSubqueryScalar, qAggCube, qWindowSliding
+    qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot
   )
 }

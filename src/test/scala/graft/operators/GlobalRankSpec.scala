@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.{PlanAudit, SparkSpec}
+import graft.queries.RelationalQueries
+
+/** GlobalRank: rank values must be the exact global ORDER BY positions
+  * across partition boundaries, and the plan must rank via a RANGE
+  * exchange + partitioned windows — never a single-partition window over
+  * the data. */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalRank assigns exact global positions across partitions") {
+    val df = Seq(17, 3, 99, 42, 8, 56, 23, 71, 5, 64)
+      .toDF("v").repartition(4)
+    val got = GlobalRank
+      .withGlobalRank(df, Seq(col("v").asc), numPartitions = 3, rankCol = "r")
+      .as[(Int, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === (1L to 10L))
+    assert(got.map(_._1).toSeq === Seq(3, 5, 8, 17, 23, 42, 56, 64, 71, 99))
+  }
+
+  test("q_global_rank plans a range exchange; only the offsets frame uses a global window") {
+    val df = RelationalQueries.qGlobalRank.fn(spark, "/root/testdata/sf0.001")
+    df.count()
+    val nodes = PlanAudit.flatten(df.queryExecution.executedPlan)
+    assert(nodes.collect { case s: ShuffleExchangeExec => s.outputPartitioning }
+             .exists(_.toString.toLowerCase.contains("rangepartitioning")),
+           "expected a range exchange on the sort key")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+           "the data-path window must be partitioned")
+    // any unpartitioned window must sit on the aggregated per-partition
+    // counts (rows = #partitions), never on the raw data
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(PlanAudit.flatten(w.child).exists(
+               _.getClass.getSimpleName.contains("Aggregate")),
+             "global window allowed only over the partition-counts frame")
+    }
+  }
+}
