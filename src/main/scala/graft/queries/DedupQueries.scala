@@ -540,9 +540,12 @@ object DedupQueries {
       // only docs with at least one near-dup edge enter the loop: the
       // iteration scales with the LSH OUTPUT (paired docs + edges), never
       // the corpus — singletons (the vast majority of any real corpus)
-      // join back once at the end
-      var labels = edges0.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
+      // join back once at the end. Seeding with min(self, neighbors)
+      // instead of self costs nothing (the same groupBy shuffle a
+      // distinct() would pay) and starts every label one hop ahead.
+      var labels = edges0.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl"))
         .localCheckpoint()
       var prevSum: Any = None
       var converged = false

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream interval join — the streaming face of the batch range
+ * join ([[graft.queries.JoinQueries]] `q_range_join`): purchases joined
+ * to the same user's clicks within the trailing `lookback` window,
+ * emitted continuously as both streams arrive out of order.
+ *
+ * State-boundedness is the whole design: BOTH sides carry event-time
+ * watermarks and the join condition bounds the click time from both
+ * directions (`(p_ts - lookback, p_ts]`), which is exactly what Spark's
+ * stream-stream join needs to evict a buffered click once the purchase
+ * watermark passes `click_ts + lookback` — without the time bound the
+ * click buffer grows forever. At 100 TB/day the buffered state is
+ * `lookback` worth of clicks, not history.
+ *
+ * Inner join: purchases with no prior click emit nothing (a streaming
+ * LEFT outer interval join works too — Spark emits null rows at
+ * watermark expiry — but changes latency semantics; the batch
+ * `q_asof_join` covers the null-preserving analysis).
+ */
+object StreamingJoin {
+
+  /**
+   * @param purchases streaming frame (user_id, p_id, p_ts TIMESTAMP)
+   * @param clicks    streaming frame (c_user_id, c_id, c_ts TIMESTAMP)
+   * @param lookback  SQL interval literal body, e.g. "1 hour"
+   * @param watermarkDelay how late either stream may arrive
+   */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       lookback: String = "1 hour",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    purchases.withWatermark("p_ts", watermarkDelay)
+      .join(
+        clicks.withWatermark("c_ts", watermarkDelay),
+        expr(s"""c_user_id = user_id
+                |AND c_ts <= p_ts
+                |AND c_ts > p_ts - INTERVAL $lookback""".stripMargin))
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("c_id"),
+              col("c_ts"))
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class PurchaseEvt(user_id: Long, p_id: Long, p_ts_us: Long)
+final case class ClickEvt(c_user_id: Long, c_id: Long, c_ts_us: Long)
+
+/** Stream-stream interval join: identical results to the batch interval
+  * join on the same data, including clicks that arrive in a LATER
+  * trigger than their purchase (and vice versa) — the out-of-order case
+  * the buffered join state exists for. */
+class StreamingJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // 1 hour in µs
+  private val T0 = 1700000000000000L
+
+  // purchase at T0+2h; clicks at T0+90m (in window), T0+2h (boundary,
+  // inclusive), T0+59m (outside: 2h - 1h-1µs), other-user click at T0+100m
+  private val purchases = Seq(
+    PurchaseEvt(1L, 100L, T0 + 2 * H),
+    PurchaseEvt(2L, 200L, T0 + 2 * H)
+  )
+  private val clicks = Seq(
+    ClickEvt(1L, 10L, T0 + H + H / 2),
+    ClickEvt(1L, 11L, T0 + 2 * H),
+    ClickEvt(1L, 12L, T0 + H - 60000000L),
+    ClickEvt(3L, 30L, T0 + H + 40 * 60000000L)
+  )
+
+  private def expected: Set[(Long, Long, Long)] =
+    Set((1L, 100L, 10L), (1L, 100L, 11L)) // u2 has no clicks; u3 no purchase
+
+  test("stream-stream interval join matches batch semantics across out-of-order triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[PurchaseEvt]
+    val cIn = MemoryStream[ClickEvt]
+    val joined = StreamingJoin.clickAttribution(
+      pIn.toDF().withColumn("p_ts", timestamp_micros(col("p_ts_us")))
+        .select("user_id", "p_id", "p_ts"),
+      cIn.toDF().withColumn("c_ts", timestamp_micros(col("c_ts_us")))
+        .select("c_user_id", "c_id", "c_ts"))
+    val query = joined.writeStream
+      .format("memory").queryName("graft_stream_join")
+      .outputMode("append").start()
+    try {
+      // trigger 1: only the early click; trigger 2: purchases (their
+      // matching click is already buffered); trigger 3: the boundary
+      // click arrives AFTER its purchase — must still match from the
+      // purchase buffer
+      cIn.addData(clicks.take(1))
+      query.processAllAvailable()
+      pIn.addData(purchases)
+      query.processAllAvailable()
+      cIn.addData(clicks.drop(1))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("graft_stream_join")
+      .select("user_id", "p_id", "c_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+
+    // batch replay of the same interval join agrees
+    val batch = purchases.toDF()
+      .withColumn("p_ts", timestamp_micros(col("p_ts_us")))
+      .join(clicks.toDF().withColumn("c_ts", timestamp_micros(col("c_ts_us"))),
+            expr("c_user_id = user_id AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 1 hour"))
+      .select("user_id", "p_id", "c_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch === expected)
+  }
+}
