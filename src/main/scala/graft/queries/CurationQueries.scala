@@ -125,5 +125,78 @@ object CurationQueries {
       |FROM h""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign)
+  /**
+   * Deterministic stratified sampling: per-language keep rates (the
+   * rebalancing every multilingual corpus needs — downsample the
+   * majority language, keep the tail) applied via a salted content
+   * hash, NOT `rand()`: the sample is reproducible, partitioning-
+   * invariant, and — because the hash is salted differently from
+   * [[qSplitAssign]]'s — independent of the split assignment. One
+   * stateless projection + filter; no shuffle at all.
+   */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    (s, dir) => {
+      val keepPct = when(col("lang") === "en", 50).otherwise(90)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                pmod(TextOps.md5Prefix32(
+                       md5(concat(lit("sample:"), col("text")))), lit(100L))
+                  .as("h"),
+                keepPct.cast("long").as("keep_pct"))
+        .filter(col("h") < col("keep_pct"))
+        .select("doc_id", "lang", "h")
+    },
+    Some(s"""WITH h AS (
+      |  SELECT doc_id, lang,
+      |         ${DedupQueries.hex32("md5('sample:' || text)")} % 100 AS h,
+      |         CASE WHEN lang = 'en' THEN 50 ELSE 90 END AS keep_pct
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, h FROM h WHERE h < keep_pct""".stripMargin)
+  )
+
+  /**
+   * Token-budget packing: contiguous documents (per source, in doc_id
+   * order) chunked into packs of ≤ `PackBudget` tokens — the
+   * context-window filling pass a pretraining pipeline runs after
+   * curation. Greedy CONTIGUOUS fill in a deterministic order, one
+   * window per source partition (never a global window): pack_id =
+   * floor(running tokens-before / budget). True offline bin packing is
+   * a solver, not an engine operator; contiguous chunking is what runs
+   * at 100 TB, and the deterministic order makes packs reproducible.
+   */
+  private val PackBudget = 2048L
+
+  val qTokenPacking = Q(
+    "q_token_packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("pack_id", expr(s"tok_before div $PackBudget"))
+        .select("doc_id", "source", "n_tok", "pack_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tok,
+      |         CAST(COALESCE(SUM(n_tok) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS tok_before
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tok, tok_before // $PackBudget AS pack_id
+      |FROM c""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
+                        qStratifiedSample, qTokenPacking)
 }

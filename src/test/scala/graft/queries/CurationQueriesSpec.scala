@@ -49,4 +49,27 @@ class CurationQueriesSpec extends SparkSpec {
     val byId = a.map(r => r._1 -> r._2).toMap
     assert(byId(1L) === byId(3L))
   }
+
+  test("q_stratified_sample: reproducible, hash under per-lang keep rate") {
+    val a = CurationQueries.qStratifiedSample.fn(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val b = CurationQueries.qStratifiedSample.fn(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // hash-based, never rand()
+    assert(a.forall { case (_, lang, h) => h < (if (lang == "en") 50 else 90) })
+  }
+
+  test("q_token_packing: contiguous per-source packs under the budget") {
+    // fixture docs all share source "s": packs fill in doc_id order
+    val rows = CurationQueries.qTokenPacking.fn(spark, dir)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val budget = 2048L
+    var cum = 0L
+    rows.foreach { case (_, _, n, pack) =>
+      assert(pack === cum / budget) // pack id = tokens-before / budget
+      cum += n
+    }
+    // pack ids are nondecreasing in doc order within the source
+    assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
 }
