@@ -29,10 +29,22 @@ import org.apache.spark.sql.functions._
  */
 object GlobalRank {
 
+  /** @param pin materialize the range partitioning via localCheckpoint
+    *             (default). Both the offsets branch and the data branch
+    *             must read the SAME partitions; unpinned, that rests on
+    *             ReuseExchange deduplicating the two subtrees — if they
+    *             ever instantiated separate range exchanges (reuse
+    *             disabled, plan divergence), independently SAMPLED
+    *             boundaries could differ and the offsets would describe
+    *             the wrong partitions. `pin = false` exists for plan
+    *             inspection (the checkpoint hides the range exchange
+    *             from the final plan). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
-                     numPartitions: Int, rankCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(numPartitions, sortCols: _*)
+                     numPartitions: Int, rankCol: String,
+                     pin: Boolean = true): DataFrame = {
+    val ranged0 = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+    val ranged = if (pin) ranged0.localCheckpoint() else ranged0
     // counts/offsets frame: #numPartitions rows — the one deliberately
     // single-partition window in the library, bounded by cluster width
     val wOff = Window.orderBy("__pid")

@@ -49,15 +49,27 @@ object Joins {
     val nonKey = leftCols.filterNot(key.contains)
     require(payload.forall(!leftCols.contains(_)),
             s"payload ${payload.mkString(",")} collides with left columns")
+    // event-time sort key: timestamps become exact µs — a bare
+    // cast("long") truncates timestamps to SECONDS, which would tie a
+    // right row up to ~1s in the left row's future and (tag 0 first)
+    // match it as "at or before"
+    def tKey(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session-zone shift is applied identically to both sides, so
+        // the ordering (all that matters here) is unaffected
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
     val pStruct = struct(payload.map(col): _*)
     val taggedRight = right.select(
-      key.map(col) ++ Seq(col(rightT).cast("long").as("__t"),
+      key.map(col) ++ Seq(tKey(right, rightT).as("__t"),
                           lit(0).as("__tag"), pStruct.as("__p")): _*)
     val rightShaped = taggedRight.select(
       taggedRight.columns.map(col).toSeq ++
         nonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftShaped = left.select(
-      key.map(col) ++ Seq(col(leftT).cast("long").as("__t"),
+      key.map(col) ++ Seq(tKey(left, leftT).as("__t"),
                           lit(1).as("__tag"),
                           lit(null).cast(taggedRight.schema("__p").dataType)
                             .as("__p")) ++ nonKey.map(col): _*)
@@ -100,11 +112,15 @@ object Joins {
     // SQL `div` (exact BIGINT division — a double round-trip would round
     // past 2^53) over materialized temp columns, since Column has no
     // integer-division method
+    // explode_outer, not explode: an interval with a null bound has a
+    // null bin sequence, and the documented LEFT contract says every
+    // interval row survives — it falls through with a null bin (matches
+    // nothing) instead of silently vanishing
     val binned = intervals
       .withColumn("__lov", col(lo).cast("long"))
       .withColumn("__hiv", col(hi).cast("long"))
-      .withColumn("__bin", explode(sequence(expr(s"__lov div $binWidth"),
-                                            expr(s"__hiv div $binWidth"))))
+      .withColumn("__bin", explode_outer(sequence(expr(s"__lov div $binWidth"),
+                                                  expr(s"__hiv div $binWidth"))))
       .drop("__lov", "__hiv")
     val renamed = points.columns.foldLeft(points) {
       (df, c) => df.withColumnRenamed(c, pointPrefix + c)

@@ -158,13 +158,16 @@ object CurationQueries {
 
   /**
    * Token-budget packing: contiguous documents (per source, in doc_id
-   * order) chunked into packs of ≤ `PackBudget` tokens — the
+   * order) greedily chunked against a `PackBudget`-token budget — the
    * context-window filling pass a pretraining pipeline runs after
    * curation. Greedy CONTIGUOUS fill in a deterministic order, one
    * window per source partition (never a global window): pack_id =
-   * floor(running tokens-before / budget). True offline bin packing is
-   * a solver, not an engine operator; contiguous chunking is what runs
-   * at 100 TB, and the deterministic order makes packs reproducible.
+   * floor(running tokens-before / budget). Packs are budget-CROSSING
+   * chunks, not bounded bins: the document straddling a boundary joins
+   * the earlier pack (so a pack can exceed the budget by up to one
+   * document, and an oversized document fills a pack alone) — the
+   * consumer truncates/splits at tokenization time. True bounded bin
+   * packing is an offline solver, not an engine operator.
    */
   private val PackBudget = 2048L
 

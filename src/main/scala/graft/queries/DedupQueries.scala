@@ -516,8 +516,13 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_nodes"), sum("d").as("n_edges"),
              max("d").as("max_deg"))
         .first()
-      val (nNodes, nEdges, maxDeg) =
-        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      val nNodes = stats.getLong(0)
+      // no candidate pairs at all (every doc unique): sum/max above are
+      // null and there is nothing to propagate — return the empty label
+      // frame rather than NPE-ing on the null aggregates
+      if (nNodes == 0L)
+        return edges0.select(col("src").as("id"), col("dst").as("lbl"))
+      val (nEdges, maxDeg) = (stats.getLong(1), stats.getLong(2))
       // Regime choice, measured not guessed:
       //  - small edge list (the common case — the loop runs on the LSH
       //    OUTPUT, orders below the corpus): broadcast it, so a hop join is

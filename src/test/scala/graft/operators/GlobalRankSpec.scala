@@ -5,7 +5,6 @@ import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
 import graft.{PlanAudit, SparkSpec}
-import graft.queries.RelationalQueries
 
 /** GlobalRank: rank values must be the exact global ORDER BY positions
   * across partition boundaries, and the plan must rank via a RANGE
@@ -24,8 +23,16 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq(3, 5, 8, 17, 23, 42, 56, 64, 71, 99))
   }
 
-  test("q_global_rank plans a range exchange; only the offsets frame uses a global window") {
-    val df = RelationalQueries.qGlobalRank.fn(spark, "/root/testdata/sf0.001")
+  test("global rank plans a range exchange; only the offsets frame uses a global window") {
+    // pin = false: the default localCheckpoint pins the partitioning but
+    // hides the range exchange inside the eager materialization job —
+    // the unpinned plan is where the shape is visible to assert on
+    val df = GlobalRank.withGlobalRank(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_shipdate"),
+      Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+      numPartitions = 8, rankCol = "rnk", pin = false)
     df.count()
     val nodes = PlanAudit.flatten(df.queryExecution.executedPlan)
     assert(nodes.collect { case s: ShuffleExchangeExec => s.outputPartitioning }

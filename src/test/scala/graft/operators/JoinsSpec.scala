@@ -65,6 +65,35 @@ class JoinsSpec extends SparkSpec {
     assert(got(2L) === ((0L, Seq.empty))) // interval retained at zero matches
   }
 
+  test("asOfJoin with TimestampType keys is µs-exact: a right row 0.9s in the future never matches") {
+    val t = Seq((1L, "A", timestampMicros(1000000100L * 1000000L + 100000L)))
+      .toDF("trade_id", "sym", "t")
+    val q = Seq(("A", 77L, timestampMicros(1000000100L * 1000000L + 900000L)))
+      .toDF("sym", "q_id", "qt")
+    val got = Joins.asOfJoin(t, q, Seq("sym"), "t", "qt", Seq("q_id"))
+      .select("trade_id", "q_id").collect()
+    // quote at +0.9s would tie on whole seconds and (tag 0) sort first —
+    // the µs key must keep it in the future
+    assert(got.length === 1 && got(0).isNullAt(1))
+  }
+
+  private def timestampMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  test("rangeJoinBinned keeps an interval with a null bound (LEFT contract)") {
+    val intervals = Seq((1L, "u", Some(10L), Some(20L)),
+                        (2L, "u", Some(5L), None))
+      .toDF("iv_id", "k", "lo", "hi")
+    val points = Seq(("u", 15L)).toDF("k", "p")
+    val got = Joins
+      .rangeJoinBinned(intervals, points, Seq("k"), "lo", "hi", "p",
+                       binWidth = 7L, inRangeCol = "ok")
+      .groupBy("iv_id").agg(count(when(col("ok"), 1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L)) // null-hi interval survives, matches nothing
+  }
+
   test("oracle join queries plan NO nested-loop/cartesian join") {
     val dir = "/root/testdata/sf0.001"
     Seq(JoinQueries.qAsofJoin, JoinQueries.qRangeJoin).foreach { q =>

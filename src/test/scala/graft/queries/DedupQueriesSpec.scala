@@ -39,6 +39,21 @@ class DedupQueriesSpec extends SparkSpec {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  test("q_dedup_clusters: a corpus with zero candidate pairs is all singletons (empty-edge regression)") {
+    val d = Files.createTempDirectory("graft-nodups").toString
+    // four documents sharing no 3-gram shingles at all
+    Seq(
+      (0L, "aa bb cc dd ee ff gg hh", "en", "s", 10L),
+      (1L, "ii jj kk ll mm nn oo pp", "en", "s", 10L),
+      (2L, "qq rr ss tt uu vv ww xx", "en", "s", 10L),
+      (3L, "yy zz a1 b2 c3 d4 e5 f6", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_clusters")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("q_dedup_exact: case/whitespace-normalized dups collapse to one group") {
     val groups = q("q_dedup_exact")
       .as[(String, Long, Long)].collect().sortBy(_._2)
