@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One ranked item: `v` the (descending) sort value, `id` the ascending
+  * tiebreaker/payload. */
+final case class TopItem(v: Long, id: Long)
+
+/** Aggregation buffer/result: the group's current top items, sorted
+  * (v desc, id asc), length ≤ k. A case class (not a bare Seq) so the
+  * buffer/output use the structured Product encoder — the result column
+  * is a real array<struct<v,id>>, not an opaque kryo blob. */
+final case class TopBuf(items: Seq[TopItem])
+
+/**
+ * Bounded top-k-per-group aggregate (SURVEY.md §7.4 decision rule,
+ * rung (b): a typed `Aggregator` where built-ins genuinely can't do the
+ * job). The built-in formulation — `row_number() OVER (PARTITION BY g
+ * ORDER BY v DESC)` then `rnk <= k` — is correct but must SHUFFLE AND
+ * SORT EVERY ROW of the group before discarding all but k: at 100 TB
+ * the window's exchange carries the whole fact table. This aggregate
+ * keeps a k-bounded buffer per group per map task, so the shuffle
+ * carries at most k rows per (group, partition) — the same
+ * partial-aggregation shape `min`/`max` get, generalized to top-k.
+ * The plan shows the partial/final ObjectHashAggregate pair
+ * (asserted in TopKSpec), i.e. the map-side combine is real.
+ *
+ * Ordering: v descending, id ascending on ties — a total order, so
+ * results are deterministic and the ROW_NUMBER oracle replays exactly.
+ * Buffers stay sorted Seqs (k is small; an insert is O(k)).
+ */
+final class TopKAgg(k: Int) extends Aggregator[TopItem, TopBuf, TopBuf] {
+  require(k > 0, "k must be positive")
+
+  private def lt(a: TopItem, b: TopItem): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
+
+  override def zero: TopBuf = TopBuf(Seq.empty)
+
+  override def reduce(buf: TopBuf, x: TopItem): TopBuf =
+    if (buf.items.length == k && !lt(x, buf.items.last)) buf
+    else TopBuf((buf.items :+ x).sortWith(lt).take(k))
+
+  override def merge(a: TopBuf, b: TopBuf): TopBuf =
+    TopBuf((a.items ++ b.items).sortWith(lt).take(k))
+
+  override def finish(buf: TopBuf): TopBuf = buf
+
+  override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+}
+
+object TopK {
+  /** `topK(k)(valueCol, idCol)` — struct<items: array<struct<v,id>>> of
+    * the group's k largest by (v desc, id asc); explode `.items` for
+    * ranked rows. */
+  def topK(k: Int)(v: Column, id: Column): Column =
+    udaf(new TopKAgg(k)).apply(v, id)
+}

@@ -403,9 +403,35 @@ object RelationalQueries {
       |)""".stripMargin)
   )
 
+  /** Top-3 customers per nation via the bounded [[graft.operators.TopK]]
+    * aggregate — the map-side-combinable alternative to a row_number
+    * window (which shuffles every row; this shuffles ≤ k per nation per
+    * map task). Oracle replays the window formulation; results agree
+    * because (bal_cents desc, custkey asc) is a total order. */
+  val qTopkGrouped = Q(
+    "q_topk_grouped",
+    (s, dir) => {
+      val ranked = Tables.read(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(graft.operators.TopK.topK(3)(
+               cents("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top.items")))
+      ranked.select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rnk"),
+                    col("col.id").as("c_custkey"), col("col.v").as("bal_cents"))
+    },
+    Some(s"""SELECT c_nationkey,
+      |       CAST(ROW_NUMBER() OVER (
+      |         PARTITION BY c_nationkey
+      |         ORDER BY ${centsSql("c_acctbal")} DESC, c_custkey ASC) AS BIGINT) AS rnk,
+      |       c_custkey, ${centsSql("c_acctbal")} AS bal_cents
+      |FROM customer
+      |QUALIFY rnk <= 3""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
-    qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot
+    qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
+    qTopkGrouped
   )
 }

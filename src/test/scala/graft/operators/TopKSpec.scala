@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.{PlanAudit, SparkSpec}
+
+/** TopKAgg: agrees with the row_number window formulation on arbitrary
+  * data (incl. ties), and actually aggregates partially (the scale
+  * argument: a partial/final ObjectHashAggregate pair in the plan, not
+  * a whole-group shuffle). Generators are seed-driven scalacheck `Gen`
+  * (the scalatest↔scalacheck bridge isn't in the build — same pattern
+  * as SessionPropertiesSpec). */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: topK(k) ≡ row_number window top-k, ties broken by id asc") {
+    // tight value range on purpose: plenty of v ties per group
+    val rows = Gen.listOfN(
+      60, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-5L, 5L)))
+    (1 to 8).foreach { seed =>
+      val data = rows.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val ids = data.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) } // unique ids
+      val df = ids.toDF("g", "v", "id").repartition(4)
+      val viaAgg = df.groupBy("g")
+        .agg(TopK.topK(2)(col("v"), col("id")).as("top"))
+        .select(col("g"), explode(col("top.items")).as("t"))
+        .select(col("g"), col("t.v"), col("t.id"))
+        .as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val viaWindow = df.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2).select("g", "v", "id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaAgg === viaWindow, s"seed $seed")
+    }
+  }
+
+  test("the plan carries a partial/final aggregate pair (map-side combine is real)") {
+    val df = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L))
+      .toDF("g", "v", "id")
+      .groupBy("g").agg(TopK.topK(1)(col("v"), col("id")).as("top"))
+    df.collect()
+    val aggs = PlanAudit.flatten(df.queryExecution.executedPlan)
+      .collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.length === 2, "expected partial + final ObjectHashAggregate")
+    assert(aggs.exists(_.aggregateExpressions.exists(_.toString.contains("partial"))),
+           "one aggregate must run in Partial mode on the map side")
+  }
+}
