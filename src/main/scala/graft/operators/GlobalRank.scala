@@ -36,7 +36,16 @@ object GlobalRank {
     *             ever instantiated separate range exchanges (reuse
     *             disabled, plan divergence), independently SAMPLED
     *             boundaries could differ and the offsets would describe
-    *             the wrong partitions. `pin = false` exists for plan
+    *             the wrong partitions. The pin's costs are real and
+    *             deliberate: construction becomes EAGER (the
+    *             materialization job runs at call time), the ranged
+    *             input is stored once on executors (freed when the
+    *             returned frame becomes unreachable), and local
+    *             checkpoints don't survive executor loss — a long
+    *             cluster job would swap in reliable checkpoint() or
+    *             pin lazily by sampling boundary keys on the driver and
+    *             deriving the partition id from the boundary array on
+    *             both branches. `pin = false` exists for plan
     *             inspection (the checkpoint hides the range exchange
     *             from the final plan). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
  */
 object Joins {
 
+  /** Event-time key as an exact integer: timestamps become µs — a bare
+    * cast("long") truncates timestamps to SECONDS, which in [[asOfJoin]]
+    * would tie a right row up to ~1s in the left row's future and
+    * (tag 0 first) match it as "at or before", and under ANSI mode the
+    * timestamp→long cast is rejected outright. TIMESTAMP_NTZ is refused
+    * rather than session-zone-cast: that cast is non-monotonic across a
+    * DST spring-forward gap (wall 02:30 can map AFTER wall 03:05), so it
+    * can invert the very ordering these operators are built on — callers
+    * pick the zone interpretation themselves and pass µs or TIMESTAMP. */
+  private def tKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        throw new IllegalArgumentException(
+          s"column $c is TIMESTAMP_NTZ: convert it to TIMESTAMP or epoch-µs " +
+            "long explicitly — a session-zone cast is not order-preserving " +
+            "across DST gaps")
+      case _ => col(c).cast("long")
+    }
+
   /**
    * As-of join: each left row picks the LATEST right row of the same key
    * with `rightT <= leftT` (inclusive — the "price as of the trade time"
@@ -49,18 +69,6 @@ object Joins {
     val nonKey = leftCols.filterNot(key.contains)
     require(payload.forall(!leftCols.contains(_)),
             s"payload ${payload.mkString(",")} collides with left columns")
-    // event-time sort key: timestamps become exact µs — a bare
-    // cast("long") truncates timestamps to SECONDS, which would tie a
-    // right row up to ~1s in the left row's future and (tag 0 first)
-    // match it as "at or before"
-    def tKey(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // session-zone shift is applied identically to both sides, so
-        // the ordering (all that matters here) is unaffected
-        unix_micros(col(c).cast("timestamp"))
-      case _ => col(c).cast("long")
-    }
     val pStruct = struct(payload.map(col): _*)
     val taggedRight = right.select(
       key.map(col) ++ Seq(tKey(right, rightT).as("__t"),
@@ -115,16 +123,21 @@ object Joins {
     // explode_outer, not explode: an interval with a null bound has a
     // null bin sequence, and the documented LEFT contract says every
     // interval row survives — it falls through with a null bin (matches
-    // nothing) instead of silently vanishing
+    // nothing) instead of silently vanishing. Bounds go through the
+    // shared tKey (timestamps → exact µs; with timestamp columns,
+    // binWidth is in µs), then SQL `div` — exact BIGINT division; a
+    // double round-trip would round past 2^53.
     val binned = intervals
-      .withColumn("__lov", col(lo).cast("long"))
-      .withColumn("__hiv", col(hi).cast("long"))
+      .withColumn("__lov", tKey(intervals, lo))
+      .withColumn("__hiv", tKey(intervals, hi))
       .withColumn("__bin", explode_outer(sequence(expr(s"__lov div $binWidth"),
                                                   expr(s"__hiv div $binWidth"))))
       .drop("__lov", "__hiv")
-    val renamed = points.columns.foldLeft(points) {
+    val renamed0 = points.columns.foldLeft(points) {
       (df, c) => df.withColumnRenamed(c, pointPrefix + c)
-    }.withColumn("__ptv", col(pointPrefix + pt).cast("long"))
+    }
+    val renamed = renamed0
+      .withColumn("__ptv", tKey(renamed0, pointPrefix + pt))
       .withColumn("__ptbin", expr(s"__ptv div $binWidth"))
       .drop("__ptv")
     val cond = key.map(k => col(k) === col(pointPrefix + k)).reduce(_ && _) &&

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions.udaf
   * tiebreaker/payload. */
 final case class TopItem(v: Long, id: Long)
 
+/** Aggregator input row — boxed fields so a null metric/id reaches
+  * [[TopKAgg.reduce]] (which IGNORES it) instead of crashing the job at
+  * encoder time with "Null value appeared in non-nullable field". */
+final case class TopIn(v: java.lang.Long, id: java.lang.Long)
+
 /** Aggregation buffer/result: the group's current top items, sorted
   * (v desc, id asc), length ≤ k. A case class (not a bare Seq) so the
   * buffer/output use the structured Product encoder — the result column
@@ -30,8 +35,13 @@ final case class TopBuf(items: Seq[TopItem])
  * Ordering: v descending, id ascending on ties — a total order, so
  * results are deterministic and the ROW_NUMBER oracle replays exactly.
  * Buffers stay sorted Seqs (k is small; an insert is O(k)).
+ *
+ * Null semantics: rows with a null value or id are IGNORED — they can
+ * never be in a top-k by value. This differs from the row_number window
+ * only when a group has fewer than k non-null rows (the window would
+ * emit its nulls-last rows; this aggregate omits them).
  */
-final class TopKAgg(k: Int) extends Aggregator[TopItem, TopBuf, TopBuf] {
+final class TopKAgg(k: Int) extends Aggregator[TopIn, TopBuf, TopBuf] {
   require(k > 0, "k must be positive")
 
   private def lt(a: TopItem, b: TopItem): Boolean =
@@ -39,9 +49,12 @@ final class TopKAgg(k: Int) extends Aggregator[TopItem, TopBuf, TopBuf] {
 
   override def zero: TopBuf = TopBuf(Seq.empty)
 
-  override def reduce(buf: TopBuf, x: TopItem): TopBuf =
+  override def reduce(buf: TopBuf, in: TopIn): TopBuf = {
+    if (in.v == null || in.id == null) return buf
+    val x = TopItem(in.v, in.id)
     if (buf.items.length == k && !lt(x, buf.items.last)) buf
     else TopBuf((buf.items :+ x).sortWith(lt).take(k))
+  }
 
   override def merge(a: TopBuf, b: TopBuf): TopBuf =
     TopBuf((a.items ++ b.items).sortWith(lt).take(k))

@@ -350,10 +350,14 @@ object RelationalQueries {
   /** Global total-order ranking via [[graft.operators.GlobalRank]]:
     * range exchange + per-partition row_number + broadcast offsets.
     * The oracle is the single-window formulation (fine at oracle scale);
-    * the Spark plan never funnels data through one task — the plan
-    * assertion in GlobalRankSpec pins RangePartitioning, not SinglePartition,
-    * on the data path. Sort key includes the unique (orderkey, linenumber)
-    * tiebreak, making the rank a total order both engines agree on. */
+    * the Spark plan never funnels data through one task. NOTE on
+    * auditing: the default pin materializes the range exchange in an
+    * eager checkpoint job, so this query's audited final plan doesn't
+    * show it — GlobalRankSpec asserts the shape on the UNPINNED operator
+    * (range exchange present; any global window only over the
+    * partition-counts frame). Sort key includes the unique (orderkey,
+    * linenumber) tiebreak, making the rank a total order both engines
+    * agree on. */
   val qGlobalRank = Q(
     "q_global_rank",
     (s, dir) =>

@@ -65,7 +65,7 @@ class JoinsSpec extends SparkSpec {
     assert(got(2L) === ((0L, Seq.empty))) // interval retained at zero matches
   }
 
-  test("asOfJoin with TimestampType keys is µs-exact: a right row 0.9s in the future never matches") {
+  test("asOfJoin with TimestampType keys is µs-exact: a right row 0.8s after the left never matches") {
     val t = Seq((1L, "A", timestampMicros(1000000100L * 1000000L + 100000L)))
       .toDF("trade_id", "sym", "t")
     val q = Seq(("A", 77L, timestampMicros(1000000100L * 1000000L + 900000L)))

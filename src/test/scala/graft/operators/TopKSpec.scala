@@ -39,6 +39,17 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("null metric/id rows are ignored, not a crash") {
+    val df = Seq((1L, Some(10L), Some(1L)), (1L, None, Some(2L)),
+                 (1L, Some(30L), None), (2L, None, None))
+      .toDF("g", "v", "id")
+      .groupBy("g").agg(TopK.topK(2)(col("v"), col("id")).as("top"))
+      .select(col("g"), col("top.items"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    assert(df(1L) === Seq((10L, 1L))) // only the fully non-null row ranks
+    assert(df(2L) === Seq.empty)      // all-null group → empty, not error
+  }
+
   test("the plan carries a partial/final aggregate pair (map-side combine is real)") {
     val df = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L))
       .toDF("g", "v", "id")
