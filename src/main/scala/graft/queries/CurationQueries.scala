@@ -200,6 +200,32 @@ object CurationQueries {
       |FROM c""".stripMargin)
   )
 
+  /**
+   * The end-to-end curation decision as one library call — the pipeline
+   * a training-data user actually runs, composed from the proven
+   * pieces: near-dup removal ([[DedupQueries.dedupedCorpus]]: MinHash →
+   * candidate pairs → connected components → one canonical doc per
+   * cluster), then the repetition quality gate, then the deterministic
+   * split assignment. Returns the surviving documents with their
+   * `split` column. Not an oracle query (every stage is already behind
+   * its own oracle row — re-running the composition in the gate would
+   * double-charge the bench for proven plans); contract-tested in
+   * `CurationQueriesSpec`.
+   *
+   * @param verify Jaccard-verify LSH candidate pairs before clustering
+   *               (the precision knob — see [[DedupQueries.dedupedCorpus]])
+   */
+  def curatedCorpus(s: SparkSession, dir: String,
+                    verify: Boolean = false): DataFrame = {
+    val kept = DedupQueries.dedupedCorpus(s, dir, verify)
+    val repetitive = qRepetitionFilter.fn(s, dir)
+      .filter(col("repetitive") === 1).select(col("doc_id").as("rep_id"))
+    val splits = qSplitAssign.fn(s, dir).select("doc_id", "split")
+    kept
+      .join(repetitive, col("doc_id") === col("rep_id"), "left_anti")
+      .join(splits, Seq("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qTokenPacking)
 }

@@ -620,10 +620,25 @@ object DedupQueries {
    */
   def dedupedCorpus(s: SparkSession, dir: String,
                     verify: Boolean = false): DataFrame = {
-    val pairs =
+    val nearPairs =
       if (verify) qNgramJaccard.fn(s, dir)
         .filter(col("near_dup") === 1).select("a_id", "b_id")
       else candidatePairs(shingled(s, dir))
+    // exact (normalized-content) duplicates are ALWAYS edges — they are
+    // duplicates by definition, no LSH recall or Jaccard verification
+    // applies. LSH shingles run over RAW tokens, so a case/whitespace
+    // variant of a doc can evade the near-dup bands entirely; without
+    // this union the composition would keep both copies. One 16-byte
+    // hash groupBy + equi-join — the cheap stage, exactly the
+    // "exact-dedup removes those first" convention the skew guard's
+    // scaladoc already relies on.
+    val hashes = docs(s, dir)
+      .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
+    val exactPairs = hashes
+      .join(hashes.groupBy("h").agg(min("doc_id").as("a_id")), "h")
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+    val pairs = nearPairs.union(exactPairs)
     // paired docs that are NOT their component's min are the removals;
     // everything else (canonical ids + singletons) survives
     val removed = components(pairs)

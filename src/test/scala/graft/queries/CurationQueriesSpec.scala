@@ -59,6 +59,15 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a.forall { case (_, lang, h) => h < (if (lang == "en") 50 else 90) })
   }
 
+  test("curatedCorpus: dedup keeps one canonical, quality gate drops the degenerate doc, split present") {
+    val got = CurationQueries.curatedCorpus(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // doc 0 is "spam"×6 → repetition-gated out; docs 1 and 3 are exact
+    // dups after normalization → only canonical 1 survives; doc 2 stays
+    assert(got.keySet === Set(1L, 2L))
+    assert(got.values.forall(Set("train", "val", "test").contains))
+  }
+
   test("q_token_packing: contiguous per-source packs under the budget") {
     // fixture docs all share source "s": packs fill in doc_id order
     val rows = CurationQueries.qTokenPacking.fn(spark, dir)

@@ -116,12 +116,16 @@ class DedupQueriesSpec extends SparkSpec {
   test("dedupedCorpus keeps exactly one canonical doc per cluster plus singletons") {
     val kept = DedupQueries.dedupedCorpus(spark, dir)
       .select("doc_id").as[Long].collect().toSet
+    // doc 1 is a case/whitespace variant of 0: its RAW shingles evade the
+    // LSH bands (q_dedup_clusters keeps it a singleton — pair-stage
+    // semantics), but dedupedCorpus unions exact normalized-content
+    // pairs, so the whole {0,1,2,3} family collapses onto canonical 0
+    assert(kept === Set(0L, 4L))
+    // composition removes at least what LSH clustering alone would
     val clusters = q("q_dedup_clusters").as[(Long, Long)].collect()
-    assert(kept === clusters.map(_._2).toSet)  // exactly the canonical ids
-    assert(kept.contains(0L) && kept.contains(4L)) // cluster keeper + singleton
-    assert(!kept.contains(2L) && !kept.contains(3L)) // near-dups of 0 removed
-    // verified mode: edges are J >= 0.5 pairs — on this corpus the same
-    // dups are confirmed, so the same keepers survive
+    assert(kept.subsetOf(clusters.map(_._2).toSet))
+    // verified mode: near edges are J >= 0.5 pairs and exact edges are
+    // unconditional — same keepers on this corpus
     val keptVerified = DedupQueries.dedupedCorpus(spark, dir, verify = true)
       .select("doc_id").as[Long].collect().toSet
     assert(keptVerified === kept)
