@@ -36,10 +36,12 @@ final case class TopBuf(items: Seq[TopItem])
  * results are deterministic and the ROW_NUMBER oracle replays exactly.
  * Buffers stay sorted Seqs (k is small; an insert is O(k)).
  *
- * Null semantics: rows with a null value or id are IGNORED — they can
- * never be in a top-k by value. This differs from the row_number window
- * only when a group has fewer than k non-null rows (the window would
- * emit its nulls-last rows; this aggregate omits them).
+ * Null semantics: rows with a null value or id are IGNORED. This
+ * differs from a row_number window wherever a null-bearing row would
+ * have ranked: a group with fewer than k fully-non-null rows emits
+ * fewer items (the window pads with its nulls-last rows), and a
+ * null-ID row whose VALUE is top-k is skipped here but ranked by the
+ * window. Pre-filter nulls yourself if window parity matters.
  */
 final class TopKAgg(k: Int) extends Aggregator[TopIn, TopBuf, TopBuf] {
   require(k > 0, "k must be positive")

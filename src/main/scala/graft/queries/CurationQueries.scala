@@ -203,10 +203,10 @@ object CurationQueries {
   /**
    * The end-to-end curation decision as one library call — the pipeline
    * a training-data user actually runs, composed from the proven
-   * pieces: near-dup removal ([[DedupQueries.dedupedCorpus]]: MinHash →
-   * candidate pairs → connected components → one canonical doc per
-   * cluster), then the repetition quality gate, then the deterministic
-   * split assignment. Returns the surviving documents with their
+   * pieces: duplicate removal ([[DedupQueries.dedupedCorpus]]: exact
+   * normalized-content edges ∪ MinHash near-dup candidate pairs →
+   * connected components → one canonical doc per cluster), then the
+   * repetition quality gate, then the deterministic split assignment. Returns the surviving documents with their
    * `split` column. Not an oracle query (every stage is already behind
    * its own oracle row — re-running the composition in the gate would
    * double-charge the bench for proven plans); contract-tested in

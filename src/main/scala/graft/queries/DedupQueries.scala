@@ -608,12 +608,16 @@ object DedupQueries {
    * canonical id (cluster members with larger ids are the removed dupes;
    * singletons are their own canonical and always survive). This is the
    * composition a training-data pipeline actually runs:
-   * shingle → MinHash bands → candidate pairs → connected components →
-   * keep one per cluster. With `verify = true` the edges are the
-   * Jaccard-VERIFIED near-dup pairs (J ≥ 0.5) instead of raw LSH
+   * exact normalized-content edges ∪ near-dup edges (shingle → MinHash
+   * bands → candidate pairs) → connected components → keep one per
+   * cluster. Exact (case/whitespace-normalized) duplicates are ALWAYS
+   * edges, in both modes — they are duplicates by definition and raw-
+   * token shingles can miss them. With `verify = true` the NEAR edges
+   * are the Jaccard-VERIFIED pairs (J ≥ 0.5) instead of raw LSH
    * candidates — the precision knob: LSH false positives can chain
    * unrelated documents into one component and silently over-delete,
-   * which verification bounds at the cost of the intersection stage.
+   * which verification bounds at the cost of the intersection stage
+   * (exact edges are outside that knob by design).
    * Not an oracle query (it reuses [[qDedupClusters]]'s chain verbatim —
    * re-running it in the gate would double-charge the bench for the same
    * proven plan); contract-tested in `DedupQueriesSpec`.
@@ -631,9 +635,13 @@ object DedupQueries {
     // this union the composition would keep both copies. One 16-byte
     // hash groupBy + equi-join — the cheap stage, exactly the
     // "exact-dedup removes those first" convention the skew guard's
-    // scaladoc already relies on.
+    // scaladoc already relies on. localCheckpoint: the self-join's two
+    // inputs differ below their exchanges (one aggregates), so
+    // ReuseExchange can't dedup them — unmaterialized, the corpus scan
+    // and the normalize+md5 would run twice.
     val hashes = docs(s, dir)
       .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
+      .localCheckpoint()
     val exactPairs = hashes
       .join(hashes.groupBy("h").agg(min("doc_id").as("a_id")), "h")
       .filter(col("doc_id") =!= col("a_id"))
