@@ -73,4 +73,40 @@ class StreamingJoinSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch === expected)
   }
+
+  test("buffered join state is EVICTED once the watermark passes (the bounded-state claim)") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[PurchaseEvt]
+    val cIn = MemoryStream[ClickEvt]
+    val joined = StreamingJoin.clickAttribution(
+      pIn.toDF().withColumn("p_ts", timestamp_micros(col("p_ts_us")))
+        .select("user_id", "p_id", "p_ts"),
+      cIn.toDF().withColumn("c_ts", timestamp_micros(col("c_ts_us")))
+        .select("c_user_id", "c_id", "c_ts"))
+    val query = joined.writeStream
+      .format("memory").queryName("graft_stream_join_state")
+      .outputMode("append").start()
+    try {
+      pIn.addData(purchases)
+      cIn.addData(clicks)
+      query.processAllAvailable()
+      val buffered = query.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(buffered > 0, "rows must be buffered while the watermark allows matches")
+      // sentinel events a week ahead push both watermarks far past every
+      // buffered row's eviction bound (c_ts + lookback / p_ts + delay);
+      // a couple of empty-ish batches let the store apply the removal
+      val far = T0 + 7L * 24 * 3600000000L
+      pIn.addData(Seq(PurchaseEvt(9L, 900L, far)))
+      cIn.addData(Seq(ClickEvt(9L, 90L, far)))
+      query.processAllAvailable()
+      pIn.addData(Seq(PurchaseEvt(9L, 901L, far + H)))
+      cIn.addData(Seq(ClickEvt(9L, 91L, far + H)))
+      query.processAllAvailable()
+      val after = query.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(after < buffered,
+             s"state must shrink after watermark passes: $buffered -> $after")
+    } finally query.stop()
+  }
 }
