@@ -117,16 +117,14 @@ object Joins {
                       binWidth: Long, inRangeCol: String,
                       pointPrefix: String = "pt_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // SQL `div` (exact BIGINT division — a double round-trip would round
-    // past 2^53) over materialized temp columns, since Column has no
-    // integer-division method
-    // explode_outer, not explode: an interval with a null bound has a
-    // null bin sequence, and the documented LEFT contract says every
-    // interval row survives — it falls through with a null bin (matches
-    // nothing) instead of silently vanishing. Bounds go through the
-    // shared tKey (timestamps → exact µs; with timestamp columns,
-    // binWidth is in µs), then SQL `div` — exact BIGINT division; a
-    // double round-trip would round past 2^53.
+    // Bounds go through the shared tKey (timestamps → exact µs; with
+    // timestamp columns, binWidth is in µs), then SQL `div` over
+    // materialized temp columns — exact BIGINT division (Column has no
+    // integer-division method, and a double round-trip would round past
+    // 2^53). explode_outer, not explode: an interval with a null bound
+    // has a null bin sequence, and the documented LEFT contract says
+    // every interval row survives — it falls through with a null bin
+    // (matches nothing) instead of silently vanishing.
     val binned = intervals
       .withColumn("__lov", tKey(intervals, lo))
       .withColumn("__hiv", tKey(intervals, hi))

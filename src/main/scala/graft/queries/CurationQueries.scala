@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -23,10 +24,10 @@ import graft.text.TextOps
  */
 object CurationQueries {
 
-  /** Documents hash-distributed by doc_id before explode-heavy stages
-    * (same rationale as DedupQueries.docsDistributed). */
+  /** Documents hash-distributed by doc_id before explode-heavy stages —
+    * the one shared definition of that rationale. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.read(s, dir, "documents").repartition(col("doc_id"))
+    DedupQueries.docsDistributed(s, dir)
 
   /**
    * Gopher-style repetition signals per document, all exact integers:
@@ -174,9 +175,8 @@ object CurationQueries {
   val qTokenPacking = Q(
     "q_token_packing",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("source"),
                 size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
@@ -206,8 +206,9 @@ object CurationQueries {
    * pieces: duplicate removal ([[DedupQueries.dedupedCorpus]]: exact
    * normalized-content edges ∪ MinHash near-dup candidate pairs →
    * connected components → one canonical doc per cluster), then the
-   * repetition quality gate, then the deterministic split assignment. Returns the surviving documents with their
-   * `split` column. Not an oracle query (every stage is already behind
+   * repetition quality gate, then the deterministic split assignment.
+   * Returns the surviving documents with their `split` column. Not an
+   * oracle query (every stage is already behind
    * its own oracle row — re-running the composition in the gate would
    * double-charge the bench for proven plans); contract-tested in
    * `CurationQueriesSpec`.

@@ -44,7 +44,7 @@ object DedupQueries {
     * blowup in one task. The pre-explode shuffle moves only the compact doc
     * rows; AQE is free to coalesce it, and on a real multi-file corpus it
     * additionally balances the explode factor across executors. */
-  private def docsDistributed(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docsDistributed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).repartition(col("doc_id"))
 
   /** (doc_id, shingle) — word-3-gram shingles, one row per occurrence.

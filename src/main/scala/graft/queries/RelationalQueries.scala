@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.{GlobalRank, TopK}
 import graft.sources.Tables
 
 /**
@@ -361,7 +362,7 @@ object RelationalQueries {
   val qGlobalRank = Q(
     "q_global_rank",
     (s, dir) =>
-      graft.operators.GlobalRank.withGlobalRank(
+      GlobalRank.withGlobalRank(
         Tables.read(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_shipdate"),
         Seq(col("l_shipdate").asc, col("l_orderkey").asc,
@@ -417,8 +418,7 @@ object RelationalQueries {
     (s, dir) => {
       val ranked = Tables.read(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(graft.operators.TopK.topK(3)(
-               cents("c_acctbal"), col("c_custkey")).as("top"))
+        .agg(TopK.topK(3)(cents("c_acctbal"), col("c_custkey")).as("top"))
         .select(col("c_nationkey"), posexplode(col("top.items")))
       ranked.select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rnk"),
                     col("col.id").as("c_custkey"), col("col.v").as("bal_cents"))
