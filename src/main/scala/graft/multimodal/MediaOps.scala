@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,9 +14,19 @@ import org.apache.spark.sql.functions._
 final case class MediaRecord(media_id: Long, media_type: String,
                              n_bytes: Long, content: Array[Byte])
 
-/** Extracted per-item features (from the batched decode pass). */
+/** Extracted per-item features (from the batched decode pass).
+  *
+  * For decoded images (`decoded = true`): `width`/`height`/`n_channels`
+  * from the decoded raster, `histogram` = 16-bin luminance histogram over
+  * the pixels, `mean_luma_x1000` = FLOOR(mean luma · 1000) (integer so
+  * downstream comparisons are exact). For undecodable content
+  * (`decoded = false`): width/height/channels are −1 and `histogram` is
+  * the 16-bin raw-byte histogram — the pre-decode profile a pipeline
+  * still wants for triage. */
 final case class MediaFeatures(media_id: Long, media_type: String,
-                               n_bytes: Long, byte_sum: Long,
+                               n_bytes: Long, decoded: Boolean,
+                               width: Int, height: Int, n_channels: Int,
+                               mean_luma_x1000: Long,
                                histogram: Array[Long], n_frames_sampled: Int)
 
 /**
@@ -22,11 +37,13 @@ final case class MediaFeatures(media_id: Long, media_type: String,
  * `mapPartitions` (the deliberate per-partition imperative exception: a
  * codec call is genuinely not a Catalyst expression).
  *
- * STUB NOTE: this container ships no image/audio codecs, so [[decodeStub]]
- * is a deterministic fake (byte histogram). The Spark-side contract —
- * schema, binary column, batch grouping, partition parallelism — is real
- * and unit-tested; a production deployment swaps `decodeStub` for the codec
- * and nothing else changes.
+ * The image decode is REAL: `javax.imageio.ImageIO` ships with every JVM
+ * and reads PNG/JPEG/BMP/GIF/WBMP with zero external dependencies — no
+ * stub. Bytes that no installed reader accepts (audio/video payloads,
+ * corrupt images, or the text-as-bytes fixtures) fall through to the
+ * raw-byte feature path with `decoded = false`, and the decode outcome is
+ * accounted via `observe` (the same drop-accounting contract the TSV
+ * parser metrics established, [[graft.ingest.HitParser]]).
  */
 object MediaOps {
 
@@ -42,10 +59,60 @@ object MediaOps {
       col("text").cast("binary").as("content")
     )
 
-  /** STUB decode: deterministic 16-bin byte histogram standing in for a
-    * real codec (`???` in spirit — swap for libjpeg/ffmpeg bindings in
-    * production). */
-  def decodeStub(content: Array[Byte]): Array[Long] = {
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP).
+    * Returns None when no installed reader accepts the bytes — the
+    * caller's fallback path, never an exception on the hot path. */
+  def decodeImage(content: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(content)))
+    catch { case _: Exception => None }
+
+  /** Integer luminance 0..255 of one packed ARGB pixel (ITU-R BT.601
+    * weights as the exact integer form (77·R + 150·G + 29·B) >> 8 —
+    * deterministic, no float rounding). */
+  private def luma(argb: Int): Int = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val b = argb & 0xff
+    (77 * r + 150 * g + 29 * b) >> 8
+  }
+
+  /** 16-bin luminance histogram + FLOOR(mean luma · 1000) over the decoded
+    * pixels — the pixel-derived features of the decode pass. */
+  def imageFeatures(img: BufferedImage): (Array[Long], Long) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val l = luma(img.getRGB(x, y))
+        hist(l >> 4) += 1
+        sum += l
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    (hist, if (n == 0) 0L else sum * 1000L / n)
+  }
+
+  /** Real image resize (box-filtered area averaging via the JDK's
+    * `getScaledInstance(SCALE_AREA_AVERAGING)`, rendered into a fresh
+    * raster). Used by pipelines that normalize thumbnails before feature
+    * extraction; deterministic for a given JDK. */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    require(w > 0 && h > 0, "resize dimensions must be positive")
+    val scaled = img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+    out
+  }
+
+  /** 16-bin raw-byte histogram — the pre-decode triage features for
+    * payloads no installed codec reads (audio/video here; a production
+    * deployment registers its codecs and this path shrinks). */
+  def byteHistogram(content: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
     while (i < content.length) {
@@ -60,36 +127,40 @@ object MediaOps {
   def frameSample(content: Array[Byte], stride: Int): Array[Byte] =
     content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
 
-  /** Resize stub: deterministic box-filter downsample by `factor` — each
-    * output byte is the truncated mean of its input block (stand-in for an
-    * image resize; the real kernel swaps in here). */
-  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
-    require(factor > 0)
-    content.grouped(factor).map { block =>
-      (block.foldLeft(0L)((a, b) => a + (b & 0xff)) / block.length).toByte
-    }.toArray
-  }
+  /** Features for one media item: real ImageIO decode first, raw-byte
+    * fallback when no reader accepts the payload. */
+  def features(m: MediaRecord, frameStride: Int): MediaFeatures =
+    decodeImage(m.content) match {
+      case Some(img) =>
+        val (hist, meanLuma) = imageFeatures(img)
+        MediaFeatures(m.media_id, m.media_type, m.n_bytes, decoded = true,
+                      img.getWidth, img.getHeight,
+                      img.getColorModel.getNumComponents,
+                      meanLuma, hist,
+                      n_frames_sampled = 0)
+      case None =>
+        val frames = frameSample(m.content, frameStride)
+        MediaFeatures(m.media_id, m.media_type, m.n_bytes, decoded = false,
+                      -1, -1, -1, -1L, byteHistogram(m.content), frames.length)
+    }
 
   /**
    * Partition-wise batched feature extraction. `batchSize` bounds peak
    * memory per task exactly like `spark.sql.execution.arrow.maxRecordsPerBatch`
    * bounds a Pandas-UDF batch: the decoder sees fixed-size groups, never a
-   * whole partition.
+   * whole partition. Decode outcomes are `observe`-accounted
+   * (`graft_media_decode.decoded_rows` / `.fallback_rows`).
    */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64, frameStride: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one "decode call" per batch — the codec boundary in production
-        batch.map { m =>
-          val hist = decodeStub(m.content)
-          val frames = frameSample(m.content, frameStride)
-          MediaFeatures(m.media_id, m.media_type, m.n_bytes,
-                        m.content.foldLeft(0L)((a, b) => a + (b & 0xff)),
-                        hist, frames.length)
-        }
+        // one decode loop per batch — the codec boundary in production
+        batch.map(features(_, frameStride))
       }
-    }
+    }.observe("graft_media_decode",
+              sum(when(col("decoded"), 1L).otherwise(0L)).as("decoded_rows"),
+              sum(when(col("decoded"), 0L).otherwise(1L)).as("fallback_rows"))
   }
 }

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.SparkSpec
 
 class MediaOpsSpec extends SparkSpec {
@@ -11,6 +16,23 @@ class MediaOpsSpec extends SparkSpec {
     (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Encode a BufferedImage to real `format` bytes via the JDK encoder. */
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos), s"no JDK encoder for $format")
+    bos.toByteArray
+  }
+
+  /** 3×2 test card: top row pure white, bottom row pure black. */
+  private def testCard(): BufferedImage = {
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach { x =>
+      img.setRGB(x, 0, 0xFFFFFF)
+      img.setRGB(x, 1, 0x000000)
+    }
+    img
+  }
+
   test("fromDocuments: binary content with typed metadata") {
     val m = MediaOps.fromDocuments(docs).as[MediaRecord].collect()
       .map(r => r.media_id -> r).toMap
@@ -21,13 +43,73 @@ class MediaOpsSpec extends SparkSpec {
     assert(m(2L).media_type === "video")
   }
 
-  test("decodeStub: deterministic histogram summing to byte count") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val h1 = MediaOps.decodeStub(bytes)
-    val h2 = MediaOps.decodeStub(bytes)
-    assert(h1.toSeq === h2.toSeq)
-    assert(h1.sum === bytes.length)
-    assert(h1.length === 16)
+  test("decodeImage: real PNG decode — dimensions and exact pixels") {
+    val img = decodePlanted("png")
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    assert((img.getRGB(1, 0) & 0xFFFFFF) === 0xFFFFFF)
+    assert((img.getRGB(1, 1) & 0xFFFFFF) === 0x000000)
+  }
+
+  test("decodeImage: BMP and GIF decode with the same JDK readers") {
+    Seq("bmp", "gif").foreach { fmt =>
+      val img = decodePlanted(fmt)
+      assert(img.getWidth === 3 && img.getHeight === 2, fmt)
+      assert((img.getRGB(0, 0) & 0xFFFFFF) === 0xFFFFFF, fmt)
+    }
+  }
+
+  private def decodePlanted(format: String): BufferedImage = {
+    val decoded = MediaOps.decodeImage(encode(testCard(), format))
+    assert(decoded.isDefined, s"$format bytes must decode")
+    decoded.get
+  }
+
+  test("decodeImage: non-image bytes return None, never throw") {
+    assert(MediaOps.decodeImage("just text".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.decodeImage(Array.empty[Byte]).isEmpty)
+    // a truncated PNG (magic header only) must also fail cleanly
+    assert(MediaOps.decodeImage(encode(testCard(), "png").take(12)).isEmpty)
+  }
+
+  test("imageFeatures: luminance histogram and mean from real pixels") {
+    val (hist, meanLuma) = MediaOps.imageFeatures(testCard())
+    // 3 white pixels (luma 255 → bin 15), 3 black (luma 0 → bin 0)
+    assert(hist(15) === 3L && hist(0) === 3L && hist.sum === 6L)
+    // mean luma = (3·255 + 3·0)/6 = 127.5 → floor(127500)
+    assert(meanLuma === 127500L)
+  }
+
+  test("resizeImage: real downsample to requested dimensions") {
+    val small = MediaOps.resizeImage(testCard(), 1, 1)
+    assert(small.getWidth === 1 && small.getHeight === 1)
+    // area average of half white / half black lands mid-gray
+    val l = (small.getRGB(0, 0) >> 16) & 0xff
+    assert(l > 64 && l < 192, s"expected mid-gray, got channel $l")
+  }
+
+  test("extractFeatures: real image rows decode, text rows fall back, observe accounts both") {
+    val png = encode(testCard(), "png")
+    val media = Seq(
+      MediaRecord(10L, "image", png.length.toLong, png),
+      MediaRecord(11L, "audio", 3L, "abc".getBytes("UTF-8"))
+    ).toDF("media_id", "media_type", "n_bytes", "content")
+    // observedMetrics is blind under AQE (see DedupQueriesSpec.withoutAqe)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ds = MediaOps.extractFeatures(spark, media)
+      val rows = ds.collect().map(f => f.media_id -> f).toMap
+      val img = rows(10L)
+      assert(img.decoded && img.width === 3 && img.height === 2)
+      assert(img.n_channels === 3)
+      assert(img.histogram(15) === 3L && img.histogram(0) === 3L)
+      assert(img.mean_luma_x1000 === 127500L)
+      val txt = rows(11L)
+      assert(!txt.decoded && txt.width === -1)
+      assert(txt.histogram.sum === 3L) // raw-byte fallback histogram
+      val m = ds.queryExecution.observedMetrics("graft_media_decode")
+      assert(m.getAs[Long]("decoded_rows") === 1L)
+      assert(m.getAs[Long]("fallback_rows") === 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("extractFeatures: batch size never changes results (mapInPandas batch-shape contract)") {
@@ -35,12 +117,14 @@ class MediaOpsSpec extends SparkSpec {
     def run(bs: Int) =
       MediaOps.extractFeatures(spark, media, batchSize = bs)
         .collect().sortBy(_.media_id)
-        .map(f => (f.media_id, f.n_bytes, f.byte_sum, f.histogram.toSeq, f.n_frames_sampled))
+        .map(f => (f.media_id, f.n_bytes, f.decoded, f.histogram.toSeq, f.n_frames_sampled))
     val small = run(1)
     val large = run(1000)
     assert(small === large)
-    // histogram mass equals byte count; frame sample = ceil(n/stride)
-    small.foreach { case (_, nBytes, _, hist, nFrames) =>
+    // text bytes never decode: fallback histogram mass equals byte count,
+    // frame sample = ceil(n/stride)
+    small.foreach { case (_, nBytes, decoded, hist, nFrames) =>
+      assert(!decoded)
       assert(hist.sum === nBytes)
       assert(nFrames === (nBytes + 7) / 8)
     }
@@ -49,11 +133,5 @@ class MediaOpsSpec extends SparkSpec {
   test("frameSample: every stride-th byte") {
     val s = MediaOps.frameSample(Array[Byte](10, 11, 12, 13, 14, 15, 16), 3)
     assert(s.toSeq === Seq[Byte](10, 13, 16))
-  }
-
-  test("resizeStub: box-filter downsample, deterministic, handles ragged tail") {
-    val r = MediaOps.resizeStub(Array[Byte](10, 20, 30, 40, 50), 2)
-    assert(r.toSeq === Seq[Byte](15, 35, 50)) // (10+20)/2, (30+40)/2, 50/1
-    assert(MediaOps.resizeStub(Array[Byte](1, 2, 3), 1).toSeq === Seq[Byte](1, 2, 3))
   }
 }
