@@ -51,6 +51,7 @@ object GlobalRank {
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      numPartitions: Int, rankCol: String,
                      pin: Boolean = true): DataFrame = {
+    Joins.requireNoReservedCols(df, "input")
     val ranged0 = df.repartitionByRange(numPartitions, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val ranged = if (pin) ranged0.localCheckpoint() else ranged0

@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
  */
 object Joins {
 
+  /** Temp-column guard shared by the operators that stage internal
+    * `__`-prefixed columns ([[asOfJoin]], [[rangeJoinBinned]],
+    * [[GlobalRank.withGlobalRank]]): an input frame already carrying a
+    * `__` column would be silently clobbered by the staging
+    * `withColumn`s, so the prefix is reserved up front. */
+  private[operators] def requireNoReservedCols(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(_.startsWith("__"))
+    require(clash.isEmpty,
+            s"$side columns ${clash.mkString(",")} use the reserved __ prefix " +
+              "(internal staging namespace) — rename them before the call")
+  }
+
   /** Event-time key as an exact integer: timestamps become µs — a bare
     * cast("long") truncates timestamps to SECONDS, which in [[asOfJoin]]
     * would tie a right row up to ~1s in the left row's future and
@@ -31,17 +43,27 @@ object Joins {
     * rather than session-zone-cast: that cast is non-monotonic across a
     * DST spring-forward gap (wall 02:30 can map AFTER wall 03:05), so it
     * can invert the very ordering these operators are built on — callers
-    * pick the zone interpretation themselves and pass µs or TIMESTAMP. */
-  private def tKey(df: DataFrame, c: String): Column =
+    * pick the zone interpretation themselves and pass µs or TIMESTAMP.
+    * Non-integral types (DATE, STRING, …) are refused rather than
+    * cast("long"): that cast nulls unsupported values, and a null time
+    * key would silently change match results instead of failing fast. */
+  private def tKey(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case org.apache.spark.sql.types.TimestampNTZType =>
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType =>
         throw new IllegalArgumentException(
           s"column $c is TIMESTAMP_NTZ: convert it to TIMESTAMP or epoch-µs " +
             "long explicitly — a session-zone cast is not order-preserving " +
             "across DST gaps")
-      case _ => col(c).cast("long")
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case other =>
+        throw new IllegalArgumentException(
+          s"column $c has type ${other.simpleString}: time keys must be " +
+            "TIMESTAMP or integral epoch values — cast explicitly, picking " +
+            "the unit, rather than relying on an implicit long cast")
     }
+  }
 
   /**
    * As-of join: each left row picks the LATEST right row of the same key
@@ -58,6 +80,15 @@ object Joins {
    * lexicographically LARGEST wins (`payload` cols compared in order) —
    * callers put the tiebreaker id first.
    *
+   * Null semantics match the naive inequality equi-join (and the SQL a
+   * DuckDB ASOF replays): right rows with a null time or null key value
+   * can never satisfy `rightT <= leftT AND key = key` and are dropped
+   * before the union; left rows always survive (left-join contract) —
+   * a null left key matches no right rows (the filtered right side has
+   * none under the null key group), and a null left time sorts before
+   * every right row in its key group (nulls-first asc), so both carry
+   * null payloads, exactly as the SQL predicate evaluates.
+   *
    * @param key     equi-key column names present in BOTH sides
    * @param payload right-side columns to carry onto left rows; names
    *                must not collide with left column names.
@@ -65,13 +96,21 @@ object Joins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                leftT: String, rightT: String,
                payload: Seq[String]): DataFrame = {
+    requireNoReservedCols(left, "left")
+    requireNoReservedCols(right, "right")
     val leftCols = left.columns.toSeq
     val nonKey = leftCols.filterNot(key.contains)
     require(payload.forall(!leftCols.contains(_)),
             s"payload ${payload.mkString(",")} collides with left columns")
     val pStruct = struct(payload.map(col): _*)
-    val taggedRight = right.select(
-      key.map(col) ++ Seq(tKey(right, rightT).as("__t"),
+    // a right row with null time/key is match-ineligible under the SQL
+    // semantics above; unfiltered, its payload would ride the running
+    // `last` onto left rows as a phantom "prior" match
+    val matchableRight = right.filter(
+      (key.map(k => col(k).isNotNull) :+ tKey(right, rightT).isNotNull)
+        .reduce(_ && _))
+    val taggedRight = matchableRight.select(
+      key.map(col) ++ Seq(tKey(matchableRight, rightT).as("__t"),
                           lit(0).as("__tag"), pStruct.as("__p")): _*)
     val rightShaped = taggedRight.select(
       taggedRight.columns.map(col).toSeq ++
@@ -117,6 +156,8 @@ object Joins {
                       binWidth: Long, inRangeCol: String,
                       pointPrefix: String = "pt_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoReservedCols(intervals, "intervals")
+    requireNoReservedCols(points, "points")
     // Bounds go through the shared tKey (timestamps → exact µs; with
     // timestamp columns, binWidth is in µs), then SQL `div` over
     // materialized temp columns — exact BIGINT division (Column has no
@@ -124,12 +165,18 @@ object Joins {
     // 2^53). explode_outer, not explode: an interval with a null bound
     // has a null bin sequence, and the documented LEFT contract says
     // every interval row survives — it falls through with a null bin
-    // (matches nothing) instead of silently vanishing.
+    // (matches nothing) instead of silently vanishing. An INVERTED
+    // interval (lo > hi) takes the same null-bin fallthrough: sequence()
+    // would otherwise generate a DESCENDING |lo−hi|/binWidth-row blowup
+    // (correct but explosive — one corrupt row could dominate the stage),
+    // and no point can be inside an empty interval anyway.
     val binned = intervals
       .withColumn("__lov", tKey(intervals, lo))
       .withColumn("__hiv", tKey(intervals, hi))
-      .withColumn("__bin", explode_outer(sequence(expr(s"__lov div $binWidth"),
-                                                  expr(s"__hiv div $binWidth"))))
+      .withColumn("__bin", explode_outer(
+        when(col("__lov") <= col("__hiv"),
+             sequence(expr(s"__lov div $binWidth"),
+                      expr(s"__hiv div $binWidth")))))
       .drop("__lov", "__hiv")
     val renamed0 = points.columns.foldLeft(points) {
       (df, c) => df.withColumnRenamed(c, pointPrefix + c)

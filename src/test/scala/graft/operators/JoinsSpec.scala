@@ -94,6 +94,64 @@ class JoinsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 0L)) // null-hi interval survives, matches nothing
   }
 
+  test("asOfJoin: null-key/null-time right rows never become phantom prior matches") {
+    val t = Seq((1L, "A", 100L)).toDF("trade_id", "sym", "t")
+    val q = Seq(
+      (Some("A"), 50L, Some(40L)),  // the only legitimate prior match
+      (Some("A"), 99L, None),       // null time: sorts first unfiltered → phantom
+      (None, 98L, Some(90L))        // null key: matches under partitionBy unfiltered
+    ).toDF("sym", "q_id", "qt")
+    val got = Joins.asOfJoin(t, q, Seq("sym"), "t", "qt", Seq("q_id"))
+      .select("trade_id", "q_id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 50L)))
+    // and a null-key LEFT row survives with a null payload (left contract)
+    val tn = Seq((2L, Option.empty[String], 100L)).toDF("trade_id", "sym", "t")
+    val gotN = Joins.asOfJoin(tn, q, Seq("sym"), "t", "qt", Seq("q_id"))
+      .select("trade_id", "q_id").collect()
+    assert(gotN.length === 1 && gotN(0).isNullAt(1))
+  }
+
+  test("rangeJoinBinned: inverted interval (lo > hi) falls through without bin blowup") {
+    val intervals = Seq((1L, "u", 10L, 20L),
+                        (2L, "u", 2000000L, 10L)) // corrupt: lo ≫ hi
+    .toDF("iv_id", "k", "lo", "hi")
+    val points = Seq(("u", 15L)).toDF("k", "p")
+    val got = Joins
+      .rangeJoinBinned(intervals, points, Seq("k"), "lo", "hi", "p",
+                       binWidth = 7L, inRangeCol = "ok")
+    // the corrupt interval survives (LEFT contract) as exactly ONE row —
+    // a descending sequence() would have exploded it into ~285k bin rows
+    val byIv = got.groupBy("iv_id")
+      .agg(count(lit(1)).as("rows"), count(when(col("ok"), 1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byIv(2L) === ((1L, 0L)))
+    assert(byIv(1L)._2 === 1L)
+  }
+
+  test("reserved __ columns are refused instead of silently clobbered") {
+    val bad = Seq((1L, 2L)).toDF("__t", "x")
+    val ok = Seq((1L, "A", 100L)).toDF("trade_id", "sym", "t")
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(bad.withColumnRenamed("x", "sym"), ok, Seq("sym"),
+                     "__t", "t", Seq("trade_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoinBinned(bad, ok, Seq("x"), "__t", "__t", "t", 1L, "ok")
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.withGlobalRank(bad, Seq(col("x")), 2, "rnk")
+    }
+  }
+
+  test("non-integral time key types are refused (no silent null keys)") {
+    val t = Seq((1L, "A", "2024-01-01")).toDF("trade_id", "sym", "t")
+    val q = Seq(("A", 5L, 10L)).toDF("sym", "q_id", "qt")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(t, q, Seq("sym"), "t", "qt", Seq("q_id"))
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("oracle join queries plan NO nested-loop/cartesian join") {
     val dir = "/root/testdata/sf0.001"
     Seq(JoinQueries.qAsofJoin, JoinQueries.qRangeJoin).foreach { q =>

@@ -59,6 +59,22 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a.forall { case (_, lang, h) => h < (if (lang == "en") 50 else 90) })
   }
 
+  test("stratifiedSample: custom rate map is reproducible and respects per-stratum bands") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def run() = CurationQueries
+      .stratifiedSample(docs, "lang", Map("en" -> 25, "fr" -> 100),
+                        defaultPct = 0, salt = "custom:")
+      .select("doc_id", "lang", "h").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    val a = run()
+    assert(a.sameElements(run())) // reproducible under a custom rate map
+    assert(a.forall { case (_, lang, h) => h < (if (lang == "en") 25 else 100) })
+    // out-of-range rates are refused
+    intercept[IllegalArgumentException] {
+      CurationQueries.stratifiedSample(docs, "lang", Map("en" -> 101), 50)
+    }
+  }
+
   test("curatedCorpus: dedup keeps one canonical, quality gate drops the degenerate doc, split present") {
     val got = CurationQueries.curatedCorpus(spark, dir)
       .select("doc_id", "split").as[(Long, String)].collect().toMap

@@ -32,12 +32,11 @@ class SimIvfSpec extends SparkSpec {
     val forQ100 = got.filter(_._1 == 100L).sortBy(_._4)
     assert(forQ100.nonEmpty)
     // nprobe=2 probes both cells here (only 2 exist), but ranking must
-    // put every X-cluster member above every Y-cluster member
+    // put every X-cluster member above every Y-cluster member: the top 6
+    // ranked ids are exactly the X cluster minus the query itself
     val ids = forQ100.map(_._2)
-    val xs = ids.takeWhile(id => id < 100L || id == 100L)
-    assert(ids.take(6).forall(_ <= 100L),
+    assert(ids.take(6).toSet === (0L to 5L).toSet,
            s"X-cluster members must rank first, got ${ids.mkString(",")}")
-    assert(xs.toSet.subsetOf((0L to 5L).toSet + 100L))
   }
 
   test("q_sim_search_ivf vs brute force: dots exact, recall@10 >= 0.9 on sf0.001") {
