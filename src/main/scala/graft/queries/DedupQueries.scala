@@ -618,9 +618,8 @@ object DedupQueries {
    * unrelated documents into one component and silently over-delete,
    * which verification bounds at the cost of the intersection stage
    * (exact edges are outside that knob by design).
-   * Not an oracle query (it reuses [[qDedupClusters]]'s chain verbatim —
-   * re-running it in the gate would double-charge the bench for the same
-   * proven plan); contract-tested in `DedupQueriesSpec`.
+   * Driver-gated via [[qDedupedCorpus]] (LSH-candidate mode) and
+   * contract-tested in `DedupQueriesSpec`.
    */
   def dedupedCorpus(s: SparkSession, dir: String,
                     verify: Boolean = false): DataFrame = {
@@ -653,6 +652,35 @@ object DedupQueries {
       .filter(col("id") =!= col("lbl")).select(col("id"))
     docs(s, dir).join(removed, col("doc_id") === col("id"), "left_anti")
   }
+
+  /** The flagship composition behind the driver's correctness gate: the
+    * doc_ids [[dedupedCorpus]] keeps (LSH-candidate mode). The oracle is
+    * [[qDedupClusters]]'s recursive-CTE fixpoint extended with the exact
+    * normalized-content edges, filtered to the canonical (id = min
+    * reachable label) rows — the one-call API users actually run,
+    * driver-checked end-to-end rather than only contract-tested. */
+  val qDedupedCorpus = Q(
+    "q_deduped_corpus",
+    (s, dir) => dedupedCorpus(s, dir).select(col("doc_id")),
+    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |eh AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      |  FROM documents
+      |),
+      |em AS (SELECT h, MIN(doc_id) AS m_id FROM eh GROUP BY h),
+      |ep AS (SELECT em.m_id AS a_id, eh.doc_id AS b_id
+      |       FROM eh JOIN em ON eh.h = em.h WHERE eh.doc_id <> em.m_id),
+      |alle AS (SELECT a_id, b_id FROM cand UNION SELECT a_id, b_id FROM ep),
+      |e2 AS (SELECT a_id AS s, b_id AS d FROM alle
+      |       UNION ALL SELECT b_id, a_id FROM alle),
+      |walk(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
+      |)
+      |SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id""".stripMargin)
+  )
 
   /** Winnowing-style document fingerprints: shingle stream partitioned by
     * position mod 4; fingerprint = min shingle hash per partition. Four
@@ -731,6 +759,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDedupClusters, qDocFingerprint, qDedupEmbed
+    qDedupClusters, qDedupedCorpus, qDocFingerprint, qDedupEmbed
   )
 }
