@@ -119,47 +119,89 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
-  /** Every `CentStride`-th vector is an IVF centroid (deterministic
-    * stand-in for trained k-means centers — the partitioning mechanics,
-    * not centroid quality, are what an engine owns). */
+  /** Every `CentStride`-th vector seeds an IVF centroid; one relational
+    * Lloyd iteration (assign → per-cell floor-mean → re-assign) trains
+    * the quantizer so cell shapes track the actual data distribution,
+    * not the seed draw. */
   private val CentStride = 200
   private val NProbe = 2
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its
-    * nearest centroid's cell (one pass over a broadcast centroid table —
-    * the classic IVF train/assign shape), queries probe their `NProbe`
-    * nearest cells, and exact integer-dot ranking runs inside the probed
-    * cells only. THE scale path beyond `q_sim_search_lsh`: cell count
-    * grows with the corpus (k ≈ n/stride), so probe cost stays
-    * ~NProbe·n/k per query regardless of corpus size, and the
-    * cell-assignment output is exactly what a partitioned ANN layout
-    * would be bucketed by on disk.
+  /** Stride-sampled seed centroids over a quantized frame. */
+  private[queries] def ivfSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"),
+              VectorOps.intNormSq(col("q")).as("cn"))
+
+  /** Nearest-`NProbe` centroid cells per vector (cosine rank, c_id
+    * tiebreak) — the one n·k broadcast pass, reused for Lloyd assignment
+    * (crn = 1) and query probes (crn <= NProbe). */
+  private[queries] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("ckey").desc, col("c_id").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cdot", VectorOps.intDot(col("q"), col("cq")))
+      .withColumn("ckey",
+                  col("cdot").cast("double") / sqrt(col("cn").cast("double")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= NProbe)
+      .select("vec_id", "c_id", "crn")
+  }
+
+  /** One relational Lloyd iteration over the stride seeds: every vector
+    * assigned to its nearest seed cell, each cell's trained centroid =
+    * per-dimension FLOOR-mean of its members (sums/counts < 2^53, so the
+    * double divide has exact inputs and FLOOR is engine-identical).
+    * Degenerate all-zero centroids (0/0 cosine) are dropped. */
+  private[queries] def ivfTrain(e: DataFrame): DataFrame = {
+    val assign0 = ivfAssign(e, ivfSeeds(e)).filter(col("crn") === 1)
+      .select(col("vec_id").as("m_vid"), col("c_id"))
+    e.join(assign0, col("vec_id") === col("m_vid"))
+      .select(col("c_id"), posexplode(col("q")))
+      .groupBy("c_id", "pos")
+      .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("c_id"),
+              transform(col("pm"), x => x.getField("m")).as("cq"))
+      .withColumn("cn", VectorOps.intNormSq(col("cq")))
+      .filter(col("cn") > 0)
+  }
+
+  /** Test seam: the quantized frame for a testdata dir. */
+  private[queries] def quantizedFrame(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+
+  /** IVF-style ANN with a TRAINED coarse quantizer: stride-sampled seed
+    * centroids, one relational Lloyd iteration (every vector assigned to
+    * its nearest seed, each cell's new centroid = per-dimension
+    * floor-mean of its members — all integer/exact-double arithmetic, so
+    * the oracle replays it bit-for-bit), then the standard IVF shape
+    * over the trained centroids: every vector assigned to its nearest
+    * trained cell, queries probe their `NProbe` nearest cells, and exact
+    * integer-dot ranking runs inside the probed cells only. THE scale
+    * path beyond `q_sim_search_lsh`: cell count grows with the corpus
+    * (k ≈ n/stride), probe cost stays ~NProbe·n/k per query regardless
+    * of corpus size, and the cell assignment is exactly what a
+    * partitioned ANN layout would be bucketed by on disk. Each Lloyd
+    * pass is one n·k broadcast pass + a (cell, dim)-keyed mean — more
+    * iterations are the same plan repeated; one already moves centroids
+    * from the seed draw to cluster mass.
     *
     * Cell choice ranks by true cosine (dot/√centroid-norm; the vector's
     * own norm cancels within a fixed vec_id partition). The key is an
     * IEEE double — int-exact inputs, one correctly-rounded sqrt and one
     * divide — so DuckDB replays the ordering bit-for-bit; c_id breaks
-    * ties. */
+    * ties. Degenerate trained centroids (all-zero after flooring — a
+    * 0/0 cosine) are dropped in both engines. */
   val qSimSearchIvf = Q(
     "q_sim_search_ivf",
     (s, dir) => {
       val e = quantized(s, dir)
-      val cents = e.filter(col("vec_id") % CentStride === 0)
-        .select(col("vec_id").as("c_id"), col("q").as("cq"),
-                VectorOps.intNormSq(col("q")).as("cn"))
-      // one pass over the vec × centroid cross: checkpointed because both
-      // the corpus cells (crn = 1) and the query probe set (crn <= NProbe)
-      // read it — without materialization the n·k dot-product pass runs
-      // twice (the qNgramJaccard share-the-chain pattern)
-      val wCell = Window.partitionBy("vec_id")
-        .orderBy(col("ckey").desc, col("c_id").asc)
-      val ranked = e.crossJoin(broadcast(cents))
-        .withColumn("cdot", VectorOps.intDot(col("q"), col("cq")))
-        .withColumn("ckey",
-                    col("cdot").cast("double") / sqrt(col("cn").cast("double")))
-        .withColumn("crn", row_number().over(wCell))
-        .filter(col("crn") <= NProbe)
-        .select("vec_id", "c_id", "crn")
+      // checkpointed because both the corpus cells (crn = 1) and the query
+      // probe set (crn <= NProbe) read it — without materialization the
+      // n·k dot-product pass runs twice (the qNgramJaccard pattern)
+      val ranked = ivfAssign(e, ivfTrain(e))
         .localCheckpoint()
       val cells = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
@@ -180,10 +222,41 @@ object SimQueries {
         .select("q_id", "vec_id", "dot", "rnk")
     },
     Some(s"""$quantCte,
-      |cents AS (
+      |cents0 AS (
       |  SELECT vec_id AS c_id, q AS cq,
       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn
       |  FROM e WHERE vec_id % $CentStride = 0
+      |),
+      |rk0 AS (
+      |  SELECT e.vec_id, c.c_id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY e.vec_id
+      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+      |                            i -> e.q[i] * c.cq[i])) AS BIGINT)
+      |                    / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+      |                    c.c_id ASC) AS crn
+      |  FROM e CROSS JOIN cents0 c
+      |),
+      |a0 AS (SELECT vec_id, c_id FROM rk0 WHERE crn = 1),
+      |mem AS (
+      |  SELECT a0.c_id, unnest(generate_series(1, len(e.q))) AS pos,
+      |         unnest(e.q) AS v
+      |  FROM a0 JOIN e ON e.vec_id = a0.vec_id
+      |),
+      |tc AS (
+      |  SELECT c_id,
+      |         list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT)
+      |              ORDER BY pos) AS cq
+      |  FROM (SELECT c_id, pos, CAST(SUM(v) AS BIGINT) AS sv,
+      |               COUNT(*) AS cnt
+      |        FROM mem GROUP BY c_id, pos)
+      |  GROUP BY c_id
+      |),
+      |cents AS (
+      |  SELECT c_id, cq,
+      |         CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
+      |  FROM tc
+      |  WHERE CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) > 0
       |),
       |rk AS (
       |  SELECT e.vec_id, c.c_id,

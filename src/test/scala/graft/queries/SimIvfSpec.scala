@@ -39,6 +39,55 @@ class SimIvfSpec extends SparkSpec {
            s"X-cluster members must rank first, got ${ids.mkString(",")}")
   }
 
+  /** Three orthogonal clusters → three cells; nprobe=2 probes a strict
+    * subset, so routing is load-bearing (with two cells, nprobe=2 would
+    * trivially find everything). */
+  private lazy val dir3: String = {
+    val d = Files.createTempDirectory("graft-ivf3").toString
+    def axis(k: Int): Seq[Float] =
+      Seq.tabulate(16)(i => if (i >= 5 * k && i < 5 * k + 5) 1.0f else 0.0f)
+    def near(base: Seq[Float], j: Int): Seq[Float] =
+      base.updated(15, 0.1f * (j % 3 + 1)) // tiny off-axis wiggle, same cluster
+    val rows =
+      Seq((0L, axis(0), 0), (200L, axis(1), 1), (400L, axis(2), 2)) ++
+        (1L to 5L).map(i => (i, near(axis(0), i.toInt), 0)) ++
+        Seq((100L, near(axis(0), 0), 0)) ++
+        (201L to 205L).map(i => (i, near(axis(1), i.toInt), 1)) ++
+        Seq((300L, near(axis(1), 0), 1)) ++
+        (401L to 405L).map(i => (i, near(axis(2), i.toInt), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q_sim_search_ivf on three clusters: each query's own cluster fills the top ranks") {
+    val got = SimQueries.qSimSearchIvf.fn(spark, dir3)
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = got.groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2)).toMap
+    // query 100 (cluster X): the 6 other X members must be ranks 1..6
+    assert(byQ(100L).take(6).toSet === (0L to 5L).toSet,
+           s"got ${byQ(100L).mkString(",")}")
+    // query 300 (cluster Y): the 6 other Y members must be ranks 1..6
+    assert(byQ(300L).take(6).toSet === ((201L to 205L).toSet + 200L),
+           s"got ${byQ(300L).mkString(",")}")
+  }
+
+  test("ivfTrain: trained centroid is the members' per-dimension FLOOR-mean (incl. negatives)") {
+    val d = Files.createTempDirectory("graft-ivf-lloyd").toString
+    // all three vectors land in the single seed cell (vec_id 0); the
+    // trained centroid must floor-average them per dimension:
+    // dim0: (-1000 - 900 - 351)/3 = -750.33… → FLOOR −751 (truncation
+    // toward zero would give −750 — this pins floor semantics);
+    // dim1: (300 + 300 + 400)/3 = 333.33… → 333
+    Seq((0L, Seq(-1.0f, 0.3f), 0), (1L, Seq(-0.9f, 0.3f), 0),
+        (2L, Seq(-0.351f, 0.4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val cents = SimQueries.ivfTrain(SimQueries.quantizedFrame(spark, d))
+      .select("c_id", "cq").as[(Long, Seq[Long])].collect()
+    assert(cents.toSeq === Seq((0L, Seq(-751L, 333L))))
+  }
+
   test("q_sim_search_ivf vs brute force: dots exact, recall@10 >= 0.9 on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val brute = SimQueries.qSimSearch.fn(spark, sf)
@@ -50,6 +99,6 @@ class SimIvfSpec extends SparkSpec {
     ivf.foreach { case (q, v, dot, _) =>
       brute.get((q, v)).foreach(bd => assert(bd === dot)) }
     val recall = ivf.count(r => brute.contains((r._1, r._2))).toDouble / brute.size
-    assert(recall >= 0.9, s"recall@10 = $recall") // measured 0.96, deterministic
+    assert(recall >= 0.9, s"recall@10 = $recall") // measured 0.94 (trained), deterministic
   }
 }
