@@ -309,53 +309,55 @@ object DedupQueries {
       |JOIN sz zb ON zb.doc_id = i.b_id""".stripMargin)
   )
 
-  /** 32-bit SimHash frame (doc_id, simhash, band_hi): per-bit majority
-    * vote over token md5 bits, weighted by occurrence count.
+  /** 64-bit SimHash frame (doc_id, sim_lo, sim_hi): per-bit majority
+    * vote over the first 64 token-md5 bits, weighted by occurrence count.
+    * The hash is carried as two 32-bit words (bits 0–31 / 32–63) so all
+    * arithmetic stays in non-negative BIGINT range in both engines — no
+    * sign-bit hazards on shifts or comparisons.
     *
     * Shape (fixing the r3 verdict's top finding): tokens are first
     * aggregated to DISTINCT (doc_id, tok) counts and the md5 is
     * materialized ONCE per distinct token BEFORE any bit work — the old
-    * shape exploded 32 bit positions per token *occurrence* and re-hashed
-    * the token inside every exploded row (32× wasted md5 throughput).
-    * The per-bit vote is then one 32-column pivot aggregate: no bit-level
-    * row explosion at all, and each bit extraction is integer nibble
-    * arithmetic over 8 hex digits decoded once per token. Both
-    * aggregations cluster on doc_id, so after the docsDistributed
-    * repartition the whole pipeline runs without further exchange.
-    * Results are bit-identical to the per-occurrence formulation
-    * (Σ_occurrences (2·bit−1) ≡ Σ_distinct cnt·(2·bit−1)), so the oracle
-    * SQL replays the simpler per-occurrence math unchanged. */
+    * shape exploded bit positions per token *occurrence* and re-hashed
+    * the token inside every exploded row. The per-bit vote is one
+    * 64-column pivot aggregate: no bit-level row explosion at all, and
+    * each bit extraction is integer nibble arithmetic over 16 hex digits
+    * decoded once per token. Both aggregations cluster on doc_id, so
+    * after the docsDistributed repartition the whole pipeline runs
+    * without further exchange. Results are bit-identical to the
+    * per-occurrence formulation (Σ_occurrences (2·bit−1) ≡
+    * Σ_distinct cnt·(2·bit−1)), so the oracle SQL replays the simpler
+    * per-occurrence math unchanged. */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
     val tokCounts = docsDistributed(s, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), md5(col("tok")).as("h"), col("cnt"))
-    // the 8 hex nibbles holding md5 bits 0..31, decoded once per token
+    // the 16 hex nibbles holding md5 bits 0..63, decoded once per token
     val nibbles = tokCounts.select(
       Seq(col("doc_id"), col("cnt")) ++
-        (1 to 8).map(p => TextOps.hexDigitVal(substring(col("h"), p, 1)).as(s"n$p")): _*)
+        (1 to 16).map(p => TextOps.hexDigitVal(substring(col("h"), p, 1)).as(s"n$p")): _*)
     // w_j = Σ_tok cnt·(2·bit_j−1); bit j lives in nibble FLOOR(j/4)+1 at
     // position j%4 — the same mapping as TextOps.md5Bit / the oracle SQL
-    val votes = (0 until 32).map { j =>
+    val votes = (0 until 64).map { j =>
       val bitSet = col(s"n${j / 4 + 1}").bitwiseAND(lit(1 << (j % 4))) > 0
       sum(when(bitSet, col("cnt")).otherwise(-col("cnt"))).as(s"w$j")
     }
-    val simhash = (0 until 32)
-      .map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    def word(base: Int): Column = (0 until 32)
+      .map(k => when(col(s"w${base + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
     nibbles
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
-      .withColumn("band_hi", floor(col("simhash") / lit(65536)).cast("long"))
+      .select(col("doc_id"), word(0).as("sim_lo"), word(32).as("sim_hi"))
   }
 
   private val simhashCte: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), tb AS (
-      |  SELECT doc_id, tok, unnest(generate_series(0, 31)) AS j FROM tok
+      |  SELECT doc_id, tok, unnest(generate_series(0, 63)) AS j FROM tok
       |), bt AS (
       |  SELECT doc_id, j,
       |    CAST(FLOOR((strpos('0123456789abcdef',
@@ -364,60 +366,57 @@ object DedupQueries {
       |  FROM tb
       |), w AS (
       |  SELECT doc_id, j, SUM(2 * bit - 1) AS w FROM bt GROUP BY doc_id, j
-      |), sh2 AS (
-      |  SELECT doc_id,
-      |         CAST(SUM(CASE WHEN w > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM w GROUP BY doc_id
       |), sim AS (
-      |  SELECT doc_id, simhash,
-      |         CAST(FLOOR(simhash / 65536.0) AS BIGINT) AS band_hi
-      |  FROM sh2
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN j < 32 AND w > 0
+      |                       THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo,
+      |         CAST(SUM(CASE WHEN j >= 32 AND w > 0
+      |                       THEN CAST(POWER(2, j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi
+      |  FROM w GROUP BY doc_id
       |)""".stripMargin
 
-  /** Per-doc SimHash values; band_hi (top 16 bits) is the grouping key the
-    * hamming-pair stage buckets on. */
+  /** Per-doc 64-bit SimHash signatures (two 32-bit words); the
+    * hamming-pair stage buckets on their four 16-bit blocks. */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => simhashFrame(s, dir),
     Some(s"""$simhashCte
-      |SELECT doc_id, simhash, band_hi FROM sim""".stripMargin)
+      |SELECT doc_id, sim_lo, sim_hi FROM sim""".stripMargin)
   )
 
-  /** The 6 = C(4,2) quarter-pair band keys for multi-band SimHash
-    * bucketing: each band concatenates two of the hash's four 8-bit
-    * quarters into a 16-bit bucket key. */
-  private val QuarterPairs: Seq[(Int, Int)] =
-    Seq((3, 2), (3, 1), (3, 0), (2, 1), (2, 0), (1, 0))
+  /** Pairs at or under this hamming distance are emitted — and the band
+    * family below finds ALL of them (exactness, not recall). */
+  private[queries] val SimhashHammingMax = 3
 
-  /** Multi-band hamming-pair stage over a (doc_id, simhash) frame —
-    * bucket on each of the 6 quarter-pair 16-bit keys (docs agreeing on
-    * ANY pair of 8-bit quarters become candidates), union the per-band
-    * candidates, then the exact hamming filter `bit_count(a XOR b)` ≤ 4.
-    * [[qSimhashPairs]] is this over [[simhashFrame]].
-    *
-    * Coverage: a pair is a candidate iff its differing bits avoid two
-    * quarters, i.e. are confined to ≤ 2 of the 4 quarters — which makes
-    * the band family EXACT for hamming ≤ 2 (2 diffs can touch at most 2
-    * quarters) and catches every ≤ 4-diff pair whose diffs cluster in ≤ 2
-    * quarters (r3's single top-16-bit band silently missed any pair with a
-    * low-half diff). The residual miss — 3-4 diffs spread over ≥ 3
-    * quarters — needs Manku-style block permutations over a wider hash
-    * (Manku/Jain/Sarma, WWW'07: 64-bit simhash, blocks permuted so each
-    * table keys on d leading blocks with b−d ≥ k); with a 32-bit hash,
-    * 16-bit keys and full k=4 coverage are mutually exclusive, and 16-bit
-    * keys (bucket entropy) are the property that matters at 100 TB.
-    * Candidate cost stays bucket-local and skew-guarded — never n². */
+  /** Hamming-pair stage over a (doc_id, sim_lo, sim_hi) frame via the
+    * Manku/Jain/Sarma block-permutation family (WWW'07): the 64-bit hash
+    * splits into b = 4 contiguous 16-bit blocks, and each of the 4 bands
+    * keys on ONE block (d = 1). Any pair differing in k ≤ b − d = 3 bits
+    * touches at most 3 blocks, so at least one block is clean and the
+    * pair shares that band's key — the family is EXACT for hamming ≤
+    * [[SimhashHammingMax]], and the final `bit_count` filter removes
+    * band-collision false positives, so candidate = result = the full
+    * ≤ 3-diff pair set. (This replaces the r5 32-bit quarter-pair
+    * family, which was exact only for hamming ≤ 2 with a documented
+    * residual miss at 3–4 spread diffs: widening the hash to 64 bits
+    * buys whole-block keys that are both selective — 16-bit entropy,
+    * the property that matters at 100 TB — and complete at k = 3.)
+    * Candidate cost stays bucket-local and skew-guarded — never n².
+    * [[qSimhashPairs]] is this over [[simhashFrame]]. */
   private[queries] def simhashPairs(sim: DataFrame,
                                     maxBucket: Int = MaxBucket): DataFrame = {
-    def quarter(k: Int): Column =
-      shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))
+    def block(b: Int): Column = b match {
+      case 0 => col("sim_lo").bitwiseAND(lit(65535L))
+      case 1 => shiftright(col("sim_lo"), 16).bitwiseAND(lit(65535L))
+      case 2 => col("sim_hi").bitwiseAND(lit(65535L))
+      case _ => shiftright(col("sim_hi"), 16).bitwiseAND(lit(65535L))
+    }
     val banded = sim
-      .select(col("doc_id"), col("simhash"),
-              explode(array(QuarterPairs.zipWithIndex.map { case ((i, j), b) =>
-                struct(lit(b).as("band"),
-                       (quarter(i) * 256 + quarter(j)).as("bkey"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+              explode(array((0 until 4).map { b =>
+                struct(lit(b).as("band"), block(b).as("bkey"))
               }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
               col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // Pair dedup is a distinct() over the (small) pair set. A canonical-
     // band emission ("keep the row whose band is the pair's FIRST clean
@@ -429,30 +428,29 @@ object DedupQueries {
     // a pair the guard accounting doesn't cover (regression-tested:
     // "skew-dropped canonical band" in DedupQueriesSpec).
     boundedBucketPairs(banded, Seq("band", "bkey"),
-                       struct(col("doc_id"), col("simhash")),
+                       struct(col("doc_id"), col("sim_lo"), col("sim_hi")),
                        maxBucket = maxBucket, guard = "graft_simhash_skew")
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+              (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+                 bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))))
                 .cast("long").as("hamming"))
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= SimhashHammingMax)
       .distinct()
   }
 
   val qSimhashPairs = Q(
     "q_simhash_pairs",
     (s, dir) => simhashPairs(simhashFrame(s, dir)),
-    // candidate ⇔ some quarter-pair band agrees ⇔ ≥ 2 clean quarters of
-    // the XOR mask — the oracle states the semantics directly
+    // the band family is exact for hamming <= 3, so the oracle states the
+    // semantics with no band condition at all: every <= 3-diff pair
     Some(s"""$simhashCte
       |SELECT a_id, b_id, hamming FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
-      |         xor(a.simhash, b.simhash) AS m
+      |         CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+      |              + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |)
-      |WHERE hamming <= 4
-      |  AND CAST(((m >> 24) & 255) = 0 AS INT) + CAST(((m >> 16) & 255) = 0 AS INT)
-      |    + CAST(((m >> 8) & 255) = 0 AS INT) + CAST((m & 255) = 0 AS INT) >= 2""".stripMargin)
+      |WHERE hamming <= $SimhashHammingMax""".stripMargin)
   )
 
   /**

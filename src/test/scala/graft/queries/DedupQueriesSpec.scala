@@ -83,17 +83,18 @@ class DedupQueriesSpec extends SparkSpec {
 
   test("q_dedup_simhash: identical texts hash identically; unrelated text differs") {
     val h = q("q_dedup_simhash")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(h(0L) === h(2L))
     assert(h(0L) !== h(4L))
-    assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(h.values.forall { case (lo, hi) =>
+      lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32) })
   }
 
   test("q_simhash_pairs: identical docs pair at hamming 0; pairs stay within threshold") {
     val pairs = q("q_simhash_pairs")
       .as[(Long, Long, Long)].collect()
     assert(pairs.contains((0L, 2L, 0L))) // identical text → identical simhash
-    pairs.foreach { case (a, b, h) => assert(a < b && h <= 4) }
+    pairs.foreach { case (a, b, h) => assert(a < b && h <= 3) }
   }
 
   test("q_dedup_clusters: transitively linked near-dups collapse to one canonical id") {
@@ -146,67 +147,77 @@ class DedupQueriesSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L))) // 0~1 parallel; 2 orthogonal; 3 other label
   }
 
-  test("simhashPairs multi-band: high-half diffs are caught; >2-quarter spreads are the documented miss") {
-    // A/B differ only in bit 31 (quarter 3) — r3's single top-16-bit band
-    // missed exactly this shape; bands (2,1)/(2,0)/(1,0) now catch it.
-    // C differs from A in bits 31, 23, 15 — three quarters touched, only
-    // one clean → (A,C) is not a candidate despite hamming 3 (the residual
-    // miss the scaladoc documents; exact k=4 coverage needs a wider hash).
-    // (B,C) differ in bits 23, 15 only — two quarters → caught via (3,0).
-    val base = 0x01020304L
-    val sim = Seq(
-      (0L, base), (1L, base ^ (1L << 31)),
-      (2L, base ^ (1L << 31) ^ (1L << 23) ^ (1L << 15))
-    ).toDF("doc_id", "simhash")
+  /** Split a 64-bit hash value (given as two 32-bit words) into the
+    * (doc_id, sim_lo, sim_hi) frame simhashPairs consumes. */
+  private def simFrame(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("doc_id", "sim_lo", "sim_hi")
+
+  test("simhashPairs: 3 diffs spread over 3 blocks are found (the old quarter-pair family's miss)") {
+    // A/C differ in bits 10 (block 0), 20 (block 1), and 40 (block 2) —
+    // three of the four 16-bit blocks touched. The 32-bit quarter-pair
+    // family documented exactly this shape as its residual miss; the
+    // Manku one-block-per-band family catches it via clean block 3.
+    val (lo, hi) = (0x01020304L, 0x05060708L)
+    val sim = simFrame(Seq(
+      (0L, lo, hi),
+      (1L, lo ^ (1L << 10) ^ (1L << 20), hi ^ (1L << 8)), // 40 − 32 = 8
+      (2L, lo ^ (1L << 31), hi)                           // 1 diff, block 1
+    ))
     val pairs = DedupQueries.simhashPairs(sim)
       .as[(Long, Long, Long)].collect().toSet
-    assert(pairs === Set((0L, 1L, 1L), (1L, 2L, 2L)))
+    assert(pairs.contains((0L, 1L, 3L)))
+    assert(pairs.contains((0L, 2L, 1L)))
   }
 
-  test("property: simhashPairs ≡ brute-force band-coverage semantics on random hashes") {
+  test("property: simhashPairs ≡ ALL hamming<=3 pairs on random 64-bit hashes (family is exact)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
-    // brute-force reference: hamming ≤ 4 AND diffs confined to ≤ 2 quarters
-    def ref(hs: Map[Long, Long]): Set[(Long, Long, Long)] = {
+    // brute-force reference: every pair at hamming ≤ 3, no band condition —
+    // the one-block band family is complete for k ≤ 3 by construction
+    def ref(hs: Map[Long, (Long, Long)]): Set[(Long, Long, Long)] = {
       val ids = hs.keys.toSeq.sorted
       (for {
         i <- ids.indices; j <- (i + 1) until ids.length
-        m = hs(ids(i)) ^ hs(ids(j))
-        ham = java.lang.Long.bitCount(m)
-        clean = (0 until 4).count(q => ((m >> (8 * q)) & 255L) == 0L)
-        if ham <= 4 && clean >= 2
+        ham = java.lang.Long.bitCount(hs(ids(i))._1 ^ hs(ids(j))._1) +
+          java.lang.Long.bitCount(hs(ids(i))._2 ^ hs(ids(j))._2)
+        if ham <= 3
       } yield (ids(i), ids(j), ham.toLong)).toSet
     }
     val gen = for {
       n <- Gen.choose(2, 30)
-      base <- Gen.choose(0L, (1L << 32) - 1)
+      baseLo <- Gen.choose(0L, (1L << 32) - 1)
+      baseHi <- Gen.choose(0L, (1L << 32) - 1)
       // cluster hashes around a base so near-pairs actually occur
       hs <- Gen.listOfN(n, for {
-        flips <- Gen.choose(0, 6)
-        bits <- Gen.listOfN(flips, Gen.choose(0, 31))
-      } yield bits.foldLeft(base)((h, b) => h ^ (1L << b)))
-    } yield hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toMap
+        flips <- Gen.choose(0, 5)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 63))
+      } yield bits.foldLeft((baseLo, baseHi)) { case ((l, h), b) =>
+        if (b < 32) (l ^ (1L << b), h) else (l, h ^ (1L << (b - 32)))
+      })
+    } yield hs.zipWithIndex.map { case ((l, h), i) => i.toLong -> (l, h) }.toMap
     for (seed <- 1L to 4L) {
       val hs = gen(Gen.Parameters.default, Seed(seed)).get
-      val got = DedupQueries.simhashPairs(hs.toSeq.toDF("doc_id", "simhash"))
+      val got = DedupQueries.simhashPairs(
+        simFrame(hs.toSeq.map { case (id, (l, h)) => (id, l, h) }))
         .as[(Long, Long, Long)].collect().toSet
       assert(got === ref(hs), s"seed=$seed")
     }
   }
 
-  test("simhashPairs: a pair whose canonical band is skew-dropped still surfaces via a surviving band") {
-    // A and B share an identical hash; C..F share A's top half (quarters
-    // 3,2) but have distinct low halves. With maxBucket = 4 the band-0
-    // bucket (all 6 docs) is dropped, but band (1,0)'s {A,B} bucket
-    // survives — the (A,B) pair must still be emitted. (This is the case
-    // that killed the canonical-band emission optimization: firstBand of
-    // an identical pair is 0, so filtering band === firstBand deleted the
-    // surviving band-5 row.)
-    val h = 0x01020304L
-    val sim = Seq(
-      (0L, h), (1L, h),
-      (2L, h ^ 1L), (3L, h ^ 2L), (4L, h ^ 4L), (5L, h ^ 8L)
-    ).toDF("doc_id", "simhash")
+  test("simhashPairs: a pair whose first clean band is skew-dropped still surfaces via a surviving band") {
+    // A and B share an identical hash; C..F share A's block 0 (low 16
+    // bits) but differ in upper bits. With maxBucket = 4 the band-0
+    // bucket (all 6 docs) is dropped, but bands 1..3's {A,B} buckets
+    // survive — the (A,B) pair must still be emitted. (This is the case
+    // that killed the canonical-band emission optimization: the first
+    // clean band of an identical pair is 0, so filtering on it deleted
+    // the surviving later-band rows.)
+    val (lo, hi) = (0x01020304L, 0x05060708L)
+    val sim = simFrame(Seq(
+      (0L, lo, hi), (1L, lo, hi),
+      (2L, lo ^ (1L << 16), hi), (3L, lo ^ (1L << 17), hi),
+      (4L, lo, hi ^ 1L), (5L, lo, hi ^ 2L)
+    ))
     val pairs = DedupQueries.simhashPairs(sim, maxBucket = 4)
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L, 0L)))
@@ -249,14 +260,14 @@ class DedupQueriesSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     // 1000 identical docs → one 1000-doc bucket per band, all above
-    // MaxBucket → dropped with accounting instead of 6x10^6 exploded pairs
-    // (the convention: exact-dedup removes byte-identical mass first)
+    // MaxBucket → dropped with accounting instead of ~2x10^6 exploded
+    // pairs (the convention: exact-dedup removes byte-identical mass first)
     assert(SparkEntry.queries("q_simhash_pairs")(spark, d).collect().isEmpty)
     withoutAqe {
       val pairs = SparkEntry.queries("q_simhash_pairs")(spark, d)
       assert(pairs.collect().isEmpty)
       val m = pairs.queryExecution.observedMetrics("graft_simhash_skew")
-      assert(m.getAs[Long]("skewed_rows") === 6000L)
+      assert(m.getAs[Long]("skewed_rows") === 4000L) // 1000 docs × 4 bands
       assert(m.getAs[Long]("max_bucket") === 1000L)
     }
   }
