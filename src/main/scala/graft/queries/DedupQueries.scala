@@ -461,18 +461,28 @@ object DedupQueries {
    * collapse to ONE keeper even when A~C was never a candidate; this is
    * the step that turns the pair stages into an actual dedup decision.
    *
-   * Execution is iterative min-label propagation (the Pregel pattern,
-   * what GraphX connected-components does under the hood): every doc
-   * starts labeled with itself; each round labels flow across edges and
-   * each node keeps the minimum; fixpoint after ≤ diameter rounds.
-   * Near-dup components are band-bucket cliques chained by overlap, so
-   * diameters are tiny (single digits at any scale). Per round the work
-   * is up to 3 fused map-side hop joins (edges broadcast when they fit;
-   * hop count bounded by the measured worst-hub degree) closed by ONE
-   * min-aggregate — all shuffles on the label key, never any pair blowup.
-   * The driver-side loop is a CONVERGENCE loop, not a data loop — the
-   * only values reaching the driver are the one-row graph-stats read and
-   * one label checksum per round.
+   * Execution picks one of three regimes by measured edge volume:
+   *  - pair list within the broadcast budget (the common case — the loop
+   *    runs on the LSH OUTPUT, orders below the corpus): path-compressed
+   *    union-find ON THE DRIVER — the edge list is by definition no more
+   *    data than one broadcast would ship to every executor, and the
+   *    resolution costs zero shuffle rounds instead of diameter/hops
+   *    full job cycles;
+   *  - beyond that: iterative min-label propagation (the Pregel pattern,
+   *    what GraphX connected-components does under the hood): every doc
+   *    starts labeled with itself; each round labels flow across edges
+   *    and each node keeps the minimum; fixpoint after ≤ diameter
+   *    rounds. Near-dup components are band-bucket cliques chained by
+   *    overlap, so diameters are tiny (single digits at any scale). Per
+   *    round the work is up to 3 fused map-side hop joins (edges
+   *    broadcast when they fit an executor budget; hop count bounded by
+   *    the measured worst-hub degree) closed by ONE min-aggregate — all
+   *    shuffles on the label key, never any pair blowup;
+   *  - edges beyond broadcast scale: the same loop with shuffle hop
+   *    joins and an aggregate per hop.
+   * The propagation loop is a CONVERGENCE loop, not a data loop — the
+   * only values reaching the driver there are the one-row graph-stats
+   * read and one label checksum per round.
    *
    * Two load-bearing mechanics of iterating DataFrames:
    *  - each round's labels are `localCheckpoint`ed — a persist() would
@@ -487,11 +497,17 @@ object DedupQueries {
    *    monotone until fixpoint — one cheap aggregate per round instead of
    *    a join.
    */
-  /** Edge lists at or under this row count are `broadcast()` in the
-    * propagation loop (≤ ~16 MB of (long, long) rows) — the map-side-join
-    * regime. Above it, the hop join falls back to a shuffle join and
-    * aggregation runs after every hop. */
-  private[queries] val BroadcastEdgeLimit = 1L << 20
+  /** Pair lists at or under this row count (≤ ~16 MB of (long, long)
+    * rows — the same volume the loop regimes would `broadcast()` to
+    * every executor) are resolved by union-find ON THE DRIVER: identical
+    * data movement to one broadcast, zero shuffle rounds. */
+  private[queries] val DriverEdgeLimit = 1L << 20
+
+  /** Directed-edge lists at or under this row count are `broadcast()` in
+    * the propagation loop (≤ ~128 MB — an executor-memory budget, not a
+    * driver one) — the map-side-join regime. Above it, the hop join
+    * falls back to a shuffle join and aggregation runs after every hop. */
+  private[queries] val BroadcastEdgeLimit = 1L << 23
 
   /** Budget for the UNAGGREGATED path fan-out of a fused multi-hop round:
     * rows ≤ nNodes · maxDeg^hops must stay under this before the round's
@@ -500,39 +516,83 @@ object DedupQueries {
 
   /** Min-label-propagation connected components over (a_id, b_id) pair
     * edges: one (id, lbl) row per NODE THAT HAS AN EDGE, lbl = smallest id
-    * in its component. See [[qDedupClusters]] for the full mechanics. */
-  private def components(pairs: DataFrame): DataFrame = {
-      // materialized once — every round reuses the edge list without
-      // re-running the chain that produced the pairs
-      val edges0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    * in its component. See [[qDedupClusters]] for the full mechanics and
+    * the three execution regimes. Limits are parameters so tests can
+    * force each regime on one fixture. */
+  private[queries] def components(
+      pairs: DataFrame,
+      driverEdgeLimit: Long = DriverEdgeLimit,
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
+      val session = pairs.sparkSession
+      import session.implicits._
+      // materialized once — every consumer reuses the pair list without
+      // re-running the chain that produced it (the union below would
+      // otherwise run that chain TWICE, once per direction — measured
+      // ~1 s at sf0.1)
+      val pairs0 = pairs.select(col("a_id").cast("long").as("a_id"),
+                                col("b_id").cast("long").as("b_id"))
         .localCheckpoint()
-      // one small aggregate sizes the graph and its worst hub — the two
-      // numbers the regime choice below needs (profiled r5: this job costs
-      // ~0.1 s and the regime it buys saves ~1 s at sf0.1 alone)
-      val stats = edges0.groupBy("src").agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)).as("n_nodes"), sum("d").as("n_edges"),
-             max("d").as("max_deg"))
-        .first()
-      val nNodes = stats.getLong(0)
-      // no candidate pairs at all (every doc unique): sum/max above are
-      // null and there is nothing to propagate — return the empty label
-      // frame rather than NPE-ing on the null aggregates
-      if (nNodes == 0L)
-        return edges0.select(col("src").as("id"), col("dst").as("lbl"))
-      val (nEdges, maxDeg) = (stats.getLong(1), stats.getLong(2))
+      val nPairs = pairs0.count() // on materialized partitions — cheap
+      if (nPairs == 0L)
+        return pairs0.select(col("a_id").as("id"), col("b_id").as("lbl"))
+      if (nPairs <= driverEdgeLimit) {
+        // Driver union-find regime. This is NOT the driver-side-loop
+        // anti-pattern: by regime definition the edge list is at most the
+        // bytes the loop regimes would broadcast to EVERY executor, so
+        // collecting it once to the driver moves strictly less data — and
+        // path-compressed union-find resolves it in O(E α(E)) with zero
+        // shuffle rounds, where the loop pays diameter/hops full job
+        // cycles (measured at sf0.1: ~0.1 s vs ~3 s of loop rounds).
+        // GraphX-style iterative propagation remains the path for edge
+        // lists beyond broadcast scale.
+        val edges = pairs0.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // min-root union: the smaller root wins, so every root IS its
+          // component's min id — the fixpoint the loop regimes compute
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        return session.createDataset(parent.keys.toSeq.map(k => (k, find(k))))
+          .toDF("id", "lbl")
+      }
+      val edges0 = pairs0.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs0.select(col("b_id").as("src"), col("a_id").as("dst")))
+      // seed labels AND graph stats from ONE groupBy over the edges:
+      // seeding with min(self, neighbors) starts every label one hop
+      // ahead, and the per-node degree rides the same shuffle — the
+      // stats read below then aggregates the tiny seed frame instead of
+      // paying a second pass over the edges
+      val seed = edges0.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"), count(lit(1)).as("d"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl"), col("d"))
+        .localCheckpoint()
+      val stats = seed.agg(count(lit(1)).as("n_nodes"), sum("d").as("n_edges"),
+                           max("d").as("max_deg")).first()
+      val (nNodes, nEdges, maxDeg) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       // Regime choice, measured not guessed:
-      //  - small edge list (the common case — the loop runs on the LSH
-      //    OUTPUT, orders below the corpus): broadcast it, so a hop join is
+      //  - broadcast-scale edge list: broadcast it, so a hop join is
       //    map-side and the only shuffle per round is the min-aggregate;
       //  - fuse up to 3 hops per materialization with ONE aggregate at the
       //    round end (profiled r5 at sf0.1: 1.8 s vs 2.9 s for agg-per-hop —
-      //    the per-hop groupBy shuffle, not the join, dominated). Unaggregated
-      //    paths multiply by node degree per hop, so fused hops are bounded
-      //    by the measured worst hub: largest h with nNodes·maxDeg^h within
-      //    budget (a capped-bucket clique has maxDeg ≈ MaxBucket; h drops to
-      //    1 and the round degenerates to the classic agg-per-hop form).
-      val smallGraph = nEdges <= BroadcastEdgeLimit
+      //    the per-hop groupBy shuffle, not the join, dominated; deeper
+      //    fusion re-measured SLOWER: the unaggregated frontier grows per
+      //    hop, 8.2 s at h=5 vs 5.7 s at h=3). Unaggregated paths multiply
+      //    by node degree per hop, so fused hops are bounded by the
+      //    measured worst hub: largest h with nNodes·maxDeg^h within
+      //    budget (a capped-bucket clique has maxDeg ≈ MaxBucket; h drops
+      //    to 1 and the round degenerates to the classic agg-per-hop form).
+      val smallGraph = nEdges <= broadcastEdgeLimit
       val edges = if (smallGraph) broadcast(edges0) else edges0
       val fusedHops =
         if (!smallGraph) 1
@@ -543,13 +603,8 @@ object DedupQueries {
       // only docs with at least one near-dup edge enter the loop: the
       // iteration scales with the LSH OUTPUT (paired docs + edges), never
       // the corpus — singletons (the vast majority of any real corpus)
-      // join back once at the end. Seeding with min(self, neighbors)
-      // instead of self costs nothing (the same groupBy shuffle a
-      // distinct() would pay) and starts every label one hop ahead.
-      var labels = edges0.groupBy(col("src").as("id"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("id"), least(col("id"), col("mn")).as("lbl"))
-        .localCheckpoint()
+      // join back once at the end
+      var labels = seed.select("id", "lbl")
       var prevSum: Any = None
       var converged = false
       var rounds = 0

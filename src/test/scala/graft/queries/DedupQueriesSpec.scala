@@ -236,6 +236,21 @@ class DedupQueriesSpec extends SparkSpec {
     try body finally spark.conf.set(key, old)
   }
 
+  test("components: driver union-find and both loop regimes produce identical labels") {
+    // chain 1-2-3-5 plus separate pair 10-11: transitivity across regimes
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L)).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+                       10L -> 10L, 11L -> 10L)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    assert(labelsOf(DedupQueries.components(pairs)) === expected)
+    assert(labelsOf(DedupQueries.components(pairs, driverEdgeLimit = 0))
+             === expected) // broadcast fused-hop loop
+    assert(labelsOf(DedupQueries.components(pairs, driverEdgeLimit = 0,
+                                            broadcastEdgeLimit = 0))
+             === expected) // shuffle agg-per-hop loop
+  }
+
   test("boundedBucketPairs: oversized bucket is dropped before expansion and accounted") {
     import org.apache.spark.sql.functions.{col, struct}
     val rows = (0 until 1000).map(i => (1L, 100L + i)) ++ Seq((2L, 1L), (2L, 2L))
