@@ -95,23 +95,26 @@ object CurationQueries {
       |FROM j""".stripMargin)
   )
 
+  /** Split-assignment expressions, shared by the batch query and the
+    * streaming face ([[graft.streaming.StreamingCuration]]) so the two
+    * can never drift: bucket = first 32 md5 bits of the NORMALIZED text
+    * mod 10; 80/10/10 split. */
+  private[graft] def splitBucket(text: org.apache.spark.sql.Column) =
+    pmod(TextOps.md5Prefix32(TextOps.contentHash(text)), lit(10L))
+  private[graft] def splitName(bucket: org.apache.spark.sql.Column) =
+    when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+
   /**
-   * Deterministic train/val/test split on the content hash (80/10/10):
-   * bucket = first 32 md5 bits of the NORMALIZED text mod 10. Keying on
-   * content (not doc_id) also pins exact duplicates to the same split —
-   * they can never straddle a train/eval boundary and leak.
+   * Deterministic train/val/test split on the content hash (80/10/10).
+   * Keying on content (not doc_id) also pins exact duplicates to the same
+   * split — they can never straddle a train/eval boundary and leak.
    */
   val qSplitAssign = Q(
     "q_split_assign",
     (s, dir) =>
       Tables.read(s, dir, "documents")
-        .select(col("doc_id"),
-                pmod(TextOps.md5Prefix32(TextOps.contentHash(col("text"))),
-                     lit(10L)).as("bucket"))
-        .withColumn("split",
-                    when(col("bucket") <= 7, "train")
-                      .when(col("bucket") === 8, "val")
-                      .otherwise("test")),
+        .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
+        .withColumn("split", splitName(col("bucket"))),
     Some(s"""WITH h AS (
       |  SELECT doc_id,
       |         ${DedupQueries.hex32(

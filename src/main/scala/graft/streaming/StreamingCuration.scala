@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationQueries
+import graft.text.TextOps
+
+/**
+ * Streaming faces of the curation operators (SURVEY.md §7.4): split
+ * assignment, the Gopher-style repetition gate, and stratified sampling.
+ * All three are STATELESS projections — deterministic functions of the
+ * single document row — so they run on a stream in append mode with no
+ * watermark, no state store, and no shuffle, and the decisions are
+ * byte-identical to the batch pass over the same rows (tested
+ * batch ≡ stream). That equivalence is exactly why the batch operators
+ * were built on salted content hashes rather than `rand()`: a document
+ * gets the same split/sample fate whether it arrives on the firehose,
+ * in a backfill, or in a retried batch.
+ *
+ * (Token packing is deliberately absent: pack ids depend on a per-source
+ * running total — inherently a batch window over a frozen corpus order,
+ * not a per-row decision.)
+ */
+object StreamingCuration {
+
+  /** Split assignment on streaming documents — the exact expressions of
+    * `q_split_assign` (shared, not copied), appended as `bucket`/`split`
+    * columns. */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val bucket = CurationQueries.splitBucket(col("text"))
+    docs.withColumn("bucket", bucket)
+      .withColumn("split", CurationQueries.splitName(col("bucket")))
+  }
+
+  /** Occurrence count of the heaviest element of an array column,
+    * computed per row with higher-order functions (no explode, no
+    * shuffle): count each distinct element, take the max. O(types ×
+    * tokens) per document — per-row work a stream can afford, replacing
+    * the batch formulation's exploded groupBy. */
+  private def topCount(arr: Column): Column =
+    coalesce(array_max(transform(array_distinct(arr),
+                                 t => size(filter(arr, x => x === t)))),
+             lit(0)).cast("long")
+
+  /** The Gopher-style repetition signals and gate of
+    * `q_repetition_filter`, scored per incoming document: token
+    * totals/types, heaviest token and bigram, and the `repetitive` flag
+    * (top-bigram fraction > 1/5 OR distinct-token ratio < 3/4, integer
+    * cross-multiplication). Identical integers to the batch query —
+    * asserted row-for-row in `StreamingCurationSpec`. */
+  def withRepetitionGate(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bgs = TextOps.shingles(toks, 2)
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_types", size(array_distinct(toks)).cast("long"))
+      .withColumn("top_tok_n", topCount(toks))
+      .withColumn("n_bigrams", size(bgs).cast("long"))
+      .withColumn("top_bigram_n", topCount(bgs))
+      .withColumn(
+        "repetitive",
+        (col("top_bigram_n") * 5 > col("n_bigrams") ||
+          col("n_types") * 4 < col("n_tok") * 3).cast("int"))
+  }
+
+  /** Stratified sampling on a stream IS the batch library call:
+    * [[CurationQueries.stratifiedSample]] is a stateless
+    * projection + filter, valid on a streaming DataFrame unchanged.
+    * Re-exported here so the streaming surface is discoverable. */
+  def sampled(docs: DataFrame, stratumCol: String, rates: Map[String, Int],
+              defaultPct: Int, salt: String = "sample:"): DataFrame =
+    CurationQueries.stratifiedSample(docs, stratumCol, rates, defaultPct, salt)
+}

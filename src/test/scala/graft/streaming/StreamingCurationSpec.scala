@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.queries.CurationQueries
+
+final case class CurDoc(doc_id: Long, text: String, lang: String,
+                        source: String, n_chars: Long)
+
+/** The streaming curation faces must make byte-identical decisions to
+  * the batch operators on the same rows — the whole point of hash-based
+  * (never rand()) curation. Each test runs the SAME documents through
+  * the batch query (via parquet) and the streaming face (via
+  * MemoryStream) and compares row-for-row. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    CurDoc(0L, "spam spam spam spam spam spam", "en", "s", 29L),
+    CurDoc(1L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
+    CurDoc(2L, "hello", "fr", "s", 5L),
+    CurDoc(3L, "  The QUICK brown fox jumps over a lazy dog ", "de", "s", 44L)
+  )
+
+  private lazy val batchDir: String = {
+    val d = Files.createTempDirectory("graft-scur").toString
+    docs.toDF().write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Stream `docs` through `face` and return the collected sink table. */
+  private def streamed(face: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurDoc]
+    val name = s"graft_scur_${System.nanoTime()}"
+    val q = face(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // two triggers: decisions must not depend on batch boundaries
+      input.addData(docs.take(2))
+      q.processAllAvailable()
+      input.addData(docs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("withSplit on a stream equals q_split_assign on the same rows") {
+    val stream = streamed(StreamingCuration.withSplit)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val batch = CurationQueries.qSplitAssign.fn(spark, batchDir)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
+  test("withRepetitionGate on a stream equals q_repetition_filter on the same rows") {
+    val cols = Seq("doc_id", "n_tok", "n_types", "top_tok_n",
+                   "n_bigrams", "top_bigram_n", "repetitive")
+    val stream = streamed(StreamingCuration.withRepetitionGate)
+      .selectExpr(cols: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    val batch = CurationQueries.qRepetitionFilter.fn(spark, batchDir)
+      .selectExpr(cols: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(stream.toSeq === batch.toSeq)
+    // sanity on the fixture: the spam doc is gated, the pangram is not
+    assert(stream.find(_._1 == 0L).get._7 === 1)
+    assert(stream.find(_._1 == 1L).get._7 === 0)
+  }
+
+  test("sampled on a stream equals stratifiedSample on the same rows") {
+    val rates = Map("en" -> 50)
+    val stream = streamed(StreamingCuration.sampled(_, "lang", rates, 90))
+      .select("doc_id", "h").as[(Long, Long)].collect().sortBy(_._1)
+    val batch = CurationQueries
+      .stratifiedSample(docs.toDF(), "lang", rates, 90)
+      .select("doc_id", "h").as[(Long, Long)].collect().sortBy(_._1)
+    assert(stream.toSeq === batch.toSeq)
+  }
+}
