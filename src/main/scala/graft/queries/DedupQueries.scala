@@ -735,6 +735,67 @@ object DedupQueries {
       |SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id""".stripMargin)
   )
 
+  /**
+   * Train/eval decontamination — the leak check every LLM pipeline runs
+   * before training: near-duplicate pairs (LSH candidates) whose two
+   * documents landed on OPPOSITE sides of the train/eval split boundary.
+   * Exact duplicates can never straddle it (the split keys on normalized
+   * content, [[CurationQueries.qSplitAssign]]), but near-duplicates hash
+   * to independent buckets — these pairs are exactly the eval
+   * contamination a pipeline must remove or re-split. One row per
+   * contaminating pair, oriented (train_id, eval_id, eval_split).
+   *
+   * Scale shape: the split frame is corpus-sized but the candidate set
+   * is the (small) LSH output, so both joins hash on doc_id with the
+   * candidate side broadcast-eligible; nothing new shuffles the corpus.
+   */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, dir) => {
+      val splits = docs(s, dir).select(
+        col("doc_id"),
+        CurationQueries.splitName(
+          CurationQueries.splitBucket(col("text"))).as("split"))
+      val cand = candidatePairs(shingled(s, dir))
+      val a = splits.select(col("doc_id").as("sa_id"), col("split").as("a_split"))
+      val b = splits.select(col("doc_id").as("sb_id"), col("split").as("b_split"))
+      cand.join(a, col("a_id") === col("sa_id"))
+        .join(b, col("b_id") === col("sb_id"))
+        // exactly one side in train: train↔val and train↔test pairs leak;
+        // val↔test pairs don't touch training data
+        .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+        .select(
+          when(col("a_split") === "train", col("a_id"))
+            .otherwise(col("b_id")).as("train_id"),
+          when(col("a_split") === "train", col("b_id"))
+            .otherwise(col("a_id")).as("eval_id"),
+          when(col("a_split") === "train", col("b_split"))
+            .otherwise(col("a_split")).as("eval_split"))
+    },
+    Some(s"""$candidateCte,
+      |sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |               ${hex32(
+                         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
+      |                 % 10 AS b
+      |        FROM documents)
+      |),
+      |j AS (
+      |  SELECT c.a_id, c.b_id, sa.split AS a_split, sb.split AS b_split
+      |  FROM cand c
+      |  JOIN sp sa ON sa.doc_id = c.a_id
+      |  JOIN sp sb ON sb.doc_id = c.b_id
+      |  WHERE (sa.split = 'train') <> (sb.split = 'train')
+      |)
+      |SELECT CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id,
+      |       CASE WHEN a_split = 'train' THEN b_id ELSE a_id END AS eval_id,
+      |       CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS eval_split
+      |FROM j""".stripMargin)
+  )
+
   /** Winnowing-style document fingerprints: shingle stream partitioned by
     * position mod 4; fingerprint = min shingle hash per partition. Four
     * 128-bit fingerprints per doc — the compact sketch a plagiarism/overlap
@@ -812,6 +873,7 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDedupClusters, qDedupedCorpus, qDocFingerprint, qDedupEmbed
+    qDedupClusters, qDedupedCorpus, qDecontaminate, qDocFingerprint,
+    qDedupEmbed
   )
 }

@@ -236,6 +236,27 @@ class DedupQueriesSpec extends SparkSpec {
     try body finally spark.conf.set(key, old)
   }
 
+  test("q_decontaminate: exactly the candidate pairs straddling the train boundary, oriented") {
+    val cands = q("q_dedup_minhash").as[(Long, Long)].collect().toSet
+    val splits = SparkEntry.queries("q_split_assign")(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = cands.flatMap { case (a, b) =>
+      (splits(a) == "train", splits(b) == "train") match {
+        case (true, false) => Some((a, b, splits(b)))
+        case (false, true) => Some((b, a, splits(a)))
+        case _ => None // both train, or neither: not a leak
+      }
+    }
+    val rows = q("q_decontaminate")
+      .select("train_id", "eval_id", "eval_split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows === expected)
+    rows.foreach { case (t, e, _) =>
+      assert(splits(t) === "train")
+      assert(splits(e) !== "train")
+    }
+  }
+
   test("components: driver union-find and both loop regimes produce identical labels") {
     // chain 1-2-3-5 plus separate pair 10-11: transitivity across regimes
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L)).toDF("a_id", "b_id")
