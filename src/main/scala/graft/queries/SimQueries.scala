@@ -172,6 +172,60 @@ object SimQueries {
   private[queries] def quantizedFrame(s: SparkSession, dir: String): DataFrame =
     quantized(s, dir)
 
+  /**
+   * Materialize the trained-IVF index as a physical layout: every vector
+   * written under its cell's partition directory
+   * (`<outDir>/cells/cell=<c_id>/`), trained centroids alongside
+   * (`<outDir>/centroids`). At 100 TB this IS the ANN index — the cell
+   * assignment becomes the on-disk bucketing, so a probe touches only
+   * its `nprobe` cells' files via partition pruning at the scan
+   * (plan-asserted in `SimIvfSpec`), and query cost scales with cell
+   * size regardless of corpus size.
+   */
+  def writeIvfLayout(s: SparkSession, dir: String, outDir: String): Unit = {
+    val e = quantized(s, dir)
+    val cents = ivfTrain(e).localCheckpoint() // feeds assign AND the write
+    val cells = ivfAssign(e, cents).filter(col("crn") === 1)
+      .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
+    e.join(cells, col("vec_id") === col("cell_vid"))
+      .select(col("vec_id"), col("label"), col("q"), col("cell"))
+      // cluster rows by the partition column before the partitioned
+      // write — same rationale as LayoutQueries.eventsByDay
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /**
+   * Top-k ANN over a materialized IVF layout for one external query
+   * vector (already quantized). Cell choice runs on the DRIVER over the
+   * stored centroid table — k centroids are a broadcast-scale frame by
+   * construction, so this is the same data movement a broadcast would
+   * ship, with zero jobs — and the cell scan carries a `cell IN (...)`
+   * filter that prunes to the probed partitions. Ranking is a
+   * TakeOrderedAndProject (never a global sort).
+   */
+  def probeIvfLayout(s: SparkSession, layoutDir: String, queryVec: Seq[Long],
+                     topK: Int = TopK, nProbe: Int = NProbe,
+                     excludeVecId: Option[Long] = None): DataFrame = {
+    val probeCells = s.read.parquet(s"$layoutDir/centroids").collect()
+      .map { r =>
+        val cq = r.getAs[scala.collection.Seq[Long]]("cq")
+        val dot = cq.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
+        val key = dot.toDouble / math.sqrt(r.getAs[Long]("cn").toDouble)
+        (key, r.getAs[Long]("c_id"))
+      }
+      .sortBy { case (key, cid) => (-key, cid) }
+      .take(nProbe).map(_._2)
+    s.read.parquet(s"$layoutDir/cells")
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(excludeVecId.map(id => col("vec_id") =!= id).getOrElse(lit(true)))
+      .withColumn("dot", VectorOps.intDot(col("q"), typedLit(queryVec)))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(topK)
+      .select("vec_id", "dot")
+  }
+
   /** IVF-style ANN with a TRAINED coarse quantizer: stride-sampled seed
     * centroids, one relational Lloyd iteration (every vector assigned to
     * its nearest seed, each cell's new centroid = per-dimension

@@ -88,6 +88,30 @@ class SimIvfSpec extends SparkSpec {
     assert(cents.toSeq === Seq((0L, Seq(-751L, 333L))))
   }
 
+  test("IVF layout: probe prunes to nprobe cell partitions and matches the in-memory ranking") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-ivf-layout").toString
+    SimQueries.writeIvfLayout(spark, dir3, out)
+    val qv = SimQueries.quantizedFrame(spark, dir3)
+      .filter(col("vec_id") === 100L).select("q").as[Seq[Long]].head()
+    val probe = SimQueries.probeIvfLayout(spark, out, qv,
+                                          excludeVecId = Some(100L))
+    val got = probe.as[(Long, Long)].collect()
+    val mem = SimQueries.qSimSearchIvf.fn(spark, dir3)
+      .filter(col("q_id") === 100L).orderBy("rnk")
+      .select("vec_id", "dot").as[(Long, Long)].collect()
+    assert(got.toSeq === mem.toSeq) // layout probe ≡ in-memory IVF query
+    // the cells scan must read exactly the 2 probed partitions of 3
+    val scans = graft.PlanAudit.flatten(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.metadata("Location").contains("cells") => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+           s"expected 2 probed cells, got ${scans.head.selectedPartitions.partitionCount}")
+    assert(spark.read.parquet(s"$out/cells").select("cell").distinct().count() === 3)
+  }
+
   test("q_sim_search_ivf vs brute force: dots exact, recall@10 >= 0.9 on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val brute = SimQueries.qSimSearch.fn(spark, sf)
