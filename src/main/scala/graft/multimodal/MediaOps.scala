@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,19 +15,29 @@ import org.apache.spark.sql.functions._
 final case class MediaRecord(media_id: Long, media_type: String,
                              n_bytes: Long, content: Array[Byte])
 
+/** Decoded audio: stream shape plus integer amplitude features. */
+final case class AudioFeatures(sampleRate: Int, nChannels: Int,
+                               nSamples: Long, meanAbsX1000: Long,
+                               histogram: Array[Long])
+
 /** Extracted per-item features (from the batched decode pass).
   *
-  * For decoded images (`decoded = true`): `width`/`height`/`n_channels`
-  * from the decoded raster, `histogram` = 16-bin luminance histogram over
-  * the pixels, `mean_luma_x1000` = FLOOR(mean luma · 1000) (integer so
-  * downstream comparisons are exact). For undecodable content
-  * (`decoded = false`): width/height/channels are −1 and `histogram` is
-  * the 16-bin raw-byte histogram — the pre-decode profile a pipeline
-  * still wants for triage. */
+  * `kind` says which decoder accepted the payload:
+  *  - `"image"`: `width`/`height`/`n_channels` from the decoded raster,
+  *    `histogram` = 16-bin luminance histogram over the pixels,
+  *    `mean_level_x1000` = FLOOR(mean luma · 1000);
+  *  - `"audio"`: `sample_rate`/`n_samples`/`n_channels` from the decoded
+  *    stream, `histogram` = 16-bin |amplitude| histogram,
+  *    `mean_level_x1000` = FLOOR(mean |amplitude| / full-scale · 1000);
+  *  - `"raw"`: no installed decoder accepted the bytes — `histogram` is
+  *    the 16-bin raw-byte histogram, the pre-decode triage profile.
+  * Fields not applicable to a kind are −1. All features are integers so
+  * downstream comparisons are exact. */
 final case class MediaFeatures(media_id: Long, media_type: String,
-                               n_bytes: Long, decoded: Boolean,
+                               n_bytes: Long, kind: String,
                                width: Int, height: Int, n_channels: Int,
-                               mean_luma_x1000: Long,
+                               sample_rate: Int, n_samples: Long,
+                               mean_level_x1000: Long,
                                histogram: Array[Long], n_frames_sampled: Int)
 
 /**
@@ -37,13 +48,15 @@ final case class MediaFeatures(media_id: Long, media_type: String,
  * `mapPartitions` (the deliberate per-partition imperative exception: a
  * codec call is genuinely not a Catalyst expression).
  *
- * The image decode is REAL: `javax.imageio.ImageIO` ships with every JVM
- * and reads PNG/JPEG/BMP/GIF/WBMP with zero external dependencies — no
- * stub. Bytes that no installed reader accepts (audio/video payloads,
- * corrupt images, or the text-as-bytes fixtures) fall through to the
- * raw-byte feature path with `decoded = false`, and the decode outcome is
- * accounted via `observe` (the same drop-accounting contract the TSV
- * parser metrics established, [[graft.ingest.HitParser]]).
+ * The decodes are REAL, zero-external-dependency JDK codecs:
+ * `javax.imageio.ImageIO` reads PNG/JPEG/BMP/GIF/WBMP and
+ * `javax.sound.sampled.AudioSystem` reads WAV/AIFF/AU PCM — no stubs.
+ * Bytes no installed reader accepts (video payloads — the JDK ships no
+ * video codec — corrupt media, or the text-as-bytes fixtures) fall
+ * through to the raw-byte feature path with `kind = "raw"`, and the
+ * decode outcome is accounted via `observe` (the same drop-accounting
+ * contract the TSV parser metrics established,
+ * [[graft.ingest.HitParser]]).
  */
 object MediaOps {
 
@@ -109,9 +122,47 @@ object MediaOps {
     out
   }
 
+  /** Real audio decode via the JDK's sampled-sound API (WAV/AIFF/AU):
+    * 16-bit signed PCM streams yield sample counts and integer amplitude
+    * features — 16-bin |amplitude| histogram (bins of 2048 full-scale
+    * units) and FLOOR(mean |amplitude| / 32768 · 1000). Non-PCM or
+    * unsupported-depth encodings return None (a production deployment
+    * registers SPI codecs and this path widens). */
+  def decodeAudio(content: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val hist = new Array[Long](16)
+          var sumAbs = 0L
+          var n = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val lo = bytes(i) & 0xff
+            val hi = bytes(i + 1) & 0xff
+            val s = (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+            val a = math.abs(s.toInt)
+            hist(math.min(a >> 11, 15)) += 1
+            sumAbs += a
+            n += 1
+            i += 2
+          }
+          Some(AudioFeatures(f.getSampleRate.toInt, f.getChannels,
+                             n / math.max(f.getChannels, 1),
+                             if (n == 0) 0L else sumAbs * 1000L / (n * 32768L),
+                             hist))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** 16-bin raw-byte histogram — the pre-decode triage features for
-    * payloads no installed codec reads (audio/video here; a production
-    * deployment registers its codecs and this path shrinks). */
+    * payloads no installed codec reads (video here — the JDK has no
+    * video codec; a production deployment registers its codecs and this
+    * path shrinks). */
   def byteHistogram(content: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
@@ -127,21 +178,28 @@ object MediaOps {
   def frameSample(content: Array[Byte], stride: Int): Array[Byte] =
     content.indices.collect { case i if i % stride == 0 => content(i) }.toArray
 
-  /** Features for one media item: real ImageIO decode first, raw-byte
-    * fallback when no reader accepts the payload. */
+  /** Features for one media item: real ImageIO decode first, then the
+    * JDK audio decode, raw-byte fallback when no reader accepts the
+    * payload. */
   def features(m: MediaRecord, frameStride: Int): MediaFeatures =
     decodeImage(m.content) match {
       case Some(img) =>
         val (hist, meanLuma) = imageFeatures(img)
-        MediaFeatures(m.media_id, m.media_type, m.n_bytes, decoded = true,
+        MediaFeatures(m.media_id, m.media_type, m.n_bytes, kind = "image",
                       img.getWidth, img.getHeight,
                       img.getColorModel.getNumComponents,
-                      meanLuma, hist,
-                      n_frames_sampled = 0)
-      case None =>
-        val frames = frameSample(m.content, frameStride)
-        MediaFeatures(m.media_id, m.media_type, m.n_bytes, decoded = false,
-                      -1, -1, -1, -1L, byteHistogram(m.content), frames.length)
+                      -1, -1L, meanLuma, hist, n_frames_sampled = 0)
+      case None => decodeAudio(m.content) match {
+        case Some(a) =>
+          MediaFeatures(m.media_id, m.media_type, m.n_bytes, kind = "audio",
+                        -1, -1, a.nChannels, a.sampleRate, a.nSamples,
+                        a.meanAbsX1000, a.histogram, n_frames_sampled = 0)
+        case None =>
+          val frames = frameSample(m.content, frameStride)
+          MediaFeatures(m.media_id, m.media_type, m.n_bytes, kind = "raw",
+                        -1, -1, -1, -1, -1L, -1L,
+                        byteHistogram(m.content), frames.length)
+      }
     }
 
   /**
@@ -160,7 +218,7 @@ object MediaOps {
         batch.map(features(_, frameStride))
       }
     }.observe("graft_media_decode",
-              sum(when(col("decoded"), 1L).otherwise(0L)).as("decoded_rows"),
-              sum(when(col("decoded"), 0L).otherwise(1L)).as("fallback_rows"))
+              sum(when(col("kind") =!= "raw", 1L).otherwise(0L)).as("decoded_rows"),
+              sum(when(col("kind") === "raw", 1L).otherwise(0L)).as("fallback_rows"))
   }
 }

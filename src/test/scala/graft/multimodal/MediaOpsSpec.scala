@@ -1,9 +1,10 @@
 package graft.multimodal
 
 import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import graft.SparkSpec
 
@@ -64,6 +65,39 @@ class MediaOpsSpec extends SparkSpec {
     decoded.get
   }
 
+  /** Encode 16-bit mono PCM samples as real WAV bytes via the JDK. */
+  private def wavBytes(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // signed, little-endian
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: real WAV decode — sample count, rate, and exact amplitude features") {
+    // four samples with known |amplitude|s: 0, 2048, -2048, 16384
+    val wav = wavBytes(Array[Short](0, 2048, -2048, 16384))
+    val a = MediaOps.decodeAudio(wav).get
+    assert(a.sampleRate === 8000 && a.nChannels === 1 && a.nSamples === 4L)
+    // bins of 2048: |0| → bin 0; |±2048| → bin 1; |16384| → bin 8
+    assert(a.histogram(0) === 1L && a.histogram(1) === 2L && a.histogram(8) === 1L)
+    assert(a.histogram.sum === 4L)
+    // mean |amp| = (0 + 2048 + 2048 + 16384)/4 = 5120 → 5120*1000/32768 = 156
+    assert(a.meanAbsX1000 === 156L)
+  }
+
+  test("decodeAudio: non-audio bytes return None, never throw") {
+    assert(MediaOps.decodeAudio("just text".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.decodeAudio(encode(testCard(), "png")).isEmpty)
+    assert(MediaOps.decodeAudio(wavBytes(Array[Short](1, 2)).take(10)).isEmpty)
+  }
+
   test("decodeImage: non-image bytes return None, never throw") {
     assert(MediaOps.decodeImage("just text".getBytes("UTF-8")).isEmpty)
     assert(MediaOps.decodeImage(Array.empty[Byte]).isEmpty)
@@ -87,11 +121,13 @@ class MediaOpsSpec extends SparkSpec {
     assert(l > 64 && l < 192, s"expected mid-gray, got channel $l")
   }
 
-  test("extractFeatures: real image rows decode, text rows fall back, observe accounts both") {
+  test("extractFeatures: image and audio rows decode, text rows fall back, observe accounts all") {
     val png = encode(testCard(), "png")
+    val wav = wavBytes(Array[Short](0, 2048, -2048, 16384))
     val media = Seq(
       MediaRecord(10L, "image", png.length.toLong, png),
-      MediaRecord(11L, "audio", 3L, "abc".getBytes("UTF-8"))
+      MediaRecord(11L, "audio", wav.length.toLong, wav),
+      MediaRecord(12L, "video", 3L, "abc".getBytes("UTF-8"))
     ).toDF("media_id", "media_type", "n_bytes", "content")
     // observedMetrics is blind under AQE (see DedupQueriesSpec.withoutAqe)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -99,15 +135,18 @@ class MediaOpsSpec extends SparkSpec {
       val ds = MediaOps.extractFeatures(spark, media)
       val rows = ds.collect().map(f => f.media_id -> f).toMap
       val img = rows(10L)
-      assert(img.decoded && img.width === 3 && img.height === 2)
+      assert(img.kind === "image" && img.width === 3 && img.height === 2)
       assert(img.n_channels === 3)
       assert(img.histogram(15) === 3L && img.histogram(0) === 3L)
-      assert(img.mean_luma_x1000 === 127500L)
-      val txt = rows(11L)
-      assert(!txt.decoded && txt.width === -1)
+      assert(img.mean_level_x1000 === 127500L)
+      val aud = rows(11L)
+      assert(aud.kind === "audio" && aud.sample_rate === 8000 && aud.n_samples === 4L)
+      assert(aud.mean_level_x1000 === 156L)
+      val txt = rows(12L)
+      assert(txt.kind === "raw" && txt.width === -1)
       assert(txt.histogram.sum === 3L) // raw-byte fallback histogram
       val m = ds.queryExecution.observedMetrics("graft_media_decode")
-      assert(m.getAs[Long]("decoded_rows") === 1L)
+      assert(m.getAs[Long]("decoded_rows") === 2L)
       assert(m.getAs[Long]("fallback_rows") === 1L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
@@ -117,14 +156,14 @@ class MediaOpsSpec extends SparkSpec {
     def run(bs: Int) =
       MediaOps.extractFeatures(spark, media, batchSize = bs)
         .collect().sortBy(_.media_id)
-        .map(f => (f.media_id, f.n_bytes, f.decoded, f.histogram.toSeq, f.n_frames_sampled))
+        .map(f => (f.media_id, f.n_bytes, f.kind, f.histogram.toSeq, f.n_frames_sampled))
     val small = run(1)
     val large = run(1000)
     assert(small === large)
     // text bytes never decode: fallback histogram mass equals byte count,
     // frame sample = ceil(n/stride)
-    small.foreach { case (_, nBytes, decoded, hist, nFrames) =>
-      assert(!decoded)
+    small.foreach { case (_, nBytes, kind, hist, nFrames) =>
+      assert(kind === "raw")
       assert(hist.sum === nBytes)
       assert(nFrames === (nBytes + 7) / 8)
     }
