@@ -60,6 +60,14 @@ final case class MediaFeatures(media_id: Long, media_type: String,
  */
 object MediaOps {
 
+  // Payload bytes are already fully in memory: without this, every
+  // ImageIO.read over a ByteArrayInputStream builds a
+  // FileCacheImageInputStream — one tmpdir file created+written+deleted
+  // PER RECORD on the executor hot path, and an unwritable/full tmpdir
+  // would silently degrade every image to kind="raw" via the decode
+  // fallback. JVM-global, idempotent, no effect on decode results.
+  ImageIO.setUseCache(false)
+
   /** Documents as fake media: text bytes as content (deterministic stand-in
     * for real image/audio payloads). */
   def fromDocuments(docs: DataFrame): DataFrame =

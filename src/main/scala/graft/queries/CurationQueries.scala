@@ -136,24 +136,31 @@ object CurationQueries {
    * with a salt different from [[qSplitAssign]]'s — independent of the
    * split assignment. One stateless projection + filter; no shuffle at
    * all. Keeps `df`'s columns plus the hash column `h` (for auditing
-   * which band a row landed in).
+   * which band a row landed in); an input frame already carrying `h` is
+   * refused rather than silently clobbered.
    *
    * @param stratumCol column holding the stratum key (e.g. `lang`)
    * @param rates      keep-percent per stratum value; strata not in the
    *                   map keep `defaultPct`
+   * @param salt       prefix mixed into the hash — distinct salts give
+   *                   independent samples over the same corpus
    * @param hashCol    text column the keep decision hashes (content, not
    *                   id: exact duplicates sample identically)
    */
   def stratifiedSample(df: DataFrame, stratumCol: String,
                        rates: Map[String, Int], defaultPct: Int,
-                       salt: String = "sample:"): DataFrame = {
+                       salt: String = "sample:",
+                       hashCol: String = "text"): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
             "keep rates are percentages in [0, 100]")
+    require(!df.columns.contains("h"),
+            "input already has a column named h (the audit column this " +
+              "call appends) — rename it before sampling")
     val keepPct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
       when(col(stratumCol) === k, pct).otherwise(acc)
     }
     df.withColumn("h", pmod(TextOps.md5Prefix32(
-                              md5(concat(lit(salt), col("text")))), lit(100L)))
+                              md5(concat(lit(salt), col(hashCol)))), lit(100L)))
       .filter(col("h") < keepPct.cast("long"))
   }
 

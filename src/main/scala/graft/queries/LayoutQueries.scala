@@ -64,12 +64,17 @@ object LayoutQueries {
    */
   private[queries] def eventsByDay(s: SparkSession, sfDir: String): DataFrame =
     synchronized {
-      val fs = new Path(sfDir).getFileSystem(s.sparkContext.hadoopConfiguration)
-      val path = new Path(layoutRoot(s, fs, sfDir), "events_by_day")
+      val conf = s.sparkContext.hadoopConfiguration
+      // source and layout may live on DIFFERENT filesystems (local testdata
+      // vs a remote layoutRoot, or vice versa): each path must be resolved
+      // against its OWN FileSystem, or exists/getFileStatus throws Wrong FS
+      val srcFs = new Path(sfDir).getFileSystem(conf)
+      val path = new Path(layoutRoot(s, srcFs, sfDir), "events_by_day")
+      val layoutFs = path.getFileSystem(conf)
       val marker = new Path(path, "_SUCCESS")
-      val srcMtime = newestMtime(fs, new Path(s"$sfDir/events.parquet"))
-      val fresh = fs.exists(marker) &&
-        fs.getFileStatus(marker).getModificationTime >= srcMtime
+      val srcMtime = newestMtime(srcFs, new Path(s"$sfDir/events.parquet"))
+      val fresh = layoutFs.exists(marker) &&
+        layoutFs.getFileStatus(marker).getModificationTime >= srcMtime
       if (!fresh) {
         Tables.events(s, sfDir)
           .withColumn("day", to_date(col("ts_t")))

@@ -52,11 +52,14 @@ object StreamingCuration {
   def withRepetitionGate(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val bgs = TextOps.shingles(toks, 2)
+    // coalesce to 0 on null text: the batch query's left joins + coalesce
+    // emit all-zero signals (repetitive = 0) for a null-text doc, and the
+    // stream must make the identical decision (size(null) is null)
     docs
-      .withColumn("n_tok", size(toks).cast("long"))
-      .withColumn("n_types", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_tok", coalesce(size(toks).cast("long"), lit(0L)))
+      .withColumn("n_types", coalesce(size(array_distinct(toks)).cast("long"), lit(0L)))
       .withColumn("top_tok_n", topCount(toks))
-      .withColumn("n_bigrams", size(bgs).cast("long"))
+      .withColumn("n_bigrams", coalesce(size(bgs).cast("long"), lit(0L)))
       .withColumn("top_bigram_n", topCount(bgs))
       .withColumn(
         "repetitive",

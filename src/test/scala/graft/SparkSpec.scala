@@ -22,4 +22,17 @@ object SparkSpec {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Run `body` with AQE off and restore the PRIOR value after:
+    * `qe.observedMetrics` cannot see a CollectMetrics node inside an
+    * AdaptiveSparkPlanExec wrapper (its plan isn't part of the
+    * `collect`-visible tree in Spark 4.1.2), so metric ASSERTIONS read a
+    * non-adaptive plan. The session is suite-shared — save/restore, never
+    * hard-code the restored value. */
+  protected def withoutAqe[A](body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
 }

@@ -129,9 +129,8 @@ class MediaOpsSpec extends SparkSpec {
       MediaRecord(11L, "audio", wav.length.toLong, wav),
       MediaRecord(12L, "video", 3L, "abc".getBytes("UTF-8"))
     ).toDF("media_id", "media_type", "n_bytes", "content")
-    // observedMetrics is blind under AQE (see DedupQueriesSpec.withoutAqe)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // observedMetrics is blind under AQE (see SparkSpec.withoutAqe)
+    withoutAqe {
       val ds = MediaOps.extractFeatures(spark, media)
       val rows = ds.collect().map(f => f.media_id -> f).toMap
       val img = rows(10L)
@@ -148,7 +147,7 @@ class MediaOpsSpec extends SparkSpec {
       val m = ds.queryExecution.observedMetrics("graft_media_decode")
       assert(m.getAs[Long]("decoded_rows") === 2L)
       assert(m.getAs[Long]("fallback_rows") === 1L)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("extractFeatures: batch size never changes results (mapInPandas batch-shape contract)") {

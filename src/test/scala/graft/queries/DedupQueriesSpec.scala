@@ -223,18 +223,9 @@ class DedupQueriesSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L, 0L)))
   }
 
-  /** Run `body` with AQE off and restore after: `qe.observedMetrics`
-    * cannot see a CollectMetrics node inside an AdaptiveSparkPlanExec
-    * wrapper (its plan isn't part of the `collect`-visible tree in Spark
-    * 4.1.2), so metric ASSERTIONS read a non-adaptive plan. The guard
-    * itself is plan-shape-independent — the AQE-on path is exercised by
-    * every other test in this suite. */
-  private def withoutAqe[A](body: => A): A = {
-    val key = "spark.sql.adaptive.enabled"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, old)
-  }
+  // observedMetrics assertions run under SparkSpec.withoutAqe; the
+  // skew guard itself is plan-shape-independent — the AQE-on path is
+  // exercised by every other test in this suite.
 
   test("q_decontaminate: exactly the candidate pairs straddling the train boundary, oriented") {
     val cands = q("q_dedup_minhash").as[(Long, Long)].collect().toSet

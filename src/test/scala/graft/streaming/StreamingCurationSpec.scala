@@ -23,7 +23,10 @@ class StreamingCurationSpec extends SparkSpec {
     CurDoc(0L, "spam spam spam spam spam spam", "en", "s", 29L),
     CurDoc(1L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
     CurDoc(2L, "hello", "fr", "s", 5L),
-    CurDoc(3L, "  The QUICK brown fox jumps over a lazy dog ", "de", "s", 44L)
+    CurDoc(3L, "  The QUICK brown fox jumps over a lazy dog ", "de", "s", 44L),
+    // null text: the drift hazard — batch coalesces signals to 0 via its
+    // left joins; the stream must make the identical decision
+    CurDoc(4L, null, "en", "s", 0L)
   )
 
   private lazy val batchDir: String = {
@@ -51,12 +54,15 @@ class StreamingCurationSpec extends SparkSpec {
   }
 
   test("withSplit on a stream equals q_split_assign on the same rows") {
+    // bucket read as Option: the null-text row has a null bucket (and
+    // falls to the 'test' split) — identically in both faces
     val stream = streamed(StreamingCuration.withSplit)
       .select("doc_id", "bucket", "split")
-      .as[(Long, Long, String)].collect().sortBy(_._1)
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1)
     val batch = CurationQueries.qSplitAssign.fn(spark, batchDir)
-      .as[(Long, Long, String)].collect().sortBy(_._1)
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1)
     assert(stream.toSeq === batch.toSeq)
+    assert(stream.length === docs.length)
   }
 
   test("withRepetitionGate on a stream equals q_repetition_filter on the same rows") {
@@ -69,9 +75,11 @@ class StreamingCurationSpec extends SparkSpec {
       .selectExpr(cols: _*)
       .as[(Long, Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
     assert(stream.toSeq === batch.toSeq)
-    // sanity on the fixture: the spam doc is gated, the pangram is not
+    // sanity on the fixture: the spam doc is gated, the pangram is not,
+    // and the null-text doc scores all-zero signals with repetitive = 0
     assert(stream.find(_._1 == 0L).get._7 === 1)
     assert(stream.find(_._1 == 1L).get._7 === 0)
+    assert(stream.find(_._1 == 4L).get === ((4L, 0L, 0L, 0L, 0L, 0L, 0)))
   }
 
   test("sampled on a stream equals stratifiedSample on the same rows") {
