@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.queries.DedupQueries
+
+/**
+ * Connected components over an undirected pair list, as a standalone
+ * library operator: one `(id, lbl)` row per node that has an edge, with
+ * `lbl` = the smallest id reachable through the edges. Nodes with no
+ * edges simply don't appear — callers left-join and coalesce to self,
+ * exactly as `q_dedup_clusters` does.
+ *
+ * Execution picks a regime by measured edge volume (see
+ * [[graft.queries.DedupQueries.qDedupClusters]] for the full mechanics
+ * and measurements): path-compressed union-find on the driver while the
+ * pair list is within the broadcast budget — the same bytes one
+ * broadcast would ship to every executor, resolved with zero shuffle
+ * rounds — then iterative min-label propagation (broadcast fused-hop
+ * joins to an executor-memory budget, shuffle joins with per-hop
+ * aggregation beyond), every round `localCheckpoint`ed with a monotone
+ * label-sum convergence checksum.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param pairs  frame with two numeric columns naming an undirected
+   *               edge per row
+   * @param aCol   first endpoint column name
+   * @param bCol   second endpoint column name
+   */
+  def labels(pairs: DataFrame, aCol: String = "a_id",
+             bCol: String = "b_id"): DataFrame =
+    DedupQueries.components(
+      pairs.select(col(aCol).as("a_id"), col(bCol).as("b_id")))
+}

@@ -519,7 +519,7 @@ object DedupQueries {
     * in its component. See [[qDedupClusters]] for the full mechanics and
     * the three execution regimes. Limits are parameters so tests can
     * force each regime on one fixture. */
-  private[queries] def components(
+  private[graft] def components(
       pairs: DataFrame,
       driverEdgeLimit: Long = DriverEdgeLimit,
       broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {

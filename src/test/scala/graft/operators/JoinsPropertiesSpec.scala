@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests: the scalable formulations must equal brute-force
+  * references on random data — ties, shared timestamps, empty keys,
+  * multi-bin intervals and all. Deterministic seeds (fixed scalacheck
+  * Seed per iteration) so failures replay. */
+class JoinsPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyGen = Gen.oneOf("A", "B", "C")
+
+  test("property: asOfJoin ≡ brute-force latest-at-or-before on random trades/quotes") {
+    val gen = for {
+      nT <- Gen.choose(1, 25)
+      nQ <- Gen.choose(0, 25)
+      trades <- Gen.listOfN(nT, for {
+        k <- keyGen; t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      quotes <- Gen.listOfN(nQ, for {
+        k <- keyGen; t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+    } yield (trades.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             quotes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    for (seed <- 1L to 5L) {
+      val (trades, quotes) = gen(Gen.Parameters.default, Seed(seed)).get
+      val got = Joins.asOfJoin(
+        trades.toDF("trade_id", "sym", "t"),
+        quotes.toDF("q_id", "sym", "qt").select("sym", "q_id", "qt"),
+        Seq("sym"), "t", "qt", Seq("q_id", "qt"))
+        .select("trade_id", "q_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      // reference: per trade, the latest at-or-before quote of the same
+      // key; ties on time broken by the payload-lexicographic rule
+      // (payload = (q_id, qt), so larger q_id wins)
+      val ref = trades.map { case (tid, k, t) =>
+        val eligible = quotes.filter { case (_, qk, qt) => qk == k && qt <= t }
+        tid -> (if (eligible.isEmpty) None
+                else Some(eligible.maxBy { case (qid, _, qt) => (qt, qid) }._1))
+      }.toMap
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
+  test("property: rangeJoinBinned ≡ brute-force (lo, hi] containment on random data") {
+    val gen = for {
+      nI <- Gen.choose(1, 20)
+      nP <- Gen.choose(0, 20)
+      ivs <- Gen.listOfN(nI, for {
+        k <- keyGen; lo <- Gen.choose(-20L, 40L); len <- Gen.choose(-5L, 30L)
+      } yield (k, lo, lo + len)) // len < 0 → inverted interval
+      pts <- Gen.listOfN(nP, for {
+        k <- keyGen; p <- Gen.choose(-20L, 60L)
+      } yield (k, p))
+    } yield (ivs.zipWithIndex.map { case ((k, lo, hi), i) => (i.toLong, k, lo, hi) },
+             pts)
+    for (seed <- 1L to 5L) {
+      val (ivs, pts) = gen(Gen.Parameters.default, Seed(seed)).get
+      val got = Joins.rangeJoinBinned(
+        ivs.toDF("iv_id", "k", "lo", "hi"), pts.toDF("k", "p"),
+        Seq("k"), "lo", "hi", "p", binWidth = 7L, inRangeCol = "ok")
+        .groupBy("iv_id")
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val ref = ivs.map { case (id, k, lo, hi) =>
+        id -> pts.count { case (pk, p) => pk == k && p > lo && p <= hi }.toLong
+      }.toMap
+      // LEFT contract: every interval id appears, inverted ones at 0
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
+  test("ConnectedComponents.labels: public operator matches a driver reference on random graphs") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    for (seed <- 1L to 5L) {
+      val edges = gen(Gen.Parameters.default, Seed(seed)).get
+      val got = ConnectedComponents.labels(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // reference: fixpoint min-label propagation on the driver
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var lbl = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m || lbl(b) != m) {
+            lbl += a -> m; lbl += b -> m; changed = true
+          }
+        }
+      }
+      assert(got === lbl, s"seed=$seed")
+    }
+  }
+}
