@@ -231,10 +231,9 @@ object CurationQueries {
    * normalized-content edges ∪ MinHash near-dup candidate pairs →
    * connected components → one canonical doc per cluster), then the
    * repetition quality gate, then the deterministic split assignment.
-   * Returns the surviving documents with their `split` column. Not an
-   * oracle query (every stage is already behind
-   * its own oracle row — re-running the composition in the gate would
-   * double-charge the bench for proven plans); contract-tested in
+   * Returns the surviving documents with their `split` column.
+   * Driver-gated end-to-end via [[qCuratedCorpus]] (the stages are also
+   * individually behind their own oracle rows) and contract-tested in
    * `CurationQueriesSpec`.
    *
    * @param verify Jaccard-verify LSH candidate pairs before clustering
@@ -251,6 +250,57 @@ object CurationQueries {
       .join(splits, Seq("doc_id"))
   }
 
+  /**
+   * [[curatedCorpus]] behind the driver's correctness gate — the
+   * end-to-end pipeline a user actually invokes, checked as ONE row
+   * rather than only stage-by-stage. The oracle composes the proven
+   * pieces the same way the Scala does:
+   * [[DedupQueries.dedupedKeptCte]]'s recursive-CTE dedup fixpoint
+   * (exact ∪ LSH edges → components → canonical survivors), minus the
+   * [[qRepetitionFilter]] gate (its CTEs inlined under `r*` names; the
+   * `d` tokens CTE is shared with the shingle pipeline — same
+   * definition, stated once), joined to the [[qSplitAssign]] split
+   * expression. Output: (doc_id, split) of every surviving document.
+   */
+  val qCuratedCorpus = Q(
+    "q_curated_corpus",
+    (s, dir) => curatedCorpus(s, dir).select(col("doc_id"), col("split")),
+    Some(s"""${DedupQueries.dedupedKeptCte},
+      |ru AS (SELECT doc_id, tok, COUNT(*) AS c
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+      |rua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |               COUNT(*) AS n_types
+      |        FROM ru GROUP BY doc_id),
+      |rb AS (SELECT doc_id, bg, COUNT(*) AS c
+      |       FROM (SELECT doc_id,
+      |                    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |             FROM d) GROUP BY 1, 2),
+      |rba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |               CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      |        FROM rb GROUP BY doc_id),
+      |rep AS (
+      |  SELECT d.doc_id FROM d
+      |  LEFT JOIN rua ON rua.doc_id = d.doc_id
+      |  LEFT JOIN rba ON rba.doc_id = d.doc_id
+      |  WHERE COALESCE(rba.top_bigram_n, 0) * 5 > COALESCE(rba.n_bigrams, 0)
+      |     OR COALESCE(rua.n_types, 0) * 4 < COALESCE(rua.n_tok, 0) * 3
+      |),
+      |sp AS (
+      |  SELECT doc_id, CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+      |                      ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |               ${DedupQueries.hex32(
+                         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
+      |                 % 10 AS b
+      |        FROM documents)
+      |)
+      |SELECT k.doc_id, sp.split
+      |FROM kept k
+      |JOIN sp ON sp.doc_id = k.doc_id
+      |WHERE k.doc_id NOT IN (SELECT doc_id FROM rep)""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
-                        qStratifiedSample, qTokenPacking)
+                        qStratifiedSample, qTokenPacking, qCuratedCorpus)
 }

@@ -706,16 +706,16 @@ object DedupQueries {
     docs(s, dir).join(removed, col("doc_id") === col("id"), "left_anti")
   }
 
-  /** The flagship composition behind the driver's correctness gate: the
-    * doc_ids [[dedupedCorpus]] keeps (LSH-candidate mode). The oracle is
-    * [[qDedupClusters]]'s recursive-CTE fixpoint extended with the exact
-    * normalized-content edges, filtered to the canonical (id = min
-    * reachable label) rows — the one-call API users actually run,
-    * driver-checked end-to-end rather than only contract-tested. */
-  val qDedupedCorpus = Q(
-    "q_deduped_corpus",
-    (s, dir) => dedupedCorpus(s, dir).select(col("doc_id")),
-    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+  /** Shared oracle prefix for the dedup COMPOSITIONS: the recursive-CTE
+    * fixpoint of [[qDedupClusters]] extended with the exact
+    * normalized-content edges, ending in `kept` — the canonical
+    * (id = min reachable label) doc_ids [[dedupedCorpus]] keeps.
+    * [[qDedupedCorpus]] reads it directly;
+    * [[CurationQueries.qCuratedCorpus]] layers the quality gate and split
+    * assignment on top, so the two gates can never drift on the dedup
+    * semantics. */
+  private[queries] val dedupedKeptCte: String =
+    s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
       |eh AS (
       |  SELECT doc_id,
       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
@@ -731,8 +731,18 @@ object DedupQueries {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
-      |)
-      |SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id""".stripMargin)
+      |),
+      |kept AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id)""".stripMargin
+
+  /** The flagship composition behind the driver's correctness gate: the
+    * doc_ids [[dedupedCorpus]] keeps (LSH-candidate mode) — the one-call
+    * API users actually run, driver-checked end-to-end rather than only
+    * contract-tested. */
+  val qDedupedCorpus = Q(
+    "q_deduped_corpus",
+    (s, dir) => dedupedCorpus(s, dir).select(col("doc_id")),
+    Some(s"""$dedupedKeptCte
+      |SELECT doc_id FROM kept""".stripMargin)
   )
 
   /**

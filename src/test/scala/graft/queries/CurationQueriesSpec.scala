@@ -84,6 +84,16 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.values.forall(Set("train", "val", "test").contains))
   }
 
+  test("q_curated_corpus: gate row = library composition, oracle present") {
+    val viaQ = CurationQueries.qCuratedCorpus.fn(spark, dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val viaLib = CurationQueries.curatedCorpus(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().sortBy(_._1)
+    assert(viaQ.sameElements(viaLib))
+    assert(viaQ.map(_._1).sameElements(Array(1L, 2L)))
+    assert(CurationQueries.qCuratedCorpus.oracle.nonEmpty)
+  }
+
   test("q_token_packing: contiguous per-source packs under the budget") {
     // fixture docs all share source "s": packs fill in doc_id order
     val rows = CurationQueries.qTokenPacking.fn(spark, dir)
