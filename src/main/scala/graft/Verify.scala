@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+            "usage: Verify <sfDir> <outDir> [onlyQuery1,onlyQuery2,...]")
+    val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,11 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-only subset filter (comma-separated names): lets tools/check.py
-    // re-verify one query in seconds while iterating. The driver never
-    // sets it, so gate runs always dump the full surface.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Dev-only subset filter (optional third CLI arg, comma-separated
+    // names): lets tools/check.py re-verify one query in seconds while
+    // iterating. An explicit argument, not an env var, so a gate
+    // environment can't silently inherit a shrunken surface — the
+    // driver's two-arg invocation always dumps every query.
+    val only = args.lift(2)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/**
+ * Deterministic media-payload synthesis (SURVEY.md §7.4): REAL encoded
+ * PNG / WAV / raw payloads whose DECODED features are closed-form
+ * functions of `doc_id` alone, so a SQL oracle with no codec can replay
+ * the full decode contract ([[MediaOps.extractFeatures]]) arithmetically:
+ *
+ *  - `doc_id % 3 == 0` → solid-gray PNG, level `g = doc_id % 256`,
+ *    `w = 4 + doc_id % 5`, `h = 3 + doc_id % 4`. Gray pixels make the
+ *    BT.601 integer luma exact: `(77g + 150g + 29g) >> 8 = g`, so the
+ *    decoded mean level is `g·1000` and all `w·h` pixels land in
+ *    histogram bin `g >> 4`.
+ *  - `doc_id % 3 == 1` → constant-amplitude 16-bit mono WAV,
+ *    `a = (doc_id·257) % 32768`, `k = 4 + doc_id % 5` samples at 8 kHz:
+ *    mean |amplitude| is `FLOOR(a·1000 / 32768)` and all `k` samples land
+ *    in bin `a >> 11`.
+ *  - otherwise → `n = 1 + doc_id % 7` copies of byte `doc_id % 256`
+ *    (no codec accepts it — the raw-triage path): histogram bin
+ *    `(doc_id % 256) >> 4` with count `n`.
+ *
+ * The ENCODED bytes are not part of the contract (PNG/WAV encoders may
+ * differ byte-wise across JDKs); only the decoded features are, and
+ * PNG/PCM are lossless so those are JDK-independent. Generation runs
+ * partition-wise on executors — at 100 TB the payloads come from object
+ * storage instead, and this generator is the fixture/soak stand-in with
+ * the same row shape.
+ */
+object MediaSynth {
+
+  /** Solid-gray `w`×`h` truecolor PNG at gray level `g` (0..255). */
+  def grayPng(g: Int, w: Int, h: Int): Array[Byte] = {
+    require(g >= 0 && g <= 255 && w > 0 && h > 0, s"bad gray card ($g,$w,$h)")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** `n` samples of constant amplitude `amp` as 16-bit signed mono
+    * little-endian WAV at `rate` Hz. */
+  def toneWav(amp: Int, n: Int, rate: Float = 8000f): Array[Byte] = {
+    require(amp >= 0 && amp <= 32767 && n > 0, s"bad tone ($amp,$n)")
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The payload for one doc_id per the closed-form contract above. */
+  def payloadFor(docId: Long): MediaRecord = (docId % 3) match {
+    case 0 =>
+      val bytes = grayPng((docId % 256).toInt,
+                          (4 + docId % 5).toInt, (3 + docId % 4).toInt)
+      MediaRecord(docId, "image", bytes.length.toLong, bytes)
+    case 1 =>
+      val bytes = toneWav(((docId * 257) % 32768).toInt, (4 + docId % 5).toInt)
+      MediaRecord(docId, "audio", bytes.length.toLong, bytes)
+    case _ =>
+      val bytes = Array.fill((1 + docId % 7).toInt)((docId % 256).toByte)
+      MediaRecord(docId, "video", bytes.length.toLong, bytes)
+  }
+
+  /** One synthetic media row per input doc_id, encoded partition-wise on
+    * executors (the codec boundary, like the decode side). */
+  def syntheticMedia(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(payloadFor))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaOps, MediaSynth}
+import graft.sources.Tables
+
+/**
+ * The REAL-decode face of the multimodal pipeline, behind the driver's
+ * oracle gate. `q_multimodal_meta` gates the pre-decode metadata
+ * projection; this query gates the decode itself: per-document payloads
+ * are synthesized as real PNG/WAV/raw bytes ([[graft.multimodal.MediaSynth]]),
+ * pushed through the batched JDK decode pass
+ * ([[graft.multimodal.MediaOps.extractFeatures]] — ImageIO + sampled-audio,
+ * the `observe`-accounted codec boundary), and the DECODED integer
+ * features are compared against a DuckDB oracle that replays the
+ * closed-form feature contract arithmetically, with no codec.
+ *
+ * A regression that silently degraded image or audio decodes to the
+ * `kind = "raw"` fallback now hash-mismatches this row (two thirds of
+ * the fixture decodes for real), closing the gap where the gated surface
+ * only ever exercised the fallback path.
+ *
+ * The 16-bin histogram is single-bin by construction (solid gray /
+ * constant amplitude / constant byte), exported as `(hist_bin,
+ * hist_count)` scalars — full information, and scalar columns keep the
+ * driver's value canonicalization engine-agnostic (list columns stringify
+ * differently across engines).
+ */
+object MediaQueries {
+
+  val qMediaDecode = Q(
+    "q_media_decode",
+    (s, dir) => {
+      val media = MediaSynth.syntheticMedia(
+        s, Tables.read(s, dir, "documents").select("doc_id"))
+      MediaOps.extractFeatures(s, media.toDF()).toDF()
+        .select(
+          col("media_id"), col("media_type"), col("kind"),
+          col("width"), col("height"), col("n_channels"),
+          col("sample_rate"), col("n_samples"), col("mean_level_x1000"),
+          // single-bin histogram ⇒ the max bin IS the populated bin
+          (expr("array_position(histogram, array_max(histogram))") - 1)
+            .cast("int").as("hist_bin"),
+          expr("aggregate(histogram, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("hist_count"),
+          col("n_frames_sampled"))
+    },
+    Some("""WITH f AS (
+      |  SELECT doc_id,
+      |         doc_id % 3 AS m,
+      |         doc_id % 256 AS g,
+      |         4 + doc_id % 5 AS w,
+      |         3 + doc_id % 4 AS h,
+      |         (doc_id * 257) % 32768 AS a,
+      |         4 + doc_id % 5 AS k,
+      |         1 + doc_id % 7 AS nb
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id,
+      |       CASE WHEN m = 0 THEN 'image' WHEN m = 1 THEN 'audio'
+      |            ELSE 'video' END AS media_type,
+      |       CASE WHEN m = 0 THEN 'image' WHEN m = 1 THEN 'audio'
+      |            ELSE 'raw' END AS kind,
+      |       CAST(CASE WHEN m = 0 THEN w ELSE -1 END AS INTEGER) AS width,
+      |       CAST(CASE WHEN m = 0 THEN h ELSE -1 END AS INTEGER) AS height,
+      |       CAST(CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 1
+      |            ELSE -1 END AS INTEGER) AS n_channels,
+      |       CAST(CASE WHEN m = 1 THEN 8000 ELSE -1 END AS INTEGER) AS sample_rate,
+      |       CAST(CASE WHEN m = 1 THEN k ELSE -1 END AS BIGINT) AS n_samples,
+      |       CAST(CASE WHEN m = 0 THEN g * 1000
+      |                 WHEN m = 1 THEN (a * 1000) // 32768
+      |            ELSE -1 END AS BIGINT) AS mean_level_x1000,
+      |       CAST(CASE WHEN m = 1 THEN a // 2048
+      |            ELSE g // 16 END AS INTEGER) AS hist_bin,
+      |       CAST(CASE WHEN m = 0 THEN w * h WHEN m = 1 THEN k
+      |            ELSE nb END AS BIGINT) AS hist_count,
+      |       CAST(CASE WHEN m = 2 THEN (nb + 7) // 8 ELSE 0 END AS INTEGER)
+      |         AS n_frames_sampled
+      |FROM f""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qMediaDecode)
+}

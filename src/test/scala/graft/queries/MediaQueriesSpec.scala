@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.multimodal.{MediaOps, MediaSynth}
+
+/** Proof that the GATED multimodal surface decodes real payloads — the
+  * fixture rows in `q_media_decode` must take the ImageIO / sampled-audio
+  * paths, not the raw fallback (`q_multimodal_meta`'s known gap). */
+class MediaQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_media_decode: gated rows REALLY decode — observe metric and kinds") {
+    // observedMetrics is blind under AQE (see SparkSpec.withoutAqe)
+    withoutAqe {
+      val df = MediaQueries.qMediaDecode.fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val kinds = rows.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
+      // thirds of the doc_id space: every kind present, image+audio real
+      assert(kinds.getOrElse("image", 0) > 0, s"no image decodes: $kinds")
+      assert(kinds.getOrElse("audio", 0) > 0, s"no audio decodes: $kinds")
+      assert(kinds.getOrElse("raw", 0) > 0, s"no raw fallback rows: $kinds")
+      val m = df.queryExecution.observedMetrics("graft_media_decode")
+      assert(m.getAs[Long]("decoded_rows") ===
+        (kinds("image") + kinds("audio")).toLong)
+      assert(m.getAs[Long]("decoded_rows") > 0L)
+      assert(m.getAs[Long]("fallback_rows") === kinds("raw").toLong)
+    }
+  }
+
+  test("q_media_decode: decoded features match the closed-form contract row-for-row") {
+    val byId = MediaQueries.qMediaDecode.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    byId.foreach { case (id, r) =>
+      id % 3 match {
+        case 0 =>
+          val g = id % 256
+          assert(r.getAs[String]("kind") === "image", s"doc $id")
+          assert(r.getAs[Int]("width") === (4 + id % 5).toInt, s"doc $id")
+          assert(r.getAs[Int]("height") === (3 + id % 4).toInt, s"doc $id")
+          assert(r.getAs[Int]("n_channels") === 3, s"doc $id")
+          assert(r.getAs[Long]("mean_level_x1000") === g * 1000, s"doc $id")
+          assert(r.getAs[Int]("hist_bin") === (g / 16).toInt, s"doc $id")
+          assert(r.getAs[Long]("hist_count") === (4 + id % 5) * (3 + id % 4), s"doc $id")
+        case 1 =>
+          val a = (id * 257) % 32768
+          assert(r.getAs[String]("kind") === "audio", s"doc $id")
+          assert(r.getAs[Int]("sample_rate") === 8000, s"doc $id")
+          assert(r.getAs[Long]("n_samples") === 4 + id % 5, s"doc $id")
+          assert(r.getAs[Long]("mean_level_x1000") === a * 1000 / 32768, s"doc $id")
+          assert(r.getAs[Int]("hist_bin") === (a / 2048).toInt, s"doc $id")
+        case _ =>
+          assert(r.getAs[String]("kind") === "raw", s"doc $id")
+          assert(r.getAs[Long]("hist_count") === 1 + id % 7, s"doc $id")
+          assert(r.getAs[Int]("n_frames_sampled") === 1, s"doc $id")
+      }
+    }
+  }
+
+  test("MediaSynth payloads decode losslessly at contract edge values") {
+    // gray level at a bin boundary and the extremes
+    Seq(0, 15, 16, 255).foreach { g =>
+      val img = MediaOps.decodeImage(MediaSynth.grayPng(g, 4, 3)).get
+      val (hist, mean) = MediaOps.imageFeatures(img)
+      assert(mean === g * 1000L, s"g=$g")
+      assert(hist(g >> 4) === 12L && hist.sum === 12L, s"g=$g")
+    }
+    // amplitude at a bin boundary and near full scale
+    Seq(0, 2047, 2048, 32767).foreach { a =>
+      val af = MediaOps.decodeAudio(MediaSynth.toneWav(a, 5)).get
+      assert(af.nSamples === 5L && af.sampleRate === 8000, s"a=$a")
+      assert(af.meanAbsX1000 === a * 1000L / 32768L, s"a=$a")
+      assert(af.histogram(math.min(a >> 11, 15)) === 5L, s"a=$a")
+    }
+  }
+}

@@ -4,10 +4,11 @@ gate (BASELINE.md t2). NOT part of the shipped library — the Scala code never
 depends on this; it exists so `sbt "runMain graft.Verify"` output can be
 checked against DuckDB before the driver does the same.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [--only q1,q2]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -32,14 +33,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # a partial dump (Verify's subset arg, or stale outDir) must be loud:
+    # unselected queries would otherwise compare against a PRIOR run's
+    # parquet and could silently pass against outdated code
+    dumped = {n for n in oracle if os.path.isdir(f"{out}/{n}")}
+    if dumped < set(oracle):
+        missing = sorted(set(oracle) - dumped)
+        print(f"WARN: outDir holds {len(dumped)}/{len(oracle)} query dumps; "
+              f"absent (will FAIL unless --only skips them): {missing}")
+    names = sorted(oracle if only is None else set(oracle) & only)
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    for name in names:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
