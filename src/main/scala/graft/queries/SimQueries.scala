@@ -119,18 +119,48 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
-  /** Every `CentStride`-th vector seeds an IVF centroid; one relational
-    * Lloyd iteration (assign → per-cell floor-mean → re-assign) trains
-    * the quantizer so cell shapes track the actual data distribution,
-    * not the seed draw. */
+  /** Every `CentStride`-th vector seeds an IVF centroid — but never more
+    * than `MaxCents` of them: the stride grows with the corpus
+    * (`ivfStride`) so the centroid table is BROADCAST-SCALE AT ANY
+    * CORPUS SIZE. Without the cap, k = n/200 grows linearly and the one
+    * n·k assignment pass tends to O(n²/200) — the exact scale-killer the
+    * broadcast claim forbids. One relational Lloyd iteration (assign →
+    * per-cell floor-mean → re-assign) then trains the quantizer so cell
+    * shapes track the actual data distribution, not the seed draw. */
   private val CentStride = 200
+  private[queries] val MaxCents = 256L
   private val NProbe = 2
 
-  /** Stride-sampled seed centroids over a quantized frame. */
-  private[queries] def ivfSeeds(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % CentStride === 0)
+  /** Seed stride for an n-vector corpus: `max(CentStride, ⌈n/MaxCents⌉)`
+    * — at fixture scale the historical every-200th seeding, beyond
+    * `CentStride·MaxCents` vectors a stride that caps the seed count at
+    * `MaxCents`. Cells then grow with the corpus while the centroid
+    * broadcast and the driver's probe-time collect stay O(MaxCents·dim)
+    * — the two-level IVF tradeoff; a deployment sizes `MaxCents` to its
+    * executor memory (or goes hierarchical), the cap's existence is what
+    * makes the claim hold by construction. Exactly replayed by the
+    * oracle: `⌈n/256⌉` of BIGINT n < 2⁵³ is exact in DuckDB's
+    * `CEIL(n/256.0)`. */
+  private[queries] def ivfStride(n: Long): Long =
+    math.max(CentStride.toLong, (n + MaxCents - 1) / MaxCents)
+
+  /** Stride-sampled seed centroids over a quantized frame, HARD-capped at
+    * `MaxCents`: the stride bounds the expected seed count for a
+    * contiguous id space, and the rank cut (`c_id` ascending) makes the
+    * bound unconditional — a sparse or stride-aligned id space cannot
+    * blow the broadcast either. The rank window runs over seed
+    * CANDIDATES only (~MaxCents rows), never the corpus; the count job
+    * is one metadata-cheap pass. */
+  private[queries] def ivfSeeds(e: DataFrame): DataFrame = {
+    val stride = ivfStride(e.count())
+    val wSeed = Window.orderBy(col("c_id").asc)
+    e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("q").as("cq"),
               VectorOps.intNormSq(col("q")).as("cn"))
+      .withColumn("__srn", row_number().over(wSeed))
+      .filter(col("__srn") <= MaxCents)
+      .drop("__srn")
+  }
 
   /** Nearest-`NProbe` centroid cells per vector (cosine rank, c_id
     * tiebreak) — the one n·k broadcast pass, reused for Lloyd assignment
@@ -172,114 +202,25 @@ object SimQueries {
   private[queries] def quantizedFrame(s: SparkSession, dir: String): DataFrame =
     quantized(s, dir)
 
-  /**
-   * Materialize the trained-IVF index as a physical layout: every vector
-   * written under its cell's partition directory
-   * (`<outDir>/cells/cell=<c_id>/`), trained centroids alongside
-   * (`<outDir>/centroids`). At 100 TB this IS the ANN index — the cell
-   * assignment becomes the on-disk bucketing, so a probe touches only
-   * its `nprobe` cells' files via partition pruning at the scan
-   * (plan-asserted in `SimIvfSpec`), and query cost scales with cell
-   * size regardless of corpus size.
-   */
-  def writeIvfLayout(s: SparkSession, dir: String, outDir: String): Unit = {
-    val e = quantized(s, dir)
-    val cents = ivfTrain(e).localCheckpoint() // feeds assign AND the write
-    val cells = ivfAssign(e, cents).filter(col("crn") === 1)
-      .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
-    e.join(cells, col("vec_id") === col("cell_vid"))
-      .select(col("vec_id"), col("label"), col("q"), col("cell"))
-      // cluster rows by the partition column before the partitioned
-      // write — same rationale as LayoutQueries.eventsByDay
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
-    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
-  }
-
-  /**
-   * Top-k ANN over a materialized IVF layout for one external query
-   * vector (already quantized). Cell choice runs on the DRIVER over the
-   * stored centroid table — k centroids are a broadcast-scale frame by
-   * construction, so this is the same data movement a broadcast would
-   * ship, with zero jobs — and the cell scan carries a `cell IN (...)`
-   * filter that prunes to the probed partitions. Ranking is a
-   * TakeOrderedAndProject (never a global sort).
-   */
-  def probeIvfLayout(s: SparkSession, layoutDir: String, queryVec: Seq[Long],
-                     topK: Int = TopK, nProbe: Int = NProbe,
-                     excludeVecId: Option[Long] = None): DataFrame = {
-    val probeCells = s.read.parquet(s"$layoutDir/centroids").collect()
-      .map { r =>
-        val cq = r.getAs[scala.collection.Seq[Long]]("cq")
-        val dot = cq.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
-        val key = dot.toDouble / math.sqrt(r.getAs[Long]("cn").toDouble)
-        (key, r.getAs[Long]("c_id"))
-      }
-      .sortBy { case (key, cid) => (-key, cid) }
-      .take(nProbe).map(_._2)
-    s.read.parquet(s"$layoutDir/cells")
-      .filter(col("cell").isin(probeCells: _*))
-      .filter(excludeVecId.map(id => col("vec_id") =!= id).getOrElse(lit(true)))
-      .withColumn("dot", VectorOps.intDot(col("q"), typedLit(queryVec)))
-      .orderBy(col("dot").desc, col("vec_id").asc)
-      .limit(topK)
-      .select("vec_id", "dot")
-  }
-
-  /** IVF-style ANN with a TRAINED coarse quantizer: stride-sampled seed
-    * centroids, one relational Lloyd iteration (every vector assigned to
-    * its nearest seed, each cell's new centroid = per-dimension
-    * floor-mean of its members — all integer/exact-double arithmetic, so
-    * the oracle replays it bit-for-bit), then the standard IVF shape
-    * over the trained centroids: every vector assigned to its nearest
-    * trained cell, queries probe their `NProbe` nearest cells, and exact
-    * integer-dot ranking runs inside the probed cells only. THE scale
-    * path beyond `q_sim_search_lsh`: cell count grows with the corpus
-    * (k ≈ n/stride), probe cost stays ~NProbe·n/k per query regardless
-    * of corpus size, and the cell assignment is exactly what a
-    * partitioned ANN layout would be bucketed by on disk. Each Lloyd
-    * pass is one n·k broadcast pass + a (cell, dim)-keyed mean — more
-    * iterations are the same plan repeated; one already moves centroids
-    * from the seed draw to cluster mass.
-    *
-    * Cell choice ranks by true cosine (dot/√centroid-norm; the vector's
-    * own norm cancels within a fixed vec_id partition). The key is an
-    * IEEE double — int-exact inputs, one correctly-rounded sqrt and one
-    * divide — so DuckDB replays the ordering bit-for-bit; c_id breaks
-    * ties. Degenerate trained centroids (all-zero after flooring — a
-    * 0/0 cosine) are dropped in both engines. */
-  val qSimSearchIvf = Q(
-    "q_sim_search_ivf",
-    (s, dir) => {
-      val e = quantized(s, dir)
-      // checkpointed because both the corpus cells (crn = 1) and the query
-      // probe set (crn <= NProbe) read it — without materialization the
-      // n·k dot-product pass runs twice (the qNgramJaccard pattern)
-      val ranked = ivfAssign(e, ivfTrain(e))
-        .localCheckpoint()
-      val cells = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
-      val probes = ranked.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
-      val corpus = e.join(cells, col("vec_id") === col("cell_vid"))
-        .select(col("vec_id"), col("q"), col("cell"))
-      val queries = e.select(col("vec_id").as("qv_id"), col("q").as("qq"))
-        .join(probes, col("qv_id") === col("q_id"))
-        .select(col("q_id"), col("qq"), col("p_cell"))
-      val wRank = Window.partitionBy("q_id")
-        .orderBy(col("dot").desc, col("vec_id").asc)
-      corpus.join(broadcast(queries),
-                  col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= TopK)
-        .select("q_id", "vec_id", "dot", "rnk")
-    },
-    Some(s"""$quantCte,
+  /** Shared DuckDB replay of the full IVF training chain — capped stride
+    * seeding through trained-cell assignment — referenced by BOTH
+    * `q_sim_search_ivf` and `q_ivf_probe` so the two gates can never
+    * drift on training semantics (the `dedupedKeptCte` discipline).
+    * Defines: `e` (quantized), `st` (capped stride), `cents0` (seeds),
+    * `cents` (trained centroids), `rk` (per-vector centroid ranking),
+    * `cell` (nearest trained cell per vector). */
+  private[queries] val ivfCte: String = s"""$quantCte,
+      |st AS (
+      |  SELECT GREATEST($CentStride, CAST(CEIL(COUNT(*) / $MaxCents.0) AS BIGINT)) AS stride
+      |  FROM e
+      |),
       |cents0 AS (
-      |  SELECT vec_id AS c_id, q AS cq,
-      |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn
-      |  FROM e WHERE vec_id % $CentStride = 0
+      |  SELECT c_id, cq, cn FROM (
+      |    SELECT vec_id AS c_id, q AS cq,
+      |           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn,
+      |           ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS srn
+      |    FROM e WHERE vec_id % (SELECT stride FROM st) = 0
+      |  ) WHERE srn <= $MaxCents
       |),
       |rk0 AS (
       |  SELECT e.vec_id, c.c_id,
@@ -322,7 +263,116 @@ object SimQueries {
       |                    c.c_id ASC) AS crn
       |  FROM e CROSS JOIN cents c
       |),
-      |cell AS (SELECT vec_id, c_id AS cell FROM rk WHERE crn = 1),
+      |cell AS (SELECT vec_id, c_id AS cell FROM rk WHERE crn = 1)""".stripMargin
+
+  /**
+   * Materialize the trained-IVF index as a physical layout: every vector
+   * written under its cell's partition directory
+   * (`<outDir>/cells/cell=<c_id>/`), trained centroids alongside
+   * (`<outDir>/centroids`). At 100 TB this IS the ANN index — the cell
+   * assignment becomes the on-disk bucketing, so a probe touches only
+   * its `nprobe` cells' files via partition pruning at the scan
+   * (plan-asserted in `SimIvfSpec`), and query cost scales with cell
+   * size regardless of corpus size.
+   */
+  def writeIvfLayout(s: SparkSession, dir: String, outDir: String): Unit = {
+    val e = quantized(s, dir)
+    val cents = ivfTrain(e).localCheckpoint() // feeds assign AND the write
+    val cells = ivfAssign(e, cents).filter(col("crn") === 1)
+      .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
+    e.join(cells, col("vec_id") === col("cell_vid"))
+      .select(col("vec_id"), col("label"), col("q"), col("cell"))
+      // cluster rows by the partition column before the partitioned
+      // write — same rationale as LayoutQueries.eventsByDay
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /**
+   * Top-k ANN over a materialized IVF layout for one external query
+   * vector (already quantized). Cell choice runs on the DRIVER over the
+   * stored centroid table — at most `MaxCents` rows by the [[ivfSeeds]]
+   * hard cap, so the collect is bounded O(MaxCents·dim) at any corpus
+   * size (the same data movement a broadcast would ship, with zero
+   * jobs) — and the cell scan carries a `cell IN (...)` filter that
+   * prunes to the probed partitions. Ranking is a
+   * TakeOrderedAndProject (never a global sort).
+   */
+  def probeIvfLayout(s: SparkSession, layoutDir: String, queryVec: Seq[Long],
+                     topK: Int = TopK, nProbe: Int = NProbe,
+                     excludeVecId: Option[Long] = None): DataFrame = {
+    val probeCells = s.read.parquet(s"$layoutDir/centroids").collect()
+      .map { r =>
+        val cq = r.getAs[scala.collection.Seq[Long]]("cq")
+        val dot = cq.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
+        val key = dot.toDouble / math.sqrt(r.getAs[Long]("cn").toDouble)
+        (key, r.getAs[Long]("c_id"))
+      }
+      .sortBy { case (key, cid) => (-key, cid) }
+      .take(nProbe).map(_._2)
+    s.read.parquet(s"$layoutDir/cells")
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(excludeVecId.map(id => col("vec_id") =!= id).getOrElse(lit(true)))
+      .withColumn("dot", VectorOps.intDot(col("q"), typedLit(queryVec)))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(topK)
+      .select("vec_id", "dot")
+  }
+
+  /** IVF-style ANN with a TRAINED coarse quantizer: stride-sampled seed
+    * centroids, one relational Lloyd iteration (every vector assigned to
+    * its nearest seed, each cell's new centroid = per-dimension
+    * floor-mean of its members — all integer/exact-double arithmetic, so
+    * the oracle replays it bit-for-bit), then the standard IVF shape
+    * over the trained centroids: every vector assigned to its nearest
+    * trained cell, queries probe their `NProbe` nearest cells, and exact
+    * integer-dot ranking runs inside the probed cells only. THE scale
+    * path beyond `q_sim_search_lsh`: k is stride-seeded but HARD-CAPPED
+    * at `MaxCents` ([[ivfSeeds]]), so the centroid broadcast in the n·k
+    * assignment pass is O(MaxCents·dim) at ANY corpus size — never the
+    * corpus-linear k = n/200 that would turn assignment O(n²/200). Probe
+    * cost is ~NProbe·n/k per query, and the cell assignment is exactly
+    * what a partitioned ANN layout is bucketed by on disk
+    * ([[writeIvfLayout]]). Each Lloyd pass is one n·k broadcast pass +
+    * a (cell, dim)-keyed mean — more iterations are the same plan
+    * repeated; one already moves centroids from the seed draw to
+    * cluster mass.
+    *
+    * Cell choice ranks by true cosine (dot/√centroid-norm; the vector's
+    * own norm cancels within a fixed vec_id partition). The key is an
+    * IEEE double — int-exact inputs, one correctly-rounded sqrt and one
+    * divide — so DuckDB replays the ordering bit-for-bit; c_id breaks
+    * ties. Degenerate trained centroids (all-zero after flooring — a
+    * 0/0 cosine) are dropped in both engines. */
+  val qSimSearchIvf = Q(
+    "q_sim_search_ivf",
+    (s, dir) => {
+      val e = quantized(s, dir)
+      // checkpointed because both the corpus cells (crn = 1) and the query
+      // probe set (crn <= NProbe) read it — without materialization the
+      // n·k dot-product pass runs twice (the qNgramJaccard pattern)
+      val ranked = ivfAssign(e, ivfTrain(e))
+        .localCheckpoint()
+      val cells = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
+      val probes = ranked.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
+      val corpus = e.join(cells, col("vec_id") === col("cell_vid"))
+        .select(col("vec_id"), col("q"), col("cell"))
+      val queries = e.select(col("vec_id").as("qv_id"), col("q").as("qq"))
+        .join(probes, col("qv_id") === col("q_id"))
+        .select(col("q_id"), col("qq"), col("p_cell"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      corpus.join(broadcast(queries),
+                  col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""$ivfCte,
       |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
       |           WHERE vec_id % 100 = 0 AND crn <= $NProbe),
       |p AS (
@@ -340,5 +390,63 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf)
+  /** Probe target for the gated layout row: vec_id 0 exists at every SF
+    * (and in the spec fixtures). */
+  private val ProbeVecId = 0L
+
+  /** Engine-derived IVF layout dir for a testdata dir (tmpdir, keyed by
+    * basename + path hash — the `LayoutQueries.layoutRoot` discipline:
+    * derived data never lands in the read-only testdata tree, and two
+    * corpora sharing a basename can't collide on one cache entry). */
+  private def ivfLayoutDir(dir: String): String = {
+    val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
+    s"${sys.props("java.io.tmpdir")}/graft-layouts/ivf-$key"
+  }
+
+  /** The IVF PHYSICAL layout behind the driver gate: write the
+    * partitioned cell layout + trained centroids, then answer one probe
+    * (query vector = vec 0's embedding, itself excluded) THROUGH the
+    * layout — driver-side centroid choice over the stored (≤ MaxCents)
+    * centroid table, partition-pruned cell scan, TakeOrderedAndProject
+    * ranking. The oracle replays trained-centroid ranking + in-cell
+    * exact top-k from the shared [[ivfCte]], so a regression in the
+    * write's cell bucketing, the probe's cell choice, or the pruning
+    * filter all hash-mismatch here. The layout is rewritten each run —
+    * the gate always checks the CURRENT code's layout, never a stale
+    * cache — and `SimIvfSpec` keeps the plan-level partition-pruning
+    * assert this row can't express. */
+  val qIvfProbe = Q(
+    "q_ivf_probe",
+    (s, dir) => {
+      import s.implicits._
+      val out = ivfLayoutDir(dir)
+      writeIvfLayout(s, dir, out)
+      val qv = quantized(s, dir).filter(col("vec_id") === ProbeVecId)
+        .select("q").as[Seq[Long]].head()
+      probeIvfLayout(s, out, qv, excludeVecId = Some(ProbeVecId))
+    },
+    Some(s"""$ivfCte,
+      |qv AS (SELECT q AS qq FROM e WHERE vec_id = $ProbeVecId),
+      |pc AS (
+      |  SELECT c.c_id AS cell FROM cents c CROSS JOIN qv
+      |  ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.cq)),
+      |             i -> c.cq[i] * qv.qq[i])) AS BIGINT)
+      |           / sqrt(CAST(c.cn AS DOUBLE)) DESC, c.c_id ASC
+      |  LIMIT $NProbe
+      |),
+      |cand AS (
+      |  SELECT ce.vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+      |                i -> e.q[i] * qv.qq[i])) AS BIGINT) AS dot
+      |  FROM cell ce
+      |  JOIN pc ON ce.cell = pc.cell
+      |  JOIN e ON e.vec_id = ce.vec_id
+      |  CROSS JOIN qv
+      |  WHERE ce.vec_id <> $ProbeVecId
+      |)
+      |SELECT vec_id, dot FROM cand
+      |QUALIFY row_number() OVER (ORDER BY dot DESC, vec_id ASC) <= $TopK""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe)
 }

@@ -112,6 +112,60 @@ class SimIvfSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/cells").select("cell").distinct().count() === 3)
   }
 
+  test("ivfStride: fixture-scale stride preserved, centroid count bounded at any n") {
+    assert(SimQueries.ivfStride(500L) === 200L) // fixture scale: unchanged seeding
+    assert(SimQueries.ivfStride(51200L) === 200L) // boundary: 256 seeds exactly
+    assert(SimQueries.ivfStride(51201L) === 201L) // first capped stride
+    // k = #multiples of stride in [0, n) stays ≤ MaxCents for contiguous ids
+    Seq(500L, 51200L, 51201L, 1000000L, 10000000L, 1000000000L).foreach { n =>
+      val k = (n - 1) / SimQueries.ivfStride(n) + 1
+      assert(k <= SimQueries.MaxCents, s"n=$n k=$k")
+    }
+  }
+
+  test("ivfSeeds: hard cap holds even on a stride-aligned (adversarial) id space") {
+    // 300 vectors whose ids are ALL multiples of 200 — the stride filter
+    // alone would keep every one; the rank cut must bound the broadcast
+    val e = (0L until 300L).map(i => (i * 200L, Seq(i + 1L, 1L)))
+      .toDF("vec_id", "q")
+    val seeds = SimQueries.ivfSeeds(e)
+    assert(seeds.count() === SimQueries.MaxCents)
+    // deterministic cut: the LOWEST ids survive
+    assert(seeds.agg(org.apache.spark.sql.functions.max("c_id"))
+      .head().getLong(0) === (SimQueries.MaxCents - 1) * 200L)
+  }
+
+  /** Skew-stressed fixture: three orthogonal clusters with 10:1 size skew
+    * (A 151, B 15, C 12 members) — seed ids 0/200/400 land one per
+    * cluster, Lloyd must keep the small clusters' cells distinct. */
+  private lazy val dirSkew: String = {
+    val d = Files.createTempDirectory("graft-ivf-skew").toString
+    def axis(k: Int): Seq[Float] =
+      Seq.tabulate(16)(i => if (i >= 5 * k && i < 5 * k + 5) 1.0f else 0.0f)
+    def near(base: Seq[Float], j: Int): Seq[Float] =
+      base.updated(15, 0.1f * (j % 3 + 1))
+    val rows =
+      Seq((0L, axis(0), 0), (200L, axis(1), 1), (400L, axis(2), 2)) ++
+        (1L to 150L).map(i => (i, near(axis(0), i.toInt), 0)) ++
+        (201L to 214L).map(i => (i, near(axis(1), i.toInt), 1)) ++
+        (401L to 411L).map(i => (i, near(axis(2), i.toInt), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q_sim_search_ivf: recall@10 >= 0.9 under 10:1 cluster-size skew") {
+    val brute = SimQueries.qSimSearch.fn(spark, dirSkew)
+      .as[(Long, Long, Long, Long)].collect()
+    val ivf = SimQueries.qSimSearchIvf.fn(spark, dirSkew)
+      .as[(Long, Long, Long, Long)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    // queries exist in every skew tier: 0,100 (A), 200 (B), 400 (C)
+    assert(brute.map(_._1).distinct.sorted.toSeq === Seq(0L, 100L, 200L, 400L))
+    val recall = ivf.count(r => bruteSet.contains((r._1, r._2))).toDouble / bruteSet.size
+    assert(recall >= 0.9, s"recall@10 = $recall under skew")
+  }
+
   test("q_sim_search_ivf vs brute force: dots exact, recall@10 >= 0.9 on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val brute = SimQueries.qSimSearch.fn(spark, sf)
