@@ -134,13 +134,16 @@ object GraftFunctions {
 
 /**
  * Session-extension registration (`spark.sql.extensions=graft.expr.GraftExtensions`):
- * exposes the expression to SQL as `graft_int_dot(a, b)`. The Column-API
- * path ([[graft.vector.VectorOps.intDot]]) doesn't need the extension — it
- * builds the expression directly.
+ * exposes the scalar expressions to SQL (`graft_int_dot(a, b)`,
+ * `graft_shingles(toks, n)`) and the whole-operator primitives as TABLE
+ * functions (`graft_asof_join`, `graft_range_join`, `graft_components`,
+ * `graft_topk` — [[GraftTableFunctions]]). The Column-API paths don't
+ * need the extension — they build the expressions/plans directly.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.intDot)
     ext.injectFunction(GraftFunctions.shingles)
+    GraftTableFunctions.all.foreach(ext.injectTableFunction)
   }
 }

@@ -1,0 +1,152 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.operators.{ConnectedComponents, Joins, TopK}
+
+/**
+ * SQL TABLE-function surface for the library's whole-operator primitives
+ * (`SELECT * FROM graft_asof_join('trades', 'quotes', …)`), registered
+ * through Catalyst's `TableFunctionRegistry` — the same mechanism
+ * `range(...)` uses — via [[GraftExtensions]] (`injectTableFunction`) or
+ * direct registry registration on an existing session
+ * ([[GraftTableFunctions.registerAll]]).
+ *
+ * Each builder resolves its table-name arguments against the ACTIVE
+ * session (the analyzer's thread sets it before resolution runs) and
+ * delegates to the exact same DataFrame-level operator the Scala API
+ * exposes — one implementation, two surfaces, so the SQL face can never
+ * drift from the tested operator semantics. Arguments must be foldable
+ * (literals or constant expressions): table/column names as strings,
+ * sizes as integers — the TVF contract, mirroring how `range`'s bounds
+ * work.
+ */
+object GraftTableFunctions {
+
+  private type TVF =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def active: SparkSession = {
+    val s = SparkSession.getActiveSession.orNull
+    require(s != null, "graft table functions need an active SparkSession")
+    s
+  }
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String = {
+    require(i < args.length, s"$fn: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a constant string")
+    val v = e.eval()
+    require(v != null, s"$fn: argument ${i + 1} must not be null")
+    v.toString
+  }
+
+  private def longArg(args: Seq[Expression], i: Int, fn: String): Long = {
+    require(i < args.length, s"$fn: missing argument ${i + 1}")
+    val e = args(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a constant integer")
+    e.eval() match {
+      case n: Int => n.toLong
+      case n: Long => n
+      case n: Short => n.toLong
+      case n: Byte => n.toLong
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a constant integer, got $other")
+    }
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, name)
+
+  /** `graft_asof_join(left, right, keyCsv, leftT, rightT, payloadCsv)` —
+    * the [[Joins.asOfJoin]] operator from SQL. */
+  val asofJoin: TVF = (
+    new FunctionIdentifier("graft_asof_join"),
+    info("graft_asof_join",
+         "graft_asof_join(leftTable, rightTable, 'k1,k2', leftTs, rightTs, 'p1,p2')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_asof_join"
+      require(args.length == 6, s"$fn takes exactly 6 arguments")
+      val s = active
+      Joins.asOfJoin(
+        s.table(strArg(args, 0, fn)), s.table(strArg(args, 1, fn)),
+        csv(strArg(args, 2, fn)), strArg(args, 3, fn), strArg(args, 4, fn),
+        csv(strArg(args, 5, fn))).queryExecution.logical
+    }
+  )
+
+  /** `graft_range_join(intervals, points, keyCsv, lo, hi, pt, binWidth,
+    * inRangeCol)` — the [[Joins.rangeJoinBinned]] operator from SQL. */
+  val rangeJoin: TVF = (
+    new FunctionIdentifier("graft_range_join"),
+    info("graft_range_join",
+         "graft_range_join(intervals, points, 'k1', lo, hi, pt, binWidth, inRangeCol)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_range_join"
+      require(args.length == 8, s"$fn takes exactly 8 arguments")
+      val s = active
+      Joins.rangeJoinBinned(
+        s.table(strArg(args, 0, fn)), s.table(strArg(args, 1, fn)),
+        csv(strArg(args, 2, fn)), strArg(args, 3, fn), strArg(args, 4, fn),
+        strArg(args, 5, fn), longArg(args, 6, fn),
+        strArg(args, 7, fn)).queryExecution.logical
+    }
+  )
+
+  /** `graft_components(pairs, aCol, bCol)` — connected-component labels
+    * ([[ConnectedComponents.labels]]) from SQL: one `(id, lbl)` row per
+    * edge-bearing node. */
+  val components: TVF = (
+    new FunctionIdentifier("graft_components"),
+    info("graft_components", "graft_components(pairsTable, aCol, bCol)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_components"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      ConnectedComponents.labels(
+        active.table(strArg(args, 0, fn)),
+        strArg(args, 1, fn), strArg(args, 2, fn)).queryExecution.logical
+    }
+  )
+
+  /** `graft_topk(table, groupCsv, vCol, idCol, k)` — the map-side-combining
+    * [[TopK.topK]] aggregate from SQL, exploded to ranked rows
+    * `(group…, rnk, v, id)`. */
+  val topk: TVF = (
+    new FunctionIdentifier("graft_topk"),
+    info("graft_topk", "graft_topk(table, 'g1,g2', valueCol, idCol, k)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_topk"
+      require(args.length == 5, s"$fn takes exactly 5 arguments")
+      val s = active
+      val groups = csv(strArg(args, 1, fn))
+      val (v, id) = (strArg(args, 2, fn), strArg(args, 3, fn))
+      val k = longArg(args, 4, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      s.table(strArg(args, 0, fn))
+        .groupBy(groups.map(col): _*)
+        .agg(TopK.topK(k.toInt)(col(v), col(id)).as("__topk"))
+        .select(groups.map(col) :+ expr("posexplode(__topk.items)").as(Seq("__pos", "__item")): _*)
+        .select(groups.map(col) ++ Seq(
+          (col("__pos") + 1).cast("int").as("rnk"),
+          col("__item.v").as(v), col("__item.id").as(id)): _*)
+        .queryExecution.logical
+    }
+  )
+
+  val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk)
+
+  /** Register every table function on an already-built session (tests,
+    * notebooks) — the registry twin of the `GraftFunctions` pattern. */
+  def registerAll(s: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      s.sessionState.tableFunctionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,86 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.operators.{ConnectedComponents, Joins}
+
+/** SQL invocation of the library's whole-operator table functions: each
+  * TVF must return row-for-row what the Scala Column-API operator
+  * returns — one implementation behind two surfaces. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftTableFunctions.registerAll(spark)
+
+  private lazy val trades = Seq(
+    (1L, "A", 1000L, 10.0), (2L, "A", 2000L, 11.0), (3L, "B", 1500L, 20.0)
+  ).toDF("trade_id", "sym", "t", "px")
+  private lazy val quotes = Seq(
+    (101L, "A", 900L, 9.5), (102L, "A", 1000L, 9.9), (103L, "A", 1800L, 10.5),
+    (104L, "B", 1600L, 19.9)
+  ).toDF("q_id", "sym", "qt", "bid")
+
+  test("graft_asof_join from SQL ≡ Joins.asOfJoin") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_asof_join('trades', 'quotes', 'sym', 't', 'qt', 'q_id,bid')")
+    val direct = Joins.asOfJoin(trades, quotes, Seq("sym"), "t", "qt",
+                                Seq("q_id", "bid"))
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    // sanity on semantics, not just self-agreement: trade 1 at t=1000
+    // takes the inclusive quote 102, trade 3 has no prior B quote
+    val byTrade = viaSql.collect().map(r => r.getAs[Long]("trade_id") -> r).toMap
+    assert(byTrade(1L).getAs[Long]("q_id") === 102L)
+    assert(byTrade(3L).isNullAt(byTrade(3L).fieldIndex("q_id")))
+  }
+
+  test("graft_range_join from SQL ≡ Joins.rangeJoinBinned") {
+    Seq((1L, "A", 100L, 200L), (2L, "A", 300L, 400L))
+      .toDF("iv_id", "k", "lo", "hi").createOrReplaceTempView("ivs")
+    Seq((11L, "A", 150L), (12L, "A", 350L), (13L, "A", 250L))
+      .toDF("p_id", "k", "t").createOrReplaceTempView("pts")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_range_join('ivs', 'pts', 'k', 'lo', 'hi', 't', 100, 'hit')")
+    val direct = Joins.rangeJoinBinned(
+      spark.table("ivs"), spark.table("pts"), Seq("k"), "lo", "hi", "t",
+      100L, "hit")
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    assert(viaSql.filter("hit").select("iv_id", "pt_p_id")
+      .as[(Long, Long)].collect().toSet === Set((1L, 11L), (2L, 12L)))
+  }
+
+  test("graft_components from SQL ≡ ConnectedComponents.labels") {
+    Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("a_id", "b_id").createOrReplaceTempView("pairs")
+    val viaSql = spark.sql("SELECT * FROM graft_components('pairs', 'a_id', 'b_id')")
+    val direct = ConnectedComponents.labels(spark.table("pairs"))
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    assert(viaSql.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("graft_topk from SQL: ranked rows with the map-side-combining aggregate") {
+    Seq(("x", 5L, 1L), ("x", 9L, 2L), ("x", 7L, 3L), ("x", 9L, 4L),
+        ("y", 1L, 5L), ("y", 2L, 6L))
+      .toDF("g", "v", "id").createOrReplaceTempView("scores")
+    val got = spark.sql(
+      "SELECT * FROM graft_topk('scores', 'g', 'v', 'id', 2) ORDER BY g, rnk")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // v desc, id asc on ties: x → (9,2),(9,4); y → (2,6),(1,5)
+    assert(got === Seq(("x", 1, 9L, 2L), ("x", 2, 9L, 4L),
+                       ("y", 1, 2L, 6L), ("y", 2, 1L, 5L)))
+  }
+
+  test("table functions reject non-constant and missing arguments") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join('trades', 'quotes', 'sym')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_topk('scores', 'g', 'v', 'id', 0)").collect()
+    }
+  }
+}
