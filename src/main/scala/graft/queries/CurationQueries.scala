@@ -29,6 +29,43 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     DedupQueries.docsDistributed(s, dir)
 
+  /** The ONE statement of the repetition-gate inequality (top-bigram
+    * fraction > 1/5 OR distinct-token ratio < 3/4, integer
+    * cross-multiplication) — Column form, shared by [[qRepetitionFilter]]
+    * and the streaming face so the two can never drift. */
+  private[graft] def repetitiveFlag(topBigramN: org.apache.spark.sql.Column,
+                                    nBigrams: org.apache.spark.sql.Column,
+                                    nTypes: org.apache.spark.sql.Column,
+                                    nTok: org.apache.spark.sql.Column) =
+    (topBigramN * 5 > nBigrams || nTypes * 4 < nTok * 3).cast("int")
+
+  /** The same gate inequality in oracle SQL — referenced by BOTH the
+    * standalone [[qRepetitionFilter]] oracle and the composed
+    * [[qCuratedCorpus]] oracle (the `dedupedKeptCte` discipline: a
+    * threshold change cannot reach one gate and miss the other). */
+  private[queries] def repGateSql(topBigram: String, nBigrams: String,
+                                  nTypes: String, nTok: String): String =
+    s"$topBigram * 5 > $nBigrams OR $nTypes * 4 < $nTok * 3"
+
+  /** Shared oracle CTEs for the repetition signals — per-doc unigram and
+    * bigram aggregates over a `d(doc_id, toks)` CTE, name-prefixed so the
+    * standalone oracle (`u`/`ua`/`b`/`ba`) and the composed oracle
+    * (`ru`/…) instantiate the same text under their own namespaces. */
+  private[queries] def repSignalCtes(p: String): String =
+    s"""${p}u AS (SELECT doc_id, tok, COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+       |${p}ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
+       |              CAST(MAX(c) AS BIGINT) AS top_tok_n
+       |       FROM ${p}u GROUP BY doc_id),
+       |${p}b AS (SELECT doc_id, bg, COUNT(*) AS c
+       |      FROM (SELECT doc_id,
+       |                   unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |            FROM d) GROUP BY 1, 2),
+       |${p}ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |              CAST(MAX(c) AS BIGINT) AS top_bigram_n
+       |       FROM ${p}b GROUP BY doc_id)""".stripMargin
+
   /**
    * Gopher-style repetition signals per document, all exact integers:
    * token totals/types, the heaviest token and bigram, and the
@@ -63,23 +100,11 @@ object CurationQueries {
           coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
         .withColumn(
           "repetitive",
-          (col("top_bigram_n") * 5 > col("n_bigrams") ||
-            col("n_types") * 4 < col("n_tok") * 3).cast("int"))
+          repetitiveFlag(col("top_bigram_n"), col("n_bigrams"),
+                         col("n_types"), col("n_tok")))
     },
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |u AS (SELECT doc_id, tok, COUNT(*) AS c
-      |      FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
-      |ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
-      |              CAST(MAX(c) AS BIGINT) AS top_tok_n
-      |       FROM u GROUP BY doc_id),
-      |b AS (SELECT doc_id, bg, COUNT(*) AS c
-      |      FROM (SELECT doc_id,
-      |                   unnest(list_transform(generate_series(1, len(toks) - 1),
-      |                            i -> toks[i] || ' ' || toks[i+1])) AS bg
-      |            FROM d) GROUP BY 1, 2),
-      |ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-      |              CAST(MAX(c) AS BIGINT) AS top_bigram_n
-      |       FROM b GROUP BY doc_id),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |${repSignalCtes("")},
       |j AS (
       |  SELECT d.doc_id,
       |         COALESCE(ua.n_tok, 0) AS n_tok,
@@ -90,8 +115,8 @@ object CurationQueries {
       |  FROM d LEFT JOIN ua ON ua.doc_id = d.doc_id
       |         LEFT JOIN ba ON ba.doc_id = d.doc_id
       |)
-      |SELECT *, CAST(top_bigram_n * 5 > n_bigrams
-      |               OR n_types * 4 < n_tok * 3 AS INT) AS repetitive
+      |SELECT *, CAST(${repGateSql("top_bigram_n", "n_bigrams",
+                                   "n_types", "n_tok")} AS INT) AS repetitive
       |FROM j""".stripMargin)
   )
 
@@ -103,6 +128,15 @@ object CurationQueries {
     pmod(TextOps.md5Prefix32(TextOps.contentHash(text)), lit(10L))
   private[graft] def splitName(bucket: org.apache.spark.sql.Column) =
     when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+
+  /** The split expressions in oracle SQL — ONE statement of the bucket
+    * hash and the 80/10/10 CASE, referenced by both the standalone
+    * [[qSplitAssign]] oracle and the composed [[qCuratedCorpus]] oracle. */
+  private[queries] val splitBucketSql: String =
+    s"${DedupQueries.hex32(
+         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")} % 10"
+  private[queries] def splitCaseSql(b: String): String =
+    s"CASE WHEN $b <= 7 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
 
   /**
    * Deterministic train/val/test split on the content hash (80/10/10).
@@ -116,16 +150,10 @@ object CurationQueries {
         .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
         .withColumn("split", splitName(col("bucket"))),
     Some(s"""WITH h AS (
-      |  SELECT doc_id,
-      |         ${DedupQueries.hex32(
-                   "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
-      |           % 10 AS bucket
+      |  SELECT doc_id, $splitBucketSql AS bucket
       |  FROM documents
       |)
-      |SELECT doc_id, bucket,
-      |       CASE WHEN bucket <= 7 THEN 'train'
-      |            WHEN bucket = 8 THEN 'val'
-      |            ELSE 'test' END AS split
+      |SELECT doc_id, bucket, ${splitCaseSql("bucket")} AS split
       |FROM h""".stripMargin)
   )
 
@@ -266,34 +294,19 @@ object CurationQueries {
     "q_curated_corpus",
     (s, dir) => curatedCorpus(s, dir).select(col("doc_id"), col("split")),
     Some(s"""${DedupQueries.dedupedKeptCte},
-      |ru AS (SELECT doc_id, tok, COUNT(*) AS c
-      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
-      |rua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
-      |               COUNT(*) AS n_types
-      |        FROM ru GROUP BY doc_id),
-      |rb AS (SELECT doc_id, bg, COUNT(*) AS c
-      |       FROM (SELECT doc_id,
-      |                    unnest(list_transform(generate_series(1, len(toks) - 1),
-      |                             i -> toks[i] || ' ' || toks[i+1])) AS bg
-      |             FROM d) GROUP BY 1, 2),
-      |rba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-      |               CAST(MAX(c) AS BIGINT) AS top_bigram_n
-      |        FROM rb GROUP BY doc_id),
+      |${repSignalCtes("r")},
       |rep AS (
       |  SELECT d.doc_id FROM d
       |  LEFT JOIN rua ON rua.doc_id = d.doc_id
       |  LEFT JOIN rba ON rba.doc_id = d.doc_id
-      |  WHERE COALESCE(rba.top_bigram_n, 0) * 5 > COALESCE(rba.n_bigrams, 0)
-      |     OR COALESCE(rua.n_types, 0) * 4 < COALESCE(rua.n_tok, 0) * 3
+      |  WHERE ${repGateSql("COALESCE(rba.top_bigram_n, 0)",
+                            "COALESCE(rba.n_bigrams, 0)",
+                            "COALESCE(rua.n_types, 0)",
+                            "COALESCE(rua.n_tok, 0)")}
       |),
       |sp AS (
-      |  SELECT doc_id, CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
-      |                      ELSE 'test' END AS split
-      |  FROM (SELECT doc_id,
-      |               ${DedupQueries.hex32(
-                         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))")}
-      |                 % 10 AS b
-      |        FROM documents)
+      |  SELECT doc_id, ${splitCaseSql("b")} AS split
+      |  FROM (SELECT doc_id, $splitBucketSql AS b FROM documents)
       |)
       |SELECT k.doc_id, sp.split
       |FROM kept k

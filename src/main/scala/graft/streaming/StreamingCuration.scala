@@ -46,9 +46,10 @@ object StreamingCuration {
   /** The Gopher-style repetition signals and gate of
     * `q_repetition_filter`, scored per incoming document: token
     * totals/types, heaviest token and bigram, and the `repetitive` flag
-    * (top-bigram fraction > 1/5 OR distinct-token ratio < 3/4, integer
-    * cross-multiplication). Identical integers to the batch query —
-    * asserted row-for-row in `StreamingCurationSpec`. */
+    * — the gate inequality is [[CurationQueries.repetitiveFlag]], the
+    * ONE shared statement, so batch and stream cannot drift on
+    * thresholds. Identical integers to the batch query — asserted
+    * row-for-row in `StreamingCurationSpec`. */
   def withRepetitionGate(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val bgs = TextOps.shingles(toks, 2)
@@ -63,8 +64,8 @@ object StreamingCuration {
       .withColumn("top_bigram_n", topCount(bgs))
       .withColumn(
         "repetitive",
-        (col("top_bigram_n") * 5 > col("n_bigrams") ||
-          col("n_types") * 4 < col("n_tok") * 3).cast("int"))
+        CurationQueries.repetitiveFlag(col("top_bigram_n"), col("n_bigrams"),
+                                       col("n_types"), col("n_tok")))
   }
 
   /** Stratified sampling on a stream IS the batch library call:

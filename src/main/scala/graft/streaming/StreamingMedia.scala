@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.multimodal.{MediaFeatures, MediaOps}
+
+/**
+ * Streaming face of the multimodal decode pass (SURVEY.md §7.4): feature
+ * extraction on a media stream IS the batch operator —
+ * [[graft.multimodal.MediaOps.extractFeatures]] is a stateless batched
+ * `mapPartitions` over single rows (no watermark, no state store, no
+ * shuffle), so it applies to a streaming DataFrame unchanged and runs in
+ * append mode. Decode outcomes stay `observe`-accounted: on a stream the
+ * `graft_media_decode` metric surfaces per-trigger through
+ * `StreamingQueryProgress.observedMetrics` — the live dashboard form of
+ * the batch drop-accounting contract.
+ *
+ * Batch ≡ stream row-for-row (including decode kind and the full
+ * histogram) is asserted in `StreamingMediaSpec`, the same equivalence
+ * discipline as [[StreamingCuration]]: a payload gets the same decoded
+ * features whether it arrives on the firehose or in a backfill.
+ */
+object StreamingMedia {
+
+  /** Per-item decoded features on a streaming media frame — the exact
+    * batch pass, re-exported so the streaming surface is discoverable.
+    * `batchSize` bounds decoder peak memory per task, as in batch. */
+  def features(spark: SparkSession, media: DataFrame,
+               batchSize: Int = 64, frameStride: Int = 8): Dataset[MediaFeatures] =
+    MediaOps.extractFeatures(spark, media, batchSize, frameStride)
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.multimodal.{MediaOps, MediaRecord, MediaSynth}
+
+/** The streaming decode face must produce byte-identical features to the
+  * batch pass on the same payloads — real PNG/WAV decodes included — and
+  * keep the decode accounting visible per trigger. */
+class StreamingMediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc_ids 0..8 cover all three payload kinds three times each
+  private val media: Seq[MediaRecord] =
+    (0L until 9L).map(MediaSynth.payloadFor)
+
+  private def featureTuple(f: graft.multimodal.MediaFeatures) =
+    (f.media_id, f.media_type, f.kind, f.width, f.height, f.n_channels,
+     f.sample_rate, f.n_samples, f.mean_level_x1000, f.histogram.toSeq,
+     f.n_frames_sampled)
+
+  test("streaming decode ≡ batch decode row-for-row, decode metric accounted per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MediaRecord]
+    val name = s"graft_smedia_${System.nanoTime()}"
+    val q = StreamingMedia.features(spark, input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // two triggers: decisions must not depend on trigger boundaries
+      input.addData(media.take(4))
+      q.processAllAvailable()
+      input.addData(media.drop(4))
+      q.processAllAvailable()
+      // per-trigger observe accounting: summed over all progress events,
+      // every image/audio row was decoded, every raw row accounted
+      val progressTotals = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_media_decode")))
+        .map(r => (r.getAs[Long]("decoded_rows"), r.getAs[Long]("fallback_rows")))
+      val decoded = progressTotals.map(_._1).sum
+      val fallback = progressTotals.map(_._2).sum
+      assert(decoded === media.count(m => m.media_id % 3 != 2).toLong)
+      assert(fallback === media.count(m => m.media_id % 3 == 2).toLong)
+    } finally q.stop()
+    val streamed = spark.table(name).as[graft.multimodal.MediaFeatures]
+      .collect().map(featureTuple).sortBy(_._1)
+    val batch = MediaOps.extractFeatures(spark, media.toDF())
+      .collect().map(featureTuple).sortBy(_._1)
+    assert(streamed.length === media.length)
+    assert(streamed.toSeq === batch.toSeq)
+    // real decodes present on the stream, not just fallbacks
+    assert(streamed.count(_._3 == "image") === 3)
+    assert(streamed.count(_._3 == "audio") === 3)
+    assert(streamed.count(_._3 == "raw") === 3)
+  }
+}
