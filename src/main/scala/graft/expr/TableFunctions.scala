@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.operators.{ConnectedComponents, Joins, TopK}
+import graft.operators.{ConnectedComponents, GlobalRank, Joins, TopK}
 
 /**
  * SQL TABLE-function surface for the library's whole-operator primitives
@@ -141,7 +141,38 @@ object GraftTableFunctions {
     }
   )
 
-  val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk)
+  /** `graft_global_rank(table, sortCsv, numPartitions, rankCol)` — the
+    * never-single-partition total-order rank
+    * ([[GlobalRank.withGlobalRank]]) from SQL. Sort columns ascend by
+    * default; suffix `:desc` for descending (`'revenue:desc,id'`).
+    * Include a unique tiebreaker — the operator's determinism
+    * contract. */
+  val globalRank: TVF = (
+    new FunctionIdentifier("graft_global_rank"),
+    info("graft_global_rank",
+         "graft_global_rank(table, 'v:desc,id', numPartitions, rankCol)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_global_rank"
+      require(args.length == 4, s"$fn takes exactly 4 arguments")
+      val s = active
+      val sortCols = csv(strArg(args, 1, fn)).map { spec =>
+        spec.split(':') match {
+          case Array(c) => col(c).asc
+          case Array(c, "desc") => col(c).desc
+          case Array(c, "asc") => col(c).asc
+          case _ => throw new IllegalArgumentException(
+            s"$fn: bad sort spec '$spec' — use 'col' or 'col:desc'")
+        }
+      }
+      val n = longArg(args, 2, fn)
+      require(n > 0 && n <= Int.MaxValue, s"$fn: numPartitions out of range: $n")
+      GlobalRank.withGlobalRank(s.table(strArg(args, 0, fn)), sortCols,
+                                n.toInt, strArg(args, 3, fn))
+        .queryExecution.logical
+    }
+  )
+
+  val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

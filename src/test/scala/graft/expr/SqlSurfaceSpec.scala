@@ -73,6 +73,24 @@ class SqlSurfaceSpec extends SparkSpec {
                        ("y", 1, 2L, 6L), ("y", 2, 1L, 5L)))
   }
 
+  test("graft_global_rank from SQL ≡ GlobalRank.withGlobalRank") {
+    import graft.operators.GlobalRank
+    import org.apache.spark.sql.functions.col
+    val data = (1L to 50L).map(i => (i, (i * 37) % 50)).toDF("id", "v")
+    data.createOrReplaceTempView("ranked_in")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_global_rank('ranked_in', 'v:desc,id', 4, 'rnk')")
+    val direct = GlobalRank.withGlobalRank(data, Seq(col("v").desc, col("id").asc),
+                                           4, "rnk")
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.select("id", "rnk").collect().toSet ===
+      direct.select("id", "rnk").collect().toSet)
+    // a total order over 50 rows: ranks are exactly 1..50, top rank = max v
+    val ranks = viaSql.select("rnk").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 50L))
+    assert(viaSql.filter("rnk = 1").select("v").as[Long].head() === 49L)
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")
