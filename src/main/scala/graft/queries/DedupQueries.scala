@@ -113,6 +113,42 @@ object DedupQueries {
       )
   }
 
+  /** Batch band signatures for an ARBITRARY (doc_id, text) frame — the
+    * [[bandSignatures]] pipeline without the testdata reader, so static
+    * index builds (e.g. the eval side of streaming decontamination,
+    * [[graft.streaming.StreamingDecontam]]) reuse the exact hash family. */
+  private[graft] def bandSignaturesOf(docs: DataFrame): DataFrame =
+    bandSignatures(docs.select(
+      col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shingle")))
+
+  /** Per-ROW band signatures as `array<struct<band,sig0,sig1>>` — the
+    * STATELESS formulation of [[bandSignatures]] (higher-order functions
+    * over the shingle array; no explode, no groupBy), which is what a
+    * streaming face needs in append mode: signature computation becomes a
+    * per-row projection, so no state store and no shuffle. Same hash
+    * family, same constants; equivalence with the batch aggregation is
+    * asserted in `StreamingDecontamSpec`. Docs with no shingles (< 3
+    * tokens) yield an empty array — `array_min` of the empty base set is
+    * null and the filter drops those band structs, matching the batch
+    * groupBy emitting no rows; a null text propagates to a null array,
+    * which a downstream `explode` drops identically. */
+  private[graft] def bandSigArrayCol(text: Column): Column = {
+    val bases = transform(TextOps.shingles(TextOps.tokens(text)),
+                          s => TextOps.md5Prefix32(md5(s)))
+    def aAt(i: Column) = element_at(array(HashA.map(lit): _*), i + 1)
+    def cAt(i: Column) = element_at(array(HashC.map(lit): _*), i + 1)
+    filter(
+      transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(
+          b.as("band"),
+          array_min(transform(bases,
+            x => (x * aAt(b * 2) + cAt(b * 2)) % Mod32)).as("sig0"),
+          array_min(transform(bases,
+            x => (x * aAt(b * 2 + 1) + cAt(b * 2 + 1)) % Mod32)).as("sig1"))),
+      s => s.getField("sig0").isNotNull)
+  }
+
   /** DuckDB replay of [[TextOps.md5Prefix32]] over a hex-string column. */
   private[queries] def hex32(h: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 8),

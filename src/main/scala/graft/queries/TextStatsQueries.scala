@@ -274,8 +274,77 @@ object TextStatsQueries {
       |)""".stripMargin)
   )
 
+  /** PII patterns shared by the Spark query and the oracle. Both engines
+    * must agree on semantics: plain character classes, bounded repeats,
+    * and a single optional escape — constructs Java regex and DuckDB's
+    * RE2 interpret identically (no backreferences, no lookaround, no
+    * possessive quantifiers). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9]{7,15}"
+
+  /**
+   * PII scrub — the redaction pass a training-data pipeline runs before
+   * anything leaves the raw zone: count and redact email addresses and
+   * long digit runs (phone-shaped). The fixture corpus carries no PII,
+   * so the gate SEEDS deterministic PII per doc_id (an email for
+   * `doc_id % 3 = 0`, a +1555… number for `% 3 = 1`, none otherwise —
+   * the `MediaSynth` discipline: both engines construct the same
+   * payload, so matches are real, not vacuously zero). Emails redact
+   * before phones so a digit-bearing local part can't double-redact.
+   * Output carries the redacted text as an md5 (`clean_hash`) — compact,
+   * and any cross-engine drift in match boundaries hash-mismatches.
+   *
+   * 100 TB posture: one stateless projection — regexp_count and the two
+   * chained regexp_replace calls are codegen'd per-row work, no shuffle,
+   * no UDF; the scan's column pruning reaches parquet.
+   */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, dir) => {
+      val seeded = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+               concat(lit(" contact user"), col("doc_id").cast("string"),
+                      lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1,
+                  concat(lit(" call +1555"),
+                         lpad(col("doc_id").cast("string"), 7, "0"),
+                         lit(" today")))
+            .otherwise(lit(""))).as("text"))
+      seeded.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+                           PhoneRe, "<PHONE>")).as("clean_hash"))
+        .withColumn("pii_free",
+                    (col("n_emails") === 0 && col("n_phones") === 0).cast("int"))
+    },
+    Some(s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |         text || CASE
+      |           WHEN doc_id % 3 = 0 THEN ' contact user' ||
+      |             CAST(doc_id AS VARCHAR) || '@example.com now'
+      |           WHEN doc_id % 3 = 1 THEN ' call +1555' ||
+      |             lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' today'
+      |           ELSE '' END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+      |                          '$PhoneRe', '<PHONE>', 'g')) AS clean_hash,
+      |       CAST(len(regexp_extract_all(text, '$EmailRe')) = 0
+      |            AND len(regexp_extract_all(text, '$PhoneRe')) = 0 AS INT)
+      |         AS pii_free
+      |FROM seeded""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles
+    qQuantiles, qPiiScrub
   )
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQueries, DedupQueries}
+
+/**
+ * Streaming train/eval decontamination (SURVEY.md §7.4): the streaming
+ * face of `q_decontaminate`. The batch pass finds LSH near-dup pairs
+ * straddling the train/eval boundary over a frozen corpus; on a stream
+ * the same question is live — "does this incoming train-candidate
+ * document near-duplicate anything in the (frozen) eval sets?" — and the
+ * answer is a STREAM-STATIC equi-join, which Structured Streaming runs
+ * statelessly per micro-batch:
+ *
+ *  - the eval side is a static LSH band index built once from the frozen
+ *    eval split ([[evalBandIndex]] — eval sets must be frozen for the
+ *    question to be well-posed) and `broadcast` so each micro-batch
+ *    probes it without shuffling the stream;
+ *  - the stream side computes band signatures PER ROW with the stateless
+ *    higher-order-function formulation
+ *    ([[graft.queries.DedupQueries.bandSigArrayCol]] — same hash family
+ *    and constants as the batch aggregation, equivalence-tested), so
+ *    append mode needs no state store;
+ *  - a hit is a shared (band, sig0, sig1) key — the same collision
+ *    definition the batch candidate stage uses.
+ *
+ * Output is an append-only contamination LOG: one row per (incoming
+ * train doc, band collision, eval doc). A pair colliding in k bands
+ * emits k rows — dedup is the consumer's aggregation (batch dedups at
+ * the pair stage; an unbounded stream cannot without state, and the log
+ * form is what a quarantine monitor tails anyway). Batch ≡ stream on
+ * the hit set is asserted in `StreamingDecontamSpec`.
+ */
+object StreamingDecontam {
+
+  /** Static eval-side LSH band index over a BATCH documents frame:
+    * `(band, sig0, sig1, eval_id, eval_split)` — one row per band of
+    * every non-train document (split by the shared content-hash
+    * expressions, so stream and batch agree on who is eval). */
+  def evalBandIndex(docs: DataFrame): DataFrame = {
+    val withSplit = docs.withColumn(
+      "split",
+      CurationQueries.splitName(CurationQueries.splitBucket(col("text"))))
+    val evals = withSplit.filter(col("split") =!= "train")
+    DedupQueries.bandSignaturesOf(evals.select("doc_id", "text"))
+      .join(evals.select(col("doc_id").as("e_id"), col("split")),
+            col("doc_id") === col("e_id"))
+      .select(col("band"), col("sig0"), col("sig1"),
+              col("doc_id").as("eval_id"), col("split").as("eval_split"))
+  }
+
+  /** Contamination hits for a stream of candidate documents
+    * (`doc_id`, `text`, …): only rows the shared split expression
+    * assigns to `train` probe the index (an eval-split arrival is not
+    * contamination — it IS the eval set), and each band collision with
+    * an eval document emits `(doc_id, band, eval_id, eval_split)`.
+    * Works identically on a batch frame (the equivalence test's batch
+    * leg). */
+  def contaminationHits(stream: DataFrame, evalBands: DataFrame): DataFrame =
+    stream
+      .withColumn("split", CurationQueries.splitName(
+        CurationQueries.splitBucket(col("text"))))
+      .filter(col("split") === "train")
+      .select(col("doc_id"),
+              explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+              col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
+      .join(broadcast(evalBands), Seq("band", "sig0", "sig1"))
+      .select(col("doc_id"), col("band"), col("eval_id"), col("eval_split"))
+}

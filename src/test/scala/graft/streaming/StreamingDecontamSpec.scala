@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+final case class DecDoc(doc_id: Long, text: String)
+
+/** Streaming decontamination: the stateless per-row signature formulation
+  * must equal the batch aggregation, and the stream-static hit log must
+  * equal the batch run of the same join on the same rows. */
+class StreamingDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Near-dup family: a shared 12-token body with distinct one-token
+    * tails — most shingles shared (band collisions likely), but distinct
+    * content hashes (so split buckets differ doc-to-doc and the family
+    * straddles the train/eval boundary). Plus a short doc (< 3 tokens, no
+    * shingles) and a null-text doc. */
+  private val docs: Seq[DecDoc] = {
+    val body = "the quick brown fox jumps over the lazy dog near the river"
+    (0L until 40L).map(i => DecDoc(i, s"$body tail$i")) :+
+      DecDoc(100L, "too short") :+ DecDoc(101L, null)
+  }
+
+  test("bandSigArrayCol (stateless) ≡ bandSignaturesOf (batch aggregation)") {
+    val df = docs.toDF("doc_id", "text")
+    val viaArray = df
+      .select(col("doc_id"), explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+              col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaAgg = DedupQueries.bandSignaturesOf(df)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(viaArray === viaAgg)
+    // shingle-less docs produce no bands in either formulation
+    assert(!viaArray.exists(r => r._1 == 100L || r._1 == 101L))
+    assert(viaArray.nonEmpty)
+  }
+
+  test("stream-static contamination hits ≡ batch run; straddling family is caught") {
+    val batchDf = docs.toDF("doc_id", "text")
+    val index = StreamingDecontam.evalBandIndex(batchDf).cache()
+    // the fixture must actually straddle: some family members are eval
+    assert(index.select("eval_id").distinct().count() > 0,
+           "fixture produced no eval docs — adjust tails")
+    val batchHits = StreamingDecontam.contaminationHits(batchDf, index)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(batchHits.nonEmpty,
+           "fixture produced no contamination hits — family must collide")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DecDoc]
+    val name = s"graft_sdecon_${System.nanoTime()}"
+    val q = StreamingDecontam.contaminationHits(input.toDF(), index)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(15))
+      q.processAllAvailable()
+      input.addData(docs.drop(15))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamHits = spark.table(name)
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(streamHits === batchHits)
+    // hits point only at eval docs, and only train docs report
+    val evalIds = index.select("eval_id").as[Long].collect().toSet
+    assert(batchHits.forall(h => evalIds.contains(h._3)))
+    assert(batchHits.forall(h => !evalIds.contains(h._1)))
+  }
+}
