@@ -917,9 +917,94 @@ object DedupQueries {
       |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(
+  /** 13 tokens — the GPT-3/Pile convention for exact-overlap
+    * decontamination. */
+  private val OverlapN = 13
+
+  /** Stop-gram guard: n-grams present in more than this many documents are
+    * excluded from overlap pairing (boilerplate/common phrases — the Pile's
+    * common-gram exclusion). Also the scale bound: each surviving gram
+    * contributes ≤ MaxGramDocs² pairs, so the gram-hash equi-join can never
+    * go quadratic in the corpus. */
+  private val MaxGramDocs = 32
+
+  /**
+   * EXACT n-gram overlap decontamination — the GPT-3-style complement to
+   * [[qDecontaminate]]'s LSH near-dup pass: a train document is
+   * contaminated if it shares ANY verbatim 13-gram with an eval document
+   * (near-dup catches paraphrase-scale copying; exact overlap catches
+   * verbatim quotation that LSH banding can miss when the surrounding
+   * document differs). Emits one row per straddling (train, eval) pair
+   * with the count of shared distinct grams.
+   *
+   * Shape at 100 TB: per-doc DISTINCT gram md5s (16-byte keys, never
+   * text) → document-frequency filter (the stop-gram guard above) →
+   * gram-hash equi-join restricted to train×eval — every stage keys on
+   * the gram hash, and the guard caps the per-gram fanout, so the join
+   * is skew-bounded by construction.
+   *
+   * `lazy` (with [[all]]): the oracle interpolates
+   * [[CurationQueries.splitBucketSql]] while CurationQueries's own
+   * composed oracle interpolates [[dedupedKeptCte]] from this object —
+   * deferring construction to first use keeps the two objects'
+   * initialization acyclic regardless of which loads first.
+   */
+  lazy val qExactOverlap = Q(
+    "q_exact_overlap",
+    (s, dir) => {
+      // checkpointed because the stop-gram count AND both pairing sides
+      // read it — without materialization the shingle explode + md5 pass
+      // runs three times (the qNgramJaccard pattern)
+      val grams = docsDistributed(s, dir)
+        .select(col("doc_id"),
+                CurationQueries.splitName(
+                  CurationQueries.splitBucket(col("text"))).as("split"),
+                explode(TextOps.shingles(TextOps.tokens(col("text")),
+                                         OverlapN)).as("g"))
+        .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+        .distinct()
+        .localCheckpoint()
+      // stop-gram guard as a window count: document frequency computed on
+      // the SAME gh hash partitioning the pairing join consumes (the
+      // boundedBucketPairs trick) — costs a sort, not an extra
+      // aggregate-plus-join round trip
+      val guarded = grams
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("__df") <= MaxGramDocs)
+      val t = guarded.filter(col("split") === "train")
+        .select(col("gh"), col("doc_id").as("train_id"))
+      val e = guarded.filter(col("split") =!= "train")
+        .select(col("gh"), col("doc_id").as("eval_id"),
+                col("split").as("eval_split"))
+      t.join(e, Seq("gh"))
+        .groupBy("train_id", "eval_id", "eval_split")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp AS (
+      |  SELECT doc_id, ${CurationQueries.splitCaseSql("b")} AS split
+      |  FROM (SELECT doc_id, ${CurationQueries.splitBucketSql} AS b FROM documents)
+      |),
+      |g AS (
+      |  SELECT DISTINCT d.doc_id, sp.split, md5(gram) AS gh
+      |  FROM (SELECT doc_id,
+      |               unnest(list_transform(generate_series(1, len(toks) - ${OverlapN - 1}),
+      |                        i -> array_to_string(toks[i:i+${OverlapN - 1}], ' '))) AS gram
+      |        FROM d) d
+      |  JOIN sp ON sp.doc_id = d.doc_id
+      |),
+      |rare AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= $MaxGramDocs),
+      |gg AS (SELECT g.* FROM g JOIN rare USING (gh))
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, e.split AS eval_split,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM gg t JOIN gg e ON t.gh = e.gh
+      |WHERE t.split = 'train' AND e.split <> 'train'
+      |GROUP BY 1, 2, 3""".stripMargin)
+  )
+
+  lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDedupClusters, qDedupedCorpus, qDecontaminate, qDocFingerprint,
-    qDedupEmbed
+    qDedupClusters, qDedupedCorpus, qDecontaminate, qExactOverlap,
+    qDocFingerprint, qDedupEmbed
   )
 }
