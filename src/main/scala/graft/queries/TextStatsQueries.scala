@@ -282,6 +282,16 @@ object TextStatsQueries {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+?[0-9]{7,15}"
 
+  /** The scrub expressions — ONE definition shared by the batch gate row
+    * and the streaming face ([[graft.streaming.StreamingCuration]]), the
+    * `repetitiveFlag`/`splitBucket` discipline. */
+  private[graft] def piiEmailCount(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(EmailRe)).cast("long")
+  private[graft] def piiPhoneCount(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(PhoneRe)).cast("long")
+  private[graft] def piiRedact(text: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /**
    * PII scrub — the redaction pass a training-data pipeline runs before
    * anything leaves the raw zone: count and redact email addresses and
@@ -315,10 +325,9 @@ object TextStatsQueries {
             .otherwise(lit(""))).as("text"))
       seeded.select(
         col("doc_id"),
-        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-                           PhoneRe, "<PHONE>")).as("clean_hash"))
+        piiEmailCount(col("text")).as("n_emails"),
+        piiPhoneCount(col("text")).as("n_phones"),
+        md5(piiRedact(col("text"))).as("clean_hash"))
         .withColumn("pii_free",
                     (col("n_emails") === 0 && col("n_phones") === 0).cast("int"))
     },

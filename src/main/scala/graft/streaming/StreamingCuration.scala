@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.CurationQueries
+import graft.queries.{CurationQueries, TextStatsQueries}
 import graft.text.TextOps
 
 /**
@@ -67,6 +67,20 @@ object StreamingCuration {
         CurationQueries.repetitiveFlag(col("top_bigram_n"), col("n_bigrams"),
                                        col("n_types"), col("n_tok")))
   }
+
+  /** PII scrub on a stream — the exact expressions of `q_pii_scrub`
+    * ([[TextStatsQueries.piiRedact]] and friends — shared, not copied),
+    * appended as counts, the redacted text, and a `pii_free` flag. A
+    * stateless per-row projection; the redacted `clean_text` (not a
+    * hash — the stream's consumer wants the scrubbed payload) feeds the
+    * downstream pipeline. */
+  def withPiiScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", TextStatsQueries.piiEmailCount(col("text")))
+      .withColumn("n_phones", TextStatsQueries.piiPhoneCount(col("text")))
+      .withColumn("clean_text", TextStatsQueries.piiRedact(col("text")))
+      .withColumn("pii_free",
+                  (col("n_emails") === 0 && col("n_phones") === 0).cast("int"))
 
   /** Stratified sampling on a stream IS the batch library call:
     * [[CurationQueries.stratifiedSample]] is a stateless

@@ -53,6 +53,38 @@ class StreamingCurationSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("withPiiScrub on a stream: batch ≡ stream, planted PII redacted") {
+    val piiDocs = Seq(
+      CurDoc(10L, "mail me j.doe+x@corp.example.com or ring +4915112345678", "en", "s", 55L),
+      CurDoc(11L, "nothing sensitive here", "en", "s", 22L),
+      CurDoc(12L, null, "en", "s", 0L))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurDoc]
+    val name = s"graft_spii_${System.nanoTime()}"
+    val q = StreamingCuration.withPiiScrub(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(piiDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("doc_id", "n_emails", "n_phones", "clean_text", "pii_free")
+    val stream = spark.table(name).selectExpr(cols: _*)
+      .as[(Long, Option[Long], Option[Long], Option[String], Option[Int])]
+      .collect().sortBy(_._1)
+    val batch = StreamingCuration.withPiiScrub(piiDocs.toDF())
+      .selectExpr(cols: _*)
+      .as[(Long, Option[Long], Option[Long], Option[String], Option[Int])]
+      .collect().sortBy(_._1)
+    assert(stream.toSeq === batch.toSeq)
+    val hit = stream.find(_._1 == 10L).get
+    assert(hit._2 === Some(1L) && hit._3 === Some(1L) && hit._5 === Some(0))
+    assert(hit._4 === Some("mail me <EMAIL> or ring <PHONE>"))
+    assert(stream.find(_._1 == 11L).get._5 === Some(1))
+    // null text: counts/flag null-propagate rather than fabricate zeros
+    assert(stream.find(_._1 == 12L).get._4 === None)
+  }
+
   test("withSplit on a stream equals q_split_assign on the same rows") {
     // bucket read as Option: the null-text row has a null bucket (and
     // falls to the 'test' split) — identically in both faces
