@@ -921,6 +921,12 @@ object DedupQueries {
     * decontamination. */
   private val OverlapN = 13
 
+  /** The overlap gram array for a text column — ONE definition of the
+    * gram size and joining shared by [[qExactOverlap]] and the streaming
+    * face ([[graft.streaming.StreamingDecontam.exactOverlapHits]]). */
+  private[graft] def overlapGrams(text: Column): Column =
+    TextOps.shingles(TextOps.tokens(text), OverlapN)
+
   /** Stop-gram guard: n-grams present in more than this many documents are
     * excluded from overlap pairing (boilerplate/common phrases — the Pile's
     * common-gram exclusion). Also the scale bound: each surviving gram
@@ -959,8 +965,7 @@ object DedupQueries {
         .select(col("doc_id"),
                 CurationQueries.splitName(
                   CurationQueries.splitBucket(col("text"))).as("split"),
-                explode(TextOps.shingles(TextOps.tokens(col("text")),
-                                         OverlapN)).as("g"))
+                explode(overlapGrams(col("text"))).as("g"))
         .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
         .distinct()
         .localCheckpoint()

@@ -69,4 +69,43 @@ object StreamingDecontam {
               col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
       .join(broadcast(evalBands), Seq("band", "sig0", "sig1"))
       .select(col("doc_id"), col("band"), col("eval_id"), col("eval_split"))
+
+  /** Static eval-side EXACT 13-gram index over a batch documents frame:
+    * `(gh, eval_id, eval_split)` — one row per distinct gram md5 of every
+    * non-train document. The verbatim-overlap (`q_exact_overlap`)
+    * complement to [[evalBandIndex]]; the stop-gram guard is the
+    * builder's responsibility at real scale (df-filter before freezing
+    * the index — the fixture-scale index skips it, matching the batch
+    * query's guard only dropping grams beyond 32 docs). */
+  def evalGramIndex(docs: DataFrame): DataFrame = {
+    val withSplit = docs.withColumn(
+      "split",
+      CurationQueries.splitName(CurationQueries.splitBucket(col("text"))))
+    withSplit.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("split").as("eval_split"),
+              explode(DedupQueries.overlapGrams(col("text"))).as("g"))
+      .select(md5(col("g")).as("gh"), col("eval_id"), col("eval_split"))
+      .distinct()
+  }
+
+  /** Verbatim-overlap hits for a stream of candidate documents: each
+    * shared 13-gram between an incoming train doc and a frozen eval doc
+    * emits `(doc_id, gh, eval_id, eval_split)` — the exact-match
+    * complement to [[contaminationHits]], same stateless stream-static
+    * broadcast shape. */
+  def exactOverlapHits(stream: DataFrame, evalGrams: DataFrame): DataFrame =
+    stream
+      .withColumn("split", CurationQueries.splitName(
+        CurationQueries.splitBucket(col("text"))))
+      .filter(col("split") === "train")
+      // per-doc gram dedup happens INSIDE the row (array_distinct over the
+      // gram array) — a global .distinct() would be a stateful streaming
+      // aggregation; the per-row form is stateless and matches the batch
+      // query's per-doc DISTINCT exactly
+      .select(col("doc_id"),
+              explode(array_distinct(transform(
+                DedupQueries.overlapGrams(col("text")),
+                g => md5(g)))).as("gh"))
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select(col("doc_id"), col("gh"), col("eval_id"), col("eval_split"))
 }

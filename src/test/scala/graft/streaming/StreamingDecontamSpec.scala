@@ -70,4 +70,34 @@ class StreamingDecontamSpec extends SparkSpec {
     assert(batchHits.forall(h => evalIds.contains(h._3)))
     assert(batchHits.forall(h => !evalIds.contains(h._1)))
   }
+
+  test("stream-static exact-overlap hits ≡ batch run on a verbatim-quoting family") {
+    // 13-token verbatim quote embedded in otherwise-distinct documents
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val qdocs = (0L until 30L).map(i => DecDoc(i, s"prefix$i $quote suffix$i")) :+
+      DecDoc(100L, "unrelated words only here") :+ DecDoc(101L, null)
+    val batchDf = qdocs.toDF("doc_id", "text")
+    val index = StreamingDecontam.evalGramIndex(batchDf).cache()
+    assert(index.count() > 0, "fixture must yield eval grams")
+    val batchHits = StreamingDecontam.exactOverlapHits(batchDf, index)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(batchHits.nonEmpty, "quoting family must straddle the boundary")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DecDoc]
+    val name = s"graft_sexover_${System.nanoTime()}"
+    val q = StreamingDecontam.exactOverlapHits(input.toDF(), index)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(qdocs.take(10))
+      q.processAllAvailable()
+      input.addData(qdocs.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamHits = spark.table(name)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(streamHits === batchHits)
+    // the unrelated and null docs never appear on either side of a hit
+    assert(!batchHits.exists(h => h._1 >= 100L || h._3 >= 100L))
+  }
 }
