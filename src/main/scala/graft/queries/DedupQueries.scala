@@ -1007,9 +1007,93 @@ object DedupQueries {
       |GROUP BY 1, 2, 3""".stripMargin)
   )
 
+  /**
+   * Incremental dedup: which documents of a NEW batch survive against an
+   * EXISTING corpus — the continuous-ingest form of the dedup family
+   * (the whole-corpus ops assume a frozen corpus; a production pipeline
+   * dedups each arriving batch against what it already has). A new doc
+   * is dropped if its normalized content hash already exists in the
+   * corpus (exact) or if it shares an LSH band signature with any corpus
+   * doc (near-dup candidate, the same b×r family as [[qDedupMinhash]]).
+   * Self-duplicates WITHIN the new batch are out of scope — run the
+   * batch through [[dedupedCorpus]] for that.
+   *
+   * This entry point builds the corpus index per call (fixture/test
+   * shape); production materializes the two index frames once and calls
+   * [[dedupAgainstIndex]] per batch — the indexes are compact keys
+   * (16-byte content hashes, 3×8-byte band keys), not documents, so they
+   * are what an incremental pipeline persists and unions as batches
+   * are accepted.
+   */
+  def dedupAgainstCorpus(corpus: DataFrame, newDocs: DataFrame): DataFrame =
+    dedupAgainstIndex(newDocs,
+                      corpus.select(TextOps.contentHash(col("text")).as("ch"))
+                        .distinct(),
+                      bandSignaturesOf(corpus)
+                        .select("band", "sig0", "sig1").distinct())
+
+  /** The per-batch probe against prebuilt corpus indexes: two anti-joins
+    * on compact keys — content hash, then (band, sig0, sig1). The band
+    * probe computes the new batch's signatures on the (usually small)
+    * batch only; the corpus never rescans. */
+  def dedupAgainstIndex(newDocs: DataFrame, corpusHashes: DataFrame,
+                        corpusBands: DataFrame): DataFrame = {
+    require(newDocs.columns.contains("doc_id") && newDocs.columns.contains("text"),
+            "newDocs needs doc_id and text columns")
+    val exactSurvivors = newDocs
+      .withColumn("__ch", TextOps.contentHash(col("text")))
+      .join(corpusHashes, col("__ch") === col("ch"), "left_anti")
+      .drop("__ch")
+    val nearHitIds = bandSignaturesOf(exactSurvivors)
+      .join(corpusBands, Seq("band", "sig0", "sig1"))
+      .select(col("doc_id").as("__hit_id")).distinct()
+    exactSurvivors
+      .join(nearHitIds, col("doc_id") === col("__hit_id"), "left_anti")
+  }
+
+  /** [[dedupAgainstCorpus]] behind the driver gate: the documents table
+    * split 80/20 by doc_id into an "existing corpus" and an "arriving
+    * batch", the batch probed against the corpus indexes. The oracle
+    * computes signatures over the whole table once (the shared
+    * [[bandSigCte]]) and applies the same two anti-join predicates —
+    * near-hit membership is checked against ALL new docs, which is
+    * equivalent to the Scala's exact-survivors-only probe because the
+    * final result intersects both conditions. */
+  lazy val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      dedupAgainstCorpus(d.filter(col("doc_id") % 5 < 4),
+                         d.filter(col("doc_id") % 5 === 4))
+        .select("doc_id")
+    },
+    Some(s"""$bandSigCte,
+      |ch AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+      |  FROM documents
+      |),
+      |corpus_ch AS (SELECT DISTINCT ch FROM ch WHERE doc_id % 5 < 4),
+      |exact_surv AS (
+      |  SELECT doc_id FROM ch WHERE doc_id % 5 = 4
+      |    AND ch NOT IN (SELECT ch FROM corpus_ch)
+      |),
+      |corpus_bands AS (
+      |  SELECT DISTINCT band, sig0, sig1 FROM sig WHERE doc_id % 5 < 4
+      |),
+      |near_hits AS (
+      |  SELECT DISTINCT s.doc_id
+      |  FROM sig s JOIN corpus_bands cb
+      |    ON s.band = cb.band AND s.sig0 = cb.sig0 AND s.sig1 = cb.sig1
+      |  WHERE s.doc_id % 5 = 4
+      |)
+      |SELECT doc_id FROM exact_surv
+      |WHERE doc_id NOT IN (SELECT doc_id FROM near_hits)""".stripMargin)
+  )
+
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDecontaminate, qExactOverlap,
-    qDocFingerprint, qDedupEmbed
+    qDocFingerprint, qDedupEmbed, qDedupIncremental
   )
 }

@@ -17,7 +17,12 @@ import graft.queries.{CurationQueries, DedupQueries}
  *  - the eval side is a static LSH band index built once from the frozen
  *    eval split ([[evalBandIndex]] — eval sets must be frozen for the
  *    question to be well-posed) and `broadcast` so each micro-batch
- *    probes it without shuffling the stream;
+ *    probes it without shuffling the stream. The broadcast encodes a
+ *    REAL contract: decontamination eval sets are benchmark suites —
+ *    bounded, curated, orders of magnitude smaller than the corpus —
+ *    not a corpus-proportional split (the fixture's hash-split stands in
+ *    for one). An eval side that outgrows broadcast scale drops the
+ *    `broadcast` hint and the same plan runs as a shuffled equi-join;
  *  - the stream side computes band signatures PER ROW with the stateless
  *    higher-order-function formulation
  *    ([[graft.queries.DedupQueries.bandSigArrayCol]] — same hash family

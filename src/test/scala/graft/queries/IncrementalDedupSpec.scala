@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Incremental dedup: a new batch probed against an existing corpus —
+  * exact (normalized-content) and LSH near-dup hits are dropped, fresh
+  * documents survive, and the prebuilt-index path equals the
+  * build-per-call path. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusText =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+
+  private lazy val corpus = Seq(
+    (1L, corpusText),
+    (2L, "completely different content about distributed query engines and shuffles"),
+    (3L, "a third corpus document with its own words and nothing shared at all")
+  ).toDF("doc_id", "text")
+
+  private lazy val newBatch = Seq(
+    // exact dup after normalization: case + whitespace differences only
+    (10L, s"  ${corpusText.toUpperCase} "),
+    // near-dup: one token changed mid-text — most shingles (and some full
+    // band signatures) survive, so LSH banding must catch it
+    (11L, corpusText.replace("lazy", "sleepy")),
+    // fresh content: survives
+    (12L, "entirely novel text that resembles nothing in the corpus whatsoever today"),
+    // short doc (< 3 tokens, no shingles): only the exact probe applies
+    (13L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exact and near-dup arrivals are dropped, fresh docs survive") {
+    val survivors = DedupQueries.dedupAgainstCorpus(corpus, newBatch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(10L), "normalized exact dup must be dropped")
+    assert(!survivors.contains(11L), "LSH near-dup must be dropped")
+    assert(survivors.contains(12L), "fresh doc must survive")
+    assert(survivors.contains(13L), "shingle-less doc with novel content must survive")
+  }
+
+  test("prebuilt-index path ≡ build-per-call path, and survivors keep their columns") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions.col
+    val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct()
+    val bands = DedupQueries.bandSignaturesOf(corpus)
+      .select("band", "sig0", "sig1").distinct()
+    val viaIndex = DedupQueries.dedupAgainstIndex(newBatch, hashes, bands)
+    val viaCorpus = DedupQueries.dedupAgainstCorpus(corpus, newBatch)
+    assert(viaIndex.columns.toSeq === newBatch.columns.toSeq)
+    assert(viaIndex.collect().toSet === viaCorpus.collect().toSet)
+  }
+}
