@@ -64,7 +64,10 @@ object GraftTableFunctions {
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(GraftTableFunctions.getClass.getName, name)
+    // 5-arg form: (className, db, name, usage, examples) — the 2-arg
+    // form would silently drop the usage text from DESCRIBE FUNCTION
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, name,
+                       usage, "")
 
   /** `graft_asof_join(left, right, keyCsv, leftT, rightT, payloadCsv)` —
     * the [[Joins.asOfJoin]] operator from SQL. */
@@ -156,10 +159,13 @@ object GraftTableFunctions {
       require(args.length == 4, s"$fn takes exactly 4 arguments")
       val s = active
       val sortCols = csv(strArg(args, 1, fn)).map { spec =>
-        spec.split(':') match {
-          case Array(c) => col(c).asc
-          case Array(c, "desc") => col(c).desc
-          case Array(c, "asc") => col(c).asc
+        // limit -1: bare split(':') drops trailing empty strings, so a
+        // truncated "v:" would silently parse as ascending instead of
+        // reaching the bad-spec error below
+        spec.split(":", -1) match {
+          case Array(c) if c.nonEmpty => col(c).asc
+          case Array(c, "desc") if c.nonEmpty => col(c).desc
+          case Array(c, "asc") if c.nonEmpty => col(c).asc
           case _ => throw new IllegalArgumentException(
             s"$fn: bad sort spec '$spec' — use 'col' or 'col:desc'")
         }

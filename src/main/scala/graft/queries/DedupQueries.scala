@@ -1075,8 +1075,12 @@ object DedupQueries {
       |),
       |corpus_ch AS (SELECT DISTINCT ch FROM ch WHERE doc_id % 5 < 4),
       |exact_surv AS (
-      |  SELECT doc_id FROM ch WHERE doc_id % 5 = 4
-      |    AND ch NOT IN (SELECT ch FROM corpus_ch)
+      |  -- NOT EXISTS, not NOT IN: a NULL text (NULL md5) in the corpus
+      |  -- would make NOT IN return NULL for EVERY batch row, while
+      |  -- Spark's left_anti keeps null-keyed rows — the equality
+      |  -- predicate matches the join's null-never-matches semantics
+      |  SELECT n.doc_id FROM ch n WHERE n.doc_id % 5 = 4
+      |    AND NOT EXISTS (SELECT 1 FROM corpus_ch c WHERE c.ch = n.ch)
       |),
       |corpus_bands AS (
       |  SELECT DISTINCT band, sig0, sig1 FROM sig WHERE doc_id % 5 < 4

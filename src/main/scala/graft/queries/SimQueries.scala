@@ -146,20 +146,19 @@ object SimQueries {
 
   /** Stride-sampled seed centroids over a quantized frame, HARD-capped at
     * `MaxCents`: the stride bounds the expected seed count for a
-    * contiguous id space, and the rank cut (`c_id` ascending) makes the
-    * bound unconditional — a sparse or stride-aligned id space cannot
-    * blow the broadcast either. The rank window runs over seed
-    * CANDIDATES only (~MaxCents rows), never the corpus; the count job
-    * is one metadata-cheap pass. */
+    * contiguous id space, and an ordered LIMIT (`c_id` ascending — a
+    * TakeOrderedAndProject, each partition keeps its local top-MaxCents
+    * and only those tiny heads reach the driver-side merge) makes the
+    * bound unconditional — a sparse or stride-aligned id space can
+    * neither blow the broadcast NOR funnel the candidate set through a
+    * one-task rank window. The count job is one metadata-cheap pass. */
   private[queries] def ivfSeeds(e: DataFrame): DataFrame = {
     val stride = ivfStride(e.count())
-    val wSeed = Window.orderBy(col("c_id").asc)
     e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("q").as("cq"),
               VectorOps.intNormSq(col("q")).as("cn"))
-      .withColumn("__srn", row_number().over(wSeed))
-      .filter(col("__srn") <= MaxCents)
-      .drop("__srn")
+      .orderBy(col("c_id").asc)
+      .limit(MaxCents.toInt)
   }
 
   /** Nearest-`NProbe` centroid cells per vector (cosine rank, c_id
@@ -395,12 +394,16 @@ object SimQueries {
   private val ProbeVecId = 0L
 
   /** Engine-derived IVF layout dir for a testdata dir (tmpdir, keyed by
-    * basename + path hash — the `LayoutQueries.layoutRoot` discipline:
-    * derived data never lands in the read-only testdata tree, and two
-    * corpora sharing a basename can't collide on one cache entry). */
+    * basename + path hash + THIS JVM's pid — the `LayoutQueries.layoutRoot`
+    * discipline: derived data never lands in the read-only testdata tree,
+    * two corpora sharing a basename can't collide on one entry, and the
+    * pid keeps a concurrent Verify/Bench pair (dev loop beside a gate
+    * run) from racing one process's overwrite against the other's
+    * mid-probe read. Within one JVM, runs are sequential and the
+    * overwrite is the intended freshness semantics. */
   private def ivfLayoutDir(dir: String): String = {
     val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-    s"${sys.props("java.io.tmpdir")}/graft-layouts/ivf-$key"
+    s"${sys.props("java.io.tmpdir")}/graft-layouts/ivf-$key-p${ProcessHandle.current().pid()}"
   }
 
   /** The IVF PHYSICAL layout behind the driver gate: write the

@@ -315,8 +315,13 @@ object TextStatsQueries {
         col("doc_id"),
         concat(
           col("text"),
+          // email local part is doc_id DIGIT-TRANSLATED to letters: a
+          // 7-digit doc_id left verbatim would ALSO match PhoneRe inside
+          // the email, breaking the one-class-per-doc seeding contract
           when(col("doc_id") % 3 === 0,
-               concat(lit(" contact user"), col("doc_id").cast("string"),
+               concat(lit(" contact user"),
+                      translate(col("doc_id").cast("string"),
+                                "0123456789", "abcdefghij"),
                       lit("@example.com now")))
             .when(col("doc_id") % 3 === 1,
                   concat(lit(" call +1555"),
@@ -335,7 +340,8 @@ object TextStatsQueries {
       |  SELECT doc_id,
       |         text || CASE
       |           WHEN doc_id % 3 = 0 THEN ' contact user' ||
-      |             CAST(doc_id AS VARCHAR) || '@example.com now'
+      |             translate(CAST(doc_id AS VARCHAR), '0123456789',
+      |                       'abcdefghij') || '@example.com now'
       |           WHEN doc_id % 3 = 1 THEN ' call +1555' ||
       |             lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' today'
       |           ELSE '' END AS text

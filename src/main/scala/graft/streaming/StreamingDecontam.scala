@@ -40,15 +40,20 @@ import graft.queries.{CurationQueries, DedupQueries}
  */
 object StreamingDecontam {
 
+  /** The ONE statement of how a document frame gets its split column
+    * (the shared content-hash expressions) — four call sites below, so
+    * a change to split attachment can't drift between them. */
+  private def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "split",
+      CurationQueries.splitName(CurationQueries.splitBucket(col("text"))))
+
   /** Static eval-side LSH band index over a BATCH documents frame:
     * `(band, sig0, sig1, eval_id, eval_split)` — one row per band of
     * every non-train document (split by the shared content-hash
     * expressions, so stream and batch agree on who is eval). */
   def evalBandIndex(docs: DataFrame): DataFrame = {
-    val withSplit = docs.withColumn(
-      "split",
-      CurationQueries.splitName(CurationQueries.splitBucket(col("text"))))
-    val evals = withSplit.filter(col("split") =!= "train")
+    val evals = withSplit(docs).filter(col("split") =!= "train")
     DedupQueries.bandSignaturesOf(evals.select("doc_id", "text"))
       .join(evals.select(col("doc_id").as("e_id"), col("split")),
             col("doc_id") === col("e_id"))
@@ -64,9 +69,7 @@ object StreamingDecontam {
     * Works identically on a batch frame (the equivalence test's batch
     * leg). */
   def contaminationHits(stream: DataFrame, evalBands: DataFrame): DataFrame =
-    stream
-      .withColumn("split", CurationQueries.splitName(
-        CurationQueries.splitBucket(col("text"))))
+    withSplit(stream)
       .filter(col("split") === "train")
       .select(col("doc_id"),
               explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
@@ -83,10 +86,7 @@ object StreamingDecontam {
     * the index — the fixture-scale index skips it, matching the batch
     * query's guard only dropping grams beyond 32 docs). */
   def evalGramIndex(docs: DataFrame): DataFrame = {
-    val withSplit = docs.withColumn(
-      "split",
-      CurationQueries.splitName(CurationQueries.splitBucket(col("text"))))
-    withSplit.filter(col("split") =!= "train")
+    withSplit(docs).filter(col("split") =!= "train")
       .select(col("doc_id").as("eval_id"), col("split").as("eval_split"),
               explode(DedupQueries.overlapGrams(col("text"))).as("g"))
       .select(md5(col("g")).as("gh"), col("eval_id"), col("eval_split"))
@@ -99,9 +99,7 @@ object StreamingDecontam {
     * complement to [[contaminationHits]], same stateless stream-static
     * broadcast shape. */
   def exactOverlapHits(stream: DataFrame, evalGrams: DataFrame): DataFrame =
-    stream
-      .withColumn("split", CurationQueries.splitName(
-        CurationQueries.splitBucket(col("text"))))
+    withSplit(stream)
       .filter(col("split") === "train")
       // per-doc gram dedup happens INSIDE the row (array_distinct over the
       // gram array) — a global .distinct() would be a stateful streaming

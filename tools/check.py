@@ -37,6 +37,8 @@ def main():
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("--only needs a comma-separated query list")
         only = set(args[i + 1].split(","))
         del args[i:i + 2]
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
@@ -45,14 +47,27 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    # a partial dump (Verify's subset arg, or stale outDir) must be loud:
-    # unselected queries would otherwise compare against a PRIOR run's
-    # parquet and could silently pass against outdated code
-    dumped = {n for n in oracle if os.path.isdir(f"{out}/{n}")}
-    if dumped < set(oracle):
-        missing = sorted(set(oracle) - dumped)
-        print(f"WARN: outDir holds {len(dumped)}/{len(oracle)} query dumps; "
-              f"absent (will FAIL unless --only skips them): {missing}")
+    if only is not None:
+        # a typo'd name silently intersected away would print '0 pass /
+        # 0 fail' and exit 0 — unknown names are an error
+        unknown = sorted(only - set(oracle))
+        if unknown:
+            sys.exit(f"--only names not in oracle_sql.json: {unknown}")
+    # staleness must be loud: with a reused outDir, dirs from PRIOR runs
+    # linger, so a query not re-dumped by the LATEST Verify run (its
+    # manifest, dumped.json) would silently compare old parquet against
+    # current oracle SQL. Dir existence alone can't catch that.
+    try:
+        fresh = set(json.load(open(f"{out}/dumped.json")))
+    except FileNotFoundError:
+        fresh = {n for n in oracle if os.path.isdir(f"{out}/{n}")}
+        print("WARN: no dumped.json manifest (old Verify?) — falling back "
+              "to dir existence, which cannot detect STALE dumps")
+    stale = sorted(set(oracle) - fresh)
+    if stale:
+        print(f"WARN: {len(stale)}/{len(oracle)} oracle queries were NOT "
+              f"dumped by the latest Verify run — their parquet (if any) is "
+              f"stale or absent: {stale}")
     names = sorted(oracle if only is None else set(oracle) & only)
     n_pass = n_fail = 0
     for name in names:
