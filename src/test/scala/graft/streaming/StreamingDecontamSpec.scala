@@ -71,6 +71,31 @@ class StreamingDecontamSpec extends SparkSpec {
     assert(batchHits.forall(h => !evalIds.contains(h._1)))
   }
 
+  test("property: stateless signatures ≡ batch aggregation on random token streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocabulary forces shingle repeats WITHIN a doc (exercising the
+    // per-doc min over duplicate base hashes) and shared shingles ACROSS
+    // docs; lengths 0–2 exercise the no-shingle path
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ee", "fff"))
+    } yield toks.mkString(" ")
+    for (seed <- 1L to 5L) {
+      val texts = Gen.listOfN(25, docGen)(Gen.Parameters.default, Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val viaArray = df
+        .select(col("doc_id"),
+                explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
+        .select(col("doc_id"), col("bs.band"), col("bs.sig0"), col("bs.sig1"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val viaAgg = DedupQueries.bandSignaturesOf(df)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(viaArray === viaAgg, s"seed=$seed")
+    }
+  }
+
   test("stream-static exact-overlap hits ≡ batch run on a verbatim-quoting family") {
     // 13-token verbatim quote embedded in otherwise-distinct documents
     val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
