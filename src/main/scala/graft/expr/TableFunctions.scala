@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.StringType
 
 import graft.operators.{ConnectedComponents, GlobalRank, Joins, TopK}
 
@@ -40,6 +41,11 @@ object GraftTableFunctions {
     require(i < args.length, s"$fn: missing argument ${i + 1}")
     val e = args(i)
     require(e.foldable, s"$fn: argument ${i + 1} must be a constant string")
+    // type-check BEFORE eval: a foldable non-string (graft_x(42, ...))
+    // must fail the promised contract, not coerce via toString
+    require(e.dataType == StringType,
+            s"$fn: argument ${i + 1} must be a constant string, " +
+              s"got ${e.dataType.simpleString}")
     val v = e.eval()
     require(v != null, s"$fn: argument ${i + 1} must not be null")
     v.toString

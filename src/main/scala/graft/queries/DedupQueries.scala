@@ -131,8 +131,13 @@ object DedupQueries {
     * asserted in `StreamingDecontamSpec`. Docs with no shingles (< 3
     * tokens) yield an empty array — `array_min` of the empty base set is
     * null and the filter drops those band structs, matching the batch
-    * groupBy emitting no rows; a null text propagates to a null array,
-    * which a downstream `explode` drops identically. */
+    * groupBy emitting no rows. A null text ALSO yields an EMPTY array
+    * (not null): the outer `transform` runs over a literal
+    * `sequence(0, NumBands-1)`, so null only nulls each struct's sig
+    * fields, and the filter then drops all `NumBands` structs — callers
+    * must not rely on `.isNull`; a downstream `explode` drops the
+    * empty array identically to the batch side (pinned in
+    * `StreamingDecontamSpec`). */
   private[graft] def bandSigArrayCol(text: Column): Column = {
     val bases = transform(TextOps.shingles(TextOps.tokens(text)),
                           s => TextOps.md5Prefix32(md5(s)))
@@ -969,13 +974,19 @@ object DedupQueries {
         .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
         .distinct()
         .localCheckpoint()
-      // stop-gram guard as a window count: document frequency computed on
-      // the SAME gh hash partitioning the pairing join consumes (the
-      // boundedBucketPairs trick) — costs a sort, not an extra
-      // aggregate-plus-join round trip
-      val guarded = grams
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy("gh")))
+      // stop-gram guard as a partial-aggregating groupBy + semi-join: a
+      // window over the raw gram rows would funnel every occurrence of a
+      // hot gram into one task BEFORE the df filter could drop it — the
+      // boilerplate grams the guard exists for are exactly the hot keys.
+      // groupBy map-side-combines each partition's occurrences down to
+      // one (gh, count) row pre-shuffle, so no task ever holds a hot
+      // gram's full row set; the semi-join back reuses the gh hash
+      // partitioning the pairing join consumes.
+      val rare = grams.groupBy("gh")
+        .agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= MaxGramDocs)
+        .select("gh")
+      val guarded = grams.join(rare, Seq("gh"), "left_semi")
       val t = guarded.filter(col("split") === "train")
         .select(col("gh"), col("doc_id").as("train_id"))
       val e = guarded.filter(col("split") =!= "train")

@@ -151,10 +151,18 @@ object SimQueries {
     * and only those tiny heads reach the driver-side merge) makes the
     * bound unconditional — a sparse or stride-aligned id space can
     * neither blow the broadcast NOR funnel the candidate set through a
-    * one-task rank window. The count job is one metadata-cheap pass. */
+    * one-task rank window. The stride itself is computed IN the plan (a
+    * 1-row count aggregate broadcast back over `e`, exactly the oracle's
+    * `st` CTE), so seeding stays fully lazy — no driver-side action at
+    * plan-construction time, no extra scan of the embeddings on top of
+    * the assignment passes. */
   private[queries] def ivfSeeds(e: DataFrame): DataFrame = {
-    val stride = ivfStride(e.count())
-    e.filter(col("vec_id") % stride === 0)
+    val st = e.agg(count(lit(1)).as("__n")).select(
+      greatest(lit(CentStride.toLong),
+               ceil(col("__n").cast("double") / MaxCents).cast("long"))
+        .as("__stride"))
+    e.crossJoin(broadcast(st))
+      .filter(col("vec_id") % col("__stride") === 0)
       .select(col("vec_id").as("c_id"), col("q").as("cq"),
               VectorOps.intNormSq(col("q")).as("cn"))
       .orderBy(col("c_id").asc)

@@ -100,5 +100,12 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_topk('scores', 'g', 'v', 'id', 0)").collect()
     }
+    // a foldable NON-STRING where a string is promised must fail, not
+    // coerce via toString ("42" is not a table name)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof_join(42, 'quotes', 'sym', 't', 'qt', 'bid')")
+        .collect()
+    }
+    assert(e.getMessage.contains("constant string"))
   }
 }

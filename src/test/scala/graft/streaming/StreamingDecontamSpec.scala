@@ -38,6 +38,15 @@ class StreamingDecontamSpec extends SparkSpec {
     // shingle-less docs produce no bands in either formulation
     assert(!viaArray.exists(r => r._1 == 100L || r._1 == 101L))
     assert(viaArray.nonEmpty)
+    // null text yields an EMPTY array, never a null array (the outer
+    // transform runs over a literal sequence, so null only nulls the sig
+    // fields, which the filter then drops) — callers must not rely on
+    // .isNull; pin the documented contract
+    val nullText = df.filter(col("doc_id") === 101L)
+      .select(DedupQueries.bandSigArrayCol(col("text")).as("a"))
+      .select(col("a").isNull, size(col("a")))
+      .as[(Boolean, Int)].head()
+    assert(nullText === ((false, 0)))
   }
 
   test("stream-static contamination hits ≡ batch run; straddling family is caught") {
