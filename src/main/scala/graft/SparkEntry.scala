@@ -12,7 +12,8 @@ object SparkEntry {
     CoreQueries.all ++ RelationalQueries.all ++
       DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all ++
       IngestQueries.all ++ LayoutQueries.all ++
-      JoinQueries.all ++ CurationQueries.all ++ MediaQueries.all
+      JoinQueries.all ++ CurationQueries.all ++ MediaQueries.all ++
+      StreamingQueries.all
 
   /** The contract boundary is the one layer that receives FOREIGN sessions
     * (the driver builds its own SparkSession for the smoke check), so

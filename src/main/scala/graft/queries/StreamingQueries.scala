@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.StreamingDecontam
+
+/**
+ * Oracle-gated STREAMING queries: each entry drives a Structured
+ * Streaming face of the library through a real `readStream` →
+ * `writeStream` run (`Trigger.AvailableNow`, so the run drains the
+ * source and terminates deterministically) and returns the sink table
+ * for the driver's DuckDB compare. The streaming modules themselves
+ * (graft.streaming.*) are spec-proven batch ≡ stream; these gates add
+ * the driver's independent-oracle check on top, closing the loop from
+ * "equivalent to the batch query" to "equal to the oracle's answer".
+ *
+ * The memory sink is the GATE harness, not the production shape — a
+ * deployment writes the same append-only stream to Kafka/parquet. At
+ * fixture scale the sink holds the pre-dedup hit log (band collisions
+ * of straddling pairs only — sparse by the b=8/r=2 banding design), so
+ * driver memory is bounded by the contamination volume, not the corpus.
+ */
+object StreamingQueries {
+
+  /**
+   * Streaming train/eval decontamination, gated against the BATCH
+   * oracle: the documents table replayed as a parquet file stream,
+   * each micro-batch's train-split rows probing the frozen eval-side
+   * band index ([[graft.streaming.StreamingDecontam.contaminationHits]]
+   * — stateless per-row signatures, stream-static broadcast join, no
+   * state store). The append-only hit log emits one row per band
+   * collision; the gate distincts it to straddling (train_id, eval_id,
+   * eval_split) pairs, which is exactly [[DedupQueries.qDecontaminate]]'s
+   * output — so the oracle SQL is REUSED verbatim from the batch query
+   * and the two faces can never drift on semantics.
+   */
+  val qStreamDecontam = Q(
+    "q_stream_decontam",
+    (s, dir) => {
+      val batchDocs = Tables.read(s, dir, "documents")
+      // frozen eval-side index (eval sets are bounded benchmark suites —
+      // see StreamingDecontam scaladoc); cached so a multi-micro-batch
+      // run probes one materialization instead of re-aggregating
+      val evalIdx = StreamingDecontam.evalBandIndex(
+        batchDocs.select("doc_id", "text")).cache()
+      val stream = s.readStream
+        .schema(batchDocs.schema)
+        // the testdata table is a single parquet FILE: a non-glob path
+        // makes FileStreamSource force basePath to the file itself,
+        // which partition inference rejects ("must be a directory") —
+        // so match the file with a single-file glob and anchor
+        // inference at the table directory explicitly
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.[p]arquet")
+        .select("doc_id", "text")
+      val sink = s"graft_q_stream_decontam_${System.nanoTime()}"
+      val q = StreamingDecontam.contaminationHits(stream, evalIdx)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      evalIdx.unpersist()
+      // k band collisions per pair → one pair row: the consumer-side
+      // aggregation the batch query performs at its candidate stage
+      s.table(sink)
+        .select(col("doc_id").as("train_id"), col("eval_id"),
+                col("eval_split"))
+        .distinct()
+    },
+    DedupQueries.qDecontaminate.oracle
+  )
+
+  val all: Seq[Q] = Seq(qStreamDecontam)
+}
