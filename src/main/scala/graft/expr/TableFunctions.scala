@@ -184,7 +184,65 @@ object GraftTableFunctions {
     }
   )
 
-  val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank)
+  /** `graft_dedup(table, mode)` — corpus deduplication from SQL over any
+    * `(doc_id, text, …)` table, returning the SURVIVING rows.
+    * `mode = 'exact'`: keep the min-doc_id row per normalized content
+    * ([[graft.queries.DedupQueries.exactDedupOf]]).
+    * `mode = 'lsh'`: the full near-dup composition — exact ∪ MinHash-LSH
+    * candidate edges → connected components → one canonical doc per
+    * cluster ([[graft.queries.DedupQueries.dedupedCorpusOf]]). */
+  val dedup: TVF = (
+    new FunctionIdentifier("graft_dedup"),
+    info("graft_dedup", "graft_dedup(docsTable, 'exact'|'lsh')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_dedup"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val t = active.table(strArg(args, 0, fn))
+      val out = strArg(args, 1, fn) match {
+        case "exact" => graft.queries.DedupQueries.exactDedupOf(t)
+        case "lsh" => graft.queries.DedupQueries.dedupedCorpusOf(t)
+        case other => throw new IllegalArgumentException(
+          s"$fn: unknown mode '$other' — use 'exact' or 'lsh'")
+      }
+      out.queryExecution.logical
+    }
+  )
+
+  /** `graft_decontaminate(trainTable, evalTable)` — cross-corpus LSH
+    * decontamination from SQL: distinct `(train_id, eval_id)` pairs whose
+    * documents share a MinHash band signature
+    * ([[graft.queries.DedupQueries.decontaminatePairs]]). */
+  val decontaminate: TVF = (
+    new FunctionIdentifier("graft_decontaminate"),
+    info("graft_decontaminate", "graft_decontaminate(trainTable, evalTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_decontaminate"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val s = active
+      graft.queries.DedupQueries.decontaminatePairs(
+        s.table(strArg(args, 0, fn)), s.table(strArg(args, 1, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_curate(table)` — the end-to-end curation pipeline from SQL:
+    * dedup (exact ∪ LSH) → repetition quality gate → deterministic
+    * content-hash split; returns surviving rows with their `split`
+    * ([[graft.queries.CurationQueries.curatedCorpusOf]]). */
+  val curate: TVF = (
+    new FunctionIdentifier("graft_curate"),
+    info("graft_curate", "graft_curate(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_curate"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.curatedCorpusOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
+                          dedup, decontaminate, curate)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -74,8 +74,15 @@ object CurationQueries {
    */
   val qRepetitionFilter = Q(
     "q_repetition_filter",
-    (s, dir) => {
-      val d = docs(s, dir)
+    (s, dir) => repetitionSignals(docs(s, dir)),
+    repetitionOracle
+  )
+
+  /** The repetition-signal pipeline over an ARBITRARY `(doc_id, text)`
+    * frame — [[qRepetitionFilter]]'s body, factored so the
+    * `graft_curate` TVF and any non-testdata caller run the exact same
+    * aggregates and gate. */
+  private[graft] def repetitionSignals(d: DataFrame): DataFrame = {
       val uni = d
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -102,7 +109,9 @@ object CurationQueries {
           "repetitive",
           repetitiveFlag(col("top_bigram_n"), col("n_bigrams"),
                          col("n_types"), col("n_tok")))
-    },
+  }
+
+  private def repetitionOracle: Option[String] =
     Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |${repSignalCtes("")},
       |j AS (
@@ -118,7 +127,6 @@ object CurationQueries {
       |SELECT *, CAST(${repGateSql("top_bigram_n", "n_bigrams",
                                    "n_types", "n_tok")} AS INT) AS repetitive
       |FROM j""".stripMargin)
-  )
 
   /** Split-assignment expressions, shared by the batch query and the
     * streaming face ([[graft.streaming.StreamingCuration]]) so the two
@@ -276,6 +284,19 @@ object CurationQueries {
     kept
       .join(repetitive, col("doc_id") === col("rep_id"), "left_anti")
       .join(splits, Seq("doc_id"))
+  }
+
+  /** [[curatedCorpus]] (LSH-candidate mode) over an ARBITRARY
+    * `(doc_id, text, …)` frame — the `graft_curate` TVF delegate. Same
+    * composition, same order: dedup → repetition gate → split column;
+    * returns the surviving rows with their `split`. */
+  def curatedCorpusOf(docsDf: DataFrame): DataFrame = {
+    val kept = DedupQueries.dedupedCorpusOf(docsDf)
+    val repetitive = repetitionSignals(docsDf)
+      .filter(col("repetitive") === 1).select(col("doc_id").as("rep_id"))
+    kept
+      .join(repetitive, col("doc_id") === col("rep_id"), "left_anti")
+      .withColumn("split", splitName(splitBucket(col("text"))))
   }
 
   /**

@@ -245,6 +245,16 @@ object DedupQueries {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
+  /** [[candidatePairs]] over an ARBITRARY `(doc_id, text)` frame — the
+    * entry point the SQL TVF surface (`graft_dedup`) and any non-testdata
+    * caller use; identical banding, bucketing, and skew guard. */
+  private[graft] def candidatePairsOf(docsDf: DataFrame): DataFrame =
+    boundedBucketPairs(bandSignaturesOf(docsDf.select("doc_id", "text")),
+                       Seq("band", "sig0", "sig1"), struct(col("doc_id")),
+                       guard = "graft_minhash_skew")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
   private val candidateCte: String =
     s"""$bandSigCte,
       |cand AS (
@@ -721,6 +731,33 @@ object DedupQueries {
       if (verify) qNgramJaccard.fn(s, dir)
         .filter(col("near_dup") === 1).select("a_id", "b_id")
       else candidatePairs(shingled(s, dir))
+    dedupeWithPairs(docs(s, dir), nearPairs)
+  }
+
+  /** [[dedupedCorpus]] (LSH-candidate mode) over an ARBITRARY
+    * `(doc_id, text, …)` frame — the `graft_dedup('t', 'lsh')` TVF
+    * delegate. Returns the surviving rows with all input columns. */
+  def dedupedCorpusOf(docsDf: DataFrame): DataFrame =
+    dedupeWithPairs(docsDf, candidatePairsOf(docsDf))
+
+  /** Exact (normalized-content) dedup over an ARBITRARY
+    * `(doc_id, text, …)` frame: keep the min-doc_id row per distinct
+    * content — the `graft_dedup('t', 'exact')` TVF delegate. The
+    * left-semi join ships only (hash, id) pairs; text never shuffles. */
+  def exactDedupOf(docsDf: DataFrame): DataFrame =
+    docsDf.join(
+      docsDf.select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** The shared dedup composition core: near-dup edges ∪ exact
+    * (normalized-content) edges → connected components → drop every doc
+    * that is not its component's min. One body behind [[dedupedCorpus]]
+    * (both modes) and [[dedupedCorpusOf]], so the corpus-level and
+    * arbitrary-frame surfaces cannot drift. */
+  private def dedupeWithPairs(docsDf: DataFrame,
+                              nearPairs: DataFrame): DataFrame = {
     // exact (normalized-content) duplicates are ALWAYS edges — they are
     // duplicates by definition, no LSH recall or Jaccard verification
     // applies. LSH shingles run over RAW tokens, so a case/whitespace
@@ -732,7 +769,7 @@ object DedupQueries {
     // inputs differ below their exchanges (one aggregates), so
     // ReuseExchange can't dedup them — unmaterialized, the corpus scan
     // and the normalize+md5 would run twice.
-    val hashes = docs(s, dir)
+    val hashes = docsDf
       .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
       .localCheckpoint()
     val exactPairs = hashes
@@ -744,8 +781,29 @@ object DedupQueries {
     // everything else (canonical ids + singletons) survives
     val removed = components(pairs)
       .filter(col("id") =!= col("lbl")).select(col("id"))
-    docs(s, dir).join(removed, col("doc_id") === col("id"), "left_anti")
+    docsDf.join(removed, col("doc_id") === col("id"), "left_anti")
   }
+
+  /** Cross-corpus decontamination over ARBITRARY train/eval frames (each
+    * `(doc_id, text, …)`): every LSH band collision between a train and
+    * an eval document, deduped to distinct `(train_id, eval_id)` pairs —
+    * the `graft_decontaminate('train', 'eval')` TVF delegate and the
+    * two-table generalization of [[qDecontaminate]] (which derives the
+    * two sides from one corpus's split column). Signatures are computed
+    * PER SIDE, so doc_ids may collide across the two tables without
+    * merging documents; the pairing is a (band, sig) equi-join — AQE
+    * broadcasts the eval side when it is benchmark-suite-sized (the
+    * normal case; see [[graft.streaming.StreamingDecontam]]'s contract). */
+  def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame =
+    bandSignaturesOf(train.select("doc_id", "text"))
+      .select(col("band"), col("sig0"), col("sig1"),
+              col("doc_id").as("train_id"))
+      .join(bandSignaturesOf(eval.select("doc_id", "text"))
+              .select(col("band"), col("sig0"), col("sig1"),
+                      col("doc_id").as("eval_id")),
+            Seq("band", "sig0", "sig1"))
+      .select("train_id", "eval_id")
+      .distinct()
 
   /** Shared oracle prefix for the dedup COMPOSITIONS: the recursive-CTE
     * fixpoint of [[qDedupClusters]] extended with the exact

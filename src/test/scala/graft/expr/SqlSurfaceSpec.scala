@@ -91,6 +91,82 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.filter("rnk = 1").select("v").as[Long].head() === 49L)
   }
 
+  // a corpus with an exact duplicate family (1,2 — same normalized
+  // content), a near-dup family (3,4 — shared 12-token body, distinct
+  // tails), a repetitive doc (5), and distinct singletons
+  private lazy val corpus = {
+    val body = "the quick brown fox jumps over the lazy dog near the river"
+    Seq(
+      (1L, s"$body one"), (2L, s"  $body   ONE "),
+      (3L, s"$body alpha"), (4L, s"$body beta"),
+      (5L, ("spam " * 40).trim),
+      (6L, "a genuinely distinct document about spark physical plans"),
+      (7L, "another unrelated text concerning catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+  }
+
+  test("graft_dedup from SQL ≡ exactDedupOf / dedupedCorpusOf") {
+    import graft.queries.DedupQueries
+    corpus.createOrReplaceTempView("corpus_docs")
+    val exactSql = spark.sql("SELECT * FROM graft_dedup('corpus_docs', 'exact')")
+    val exactDirect = DedupQueries.exactDedupOf(corpus)
+    assert(exactSql.columns.toSeq === exactDirect.columns.toSeq)
+    assert(exactSql.collect().toSet === exactDirect.collect().toSet)
+    // the exact family collapses to doc 1; near-dups 3,4 both survive
+    val exactIds = exactSql.select("doc_id").as[Long].collect().toSet
+    assert(!exactIds.contains(2L) && exactIds.contains(1L))
+    assert(exactIds.contains(3L) && exactIds.contains(4L))
+
+    val lshSql = spark.sql("SELECT * FROM graft_dedup('corpus_docs', 'lsh')")
+    val lshDirect = DedupQueries.dedupedCorpusOf(corpus)
+    assert(lshSql.collect().toSet === lshDirect.collect().toSet)
+    // LSH mode chains the whole shared-body family {1,2,3,4} into one
+    // component (1↔2 exact, 1↔3↔4 near-dup) and keeps its min id only
+    val lshIds = lshSql.select("doc_id").as[Long].collect().toSet
+    assert(lshIds === Set(1L, 5L, 6L, 7L))
+  }
+
+  test("graft_decontaminate from SQL ≡ decontaminatePairs") {
+    import graft.queries.DedupQueries
+    val body = "the quick brown fox jumps over the lazy dog near the river"
+    // eval ids deliberately COLLIDE with train ids: per-side signatures
+    // must keep the two tables' documents apart
+    Seq((1L, s"$body t-one"), (2L, "completely unrelated training text here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_train")
+    Seq((1L, s"$body e-one"), (9L, "benchmark prompt with no overlap at all"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_eval")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_decontaminate('tvf_train', 'tvf_eval')")
+    val direct = DedupQueries.decontaminatePairs(
+      spark.table("tvf_train"), spark.table("tvf_eval"))
+    assert(viaSql.columns.toSeq === Seq("train_id", "eval_id"))
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    // the shared-body pair is caught; the unrelated docs pair with nothing
+    assert(viaSql.as[(Long, Long)].collect().toSet === Set((1L, 1L)))
+  }
+
+  test("graft_curate from SQL ≡ curatedCorpusOf") {
+    import graft.queries.CurationQueries
+    corpus.createOrReplaceTempView("corpus_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_curate('corpus_docs')")
+    val direct = CurationQueries.curatedCorpusOf(corpus)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val ids = viaSql.select("doc_id").as[Long].collect().toSet
+    // duplicates collapsed, the repetitive doc gated out, split attached
+    assert(!ids.contains(2L) && !ids.contains(4L) && !ids.contains(5L))
+    assert(viaSql.select("split").as[String].collect()
+      .forall(Set("train", "val", "test")))
+  }
+
+  test("graft_dedup rejects an unknown mode") {
+    corpus.createOrReplaceTempView("corpus_docs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dedup('corpus_docs', 'fuzzy')").collect()
+    }
+    assert(e.getMessage.contains("unknown mode"))
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")
