@@ -210,40 +210,52 @@ object SimQueries {
     quantized(s, dir)
 
   /** Shared DuckDB replay of the full IVF training chain — capped stride
-    * seeding through trained-cell assignment — referenced by BOTH
-    * `q_sim_search_ivf` and `q_ivf_probe` so the two gates can never
-    * drift on training semantics (the `dedupedKeptCte` discipline).
+    * seeding through trained-cell assignment — referenced by
+    * `q_sim_search_ivf`, `q_ivf_probe`, AND (via the parameterized
+    * [[ivfCteOn]]) `q_ivf_append`, so the gates can never drift on
+    * training semantics (the `dedupedKeptCte` discipline).
     * Defines: `e` (quantized), `st` (capped stride), `cents0` (seeds),
     * `cents` (trained centroids), `rk` (per-vector centroid ranking),
     * `cell` (nearest trained cell per vector). */
-  private[queries] val ivfCte: String = s"""$quantCte,
+  private[queries] val ivfCte: String = ivfCteOn("e")
+
+  /** [[ivfCte]] with the TRAINING side parameterized: stride, seeds, and
+    * the Lloyd floor-mean read `$train` (a CTE the caller prepends —
+    * e.g. the build half of an incremental layout), while the final
+    * `rk`/`cell` assignment still ranks EVERY vector of `e` against the
+    * trained centroids. With `train = "e"` this is exactly the original
+    * full-corpus chain; with a subset it replays build-then-append:
+    * frozen centroids from the build half, all vectors assigned to
+    * them — which is precisely what [[appendToIvfLayout]] materializes. */
+  private[queries] def ivfCteOn(train: String, extra: String = ""): String =
+    s"""$quantCte,$extra
       |st AS (
       |  SELECT GREATEST($CentStride, CAST(CEIL(COUNT(*) / $MaxCents.0) AS BIGINT)) AS stride
-      |  FROM e
+      |  FROM $train
       |),
       |cents0 AS (
       |  SELECT c_id, cq, cn FROM (
       |    SELECT vec_id AS c_id, q AS cq,
       |           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn,
       |           ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS srn
-      |    FROM e WHERE vec_id % (SELECT stride FROM st) = 0
+      |    FROM $train WHERE vec_id % (SELECT stride FROM st) = 0
       |  ) WHERE srn <= $MaxCents
       |),
       |rk0 AS (
-      |  SELECT e.vec_id, c.c_id,
+      |  SELECT t.vec_id, c.c_id,
       |         ROW_NUMBER() OVER (
-      |           PARTITION BY e.vec_id
-      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(e.q)),
-      |                            i -> e.q[i] * c.cq[i])) AS BIGINT)
+      |           PARTITION BY t.vec_id
+      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(t.q)),
+      |                            i -> t.q[i] * c.cq[i])) AS BIGINT)
       |                    / sqrt(CAST(c.cn AS DOUBLE)) DESC,
       |                    c.c_id ASC) AS crn
-      |  FROM e CROSS JOIN cents0 c
+      |  FROM $train t CROSS JOIN cents0 c
       |),
       |a0 AS (SELECT vec_id, c_id FROM rk0 WHERE crn = 1),
       |mem AS (
-      |  SELECT a0.c_id, unnest(generate_series(1, len(e.q))) AS pos,
-      |         unnest(e.q) AS v
-      |  FROM a0 JOIN e ON e.vec_id = a0.vec_id
+      |  SELECT a0.c_id, unnest(generate_series(1, len(t.q))) AS pos,
+      |         unnest(t.q) AS v
+      |  FROM a0 JOIN $train t ON t.vec_id = a0.vec_id
       |),
       |tc AS (
       |  SELECT c_id,
@@ -282,8 +294,13 @@ object SimQueries {
    * (plan-asserted in `SimIvfSpec`), and query cost scales with cell
    * size regardless of corpus size.
    */
-  def writeIvfLayout(s: SparkSession, dir: String, outDir: String): Unit = {
-    val e = quantized(s, dir)
+  def writeIvfLayout(s: SparkSession, dir: String, outDir: String): Unit =
+    writeIvfLayoutOf(quantized(s, dir), outDir)
+
+  /** [[writeIvfLayout]] over an ARBITRARY quantized `(vec_id, label, q)`
+    * frame — the build step of an incremental layout
+    * ([[appendToIvfLayout]]) and any non-testdata caller. */
+  def writeIvfLayoutOf(e: DataFrame, outDir: String): Unit = {
     val cents = ivfTrain(e).localCheckpoint() // feeds assign AND the write
     val cells = ivfAssign(e, cents).filter(col("crn") === 1)
       .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
@@ -294,6 +311,65 @@ object SimQueries {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
     cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /**
+   * INCREMENTAL layout maintenance: assign new vectors to the EXISTING
+   * trained cells (the stored centroid table is the frozen coarse
+   * quantizer — no retrain) and append them under their cells'
+   * partition directories. This is how a production IVF index absorbs
+   * a growing corpus between rebuilds, and the ANN twin of
+   * [[graft.queries.DedupQueries.dedupAgainstIndex]]'s continuous-ingest
+   * form: the expensive artifact (trained centroids + cell bucketing)
+   * is reused; per-batch cost is one n_new·k broadcast assignment pass
+   * plus a partitioned append — never a corpus rescan.
+   *
+   * Freshness contract: frozen centroids stop tracking the data as the
+   * appended distribution drifts — probe recall decays monotonically
+   * with drift. [[ivfStaleness]] is the rebuild trigger: compare the
+   * post-append per-cell mean cosine distance against the build-time
+   * snapshot and rebuild when it degrades past the deployment's
+   * tolerance.
+   *
+   * @param newVecs quantized `(vec_id, label, q)` rows; vec_ids disjoint
+   *                from the layout's (the caller's contract, exactly as
+   *                in `dedupAgainstIndex`)
+   */
+  def appendToIvfLayout(s: SparkSession, layoutDir: String,
+                        newVecs: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cells = ivfAssign(newVecs, cents).filter(col("crn") === 1)
+      .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
+    newVecs.join(cells, col("vec_id") === col("cell_vid"))
+      .select(col("vec_id"), col("label"), col("q"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$layoutDir/cells")
+  }
+
+  /**
+   * The staleness metric for an incrementally-maintained layout: per
+   * cell, the member count and the mean cosine DISTANCE (1 − cos) of
+   * members to their frozen centroid. Appending in-distribution data
+   * leaves it flat; drift raises it — the signal that the frozen
+   * quantizer no longer matches the data and the layout needs a
+   * rebuild ([[writeIvfLayoutOf]]). One broadcast join + one
+   * aggregation over the cells scan; zero-norm members carry a null
+   * distance (no direction, excluded from the mean by `avg`).
+   */
+  def ivfStaleness(s: SparkSession, layoutDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$layoutDir/centroids")
+      .select(col("c_id"), col("cq"), col("cn"))
+    s.read.parquet(s"$layoutDir/cells")
+      .join(broadcast(cents), col("cell") === col("c_id"))
+      .withColumn("qn", VectorOps.intNormSq(col("q")))
+      .withColumn(
+        "cos_dist",
+        when(col("qn") > 0,
+             lit(1.0) - VectorOps.intDot(col("q"), col("cq")).cast("double") /
+               (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+           avg(col("cos_dist")).as("mean_cos_dist"))
   }
 
   /**
@@ -459,5 +535,54 @@ object SimQueries {
       |QUALIFY row_number() OVER (ORDER BY dot DESC, vec_id ASC) <= $TopK""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe)
+  /**
+   * Incremental-maintenance behind the driver gate: build the layout
+   * from HALF the corpus (even vec_ids), [[appendToIvfLayout]] the odd
+   * half against the frozen build-trained centroids, then answer the
+   * standard probe THROUGH the incrementally-grown layout. The oracle
+   * replays the same asymmetry via [[ivfCteOn]]: training CTEs read the
+   * even half only, the cell assignment ranks EVERY vector against
+   * those frozen centroids — so a regression in the append's frozen
+   * assignment, the partitioned append itself, or the probe over mixed
+   * build+append files all hash-mismatch here.
+   */
+  val qIvfAppend = Q(
+    "q_ivf_append",
+    (s, dir) => {
+      import s.implicits._
+      val out = s"${ivfLayoutDir(dir)}-inc"
+      val e = quantized(s, dir)
+      writeIvfLayoutOf(e.filter(col("vec_id") % 2 === 0), out)
+      appendToIvfLayout(s, out, e.filter(col("vec_id") % 2 =!= 0))
+      val qv = e.filter(col("vec_id") === ProbeVecId)
+        .select("q").as[Seq[Long]].head()
+      probeIvfLayout(s, out, qv, excludeVecId = Some(ProbeVecId))
+    },
+    Some(s"""${ivfCteOn(
+               "eb",
+               "\n      |eb AS (SELECT * FROM e WHERE vec_id % 2 = 0),")},
+      |qv AS (SELECT q AS qq FROM e WHERE vec_id = $ProbeVecId),
+      |pc AS (
+      |  SELECT c.c_id AS cell FROM cents c CROSS JOIN qv
+      |  ORDER BY CAST(list_sum(list_transform(generate_series(1, len(c.cq)),
+      |             i -> c.cq[i] * qv.qq[i])) AS BIGINT)
+      |           / sqrt(CAST(c.cn AS DOUBLE)) DESC, c.c_id ASC
+      |  LIMIT $NProbe
+      |),
+      |cand AS (
+      |  SELECT ce.vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+      |                i -> e.q[i] * qv.qq[i])) AS BIGINT) AS dot
+      |  FROM cell ce
+      |  JOIN pc ON ce.cell = pc.cell
+      |  JOIN e ON e.vec_id = ce.vec_id
+      |  CROSS JOIN qv
+      |  WHERE ce.vec_id <> $ProbeVecId
+      |)
+      |SELECT vec_id, dot FROM cand
+      |QUALIFY row_number() OVER (ORDER BY dot DESC, vec_id ASC) <= $TopK""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
+                        qIvfAppend)
 }

@@ -112,6 +112,50 @@ class SimIvfSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/cells").select("cell").distinct().count() === 3)
   }
 
+  test("incremental append: probe over build ∪ append ≡ probe over full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val e = SimQueries.quantizedFrame(spark, dir3)
+    val incDir = Files.createTempDirectory("graft-ivf-inc").toString
+    val fullDir = Files.createTempDirectory("graft-ivf-reb").toString
+    // build without one member per cluster, then append exactly those —
+    // in-distribution growth against frozen centroids
+    val newIds = Seq(5L, 205L, 405L)
+    SimQueries.writeIvfLayoutOf(e.filter(!col("vec_id").isin(newIds: _*)), incDir)
+    SimQueries.appendToIvfLayout(spark, incDir,
+                                 e.filter(col("vec_id").isin(newIds: _*)))
+    SimQueries.writeIvfLayoutOf(e, fullDir)
+    val qv = e.filter(col("vec_id") === 100L).select("q").as[Seq[Long]].head()
+    val inc = SimQueries.probeIvfLayout(spark, incDir, qv,
+                                        excludeVecId = Some(100L))
+      .as[(Long, Long)].collect().toSeq
+    val reb = SimQueries.probeIvfLayout(spark, fullDir, qv,
+                                        excludeVecId = Some(100L))
+      .as[(Long, Long)].collect().toSeq
+    assert(inc === reb, "incrementally-grown layout must answer like a rebuild")
+    // the appended X-cluster member is discoverable through appended files
+    assert(inc.map(_._1).contains(5L))
+  }
+
+  test("ivfStaleness: flat under in-distribution appends, rises under drift") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val e = SimQueries.quantizedFrame(spark, dir3)
+    val d = Files.createTempDirectory("graft-ivf-stale").toString
+    SimQueries.writeIvfLayoutOf(e, d)
+    def overallDist: Double = SimQueries.ivfStaleness(spark, d)
+      .agg(avg("mean_cos_dist")).head().getDouble(0)
+    val atBuild = overallDist
+    assert(atBuild >= 0.0 && atBuild < 0.2, s"tight clusters at build: $atBuild")
+    // drifted appends: diagonal vectors far from every axis centroid —
+    // the frozen quantizer no longer matches the data
+    val drifted = (900L to 905L)
+      .map(i => (i, Seq.fill(16)(1000L), 9)).toDF("vec_id", "q", "label")
+      .select(col("vec_id"), col("label"), col("q"))
+    SimQueries.appendToIvfLayout(spark, d, drifted)
+    val afterDrift = overallDist
+    assert(afterDrift > atBuild + 0.05,
+           s"drift must raise staleness: $atBuild -> $afterDrift")
+  }
+
   test("ivfStride: fixture-scale stride preserved, centroid count bounded at any n") {
     assert(SimQueries.ivfStride(500L) === 200L) // fixture scale: unchanged seeding
     assert(SimQueries.ivfStride(51200L) === 200L) // boundary: 256 seeds exactly
