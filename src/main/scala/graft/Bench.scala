@@ -23,7 +23,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () } // warmup is best-effort only
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order: Map iteration order reshuffles whenever the
+    // surface grows, which would silently change every query's predecessor
+    // (and so its JIT/GC neighborhood) between rounds — pinning the order
+    // keeps cross-round per-query ratios meaningful (BASELINE.md r9
+    // q_doc_fingerprint attribution).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect between queries so one query's garbage doesn't surface as a
       // GC pause inside the next one's wall time (r2 judge re-ran a 11.7s
       // outlier that measured 1.6s in isolation — cross-query GC noise)
@@ -42,7 +47,7 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
