@@ -23,12 +23,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () } // warmup is best-effort only
     var errors = Map.empty[String, String]
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — the scale-soak harness
+    // points SPARK_GRAFT_SF_DIR at a DocSynth corpus dir (documents +
+    // embeddings only) and benches just the chains those tables feed.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY unknown: ${unknown.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     // Deterministic name order: Map iteration order reshuffles whenever the
     // surface grows, which would silently change every query's predecessor
     // (and so its JIT/GC neighborhood) between rounds — pinning the order
     // keeps cross-round per-query ratios meaningful (BASELINE.md r9
     // q_doc_fingerprint attribution).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect between queries so one query's garbage doesn't surface as a
       // GC pause inside the next one's wall time (r2 judge re-ran a 11.7s
       // outlier that measured 1.6s in isolation — cross-query GC noise)

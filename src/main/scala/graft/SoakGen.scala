@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.DocSynth
+
+/**
+ * Scale-soak corpus generator: writes a [[graft.sources.DocSynth]]
+ * documents+embeddings dir at 10–50× the largest driver testdata SF, so
+ * `graft.Bench` (with `SPARK_GRAFT_ONLY`) can run the dedup /
+ * decontamination / curation chains and the IVF build/probe at a scale
+ * where the growth regimes — the connected-components propagation loop,
+ * LSH pair-stage growth, the capped IVF stride — actually engage.
+ *
+ * Usage: `runMain graft.SoakGen <outDir> [nDocs nFams famSize nVecs]`
+ * Defaults: 50 000 docs, 100 families × 150 members (≈1.1 M candidate
+ * pairs — past the 2²⁰ driver union-find bound), 50 000 vectors (past
+ * the 51 200-vector boundary where the IVF stride cap engages).
+ */
+object SoakGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-soak")
+    val nDocs = if (args.length > 1) args(1).toLong else 50000L
+    val nFams = if (args.length > 2) args(2).toInt else 100
+    val famSize = if (args.length > 3) args(3).toInt else 150
+    val nVecs = if (args.length > 4) args(4).toLong else 50000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    DocSynth.writeCorpus(spark, out, nDocs, nFams, famSize, nVecs)
+    println(s"""{"soak_dir":"$out","n_docs":$nDocs,"n_fams":$nFams,"fam_size":$famSize,"n_vecs":$nVecs}""")
+    spark.stop()
+  }
+}

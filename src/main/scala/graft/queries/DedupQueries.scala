@@ -565,6 +565,19 @@ object DedupQueries {
     * single min-aggregate collapses them. */
   private val FanoutRowBudget = 1e8
 
+  /** Regime observability for [[components]]: the last run's regime
+    * choice and (for the loop regimes) fused-hop width and round count,
+    * kept in-process AND echoed to stderr with a greppable tag — the
+    * scale soak's evidence that the propagation regime actually ran
+    * (VERDICT r9 asked for it observed, not just spec-forced). */
+  private[graft] object CcObservability {
+    @volatile var last: String = ""
+    private[queries] def record(msg: String): Unit = {
+      last = msg
+      System.err.println(s"[graft-cc] $msg")
+    }
+  }
+
   /** Min-label-propagation connected components over (a_id, b_id) pair
     * edges: one (id, lbl) row per NODE THAT HAS AN EDGE, lbl = smallest id
     * in its component. See [[qDedupClusters]] for the full mechanics and
@@ -613,6 +626,7 @@ object DedupQueries {
           // component's min id — the fixpoint the loop regimes compute
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
+        CcObservability.record(s"regime=driver edges=$nPairs")
         return session.createDataset(parent.keys.toSeq.map(k => (k, find(k))))
           .toDF("id", "lbl")
       }
@@ -680,6 +694,10 @@ object DedupQueries {
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
+      CcObservability.record(
+        s"regime=${if (smallGraph) "broadcast-loop" else "shuffle-loop"} " +
+          s"nodes=$nNodes edges=$nEdges maxDeg=$maxDeg " +
+          s"fusedHops=$fusedHops rounds=$rounds")
       labels
   }
 

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic LARGE-corpus synthesis for the scale soak: driver-made
+ * testdata tops out at sf0.1 (5 000 documents / 2 000 embeddings), which
+ * is too small for the dedup chain's growth regimes to engage — the
+ * connected-components loop, the LSH pair-stage growth, and the capped
+ * IVF stride all need 10–50× that. This generator writes a
+ * `documents.parquet` + `embeddings.parquet` pair with EXACTLY the
+ * testdata schemas (doc_id/text/lang/source/n_chars;
+ * vec_id/embedding/label), so every documents/embeddings query runs on a
+ * synthesized dir unchanged ([[graft.ingest.FeedSynth]] /
+ * [[graft.multimodal.MediaSynth]] established the pattern).
+ *
+ * Everything keys on `xxhash64` of ids — partitioning-invariant,
+ * re-run-stable, no `rand()` — and generation is `spark.range`-based, so
+ * a 50k corpus is a distributed job, not a driver loop.
+ *
+ * Corpus shape (the knobs that drive the soak's regimes):
+ *  - `nFams` near-duplicate families of `famSize` members each: one
+ *    shared `bodyLen`-token family body plus a distinct per-member tail —
+ *    every member pair is an LSH band collision, so the candidate-pair
+ *    stage yields ~nFams·famSize²/2 pairs. With 100×150 that is ~1.1 M
+ *    pairs — past the 2²⁰ driver union-find bound, forcing the label
+ *    propagation regime to run for real.
+ *  - every 10th family member is a byte-EXACT copy of the family head
+ *    (exact-dedup edges, case/whitespace-invariant path);
+ *  - the rest of the corpus is singleton documents with per-doc bodies
+ *    (the realistic majority that must ride the anti-join, not the loop).
+ */
+object DocSynth {
+
+  /** 64-word vocabulary: hash-indexed word selection never interpolates
+    * strings at runtime — element_at over a literal array. */
+  private val Vocab: Seq[String] = Seq(
+    "data", "spark", "query", "plan", "join", "scan", "shuffle", "merge",
+    "token", "model", "train", "batch", "stream", "graph", "label", "edge",
+    "node", "hash", "band", "bucket", "vector", "index", "probe", "cell",
+    "corpus", "dedup", "filter", "split", "sample", "pack", "score", "rank",
+    "window", "session", "visit", "event", "page", "click", "order", "view",
+    "table", "column", "row", "file", "block", "page2", "byte", "bit",
+    "alpha", "beta", "gamma", "delta", "eta", "theta", "iota", "kappa",
+    "lambda", "mu", "nu", "xi", "omicron", "pi", "rho", "sigma")
+
+  private def vocabCol = array(Vocab.map(lit): _*)
+
+  /** `len` pseudo-random vocabulary words seeded by `seed` — one
+    * deterministic projection, no shuffle. */
+  private def words(seed: org.apache.spark.sql.Column, len: Int) =
+    concat_ws(" ",
+      transform(sequence(lit(0), lit(len - 1)),
+                i => element_at(vocabCol,
+                  (pmod(xxhash64(seed, i), lit(Vocab.length)) + 1)
+                    .cast("int"))))
+
+  /**
+   * The documents frame (not yet written): `nFams` families of `famSize`
+   * near-dup members followed by singletons up to `nDocs` rows.
+   */
+  def documents(s: SparkSession, nDocs: Long, nFams: Int, famSize: Int,
+                bodyLen: Int = 60): DataFrame = {
+    require(nFams.toLong * famSize <= nDocs, "families must fit the corpus")
+    val fam = (col("doc_id") / famSize).cast("long")
+    val member = pmod(col("doc_id"), lit(famSize))
+    val inFamily = col("doc_id") < nFams.toLong * famSize
+    val famBody = words(concat(lit("fam:"), fam), bodyLen)
+    // members ending in 0 repeat the family HEAD's text byte-for-byte
+    // (member 0's tail) — exact-duplicate edges inside each family
+    val famTail = concat(lit("tail"),
+                         when(member % 10 === 0, lit(0)).otherwise(member))
+    val soloBody = words(concat(lit("solo:"), col("doc_id")), bodyLen)
+    s.range(nDocs).select(col("id").as("doc_id"))
+      .select(
+        col("doc_id"),
+        when(inFamily, concat_ws(" ", famBody, famTail))
+          .otherwise(soloBody).as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+                   (pmod(xxhash64(col("doc_id"), lit(1L)), lit(4)) + 1)
+                     .cast("int")).as("lang"),
+        concat(lit("s"), pmod(col("doc_id"), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /**
+   * The embeddings frame: `dim`-dimensional float vectors in `nLabels`
+   * hash-assigned clusters — a one-hot cluster axis plus a small
+   * deterministic wiggle, so cosine structure is real (IVF cells align
+   * with labels) and quantization is exact.
+   */
+  def embeddings(s: SparkSession, nVecs: Long, nLabels: Int = 256,
+                 dim: Int = 16): DataFrame = {
+    // 256 labels keep embed-dedup buckets (~nVecs/nLabels members) under
+    // the 512-row skew guard at the 50k default — a 16-label corpus would
+    // put every bucket over the guard and trivialize the pair stage
+    val label = pmod(xxhash64(col("vec_id"), lit(7L)), lit(nLabels)).cast("int")
+    s.range(nVecs).select(col("id").as("vec_id"))
+      .withColumn("label", label)
+      .withColumn(
+        "embedding",
+        // SIGNED wiggle: an all-positive corpus would put every vector in
+        // ONE sign-LSH bucket and silently degrade q_sim_search_lsh to
+        // brute force (observed in the first round-10 soak run — recorded
+        // in BASELINE.md); centering the wiggle restores sign diversity
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (when(i === pmod(col("label"), lit(dim)), lit(1.0))
+             .otherwise(lit(0.0)) +
+           (pmod(xxhash64(col("vec_id"), i), lit(201)).cast("double") - 100.0)
+             / 1000.0)
+            .cast("float")))
+  }
+
+  /** Write a full synthetic corpus dir (documents + embeddings tables,
+    * testdata-shaped). Returns the dir for chaining. */
+  def writeCorpus(s: SparkSession, outDir: String, nDocs: Long, nFams: Int,
+                  famSize: Int, nVecs: Long): String = {
+    documents(s, nDocs, nFams, famSize)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddings(s, nVecs)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    outDir
+  }
+}

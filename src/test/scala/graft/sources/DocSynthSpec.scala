@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+/** The soak-corpus generator must be deterministic and actually produce
+  * the structures the soak measures: intra-family LSH candidate pairs,
+  * exact-duplicate members, distinct singletons, clustered embeddings. */
+class DocSynthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generation is deterministic (same rows on re-run)") {
+    val a = DocSynth.documents(spark, 80, 2, 20).collect().toSet
+    val b = DocSynth.documents(spark, 80, 2, 20).collect().toSet
+    assert(a === b)
+    val ea = DocSynth.embeddings(spark, 50).collect().toSet
+    val eb = DocSynth.embeddings(spark, 50).collect().toSet
+    assert(ea === eb)
+  }
+
+  test("families yield exact dupes + intra-family LSH candidates; singletons stay apart") {
+    val docs = DocSynth.documents(spark, 120, 2, 30)
+    // every member whose index ends in 0 repeats the family head's text
+    val copies = docs.filter(col("doc_id") < 60)
+      .groupBy("text").count().filter(col("count") > 1)
+      .agg(sum("count")).head().getLong(0)
+    assert(copies === 6L, "3 exact copies per family (members 0,10,20) x 2")
+    // near-dup candidates: all intra-family, none across families or solos
+    val pairs = DedupQueries.candidatePairsOf(docs)
+      .as[(Long, Long)].collect()
+    assert(pairs.length >= 600, s"families must collide, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a / 30 === b / 30 && b < 60 },
+           "every candidate pair stays inside one family")
+    // schema contract: exactly the testdata shape
+    assert(docs.columns.toSeq === Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val e = DocSynth.embeddings(spark, 100)
+    assert(e.columns.toSeq === Seq("vec_id", "label", "embedding"))
+    assert(e.select(max(size(col("embedding")))).head().getInt(0) === 16)
+  }
+}
