@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.model.Schemas
 import graft.sources.Tables
-import graft.streaming.StreamingDecontam
+import graft.streaming.{StreamingDecontam, StreamingSessionize}
 
 /**
  * Oracle-gated STREAMING queries: each entry drives a Structured
@@ -75,5 +76,59 @@ object StreamingQueries {
     DedupQueries.qDecontaminate.oracle
   )
 
-  val all: Seq[Q] = Seq(qStreamDecontam)
+  /**
+   * Streaming sessionization — the FLAGSHIP face — gated against the
+   * batch oracle: the events table replayed as a parquet file stream
+   * through [[graft.streaming.StreamingSessionize.visitsStream]] (the
+   * same session-window aggregation as batch `q_sessionize`, with an
+   * event-time watermark, append mode).
+   *
+   * Append-mode emission needs the watermark to pass each session's
+   * close, and a drained file source alone leaves the final
+   * `watermarkDelay` of sessions sitting in state — so the gate writes
+   * ONE far-future sentinel event (user −1; real ids are non-negative)
+   * as a second file in the stream dir: the sentinel advances the
+   * GLOBAL watermark past every real session's close in the
+   * `AvailableNow` finalization batch, every real visit emits, and the
+   * sentinel's own (never-emitted, filtered) session is the only
+   * residue. Both files land in one micro-batch (far under
+   * maxFilesPerTrigger), so no real event can ever be late-dropped
+   * against the sentinel-advanced watermark.
+   */
+  val qStreamSessionize = Q(
+    "q_stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"),
+                                            col("ts_t"))
+      // pid-keyed stream dir, LayoutQueries.layoutRoot discipline: derived
+      // data never lands in the read-only testdata tree, concurrent
+      // processes can't race each other's overwrite
+      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
+      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
+        s"stream-sess-$key-p${ProcessHandle.current().pid()}"
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val flushTs = maxTs + 1000L * Schemas.SessionGapUs
+      Seq((-1L, flushTs)).toDF("user_id", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      val sink = s"graft_q_stream_sess_${System.nanoTime()}"
+      val q = StreamingSessionize.visitsStream(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).filter(col("user_id") =!= -1L)
+        .select("user_id", "visit_start_us", "visit_end_us", "n_events",
+                "visit_key")
+    },
+    CoreQueries.qSessionize.oracle
+  )
+
+  val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize)
 }
