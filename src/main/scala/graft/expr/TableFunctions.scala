@@ -241,8 +241,29 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_sessionize(table, gapSeconds)` — the flagship 30-min-gap
+    * session rollup from SQL over any `(user_id, ts_us, …)` view:
+    * `ts_t` is derived from the µs event time, then the exact batch
+    * operator runs ([[graft.session.Sessionize.visits]] — Beam-exclusive
+    * gap boundary, visit_key derivation and all). */
+  val sessionize: TVF = (
+    new FunctionIdentifier("graft_sessionize"),
+    info("graft_sessionize", "graft_sessionize(eventsTable, gapSeconds)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_sessionize"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val gapSec = longArg(args, 1, fn)
+      require(gapSec > 0, s"$fn: gapSeconds must be positive, got $gapSec")
+      val ev = active.table(strArg(args, 0, fn))
+        .withColumn("ts_t",
+                    org.apache.spark.sql.functions.timestamp_micros(col("ts_us")))
+      graft.session.Sessionize.visits(ev, gapUs = gapSec * 1000000L)
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
-                          dedup, decontaminate, curate)
+                          dedup, decontaminate, curate, sessionize)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -130,5 +130,50 @@ object StreamingQueries {
     CoreQueries.qSessionize.oracle
   )
 
-  val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize)
+  /**
+   * STATEFUL streaming dedup gated against a deterministic oracle: the
+   * documents table replayed as a parquet file stream through
+   * [[graft.streaming.StreamingDedup.dedupByContent]]
+   * (`dropDuplicatesWithinWatermark` on the 16-byte content hash — the
+   * state-store operator class the other two gates don't touch). WHICH
+   * physical row survives per content group is arrival-order-dependent
+   * (racy across partitions), so the gate projects the surviving rows
+   * to their content hashes — exactly one per distinct normalized
+   * content, an order-independent set the oracle states as one
+   * `SELECT DISTINCT md5(...)`. Event time is synthesized from doc_id
+   * (deterministic µs offsets), and append-mode dedup emits survivors
+   * immediately — no watermark-flush sentinel needed.
+   */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val batchDocs = Tables.read(s, dir, "documents")
+      val stream = s.readStream
+        .schema(batchDocs.schema)
+        // single-file table: same glob + basePath dance as q_stream_decontam
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.[p]arquet")
+        .select(col("doc_id"), col("text"))
+        // epoch-offset base: an event time of EXACTLY 0 (doc_id 0 with a
+        // bare timestamp_micros(doc_id)) ties the initial watermark and
+        // is dropped as late — observed losing exactly one row
+        .withColumn("ts_t",
+                    timestamp_micros(col("doc_id") + lit(1600000000L * 1000000L)))
+        .withWatermark("ts_t", "1 hour")
+      val sink = s"graft_q_stream_dedup_${System.nanoTime()}"
+      val q = graft.streaming.StreamingDedup.dedupByContent(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink)
+        .select(graft.text.TextOps.contentHash(col("text")).as("content_hash"))
+    },
+    Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+      |FROM documents""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup)
 }

@@ -159,6 +159,25 @@ class SqlSurfaceSpec extends SparkSpec {
       .forall(Set("train", "val", "test")))
   }
 
+  test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {
+    import graft.session.Sessionize
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val gapUs = 60L * 1000000L
+    // user 1: two events exactly one gap apart — MUST split (Beam-exclusive
+    // boundary); user 2: one event short of the gap — must not
+    val ev = Seq((1L, 0L), (1L, gapUs), (2L, 0L), (2L, gapUs - 1L))
+      .toDF("user_id", "ts_us")
+    ev.createOrReplaceTempView("sess_events")
+    val viaSql = spark.sql("SELECT * FROM graft_sessionize('sess_events', 60)")
+    val direct = Sessionize.visits(
+      ev.withColumn("ts_t", timestamp_micros(col("ts_us"))), gapUs = gapUs)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val byUser = viaSql.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byUser === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("graft_dedup rejects an unknown mode") {
     corpus.createOrReplaceTempView("corpus_docs")
     val e = intercept[Exception] {
