@@ -175,5 +175,41 @@ object StreamingQueries {
       |FROM documents""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup)
+  /**
+   * Streaming repetition gate (the curation face) against the batch
+   * oracle: documents replayed as a file stream through
+   * [[graft.streaming.StreamingCuration.withRepetitionGate]] — the
+   * per-row higher-order-function formulation of `q_repetition_filter`'s
+   * exploded-groupBy signals (stateless: no watermark, no state store,
+   * no shuffle on the stream side). The oracle SQL is REUSED verbatim
+   * from the batch query, so this row proves the HOF scoring equals the
+   * relational aggregation under the driver's independent replay, not
+   * just under the spec's row-for-row assert.
+   */
+  val qStreamCurate = Q(
+    "q_stream_curate",
+    (s, dir) => {
+      val batchDocs = Tables.read(s, dir, "documents")
+      val stream = s.readStream
+        .schema(batchDocs.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.[p]arquet")
+        .select(col("doc_id"), col("text"))
+      val sink = s"graft_q_stream_curate_${System.nanoTime()}"
+      val q = graft.streaming.StreamingCuration.withRepetitionGate(stream)
+        .select("doc_id", "n_tok", "n_types", "top_tok_n", "n_bigrams",
+                "top_bigram_n", "repetitive")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink)
+    },
+    CurationQueries.qRepetitionFilter.oracle
+  )
+
+  val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
+                        qStreamCurate)
 }
