@@ -210,6 +210,107 @@ object StreamingQueries {
     CurationQueries.qRepetitionFilter.oracle
   )
 
+  /**
+   * The CUSTOM-STATE sessionizer (`flatMapGroupsWithState`,
+   * [[graft.streaming.StatefulSessionize]]) gated against the same batch
+   * oracle as `q_sessionize` and `q_stream_sessionize` — three
+   * formulations, one oracle answer. Same watermark-flush sentinel trick
+   * as the session-window gate, plus a second sentinel event one µs
+   * later: event-time TIMEOUTS only fire in a batch that runs after the
+   * watermark advanced, and the extra event guarantees that batch exists
+   * even if the runtime skips no-data batches. user_id travels as a
+   * string through the typed state path (the `SessionEvent` contract)
+   * and is cast back to long for the oracle compare.
+   */
+  val qStreamSessionizeState = Q(
+    "q_stream_sessionize_state",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"),
+                                            col("ts_t"))
+      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
+      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
+        s"stream-sess-state-$key-p${ProcessHandle.current().pid()}"
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val flushTs = maxTs + 1000L * Schemas.SessionGapUs
+      Seq((-1L, flushTs), (-1L, flushTs + 1L)).toDF("user_id", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+        .withColumn("user_id", col("user_id").cast("string"))
+        .withWatermark("ts_t", Schemas.SessionGap)
+        .as[graft.streaming.SessionEvent]
+      val sink = s"graft_q_stream_sess_state_${System.nanoTime()}"
+      val q = graft.streaming.StatefulSessionize.visits(s, stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).filter(col("user_id") =!= "-1")
+        .select(col("user_id").cast("long").as("user_id"),
+                col("visit_start_us"), col("visit_end_us"), col("n_events"),
+                col("visit_key"))
+    },
+    CoreQueries.qSessionize.oracle
+  )
+
+  /**
+   * Stream-stream interval join gated against a batch oracle:
+   * purchase and click events, each read as its OWN file stream over the
+   * events table, joined by
+   * [[graft.streaming.StreamingJoin.clickAttribution]] (equi-join on
+   * user + one-hour lookback interval on event time, both sides
+   * watermarked). All data arrives in one micro-batch, so the watermark
+   * can drop nothing and every qualifying pair emits — the inner
+   * stream-stream join's output IS the batch interval join, which the
+   * oracle states directly in µs arithmetic.
+   */
+  val qStreamJoin = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val batchEvents = Tables.read(s, dir, "events")
+      def evStream = s.readStream
+        .schema(batchEvents.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.[p]arquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      val purchases = evStream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+                col("ts_t").as("p_ts"))
+      val clicks = evStream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("c_id"),
+                col("ts_t").as("c_ts"))
+      val sink = s"graft_q_stream_join_${System.nanoTime()}"
+      val q = graft.streaming.StreamingJoin.clickAttribution(purchases, clicks)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).select(
+        col("user_id"), col("p_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
+    },
+    Some("""WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id AS c_user, event_id AS c_id, epoch_us(ts) AS c_ts_us
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.user_id, p.p_id, p.p_ts_us, c.c_id, c.c_ts_us
+      |FROM p JOIN c ON c.c_user = p.user_id
+      |  AND c.c_ts_us <= p.p_ts_us
+      |  AND c.c_ts_us > p.p_ts_us - 3600000000""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
-                        qStreamCurate)
+                        qStreamCurate, qStreamSessionizeState, qStreamJoin)
 }
