@@ -311,6 +311,62 @@ object StreamingQueries {
       |  AND c.c_ts_us > p.p_ts_us - 3600000000""".stripMargin)
   )
 
+  /**
+   * The reference's WHOLE production pipeline — TSV feed → parse →
+   * sessionize (`main.py`'s Beam job) — run in STREAMING mode and gated
+   * against a DuckDB oracle: [[graft.ingest.FeedSynth]] lines written to
+   * a landing dir, discovered by the file stream, parsed by the same
+   * [[graft.ingest.HitParser]] as batch, sessionized by the same
+   * session-window body ([[graft.streaming.StreamingFeed.visitsFromFeed]]).
+   * The oracle replays line-build + parse (`parsedHitsCte` — including
+   * the planted malformation drops) and the gaps-and-islands
+   * sessionization over the surviving hits. A single far-future VALID
+   * TSV line (user `zz`) is the watermark-flush sentinel — the
+   * `q_stream_sessionize` trick applied at the raw-feed layer, proving
+   * the flush survives the parse stage too.
+   */
+  val qStreamFeed = Q(
+    "q_stream_feed",
+    (s, dir) => {
+      import s.implicits._
+      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
+      val feedDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
+        s"stream-feed-$key-p${ProcessHandle.current().pid()}"
+      graft.ingest.FeedSynth.synthLines(
+          Tables.events(s, dir).repartition(col("event_id")))
+        .coalesce(1).write.mode("overwrite").text(feedDir)
+      // valid 10-column line at a far-future second: parses to user
+      // "zz_d0" and advances the watermark past every real session
+      Seq("4000000000\tzz\td0\tview\t\t2\tP1\tsrv0\tibmzz\tscvzz")
+        .toDF("value").coalesce(1).write.mode("append").text(feedDir)
+      val sink = s"graft_q_stream_feed_${System.nanoTime()}"
+      val q = graft.streaming.StreamingFeed.visitsFromFeed(s, feedDir)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).filter(col("user_id") =!= "zz_d0")
+    },
+    Some(s"""${graft.ingest.FeedSynth.parsedHitsCte},
+      |e2 AS (SELECT user_id, ts * 1000000 AS ts_us FROM hits),
+      |g AS (
+      |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |                   >= ${Schemas.SessionGapUs} THEN 1 ELSE 0 END AS session_break
+      |  FROM e2
+      |), sess AS (
+      |  SELECT *, SUM(session_break) OVER (PARTITION BY user_id ORDER BY ts_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, MIN(ts_us) AS visit_start_us, MAX(ts_us) AS visit_end_us,
+      |       COUNT(*) AS n_events,
+      |       user_id || '_' || CAST(MIN(ts_us) AS VARCHAR) AS visit_key
+      |FROM sess GROUP BY user_id, session_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
-                        qStreamCurate, qStreamSessionizeState, qStreamJoin)
+                        qStreamCurate, qStreamSessionizeState, qStreamJoin,
+                        qStreamFeed)
 }
