@@ -29,22 +29,28 @@ import graft.sources.Tables
  */
 object MediaQueries {
 
+  /** The oracle-facing projection of a decoded-features frame — ONE
+    * statement shared by the batch gate and the streaming gate
+    * (`q_stream_media`) so the two can never drift on the histogram
+    * derivations. */
+  private[queries] def decodedProjection(feats: org.apache.spark.sql.DataFrame) =
+    feats.select(
+      col("media_id"), col("media_type"), col("kind"),
+      col("width"), col("height"), col("n_channels"),
+      col("sample_rate"), col("n_samples"), col("mean_level_x1000"),
+      // single-bin histogram ⇒ the max bin IS the populated bin
+      (expr("array_position(histogram, array_max(histogram))") - 1)
+        .cast("int").as("hist_bin"),
+      expr("aggregate(histogram, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .as("hist_count"),
+      col("n_frames_sampled"))
+
   val qMediaDecode = Q(
     "q_media_decode",
     (s, dir) => {
       val media = MediaSynth.syntheticMedia(
         s, Tables.read(s, dir, "documents").select("doc_id"))
-      MediaOps.extractFeatures(s, media.toDF()).toDF()
-        .select(
-          col("media_id"), col("media_type"), col("kind"),
-          col("width"), col("height"), col("n_channels"),
-          col("sample_rate"), col("n_samples"), col("mean_level_x1000"),
-          // single-bin histogram ⇒ the max bin IS the populated bin
-          (expr("array_position(histogram, array_max(histogram))") - 1)
-            .cast("int").as("hist_bin"),
-          expr("aggregate(histogram, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-            .as("hist_count"),
-          col("n_frames_sampled"))
+      decodedProjection(MediaOps.extractFeatures(s, media.toDF()).toDF())
     },
     Some("""WITH f AS (
       |  SELECT doc_id,

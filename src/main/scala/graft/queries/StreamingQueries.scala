@@ -366,7 +366,42 @@ object StreamingQueries {
       |FROM sess GROUP BY user_id, session_id""".stripMargin)
   )
 
+  /**
+   * Streaming media decode gated against the batch oracle: the
+   * synthetic media corpus (closed-form PNG/WAV payloads keyed on
+   * doc_id) persisted once, replayed as a parquet file stream of binary
+   * payloads, decoded by the SAME JDK decode pass as batch
+   * ([[graft.streaming.StreamingMedia.features]] → `MediaOps`), and
+   * projected through the SAME oracle-facing projection as
+   * `q_media_decode` — whose oracle SQL is reused verbatim. Stateless
+   * per-row decode: no watermark, no sentinel.
+   */
+  val qStreamMedia = Q(
+    "q_stream_media",
+    (s, dir) => {
+      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
+      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
+        s"stream-media-$key-p${ProcessHandle.current().pid()}"
+      graft.multimodal.MediaSynth.syntheticMedia(
+          s, Tables.read(s, dir, "documents").select("doc_id"))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      val sink = s"graft_q_stream_media_${System.nanoTime()}"
+      val q = MediaQueries.decodedProjection(
+          graft.streaming.StreamingMedia.features(s, stream).toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink)
+    },
+    MediaQueries.qMediaDecode.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
-                        qStreamFeed)
+                        qStreamFeed, qStreamMedia)
 }
