@@ -761,13 +761,20 @@ object DedupQueries {
   /** Exact (normalized-content) dedup over an ARBITRARY
     * `(doc_id, text, …)` frame: keep the min-doc_id row per distinct
     * content — the `graft_dedup('t', 'exact')` TVF delegate. The
-    * left-semi join ships only (hash, id) pairs; text never shuffles. */
+    * left-semi join ships only (hash, id) pairs; text never shuffles.
+    * Null-text rows have NO content hash and are all kept — absent
+    * content is not evidence of duplication, and this is exactly what
+    * the 'lsh' composition does (its exact-edge equi-join on `h` never
+    * matches nulls), so `graft_dedup`'s 'exact' mode can never remove a
+    * row the documented superset 'lsh' mode keeps. */
   def exactDedupOf(docsDf: DataFrame): DataFrame =
     docsDf.join(
       docsDf.select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
+        .filter(col("h").isNotNull)
         .groupBy("h").agg(min("doc_id").as("doc_id"))
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .unionByName(docsDf.filter(TextOps.contentHash(col("text")).isNull))
 
   /** The shared dedup composition core: near-dup edges ∪ exact
     * (normalized-content) edges → connected components → drop every doc
@@ -811,17 +818,40 @@ object DedupQueries {
     * PER SIDE, so doc_ids may collide across the two tables without
     * merging documents; the pairing is a (band, sig) equi-join — AQE
     * broadcasts the eval side when it is benchmark-suite-sized (the
-    * normal case; see [[graft.streaming.StreamingDecontam]]'s contract). */
-  def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame =
-    bandSignaturesOf(train.select("doc_id", "text"))
-      .select(col("band"), col("sig0"), col("sig1"),
-              col("doc_id").as("train_id"))
-      .join(bandSignaturesOf(eval.select("doc_id", "text"))
-              .select(col("band"), col("sig0"), col("sig1"),
-                      col("doc_id").as("eval_id")),
+    * normal case; see [[graft.streaming.StreamingDecontam]]'s contract) —
+    * with each side capped at `MaxBucket` rows per band key (hot-set
+    * broadcast anti-join) so a degenerate corpus can't blow up the
+    * join's per-key fanout. */
+  def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame = {
+    // Skew guard, map-side formulation: a degenerate corpus (thousands of
+    // byte-identical docs sharing a band key with even one eval doc)
+    // would otherwise fan out k_train × k_eval rows through single tasks.
+    // The HOT key set is tiny by construction (keys above the cap), so a
+    // broadcast ANTI join drops their rows without shuffling the
+    // signature frame at all — the hot-set dual of boundedBucketPairs'
+    // cap, with the same threshold; dropped-key volume is `observe`-
+    // accounted on the hot frame (`<guard>.skewed_keys` / `.max_bucket`).
+    def capped(sigs: DataFrame, guard: String): DataFrame = {
+      val hot = sigs.groupBy("band", "sig0", "sig1")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > MaxBucket)
+        .observe(guard, count(lit(1)).as("skewed_keys"),
+                 max(col("__n")).as("max_bucket"))
+        .select("band", "sig0", "sig1")
+      sigs.join(broadcast(hot), Seq("band", "sig0", "sig1"), "left_anti")
+    }
+    capped(bandSignaturesOf(train.select("doc_id", "text"))
+             .select(col("band"), col("sig0"), col("sig1"),
+                     col("doc_id").as("train_id")),
+           "graft_decontam_train_skew")
+      .join(capped(bandSignaturesOf(eval.select("doc_id", "text"))
+                     .select(col("band"), col("sig0"), col("sig1"),
+                             col("doc_id").as("eval_id")),
+                   "graft_decontam_eval_skew"),
             Seq("band", "sig0", "sig1"))
       .select("train_id", "eval_id")
       .distinct()
+  }
 
   /** Shared oracle prefix for the dedup COMPOSITIONS: the recursive-CTE
     * fixpoint of [[qDedupClusters]] extended with the exact

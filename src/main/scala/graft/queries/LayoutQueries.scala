@@ -22,6 +22,22 @@ import graft.sources.Tables
  */
 object LayoutQueries {
 
+  /** Per-PROCESS scratch dir for derived data over a testdata dir — the
+    * ONE statement of the pid-keyed scratch discipline (previously
+    * copy-pasted by every streaming gate and the IVF layout): rooted at
+    * `spark.graft.layoutRoot` when set (so a deployment's derived data
+    * follows its durable-storage choice) else the local tmpdir, keyed by
+    * basename + path hash (same-basename corpora can't collide) + this
+    * JVM's pid (concurrent processes can't race each other's overwrite)
+    * + the caller's suffix. */
+  private[queries] def derivedDir(s: SparkSession, sfDir: String,
+                                  suffix: String): String = {
+    val key = f"${new java.io.File(sfDir).getName}-${sfDir.hashCode & 0x7FFFFFFF}%08x"
+    val base = s.conf.getOption("spark.graft.layoutRoot")
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-layouts")
+    s"$base/$suffix-$key-p${ProcessHandle.current().pid()}"
+  }
+
   /** Root for engine-derived physical layouts, keyed by the source dir's
     * basename PLUS a hash of its fully-qualified path — two corpora that
     * share a basename (a copied `sf0.01/`) must not collide on one cache

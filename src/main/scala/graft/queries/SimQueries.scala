@@ -485,10 +485,8 @@ object SimQueries {
     * run) from racing one process's overwrite against the other's
     * mid-probe read. Within one JVM, runs are sequential and the
     * overwrite is the intended freshness semantics. */
-  private def ivfLayoutDir(dir: String): String = {
-    val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-    s"${sys.props("java.io.tmpdir")}/graft-layouts/ivf-$key-p${ProcessHandle.current().pid()}"
-  }
+  private def ivfLayoutDir(s: SparkSession, dir: String): String =
+    LayoutQueries.derivedDir(s, dir, "ivf")
 
   /** The IVF PHYSICAL layout behind the driver gate: write the
     * partitioned cell layout + trained centroids, then answer one probe
@@ -506,7 +504,7 @@ object SimQueries {
     "q_ivf_probe",
     (s, dir) => {
       import s.implicits._
-      val out = ivfLayoutDir(dir)
+      val out = ivfLayoutDir(s, dir)
       writeIvfLayout(s, dir, out)
       val qv = quantized(s, dir).filter(col("vec_id") === ProbeVecId)
         .select("q").as[Seq[Long]].head()
@@ -550,7 +548,7 @@ object SimQueries {
     "q_ivf_append",
     (s, dir) => {
       import s.implicits._
-      val out = s"${ivfLayoutDir(dir)}-inc"
+      val out = s"${ivfLayoutDir(s, dir)}-inc"
       val e = quantized(s, dir)
       writeIvfLayoutOf(e.filter(col("vec_id") % 2 === 0), out)
       appendToIvfLayout(s, out, e.filter(col("vec_id") % 2 =!= 0))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -12,19 +12,61 @@ import graft.streaming.{StreamingDecontam, StreamingSessionize}
  * Oracle-gated STREAMING queries: each entry drives a Structured
  * Streaming face of the library through a real `readStream` →
  * `writeStream` run (`Trigger.AvailableNow`, so the run drains the
- * source and terminates deterministically) and returns the sink table
- * for the driver's DuckDB compare. The streaming modules themselves
- * (graft.streaming.*) are spec-proven batch ≡ stream; these gates add
- * the driver's independent-oracle check on top, closing the loop from
- * "equivalent to the batch query" to "equal to the oracle's answer".
+ * source and terminates deterministically) and returns the drained
+ * result for the driver's DuckDB compare. The streaming modules
+ * themselves (graft.streaming.*) are spec-proven batch ≡ stream; these
+ * gates add the driver's independent-oracle check on top, closing the
+ * loop from "equivalent to the batch query" to "equal to the oracle's
+ * answer".
  *
  * The memory sink is the GATE harness, not the production shape — a
- * deployment writes the same append-only stream to Kafka/parquet. At
- * fixture scale the sink holds the pre-dedup hit log (band collisions
- * of straddling pairs only — sparse by the b=8/r=2 banding design), so
- * driver memory is bounded by the contamination volume, not the corpus.
+ * deployment writes the same append-only streams to Kafka/parquet. At
+ * fixture scale every sink holds a bounded result (visits, hit logs,
+ * per-doc scores), and [[runToSink]] drops the sink view after draining
+ * it so repeated gate runs in one session (bench rounds, a dev loop)
+ * don't accumulate driver-resident result copies.
  */
 object StreamingQueries {
+
+  /** Per-process scratch dir for a gate's stream input files — the
+    * shared [[LayoutQueries.derivedDir]] discipline (honors
+    * `spark.graft.layoutRoot`, pid-keyed, never inside testdata). */
+  private def streamDir(s: SparkSession, dir: String, suffix: String): String =
+    LayoutQueries.derivedDir(s, dir, suffix)
+
+  /** Drive a streaming frame into a uniquely-named memory sink with
+    * `Trigger.AvailableNow`, wait for the drain, and return the result
+    * MATERIALIZED (localCheckpoint) with the sink view dropped — so the
+    * returned frame survives the drop and the session doesn't leak one
+    * driver-resident sink per run. Also pins
+    * `noDataMicroBatches.enabled`: the watermark-flush gates rely on the
+    * post-data batch that emits watermark-gated state (session windows,
+    * event-time timeouts), and that batch only exists when no-data
+    * micro-batches are allowed. */
+  private def runToSink(s: SparkSession, out: DataFrame,
+                        prefix: String): DataFrame = {
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val sink = s"${prefix}_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val result = s.table(sink).localCheckpoint()
+    s.catalog.dropTempView(sink)
+    result
+  }
+
+  /** A single-FILE parquet table as a file stream: a non-glob path makes
+    * FileStreamSource force basePath to the file itself, which partition
+    * inference rejects ("must be a directory") — so match the file with
+    * a single-file glob and anchor inference at the table directory. */
+  private def tableStream(s: SparkSession, dir: String, name: String): DataFrame =
+    s.readStream
+      .schema(Tables.read(s, dir, name).schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/$name.[p]arquet")
 
   /**
    * Streaming train/eval decontamination, gated against the BATCH
@@ -41,36 +83,21 @@ object StreamingQueries {
   val qStreamDecontam = Q(
     "q_stream_decontam",
     (s, dir) => {
-      val batchDocs = Tables.read(s, dir, "documents")
       // frozen eval-side index (eval sets are bounded benchmark suites —
       // see StreamingDecontam scaladoc); cached so a multi-micro-batch
       // run probes one materialization instead of re-aggregating
       val evalIdx = StreamingDecontam.evalBandIndex(
-        batchDocs.select("doc_id", "text")).cache()
-      val stream = s.readStream
-        .schema(batchDocs.schema)
-        // the testdata table is a single parquet FILE: a non-glob path
-        // makes FileStreamSource force basePath to the file itself,
-        // which partition inference rejects ("must be a directory") —
-        // so match the file with a single-file glob and anchor
-        // inference at the table directory explicitly
-        .option("basePath", dir)
-        .parquet(s"$dir/documents.[p]arquet")
-        .select("doc_id", "text")
-      val sink = s"graft_q_stream_decontam_${System.nanoTime()}"
-      val q = StreamingDecontam.contaminationHits(stream, evalIdx)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      evalIdx.unpersist()
+        Tables.read(s, dir, "documents").select("doc_id", "text")).cache()
+      val hits =
+        try runToSink(s,
+          StreamingDecontam.contaminationHits(
+            tableStream(s, dir, "documents").select("doc_id", "text"), evalIdx),
+          "graft_q_stream_decontam")
+        finally evalIdx.unpersist()
       // k band collisions per pair → one pair row: the consumer-side
       // aggregation the batch query performs at its candidate stage
-      s.table(sink)
-        .select(col("doc_id").as("train_id"), col("eval_id"),
-                col("eval_split"))
+      hits.select(col("doc_id").as("train_id"), col("eval_id"),
+                  col("eval_split"))
         .distinct()
     },
     DedupQueries.qDecontaminate.oracle
@@ -88,10 +115,10 @@ object StreamingQueries {
    * `watermarkDelay` of sessions sitting in state — so the gate writes
    * ONE far-future sentinel event (user −1; real ids are non-negative)
    * as a second file in the stream dir: the sentinel advances the
-   * GLOBAL watermark past every real session's close in the
-   * `AvailableNow` finalization batch, every real visit emits, and the
-   * sentinel's own (never-emitted, filtered) session is the only
-   * residue. Both files land in one micro-batch (far under
+   * GLOBAL watermark past every real session's close, the no-data
+   * finalization batch ([[runToSink]] pins it on) emits every real
+   * visit, and the sentinel's own (never-emitted, filtered) session is
+   * the only residue. Both files land in one micro-batch (far under
    * maxFilesPerTrigger), so no real event can ever be late-dropped
    * against the sentinel-advanced watermark.
    */
@@ -101,12 +128,7 @@ object StreamingQueries {
       import s.implicits._
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"),
                                             col("ts_t"))
-      // pid-keyed stream dir, LayoutQueries.layoutRoot discipline: derived
-      // data never lands in the read-only testdata tree, concurrent
-      // processes can't race each other's overwrite
-      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
-        s"stream-sess-$key-p${ProcessHandle.current().pid()}"
+      val inDir = streamDir(s, dir, "stream-sess")
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
       val maxTs = ev.agg(max("ts_us")).head().getLong(0)
       val flushTs = maxTs + 1000L * Schemas.SessionGapUs
@@ -115,15 +137,9 @@ object StreamingQueries {
         .coalesce(1).write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .parquet(inDir)
-      val sink = s"graft_q_stream_sess_${System.nanoTime()}"
-      val q = StreamingSessionize.visitsStream(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink).filter(col("user_id") =!= -1L)
+      runToSink(s, StreamingSessionize.visitsStream(stream),
+                "graft_q_stream_sess")
+        .filter(col("user_id") =!= -1L)
         .select("user_id", "visit_start_us", "visit_end_us", "n_events",
                 "visit_key")
     },
@@ -135,7 +151,7 @@ object StreamingQueries {
    * documents table replayed as a parquet file stream through
    * [[graft.streaming.StreamingDedup.dedupByContent]]
    * (`dropDuplicatesWithinWatermark` on the 16-byte content hash — the
-   * state-store operator class the other two gates don't touch). WHICH
+   * state-store operator class the other gates don't touch). WHICH
    * physical row survives per content group is arrival-order-dependent
    * (racy across partitions), so the gate projects the surviving rows
    * to their content hashes — exactly one per distinct normalized
@@ -147,12 +163,7 @@ object StreamingQueries {
   val qStreamDedup = Q(
     "q_stream_dedup",
     (s, dir) => {
-      val batchDocs = Tables.read(s, dir, "documents")
-      val stream = s.readStream
-        .schema(batchDocs.schema)
-        // single-file table: same glob + basePath dance as q_stream_decontam
-        .option("basePath", dir)
-        .parquet(s"$dir/documents.[p]arquet")
+      val stream = tableStream(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         // epoch-offset base: an event time of EXACTLY 0 (doc_id 0 with a
         // bare timestamp_micros(doc_id)) ties the initial watermark and
@@ -160,15 +171,8 @@ object StreamingQueries {
         .withColumn("ts_t",
                     timestamp_micros(col("doc_id") + lit(1600000000L * 1000000L)))
         .withWatermark("ts_t", "1 hour")
-      val sink = s"graft_q_stream_dedup_${System.nanoTime()}"
-      val q = graft.streaming.StreamingDedup.dedupByContent(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink)
+      runToSink(s, graft.streaming.StreamingDedup.dedupByContent(stream),
+                "graft_q_stream_dedup")
         .select(graft.text.TextOps.contentHash(col("text")).as("content_hash"))
     },
     Some("""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
@@ -188,25 +192,13 @@ object StreamingQueries {
    */
   val qStreamCurate = Q(
     "q_stream_curate",
-    (s, dir) => {
-      val batchDocs = Tables.read(s, dir, "documents")
-      val stream = s.readStream
-        .schema(batchDocs.schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/documents.[p]arquet")
-        .select(col("doc_id"), col("text"))
-      val sink = s"graft_q_stream_curate_${System.nanoTime()}"
-      val q = graft.streaming.StreamingCuration.withRepetitionGate(stream)
+    (s, dir) => runToSink(
+      s,
+      graft.streaming.StreamingCuration.withRepetitionGate(
+          tableStream(s, dir, "documents").select(col("doc_id"), col("text")))
         .select("doc_id", "n_tok", "n_types", "top_tok_n", "n_bigrams",
-                "top_bigram_n", "repetitive")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink)
-    },
+                "top_bigram_n", "repetitive"),
+      "graft_q_stream_curate"),
     CurationQueries.qRepetitionFilter.oracle
   )
 
@@ -214,13 +206,14 @@ object StreamingQueries {
    * The CUSTOM-STATE sessionizer (`flatMapGroupsWithState`,
    * [[graft.streaming.StatefulSessionize]]) gated against the same batch
    * oracle as `q_sessionize` and `q_stream_sessionize` — three
-   * formulations, one oracle answer. Same watermark-flush sentinel trick
-   * as the session-window gate, plus a second sentinel event one µs
-   * later: event-time TIMEOUTS only fire in a batch that runs after the
-   * watermark advanced, and the extra event guarantees that batch exists
-   * even if the runtime skips no-data batches. user_id travels as a
-   * string through the typed state path (the `SessionEvent` contract)
-   * and is cast back to long for the oracle compare.
+   * formulations, one oracle answer. Same watermark-flush sentinel as
+   * the session-window gate; here the flush additionally depends on the
+   * no-data finalization batch (event-time TIMEOUTS only fire in a
+   * batch that runs after the watermark advanced, and the sentinel
+   * shares the single data batch with everything else), which is why
+   * [[runToSink]] pins `noDataMicroBatches.enabled` on. user_id travels
+   * as a string through the typed state path (the `SessionEvent`
+   * contract) and is cast back to long for the oracle compare.
    */
   val qStreamSessionizeState = Q(
     "q_stream_sessionize_state",
@@ -228,13 +221,11 @@ object StreamingQueries {
       import s.implicits._
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"),
                                             col("ts_t"))
-      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
-        s"stream-sess-state-$key-p${ProcessHandle.current().pid()}"
+      val inDir = streamDir(s, dir, "stream-sess-state")
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
       val maxTs = ev.agg(max("ts_us")).head().getLong(0)
       val flushTs = maxTs + 1000L * Schemas.SessionGapUs
-      Seq((-1L, flushTs), (-1L, flushTs + 1L)).toDF("user_id", "ts_us")
+      Seq((-1L, flushTs)).toDF("user_id", "ts_us")
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
         .coalesce(1).write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
@@ -242,15 +233,9 @@ object StreamingQueries {
         .withColumn("user_id", col("user_id").cast("string"))
         .withWatermark("ts_t", Schemas.SessionGap)
         .as[graft.streaming.SessionEvent]
-      val sink = s"graft_q_stream_sess_state_${System.nanoTime()}"
-      val q = graft.streaming.StatefulSessionize.visits(s, stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink).filter(col("user_id") =!= "-1")
+      runToSink(s, graft.streaming.StatefulSessionize.visits(s, stream).toDF(),
+                "graft_q_stream_sess_state")
+        .filter(col("user_id") =!= "-1")
         .select(col("user_id").cast("long").as("user_id"),
                 col("visit_start_us"), col("visit_end_us"), col("n_events"),
                 col("visit_key"))
@@ -272,11 +257,7 @@ object StreamingQueries {
   val qStreamJoin = Q(
     "q_stream_join",
     (s, dir) => {
-      val batchEvents = Tables.read(s, dir, "events")
-      def evStream = s.readStream
-        .schema(batchEvents.schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events.[p]arquet")
+      def evStream = tableStream(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
       val purchases = evStream.filter(col("event_type") === "purchase")
@@ -285,18 +266,12 @@ object StreamingQueries {
       val clicks = evStream.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user_id"), col("event_id").as("c_id"),
                 col("ts_t").as("c_ts"))
-      val sink = s"graft_q_stream_join_${System.nanoTime()}"
-      val q = graft.streaming.StreamingJoin.clickAttribution(purchases, clicks)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink).select(
-        col("user_id"), col("p_id"),
-        unix_micros(col("p_ts")).as("p_ts_us"),
-        col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
+      runToSink(s,
+                graft.streaming.StreamingJoin.clickAttribution(purchases, clicks),
+                "graft_q_stream_join")
+        .select(col("user_id"), col("p_id"),
+                unix_micros(col("p_ts")).as("p_ts_us"),
+                col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
     },
     Some("""WITH p AS (
       |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
@@ -329,9 +304,7 @@ object StreamingQueries {
     "q_stream_feed",
     (s, dir) => {
       import s.implicits._
-      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-      val feedDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
-        s"stream-feed-$key-p${ProcessHandle.current().pid()}"
+      val feedDir = streamDir(s, dir, "stream-feed")
       graft.ingest.FeedSynth.synthLines(
           Tables.events(s, dir).repartition(col("event_id")))
         .coalesce(1).write.mode("overwrite").text(feedDir)
@@ -339,15 +312,9 @@ object StreamingQueries {
       // "zz_d0" and advances the watermark past every real session
       Seq("4000000000\tzz\td0\tview\t\t2\tP1\tsrv0\tibmzz\tscvzz")
         .toDF("value").coalesce(1).write.mode("append").text(feedDir)
-      val sink = s"graft_q_stream_feed_${System.nanoTime()}"
-      val q = graft.streaming.StreamingFeed.visitsFromFeed(s, feedDir)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink).filter(col("user_id") =!= "zz_d0")
+      runToSink(s, graft.streaming.StreamingFeed.visitsFromFeed(s, feedDir),
+                "graft_q_stream_feed")
+        .filter(col("user_id") =!= "zz_d0")
     },
     Some(s"""${graft.ingest.FeedSynth.parsedHitsCte},
       |e2 AS (SELECT user_id, ts * 1000000 AS ts_us FROM hits),
@@ -379,24 +346,16 @@ object StreamingQueries {
   val qStreamMedia = Q(
     "q_stream_media",
     (s, dir) => {
-      val key = f"${new java.io.File(dir).getName}-${dir.hashCode & 0x7FFFFFFF}%08x"
-      val inDir = s"${sys.props("java.io.tmpdir")}/graft-layouts/" +
-        s"stream-media-$key-p${ProcessHandle.current().pid()}"
+      val inDir = streamDir(s, dir, "stream-media")
       graft.multimodal.MediaSynth.syntheticMedia(
           s, Tables.read(s, dir, "documents").select("doc_id"))
         .toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .parquet(inDir)
-      val sink = s"graft_q_stream_media_${System.nanoTime()}"
-      val q = MediaQueries.decodedProjection(
-          graft.streaming.StreamingMedia.features(s, stream).toDF())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      s.table(sink)
+      runToSink(s,
+                MediaQueries.decodedProjection(
+                  graft.streaming.StreamingMedia.features(s, stream).toDF()),
+                "graft_q_stream_media")
     },
     MediaQueries.qMediaDecode.oracle
   )

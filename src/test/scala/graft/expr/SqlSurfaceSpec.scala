@@ -93,7 +93,9 @@ class SqlSurfaceSpec extends SparkSpec {
 
   // a corpus with an exact duplicate family (1,2 — same normalized
   // content), a near-dup family (3,4 — shared 12-token body, distinct
-  // tails), a repetitive doc (5), and distinct singletons
+  // tails), a repetitive doc (5), distinct singletons, and a null-text
+  // doc (8 — both dedup modes must keep it: no content, no duplication
+  // evidence)
   private lazy val corpus = {
     val body = "the quick brown fox jumps over the lazy dog near the river"
     Seq(
@@ -101,7 +103,8 @@ class SqlSurfaceSpec extends SparkSpec {
       (3L, s"$body alpha"), (4L, s"$body beta"),
       (5L, ("spam " * 40).trim),
       (6L, "a genuinely distinct document about spark physical plans"),
-      (7L, "another unrelated text concerning catalyst optimizer rules")
+      (7L, "another unrelated text concerning catalyst optimizer rules"),
+      (8L, null: String)
     ).toDF("doc_id", "text")
   }
 
@@ -112,18 +115,22 @@ class SqlSurfaceSpec extends SparkSpec {
     val exactDirect = DedupQueries.exactDedupOf(corpus)
     assert(exactSql.columns.toSeq === exactDirect.columns.toSeq)
     assert(exactSql.collect().toSet === exactDirect.collect().toSet)
-    // the exact family collapses to doc 1; near-dups 3,4 both survive
+    // the exact family collapses to doc 1; near-dups 3,4 both survive;
+    // the null-text doc is kept (no content ⇒ no duplication evidence)
     val exactIds = exactSql.select("doc_id").as[Long].collect().toSet
     assert(!exactIds.contains(2L) && exactIds.contains(1L))
     assert(exactIds.contains(3L) && exactIds.contains(4L))
+    assert(exactIds.contains(8L))
 
     val lshSql = spark.sql("SELECT * FROM graft_dedup('corpus_docs', 'lsh')")
     val lshDirect = DedupQueries.dedupedCorpusOf(corpus)
     assert(lshSql.collect().toSet === lshDirect.collect().toSet)
     // LSH mode chains the whole shared-body family {1,2,3,4} into one
-    // component (1↔2 exact, 1↔3↔4 near-dup) and keeps its min id only
+    // component (1↔2 exact, 1↔3↔4 near-dup) and keeps its min id only;
+    // the null-text doc survives here too — 'exact' must be a subset of
+    // what 'lsh' keeps on every row class, null text included
     val lshIds = lshSql.select("doc_id").as[Long].collect().toSet
-    assert(lshIds === Set(1L, 5L, 6L, 7L))
+    assert(lshIds === Set(1L, 5L, 6L, 7L, 8L))
   }
 
   test("graft_decontaminate from SQL ≡ decontaminatePairs") {
