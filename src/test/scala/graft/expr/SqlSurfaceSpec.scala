@@ -209,5 +209,11 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("constant string"))
+    // a non-positive session gap must be rejected, not silently produce
+    // degenerate one-event sessions
+    val g = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_sessionize('trades', 0)").collect()
+    }
+    assert(g.getMessage.contains("positive"))
   }
 }

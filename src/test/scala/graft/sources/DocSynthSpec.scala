@@ -39,4 +39,16 @@ class DocSynthSpec extends SparkSpec {
     assert(e.columns.toSeq === Seq("vec_id", "label", "embedding"))
     assert(e.select(max(size(col("embedding")))).head().getInt(0) === 16)
   }
+
+  test("embeddings are sign-diverse: the sign-LSH bucket space is populated") {
+    // regression pin for the round-10 soak finding: an all-positive
+    // wiggle put EVERY vector in one sign bucket and silently degraded
+    // q_sim_search_lsh to brute force — the generator must keep real
+    // sign diversity in the first 8 dims (the signBucket prefix)
+    val buckets = DocSynth.embeddings(spark, 2000)
+      .select(graft.vector.VectorOps.signBucket(
+        graft.vector.VectorOps.quantize(col("embedding"))).as("b"))
+      .distinct().count()
+    assert(buckets > 64, s"sign buckets must spread, got $buckets of 256")
+  }
 }
