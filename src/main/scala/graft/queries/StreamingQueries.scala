@@ -360,7 +360,43 @@ object StreamingQueries {
     MediaQueries.qMediaDecode.oracle
   )
 
+  /**
+   * Tumbling-window streaming aggregation
+   * ([[graft.streaming.StreamingFeed.windowedCounts]] — the standard
+   * fixed-window shape, complementing the session windows the sessionize
+   * gates cover) against a batch oracle: per (1-hour window, event_type)
+   * event counts over the events stream. Epoch-aligned windows in a UTC
+   * session are exact integer floor-division on µs event time, which the
+   * oracle states directly. Same single-sentinel watermark flush as the
+   * sessionize gates (sentinel event_type `zz`, filtered).
+   */
+  val qStreamWindowed = Q(
+    "q_stream_windowed",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+                                            col("ts_t"))
+      val inDir = streamDir(s, dir, "stream-windowed")
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      runToSink(s, graft.streaming.StreamingFeed.windowedCounts(stream),
+                "graft_q_stream_windowed")
+        .filter(col("event_type") =!= "zz")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+                col("event_type"), col("n_events"))
+    },
+    Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |       event_type, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
-                        qStreamFeed, qStreamMedia)
+                        qStreamFeed, qStreamMedia, qStreamWindowed)
 }
