@@ -256,11 +256,18 @@ class DedupQueriesSpec extends SparkSpec {
     def labelsOf(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long)].collect().toMap
     assert(labelsOf(DedupQueries.components(pairs)) === expected)
+    assert(DedupQueries.CcObservability.last.startsWith("regime=driver"))
     assert(labelsOf(DedupQueries.components(pairs, driverEdgeLimit = 0))
              === expected) // broadcast fused-hop loop
+    assert(DedupQueries.CcObservability.last.startsWith("regime=broadcast-loop"))
     assert(labelsOf(DedupQueries.components(pairs, driverEdgeLimit = 0,
                                             broadcastEdgeLimit = 0))
              === expected) // shuffle agg-per-hop loop
+    // the observability record (the soak's regime evidence) must name the
+    // regime that actually ran and report a converged round count
+    assert(DedupQueries.CcObservability.last.startsWith("regime=shuffle-loop"))
+    assert("rounds=(\\d+)".r.findFirstMatchIn(DedupQueries.CcObservability.last)
+             .exists(_.group(1).toInt >= 1))
   }
 
   test("boundedBucketPairs: oversized bucket is dropped before expansion and accounted") {
