@@ -60,7 +60,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Batch vs streaming subtotals: the streaming gates carry fixed
+    // harness cost (input-file staging, state store, AvailableNow drain)
+    // that is legitimate gate overhead but not comparable to the batch
+    // queries' per-operator cost — a single total across both surfaces
+    // made the vs-baseline ratio ill-defined the round the gates landed
+    // (BASELINE.md "Baseline comparison rule"). Compare each subtotal to
+    // its own pinned baseline.
+    val isStream = (name: String) => name.startsWith("q_stream_")
+    val totalBatch = results.filterNot(r => isStream(r._1)).map(_._2).sum
+    val totalStream = results.filter(r => isStream(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_batch":$totalBatch,"total_stream":$totalStream,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] $k FAILED: $v") }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exports.Exports
+import graft.ingest.HitParser
+import graft.sources.Tables
+
+/**
+ * The reference's ONE user-facing workflow (`main.py:167-234` — `run()`)
+ * as a single command: read a TSV hit-feed glob, parse (drop-malformed),
+ * sessionize, and write the three sharded CSV exports under the output
+ * dir (`hits/`, `visits/`, `visitors/`), with Beam `WriteToText` shard
+ * names (`<prefix>-SSSSS-of-NNNNN`) for consumer-glob parity.
+ *
+ *   sbt "runMain graft.Pipeline --input data/sample.tsv --output out/"
+ *
+ * (the reference's own defaults; `--input` takes any Hadoop glob, e.g.
+ * a directory of gzipped feeds)
+ *
+ * Flags mirror the reference's argparse surface where it still makes
+ * sense on Spark:
+ *   --input <glob>      feed files (gzip by extension, like ReadFromText)
+ *   --output <dir>      export base dir
+ *   --encoding <cs>     feed charset (default UTF-8; ISO-8859-1 feeds
+ *                       fold the `encoding_update.py` transcode into the
+ *                       scan — no separate re-encode job)
+ *   --master <url>      Spark master when not launched via spark-submit
+ *                       (default local[*]); the reference's
+ *                       DirectRunner/DataflowRunner switch — on a real
+ *                       cluster, spark-submit supplies it instead
+ *   --spark-names       keep Spark's part-* shard names (skip the Beam
+ *                       rename)
+ *
+ * Drop accounting (the reference's TODO at `main.py:80`): input and
+ * parsed row counts ride the export write as `observe` metrics — no
+ * extra scan — and are printed at the end.
+ */
+object Pipeline {
+
+  final case class Args(input: String, output: String,
+                        encoding: String = "UTF-8",
+                        master: String = "local[*]",
+                        beamNames: Boolean = true)
+
+  private val usage =
+    "usage: graft.Pipeline --input <glob> --output <dir> " +
+      "[--encoding <charset>] [--master <url>] [--spark-names]"
+
+  private[graft] def parseArgs(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args, seen: Set[String]): (Args, Set[String]) =
+      rest match {
+        case "--input" :: v :: t    => loop(t, acc.copy(input = v), seen + "input")
+        case "--output" :: v :: t   => loop(t, acc.copy(output = v), seen + "output")
+        case "--encoding" :: v :: t => loop(t, acc.copy(encoding = v), seen)
+        case "--master" :: v :: t   => loop(t, acc.copy(master = v), seen)
+        case "--spark-names" :: t   => loop(t, acc.copy(beamNames = false), seen)
+        case Nil                    => (acc, seen)
+        case bad :: _ => throw new IllegalArgumentException(s"$usage (got: $bad)")
+      }
+    val (args, seen) = loop(argv.toList, Args("", ""), Set.empty)
+    require(seen("input") && seen("output"), usage)
+    args
+  }
+
+  /** The pipeline body on an existing session — callable from library
+    * code and the spec; [[main]] only adds session setup + arg parsing.
+    * Returns (input_rows, parsed_rows); the difference is the
+    * drop-malformed count. */
+  def run(spark: SparkSession, input: String, output: String,
+          encoding: String = "UTF-8", beamNames: Boolean = true): (Long, Long) = {
+    val inObs = Observation("graft_pipeline_in")
+    val outObs = Observation("graft_pipeline_out")
+    val parsed = HitParser.parse(
+        Tables.rawFeed(spark, input, encoding)
+          .observe(inObs, count(lit(1)).as("input_rows")))
+      .observe(outObs, count(lit(1)).as("parsed_rows"))
+    Exports.writeAll(parsed, output)
+    if (beamNames)
+      Seq("hits", "visits", "visitors").foreach { e =>
+        Exports.beamShardNames(spark, s"$output/$e", s"$e.csv")
+      }
+    (inObs.get("input_rows").asInstanceOf[Long],
+     outObs.get("parsed_rows").asInstanceOf[Long])
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(args.master)
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (in, out) = run(spark, args.input, args.output, args.encoding,
+                          args.beamNames)
+      println(s"[graft-pipeline] input_rows=$in parsed_rows=$out " +
+              s"dropped=${in - out} output=${args.output}")
+    } finally spark.stop()
+  }
+}

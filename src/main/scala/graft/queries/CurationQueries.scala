@@ -292,10 +292,14 @@ object CurationQueries {
     * returns the surviving rows with their `split`. */
   def curatedCorpusOf(docsDf: DataFrame): DataFrame = {
     val kept = DedupQueries.dedupedCorpusOf(docsDf)
+    // collision-proof working name: the input is an ARBITRARY conforming
+    // frame, and a caller-supplied `rep_id` column would make a bare
+    // `rep_id` join condition ambiguous at analysis (ADVICE r10)
     val repetitive = repetitionSignals(docsDf)
-      .filter(col("repetitive") === 1).select(col("doc_id").as("rep_id"))
+      .filter(col("repetitive") === 1)
+      .select(col("doc_id").as("__graft_rep_id"))
     kept
-      .join(repetitive, col("doc_id") === col("rep_id"), "left_anti")
+      .join(repetitive, col("doc_id") === col("__graft_rep_id"), "left_anti")
       .withColumn("split", splitName(splitBucket(col("text"))))
   }
 

@@ -22,6 +22,24 @@ import graft.sources.Tables
  */
 object LayoutQueries {
 
+  /** Dirs handed out by [[derivedDir]] this process, deleted by a JVM
+    * shutdown hook: pid-keyed scratch is garbage once the process exits,
+    * and no later process knows this pid — without the hook every
+    * bench/dev iteration leaked one tree of stream inputs and IVF
+    * layouts under /tmp (ADVICE r10). Registered only for the
+    * local-tmpdir default; a deployment that sets
+    * `spark.graft.layoutRoot` owns that storage's lifecycle. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => scratchDirs.forEach(deleteTree(_)), "graft-scratch-cleanup"))
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete()
+  }
+
   /** Per-PROCESS scratch dir for derived data over a testdata dir — the
     * ONE statement of the pid-keyed scratch discipline (previously
     * copy-pasted by every streaming gate and the IVF layout): rooted at
@@ -29,13 +47,16 @@ object LayoutQueries {
     * follows its durable-storage choice) else the local tmpdir, keyed by
     * basename + path hash (same-basename corpora can't collide) + this
     * JVM's pid (concurrent processes can't race each other's overwrite)
-    * + the caller's suffix. */
+    * + the caller's suffix. Local-tmpdir dirs are deleted on JVM exit
+    * ([[scratchDirs]]). */
   private[queries] def derivedDir(s: SparkSession, sfDir: String,
                                   suffix: String): String = {
     val key = f"${new java.io.File(sfDir).getName}-${sfDir.hashCode & 0x7FFFFFFF}%08x"
     val base = s.conf.getOption("spark.graft.layoutRoot")
-      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-layouts")
-    s"$base/$suffix-$key-p${ProcessHandle.current().pid()}"
+    val dir = s"${base.getOrElse(s"${sys.props("java.io.tmpdir")}/graft-layouts")}" +
+      s"/$suffix-$key-p${ProcessHandle.current().pid()}"
+    if (base.isEmpty) { scratchHook; scratchDirs.add(new java.io.File(dir)) }
+    dir
   }
 
   /** Root for engine-derived physical layouts, keyed by the source dir's

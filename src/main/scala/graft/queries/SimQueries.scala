@@ -74,12 +74,63 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
+  /** The sign-LSH collapse metric name ([[signBucketStats]] scaladoc). */
+  private[queries] val LshBucketObs = "graft_lsh_bucket_obs"
+
+  /** Opt-in mean-centering pre-pass for sign-LSH: subtract the corpus'
+    * per-dimension FLOOR-mean from every quantized vector. An off-center
+    * corpus (e.g. all coordinates positive — common for real embedding
+    * families) puts EVERY vector in one orthant, hence one sign bucket,
+    * and bucketed ANN silently degrades to brute-force-through-a-join
+    * (measured 53.6 s vs 1.10 s at the 50k soak — BASELINE.md
+    * degenerate-corpus finding); centering moves the orthant boundaries
+    * to the data's centroid, restoring bucket diversity. Cost: one
+    * dim-row aggregate broadcast back over the corpus — the vectors
+    * themselves never shuffle. Floor-mean keeps the arithmetic
+    * integer-exact (the [[ivfTrain]] discipline), so a centered corpus
+    * remains oracle-replayable. Queries must be centered by the SAME
+    * mean as the corpus — center first, then split off the query set. */
+  def meanCentered(e: DataFrame): DataFrame = {
+    val mu = e.select(posexplode(col("q")))
+      .groupBy("pos").agg(floor(avg(col("col"))).cast("long").as("mu"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+      .select(transform(col("pm"), x => x.getField("mu")).as("__mu_vec"))
+    e.crossJoin(broadcast(mu))
+      .withColumn("q", zip_with(col("q"), col("__mu_vec"), (x, m) => x - m))
+      .drop("__mu_vec")
+  }
+
+  /** Exact bucket-population diagnostic for a sign-bucketed frame:
+    * one row of (n_buckets, max_bucket_n, n_rows, max_share). The
+    * monitoring pass a deployment runs on index build/refresh — a
+    * max_share near 1.0 means the corpus collapsed into one orthant and
+    * the bucket join is brute force in disguise ([[meanCentered]] is the
+    * fix). Two-level aggregate: the per-bucket groupBy map-side-combines
+    * (≤ 2^bits rows reach the shuffle per partition), so the hot bucket
+    * never funnels its raw rows through one task — the diagnostic stays
+    * cheap on exactly the corpus that needs it. */
+  def signBucketStats(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket_n"),
+           sum("n").as("n_rows"))
+      .withColumn("max_share",
+                  col("max_bucket_n").cast("double") / col("n_rows"))
+
   /** LSH-bucketed ANN: candidates restricted to the query's sign bucket
     * (first 8 quantized coords ⇒ 256 orthant-prefix buckets), then exact
     * ranking within the bucket. The join is an equi-join on the bucket key —
     * this is the plan shape that survives a 100× corpus: probe cost scales
     * with bucket size, not corpus size. Recall vs the brute-force baseline
-    * is measured in the test suite. */
+    * is measured in the test suite.
+    *
+    * Degenerate-mode guard (VERDICT r10): the corpus side carries an
+    * `observe` metric — row count + approx-distinct bucket count — that
+    * rides the existing scan (zero extra jobs, zero shuffles). A corpus
+    * that drifted off-center collapses to `n_buckets ≈ 1`, which is the
+    * operator's own run telling its caller the index degenerated;
+    * [[signBucketStats]] is the exact follow-up diagnostic and
+    * [[meanCentered]] the opt-in fix (the default stays uncentered —
+    * the gated oracle replays raw sign buckets). */
   val qSimSearchLsh = Q(
     "q_sim_search_lsh",
     (s, dir) => {
@@ -90,8 +141,10 @@ object SimQueries {
         .filter(col("q_id") % 100 === 0)
       val w = Window.partitionBy("q_id")
         .orderBy(col("dot").desc, col("vec_id").asc)
-      e.join(broadcast(queries),
-             col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      e.observe(LshBucketObs, count(lit(1)).as("rows"),
+                approx_count_distinct(col("bucket")).as("n_buckets"))
+        .join(broadcast(queries),
+              col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
         .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= TopK)

