@@ -42,8 +42,12 @@ object DedupQueries {
     * The shingle×band fanout multiplies each doc ~400×; without this
     * exchange a compact scan (one small parquet split) would run the whole
     * blowup in one task. The pre-explode shuffle moves only the compact doc
-    * rows; AQE is free to coalesce it, and on a real multi-file corpus it
-    * additionally balances the explode factor across executors. */
+    * rows; AQE is free to coalesce it (measured RIGHT for this family's
+    * compute density: pinning the count via [[graft.queries.distributeBy]]
+    * cost q_dedup_minhash 0.86→1.06 s warm — the round-11 A/B; contrast
+    * [[qExactOverlap]], whose denser gram stage pins the count), and on a
+    * real multi-file corpus it additionally balances the explode factor
+    * across executors. */
   private[queries] def docsDistributed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).repartition(col("doc_id"))
 
@@ -1077,9 +1081,13 @@ object DedupQueries {
     "q_exact_overlap",
     (s, dir) => {
       // checkpointed because the stop-gram count AND both pairing sides
-      // read it — without materialization the shingle explode + md5 pass
-      // runs three times (the qNgramJaccard pattern)
-      val grams = docsDistributed(s, dir)
+      // read it — without materialization the shingle explode + hash pass
+      // runs three times (the qNgramJaccard pattern). The distribution
+      // PINS its partition count (distributeBy, unlike docsDistributed):
+      // the 13-gram explode + hash + per-doc distinct is the densest
+      // per-row stage in the library, and AQE's byte-based coalescing
+      // serialized it (round-11 A/B: 3.70 s bare vs 1.77 s pinned, warm)
+      val grams = distributeBy(docs(s, dir), col("doc_id"))
         .select(col("doc_id"),
                 CurationQueries.splitName(
                   CurationQueries.splitBucket(col("text"))).as("split"),

@@ -26,10 +26,11 @@ object IngestQueries {
   val qTsvParse = Q(
     "q_tsv_parse",
     // repartition: the line-build + parse is pure map work; balancing it
-    // across tasks costs one exchange of compact rows (AQE-coalescible) and
-    // keeps a single-split local scan from serializing the whole parse
+    // across tasks costs one exchange of compact rows and keeps a
+    // single-split local scan from serializing the whole parse (explicit
+    // count — AQE byte-coalescing would undo it, see distributeBy)
     (s, dir) => HitParser.parse(FeedSynth.synthLines(
-      Tables.events(s, dir).repartition(col("event_id")))),
+      distributeBy(Tables.events(s, dir), col("event_id")))),
     Some(s"""${FeedSynth.parsedHitsCte}
       |SELECT * FROM hits""".stripMargin)
   )
@@ -42,7 +43,7 @@ object IngestQueries {
     "q_hits_export",
     (s, dir) => {
       val parsed = HitParser.parse(FeedSynth.synthLines(
-        Tables.events(s, dir).repartition(col("event_id"))))
+        distributeBy(Tables.events(s, dir), col("event_id"))))
       Sessionize
         .withSessionIds(parsed, gapUs = 1800L, tsUsCol = "ts")
         .select(concat_ws(",", Schemas.hitsExportColumns.map(col): _*).as("line"))

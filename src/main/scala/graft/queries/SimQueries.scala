@@ -28,7 +28,11 @@ object SimQueries {
     * the per-candidate dot products must not run inside one compact-scan
     * task — under a broadcast join the probe side keeps the scan's
     * partitioning, and the fixture is a single small parquet split. The
-    * exchange moves compact vectors once; AQE can coalesce it. */
+    * exchange moves compact vectors once; AQE is free to coalesce it
+    * (measured RIGHT for this compute density — pinning the count cost
+    * q_sim_search 0.55→0.72 s and q_sim_search_ivf 1.53→2.22 s warm in
+    * the round-11 A/B; the codegen'd integer dot is cheap enough per row
+    * that task overhead dominates at coalesced widths). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
       .repartition(col("vec_id"))

@@ -122,13 +122,27 @@ object StreamingQueries {
       // pay the whole band-aggregation + cache build inside the streaming
       // query's wall time (the unattributed BENCH_r10 40 s outlier), and
       // index construction is the deployment's offline step anyway
+      val nShuffle = s.conf.get("spark.sql.shuffle.partitions").toInt
       val evalIdx = StreamingDecontam.evalBandIndex(
-        Tables.read(s, dir, "documents").select("doc_id", "text")).cache()
+        Tables.read(s, dir, "documents").select("doc_id", "text")
+          .repartition(nShuffle, col("doc_id"))).cache()
       evalIdx.count()
+      // repartition the (stateless) stream side: the fixture is ONE
+      // parquet file, so the whole micro-batch would otherwise be one
+      // input split — a single task computing every train doc's band
+      // signatures (measured 3.5 s of a 4.6 s warm gate). A production
+      // stream has many files per batch; the explicit shuffle of the
+      // tiny (doc_id, text) rows restores that parallelism here. The
+      // partition count is EXPLICIT: a bare repartition(col) is
+      // AQE-coalescable, and AQE coalesces by shuffle BYTES — it folded
+      // these few MB back into one task, re-serializing the
+      // compute-dense band-signature Generate above the exchange
+      // (plan-verified: AQEShuffleRead coalesced → 3.2 s single task)
       val hits =
         try runToSink(s,
           StreamingDecontam.contaminationHits(
-            tableStream(s, dir, "documents").select("doc_id", "text"), evalIdx),
+            tableStream(s, dir, "documents").select("doc_id", "text")
+              .repartition(nShuffle, col("doc_id")), evalIdx),
           "graft_q_stream_decontam")
         finally evalIdx.unpersist()
       // k band collisions per pair → one pair row: the consumer-side
@@ -232,7 +246,12 @@ object StreamingQueries {
     (s, dir) => runToSink(
       s,
       graft.streaming.StreamingCuration.withRepetitionGate(
-          tableStream(s, dir, "documents").select(col("doc_id"), col("text")))
+          tableStream(s, dir, "documents").select(col("doc_id"), col("text"))
+            // single-file fixture → one input split; EXPLICIT count so AQE
+            // can't byte-coalesce the compute-dense per-row token scoring
+            // back into one task (the q_stream_decontam finding)
+            .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+                         col("doc_id")))
         .select("doc_id", "n_tok", "n_types", "top_tok_n", "n_bigrams",
                 "top_bigram_n", "repetitive"),
       "graft_q_stream_curate"),
@@ -343,7 +362,7 @@ object StreamingQueries {
       import s.implicits._
       val feedDir = streamDir(s, dir, "stream-feed")
       graft.ingest.FeedSynth.synthLines(
-          Tables.events(s, dir).repartition(col("event_id")))
+          distributeBy(Tables.events(s, dir), col("event_id")))
         .coalesce(1).write.mode("overwrite").text(feedDir)
       // valid 10-column line at a far-future second: parses to user
       // "zz_d0" and advances the watermark past every real session

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 package object queries {
   /** A query surface entry: Spark implementation + optional DuckDB oracle.
@@ -11,4 +11,27 @@ package object queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String]
   )
+
+  /** Hash-repartition by key with the session's shuffle-partition count
+    * stated EXPLICITLY — the distribution idiom for exchanges that feed
+    * work DENSE ENOUGH per row that AQE's coalescing serializes it. A
+    * bare `repartition(col)` is AQE-coalescable, and AQE coalesces by
+    * shuffle BYTES: compact rows (a few MB of doc ids + text) get folded
+    * back into one or two post-shuffle tasks regardless of the compute
+    * above the exchange (plan-verified on the decontam band signatures:
+    * `AQEShuffleRead coalesced` → 3.2 s single task vs 0.9 s at the
+    * configured 32). Stating the count pins the exchange at the
+    * configured parallelism — the knob deployments already size for
+    * their cluster.
+    *
+    * MEASURE before reaching for this: pinning is only right when the
+    * per-row work dwarfs per-task overhead. The round-11 warm A/B at
+    * sf0.1 — 13-gram explode+hash (q_exact_overlap) 3.70 → 1.77 s
+    * pinned, but codegen'd integer dots (q_sim_search) 0.55 → 0.72 s
+    * and token counting (q_lang_id) 0.93 → 1.50 s got SLOWER pinned —
+    * byte-based coalescing is correct for everything lighter, so those
+    * sites keep the bare AQE-managed `repartition(col)`. */
+  private[graft] def distributeBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
 }
