@@ -19,12 +19,14 @@ import graft.streaming.{StreamingDecontam, StreamingSessionize}
  * loop from "equivalent to the batch query" to "equal to the oracle's
  * answer".
  *
- * The memory sink is the GATE harness, not the production shape — a
- * deployment writes the same append-only streams to Kafka/parquet. At
- * fixture scale every sink holds a bounded result (visits, hit logs,
- * per-doc scores), and [[runToSink]] drops the sink view after draining
- * it so repeated gate runs in one session (bench rounds, a dev loop)
- * don't accumulate driver-resident result copies.
+ * Gates drain to a parquet FILE sink in per-process scratch — the same
+ * sink family a deployment runs (append-only streams to Kafka/parquet),
+ * and the result reads back as a distributed scan. The r10 gates used
+ * the memory sink, which COLLECTS every output row to the driver: fine
+ * for visit tables, but the decontam hit log is one row per band
+ * collision — 2.7 M rows at the 50 k soak — and the driver-side copy
+ * (plus its localCheckpoint) turned that gate into a 30–125 s GC-bound
+ * drain. The file sink bounds driver memory at any output volume.
  */
 object StreamingQueries {
 
@@ -51,24 +53,29 @@ object StreamingQueries {
     }
   }
 
-  /** Drive a streaming frame into a uniquely-named memory sink with
+  /** Drive a streaming frame into a parquet FILE sink under per-process
+    * scratch (`dir` keys the [[streamDir]] tree) with
     * `Trigger.AvailableNow`, wait for the drain, and return the result
-    * MATERIALIZED (localCheckpoint) with the sink view dropped — so the
-    * returned frame survives the drop and the session doesn't leak one
-    * driver-resident sink per run. Also pins
+    * as a distributed read of the sink files — no driver-resident copy
+    * at any output volume (see the object scaladoc for the memory-sink
+    * history). The read states the schema explicitly so a gate whose
+    * drain emits zero rows still returns an empty, correctly-typed
+    * frame instead of failing schema inference. Also pins
     * `noDataMicroBatches.enabled`: the watermark-flush gates rely on the
     * post-data batch that emits watermark-gated state (session windows,
     * event-time timeouts), and that batch only exists when no-data
     * micro-batches are allowed. The pin is saved/restored around the
     * run — a session-global conf flip must not leak past the gate into
     * a caller that deliberately disabled it. */
-  private def runToSink(s: SparkSession, out: DataFrame,
+  private def runToSink(s: SparkSession, dir: String, out: DataFrame,
                         prefix: String): DataFrame = {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = s.conf.getOption(ndKey)
     s.conf.set(ndKey, "true")
-    val sink = s"${prefix}_${System.nanoTime()}"
-    val q = out.writeStream.format("memory").queryName(sink)
+    val base = streamDir(s, dir, s"sink-$prefix-${System.nanoTime()}")
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -86,9 +93,7 @@ object StreamingQueries {
         case None    => s.conf.unset(ndKey)
       }
     }
-    val result = s.table(sink).localCheckpoint()
-    s.catalog.dropTempView(sink)
-    result
+    s.read.schema(out.schema).parquet(s"$base/out")
   }
 
   /** A single-FILE parquet table as a file stream: a non-glob path makes
