@@ -144,7 +144,7 @@ object StreamingQueries {
       // compute-dense band-signature Generate above the exchange
       // (plan-verified: AQEShuffleRead coalesced → 3.2 s single task)
       val hits =
-        try runToSink(s,
+        try runToSink(s, dir,
           StreamingDecontam.contaminationHits(
             tableStream(s, dir, "documents").select("doc_id", "text")
               .repartition(nShuffle, col("doc_id")), evalIdx),
@@ -193,7 +193,7 @@ object StreamingQueries {
         .coalesce(1).write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .parquet(inDir)
-      runToSink(s, StreamingSessionize.visitsStream(stream),
+      runToSink(s, dir, StreamingSessionize.visitsStream(stream),
                 "graft_q_stream_sess")
         .filter(col("user_id") =!= -1L)
         .select("user_id", "visit_start_us", "visit_end_us", "n_events",
@@ -227,7 +227,7 @@ object StreamingQueries {
         .withColumn("ts_t",
                     timestamp_micros(col("doc_id") + lit(1600000000L * 1000000L)))
         .withWatermark("ts_t", "1 hour")
-      runToSink(s, graft.streaming.StreamingDedup.dedupByContent(stream),
+      runToSink(s, dir, graft.streaming.StreamingDedup.dedupByContent(stream),
                 "graft_q_stream_dedup")
         .select(graft.text.TextOps.contentHash(col("text")).as("content_hash"))
     },
@@ -249,7 +249,7 @@ object StreamingQueries {
   val qStreamCurate = Q(
     "q_stream_curate",
     (s, dir) => runToSink(
-      s,
+      s, dir,
       graft.streaming.StreamingCuration.withRepetitionGate(
           tableStream(s, dir, "documents").select(col("doc_id"), col("text"))
             // single-file fixture → one input split; EXPLICIT count so AQE
@@ -294,7 +294,7 @@ object StreamingQueries {
         .withColumn("user_id", col("user_id").cast("string"))
         .withWatermark("ts_t", Schemas.SessionGap)
         .as[graft.streaming.SessionEvent]
-      runToSink(s, graft.streaming.StatefulSessionize.visits(s, stream).toDF(),
+      runToSink(s, dir, graft.streaming.StatefulSessionize.visits(s, stream).toDF(),
                 "graft_q_stream_sess_state")
         .filter(col("user_id") =!= "-1")
         .select(col("user_id").cast("long").as("user_id"),
@@ -327,7 +327,7 @@ object StreamingQueries {
       val clicks = evStream.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user_id"), col("event_id").as("c_id"),
                 col("ts_t").as("c_ts"))
-      runToSink(s,
+      runToSink(s, dir,
                 graft.streaming.StreamingJoin.clickAttribution(purchases, clicks),
                 "graft_q_stream_join")
         .select(col("user_id"), col("p_id"),
@@ -373,7 +373,7 @@ object StreamingQueries {
       // "zz_d0" and advances the watermark past every real session
       Seq("4000000000\tzz\td0\tview\t\t2\tP1\tsrv0\tibmzz\tscvzz")
         .toDF("value").coalesce(1).write.mode("append").text(feedDir)
-      runToSink(s, graft.streaming.StreamingFeed.visitsFromFeed(s, feedDir),
+      runToSink(s, dir, graft.streaming.StreamingFeed.visitsFromFeed(s, feedDir),
                 "graft_q_stream_feed")
         .filter(col("user_id") =!= "zz_d0")
     },
@@ -413,7 +413,7 @@ object StreamingQueries {
         .toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .parquet(inDir)
-      runToSink(s,
+      runToSink(s, dir,
                 MediaQueries.decodedProjection(
                   graft.streaming.StreamingMedia.features(s, stream).toDF()),
                 "graft_q_stream_media")
@@ -445,7 +445,7 @@ object StreamingQueries {
         .coalesce(1).write.mode("append").parquet(inDir)
       val stream = s.readStream.schema(s.read.parquet(inDir).schema)
         .parquet(inDir)
-      runToSink(s, graft.streaming.StreamingFeed.windowedCounts(stream),
+      runToSink(s, dir, graft.streaming.StreamingFeed.windowedCounts(stream),
                 "graft_q_stream_windowed")
         .filter(col("event_type") =!= "zz")
         .select(unix_micros(col("window_start")).as("window_start_us"),
