@@ -67,8 +67,8 @@ object StreamingQueries {
     * micro-batches are allowed. The pin is saved/restored around the
     * run — a session-global conf flip must not leak past the gate into
     * a caller that deliberately disabled it. */
-  private def runToSink(s: SparkSession, dir: String, out: DataFrame,
-                        prefix: String): DataFrame = {
+  private[graft] def runToSink(s: SparkSession, dir: String, out: DataFrame,
+                               prefix: String): DataFrame = {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = s.conf.getOption(ndKey)
     s.conf.set(ndKey, "true")
