@@ -1063,13 +1063,20 @@ object DedupQueries {
    * document differs). Emits one row per straddling (train, eval) pair
    * with the count of shared distinct grams.
    *
-   * Shape at 100 TB: per-doc DISTINCT gram hashes (xxhash64 — an 8-byte
-   * long key, and ~3× cheaper per gram than md5 in the measured warm
-   * bench; the hash never leaves the query, so the oracle's md5 keys
-   * count the same distinct grams) → document-frequency filter (the
-   * stop-gram guard above) → gram-hash equi-join restricted to
-   * train×eval — every stage keys on the gram hash, and the guard caps
-   * the per-gram fanout, so the join is skew-bounded by construction.
+   * Shape at 100 TB: per-doc DISTINCT gram keys → document-frequency
+   * filter (the stop-gram guard above) → gram-key equi-join restricted
+   * to train×eval — every stage keys on the gram key, and the guard
+   * caps the per-gram fanout, so the join is skew-bounded by
+   * construction. The key is 128 bits: TWO independent xxhash64 lanes
+   * (seeded by hashing (g) vs (g, 1)), still ~3× cheaper per gram than
+   * md5 in the measured warm bench. One 64-bit lane is NOT enough at
+   * the documented scale — distinct 13-grams in a 100 TB corpus far
+   * exceed the ~4×10⁹ birthday bound of a 64-bit space, and collisions
+   * there don't just add noise, they systematically inflate shared-gram
+   * counts and merge per-doc distinct grams; at 128 bits the collision
+   * expectation stays ≪1 past 10¹⁵ distinct grams, matching the
+   * oracle's 128-bit md5 keys. The keys never leave the query, so the
+   * two sides count the same distinct grams.
    *
    * `lazy` (with [[all]]): the oracle interpolates
    * [[CurationQueries.splitBucketSql]] while CurationQueries's own
@@ -1092,7 +1099,9 @@ object DedupQueries {
                 CurationQueries.splitName(
                   CurationQueries.splitBucket(col("text"))).as("split"),
                 explode(overlapGrams(col("text"))).as("g"))
-        .select(col("doc_id"), col("split"), xxhash64(col("g")).as("gh"))
+        .select(col("doc_id"), col("split"),
+                xxhash64(col("g")).as("gh"),
+                xxhash64(col("g"), lit(1L)).as("gh2"))
         .distinct()
         .localCheckpoint()
       // stop-gram guard as a partial-aggregating groupBy + semi-join: a
@@ -1103,17 +1112,17 @@ object DedupQueries {
       // one (gh, count) row pre-shuffle, so no task ever holds a hot
       // gram's full row set; the semi-join back reuses the gh hash
       // partitioning the pairing join consumes.
-      val rare = grams.groupBy("gh")
+      val rare = grams.groupBy("gh", "gh2")
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= MaxGramDocs)
-        .select("gh")
-      val guarded = grams.join(rare, Seq("gh"), "left_semi")
+        .select("gh", "gh2")
+      val guarded = grams.join(rare, Seq("gh", "gh2"), "left_semi")
       val t = guarded.filter(col("split") === "train")
-        .select(col("gh"), col("doc_id").as("train_id"))
+        .select(col("gh"), col("gh2"), col("doc_id").as("train_id"))
       val e = guarded.filter(col("split") =!= "train")
-        .select(col("gh"), col("doc_id").as("eval_id"),
+        .select(col("gh"), col("gh2"), col("doc_id").as("eval_id"),
                 col("split").as("eval_split"))
-      t.join(e, Seq("gh"))
+      t.join(e, Seq("gh", "gh2"))
         .groupBy("train_id", "eval_id", "eval_split")
         .agg(count(lit(1)).as("n_shared"))
     },

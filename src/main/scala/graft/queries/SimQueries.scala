@@ -81,6 +81,40 @@ object SimQueries {
   /** The sign-LSH collapse metric name ([[signBucketStats]] scaladoc). */
   private[queries] val LshBucketObs = "graft_lsh_bucket_obs"
 
+  /** Sessions that already carry the [[LshBucketObs]] echo listener. */
+  private val lshObsSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Echo the sign-LSH `observe` metric to stderr with a greppable tag —
+    * `[graft-lsh] rows=N n_buckets=M` — once per completed execution of
+    * the LSH query, so a collapsed-bucket corpus (n_buckets ≈ 1) is
+    * visible in BENCH/Verify logs, not only to a caller that thinks to
+    * read `observedMetrics` (VERDICT r11 item 6: the guard must fire in
+    * driver-visible artifacts). Reads the metric through
+    * `CollectMetricsExec.collect`, whose `AdaptiveSparkPlanHelper`
+    * traversal descends into `AdaptiveSparkPlanExec` — unlike the
+    * `qe.observedMetrics` lazy val, which is blind to the collector
+    * under AQE (the SparkSpec.withoutAqe note) and AQE is on in bench
+    * runs. Registered at most once per session; the listener is a no-op
+    * for every query that doesn't carry the metric. */
+  private def ensureLshObsListener(s: SparkSession): Unit =
+    if (lshObsSessions.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          org.apache.spark.sql.execution.CollectMetricsExec.collect(qe.executedPlan)
+            .get(LshBucketObs).foreach { m =>
+              System.err.println(s"[graft-lsh] rows=${m.getAs[Long]("rows")} " +
+                s"n_buckets=${m.getAs[Long]("n_buckets")}")
+            }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
   /** Opt-in mean-centering pre-pass for sign-LSH: subtract the corpus'
     * per-dimension FLOOR-mean from every quantized vector. An off-center
     * corpus (e.g. all coordinates positive — common for real embedding
@@ -138,6 +172,7 @@ object SimQueries {
   val qSimSearchLsh = Q(
     "q_sim_search_lsh",
     (s, dir) => {
+      ensureLshObsListener(s)
       val e = quantized(s, dir)
         .withColumn("bucket", VectorOps.signBucket(col("q")))
       val queries = e.select(col("vec_id").as("q_id"), col("q").as("qq"),
@@ -605,7 +640,11 @@ object SimQueries {
     "q_ivf_append",
     (s, dir) => {
       import s.implicits._
-      val out = s"${ivfLayoutDir(s, dir)}-inc"
+      // derive via the registering seam (NOT string-suffixing the ivf
+      // dir): derivedDir is what enrolls the path in scratchDirs, so the
+      // incremental layout participates in the JVM-exit cleanup instead
+      // of leaking one /tmp tree per iteration (ADVICE r11)
+      val out = LayoutQueries.derivedDir(s, dir, "ivf-inc")
       val e = quantized(s, dir)
       writeIvfLayoutOf(e.filter(col("vec_id") % 2 === 0), out)
       appendToIvfLayout(s, out, e.filter(col("vec_id") % 2 =!= 0))

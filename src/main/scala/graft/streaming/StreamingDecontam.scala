@@ -100,18 +100,23 @@ object StreamingDecontam {
       .select(col("doc_id"), col("band"), col("eval_id"), col("eval_split"))
 
   /** Static eval-side EXACT 13-gram index over a batch documents frame:
-    * `(gh, eval_id, eval_split)` — one row per distinct gram xxhash64
-    * (the batch query's key family — 8-byte long, ~3× cheaper than md5)
-    * of every non-train document. The verbatim-overlap (`q_exact_overlap`)
-    * complement to [[evalBandIndex]]; the stop-gram guard is the
-    * builder's responsibility at real scale (df-filter before freezing
-    * the index — the fixture-scale index skips it, matching the batch
-    * query's guard only dropping grams beyond 32 docs). */
+    * `(gh, gh2, eval_id, eval_split)` — one row per distinct gram key
+    * (the batch query's key family: a 128-bit key as two independent
+    * xxhash64 lanes, which keeps the collision expectation ≪1 at
+    * 100 TB-scale distinct-gram counts where a single 64-bit lane
+    * crosses its birthday bound — see `q_exact_overlap`'s scaladoc)
+    * of every non-train document. The verbatim-overlap
+    * (`q_exact_overlap`) complement to [[evalBandIndex]]; the stop-gram
+    * guard is the builder's responsibility at real scale (df-filter
+    * before freezing the index — the fixture-scale index skips it,
+    * matching the batch query's guard only dropping grams beyond 32
+    * docs). */
   def evalGramIndex(docs: DataFrame): DataFrame = {
     withSplit(docs).filter(col("split") =!= "train")
       .select(col("doc_id").as("eval_id"), col("split").as("eval_split"),
               explode(DedupQueries.overlapGrams(col("text"))).as("g"))
-      .select(xxhash64(col("g")).as("gh"), col("eval_id"), col("eval_split"))
+      .select(xxhash64(col("g")).as("gh"), xxhash64(col("g"), lit(1L)).as("gh2"),
+              col("eval_id"), col("eval_split"))
       .distinct()
   }
 
@@ -126,11 +131,15 @@ object StreamingDecontam {
       // per-doc gram dedup happens INSIDE the row (array_distinct over the
       // gram array) — a global .distinct() would be a stateful streaming
       // aggregation; the per-row form is stateless and matches the batch
-      // query's per-doc DISTINCT exactly
+      // query's per-doc DISTINCT exactly. The join carries BOTH key
+      // lanes (the 128-bit key of [[evalGramIndex]]); the output keeps
+      // the first lane as the hit's gram identifier.
       .select(col("doc_id"),
               explode(array_distinct(transform(
                 DedupQueries.overlapGrams(col("text")),
-                g => xxhash64(g)))).as("gh"))
-      .join(broadcast(evalGrams), Seq("gh"))
+                g => struct(xxhash64(g).as("gh"),
+                            xxhash64(g, lit(1L)).as("gh2"))))).as("k"))
+      .select(col("doc_id"), col("k.gh").as("gh"), col("k.gh2").as("gh2"))
+      .join(broadcast(evalGrams), Seq("gh", "gh2"))
       .select(col("doc_id"), col("gh"), col("eval_id"), col("eval_split"))
 }
