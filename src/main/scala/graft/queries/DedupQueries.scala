@@ -862,6 +862,29 @@ object DedupQueries {
       .distinct()
   }
 
+  /** The exact-edge ∪ near-edge → components → min-survivor tail of the
+    * dedup composition oracles, parameterized by the near-pair relation
+    * (`cand` for LSH-candidate mode, `ver` for Jaccard-verified mode) so
+    * both modes state the SAME fixpoint over different edge sets. */
+  private def keptSuffix(near: String): String =
+    s"""eh AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      |  FROM documents
+      |),
+      |em AS (SELECT h, MIN(doc_id) AS m_id FROM eh GROUP BY h),
+      |ep AS (SELECT em.m_id AS a_id, eh.doc_id AS b_id
+      |       FROM eh JOIN em ON eh.h = em.h WHERE eh.doc_id <> em.m_id),
+      |alle AS (SELECT a_id, b_id FROM $near UNION SELECT a_id, b_id FROM ep),
+      |e2 AS (SELECT a_id AS s, b_id AS d FROM alle
+      |       UNION ALL SELECT b_id, a_id FROM alle),
+      |walk(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
+      |),
+      |kept AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id)""".stripMargin
+
   /** Shared oracle prefix for the dedup COMPOSITIONS: the recursive-CTE
     * fixpoint of [[qDedupClusters]] extended with the exact
     * normalized-content edges, ending in `kept` — the canonical
@@ -872,23 +895,7 @@ object DedupQueries {
     * semantics. */
   private[queries] val dedupedKeptCte: String =
     s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-      |eh AS (
-      |  SELECT doc_id,
-      |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-      |  FROM documents
-      |),
-      |em AS (SELECT h, MIN(doc_id) AS m_id FROM eh GROUP BY h),
-      |ep AS (SELECT em.m_id AS a_id, eh.doc_id AS b_id
-      |       FROM eh JOIN em ON eh.h = em.h WHERE eh.doc_id <> em.m_id),
-      |alle AS (SELECT a_id, b_id FROM cand UNION SELECT a_id, b_id FROM ep),
-      |e2 AS (SELECT a_id AS s, b_id AS d FROM alle
-      |       UNION ALL SELECT b_id, a_id FROM alle),
-      |walk(id, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
-      |),
-      |kept AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id)""".stripMargin
+      |${keptSuffix("cand")}""".stripMargin
 
   /** The flagship composition behind the driver's correctness gate: the
     * doc_ids [[dedupedCorpus]] keeps (LSH-candidate mode) — the one-call
@@ -898,6 +905,41 @@ object DedupQueries {
     "q_deduped_corpus",
     (s, dir) => dedupedCorpus(s, dir).select(col("doc_id")),
     Some(s"""$dedupedKeptCte
+      |SELECT doc_id FROM kept""".stripMargin)
+  )
+
+  /** [[dedupedCorpus]]'s PRECISION mode (`verify = true`) as its own
+    * gated query: near edges are the Jaccard-VERIFIED pairs (J ≥ 0.5)
+    * instead of raw LSH candidates; exact normalized-content edges stay
+    * unconditional. The knob is not hypothetical — at the 500 k-doc soak
+    * (64-word vocabulary, so band-collision false positives are dense)
+    * candidate mode over-deleted 58 465 of 350 000 singletons and chained
+    * 103 of 1 000 planted families into shared components, while this
+    * mode kept exactly the right set in LESS wall time (85.5 s vs
+    * 107.3 s): the verified edge set is ~10× smaller, so the components
+    * stage gets cheaper than the intersection stage costs (BASELINE.md
+    * round-12 soak). At 100 TB this is the mode a production pipeline
+    * should default to; candidate mode remains the recall-max variant. */
+  val qDedupedVerified = Q(
+    "q_deduped_verified",
+    (s, dir) => dedupedCorpus(s, dir, verify = true).select(col("doc_id")),
+    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |ss AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ss GROUP BY doc_id),
+      |iv AS (
+      |  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+      |  FROM cand c
+      |  JOIN ss sa ON sa.doc_id = c.a_id
+      |  JOIN ss sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+      |  GROUP BY c.a_id, c.b_id
+      |),
+      |ver AS (
+      |  SELECT i.a_id, i.b_id FROM iv i
+      |  JOIN sz za ON za.doc_id = i.a_id
+      |  JOIN sz zb ON zb.doc_id = i.b_id
+      |  WHERE 2 * i.n_inter >= za.n_sh + zb.n_sh - i.n_inter
+      |),
+      |${keptSuffix("ver")}
       |SELECT doc_id FROM kept""".stripMargin)
   )
 
@@ -1238,7 +1280,7 @@ object DedupQueries {
 
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDedupClusters, qDedupedCorpus, qDecontaminate, qExactOverlap,
+    qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qDedupIncremental
   )
 }

@@ -132,6 +132,24 @@ class DedupQueriesSpec extends SparkSpec {
     assert(keptVerified === kept)
   }
 
+  test("q_deduped_verified: survivors are a superset of candidate-mode survivors (monotone in the edge set)") {
+    // Verified near edges are a SUBSET of candidate edges, so components
+    // only split and every candidate-mode component min remains the min
+    // of its verified sub-component: candidate survivors ⊆ verified
+    // survivors, on any corpus. Checked on the real sf0.001 documents
+    // table (organic text, not the planted fixture) through the GATED
+    // query surface — the same entries the driver oracles.
+    val td = "/root/testdata/sf0.001"
+    val cand = SparkEntry.queries("q_deduped_corpus")(spark, td)
+      .as[Long].collect().toSet
+    val ver = SparkEntry.queries("q_deduped_verified")(spark, td)
+      .as[Long].collect().toSet
+    assert(cand.subsetOf(ver))
+    // and neither mode keeps a doc twice or drops the whole corpus
+    val n = graft.sources.Tables.read(spark, td, "documents").count()
+    assert(ver.size <= n && cand.nonEmpty)
+  }
+
   test("q_doc_fingerprint: 4 fingerprints per doc with >= 4 shingles; equal docs share all") {
     val fps = q("q_doc_fingerprint")
       .as[(Long, Long, String)].collect()
