@@ -234,6 +234,59 @@ object DedupQueries {
       .drop("xs") // output: key columns + the (a, b) item pair
   }
 
+  /** Connectivity-preserving STAR edges per bucket: (bucket-min, member)
+    * instead of all C(k,2) pairs — k−1 edges where [[boundedBucketPairs]]
+    * emits k(k−1)/2, with IDENTICAL reachability (a bucket's clique and
+    * its star connect the same vertex set, so connected components over
+    * the union across buckets are equal — the DuckDB oracles, which state
+    * the fixpoint over the full pair edges, gate exactly this
+    * equivalence). This is the edge set the CLUSTERING consumers must
+    * use at scale: at the 500 k-doc soak the full pair list is 24.4 M
+    * directed edges (150-member family buckets emit ~11 k pairs each)
+    * versus ~2 M star edges — the difference between the components
+    * loop's shuffle regime and its broadcast regime. Pair-OUTPUT queries
+    * (q_dedup_minhash, q_ngram_jaccard, q_decontaminate) keep the full
+    * expansion: their contract is the pair list itself.
+    * Same window, skew guard, and cap as [[boundedBucketPairs]] — the
+    * bucket-min rides the bucket_n window, no extra shuffle. */
+  private[queries] def boundedBucketStars(
+      buckets: DataFrame, keyNames: Seq[String], item: Column,
+      maxBucket: Int = MaxBucket,
+      guard: String = "graft_skew_guard"): DataFrame = {
+    val keys = keyNames.map(col)
+    val w = Window.partitionBy(keys: _*)
+    buckets
+      .select(keys :+ item.as("it"): _*)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("mn", min(col("it")).over(w))
+      .observe(guard,
+               sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L))
+                 .as("skewed_rows"),
+               max(col("bucket_n")).as("max_bucket"))
+      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("it") =!= col("mn"))
+      .select(col("mn").as("a"), col("it").as("b")) // a < b by min-ness
+  }
+
+  /** [[boundedBucketStars]] over the band signatures — the near-dup edge
+    * set for [[components]]-bound consumers ([[qDedupClusters]],
+    * candidate-mode [[dedupedCorpus]]). */
+  private def candidateStars(shingleFrame: DataFrame): DataFrame =
+    boundedBucketStars(bandSignatures(shingleFrame),
+                       Seq("band", "sig0", "sig1"), struct(col("doc_id")),
+                       guard = "graft_minhash_skew")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+  /** [[candidateStars]] over an ARBITRARY `(doc_id, text)` frame — the
+    * clustering edge set behind [[dedupedCorpusOf]]. */
+  private def candidateStarsOf(docsDf: DataFrame): DataFrame =
+    boundedBucketStars(bandSignaturesOf(docsDf.select("doc_id", "text")),
+                       Seq("band", "sig0", "sig1"), struct(col("doc_id")),
+                       guard = "graft_minhash_skew")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
   /** LSH candidate pairs (a_id < b_id) from band-signature agreement.
     *
     * Bucket-local pairing rather than a sig⋈sig self-join: grouping by
@@ -667,7 +720,16 @@ object DedupQueries {
       //    budget (a capped-bucket clique has maxDeg ≈ MaxBucket; h drops
       //    to 1 and the round degenerates to the classic agg-per-hop form).
       val smallGraph = nEdges <= broadcastEdgeLimit
-      val edges = if (smallGraph) broadcast(edges0) else edges0
+      // Shuffle-loop regime: hash-partition the edge list by src ONCE and
+      // materialize it — localCheckpoint preserves outputPartitioning, so
+      // every round's hop join reuses the layout and only the NODE-sized
+      // label frame exchanges per round. Unpartitioned, the full edge
+      // frame re-shuffled on every round (24 M rows × 18 rounds at the
+      // 500 k-doc soak) — the dominant cost of the regime. The broadcast
+      // regime needs neither: its hop join is map-side by construction.
+      val edges =
+        if (smallGraph) broadcast(edges0)
+        else distributeBy(edges0, col("src")).localCheckpoint()
       val fusedHops =
         if (!smallGraph) 1
         else (3 to 1 by -1).find { h =>
@@ -691,7 +753,27 @@ object DedupQueries {
       def round(l: DataFrame): DataFrame = {
         var frontier = l
         (1 to fusedHops).foreach { _ => frontier = push(frontier) }
-        frontier.groupBy("id").agg(min("lbl").as("lbl"))
+        // materialized before the shortcut self-join so the hop+agg chain
+        // runs once, not once per join side
+        val hopped = frontier.groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        // Pointer-jumping shortcut: lbl ← lbl(lbl). Labels are node ids,
+        // so the label's own row carries a label at least as small; one
+        // NODE-sized self-join per round makes the effective hop distance
+        // DOUBLE each round instead of advancing fusedHops linearly —
+        // rounds drop from O(diameter) to O(log diameter). This is what
+        // bounds the shuffle-loop regime on collision-chained graphs: the
+        // 500 k-doc soak's component diameter stretched to ~17 via chained
+        // band-collision singletons (18 one-hop rounds over a 24 M-edge
+        // join); the shortcut join touches only the nodes frame (~1 % of
+        // the edge volume), so trading it for edge-join rounds is the
+        // right exchange at any scale where edges ≫ nodes. j_lbl ≤ lbl
+        // by monotonicity, so coalesce (null only if an invariant broke)
+        // needs no least().
+        hopped.join(
+            hopped.select(col("id").as("j_id"), col("lbl").as("j_lbl")),
+            col("lbl") === col("j_id"), "left")
+          .select(col("id"), coalesce(col("j_lbl"), col("lbl")).as("lbl"))
       }
       while (!converged && rounds < 50) {
         // labels travel fusedHops per round; since labels only ever
@@ -713,7 +795,7 @@ object DedupQueries {
   val qDedupClusters = Q(
     "q_dedup_clusters",
     (s, dir) => {
-      val labels = components(candidatePairs(shingled(s, dir)))
+      val labels = components(candidateStars(shingled(s, dir)))
       docs(s, dir).select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
         .select(col("doc_id"),
@@ -757,7 +839,7 @@ object DedupQueries {
     val nearPairs =
       if (verify) qNgramJaccard.fn(s, dir)
         .filter(col("near_dup") === 1).select("a_id", "b_id")
-      else candidatePairs(shingled(s, dir))
+      else candidateStars(shingled(s, dir))
     dedupeWithPairs(docs(s, dir), nearPairs)
   }
 
@@ -765,7 +847,7 @@ object DedupQueries {
     * `(doc_id, text, …)` frame — the `graft_dedup('t', 'lsh')` TVF
     * delegate. Returns the surviving rows with all input columns. */
   def dedupedCorpusOf(docsDf: DataFrame): DataFrame =
-    dedupeWithPairs(docsDf, candidatePairsOf(docsDf))
+    dedupeWithPairs(docsDf, candidateStarsOf(docsDf))
 
   /** Exact (normalized-content) dedup over an ARBITRARY
     * `(doc_id, text, …)` frame: keep the min-doc_id row per distinct

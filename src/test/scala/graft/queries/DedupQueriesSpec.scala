@@ -132,6 +132,30 @@ class DedupQueriesSpec extends SparkSpec {
     assert(keptVerified === kept)
   }
 
+  test("boundedBucketStars: components identical to full bucket pairs, including under the skew cap") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // buckets: b1 = {1,2,3} (kept clique vs star), b2 = {3,9} (chains b1),
+    // b3 = {20,21,22,23} (over the cap of 3 — BOTH forms must drop it),
+    // b4 = {30} (singleton — no edges from either form)
+    val buckets = Seq(
+      ("b1", 1L), ("b1", 2L), ("b1", 3L), ("b2", 3L), ("b2", 9L),
+      ("b3", 20L), ("b3", 21L), ("b3", 22L), ("b3", 23L), ("b4", 30L)
+    ).toDF("k", "id")
+    def labelsOf(edges: org.apache.spark.sql.DataFrame) =
+      DedupQueries.components(edges)
+        .as[(Long, Long)].collect().toMap
+    val full = labelsOf(
+      DedupQueries.boundedBucketPairs(buckets, Seq("k"), struct(col("id")),
+          maxBucket = 3)
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id")))
+    val star = labelsOf(
+      DedupQueries.boundedBucketStars(buckets, Seq("k"), struct(col("id")),
+          maxBucket = 3)
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id")))
+    assert(star === full)
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+  }
+
   test("q_deduped_verified: survivors are a superset of candidate-mode survivors (monotone in the edge set)") {
     // Verified near edges are a SUBSET of candidate edges, so components
     // only split and every candidate-mode component min remains the min
