@@ -371,14 +371,27 @@ object DedupQueries {
       // materialization job (scan+shingle+collect_set, incl. its
       // repartition exchange) runs eagerly here, BEFORE the audited final
       // plan — the audit row shows only the post-checkpoint shuffles.
+      // `shs` (the distinct shingle STRINGS) feeds the banding path —
+      // signatures are md5-of-string, so this must stay the oracle's
+      // representation. `hshs` is the same set as 64-bit xxhash64s for
+      // the verify join: per PAIR the join otherwise shuffles two
+      // ~n_sh-element string arrays (~2.8 KB/pair — ~126 GB through the
+      // exchange at the 2 M-doc soak's 45 M pairs, where it went
+      // spill-bound superlinear: 7.3× time at 4× pairs), and hashing
+      // cuts that ~8×. |intersect(hashes)| = |intersect(strings)| unless
+      // two DISTINCT shingles of one pair's union collide in 64 bits
+      // (P ≈ n_union²/2⁶⁵ ≈ 10⁻¹⁶ per pair) — the same birthday-bound
+      // argument the 128-bit gram key documents, here with per-pair sets
+      // of ~10²–10⁴ grams, far under the bound at any corpus size.
       val ssets = shingled(s, dir)
         .groupBy("doc_id")
         .agg(collect_set(col("shingle")).as("shs"))
+        .withColumn("hshs", transform(col("shs"), x => xxhash64(x)))
         .localCheckpoint()
       val cand = candidatePairs(
         ssets.select(col("doc_id"), explode(col("shs")).as("shingle")))
-      val a = ssets.select(col("doc_id").as("sa_id"), col("shs").as("sa_shs"))
-      val b = ssets.select(col("doc_id").as("sb_id"), col("shs").as("sb_shs"))
+      val a = ssets.select(col("doc_id").as("sa_id"), col("hshs").as("sa_shs"))
+      val b = ssets.select(col("doc_id").as("sb_id"), col("hshs").as("sb_shs"))
       cand
         .join(a, col("a_id") === col("sa_id"))
         .join(b, col("b_id") === col("sb_id"))
