@@ -43,7 +43,13 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect between queries so one query's garbage doesn't surface as a
       // GC pause inside the next one's wall time (r2 judge re-ran a 11.7s
-      // outlier that measured 1.6s in isolation — cross-query GC noise)
+      // outlier that measured 1.6s in isolation — cross-query GC noise).
+      // Also unpersist dead checkpoint blocks eagerly: localCheckpoint RDDs
+      // from the PREVIOUS query are only freed when the async
+      // ContextCleaner notices them unreachable, which lags enough that a
+      // 2M-doc chain OOM'd a query that passes standalone in the same
+      // heap (BASELINE.md round-12 2M soak).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
