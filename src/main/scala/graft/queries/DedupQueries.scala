@@ -1224,36 +1224,49 @@ object DedupQueries {
   lazy val qExactOverlap = Q(
     "q_exact_overlap",
     (s, dir) => {
-      // checkpointed because the stop-gram count AND both pairing sides
-      // read it — without materialization the shingle explode + hash pass
-      // runs three times (the qNgramJaccard pattern). The distribution
-      // PINS its partition count (distributeBy, unlike docsDistributed):
-      // the 13-gram explode + hash + per-doc distinct is the densest
+      // Per-doc gram dedup happens INSIDE the explode input (array_distinct
+      // on the ~200-element gram array — local, codegen'd, no state), not
+      // as a global `.distinct()` after it. The distinct formulation built
+      // a partial HashAggregate over every exploded gram row with
+      // near-unique (doc_id, gh) keys — per-task maps the size of the
+      // task's input, which hard-OOM'd at the 2 M-doc soak (init
+      // allocation got 0 bytes with 32 such maps racing; spill fallback
+      // can't engage before the first allocation succeeds). The dedup is
+      // per-doc by definition, so O(grams-per-doc) local work replaces the
+      // library's largest hash-aggregate and one full 376 M-row exchange.
+      //
+      // Both exchanges PIN their partition count (distributeBy, unlike
+      // docsDistributed): the 13-gram explode + hash is the densest
       // per-row stage in the library, and AQE's byte-based coalescing
-      // serialized it (round-11 A/B: 3.70 s bare vs 1.77 s pinned, warm)
+      // serialized it (round-11 A/B: 3.70 s bare vs 1.77 s pinned, warm).
+      // The doc_id exchange spreads the explode over the cluster while
+      // rows are still compact; the (gh, gh2) exchange — checkpointed,
+      // since the stop-gram count AND both pairing sides read it, and
+      // localCheckpoint preserves outputPartitioning — aligns every
+      // downstream stage: the df-guard groupBy, the semi-join back, and
+      // the train×eval pairing join all key on (gh, gh2) and run
+      // exchange-free on the checkpoint's partitioning.
       val grams = distributeBy(docs(s, dir), col("doc_id"))
         .select(col("doc_id"),
                 CurationQueries.splitName(
                   CurationQueries.splitBucket(col("text"))).as("split"),
-                explode(overlapGrams(col("text"))).as("g"))
+                explode(array_distinct(overlapGrams(col("text")))).as("g"))
         .select(col("doc_id"), col("split"),
                 xxhash64(col("g")).as("gh"),
                 xxhash64(col("g"), lit(1L)).as("gh2"))
-        .distinct()
-        .localCheckpoint()
-      // stop-gram guard as a partial-aggregating groupBy + semi-join: a
-      // window over the raw gram rows would funnel every occurrence of a
-      // hot gram into one task BEFORE the df filter could drop it — the
-      // boilerplate grams the guard exists for are exactly the hot keys.
-      // groupBy map-side-combines each partition's occurrences down to
-      // one (gh, count) row pre-shuffle, so no task ever holds a hot
-      // gram's full row set; the semi-join back reuses the gh hash
-      // partitioning the pairing join consumes.
-      val rare = grams.groupBy("gh", "gh2")
+      val byKey = distributeBy(grams, col("gh"), col("gh2")).localCheckpoint()
+      // stop-gram guard as a groupBy + semi-join: a window over the raw
+      // gram rows would funnel every occurrence of a hot gram into one
+      // task BEFORE the df filter could drop it — the boilerplate grams
+      // the guard exists for are exactly the hot keys. On the (gh, gh2)
+      // partitioning the count never crosses the wire at all, and no task
+      // ever holds a hot gram's full row set (rows are already spread,
+      // the aggregate keeps one (gh, count) entry per distinct gram).
+      val rare = byKey.groupBy("gh", "gh2")
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= MaxGramDocs)
         .select("gh", "gh2")
-      val guarded = grams.join(rare, Seq("gh", "gh2"), "left_semi")
+      val guarded = byKey.join(rare, Seq("gh", "gh2"), "left_semi")
       val t = guarded.filter(col("split") === "train")
         .select(col("gh"), col("gh2"), col("doc_id").as("train_id"))
       val e = guarded.filter(col("split") =!= "train")

@@ -112,12 +112,18 @@ object StreamingDecontam {
     * matching the batch query's guard only dropping grams beyond 32
     * docs). */
   def evalGramIndex(docs: DataFrame): DataFrame = {
+    // per-doc dedup via array_distinct on the gram array, not a global
+    // `.distinct()`: eval_id is part of the index key, so cross-doc rows
+    // are already unique and the global distinct only deduped within-doc
+    // repeats — which the local array op does without the near-unique-key
+    // partial HashAggregate that OOM'd the batch query's old formulation
+    // at the 2 M-doc soak (q_exact_overlap scaladoc).
     withSplit(docs).filter(col("split") =!= "train")
       .select(col("doc_id").as("eval_id"), col("split").as("eval_split"),
-              explode(DedupQueries.overlapGrams(col("text"))).as("g"))
+              explode(array_distinct(DedupQueries.overlapGrams(col("text"))))
+                .as("g"))
       .select(xxhash64(col("g")).as("gh"), xxhash64(col("g"), lit(1L)).as("gh2"),
               col("eval_id"), col("eval_split"))
-      .distinct()
   }
 
   /** Verbatim-overlap hits for a stream of candidate documents: each
