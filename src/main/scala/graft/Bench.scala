@@ -7,9 +7,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width defaults to the core count (the driver-bench contract at
+    // sf0.1) but is its own knob for scale soaks: partitions are sized so
+    // per-task sort/aggregate state fits executor memory — at the 2M-doc
+    // soak in this box's fixed heap, 32 partitions put ~12M rows of state
+    // in each task and the decontam-family chain OOM'd nondeterministically,
+    // while 128 bounds per-task state at a quarter of that (BASELINE.md
+    // round-12). Exactly the sizing a real deployment does as data grows;
+    // distributeBy pins to this same conf, so the knob flows everywhere.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see Tables.events scaladoc.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -383,11 +383,11 @@ object DedupQueries {
       // (P ≈ n_union²/2⁶⁵ ≈ 10⁻¹⁶ per pair) — the same birthday-bound
       // argument the 128-bit gram key documents, here with per-pair sets
       // of ~10²–10⁴ grams, far under the bound at any corpus size.
-      val ssets = shingled(s, dir)
-        .groupBy("doc_id")
-        .agg(collect_set(col("shingle")).as("shs"))
-        .withColumn("hshs", transform(col("shs"), x => xxhash64(x)))
-        .localCheckpoint()
+      val ssets = checkpointCompact(
+        shingled(s, dir)
+          .groupBy("doc_id")
+          .agg(collect_set(col("shingle")).as("shs"))
+          .withColumn("hshs", transform(col("shs"), x => xxhash64(x))))
       val cand = candidatePairs(
         ssets.select(col("doc_id"), explode(col("shs")).as("shingle")))
       val a = ssets.select(col("doc_id").as("sa_id"), col("hshs").as("sa_shs"))
@@ -668,9 +668,9 @@ object DedupQueries {
       // re-running the chain that produced it (the union below would
       // otherwise run that chain TWICE, once per direction — measured
       // ~1 s at sf0.1)
-      val pairs0 = pairs.select(col("a_id").cast("long").as("a_id"),
-                                col("b_id").cast("long").as("b_id"))
-        .localCheckpoint()
+      val pairs0 = checkpointCompact(
+        pairs.select(col("a_id").cast("long").as("a_id"),
+                     col("b_id").cast("long").as("b_id")))
       val nPairs = pairs0.count() // on materialized partitions — cheap
       if (nPairs == 0L)
         return pairs0.select(col("a_id").as("id"), col("b_id").as("lbl"))
@@ -742,7 +742,7 @@ object DedupQueries {
       // regime needs neither: its hop join is map-side by construction.
       val edges =
         if (smallGraph) broadcast(edges0)
-        else distributeBy(edges0, col("src")).localCheckpoint()
+        else checkpointCompact(distributeBy(edges0, col("src")))
       val fusedHops =
         if (!smallGraph) 1
         else (3 to 1 by -1).find { h =>
@@ -898,9 +898,8 @@ object DedupQueries {
     // inputs differ below their exchanges (one aggregates), so
     // ReuseExchange can't dedup them — unmaterialized, the corpus scan
     // and the normalize+md5 would run twice.
-    val hashes = docsDf
-      .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
-      .localCheckpoint()
+    val hashes = checkpointCompact(
+      docsDf.select(col("doc_id"), TextOps.contentHash(col("text")).as("h")))
     val exactPairs = hashes
       .join(hashes.groupBy("h").agg(min("doc_id").as("a_id")), "h")
       .filter(col("doc_id") =!= col("a_id"))
@@ -1254,7 +1253,7 @@ object DedupQueries {
         .select(col("doc_id"), col("split"),
                 xxhash64(col("g")).as("gh"),
                 xxhash64(col("g"), lit(1L)).as("gh2"))
-      val byKey = distributeBy(grams, col("gh"), col("gh2")).localCheckpoint()
+      val byKey = checkpointCompact(distributeBy(grams, col("gh"), col("gh2")))
       // stop-gram guard as a groupBy + semi-join: a window over the raw
       // gram rows would funnel every occurrence of a hot gram into one
       // task BEFORE the df filter could drop it — the boilerplate grams

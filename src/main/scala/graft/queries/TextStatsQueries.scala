@@ -156,12 +156,13 @@ object TextStatsQueries {
       // the whole scan+explode+count subtree (Catalyst shares no work
       // across DAG branches) — the q_ngram_jaccard share-the-chain
       // pattern; measured ~2x less explode work at sf0.1.
-      val tokCounts = docs(s, dir)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "lang", "tok")
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      val tokCounts = checkpointCompact(
+        docs(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+                  explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("cnt")))
       val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
       val top = tokCounts.groupBy("lang", "tok").agg(sum("cnt").as("c"))
         .withColumn("r", row_number().over(wf))

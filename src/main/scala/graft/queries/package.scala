@@ -34,4 +34,20 @@ package object queries {
   private[graft] def distributeBy(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
+
+  /** `localCheckpoint` at MEMORY_AND_DISK_SER — the storage level for
+    * CORPUS- or EDGE-scale checkpoints (exploded gram/shingle tables,
+    * pair lists, edge frames). The default deserialized level stores one
+    * JVM object per row, and its disk-read re-promotion path
+    * (`maybeCacheDiskValuesInMemory`) re-inflates a spilled block into an
+    * object array sized outside Tungsten's accounting — at the 2 M-doc
+    * soak that raw-heap allocation OOM'd the JVM while the memory manager
+    * believed it had room (BASELINE.md round-12). Serialized blocks store
+    * UnsafeRow bytes in accounted chunks on BOTH the cache and
+    * re-promotion paths, so a block that doesn't fit spills instead of
+    * crashing. Node-sized loop frames (labels, seeds, centroids) keep the
+    * default level — re-read per round, deserialized is cheapest and they
+    * are orders of magnitude under block-size hazard. */
+  private[graft] def checkpointCompact(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 }
