@@ -35,19 +35,40 @@ package object queries {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
 
-  /** `localCheckpoint` at MEMORY_AND_DISK_SER — the storage level for
-    * CORPUS- or EDGE-scale checkpoints (exploded gram/shingle tables,
-    * pair lists, edge frames). The default deserialized level stores one
-    * JVM object per row, and its disk-read re-promotion path
-    * (`maybeCacheDiskValuesInMemory`) re-inflates a spilled block into an
-    * object array sized outside Tungsten's accounting — at the 2 M-doc
-    * soak that raw-heap allocation OOM'd the JVM while the memory manager
-    * believed it had room (BASELINE.md round-12). Serialized blocks store
-    * UnsafeRow bytes in accounted chunks on BOTH the cache and
-    * re-promotion paths, so a block that doesn't fit spills instead of
-    * crashing. Node-sized loop frames (labels, seeds, centroids) keep the
-    * default level — re-read per round, deserialized is cheapest and they
-    * are orders of magnitude under block-size hazard. */
+  /** `localCheckpoint` at DISK_ONLY — the storage level for CORPUS- or
+    * EDGE-scale checkpoints (exploded gram/shingle tables, pair lists,
+    * edge frames). Chosen by eliminating the two memory-resident levels
+    * against measured OOM classes at the 2 M-/4 M-doc soaks (8 g heap —
+    * deliberately 16–32× below real-cluster per-core sizing):
+    *
+    *  - default deserialized: the disk-read re-promotion path
+    *    (`maybeCacheDiskValuesInMemory`) re-inflates a spilled block into
+    *    an object array sized outside Tungsten's accounting — raw-heap
+    *    OOM at the 2 M-doc soak while the memory manager believed it had
+    *    room (BASELINE.md round-12).
+    *  - MEMORY_AND_DISK_SER: cache writes are accounted, but the BYTE
+    *    re-promotion path (`maybeCacheDiskBytesInMemory`) still
+    *    materializes a whole spilled block (`ByteBuffer.allocate` of the
+    *    full block size) after reserving storage credit — the credit is
+    *    freed by evicting OTHER serialized blocks whose heap bytes are
+    *    not yet collected, so 32 concurrent readers each allocating a
+    *    40–140 MB block overshoot physical heap and die
+    *    (`java.lang.OutOfMemoryError` in `DiskBlockData
+    *    .toChunkedByteBuffer`; observed at the 4 M-doc soak at BOTH 32-
+    *    and 128-wide checkpoints — width shrinks blocks, not the
+    *    reader concurrency × block size product).
+    *
+    * When a frame is corpus-scale it EXCEEDS the storage pool by
+    * construction, so memory residency buys nothing — re-promoted blocks
+    * evict each other in a churn loop — and DISK_ONLY removes the last
+    * unaccounted allocation path: reads stream `FileInputStream` →
+    * deserializer with no whole-block buffer, and the OS page cache
+    * supplies memory-speed re-reads whenever the frame actually fits.
+    * (Verified at the sf0.1 bench: parity with the SER level — the
+    * serialized levels pay the same per-row deserialization either way.)
+    * Node-sized loop frames (labels, seeds, centroids) keep the default
+    * deserialized level — re-read per round, object form is cheapest,
+    * and they are orders of magnitude under block-size hazard. */
   private[graft] def checkpointCompact(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 }
