@@ -10,7 +10,8 @@ object SparkEntry {
   /** Full query surface, one [[Q]] per operator family (SURVEY.md §2/§7.3). */
   def allQueries: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++
-      DedupQueries.all ++ SimQueries.all ++ TextStatsQueries.all ++
+      DedupQueries.all ++ SimQueries.all ++ PqQueries.all ++
+      TextStatsQueries.all ++
       IngestQueries.all ++ LayoutQueries.all ++
       JoinQueries.all ++ CurationQueries.all ++ MediaQueries.all ++
       StreamingQueries.all

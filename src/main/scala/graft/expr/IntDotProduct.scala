@@ -130,6 +130,27 @@ object GraftFunctions {
         "graft_shingles takes (array<string>[, constant integer n])")
     }
   )
+
+  /** `graft_pq_nearest(sv, cws, subDim)` — subDim must be a foldable
+    * positive integer (same resolution-order caveat as
+    * [[GraftFunctions.shingles]]). */
+  val pqNearest: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_pq_nearest"),
+    new ExpressionInfo(classOf[PqNearestCode].getName, "graft_pq_nearest"),
+    (children: Seq[Expression]) => children match {
+      case Seq(sv, cws, e) if e.foldable =>
+        e.eval() match {
+          case n: Int => PqNearestCode(sv, cws, n)
+          case n: Short => PqNearestCode(sv, cws, n.toInt)
+          case n: Byte => PqNearestCode(sv, cws, n.toInt)
+          case n: Long if n.isValidInt => PqNearestCode(sv, cws, n.toInt)
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_nearest: subDim must be a constant integer, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft_pq_nearest takes (array<bigint>, array<bigint>, constant integer subDim)")
+    }
+  )
 }
 
 /**
@@ -144,6 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.intDot)
     ext.injectFunction(GraftFunctions.shingles)
+    ext.injectFunction(GraftFunctions.pqNearest)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
   }
 }

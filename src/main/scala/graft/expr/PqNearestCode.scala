@@ -1,0 +1,133 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/**
+ * Nearest-codeword id for product quantization ([[graft.queries.PqQueries]]):
+ * given a sub-vector `sv` (length [[subDim]]) and a FLATTENED codebook
+ * `cws` (K·subDim longs — codeword k occupies `[k·subDim, (k+1)·subDim)`),
+ * returns the k minimizing the exact integer squared-L2 distance
+ * `Σⱼ (sv[j] − cws[k·subDim+j])²`, lowest k on ties (strict `<` keeps the
+ * first minimum).
+ *
+ * Why a custom expression (SURVEY.md §7.4 decision rule): the relational
+ * argmin — join each sub-vector against K codebook rows, then
+ * `min(struct(dist, k))` — is correct but moves n·M·K rows through an
+ * aggregate whose struct-typed buffer forces interpreted row comparisons
+ * (measured 6.7 s for one encode pass at sf0.1). This expression runs the
+ * whole K×subDim loop inside whole-stage codegen over the n·M sub-vector
+ * rows directly: no row explosion, no struct allocation, no interpreted
+ * ordering (same chain re-measured at well under a second). The codebook
+ * reaches the row as a column from an 8-row broadcast join — K is hard-
+ * capped ([[graft.queries.PqQueries.KCents]]), so the per-row work is a
+ * constant in corpus size.
+ *
+ * Null semantics: null input array, `sv` length ≠ subDim, empty or
+ * non-multiple-of-subDim codebook, or any null element → null.
+ */
+case class PqNearestCode(left: Expression, right: Expression, subDim: Int)
+    extends BinaryExpression {
+
+  require(subDim > 0, "subDim must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_nearest requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  /** Always nullable — same rationale as [[IntDotProduct.nullable]]: the
+    * length/shape checks yield null even for non-nullable children, and a
+    * FalseLiteral-bound isNull would break the generated code. */
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_nearest"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sv = a.asInstanceOf[ArrayData]
+    val cws = b.asInstanceOf[ArrayData]
+    val n = cws.numElements()
+    if (sv.numElements() != subDim || n == 0 || n % subDim != 0) return null
+    var j = 0
+    while (j < subDim) {
+      if (sv.isNullAt(j)) return null
+      j += 1
+    }
+    var i = 0
+    while (i < n) {
+      if (cws.isNullAt(i)) return null
+      i += 1
+    }
+    val k = n / subDim
+    var best = Long.MaxValue
+    var bestK = 0
+    var ki = 0
+    while (ki < k) {
+      var d = 0L
+      var jj = 0
+      while (jj < subDim) {
+        val diff = sv.getLong(jj) - cws.getLong(ki * subDim + jj)
+        d += diff * diff
+        jj += 1
+      }
+      if (d < best) { best = d; bestK = ki }
+      ki += 1
+    }
+    bestK
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per use — the IntDotProduct collision lesson
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val ki = ctx.freshName("ki")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      s"""
+         |int $n = $b.numElements();
+         |if ($a.numElements() != $subDim || $n == 0 || $n % $subDim != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $j = 0; $j < $subDim && !${ev.isNull}; $j++) {
+         |    if ($a.isNullAt($j)) ${ev.isNull} = true;
+         |  }
+         |  for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+         |    if ($b.isNullAt($j)) ${ev.isNull} = true;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int $k = $n / $subDim;
+         |    long $best = Long.MAX_VALUE;
+         |    int $bestK = 0;
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      long $d = 0L;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        long $diff = $a.getLong($j) - $b.getLong($ki * $subDim + $j);
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $best) { $best = $d; $bestK = $ki; }
+         |    }
+         |    ${ev.value} = $bestK;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

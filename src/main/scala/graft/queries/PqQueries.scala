@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/**
+ * Product-quantization ANN (SURVEY.md §7.4 extension; Jégou/Douze/Schmid,
+ * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): split
+ * each 64-dim quantized vector into [[M]] subspaces of [[SubDim]] dims,
+ * train a per-subspace codebook of ≤ [[KCents]] codewords (stride-seeded +
+ * one relational Lloyd iteration — the [[SimQueries.ivfTrain]] discipline,
+ * all integer/exact-double arithmetic so DuckDB replays it bit-for-bit),
+ * encode every vector as [[M]] small codes, then answer queries by
+ * ASYMMETRIC DISTANCE COMPUTATION: the query precomputes one (m, k) →
+ * partial-dot table against the codebooks, and each candidate's
+ * approximate dot is M table lookups over its codes — the corpus scan
+ * never touches the full vectors.
+ *
+ * Why this is THE memory/IO scale path at 100 TB: [[SimQueries]]' IVF
+ * prunes WHICH vectors a probe scans, but the probed cells still read
+ * full vectors (dim × 8 bytes each). PQ codes are M bytes per vector
+ * (M values in [0,256) — parquet dictionary+bitpack stores each in one
+ * byte), so the ADC scan reads ~64× less than the 64-long raw-vector
+ * scan, and a billion-vector cell index fits where raw vectors cannot. The ADC join itself is a broadcast of the per-query tables
+ * (n_q · M · K longs — KB-scale) against the codes scan; no shuffle of
+ * corpus data at any size. Recall is recovered by the standard two-stage
+ * shape: ADC shortlist of [[ShortR]] candidates per query, then exact
+ * integer-dot re-rank of the shortlist only (a broadcast semi-join back
+ * to the full vectors — ShortR · n_q rows, never the corpus).
+ *
+ * Exactness/oracle design: codeword assignment minimizes exact integer
+ * squared-L2 ([[VectorOps.intL2Sq]], codeword id tiebreak); trained
+ * codewords are per-dimension FLOOR-means (sums/counts < 2⁵³ ⇒ the
+ * double divide has exact inputs, FLOOR is engine-identical); partial
+ * dots and ADC sums are exact integers — so shortlist membership and the
+ * final ranking are deterministic and the DuckDB oracle replays the whole
+ * chain, training included.
+ */
+object PqQueries {
+
+  /** Subspace count (codes per vector). Fixture embeddings are 64-dim ⇒
+    * M · SubDim = 64; a deployment sizes M to its recall/compression
+    * point (8 × 8 here ⇒ 8 codes/vector ≈ 64× scan-byte reduction vs
+    * 64 longs). */
+  private[queries] val M = 8
+
+  /** Dims per subspace. */
+  private[queries] val SubDim = 8
+
+  /** Codewords per subspace — HARD cap, the [[SimQueries.ivfSeeds]]
+    * discipline: the seed stride grows with the corpus
+    * (max(1, ⌈n/K⌉)) and an ordered LIMIT makes the bound unconditional,
+    * so the codebook broadcast is O(M · K · SubDim) at ANY corpus size. */
+  private[queries] val KCents = 256
+
+  /** ADC shortlist size per query (the re-rank budget). */
+  private[queries] val ShortR = 50
+
+  private val TopK = 10
+
+  /** One row per (vec_id, m): the m-th SubDim-wide slice of the quantized
+    * vector. A generator projection — pipelines inside the scan's
+    * whole-stage codegen, no shuffle. */
+  private[queries] def subspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
+             col("q"))
+      .withColumn("sv", slice(col("q"), col("m") * SubDim + 1, lit(SubDim)))
+      .drop("q")
+
+  /** Seed vector ids, stride-sampled and HARD-capped at [[KCents]]
+    * (ordered LIMIT ⇒ TakeOrderedAndProject — partitions keep local
+    * top-K heads, the driver merges tiny heads; an adversarial
+    * stride-aligned id space cannot blow the bound). One seed-id set for
+    * ALL subspaces — every vector contributes a sub-vector to every m,
+    * so seed k ids align across subspaces by construction. */
+  private[queries] def pqSeedIds(e: DataFrame): DataFrame = {
+    val st = e.agg(greatest(lit(1L),
+      ceil(count(lit(1)).cast("double") / KCents).cast("long"))
+      .as("__stride"))
+    e.crossJoin(broadcast(st))
+      .filter(col("vec_id") % col("__stride") === 0)
+      .select("vec_id")
+      .orderBy(col("vec_id").asc)
+      .limit(KCents)
+      // ≤ KCents rows survive the limit — the unpartitioned rank window
+      // is a single tiny task, not a scale hazard
+      .withColumn("k",
+        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
+          .cast("int"))
+  }
+
+  /** Nearest codeword per (vec_id, m) against a broadcast codebook —
+    * exact integer squared-L2, codeword id tiebreak (lowest k). The one
+    * n·M·K pass; K is capped so the broadcast and per-row work are
+    * constants in corpus size. Reused for the Lloyd pass and the final
+    * encode; output keeps `sv` so training's mean pass needs no rejoin.
+    *
+    * Shape matters here, measured at sf0.1 (100 k vectors): the rank-
+    * window argmin was 33.5 s end-to-end; replacing it with a
+    * `min(struct(dist, k))` aggregate (map-side combine) cut the row
+    * explosion's exchange but still burned ~13 s in the two n·M·K
+    * passes' interpreted struct comparisons. This formulation has NO
+    * row explosion at all: the codebook is flattened to one
+    * K·subDim array per subspace (M = 8 broadcast rows), and the
+    * whole K×subDim argmin loop runs row-locally inside whole-stage
+    * codegen ([[VectorOps.pqNearest]] / [[graft.expr.PqNearestCode]])
+    * over the n·M sub-vector rows — end-to-end 5.5 s. Same integers,
+    * same tiebreak: the expression's strict `<` keeps the first (lowest
+    * k) minimum, and `array_sort` on (k, cw) structs orders the flat
+    * layout by k. */
+  private def nearest(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val flat = cb
+      .groupBy("m")
+      .agg(array_sort(collect_list(struct(col("k"), col("cw")))).as("kc"))
+      .select(col("m"),
+              flatten(transform(col("kc"), x => x.getField("cw"))).as("cws"))
+    sub.join(broadcast(flat), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"),
+              VectorOps.pqNearest(col("sv"), col("cws"), SubDim).as("k"))
+  }
+
+  /** Train the per-subspace codebooks: stride seeds → one Lloyd
+    * iteration (per-(m,k,pos) FLOOR-mean of assigned sub-vectors) →
+    * DENSE re-key of surviving cells (row_number per m over seed k), so
+    * code values index a holeless per-subspace table — the ADC lookup
+    * is `tab[code]` with no id translation. Empty seed cells simply
+    * vanish; the re-key keeps both engines' tables aligned. */
+  private[queries] def pqCodebook(e: DataFrame): DataFrame = {
+    val sub = subspaces(e)
+    val seedCb = sub.join(broadcast(pqSeedIds(e)), Seq("vec_id"))
+      .select(col("m"), col("k"), col("sv").as("cw"))
+    nearest(sub, seedCb)
+      .select(col("m"), col("k"), posexplode(col("sv")))
+      .groupBy("m", "k", "pos")
+      .agg(sum("col").as("sv_sum"), count(lit(1)).as("cnt"))
+      .withColumn("mv",
+        floor(col("sv_sum").cast("double") / col("cnt")).cast("long"))
+      .groupBy("m", "k")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("m"), col("k"),
+              transform(col("pm"), x => x.getField("mv")).as("cw"))
+      // dense re-key: ≤ M·K rows, the per-m window is trivially small
+      .withColumn("k",
+        (row_number().over(Window.partitionBy("m").orderBy(col("k").asc)) - 1)
+          .cast("int"))
+  }
+
+  /** Encode a corpus: per vector, the m-ordered array of its [[M]]
+    * codeword ids — the compact representation the ADC scan reads. */
+  private[queries] def pqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    nearest(sub, cb)
+      .drop("sv")
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("k")))).as("mk"))
+      .select(col("vec_id"),
+              transform(col("mk"), x => x.getField("k")).as("codes"))
+
+  /** Per-query ADC tables: ptab[m][k] = ⟨query sub-vector m, codeword
+    * (m,k)⟩ (exact integer). n_q · M · K longs — broadcast-scale at any
+    * corpus size. */
+  private[queries] def pqQueryTables(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("pdot", VectorOps.intDot(col("sv"), col("cw")))
+      .groupBy("q_id", "m")
+      .agg(array_sort(collect_list(struct(col("k"), col("pdot")))).as("kp"))
+      .withColumn("tab", transform(col("kp"), x => x.getField("pdot")))
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("tab")))).as("mt"))
+      .select(col("q_id"),
+              transform(col("mt"), x => x.getField("tab")).as("ptab"))
+
+  /** The ADC approximate dot of a codes row against a ptab row: M array
+    * lookups + a sum, all inside whole-stage codegen. */
+  private[queries] def adcDot(ptab: org.apache.spark.sql.Column,
+                              codes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(zip_with(ptab, codes, (tab, c) => element_at(tab, c + 1)),
+              lit(0L), (acc, v) => acc + v)
+
+  /** PQ/ADC two-stage ANN behind the driver gate: train → encode → ADC
+    * shortlist ([[ShortR]] per query, approximate-dot rank, vec_id
+    * tiebreak) → exact integer-dot re-rank of the shortlist only. Output
+    * shape matches the sibling ANN gates (q_id, vec_id, exact dot, rnk).
+    * The oracle replays codebook training, encoding, the ADC scores, the
+    * shortlist cut, AND the re-rank — a regression anywhere in the chain
+    * (seed stride, floor-mean, dense re-key, table order, lookup index
+    * base) hash-mismatches here. */
+  val qPqSearch = Q(
+    "q_pq_search",
+    (s, dir) => {
+      val e = SimQueries.quantizedFrame(s, dir)
+      val sub = subspaces(e)
+      // tiny (≤ M·K rows) but read by three consumers (encode, query
+      // tables, and their lineages) — checkpoint so training runs once
+      val cb = pqCodebook(e).localCheckpoint()
+      val codes = pqCodes(sub, cb)
+      val ptab = pqQueryTables(sub, cb)
+      val wShort = Window.partitionBy("q_id")
+        .orderBy(col("adot").desc, col("vec_id").asc)
+      val short = codes.join(broadcast(ptab), col("vec_id") =!= col("q_id"))
+        .withColumn("adot", adcDot(col("ptab"), col("codes")))
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= ShortR)
+        .select("q_id", "vec_id")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      e.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""${SimQueries.quantCte},
+      |$pqCteBody,
+      |pqs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psub
+      |        WHERE vec_id % 100 = 0),
+      |pqtab AS (
+      |  SELECT q.q_id, c.m, c.k,
+      |         CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |                i -> q.qsv[i] * c.cw[i])) AS BIGINT) AS pdot
+      |  FROM pqs q JOIN pcb c ON c.m = q.m
+      |),
+      |padc AS (
+      |  SELECT t.q_id, c.vec_id, CAST(SUM(t.pdot) AS BIGINT) AS adot
+      |  FROM pcodes c JOIN pqtab t ON t.m = c.m AND t.k = c.k
+      |  WHERE c.vec_id <> t.q_id
+      |  GROUP BY t.q_id, c.vec_id
+      |),
+      |pshort AS (
+      |  SELECT q_id, vec_id FROM padc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+      |            ORDER BY adot DESC, vec_id ASC) <= $ShortR
+      |),
+      |pexact AS (
+      |  SELECT sh.q_id, sh.vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM pshort sh
+      |  JOIN e a ON a.vec_id = sh.vec_id
+      |  JOIN e b ON b.vec_id = sh.q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+      |FROM pexact
+      |QUALIFY rnk <= $TopK""".stripMargin)
+  )
+
+  /** DuckDB replay of train → encode, assuming a CTE `e` (vec_id, q) is
+    * in scope (prepend [[SimQueries.quantCte]] or [[SimQueries.ivfCte]]).
+    * Defines: psub (sub-vectors), pst (seed stride), psids (capped seed
+    * ids), pscb (seed codebook), pa0 (Lloyd assignment), ptcw (trained
+    * floor-mean codewords), pcb (dense-rekeyed codebook), pcodes (per
+    * (vec_id, m) final codes). All CTE names are `p`-prefixed so the
+    * block composes beside the IVF CTEs without collision. */
+  private[queries] lazy val pqCteBody: String =
+    s"""pms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+      |psub AS (
+      |  SELECT vec_id, m,
+      |         list_transform(generate_series(m * $SubDim + 1,
+      |                                        (m + 1) * $SubDim),
+      |                        i -> q[i]) AS sv
+      |  FROM e CROSS JOIN pms
+      |),
+      |pst AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $KCents.0) AS BIGINT)) AS stride
+      |        FROM e),
+      |psids AS (
+      |  SELECT vec_id, CAST(rn - 1 AS INT) AS k FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS rn
+      |    FROM e WHERE vec_id % (SELECT stride FROM pst) = 0
+      |  ) WHERE rn <= $KCents
+      |),
+      |pscb AS (SELECT s.m, i.k, s.sv AS cw
+      |         FROM psub s JOIN psids i ON i.vec_id = s.vec_id),
+      |pa0 AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT s.vec_id, s.m, c.k,
+      |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |             CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |                    i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
+      |                  AS BIGINT) ASC,
+      |             c.k ASC) AS rn
+      |    FROM psub s JOIN pscb c ON c.m = s.m
+      |  ) WHERE rn = 1
+      |),
+      |pmem AS (
+      |  SELECT a.m, a.k, unnest(generate_series(1, $SubDim)) AS pos,
+      |         unnest(s.sv) AS v
+      |  FROM pa0 a JOIN psub s ON s.vec_id = a.vec_id AND s.m = a.m
+      |),
+      |ptcw AS (
+      |  SELECT m, k,
+      |         list(CAST(FLOOR(CAST(sv_sum AS DOUBLE) / cnt) AS BIGINT)
+      |              ORDER BY pos) AS cw
+      |  FROM (SELECT m, k, pos, CAST(SUM(v) AS BIGINT) AS sv_sum,
+      |               COUNT(*) AS cnt
+      |        FROM pmem GROUP BY m, k, pos)
+      |  GROUP BY m, k
+      |),
+      |pcb AS (
+      |  SELECT m,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY k ASC) - 1
+      |              AS INT) AS k,
+      |         cw
+      |  FROM ptcw
+      |),
+      |pcodes AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT s.vec_id, s.m, c.k,
+      |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |             CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |                    i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
+      |                  AS BIGINT) ASC,
+      |             c.k ASC) AS rn
+      |    FROM psub s JOIN pcb c ON c.m = s.m
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(qPqSearch)
+}

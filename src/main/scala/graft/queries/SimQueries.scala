@@ -39,7 +39,7 @@ object SimQueries {
       .select(col("vec_id"), col("label"),
               VectorOps.quantize(col("embedding")).as("q"))
 
-  private val quantCte: String =
+  private[queries] val quantCte: String =
     """WITH e AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding,

@@ -50,6 +50,27 @@ object VectorOps {
   /** Squared L2 norm of a quantized vector (exact integer). */
   def intNormSq(q: Column): Column = intDot(q, q)
 
+  /** Exact integer squared-L2 distance of two equal-length long vectors —
+    * the codeword-assignment metric for product quantization
+    * ([[graft.queries.PqQueries]]). Coordinate diffs ≤ ~10⁴ ⇒ squared
+    * terms ≤ 10⁸, 64-dim sums ≤ ~10¹⁰ — exact in Long. */
+  def intL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-codeword id of sub-vector `sv` against a FLATTENED codebook
+    * array (K·subDim longs) by exact integer squared L2, lowest id on
+    * ties — a native codegen'd expression ([[graft.expr.PqNearestCode]]).
+    * The K×subDim argmin loop runs row-locally inside whole-stage
+    * codegen; see the expression's scaladoc for why this beats the
+    * relational argmin. */
+  def pqNearest(sv: Column, cws: Column, subDim: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.PqNearestCode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sv),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cws),
+        subDim))
+
   /**
    * Exact integer predicate for `cos(a,b) ≥ num/den` given the quantized
    * dot and squared norms: positive dot and den²·dot² ≥ num²·na²·nb².

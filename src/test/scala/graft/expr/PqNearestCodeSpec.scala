@@ -1,0 +1,82 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.vector.VectorOps
+
+/** The native codegen'd PQ argmin must agree with a Scala-side exact
+  * reference (same integers, lowest-k tiebreak) and null out on every
+  * malformed shape, on both the codegen and interpreted paths. */
+class PqNearestCodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val subDim = 4
+
+  private def refNearest(sv: Seq[Long], cws: Seq[Long]): Int = {
+    val k = cws.length / subDim
+    (0 until k).minBy(ki =>
+      ((0 until subDim).map(j => {
+        val d = sv(j) - cws(ki * subDim + j); d * d
+      }).sum, ki))
+  }
+
+  test("matches the exact Scala reference on random codebooks (codegen path)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((
+      Seq.fill(subDim)(rnd.nextLong() % 1000L),
+      Seq.fill(subDim * (1 + rnd.nextInt(16)))(rnd.nextLong() % 1000L)))
+    val got = rows.toDF("sv", "cws")
+      .select(VectorOps.pqNearest(col("sv"), col("cws"), subDim).as("k"))
+      .as[Int].collect()
+    rows.map { case (sv, cws) => refNearest(sv, cws) }
+      .zip(got).foreach { case (want, g) => assert(g === want) }
+  }
+
+  test("ties break to the lowest codeword id") {
+    val sv = Seq(1L, 2L, 3L, 4L)
+    val cw = Seq(2L, 3L, 4L, 5L) // same distance from sv wherever it appears
+    val df = Seq((sv, Seq(9L, 9L, 9L, 9L) ++ cw ++ cw)).toDF("sv", "cws")
+    val k = df.select(VectorOps.pqNearest(col("sv"), col("cws"), subDim))
+      .as[Int].collect().head
+    assert(k === 1)
+  }
+
+  test("null semantics: bad shapes and null elements yield null") {
+    val rows = Seq(
+      (Some(Seq[Option[Long]](Some(1L), Some(2L))), Some(Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L)))), // sv too short
+      (Some(Seq.fill(subDim)(Option(1L))), Some(Seq[Option[Long]](Some(1L), Some(2L), Some(3L)))), // cb not multiple of subDim
+      (Some(Seq.fill(subDim)(Option(1L))), Some(Seq.empty[Option[Long]])), // empty cb
+      (Some(Seq[Option[Long]](Some(1L), None, Some(3L), Some(4L))), Some(Seq.fill(subDim)(Option(0L)))), // null sv element
+      (Some(Seq.fill(subDim)(Option(1L))), Some(Seq[Option[Long]](Some(1L), None, Some(3L), Some(4L)))), // null cb element
+      (None, Some(Seq.fill(subDim)(Option(0L)))), // null sv
+      (Some(Seq.fill(subDim)(Option(1L))), None)  // null cb
+    ).toDF("sv", "cws")
+    val out = rows.select(VectorOps.pqNearest(col("sv"), col("cws"), subDim)).collect()
+    out.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("SQL surface: the same builder tuple GraftExtensions injects") {
+    val (id, info, builder) = GraftFunctions.pqNearest
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val k = spark.sql(
+      "SELECT graft_pq_nearest(array(1L, 2L), array(9L, 9L, 1L, 3L), 2) AS k")
+      .as[Int].collect().head
+    assert(k === 1)
+  }
+
+  test("interpreted eval agrees with codegen (nullSafeEval path)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val sv = Seq.fill(subDim)(rnd.nextLong() % 1000L)
+      val cws = Seq.fill(subDim * (1 + rnd.nextInt(8)))(rnd.nextLong() % 1000L)
+      val lit = (xs: Seq[Long]) =>
+        Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+      val got = PqNearestCode(lit(sv), lit(cws), subDim).eval(null)
+      assert(got === refNearest(sv, cws))
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PQ/ADC ANN tests on the real sf0.001 fixture (deterministic inputs ⇒
+  * measured recall is a constant): code-shape invariants, re-rank
+  * exactness against the brute-force dot, and a pinned recall floor. */
+class PqQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val pq = PqQueries.qPqSearch.fn(spark, dir)
+    .as[(Long, Long, Long, Long)].collect()
+  private lazy val bf = SimQueries.qSimSearch.fn(spark, dir)
+    .as[(Long, Long, Long, Long)].collect()
+
+  test("codes are M-long with dense codeword ids inside the cap") {
+    val e = SimQueries.quantizedFrame(spark, dir)
+    val cb = PqQueries.pqCodebook(e)
+    val codes = PqQueries.pqCodes(PqQueries.subspaces(e), cb)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.nonEmpty)
+    codes.foreach { case (_, cs) => assert(cs.length === PqQueries.M) }
+    // dense re-key: per subspace the trained codebook ids are 0..count-1
+    val perM = cb.groupBy("m")
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .as[(Int, Int, Int, Long)].collect()
+    assert(perM.length === PqQueries.M)
+    perM.foreach { case (_, lo, hi, n) =>
+      assert(lo === 0 && hi === n - 1 && n <= PqQueries.KCents)
+    }
+  }
+
+  test("re-ranked dots are the exact brute-force integers") {
+    val bfDot = bf.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, v, dot, _) =>
+      assert(bfDot.get((q, v)).forall(_ === dot),
+             s"($q,$v): pq dot $dot != brute-force ${bfDot.get((q, v))}")
+    }
+  }
+
+  test("recall@10 vs brute force is at least 0.9 on the fixture") {
+    val bfTop = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pqTop = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pqTop.keySet === bfTop.keySet)
+    val recalls = bfTop.map { case (q, want) =>
+      (pqTop(q) & want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 1.0 at sf0.001 and sf0.01 with K=256; 0.9 leaves head-room
+    // for fixture regeneration, not for regressions in the chain
+    assert(mean >= 0.9, f"mean recall@10 $mean%.3f below floor")
+  }
+}
