@@ -151,6 +151,17 @@ object GraftFunctions {
         "graft_pq_nearest takes (array<bigint>, array<bigint>, constant integer subDim)")
     }
   )
+
+  /** `graft_ivf_nearest(q, cqs, cns)` — nearest-centroid index by the
+    * IVF cosine key. */
+  val ivfNearest: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_ivf_nearest"),
+    new ExpressionInfo(classOf[IvfNearestCell].getName, "graft_ivf_nearest"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "graft_ivf_nearest takes exactly 3 arguments")
+      IvfNearestCell(children(0), children(1), children(2))
+    }
+  )
 }
 
 /**
@@ -166,6 +177,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.intDot)
     ext.injectFunction(GraftFunctions.shingles)
     ext.injectFunction(GraftFunctions.pqNearest)
+    ext.injectFunction(GraftFunctions.ivfNearest)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
   }
 }

@@ -1,0 +1,145 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/**
+ * Nearest-centroid INDEX for IVF cell assignment
+ * ([[graft.queries.SimQueries]]): given a quantized vector `q` (dim
+ * longs), a FLATTENED centroid matrix `cqs` (k·dim longs, centroid i at
+ * `[i·dim, (i+1)·dim)`, rows sorted by centroid id) and the matching
+ * squared norms `cns` (k longs), returns the index i maximizing the
+ * cosine key `(double) ⟨q, cq_i⟩ / sqrt((double) cn_i)`, LOWEST index on
+ * ties — the caller maps index → centroid id via `element_at`.
+ *
+ * Why a custom expression (same [[PqNearestCode]] rationale): the
+ * relational argmax — cross-join each vector against k centroid rows,
+ * rank-window per vector — materializes and shuffles n·k rows
+ * (25.6 M at sf0.1's 100 k vectors × 256 cells) where this runs the
+ * whole k×dim loop inside whole-stage codegen over the n vector rows,
+ * with the centroids arriving as ONE broadcast row.
+ *
+ * Ordering parity with the window it replaces (`ckey DESC, c_id ASC`
+ * under Spark sort semantics, where NaN is GREATER than every other
+ * double): the comparator treats a NaN key as beating any non-NaN
+ * best, nothing beats a NaN best, and NaN-vs-NaN keeps the first.
+ * Keys are computed with the same IEEE ops the Column formulation
+ * uses (long→double cast, divide, sqrt), so the doubles are
+ * bit-identical. Degenerate all-zero centroids (cn = 0 ⇒ key = ±Inf
+ * or 0/0 NaN) are the one intentional divergence: the Column divide
+ * THROWS under ANSI mode (Spark 4 default) where this expression
+ * totalizes via IEEE semantics — which is also what DuckDB's replay
+ * computes, so the oracle agrees wherever both engines produce rows.
+ *
+ * Null semantics: null arrays, `cqs` length ≠ k·dim, empty centroids,
+ * or any null element → null.
+ */
+case class IvfNearestCell(first: Expression, second: Expression,
+                          third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(first.dataType) && ok(second.dataType) && ok(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_nearest requires three array<bigint> arguments, got " +
+        s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  /** Always nullable — the shape checks yield null even for non-nullable
+    * children (the [[IntDotProduct.nullable]] rationale). */
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_ivf_nearest"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cqs = b.asInstanceOf[ArrayData]
+    val cns = c.asInstanceOf[ArrayData]
+    val dim = q.numElements()
+    val k = cns.numElements()
+    if (k == 0 || cqs.numElements() != k * dim) return null
+    var i = 0
+    while (i < dim) { if (q.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < k * dim) { if (cqs.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < k) { if (cns.isNullAt(i)) return null; i += 1 }
+    var best = Double.NegativeInfinity
+    var bestI = 0
+    var ki = 0
+    while (ki < k) {
+      var dot = 0L
+      var j = 0
+      while (j < dim) { dot += q.getLong(j) * cqs.getLong(ki * dim + j); j += 1 }
+      val key = dot.toDouble / math.sqrt(cns.getLong(ki).toDouble)
+      val better =
+        if (java.lang.Double.isNaN(key)) !java.lang.Double.isNaN(best)
+        else !java.lang.Double.isNaN(best) && key > best
+      if (ki == 0 || better) { best = key; bestI = ki }
+      ki += 1
+    }
+    bestI
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val ki = ctx.freshName("ki")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key")
+      val best = ctx.freshName("best")
+      val bestI = ctx.freshName("bestI")
+      val better = ctx.freshName("better")
+      s"""
+         |int $dim = $a.numElements();
+         |int $k = $c.numElements();
+         |if ($k == 0 || $b.numElements() != $k * $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $dim && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) ${ev.isNull} = true;
+         |  }
+         |  for (int $i = 0; $i < $k * $dim && !${ev.isNull}; $i++) {
+         |    if ($b.isNullAt($i)) ${ev.isNull} = true;
+         |  }
+         |  for (int $i = 0; $i < $k && !${ev.isNull}; $i++) {
+         |    if ($c.isNullAt($i)) ${ev.isNull} = true;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $best = Double.NEGATIVE_INFINITY;
+         |    int $bestI = 0;
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      long $dot = 0L;
+         |      for (int $j = 0; $j < $dim; $j++) {
+         |        $dot += $a.getLong($j) * $b.getLong($ki * $dim + $j);
+         |      }
+         |      double $key = (double) $dot / Math.sqrt((double) $c.getLong($ki));
+         |      boolean $better = Double.isNaN($key)
+         |        ? !Double.isNaN($best)
+         |        : (!Double.isNaN($best) && $key > $best);
+         |      if ($ki == 0 || $better) { $best = $key; $bestI = $ki; }
+         |    }
+         |    ${ev.value} = $bestI;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

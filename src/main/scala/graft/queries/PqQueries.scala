@@ -182,6 +182,35 @@ object PqQueries {
     aggregate(zip_with(ptab, codes, (tab, c) => element_at(tab, c + 1)),
               lit(0L), (acc, v) => acc + v)
 
+  /** Collapse (q_id, vec_id, adot) ADC candidate rows to the [[ShortR]]
+    * best per query — the bounded top-k AGGREGATE, not a rank window:
+    * the window would shuffle every (q_id, candidate) row at full width
+    * where the aggregate's map-side combine ships ≤ ShortR rows per
+    * (q_id, task). Same (adot desc, vec_id asc) total order, so the
+    * oracles' ROW_NUMBER replay is unchanged. */
+  private def adcShortlist(cand: DataFrame): DataFrame =
+    cand.groupBy("q_id")
+      .agg(graft.operators.TopK.topK(ShortR)(col("adot"), col("vec_id"))
+        .as("top"))
+      .select(col("q_id"), explode(col("top.items")).as("it"))
+      .select(col("q_id"), col("it.id").as("vec_id"))
+
+  /** Exact integer-dot re-rank of a (q_id, vec_id) shortlist against the
+    * full vectors — ShortR·n_q rows through two broadcast joins, never
+    * the corpus. Output shape matches the sibling ANN gates. */
+  private def rerank(e: DataFrame, short: DataFrame): DataFrame = {
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "dot", "rnk")
+  }
+
   /** PQ/ADC two-stage ANN behind the driver gate: train → encode → ADC
     * shortlist ([[ShortR]] per query, approximate-dot rank, vec_id
     * tiebreak) → exact integer-dot re-rank of the shortlist only. Output
@@ -200,41 +229,39 @@ object PqQueries {
       val cb = pqCodebook(e).localCheckpoint()
       val codes = pqCodes(sub, cb)
       val ptab = pqQueryTables(sub, cb)
-      val wShort = Window.partitionBy("q_id")
-        .orderBy(col("adot").desc, col("vec_id").asc)
-      val short = codes.join(broadcast(ptab), col("vec_id") =!= col("q_id"))
+      val cand = codes.join(broadcast(ptab), col("vec_id") =!= col("q_id"))
         .withColumn("adot", adcDot(col("ptab"), col("codes")))
-        .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= ShortR)
-        .select("q_id", "vec_id")
-      val queries = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"))
-      val wRank = Window.partitionBy("q_id")
-        .orderBy(col("dot").desc, col("vec_id").asc)
-      e.join(broadcast(short), Seq("vec_id"))
-        .join(broadcast(queries), Seq("q_id"))
-        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= TopK)
-        .select("q_id", "vec_id", "dot", "rnk")
+      rerank(e, adcShortlist(cand))
     },
     Some(s"""${SimQueries.quantCte},
       |$pqCteBody,
-      |pqs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psub
-      |        WHERE vec_id % 100 = 0),
-      |pqtab AS (
-      |  SELECT q.q_id, c.m, c.k,
-      |         CAST(list_sum(list_transform(generate_series(1, $SubDim),
-      |                i -> q.qsv[i] * c.cw[i])) AS BIGINT) AS pdot
-      |  FROM pqs q JOIN pcb c ON c.m = q.m
-      |),
+      |$pqTablesCte,
       |padc AS (
       |  SELECT t.q_id, c.vec_id, CAST(SUM(t.pdot) AS BIGINT) AS adot
       |  FROM pcodes c JOIN pqtab t ON t.m = c.m AND t.k = c.k
       |  WHERE c.vec_id <> t.q_id
       |  GROUP BY t.q_id, c.vec_id
       |),
-      |pshort AS (
+      |$pqSqlTail""".stripMargin)
+  )
+
+  /** DuckDB replay of [[pqQueryTables]] — per-query (m, k) partial dots;
+    * assumes `psub`/`pcb` from [[pqCteBody]] are in scope. */
+  private[queries] lazy val pqTablesCte: String =
+    s"""pqs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psub
+      |        WHERE vec_id % 100 = 0),
+      |pqtab AS (
+      |  SELECT q.q_id, c.m, c.k,
+      |         CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |                i -> q.qsv[i] * c.cw[i])) AS BIGINT) AS pdot
+      |  FROM pqs q JOIN pcb c ON c.m = q.m
+      |)""".stripMargin
+
+  /** DuckDB replay of [[adcShortlist]] + [[rerank]] — assumes a `padc`
+    * CTE (q_id, vec_id, adot) and `e` are in scope. The final SELECT of
+    * both PQ gates. */
+  private[queries] lazy val pqSqlTail: String =
+    s"""pshort AS (
       |  SELECT q_id, vec_id FROM padc
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
       |            ORDER BY adot DESC, vec_id ASC) <= $ShortR
@@ -251,7 +278,63 @@ object PqQueries {
       |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
       |              ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
       |FROM pexact
-      |QUALIFY rnk <= $TopK""".stripMargin)
+      |QUALIFY rnk <= $TopK""".stripMargin
+
+  /** IVF-PQ composed index (the billion-vector shape: FAISS IVF*,PQ* with
+    * `by_residual=false`): the IVF coarse quantizer
+    * ([[SimQueries.ivfTrain]], ≤ 256 trained cells, frozen stride cap)
+    * routes each query to its [[SimQueries.NProbe]] nearest cells, and
+    * the ADC scan runs ONLY over the codes of vectors assigned to those
+    * cells — so query cost scales with cell size (corpus/cells ×
+    * nprobe), not corpus size, AND each scanned candidate costs M bytes
+    * instead of dim·8. Non-residual encoding (codebooks trained on raw
+    * vectors, one global codebook set) keeps the entire chain exact
+    * integers, so DuckDB replays BOTH trainings, the routing, the
+    * cell-restricted ADC, the shortlist, and the re-rank; residual
+    * encoding (FAISS's default) trades that replayability for recall at
+    * equal M — a deployment flips to it by subtracting the cell centroid
+    * before [[pqCodes]] and adding ⟨q, centroid⟩ to the ADC score.
+    *
+    * At 100 TB the codes+cell table is the stored index — written once,
+    * partitioned by cell exactly like [[SimQueries.writeIvfLayout]]'s
+    * raw-vector layout but ~64× smaller, probed with partition pruning. */
+  val qIvfPqSearch = Q(
+    "q_ivfpq_search",
+    (s, dir) => {
+      val e = SimQueries.quantizedFrame(s, dir)
+      val sub = subspaces(e)
+      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val cells = SimQueries.ivfAssign1(e, cents)
+        .select(col("vec_id"), col("c_id").as("cell"))
+      val cb = pqCodebook(e).localCheckpoint()
+      val codes = pqCodes(sub, cb).join(cells, Seq("vec_id"))
+      val probes = SimQueries.ivfAssign(e.filter(col("vec_id") % 100 === 0),
+                                        cents)
+        .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
+      val ptab = pqQueryTables(sub, cb)
+      val cand = codes
+        .join(broadcast(probes),
+              col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+        .join(broadcast(ptab), Seq("q_id"))
+        .withColumn("adot", adcDot(col("ptab"), col("codes")))
+      rerank(e, adcShortlist(cand))
+    },
+    Some(s"""${SimQueries.ivfCte},
+      |$pqCteBody,
+      |$pqTablesCte,
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, c_id AS p_cell FROM rk
+      |  WHERE vec_id % 100 = 0 AND crn <= ${SimQueries.NProbe}
+      |),
+      |padc AS (
+      |  SELECT p.q_id, c.vec_id, CAST(SUM(t.pdot) AS BIGINT) AS adot
+      |  FROM qprobe p
+      |  JOIN cell cl ON cl.cell = p.p_cell
+      |  JOIN pcodes c ON c.vec_id = cl.vec_id AND c.vec_id <> p.q_id
+      |  JOIN pqtab t ON t.q_id = p.q_id AND t.m = c.m AND t.k = c.k
+      |  GROUP BY p.q_id, c.vec_id
+      |),
+      |$pqSqlTail""".stripMargin)
   )
 
   /** DuckDB replay of train → encode, assuming a CTE `e` (vec_id, q) is
@@ -324,5 +407,5 @@ object PqQueries {
       |  ) WHERE rn = 1
       |)""".stripMargin
 
-  val all: Seq[Q] = Seq(qPqSearch)
+  val all: Seq[Q] = Seq(qPqSearch, qIvfPqSearch)
 }

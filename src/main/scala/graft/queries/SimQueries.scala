@@ -221,7 +221,7 @@ object SimQueries {
     * shapes track the actual data distribution, not the seed draw. */
   private val CentStride = 200
   private[queries] val MaxCents = 256L
-  private val NProbe = 2
+  private[queries] val NProbe = 2
 
   /** Seed stride for an n-vector corpus: `max(CentStride, ⌈n/MaxCents⌉)`
     * — at fixture scale the historical every-200th seeding, beyond
@@ -262,8 +262,10 @@ object SimQueries {
   }
 
   /** Nearest-`NProbe` centroid cells per vector (cosine rank, c_id
-    * tiebreak) — the one n·k broadcast pass, reused for Lloyd assignment
-    * (crn = 1) and query probes (crn <= NProbe). */
+    * tiebreak) — an n·k cross-join + rank window. Kept ONLY for the
+    * small query-probe sets (crn <= NProbe over n/100 rows); every
+    * corpus-wide crn = 1 assignment goes through [[ivfAssign1]], whose
+    * codegen'd argmax avoids materializing the n·k rows entirely. */
   private[queries] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("ckey").desc, col("c_id").asc)
@@ -276,13 +278,39 @@ object SimQueries {
       .select("vec_id", "c_id", "crn")
   }
 
+  /** Centroid table flattened to ONE broadcastable row, sorted by c_id:
+    * ids, the k·dim codeword matrix, and the squared norms — the layout
+    * [[VectorOps.ivfNearest]] scans. ≤ MaxCents·(dim+2) longs by the
+    * stride cap, i.e. KB-scale at any corpus size. */
+  private def centsFlat(cents: DataFrame): DataFrame =
+    cents.groupBy()
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cq"), col("cn"))))
+        .as("cc"))
+      .select(transform(col("cc"), x => x.getField("c_id")).as("cids"),
+              flatten(transform(col("cc"), x => x.getField("cq"))).as("cqs"),
+              transform(col("cc"), x => x.getField("cn")).as("cns"))
+
+  /** crn = 1 fast path of [[ivfAssign]]: nearest cell per vector as a
+    * pure PROJECTION — the k×dim cosine-argmax loop runs row-locally
+    * inside whole-stage codegen ([[graft.expr.IvfNearestCell]]) against
+    * the one-row flattened centroid broadcast, so nothing n·k is ever
+    * materialized or shuffled (the window formulation moved 25.6 M rows
+    * at sf0.1). Ordering parity incl. NaN/Inf degenerate keys is the
+    * expression's contract, property-tested in `IvfNearestCellSpec`. */
+  private[queries] def ivfAssign1(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centsFlat(cents)))
+      .select(col("vec_id"),
+              element_at(col("cids"),
+                VectorOps.ivfNearest(col("q"), col("cqs"), col("cns")) + 1)
+                .as("c_id"))
+
   /** One relational Lloyd iteration over the stride seeds: every vector
     * assigned to its nearest seed cell, each cell's trained centroid =
     * per-dimension FLOOR-mean of its members (sums/counts < 2^53, so the
     * double divide has exact inputs and FLOOR is engine-identical).
     * Degenerate all-zero centroids (0/0 cosine) are dropped. */
   private[queries] def ivfTrain(e: DataFrame): DataFrame = {
-    val assign0 = ivfAssign(e, ivfSeeds(e)).filter(col("crn") === 1)
+    val assign0 = ivfAssign1(e, ivfSeeds(e))
       .select(col("vec_id").as("m_vid"), col("c_id"))
     e.join(assign0, col("vec_id") === col("m_vid"))
       .select(col("c_id"), posexplode(col("q")))
@@ -394,7 +422,7 @@ object SimQueries {
     * ([[appendToIvfLayout]]) and any non-testdata caller. */
   def writeIvfLayoutOf(e: DataFrame, outDir: String): Unit = {
     val cents = ivfTrain(e).localCheckpoint() // feeds assign AND the write
-    val cells = ivfAssign(e, cents).filter(col("crn") === 1)
+    val cells = ivfAssign1(e, cents)
       .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
     e.join(cells, col("vec_id") === col("cell_vid"))
       .select(col("vec_id"), col("label"), col("q"), col("cell"))
@@ -430,7 +458,7 @@ object SimQueries {
   def appendToIvfLayout(s: SparkSession, layoutDir: String,
                         newVecs: DataFrame): Unit = {
     val cents = s.read.parquet(s"$layoutDir/centroids")
-    val cells = ivfAssign(newVecs, cents).filter(col("crn") === 1)
+    val cells = ivfAssign1(newVecs, cents)
       .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
     newVecs.join(cells, col("vec_id") === col("cell_vid"))
       .select(col("vec_id"), col("label"), col("q"), col("cell"))
@@ -524,14 +552,13 @@ object SimQueries {
     "q_sim_search_ivf",
     (s, dir) => {
       val e = quantized(s, dir)
-      // checkpointed because both the corpus cells (crn = 1) and the query
-      // probe set (crn <= NProbe) read it — without materialization the
-      // n·k dot-product pass runs twice (the qNgramJaccard pattern)
-      val ranked = ivfAssign(e, ivfTrain(e))
-        .localCheckpoint()
-      val cells = ranked.filter(col("crn") === 1)
+      // checkpointed because both the corpus cell assignment and the
+      // query probe set read the trained centroids — without
+      // materialization training runs twice (the qNgramJaccard pattern)
+      val cents = ivfTrain(e).localCheckpoint()
+      val cells = ivfAssign1(e, cents)
         .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
-      val probes = ranked.filter(col("vec_id") % 100 === 0)
+      val probes = ivfAssign(e.filter(col("vec_id") % 100 === 0), cents)
         .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
       val corpus = e.join(cells, col("vec_id") === col("cell_vid"))
         .select(col("vec_id"), col("q"), col("cell"))

@@ -71,6 +71,18 @@ object VectorOps {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(cws),
         subDim))
 
+  /** Nearest-centroid INDEX of `q` against a flattened centroid matrix
+    * `cqs` (k·dim longs) with squared norms `cns` (k longs) by the IVF
+    * cosine key, lowest index on ties — a native codegen'd expression
+    * ([[graft.expr.IvfNearestCell]]) with exact ordering parity to the
+    * rank-window formulation it replaces (incl. NaN-greatest). */
+  def ivfNearest(q: Column, cqs: Column, cns: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.IvfNearestCell(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cqs),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cns)))
+
   /**
    * Exact integer predicate for `cos(a,b) ≥ num/den` given the quantized
    * dot and squared norms: positive dot and den²·dot² ≥ num²·na²·nb².

@@ -1,0 +1,119 @@
+package graft.expr
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.vector.VectorOps
+
+/** The codegen'd IVF argmax must have exact ordering parity with the
+  * rank-window formulation it replaces — including degenerate all-zero
+  * centroids, whose cosine key is ±Inf or NaN (Spark sorts NaN greater
+  * than every double, so NaN-first under DESC). */
+class IvfNearestCellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Window-formulation reference: rank (ckey desc, index asc), take 1 —
+    * computed through Spark so NaN ordering is Spark's, not Scala's. */
+  private def viaWindow(vecs: Seq[(Long, Seq[Long])],
+                        cents: Seq[Seq[Long]]): Map[Long, Int] = {
+    val e = vecs.toDF("vec_id", "q")
+    val c = cents.zipWithIndex
+      .map { case (cq, i) => (i, cq, cq.map(x => x * x).sum) }
+      .toDF("idx", "cq", "cn")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ckey").desc, col("idx").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("cdot", VectorOps.intDot(col("q"), col("cq")))
+      .withColumn("ckey",
+                  col("cdot").cast("double") / sqrt(col("cn").cast("double")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select("vec_id", "idx").as[(Long, Int)].collect().toMap
+  }
+
+  private def viaExpr(vecs: Seq[(Long, Seq[Long])],
+                      cents: Seq[Seq[Long]]): Map[Long, Int] = {
+    val cqs = cents.flatten
+    val cns = cents.map(cq => cq.map(x => x * x).sum)
+    vecs.toDF("vec_id", "q")
+      .withColumn("idx",
+        VectorOps.ivfNearest(col("q"), typedLit(cqs), typedLit(cns)))
+      .select("vec_id", "idx").as[(Long, Int)].collect().toMap
+  }
+
+  test("parity with the rank window on random centroids") {
+    val rnd = new scala.util.Random(13)
+    val cents = Seq.fill(12)(Seq.fill(dim)(rnd.nextLong() % 1000L))
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(dim)(rnd.nextLong() % 1000L)))
+    assert(viaExpr(vecs, cents) === viaWindow(vecs, cents))
+  }
+
+  /** Scala reference of the documented degenerate-key contract: keys as
+    * IEEE doubles (±Inf / NaN on cn = 0), NaN greater than everything
+    * (Spark/DuckDB sort semantics), lowest index on ties. The Spark
+    * WINDOW formulation can't be the reference here — under ANSI mode
+    * (Spark 4 default) its divide THROWS on cn = 0. */
+  private def refDegenerate(q: Seq[Long], cents: Seq[Seq[Long]]): Int = {
+    val keys = cents.map { cq =>
+      val dot = q.zip(cq).map { case (a, b) => a * b }.sum
+      dot.toDouble / math.sqrt(cq.map(x => x * x).sum.toDouble)
+    }
+    keys.zipWithIndex.reduceLeft[(Double, Int)] { case ((bk, bi), (k, i)) =>
+      val better =
+        if (k.isNaN) !bk.isNaN
+        else !bk.isNaN && k > bk
+      if (better) (k, i) else (bk, bi)
+    }._2
+  }
+
+  test("degenerate all-zero centroids follow the NaN-greatest contract") {
+    val rnd = new scala.util.Random(17)
+    // zero centroids at index 0 AND mid-list: keys are +Inf (positive
+    // dot), -Inf (negative dot), or NaN (zero vector ⇒ 0/0)
+    val cents = Seq(Seq.fill(dim)(0L),
+                    Seq.fill(dim)(5L),
+                    Seq.fill(dim)(0L),
+                    Seq.fill(dim)(-3L))
+    val vecs = Seq((0L, Seq.fill(dim)(0L)),
+                   (1L, Seq.fill(dim)(7L)),
+                   (2L, Seq.fill(dim)(-7L))) ++
+      (3L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextLong() % 100L)))
+    val got = viaExpr(vecs, cents)
+    vecs.foreach { case (id, q) =>
+      assert(got(id) === refDegenerate(q, cents), s"vec $id")
+    }
+  }
+
+  test("ties break to the lowest index") {
+    val cents = Seq(Seq.fill(dim)(9L), Seq.fill(dim)(2L), Seq.fill(dim)(2L))
+    val vecs = Seq((0L, Seq.fill(dim)(1L)))
+    // cents 1 and 2 are identical — equal key, lowest index wins; but
+    // cents 0 is more aligned in magnitude-normalized cosine? All are
+    // parallel vectors ⇒ equal cosine ⇒ index 0 wins the three-way tie
+    assert(viaExpr(vecs, cents) === viaWindow(vecs, cents))
+    assert(viaExpr(vecs, cents)(0L) === 0)
+  }
+
+  test("null semantics: bad shapes yield null") {
+    val rows = Seq(
+      (Some(Seq.fill(dim)(Option(1L))), Some(Seq.fill(dim - 1)(Option(1L))), Some(Seq[Option[Long]](Some(1L)))), // cqs != k*dim
+      (Some(Seq.fill(dim)(Option(1L))), Some(Seq.empty[Option[Long]]), Some(Seq.empty[Option[Long]])),           // empty cents
+      (Some(Seq[Option[Long]](Some(1L), None) ++ Seq.fill(dim - 2)(Option(1L))), Some(Seq.fill(dim)(Option(1L))), Some(Seq[Option[Long]](Some(1L)))), // null q elem
+      (None, Some(Seq.fill(dim)(Option(1L))), Some(Seq[Option[Long]](Some(1L))))                                  // null q
+    ).toDF("q", "cqs", "cns")
+    val out = rows.select(VectorOps.ivfNearest(col("q"), col("cqs"), col("cns"))).collect()
+    out.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("SQL surface: the same builder tuple GraftExtensions injects") {
+    val (id, info, builder) = GraftFunctions.ivfNearest
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val k = spark.sql(
+      "SELECT graft_ivf_nearest(array(1L, 1L), array(-1L, -1L, 2L, 2L), array(2L, 8L)) AS k")
+      .as[Int].collect().head
+    assert(k === 1)
+  }
+}

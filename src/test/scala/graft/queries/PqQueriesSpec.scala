@@ -43,16 +43,48 @@ class PqQueriesSpec extends SparkSpec {
     }
   }
 
-  test("recall@10 vs brute force is at least 0.9 on the fixture") {
+  private def meanRecall(got: Array[(Long, Long, Long, Long)]): Double = {
     val bfTop = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val pqTop = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    assert(pqTop.keySet === bfTop.keySet)
+    val top = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(top.keySet === bfTop.keySet)
     val recalls = bfTop.map { case (q, want) =>
-      (pqTop(q) & want).size.toDouble / want.size
+      (top(q) & want).size.toDouble / want.size
     }
-    val mean = recalls.sum / recalls.size
-    // measured 1.0 at sf0.001 and sf0.01 with K=256; 0.9 leaves head-room
-    // for fixture regeneration, not for regressions in the chain
-    assert(mean >= 0.9, f"mean recall@10 $mean%.3f below floor")
+    recalls.sum / recalls.size
+  }
+
+  test("recall@10 vs brute force is at least 0.9 on the fixture") {
+    // measured 0.92 at sf0.001, 1.0 at sf0.01 with K=256 — deterministic
+    // inputs make these constants, so the floor only catches regressions
+    assert(meanRecall(pq) >= 0.9, "pq mean recall@10 below floor")
+  }
+
+  private lazy val ivfpq = PqQueries.qIvfPqSearch.fn(spark, dir)
+    .as[(Long, Long, Long, Long)].collect()
+
+  test("ivf-pq: exact re-rank dots, and results only from probed cells") {
+    val bfDot = bf.map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (q, v, dot, _) =>
+      assert(bfDot.get((q, v)).forall(_ === dot))
+    }
+    val e = SimQueries.quantizedFrame(spark, dir)
+    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+    val cellOf = SimQueries.ivfAssign(e, cents).filter(col("crn") === 1)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val probed = SimQueries.ivfAssign(e.filter(col("vec_id") % 100 === 0), cents)
+      .select("vec_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    ivfpq.foreach { case (q, v, _, _) =>
+      assert(probed(q).contains(cellOf(v)),
+             s"result $v for query $q is outside its probed cells")
+    }
+  }
+
+  test("ivf-pq recall@10 vs brute force is at least 0.8 on the fixture") {
+    // measured 0.88 at sf0.001, 0.96 at sf0.01 (= IVF-Flat exactly: the
+    // PQ shortlist+re-rank recovers everything the probe finds, so the
+    // only losses are probe misses)
+    assert(meanRecall(ivfpq) >= 0.8, "ivf-pq mean recall@10 below floor")
   }
 }
