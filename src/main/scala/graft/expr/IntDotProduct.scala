@@ -131,24 +131,14 @@ object GraftFunctions {
     }
   )
 
-  /** `graft_pq_nearest(sv, cws, subDim)` — subDim must be a foldable
-    * positive integer (same resolution-order caveat as
-    * [[GraftFunctions.shingles]]). */
+  /** `graft_pq_nearest(sv, cws)` — nearest-codeword id; subDim is the
+    * sub-vector's own length. */
   val pqNearest: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("graft_pq_nearest"),
     new ExpressionInfo(classOf[PqNearestCode].getName, "graft_pq_nearest"),
-    (children: Seq[Expression]) => children match {
-      case Seq(sv, cws, e) if e.foldable =>
-        e.eval() match {
-          case n: Int => PqNearestCode(sv, cws, n)
-          case n: Short => PqNearestCode(sv, cws, n.toInt)
-          case n: Byte => PqNearestCode(sv, cws, n.toInt)
-          case n: Long if n.isValidInt => PqNearestCode(sv, cws, n.toInt)
-          case other => throw new IllegalArgumentException(
-            s"graft_pq_nearest: subDim must be a constant integer, got $other")
-        }
-      case _ => throw new IllegalArgumentException(
-        "graft_pq_nearest takes (array<bigint>, array<bigint>, constant integer subDim)")
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_pq_nearest takes exactly 2 arguments")
+      PqNearestCode(children.head, children(1))
     }
   )
 

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /**
  * Nearest-codeword id for product quantization ([[graft.queries.PqQueries]]):
- * given a sub-vector `sv` (length [[subDim]]) and a FLATTENED codebook
- * `cws` (K·subDim longs — codeword k occupies `[k·subDim, (k+1)·subDim)`),
- * returns the k minimizing the exact integer squared-L2 distance
- * `Σⱼ (sv[j] − cws[k·subDim+j])²`, lowest k on ties (strict `<` keeps the
- * first minimum).
+ * given a sub-vector `sv` (subDim longs — the sub-vector's own length
+ * defines subDim, so one expression serves any vector dimensionality)
+ * and a FLATTENED codebook `cws` (K·subDim longs — codeword k occupies
+ * `[k·subDim, (k+1)·subDim)`), returns the k minimizing the exact
+ * integer squared-L2 distance `Σⱼ (sv[j] − cws[k·subDim+j])²`, lowest k
+ * on ties (strict `<` keeps the first minimum).
  *
  * Why a custom expression (SURVEY.md §7.4 decision rule): the relational
  * argmin — join each sub-vector against K codebook rows, then
@@ -26,13 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
  * capped ([[graft.queries.PqQueries.KCents]]), so the per-row work is a
  * constant in corpus size.
  *
- * Null semantics: null input array, `sv` length ≠ subDim, empty or
- * non-multiple-of-subDim codebook, or any null element → null.
+ * Null semantics: null input array, empty `sv`, empty codebook or one
+ * whose length is not a multiple of `sv`'s, or any null element → null.
  */
-case class PqNearestCode(left: Expression, right: Expression, subDim: Int)
+case class PqNearestCode(left: Expression, right: Expression)
     extends BinaryExpression {
-
-  require(subDim > 0, "subDim must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -57,8 +56,9 @@ case class PqNearestCode(left: Expression, right: Expression, subDim: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val sv = a.asInstanceOf[ArrayData]
     val cws = b.asInstanceOf[ArrayData]
+    val subDim = sv.numElements()
     val n = cws.numElements()
-    if (sv.numElements() != subDim || n == 0 || n % subDim != 0) return null
+    if (subDim == 0 || n == 0 || n % subDim != 0) return null
     var j = 0
     while (j < subDim) {
       if (sv.isNullAt(j)) return null
@@ -90,6 +90,7 @@ case class PqNearestCode(left: Expression, right: Expression, subDim: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       // freshName per use — the IntDotProduct collision lesson
+      val sd = ctx.freshName("sd")
       val n = ctx.freshName("n")
       val k = ctx.freshName("k")
       val ki = ctx.freshName("ki")
@@ -99,24 +100,25 @@ case class PqNearestCode(left: Expression, right: Expression, subDim: Int)
       val best = ctx.freshName("best")
       val bestK = ctx.freshName("bestK")
       s"""
+         |int $sd = $a.numElements();
          |int $n = $b.numElements();
-         |if ($a.numElements() != $subDim || $n == 0 || $n % $subDim != 0) {
+         |if ($sd == 0 || $n == 0 || $n % $sd != 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  for (int $j = 0; $j < $subDim && !${ev.isNull}; $j++) {
+         |  for (int $j = 0; $j < $sd && !${ev.isNull}; $j++) {
          |    if ($a.isNullAt($j)) ${ev.isNull} = true;
          |  }
          |  for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
          |    if ($b.isNullAt($j)) ${ev.isNull} = true;
          |  }
          |  if (!${ev.isNull}) {
-         |    int $k = $n / $subDim;
+         |    int $k = $n / $sd;
          |    long $best = Long.MAX_VALUE;
          |    int $bestK = 0;
          |    for (int $ki = 0; $ki < $k; $ki++) {
          |      long $d = 0L;
-         |      for (int $j = 0; $j < $subDim; $j++) {
-         |        long $diff = $a.getLong($j) - $b.getLong($ki * $subDim + $j);
+         |      for (int $j = 0; $j < $sd; $j++) {
+         |        long $diff = $a.getLong($j) - $b.getLong($ki * $sd + $j);
          |        $d += $diff * $diff;
          |      }
          |      if ($d < $best) { $best = $d; $bestK = $ki; }

@@ -9,7 +9,7 @@ import graft.vector.VectorOps
 /**
  * Product-quantization ANN (SURVEY.md §7.4 extension; Jégou/Douze/Schmid,
  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011): split
- * each 64-dim quantized vector into [[M]] subspaces of [[SubDim]] dims,
+ * each quantized vector into [[M]] subspaces of dim/M dims each,
  * train a per-subspace codebook of ≤ [[KCents]] codewords (stride-seeded +
  * one relational Lloyd iteration — the [[SimQueries.ivfTrain]] discipline,
  * all integer/exact-double arithmetic so DuckDB replays it bit-for-bit),
@@ -41,19 +41,18 @@ import graft.vector.VectorOps
  */
 object PqQueries {
 
-  /** Subspace count (codes per vector). Fixture embeddings are 64-dim ⇒
-    * M · SubDim = 64; a deployment sizes M to its recall/compression
-    * point (8 × 8 here ⇒ 8 codes/vector ≈ 64× scan-byte reduction vs
-    * 64 longs). */
+  /** Subspace count (codes per vector). Sub-vector width is dim/M —
+    * derived from the data, so the chain runs on any dimensionality
+    * whose dim is a multiple of M (fixture embeddings 64-dim ⇒ 8-wide
+    * subspaces; the 16-dim soak corpus ⇒ 2-wide). A deployment sizes M
+    * to its recall/compression point (8 codes/vector ≈ dim·8/M× scan-
+    * byte reduction vs raw longs). */
   private[queries] val M = 8
-
-  /** Dims per subspace. */
-  private[queries] val SubDim = 8
 
   /** Codewords per subspace — HARD cap, the [[SimQueries.ivfSeeds]]
     * discipline: the seed stride grows with the corpus
     * (max(1, ⌈n/K⌉)) and an ordered LIMIT makes the bound unconditional,
-    * so the codebook broadcast is O(M · K · SubDim) at ANY corpus size. */
+    * so the codebook broadcast is O(M · K · dim/M) at ANY corpus size. */
   private[queries] val KCents = 256
 
   /** ADC shortlist size per query (the re-rank budget). */
@@ -61,14 +60,15 @@ object PqQueries {
 
   private val TopK = 10
 
-  /** One row per (vec_id, m): the m-th SubDim-wide slice of the quantized
+  /** One row per (vec_id, m): the m-th dim/M-wide slice of the quantized
     * vector. A generator projection — pipelines inside the scan's
     * whole-stage codegen, no shuffle. */
   private[queries] def subspaces(e: DataFrame): DataFrame =
     e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"),
              col("q"))
-      .withColumn("sv", slice(col("q"), col("m") * SubDim + 1, lit(SubDim)))
-      .drop("q")
+      .withColumn("sd", (size(col("q")) / M).cast("int"))
+      .withColumn("sv", slice(col("q"), col("m") * col("sd") + 1, col("sd")))
+      .drop("q", "sd")
 
   /** Seed vector ids, stride-sampled and HARD-capped at [[KCents]]
     * (ordered LIMIT ⇒ TakeOrderedAndProject — partitions keep local
@@ -119,7 +119,7 @@ object PqQueries {
               flatten(transform(col("kc"), x => x.getField("cw"))).as("cws"))
     sub.join(broadcast(flat), Seq("m"))
       .select(col("vec_id"), col("m"), col("sv"),
-              VectorOps.pqNearest(col("sv"), col("cws"), SubDim).as("k"))
+              VectorOps.pqNearest(col("sv"), col("cws")).as("k"))
   }
 
   /** Train the per-subspace codebooks: stride seeds → one Lloyd
@@ -252,7 +252,7 @@ object PqQueries {
       |        WHERE vec_id % 100 = 0),
       |pqtab AS (
       |  SELECT q.q_id, c.m, c.k,
-      |         CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |         CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
       |                i -> q.qsv[i] * c.cw[i])) AS BIGINT) AS pdot
       |  FROM pqs q JOIN pcb c ON c.m = q.m
       |)""".stripMargin
@@ -348,8 +348,8 @@ object PqQueries {
     s"""pms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
       |psub AS (
       |  SELECT vec_id, m,
-      |         list_transform(generate_series(m * $SubDim + 1,
-      |                                        (m + 1) * $SubDim),
+      |         list_transform(generate_series(m * (len(q) // $M) + 1,
+      |                                        (m + 1) * (len(q) // $M)),
       |                        i -> q[i]) AS sv
       |  FROM e CROSS JOIN pms
       |),
@@ -367,7 +367,7 @@ object PqQueries {
       |  SELECT vec_id, m, k FROM (
       |    SELECT s.vec_id, s.m, c.k,
       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-      |             CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |             CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
       |                    i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
       |                  AS BIGINT) ASC,
       |             c.k ASC) AS rn
@@ -375,7 +375,7 @@ object PqQueries {
       |  ) WHERE rn = 1
       |),
       |pmem AS (
-      |  SELECT a.m, a.k, unnest(generate_series(1, $SubDim)) AS pos,
+      |  SELECT a.m, a.k, unnest(generate_series(1, len(s.sv))) AS pos,
       |         unnest(s.sv) AS v
       |  FROM pa0 a JOIN psub s ON s.vec_id = a.vec_id AND s.m = a.m
       |),
@@ -399,7 +399,7 @@ object PqQueries {
       |  SELECT vec_id, m, k FROM (
       |    SELECT s.vec_id, s.m, c.k,
       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-      |             CAST(list_sum(list_transform(generate_series(1, $SubDim),
+      |             CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
       |                    i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
       |                  AS BIGINT) ASC,
       |             c.k ASC) AS rn

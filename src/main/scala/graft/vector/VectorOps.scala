@@ -59,17 +59,16 @@ object VectorOps {
               lit(0L), (acc, v) => acc + v)
 
   /** Nearest-codeword id of sub-vector `sv` against a FLATTENED codebook
-    * array (K·subDim longs) by exact integer squared L2, lowest id on
-    * ties — a native codegen'd expression ([[graft.expr.PqNearestCode]]).
-    * The K×subDim argmin loop runs row-locally inside whole-stage
-    * codegen; see the expression's scaladoc for why this beats the
-    * relational argmin. */
-  def pqNearest(sv: Column, cws: Column, subDim: Int): Column =
+    * array (K·subDim longs, subDim = `sv`'s own length) by exact integer
+    * squared L2, lowest id on ties — a native codegen'd expression
+    * ([[graft.expr.PqNearestCode]]). The K×subDim argmin loop runs
+    * row-locally inside whole-stage codegen; see the expression's
+    * scaladoc for why this beats the relational argmin. */
+  def pqNearest(sv: Column, cws: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expr.PqNearestCode(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(sv),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cws),
-        subDim))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cws)))
 
   /** Nearest-centroid INDEX of `q` against a flattened centroid matrix
     * `cqs` (k·dim longs) with squared norms `cns` (k longs) by the IVF

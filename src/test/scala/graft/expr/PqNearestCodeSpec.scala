@@ -27,7 +27,7 @@ class PqNearestCodeSpec extends SparkSpec {
       Seq.fill(subDim)(rnd.nextLong() % 1000L),
       Seq.fill(subDim * (1 + rnd.nextInt(16)))(rnd.nextLong() % 1000L)))
     val got = rows.toDF("sv", "cws")
-      .select(VectorOps.pqNearest(col("sv"), col("cws"), subDim).as("k"))
+      .select(VectorOps.pqNearest(col("sv"), col("cws")).as("k"))
       .as[Int].collect()
     rows.map { case (sv, cws) => refNearest(sv, cws) }
       .zip(got).foreach { case (want, g) => assert(g === want) }
@@ -37,14 +37,14 @@ class PqNearestCodeSpec extends SparkSpec {
     val sv = Seq(1L, 2L, 3L, 4L)
     val cw = Seq(2L, 3L, 4L, 5L) // same distance from sv wherever it appears
     val df = Seq((sv, Seq(9L, 9L, 9L, 9L) ++ cw ++ cw)).toDF("sv", "cws")
-    val k = df.select(VectorOps.pqNearest(col("sv"), col("cws"), subDim))
+    val k = df.select(VectorOps.pqNearest(col("sv"), col("cws")))
       .as[Int].collect().head
     assert(k === 1)
   }
 
   test("null semantics: bad shapes and null elements yield null") {
     val rows = Seq(
-      (Some(Seq[Option[Long]](Some(1L), Some(2L))), Some(Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L)))), // sv too short
+      (Some(Seq.empty[Option[Long]]), Some(Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L)))), // empty sv
       (Some(Seq.fill(subDim)(Option(1L))), Some(Seq[Option[Long]](Some(1L), Some(2L), Some(3L)))), // cb not multiple of subDim
       (Some(Seq.fill(subDim)(Option(1L))), Some(Seq.empty[Option[Long]])), // empty cb
       (Some(Seq[Option[Long]](Some(1L), None, Some(3L), Some(4L))), Some(Seq.fill(subDim)(Option(0L)))), // null sv element
@@ -52,7 +52,7 @@ class PqNearestCodeSpec extends SparkSpec {
       (None, Some(Seq.fill(subDim)(Option(0L)))), // null sv
       (Some(Seq.fill(subDim)(Option(1L))), None)  // null cb
     ).toDF("sv", "cws")
-    val out = rows.select(VectorOps.pqNearest(col("sv"), col("cws"), subDim)).collect()
+    val out = rows.select(VectorOps.pqNearest(col("sv"), col("cws"))).collect()
     out.foreach(r => assert(r.isNullAt(0)))
   }
 
@@ -60,7 +60,7 @@ class PqNearestCodeSpec extends SparkSpec {
     val (id, info, builder) = GraftFunctions.pqNearest
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     val k = spark.sql(
-      "SELECT graft_pq_nearest(array(1L, 2L), array(9L, 9L, 1L, 3L), 2) AS k")
+      "SELECT graft_pq_nearest(array(1L, 2L), array(9L, 9L, 1L, 3L)) AS k")
       .as[Int].collect().head
     assert(k === 1)
   }
@@ -75,7 +75,7 @@ class PqNearestCodeSpec extends SparkSpec {
       val cws = Seq.fill(subDim * (1 + rnd.nextInt(8)))(rnd.nextLong() % 1000L)
       val lit = (xs: Seq[Long]) =>
         Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
-      val got = PqNearestCode(lit(sv), lit(cws), subDim).eval(null)
+      val got = PqNearestCode(lit(sv), lit(cws)).eval(null)
       assert(got === refNearest(sv, cws))
     }
   }
