@@ -174,13 +174,23 @@ object PqQueries {
       .select(col("q_id"),
               transform(col("mt"), x => x.getField("tab")).as("ptab"))
 
-  /** The ADC approximate dot of a codes row against a ptab row: M array
-    * lookups + a sum, all inside whole-stage codegen. */
+  /** The ADC approximate dot of a codes row against a ptab row: M table
+    * lookups + a sum, UNROLLED over the [[M]] compile-time subspaces into
+    * builtin `element_at`/`+` expressions. The obvious
+    * `aggregate(zip_with(...))` formulation is NOT usable in this hot
+    * path: Spark's higher-order functions are `CodegenFallback`, so every
+    * candidate row (n_q × cell-size rows — the largest row count in the
+    * chain) would pay an interpreted closure eval AND sever the scan's
+    * whole-stage-codegen span. Measured on the 50 k-vector soak corpus
+    * (25 M flat-ADC candidates): q_pq_search 112.0 s → see BASELINE.md
+    * round-12 ADC section for the unrolled number. Null semantics match
+    * the HOF version: any missing/NULL lookup nulls the sum. */
   private[queries] def adcDot(ptab: org.apache.spark.sql.Column,
                               codes: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    aggregate(zip_with(ptab, codes, (tab, c) => element_at(tab, c + 1)),
-              lit(0L), (acc, v) => acc + v)
+    (0 until M).map { m =>
+      element_at(element_at(ptab, m + 1), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
 
   /** Collapse (q_id, vec_id, adot) ADC candidate rows to the [[ShortR]]
     * best per query — the bounded top-k AGGREGATE, not a rank window:

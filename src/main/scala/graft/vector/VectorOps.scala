@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
  * The true floating-point [[cosine]] is also provided for library users
  * (tested in scalatest, not oracle-compared).
  *
- * All of it is higher-order `functions._` (`transform`/`zip_with`/
- * `aggregate`) — codegen'd, no UDFs, no driver-side loops; at 100 TB these
- * are per-row projections that pipeline inside whole-stage codegen.
+ * No UDFs, no driver-side loops anywhere. Hot-path operations (dot
+ * product, PQ/IVF argmin) are native codegen'd expressions
+ * ([[graft.expr.IntDotProduct]] etc.); the higher-order-function
+ * formulations (`transform`/`zip_with`/`aggregate`) are kept only as
+ * reference implementations and for cold paths — Spark HOFs are
+ * `CodegenFallback` (interpreted closure eval per row, and they sever
+ * the enclosing whole-stage-codegen span), so they must never sit on a
+ * per-candidate-row path (measured: BASELINE.md round-12 ADC section).
  */
 object VectorOps {
 

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dev profiling harness (test scope, not shipped): times the IVF-PQ
+  * chain stage by stage on a soak corpus, so scale work is attributed
+  * to a stage before it is "optimized". Run:
+  *   sbt "Test/runMain graft.queries.PqProfile /tmp/graft-soak-vec1m"
+  */
+object PqProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("pq-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[pq-profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val e = SimQueries.quantizedFrame(s, dir)
+    t("corpus count (scan+quant)")(e.count())
+    val cents = t("ivfTrain+ckpt")(SimQueries.ivfTrain(e).localCheckpoint())
+    t("ivfAssign1 (corpus cells)")(
+      SimQueries.ivfAssign1(e, cents).select(col("vec_id"), col("c_id").as("cell")).count())
+    val sub = PqQueries.subspaces(e)
+    t("subspaces count")(sub.count())
+    val cb = t("pqCodebook+ckpt")(PqQueries.pqCodebook(e).localCheckpoint())
+    t("pqCodes (encode)")(PqQueries.pqCodes(sub, cb).count())
+    t("pqQueryTables")(PqQueries.pqQueryTables(sub, cb).count())
+    t("full q_ivfpq_search")(PqQueries.qIvfPqSearch.fn(s, dir).count())
+    t("full q_ivfpq_search again")(PqQueries.qIvfPqSearch.fn(s, dir).count())
+    s.stop()
+  }
+}
