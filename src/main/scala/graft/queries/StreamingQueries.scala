@@ -318,9 +318,12 @@ object StreamingQueries {
   val qStreamJoin = Q(
     "q_stream_join",
     (s, dir) => {
-      def evStream = tableStream(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      def evStream = {
+        val tsType = Tables.read(s, dir, "events").schema("ts").dataType
+        tableStream(s, dir, "events")
+          .withColumn("ts_us", Tables.tsUs(tsType))
+          .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      }
       val purchases = evStream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"),
                 col("ts_t").as("p_ts"))

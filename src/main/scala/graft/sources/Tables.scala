@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * Readers for the driver-generated parquet tables (TESTDATA.md) and for
@@ -20,16 +21,33 @@ object Tables {
 
   /** Read one testdata table by name.
     *
-    * Sessions reading `events` must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Bench,
-    * Verify, and the test fixture all do): events.ts is parquet
-    * TIMESTAMP(NANOS); Spark's TimestampType is µs and the vanilla reader
-    * rejects NANOS (PARQUET_TYPE_ILLEGAL). Reading nanos as a raw long keeps
-    * full precision and, after `div 1000`, agrees bit-for-bit with DuckDB's
-    * read (which truncates ns → µs). The conf is session-build-time state,
-    * not something a reader should mutate mid-flight. */
+    * `events.ts` has shipped in two parquet encodings across driver
+    * generations — TIMESTAMP(NANOS) (readable only as a raw nanos long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * session builder still pins for that fixture generation) and plain
+    * µs TIMESTAMP without UTC adjustment (read as TIMESTAMP_NTZ).
+    * [[tsUs]] normalizes either to the same integer µs the DuckDB
+    * oracle's `epoch_us(ts)` computes, so query code never sees the
+    * physical encoding. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** µs-since-epoch long for an `events.ts` column that arrived as
+    * `dt` — the one place the fixture's physical timestamp encoding is
+    * interpreted (see [[read]]):
+    *   - LongType: nanos-as-long fixture → integer `div 1000` (exactly
+    *     DuckDB's ns → µs truncation);
+    *   - TimestampType (µs, UTC-adjusted): `unix_micros` directly;
+    *   - TimestampNTZType (µs, no zone): cast through TimestampType —
+    *     exact because every session pins `spark.sql.session.timeZone`
+    *     to UTC, matching DuckDB's naive-timestamp `epoch_us`. */
+  def tsUs(dt: DataType, c: Column = col("ts")): Column = dt match {
+    case LongType          => call_function("div", c, lit(1000L))
+    case TimestampType     => unix_micros(c)
+    case TimestampNTZType  => unix_micros(c.cast(TimestampType))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+  }
 
   /**
    * The events stream table with normalized time columns:
@@ -37,10 +55,12 @@ object Tables {
    *   ts_t  — TimestampType at µs precision (for `session_window` etc.)
    * Integer µs everywhere keeps the DuckDB oracle comparison float-free.
    */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    read(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = read(spark, sfDir, "events")
+    raw
+      .withColumn("ts_us", tsUs(raw.schema("ts").dataType))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
 
   /**
    * Reference-format TSV hit feed (one line per hit). Charset selectable to
