@@ -339,6 +339,56 @@ object CurationQueries {
       |WHERE k.doc_id NOT IN (SELECT doc_id FROM rep)""".stripMargin)
   )
 
+  /** Shard size (docs per training shard) and permutation seed for
+    * [[qShuffleExport]]. */
+  private val ShardDocs = 64
+  private val ShuffleSeed = "7"
+
+  /**
+   * Deterministic global training shuffle + shard assignment — the
+   * export step after curation: training wants documents in a fixed
+   * pseudo-random order, packed into equal-size shards, and the order
+   * must be REPRODUCIBLE (resumable runs, re-exports, and audits all
+   * replay it) and independent of cluster width or partitioning.
+   * `rand()`-ordered exports are none of those. The permutation key is
+   * md5(seed:doc_id) — new seed, new epoch ordering, zero state.
+   *
+   * The global position comes from [[graft.operators.GlobalRank]]: a
+   * range exchange on the key plus per-partition row_number with
+   * broadcast offsets — never the single-partition ROW_NUMBER window
+   * that would funnel 100 TB through one task. Shard id is then integer
+   * position division: contiguous rank blocks, so every shard is full
+   * (the last one ragged) regardless of how many output writers run.
+   * The md5 key doubles as the tiebreaker-free total order (keys are
+   * unique per doc_id; doc_id stays in the sort as a formal tiebreak so
+   * the order is total even under key collisions).
+   */
+  lazy val qShuffleExport = Q(
+    "q_shuffle_export",
+    (s, dir) => {
+      val keyed = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+                md5(concat_ws(":", lit(ShuffleSeed), col("doc_id"))).as("pkey"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.operators.GlobalRank
+        .withGlobalRank(keyed, Seq(col("pkey"), col("doc_id")), parts, "pos")
+        .select(col("doc_id"),
+                expr(s"(pos - 1) div $ShardDocs").as("shard"),
+                col("pos"))
+    },
+    Some(s"""WITH k AS (
+      |  SELECT doc_id,
+      |         md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS kk
+      |  FROM documents
+      |),
+      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kk, doc_id) AS pos
+      |      FROM k)
+      |SELECT doc_id, CAST((pos - 1) // $ShardDocs AS BIGINT) AS shard,
+      |       CAST(pos AS BIGINT) AS pos
+      |FROM r""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
-                        qStratifiedSample, qTokenPacking, qCuratedCorpus)
+                        qStratifiedSample, qTokenPacking, qCuratedCorpus,
+                        qShuffleExport)
 }

@@ -1334,11 +1334,79 @@ object DedupQueries {
       .withColumn("__ch", TextOps.contentHash(col("text")))
       .join(corpusHashes, col("__ch") === col("ch"), "left_anti")
       .drop("__ch")
+    bandAntiJoin(exactSurvivors, corpusBands)
+  }
+
+  /** The shared near-dup stage of the incremental probes: drop survivors
+    * whose LSH band signature collides with the corpus band index. */
+  private def bandAntiJoin(exactSurvivors: DataFrame,
+                           corpusBands: DataFrame): DataFrame = {
     val nearHitIds = bandSignaturesOf(exactSurvivors)
       .join(corpusBands, Seq("band", "sig0", "sig1"))
       .select(col("doc_id").as("__hit_id")).distinct()
     exactSurvivors
       .join(nearHitIds, col("doc_id") === col("__hit_id"), "left_anti")
+  }
+
+  /**
+   * [[dedupAgainstIndex]] with a Bloom-filter pre-probe on the exact
+   * stage — the shape that matters when the ARRIVING BATCH is large:
+   * the plain exact stage anti-joins every batch row against the corpus
+   * hash index (a shuffle of the whole batch at 100 TB ingest rates),
+   * but in a healthy pipeline almost every arriving row is NEW, and a
+   * broadcast Bloom filter built once over the corpus hashes answers
+   * "definitely not in the corpus" locally. Only the Bloom-positive
+   * residue (true duplicates + the fpp tail) reaches the anti-join, so
+   * the exact stage's shuffle shrinks from |batch| to
+   * ~|dupes| + fpp·|batch| rows while the RESULT stays bit-identical —
+   * a false positive only costs one row of join traffic, never
+   * correctness, which is why fpp here is a latency knob, not a
+   * precision knob.
+   *
+   * Sizing at scale: the sketch costs ~1.2 bytes/key at 1 % fpp
+   * (n·ln fpp / ln²2 bits), so 10⁹ corpus hashes ≈ 1.2 GB broadcast —
+   * at that point raise fpp (3 % ≈ 0.9 GB, and FPs still only add
+   * join rows) or shard the sketch by hash prefix; the per-executor
+   * cost is one-time per batch, against a per-row shuffle saved.
+   *
+   * The near-dup band stage is unchanged: band keys are ~3 compact
+   * rows/doc and the probe already computes signatures on the batch
+   * side only.
+   */
+  def dedupAgainstIndexBloom(newDocs: DataFrame, corpusHashes: DataFrame,
+                             corpusBands: DataFrame,
+                             bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    require(newDocs.columns.contains("doc_id") && newDocs.columns.contains("text"),
+            "newDocs needs doc_id and text columns")
+    val s = newDocs.sparkSession
+    val bc = s.sparkContext.broadcast(bloom)
+    // a NULL hash (null text) is definite-new: the anti-join's equality
+    // predicate can never match it either, so both paths keep the row
+    val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
+    val withCh = newDocs.withColumn("__ch", TextOps.contentHash(col("text")))
+    val exactSurvivors = withCh.filter(!might(col("__ch")))
+      .unionByName(
+        withCh.filter(might(col("__ch")))
+          .join(corpusHashes, col("__ch") === col("ch"), "left_anti"))
+      .drop("__ch")
+    bandAntiJoin(exactSurvivors, corpusBands)
+  }
+
+  /** [[dedupAgainstCorpus]] with the Bloom pre-probe: builds the sketch
+    * over the corpus hash index (one pass; `expectedItems` sizes the
+    * bits — pass the corpus cardinality estimate a deployment already
+    * tracks, or leave 0 to count). */
+  def dedupAgainstCorpusBloom(corpus: DataFrame, newDocs: DataFrame,
+                              expectedItems: Long = 0L,
+                              fpp: Double = 0.01): DataFrame = {
+    val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct()
+    val n = if (expectedItems > 0) expectedItems else hashes.count()
+    val bloom = hashes.na.drop("all").stat
+      .bloomFilter("ch", math.max(n, 1L), fpp)
+    dedupAgainstIndexBloom(newDocs, hashes,
+                           bandSignaturesOf(corpus)
+                             .select("band", "sig0", "sig1").distinct(),
+                           bloom)
   }
 
   /** [[dedupAgainstCorpus]] behind the driver gate: the documents table
@@ -1357,6 +1425,29 @@ object DedupQueries {
                          d.filter(col("doc_id") % 5 === 4))
         .select("doc_id")
     },
+    incrementalOracle
+  )
+
+  /** The Bloom-probed incremental dedup behind its own gate — same
+    * 80/20 replay, same ORACLE ([[incrementalOracle]] verbatim): the
+    * sketch is a pure pre-filter, so any drift between the two paths is
+    * a hash-identity bug this row exists to catch. */
+  lazy val qDedupBloom = Q(
+    "q_dedup_bloom",
+    (s, dir) => {
+      val d = docs(s, dir)
+      dedupAgainstCorpusBloom(d.filter(col("doc_id") % 5 < 4),
+                              d.filter(col("doc_id") % 5 === 4),
+                              fpp = 0.03)
+        .select("doc_id")
+    },
+    incrementalOracle
+  )
+
+  /** Shared by [[qDedupIncremental]] and [[qDedupBloom]] — one statement
+    * of the incremental-dedup semantics the two implementations must
+    * both satisfy. */
+  private lazy val incrementalOracle: Option[String] =
     Some(s"""$bandSigCte,
       |ch AS (
       |  SELECT doc_id,
@@ -1383,11 +1474,10 @@ object DedupQueries {
       |)
       |SELECT doc_id FROM exact_surv
       |WHERE doc_id NOT IN (SELECT doc_id FROM near_hits)""".stripMargin)
-  )
 
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
-    qDocFingerprint, qDedupEmbed, qDedupIncremental
+    qDocFingerprint, qDedupEmbed, qDedupIncremental, qDedupBloom
   )
 }

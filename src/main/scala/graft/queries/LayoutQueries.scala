@@ -149,5 +149,60 @@ object LayoutQueries {
       |GROUP BY 1""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune)
+  /**
+   * The z-ordered events layout (built idempotently like [[eventsByDay]]):
+   * rows clustered by the Morton interleave of (user_id, epoch-day), so
+   * parquet min/max stats are tight on BOTH dimensions per file and per
+   * row group — the layout for a lake that must answer user-scoped AND
+   * time-scoped queries off one copy. Columns stored raw (`day_n` is the
+   * UTC epoch-day of the event); the z key itself is dropped at write.
+   */
+  private[queries] def eventsZOrdered(s: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcFs = new Path(sfDir).getFileSystem(conf)
+      val path = new Path(layoutRoot(s, srcFs, sfDir), "events_zorder")
+      val layoutFs = path.getFileSystem(conf)
+      val marker = new Path(path, "_SUCCESS")
+      val srcMtime = newestMtime(srcFs, new Path(s"$sfDir/events.parquet"))
+      val fresh = layoutFs.exists(marker) &&
+        layoutFs.getFileStatus(marker).getModificationTime >= srcMtime
+      if (!fresh) {
+        val ev = Tables.events(s, sfDir)
+          .withColumn("day_n", expr("ts_us div 86400000000"))
+          .select("event_id", "user_id", "event_type", "day_n")
+        graft.sources.Layouts.writeZOrdered(
+          ev, col("user_id"), col("day_n"), path.toString, nFiles = 16)
+      }
+      s.read.parquet(path.toString)
+    }
+
+  /** 2-D box query over the z-ordered layout: one user-id band × one
+    * calendar week. Both predicates reach the parquet scan as pushed
+    * filters, and the z-clustering makes file/row-group min-max skipping
+    * effective on both at once (`ZOrderSpec` measures the per-file span
+    * contraction; a single-column sort would leave the other dimension's
+    * spans at ~full domain). The oracle replays the box on the raw
+    * events table — the layout must be a pure re-clustering. */
+  val qZorderPrune = Q(
+    "q_zorder_prune",
+    (s, dir) => {
+      val d1 = java.time.LocalDate.parse("2024-01-10").toEpochDay
+      val d2 = java.time.LocalDate.parse("2024-01-16").toEpochDay
+      eventsZOrdered(s, dir)
+        .filter(col("user_id").between(100L, 299L) &&
+                col("day_n").between(d1, d2))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("day_n")).as("n_days"))
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |FROM events
+      |WHERE user_id BETWEEN 100 AND 299
+      |  AND CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-16'
+      |GROUP BY 1""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune)
 }

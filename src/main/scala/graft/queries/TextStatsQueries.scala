@@ -359,8 +359,57 @@ object TextStatsQueries {
       |FROM seeded""".stripMargin)
   )
 
+  /** Heavy-hitter cut size for [[qNgramTopk]]. */
+  private val TopGrams = 40
+
+  /**
+   * Corpus heavy hitters: the bigrams whose count reaches the top-K
+   * band — boilerplate/template detection and vocabulary profiling, the
+   * corpus-level complement to the per-document repetition gate
+   * ([[CurationQueries.qRepetitionFilter]]). At 100 TB the frequent-gram
+   * table IS how boilerplate gets found before any per-doc rule exists.
+   *
+   * Semantics are deliberately TIES-INCLUSIVE: emit every gram whose
+   * count ≥ the K-th largest count. "Exactly K rows" needs an arbitrary
+   * tiebreak among equal counts — under-specified for an analysis table
+   * and nondeterministic across engines unless both pin a tiebreak key;
+   * the threshold form is a pure function of the count distribution, so
+   * it is deterministic and replays exactly in SQL.
+   *
+   * Shape: one shuffle (gram groupBy, map-side partial counts); the
+   * K-th count comes off `orderBy.limit(K)` — a TakeOrdered over the
+   * (already aggregated) gram-count table, never a full sort — and
+   * rejoins as a broadcast one-row frame, keeping the whole plan lazy
+   * with no driver-side action.
+   */
+  lazy val qNgramTopk = Q(
+    "q_ngram_topk",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      val kth = counts.orderBy(col("cnt").desc).limit(TopGrams)
+        .agg(min(col("cnt")).as("__kth"))
+      counts.join(broadcast(kth), col("cnt") >= col("__kth"))
+        .select("gram", "cnt")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM t
+      |),
+      |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+      |k AS (SELECT MIN(cnt) AS m
+      |      FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT $TopGrams) q)
+      |SELECT gram, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub
+    qQuantiles, qPiiScrub, qNgramTopk
   )
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Physical-layout maintenance utilities (SURVEY.md §4.3 posture). The
@@ -57,5 +58,63 @@ object Layouts {
     var outFiles = 0
     while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) outFiles += 1 }
     (bytes, outFiles)
+  }
+
+  /**
+   * Z-order (Morton) interleave of two dimension keys — the multi-column
+   * clustering key for layouts that must prune on TWO dimensions at once.
+   * A single-column sort gives tight parquet min/max stats on that column
+   * only: a time-sorted 100 TB events lake answers "last week" with a
+   * narrow scan but "user 42, any time" with a FULL one. Sorting by the
+   * interleaved key bounds BOTH dimensions per file/row-group (each file
+   * covers one z-curve segment ≈ a rectangle in (x, y) space), so the
+   * reader's ordinary min/max skipping prunes boxes on either or both
+   * dimensions — no new reader code, the layout alone does it. This is
+   * the standard lakehouse OPTIMIZE ZORDER BY shape, built from ten
+   * codegen'd bit ops.
+   *
+   * Built-ins-only on purpose (SURVEY.md §7.4 decision rule, rung (a)):
+   * the classic mask-spread is expressible directly in `shiftleft`/
+   * `bitwiseOR`/`bitwiseAND` and whole-stage codegen inlines it — a
+   * custom Expression would buy nothing.
+   *
+   * Inputs are taken modulo 2³¹ (low 31 bits): callers bucket each
+   * dimension to a non-negative int (ids, epoch-days, range-bucket
+   * ranks). Interleaving maps x's bit i to result bit 2i and y's to
+   * 2i+1, so the result stays positive in a long. Null if either input
+   * is null (standard propagation).
+   */
+  def zOrder2(x: Column, y: Column): Column = {
+    // spread 31 bits over 62: v_i → bit 2i (the textbook mask cascade)
+    def spread(v: Column): Column = {
+      val masked = v.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+      Seq((16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+          (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+          (1, 0x5555555555555555L))
+        .foldLeft(masked) { case (acc, (sh, mask)) =>
+          acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(mask))
+        }
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /**
+   * Write `df` as a z-ordered parquet layout: range-partition on the
+   * interleaved key (contiguous z-curve segments per file — the sampled
+   * range exchange is what makes file COUNT the knob), sort within each
+   * partition (tight min/max per ROW GROUP, not just per file), drop the
+   * key (it is derivable; layouts store data, not sort scaffolding) and
+   * write. `nFiles` targets the deployment's scan-efficient file size;
+   * at 100 TB this is the same one-shuffle cost as any repartition-write,
+   * amortized over every 2-D box query after it.
+   */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, outDir: String,
+                    nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.withColumn("__z", zOrder2(x, y))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
   }
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.text.TextOps
+
+/** Bloom-probed incremental dedup: the sketch pre-filter must be
+  * result-invisible (≡ the plain index probe on every arrival class) and
+  * must actually prune — fresh content tests negative against the corpus
+  * sketch so it never reaches the exact anti-join. */
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusText =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+
+  private lazy val corpus = Seq(
+    (1L, corpusText),
+    (2L, "completely different content about distributed query engines and shuffles"),
+    (3L, "a third corpus document with its own words and nothing shared at all")
+  ).toDF("doc_id", "text")
+
+  private lazy val newBatch = Seq(
+    (10L, s"  ${corpusText.toUpperCase} "),                 // exact dup (normalized)
+    (11L, corpusText.replace("lazy", "sleepy")),            // LSH near-dup
+    (12L, "entirely novel text that resembles nothing in the corpus whatsoever today"),
+    (13L, "tiny doc"),                                      // shingle-less fresh
+    (14L, null.asInstanceOf[String])                        // null text: definite-new
+  ).toDF("doc_id", "text")
+
+  test("bloom path ≡ plain path on exact dups, near-dups, fresh, and null text") {
+    val plain = DedupQueries.dedupAgainstCorpus(corpus, newBatch)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = DedupQueries.dedupAgainstCorpusBloom(corpus, newBatch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === plain)
+    assert(!bloom.contains(10L) && !bloom.contains(11L))
+    assert(bloom.contains(12L) && bloom.contains(13L) && bloom.contains(14L))
+  }
+
+  test("the sketch answers definite-new for fresh content and maybe for corpus hashes") {
+    val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch"))
+    val bf = hashes.stat.bloomFilter("ch", 3L, 0.01)
+    val corpusHashes = hashes.as[String].collect()
+    corpusHashes.foreach(h => assert(bf.mightContainString(h),
+      "a Bloom filter can never false-negative on an inserted key"))
+    // the fresh doc's hash: overwhelmingly a true negative at fpp=1% —
+    // this is the row the pre-probe spares from the anti-join shuffle
+    val freshHash = newBatch.filter(col("doc_id") === 12L)
+      .select(TextOps.contentHash(col("text"))).as[String].head()
+    assert(!bf.mightContainString(freshHash),
+      "fresh content should test negative (pruned before the join)")
+  }
+
+  test("fpp is a traffic knob, not a correctness knob: results equal at a coarse fpp") {
+    val coarse = DedupQueries.dedupAgainstCorpusBloom(corpus, newBatch, fpp = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = DedupQueries.dedupAgainstCorpus(corpus, newBatch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(coarse === plain)
+  }
+}

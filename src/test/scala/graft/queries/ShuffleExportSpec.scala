@@ -1,0 +1,53 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic training shuffle: the position assignment must be a
+  * permutation, reproducible across runs and partitioning, and shards
+  * must be contiguous full blocks of the global order. */
+class ShuffleExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nDocs = 500
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-shuffle-export").toString
+    (0 until nDocs).map(i => (i.toLong, s"doc number $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(): Array[(Long, Long, Long)] =
+    CurationQueries.qShuffleExport.fn(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect()
+
+  test("positions are a permutation of 1..n and shards are full contiguous blocks") {
+    val rows = run()
+    assert(rows.map(_._3).sorted.toSeq === (1L to nDocs).toSeq,
+      "pos must be a permutation of 1..n")
+    rows.foreach { case (_, shard, pos) =>
+      assert(shard === (pos - 1) / 64, "shard = contiguous 64-doc rank blocks")
+    }
+    val sizes = rows.groupBy(_._2).map { case (s, g) => s -> g.size }
+    val lastShard = (nDocs - 1) / 64
+    sizes.foreach { case (s, n) =>
+      if (s < lastShard) assert(n === 64, s"inner shard $s must be full")
+    }
+    assert(sizes(lastShard.toLong) === nDocs - lastShard * 64)
+  }
+
+  test("the order is reproducible across runs and partitioning, and is shuffled") {
+    val a = run().sortBy(_._1)
+    val b = run().sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "same seed, same permutation — always")
+    // md5-keyed order must not be the identity (a sorted export would
+    // defeat the operator's purpose)
+    assert(a.map(_._3).toSeq !== (1L to nDocs).toSeq,
+      "permutation must differ from doc_id order")
+  }
+}
