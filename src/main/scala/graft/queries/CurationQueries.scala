@@ -388,7 +388,102 @@ object CurationQueries {
       |FROM r""".stripMargin)
   )
 
+  /** Target mixture for [[qMixtureSample]], integer percents summing to
+    * 100 (a deployment binds its own mixture; unlisted groups are
+    * excluded). */
+  private val MixWeights =
+    Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+
+  /**
+   * Data-mixture sampling: draw the LARGEST corpus subset whose group
+   * (language) proportions hit a target mixture EXACTLY — the
+   * composition step a pretraining pipeline runs when the raw corpus's
+   * language/source balance is not the balance training wants. Differs
+   * from [[qStratifiedSample]] (fixed per-group keep RATES, approximate
+   * counts) in both directions: the rates here are DERIVED from the data
+   * (feasible total T = min over groups of ⌊n_g·100/w_g⌋, then
+   * keep_g = ⌊T·w_g/100⌋ — the availability-bounded exact mixture), and
+   * the draw is exact-count (rank-by-hash, keep the first keep_g), not
+   * hash-threshold approximate. All integer arithmetic; the md5 rank key
+   * makes the draw deterministic under any partitioning, re-run, or
+   * cluster size, and a fresh sample is one seed change away.
+   *
+   * Scale shape: the per-group rank is the [[graft.operators.GlobalRank]]
+   * range-exchange decomposition over (lang, h, doc_id) — lang-major, so
+   * per-group position = global position − the group's broadcast prefix
+   * offset. A `PARTITION BY lang` window would put each language in ONE
+   * task (5 tasks for 100 TB); this shape scales with the cluster, and
+   * the group-count/offset frames are tiny broadcast aggregates.
+   */
+  lazy val qMixtureSample = Q(
+    "q_mixture_sample",
+    (s, dir) =>
+      mixtureSample(Tables.read(s, dir, "documents"), "lang", MixWeights),
+    Some(s"""WITH w AS (
+      |  SELECT * FROM (VALUES ${MixWeights.map { case (l, p) => s"('$l', $p)" }
+                                           .mkString(", ")}) AS t(lang, wt)
+      |), d AS (
+      |  SELECT doc_id, documents.lang, md5('mix:' || text) AS h, wt
+      |  FROM documents JOIN w ON documents.lang = w.lang
+      |), c AS (
+      |  SELECT w.lang, CAST(COUNT(d.doc_id) AS BIGINT) AS n,
+      |         ANY_VALUE(w.wt) AS wt
+      |  FROM w LEFT JOIN d ON d.lang = w.lang GROUP BY 1
+      |), t AS (
+      |  SELECT MIN(n * 100 // wt) AS t FROM c
+      |), k AS (
+      |  SELECT lang, CAST((SELECT t FROM t) * wt // 100 AS BIGINT) AS keep_n
+      |  FROM c
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |                                 ORDER BY h, doc_id) AS BIGINT) AS rn
+      |  FROM d
+      |)
+      |SELECT r.doc_id, r.lang, r.rn
+      |FROM r JOIN k ON r.lang = k.lang
+      |WHERE r.rn <= k.keep_n""".stripMargin)
+  )
+
+  /** [[qMixtureSample]]'s body over an ARBITRARY `(doc_id, <group>, text)`
+    * frame — factored so specs and non-testdata callers run the exact
+    * draw the gate runs. `weights` are integer percents summing to 100;
+    * groups not listed are excluded from the sample. */
+  private[graft] def mixtureSample(d0: DataFrame, groupCol: String,
+                                   weights: Seq[(String, Int)]): DataFrame = {
+    val s = d0.sparkSession
+    import s.implicits._
+    val wdf = broadcast(weights.toDF(groupCol, "wt"))
+    val d = d0
+      .select(col("doc_id"), col(groupCol),
+              md5(concat(lit("mix:"), col("text"))).as("h"))
+      .join(wdf, Seq(groupCol))
+    // group counts anchored on the WEIGHT list, not the corpus: a target
+    // group absent from the corpus must drive T to 0 (exact mixture
+    // infeasible -> empty draw), not silently fall out of the minimum
+    val counts = wdf
+      .join(d.groupBy(groupCol).agg(count(lit(1)).as("n")),
+            Seq(groupCol), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val t = counts.agg(min(expr("n * 100 div wt")).as("t"))
+    // |groups|-row frame: keep_n + group-major prefix offsets, broadcast
+    val wGrp = Window.orderBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = counts.crossJoin(broadcast(t))
+      .withColumn("keep_n", expr("t * wt div 100"))
+      .withColumn("off", coalesce(sum("n").over(wGrp), lit(0L)))
+      .select(groupCol, "keep_n", "off")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.operators.GlobalRank
+      .withGlobalRank(d.select("doc_id", groupCol, "h"),
+                      Seq(col(groupCol), col("h"), col("doc_id")), parts, "grnk")
+      .join(broadcast(keep), Seq(groupCol))
+      .withColumn("rn", col("grnk") - col("off"))
+      .filter(col("rn") <= col("keep_n"))
+      .select("doc_id", groupCol, "rn")
+  }
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
-                        qStratifiedSample, qTokenPacking, qCuratedCorpus,
-                        qShuffleExport)
+                        qStratifiedSample, qMixtureSample, qTokenPacking,
+                        qCuratedCorpus, qShuffleExport)
 }

@@ -1173,6 +1173,167 @@ object DedupQueries {
       |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""".stripMargin)
   )
 
+  /**
+   * SemDeDup-style SEMANTIC dedup: near-duplicate pruning over embedding
+   * space, bucketed by TRAINED IVF cells rather than a given label —
+   * the difference from [[qDedupEmbed]] is exactly the difference between
+   * "someone already gave me coarse buckets" and "the operator builds its
+   * own semantic buckets from the data" (the SemDeDup recipe: k-means the
+   * embeddings, then prune near-dups inside each cluster only). A vector
+   * is dropped iff some LOWER-id member of its own cell is cosine-similar
+   * above the threshold — deterministic under any partitioning (min-id
+   * survivor, the same convention as exact dedup), no greedy sequential
+   * scan. Output: the kept (vec_id, cell) rows.
+   *
+   * 100 TB posture: cell count is hard-capped at `MaxCents` by the
+   * [[SimQueries.ivfSeeds]] stride, so the pair stage is an equi-join on
+   * cell id with ~ (n/k)² pairs per cell — never all-pairs — and the
+   * shuffles carry (vec_id, cell, q) rows, never documents. The trained
+   * centroids and the member frame are each materialized once
+   * (checkpoint) because they feed multiple consumers; cell skew is
+   * bounded by the same Lloyd-pass mass-balancing the ANN index relies
+   * on. Threshold τ = 0.3 via integer cross-multiplication
+   * ([[VectorOps.cosAtLeast]]) — the oracle replays it exactly on top of
+   * the shared trained-IVF CTEs ([[SimQueries.ivfCte]]).
+   */
+  val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    (s, dir) => semanticDedup(SimQueries.quantizedFrame(s, dir)),
+    Some(s"""${SimQueries.ivfCte},
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q,
+      |         CAST(list_sum(list_transform(e.q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT b.vec_id AS b_id, a.nsq AS na, b.nsq AS nb,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |),
+      |dup AS (
+      |  SELECT DISTINCT b_id FROM p
+      |  WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9
+      |)
+      |SELECT vec_id, cell FROM m
+      |WHERE vec_id NOT IN (SELECT b_id FROM dup)""".stripMargin)
+  )
+
+  /** [[qSemanticDedup]]'s body over an ARBITRARY quantized
+    * `(vec_id, label, q)` frame — factored so specs and non-testdata
+    * callers run the exact pipeline the gate runs. */
+  private[graft] def semanticDedup(e: DataFrame): DataFrame = {
+    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+    // (vec_id, cell, q, nsq) — checkpointed: feeds both self-join sides
+    // AND the anti-join left, i.e. 3 consumers of the n·k assignment
+    val m = checkpointCompact(
+      e.join(SimQueries.ivfAssign1(e, cents)
+               .select(col("vec_id").as("m_vid"), col("c_id")),
+             col("vec_id") === col("m_vid"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("q"),
+                VectorOps.intNormSq(col("q")).as("nsq")))
+    val a = m.select(col("vec_id").as("a_id"), col("cell"),
+                     col("q").as("qa"), col("nsq").as("na"))
+    val b = m.select(col("vec_id").as("b_id"), col("cell").as("cell_b"),
+                     col("q").as("qb"), col("nsq").as("nb"))
+    val dup = a
+      .join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+      .select(col("b_id")).distinct()
+    m.join(dup, col("vec_id") === col("b_id"), "left_anti")
+      .select("vec_id", "cell")
+  }
+
+  /** Non-overlapping span width (tokens) for [[qSpanDedup]]. */
+  private val SpanTokens = 20
+
+  /**
+   * Span-level exact dedup (the C4 / ExactSubstr family): the corpus is
+   * cut into non-overlapping `SpanTokens`-token spans, every DISTINCT
+   * span survives exactly once corpus-wide — first occurrence wins, by
+   * (doc_id, position) — and each document is reassembled from its
+   * surviving spans. Catches both cross-document boilerplate (navigation
+   * chrome, license blocks, templated paragraphs) and within-document
+   * repetition, at span granularity rather than [[qDedupExact]]'s
+   * whole-document granularity.
+   *
+   * Deliberate tradeoff, documented: fixed span boundaries mean a
+   * duplicate SHIFTED by less than a span width is not caught — true
+   * suffix-array ExactSubstr is an offline index build, not an engine
+   * operator; the fixed-boundary formulation is what runs as one
+   * relational pass. At 100 TB: spans shuffle as (16-byte md5, doc_id,
+   * pos) triples for the owner argmin — never the text twice — the
+   * argmin is a `min(struct)` groupBy (map-side combinable, unlike a
+   * per-key window), and reassembly groups by doc_id, the table's
+   * natural clustering.
+   */
+  val qSpanDedup = Q(
+    "q_span_dedup",
+    (s, dir) => spanDedup(docsDistributed(s, dir)),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) > 0 THEN
+      |           list_transform(
+      |             generate_series(0, CAST(CEIL(len(toks) / $SpanTokens.0) AS BIGINT) - 1),
+      |             i -> array_to_string(toks[i*$SpanTokens+1 : i*$SpanTokens+$SpanTokens], ' '))
+      |         ELSE [] END AS chunks
+      |  FROM d
+      |), ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         unnest(generate_series(0, len(chunks) - 1)) AS pos
+      |  FROM c0
+      |), own AS (
+      |  SELECT doc_id, pos, chunk,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+      |                            ORDER BY doc_id, pos) AS rn
+      |  FROM ch
+      |), kept AS (
+      |  SELECT doc_id, pos, chunk FROM own WHERE rn = 1
+      |), rb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT c0.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
+      |       CAST(len(c0.chunks) AS BIGINT) AS total_chunks
+      |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id""".stripMargin)
+  )
+
+  /** [[qSpanDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  private[graft] def spanDedup(d0: DataFrame): DataFrame = {
+    // the empty-token guard mirrors TextOps.shinglesHof: Spark's
+    // sequence(0, -1) yields a DESCENDING array, not an empty one
+    val d = d0
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("chunks", when(size(col("toks")) > 0,
+          expr(s"transform(sequence(0, cast(ceil(size(toks) / $SpanTokens.0) as int) - 1)," +
+               s" i -> array_join(slice(toks, i*$SpanTokens+1, $SpanTokens), ' '))"))
+        .otherwise(array().cast("array<string>")))
+    val ch = d.select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("h", md5(col("chunk")))
+    val owner = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .select(col("h"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
+    val kept = ch.join(owner, Seq("h"))
+      .filter(col("doc_id") === col("o_doc") && col("pos") === col("o_pos"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+                       x => x.getField("chunk")), " ").as("clean_text"))
+    d.select(col("doc_id"), size(col("chunks")).cast("long").as("total_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("clean_text"), lit("")).as("clean_text"),
+              coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+              col("total_chunks"))
+  }
+
   /** 13 tokens — the GPT-3/Pile convention for exact-overlap
     * decontamination. */
   private val OverlapN = 13
@@ -1486,6 +1647,7 @@ object DedupQueries {
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
-    qDocFingerprint, qDedupEmbed, qDedupIncremental, qDedupBloom
+    qDocFingerprint, qDedupEmbed, qSemanticDedup, qSpanDedup,
+    qDedupIncremental, qDedupBloom
   )
 }

@@ -408,8 +408,110 @@ object TextStatsQueries {
       |SELECT gram, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
   )
 
+  /** BM25 query terms (fixture-vocabulary words; a deployment binds its
+    * own query at call time) and top-K cut for [[qBm25]]. */
+  private val Bm25Terms = Seq("spark", "join", "fast", "window")
+  private val Bm25K = 20
+
+  /**
+   * BM25 relevance ranking of the corpus against a fixed term query —
+   * the retrieval scorer a data pipeline uses for quality-targeted
+   * selection ("keep documents most relevant to domain X") and for
+   * building retrieval training sets. Standard Okapi shape
+   * (k1 = 1.2, b = 0.75) with one deliberate substitution: the idf
+   * factor is the RAW odds ratio (N − df + ½)/(df + ½), not its log.
+   *
+   * Why no log: every arithmetic op here (+, −, ×, ÷) is IEEE
+   * correctly-rounded, so an identical expression tree over exact
+   * integer inputs produces BIT-IDENTICAL doubles in any engine — which
+   * is what lets the per-term weight be floored to an exact integer and
+   * summed shuffle-order-independently (integer sums are associative;
+   * double sums are NOT, so a float score aggregated across partitions
+   * would be nondeterministic at any scale). `ln` is the one common op
+   * with NO cross-engine rounding guarantee; the odds ratio keeps the
+   * same document ordering per term (log is monotone) at full engine
+   * portability. The floor-scale (1e6) is the same integer-exactness
+   * discipline every ratio in this file uses.
+   *
+   * Shape at scale: tf is one shuffle on (doc_id, term) after a
+   * pushed-down `isin` filter on the exploded tokens (the explode never
+   * survives past the match — only query-term hits shuffle); df and the
+   * corpus stats are tiny aggregates broadcast back; the final top-K is
+   * a TakeOrderedAndProject, never a global sort.
+   */
+  val qBm25 = Q(
+    "q_bm25",
+    (s, dir) => bm25Rank(docs(s, dir), Bm25Terms, Bm25K),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents
+      |), st AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT tf.doc_id,
+      |         CAST(FLOOR(1e6 *
+      |           ((st.n_docs - dfreq.df + CAST(0.5 AS DOUBLE)) /
+      |            (dfreq.df + CAST(0.5 AS DOUBLE))) *
+      |           (tf.tf * CAST(2.2 AS DOUBLE)) /
+      |           (tf.tf + CAST(1.2 AS DOUBLE) *
+      |            (CAST(0.25 AS DOUBLE) +
+      |             CAST(0.75 AS DOUBLE) * (tf.dl / st.avgdl)))) AS BIGINT)
+      |           AS w
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN st
+      |)
+      |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+      |       CAST(row_number() OVER (ORDER BY CAST(SUM(w) AS BIGINT) DESC,
+      |                               doc_id ASC) AS BIGINT) AS rnk
+      |FROM w GROUP BY doc_id
+      |QUALIFY rnk <= $Bm25K""".stripMargin)
+  )
+
+  /** [[qBm25]]'s body over an ARBITRARY `(doc_id, text)` frame — factored
+    * so specs and non-testdata callers run the exact scorer the gate
+    * runs. */
+  private[graft] def bm25Rank(d0: DataFrame, terms: Seq[String],
+                              k: Int): DataFrame = {
+    val d = d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+                      sum("dl").as("tot_tok"))
+      .select(col("n_docs"),
+              (col("tot_tok").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"),
+                      explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) /
+                         (col("df") + lit(0.5)))
+      .withColumn("w",
+        floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+               (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    // top-K via orderBy.limit = TakeOrderedAndProject (each partition
+    // keeps a local top-K; no global sort, no corpus-wide one-task
+    // window) — the rank window then runs over K rows only. The sort
+    // key (score, doc_id) is a total order, so the cut and the ranks
+    // are deterministic under any partitioning.
+    val wRank = Window.orderBy(col("score").desc, col("doc_id").asc)
+    w.groupBy("doc_id").agg(sum("w").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub, qNgramTopk
+    qQuantiles, qPiiScrub, qNgramTopk, qBm25
   )
 }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** BM25 ranking (integer-exact odds-ratio variant): ordering semantics on
+  * a corpus with known term statistics, saturation-vs-length behavior,
+  * and determinism of the floored integer scores. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 docs, terms "x"/"y"; "z" is filler. df(x)=4, df(y)=1, so y-hits
+  // carry far more idf weight than x-hits.
+  private lazy val corpus = Seq(
+    (1L, "x z z z z z z z"),          // one x, long
+    (2L, "x x x z z z z z"),          // three x, long
+    (3L, "x z"),                      // one x, short
+    (4L, "y z z z z z z z"),          // the one y doc
+    (5L, "z z z z z z z z"),          // no query terms
+    (6L, "x z z z z z z z")           // duplicate shape of doc 1
+  ).toDF("doc_id", "text")
+
+  private lazy val ranked =
+    TextStatsQueries.bm25Rank(corpus, Seq("x", "y"), 10)
+      .as[(Long, Long, Long)].collect()   // (doc_id, score, rnk)
+  private lazy val byDoc = ranked.map(r => r._1 -> r._2).toMap
+
+  test("only term-matching docs are scored; ranks are 1..n dense") {
+    assert(!byDoc.contains(5L))
+    assert(ranked.map(_._3).sorted.toSeq === (1L to ranked.length))
+  }
+
+  test("rare-term hit outranks common-term hits (idf dominates)") {
+    assert(byDoc(4L) > byDoc(2L),
+      "one hit of the df=1 term must outscore three hits of the df=4 term")
+  }
+
+  test("tf saturation: 3 hits < 3x the score of 1 hit, but still more") {
+    assert(byDoc(2L) > byDoc(1L))
+    assert(byDoc(2L) < 3 * byDoc(1L))
+  }
+
+  test("length normalization: same tf scores higher in a shorter doc") {
+    assert(byDoc(3L) > byDoc(1L))
+  }
+
+  test("identical docs tie exactly and break by doc_id") {
+    assert(byDoc(1L) === byDoc(6L))
+    val r1 = ranked.find(_._1 == 1L).get._3
+    val r6 = ranked.find(_._1 == 6L).get._3
+    assert(r1 < r6)
+  }
+
+  test("deterministic under repartitioning (integer score sums)") {
+    val again = TextStatsQueries.bm25Rank(corpus.repartition(5), Seq("x", "y"), 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === ranked.toSet)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Exact data-mixture sampling: the drawn subset hits the target group
+  * proportions exactly (availability-bounded), the draw is the hash-rank
+  * prefix per group, and unlisted groups are excluded. */
+class MixtureSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // en:30 docs, de:10, fr:3 — fr is the scarce group.
+  private lazy val corpus = (
+    (0 until 30).map(i => (i.toLong, "en", s"en doc number $i body")) ++
+    (0 until 10).map(i => (100L + i, "de", s"de doc number $i body")) ++
+    (0 until 3).map(i => (200L + i, "fr", s"fr doc number $i body")) ++
+    Seq((300L, "zz", "unlisted group doc"))
+  ).toDF("doc_id", "lang", "text")
+
+  private val weights = Seq("en" -> 50, "de" -> 30, "fr" -> 20)
+
+  private lazy val sample =
+    CurationQueries.mixtureSample(corpus, "lang", weights)
+      .as[(Long, String, Long)].collect()
+
+  test("group counts hit the availability-bounded exact mixture") {
+    // T = min(30*100/50, 10*100/30, 3*100/20) = min(60, 33, 15) = 15
+    // keep = (15*50/100, 15*30/100, 15*20/100) = (7, 4, 3)
+    val byLang = sample.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 7, "de" -> 4, "fr" -> 3))
+  }
+
+  test("unlisted groups never appear") {
+    assert(!sample.exists(_._2 == "zz"))
+  }
+
+  test("the draw is the hash-rank prefix: rn is 1..keep_n per group") {
+    sample.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+    }
+  }
+
+  test("deterministic under repartitioning and re-run") {
+    val again = CurationQueries.mixtureSample(corpus.repartition(7), "lang", weights)
+      .as[(Long, String, Long)].collect()
+    assert(again.toSet === sample.toSet)
+  }
+
+  test("a scarce group takes the whole corpus down to feasibility, not past it") {
+    // with fr absent from the corpus the fr row count is 0 -> T=0, empty draw
+    val noFr = corpus.filter($"lang" =!= "fr")
+    val drawn = CurationQueries.mixtureSample(noFr, "lang", weights)
+    assert(drawn.count() === 0L)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.vector.VectorOps
+
+/** Semantic (SemDeDup-style) dedup: cell-bucketed near-dup pruning with
+  * the min-id-survivor convention. The spec checks the DEFINING property
+  * directly — kept ⇔ no lower-id cell-mate is cosine-similar above τ —
+  * plus determinism under repartitioning, on the real testdata fixture
+  * (the trained-cell pipeline needs a corpus, not three hand rows). */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val e = SimQueries.quantizedFrame(spark, dir).localCheckpoint()
+  private lazy val kept = DedupQueries.semanticDedup(e)
+    .as[(Long, Long)].collect().toMap // vec_id -> cell
+
+  /** All (vec_id -> cell) assignments and intra-cell near-dup pairs,
+    * recomputed independently of the operator's own join shape. */
+  private lazy val (cells, nearPairs) = {
+    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+    val m = e.join(SimQueries.ivfAssign1(e, cents)
+                     .select(col("vec_id").as("v"), col("c_id")),
+                   col("vec_id") === col("v"))
+      .select(col("vec_id"), col("c_id"), col("q"),
+              VectorOps.intNormSq(col("q")).as("nsq"))
+      .localCheckpoint()
+    val cellMap = m.select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val a = m.select(col("vec_id").as("a_id"), col("c_id"),
+                     col("q").as("qa"), col("nsq").as("na"))
+    val b = m.select(col("vec_id").as("b_id"), col("c_id").as("cb"),
+                     col("q").as("qb"), col("nsq").as("nb"))
+    val pairs = a.join(b, col("c_id") === col("cb") && col("a_id") < col("b_id"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    (cellMap, pairs)
+  }
+
+  test("kept ⇔ no lower-id near-dup cell-mate (the min-id-survivor rule)") {
+    val dropped = cells.keySet -- kept.keySet
+    assert(kept.nonEmpty && dropped.nonEmpty,
+      "fixture must exercise both outcomes")
+    dropped.foreach { v =>
+      assert(nearPairs.exists { case (a, b) => b == v && a < v },
+        s"dropped vec $v has no lower-id near-dup justifying the drop")
+    }
+    kept.keySet.foreach { v =>
+      assert(!nearPairs.exists { case (_, b) => b == v },
+        s"kept vec $v has a lower-id near-dup and should have been dropped")
+    }
+  }
+
+  test("kept rows carry their trained-cell assignment") {
+    kept.foreach { case (v, cell) => assert(cells(v) === cell) }
+  }
+
+  test("deterministic under input repartitioning") {
+    val shuffled = DedupQueries.semanticDedup(e.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled === kept)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Span-level exact dedup: first-occurrence-wins across and within
+  * documents, faithful reassembly, ragged tail spans, determinism. */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20-token span "w1..w20"; distinct filler tokens elsewhere.
+  private val span = (1 to 20).map(i => s"w$i").mkString(" ")
+  private def fill(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+
+  private lazy val corpus = Seq(
+    // doc 1: owns the span (first by doc_id), plus its own 20 tokens
+    (1L, s"$span ${fill("a", 20)}"),
+    // doc 2: same span aligned at position 0 -> removed; tail kept
+    (2L, s"$span ${fill("b", 20)}"),
+    // doc 3: repeats ITS OWN first span -> second occurrence removed;
+    //        25 tokens of own content -> ragged 5-token tail span kept
+    (3L, s"${fill("c", 20)} ${fill("c", 20)} ${fill("d", 5)}"),
+    // doc 4: nothing shared
+    (4L, fill("e", 7))
+  ).toDF("doc_id", "text")
+
+  private lazy val out = DedupQueries.spanDedup(corpus)
+    .as[(Long, String, Long, Long)].collect()
+    .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("cross-document duplicate span: first doc keeps it, later doc loses it") {
+    assert(out(1L)._1 === s"$span ${fill("a", 20)}")
+    assert(out(2L)._1 === fill("b", 20))
+    assert(out(2L)._2 === 1L && out(2L)._3 === 2L)
+  }
+
+  test("within-document repeat: second occurrence removed, ragged tail kept") {
+    assert(out(3L)._1 === s"${fill("c", 20)} ${fill("d", 5)}")
+    assert(out(3L)._2 === 2L && out(3L)._3 === 3L)
+  }
+
+  test("unshared short doc passes through whole (single ragged span)") {
+    assert(out(4L) === ((fill("e", 7), 1L, 1L)))
+  }
+
+  test("every document row survives; kept <= total") {
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    out.values.foreach { case (_, kept, total) => assert(kept <= total) }
+  }
+
+  test("deterministic under repartitioning") {
+    val again = DedupQueries.spanDedup(corpus.repartition(5))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again === out)
+  }
+}
