@@ -408,6 +408,53 @@ object TextStatsQueries {
       |SELECT gram, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
   )
 
+  /** Ties-inclusive cut size for [[qBpePairs]]. */
+  private val BpeTopPairs = 30
+
+  /**
+   * Tokenizer-training support: corpus-frequency counts of adjacent
+   * CHARACTER pairs inside tokens — exactly the candidate table the
+   * first BPE merge decision ranks (merge the most frequent pair;
+   * retraining after each merge is the offline tokenizer-builder loop,
+   * this operator is its per-iteration corpus pass). Occurrence-weighted
+   * (each token instance counts), ties-INCLUSIVE top-K band — the same
+   * deterministic threshold form as [[qNgramTopk]], for the same reason:
+   * "exactly K" needs an arbitrary tiebreak among equal counts.
+   *
+   * Shape: explode dies into a `length >= 2` filter before the pair
+   * fanout; one shuffle on the pair key (map-side partial counts over a
+   * tiny symbol-pair domain, so the exchange carries the aggregated
+   * table, not the corpus); the K-th count is a TakeOrdered over the
+   * aggregated table rejoined as a broadcast 1-row threshold.
+   */
+  lazy val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(tok) - 1)," +
+               " i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val kth = counts.orderBy(col("cnt").desc).limit(BpeTopPairs)
+        .agg(min(col("cnt")).as("__kth"))
+      counts.join(broadcast(kth), col("cnt") >= col("__kth"))
+        .select("pair", "cnt")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |  WHERE text IS NOT NULL
+      |), p AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+      |                  i -> substring(tok, i, 2))) AS pair
+      |  FROM tok WHERE len(tok) >= 2
+      |), c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+      |k AS (SELECT MIN(cnt) AS m
+      |      FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT $BpeTopPairs) q)
+      |SELECT pair, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -512,6 +559,6 @@ object TextStatsQueries {
 
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub, qNgramTopk, qBm25
+    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs
   )
 }
