@@ -1221,9 +1221,17 @@ object DedupQueries {
 
   /** [[qSemanticDedup]]'s body over an ARBITRARY quantized
     * `(vec_id, label, q)` frame — factored so specs and non-testdata
-    * callers run the exact pipeline the gate runs. */
-  private[graft] def semanticDedup(e: DataFrame): DataFrame = {
-    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+    * callers run the exact pipeline the gate runs.
+    *
+    * `cellCap` is SemDeDup's recall/cost knob: cells average n/cellCap
+    * members, so the pair stage does ~n²/cellCap dot products — a
+    * deployment holds CELL SIZE constant (cellCap ∝ n) to keep the pass
+    * linear, at the price of missing τ-near-dups that land in different
+    * cells (more cells = finer semantic buckets = lower recall). The
+    * default is the gated ANN cap, which the sf-scale oracle replays. */
+  private[graft] def semanticDedup(
+      e: DataFrame, cellCap: Long = SimQueries.MaxCents): DataFrame = {
+    val cents = SimQueries.ivfTrain(e, cellCap).localCheckpoint()
     // (vec_id, cell, q, nsq) — checkpointed: feeds both self-join sides
     // AND the anti-join left, i.e. 3 consumers of the n·k assignment
     val m = checkpointCompact(

@@ -248,17 +248,24 @@ object SimQueries {
     * `st` CTE), so seeding stays fully lazy — no driver-side action at
     * plan-construction time, no extra scan of the embeddings on top of
     * the assignment passes. */
-  private[queries] def ivfSeeds(e: DataFrame): DataFrame = {
+  private[queries] def ivfSeeds(e: DataFrame,
+                                cap: Long = MaxCents): DataFrame = {
+    // cap defaults to MaxCents (the gated ANN surface, oracle-replayed);
+    // library callers with a different broadcast budget or — for the
+    // SemDeDup pair stage — a target CELL SIZE pass their own: cells
+    // average n/cap members, so pair work is n²/cap and a deployment
+    // holding cell size constant (cap ∝ n) keeps the pair stage linear.
+    // The stride floor drops out for caps above n/CentStride.
     val st = e.agg(count(lit(1)).as("__n")).select(
-      greatest(lit(CentStride.toLong),
-               ceil(col("__n").cast("double") / MaxCents).cast("long"))
+      greatest(lit(math.min(CentStride.toLong, cap)),
+               ceil(col("__n").cast("double") / cap).cast("long"))
         .as("__stride"))
     e.crossJoin(broadcast(st))
       .filter(col("vec_id") % col("__stride") === 0)
       .select(col("vec_id").as("c_id"), col("q").as("cq"),
               VectorOps.intNormSq(col("q")).as("cn"))
       .orderBy(col("c_id").asc)
-      .limit(MaxCents.toInt)
+      .limit(cap.toInt)
   }
 
   /** Nearest-`NProbe` centroid cells per vector (cosine rank, c_id
@@ -309,8 +316,9 @@ object SimQueries {
     * per-dimension FLOOR-mean of its members (sums/counts < 2^53, so the
     * double divide has exact inputs and FLOOR is engine-identical).
     * Degenerate all-zero centroids (0/0 cosine) are dropped. */
-  private[queries] def ivfTrain(e: DataFrame): DataFrame = {
-    val assign0 = ivfAssign1(e, ivfSeeds(e))
+  private[queries] def ivfTrain(e: DataFrame,
+                                cap: Long = MaxCents): DataFrame = {
+    val assign0 = ivfAssign1(e, ivfSeeds(e, cap))
       .select(col("vec_id").as("m_vid"), col("c_id"))
     e.join(assign0, col("vec_id") === col("m_vid"))
       .select(col("c_id"), posexplode(col("q")))

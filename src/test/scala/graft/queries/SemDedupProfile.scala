@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (test scope, not shipped): times semanticDedup
+  * at one or more cell caps on a documents+embeddings dir, so the
+  * n²/cellCap pair-stage claim is MEASURED, not asserted. Run:
+  *   sbt "Test/runMain graft.queries.SemDedupProfile /tmp/graft-soak 256,1024"
+  */
+object SemDedupProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val caps = args.lift(1).getOrElse("256").split(",").map(_.trim.toLong)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("semdedup-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+
+    val n = SimQueries.quantizedFrame(s, dir).count()
+    caps.foreach { cap =>
+      val t0 = System.nanoTime()
+      val e = SimQueries.quantizedFrame(s, dir)
+      val out = DedupQueries.semanticDedup(e, cap)
+      val kept = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[semdedup-profile] n=$n cap=$cap kept=$kept " +
+              f"dropped=${n - kept} wall=$secs%.2f s")
+    }
+    s.stop()
+  }
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -9,20 +10,22 @@ import graft.vector.VectorOps
   * the min-id-survivor convention. The spec checks the DEFINING property
   * directly — kept ⇔ no lower-id cell-mate is cosine-similar above τ —
   * plus determinism under repartitioning, on the real testdata fixture
-  * (the trained-cell pipeline needs a corpus, not three hand rows). */
+  * (the trained-cell pipeline needs a corpus, not three hand rows), and
+  * re-checks the property at a non-default `cellCap` (the recall/cost
+  * knob must change the BUCKETS, never the rule). */
 class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
   private lazy val e = SimQueries.quantizedFrame(spark, dir).localCheckpoint()
-  private lazy val kept = DedupQueries.semanticDedup(e)
-    .as[(Long, Long)].collect().toMap // vec_id -> cell
 
-  /** All (vec_id -> cell) assignments and intra-cell near-dup pairs,
-    * recomputed independently of the operator's own join shape. */
-  private lazy val (cells, nearPairs) = {
-    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+  /** All (vec_id -> cell) assignments and intra-cell near-dup pairs at a
+    * given cell cap, recomputed independently of the operator's own join
+    * shape. */
+  private def reference(e: DataFrame, cap: Long)
+      : (Map[Long, Long], Set[(Long, Long)]) = {
+    val cents = SimQueries.ivfTrain(e, cap).localCheckpoint()
     val m = e.join(SimQueries.ivfAssign1(e, cents)
                      .select(col("vec_id").as("v"), col("c_id")),
                    col("vec_id") === col("v"))
@@ -41,7 +44,8 @@ class SemanticDedupSpec extends SparkSpec {
     (cellMap, pairs)
   }
 
-  test("kept ⇔ no lower-id near-dup cell-mate (the min-id-survivor rule)") {
+  private def checkProperty(kept: Map[Long, Long], cells: Map[Long, Long],
+                            nearPairs: Set[(Long, Long)]): Unit = {
     val dropped = cells.keySet -- kept.keySet
     assert(kept.nonEmpty && dropped.nonEmpty,
       "fixture must exercise both outcomes")
@@ -53,10 +57,26 @@ class SemanticDedupSpec extends SparkSpec {
       assert(!nearPairs.exists { case (_, b) => b == v },
         s"kept vec $v has a lower-id near-dup and should have been dropped")
     }
+    kept.foreach { case (v, cell) => assert(cells(v) === cell,
+      "kept rows must carry their trained-cell assignment") }
   }
 
-  test("kept rows carry their trained-cell assignment") {
-    kept.foreach { case (v, cell) => assert(cells(v) === cell) }
+  private lazy val kept = DedupQueries.semanticDedup(e)
+    .as[(Long, Long)].collect().toMap // vec_id -> cell
+
+  test("kept ⇔ no lower-id near-dup cell-mate (the min-id-survivor rule)") {
+    val (cells, nearPairs) = reference(e, SimQueries.MaxCents)
+    checkProperty(kept, cells, nearPairs)
+  }
+
+  test("the property holds at a non-default cellCap (knob moves buckets, not the rule)") {
+    val cap = 8L
+    val keptCap = DedupQueries.semanticDedup(e, cap)
+      .as[(Long, Long)].collect().toMap
+    val (cells, nearPairs) = reference(e, cap)
+    checkProperty(keptCap, cells, nearPairs)
+    assert(cells.values.toSet.size > 1 && cells.values.toSet.size <= cap,
+      "coarse cap must still produce multiple (but <= cap) cells")
   }
 
   test("deterministic under input repartitioning") {
