@@ -262,8 +262,94 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_span_dedup(docsTable)` — span-level exact dedup from SQL
+    * over any `(doc_id, text, …)` table: every distinct 20-token span
+    * survives once corpus-wide, documents reassembled from surviving
+    * spans ([[graft.queries.DedupQueries.spanDedup]]). */
+  val spanDedup: TVF = (
+    new FunctionIdentifier("graft_span_dedup"),
+    info("graft_span_dedup", "graft_span_dedup(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_span_dedup"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.DedupQueries.spanDedup(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_semantic_dedup(vecsTable, cellCap)` — SemDeDup-style
+    * semantic dedup from SQL over any `(vec_id, embedding, …)` table:
+    * embeddings are quantized, cells trained at `cellCap` (the
+    * recall/cost knob — see
+    * [[graft.queries.DedupQueries.semanticDedup]]), and the kept
+    * `(vec_id, cell)` rows returned. */
+  val semanticDedup: TVF = (
+    new FunctionIdentifier("graft_semantic_dedup"),
+    info("graft_semantic_dedup", "graft_semantic_dedup(vecsTable, cellCap)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_semantic_dedup"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val cap = longArg(args, 1, fn)
+      require(cap > 0 && cap <= Int.MaxValue, s"$fn: cellCap out of range: $cap")
+      val e = active.table(strArg(args, 0, fn))
+        .select(col("vec_id"),
+                graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+      graft.queries.DedupQueries.semanticDedup(e, cap)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_bm25(docsTable, 'termsCsv', k)` — BM25 relevance top-K from
+    * SQL over any `(doc_id, text, …)` table
+    * ([[graft.queries.TextStatsQueries.bm25Rank]] — the integer-exact
+    * odds-ratio formulation). */
+  val bm25: TVF = (
+    new FunctionIdentifier("graft_bm25"),
+    info("graft_bm25", "graft_bm25(docsTable, 'spark,join', 20)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_bm25"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      val terms = csv(strArg(args, 1, fn))
+      require(terms.nonEmpty, s"$fn: term list must not be empty")
+      val k = longArg(args, 2, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      graft.queries.TextStatsQueries.bm25Rank(
+        active.table(strArg(args, 0, fn)), terms, k.toInt)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_mixture_sample(docsTable, groupCol, 'en:40,de:60')` — exact
+    * data-mixture sampling from SQL: the largest subset hitting the
+    * target integer-percent group proportions exactly
+    * ([[graft.queries.CurationQueries.mixtureSample]]). */
+  val mixtureSample: TVF = (
+    new FunctionIdentifier("graft_mixture_sample"),
+    info("graft_mixture_sample",
+         "graft_mixture_sample(docsTable, 'lang', 'en:40,de:60')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_mixture_sample"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      val weights = csv(strArg(args, 2, fn)).map { spec =>
+        spec.split(":", -1) match {
+          case Array(g, w) if g.nonEmpty && w.forall(_.isDigit) && w.nonEmpty =>
+            (g, w.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"$fn: bad weight spec '$spec' — use 'group:percent'")
+        }
+      }
+      require(weights.map(_._2).sum == 100,
+              s"$fn: weights must sum to 100, got ${weights.map(_._2).sum}")
+      graft.queries.CurationQueries.mixtureSample(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn), weights)
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
-                          dedup, decontaminate, curate, sessionize)
+                          dedup, decontaminate, curate, sessionize,
+                          spanDedup, semanticDedup, bm25, mixtureSample)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

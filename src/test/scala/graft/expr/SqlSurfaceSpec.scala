@@ -193,6 +193,77 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown mode"))
   }
 
+  test("graft_span_dedup from SQL ≡ DedupQueries.spanDedup") {
+    import graft.queries.DedupQueries
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span extra tail words"),
+      (2L, span) // whole doc is the duplicated span
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("span_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_span_dedup('span_docs')")
+    val direct = DedupQueries.spanDedup(docs)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val byDoc = viaSql.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(byDoc(2L) === "" && byDoc(1L).startsWith(span))
+  }
+
+  test("graft_semantic_dedup from SQL ≡ semanticDedup on quantized vectors") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.DedupQueries
+    val vecs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+                                         "embeddings")
+    val e = vecs.select(col("vec_id"),
+                        graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+    vecs.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT * FROM graft_semantic_dedup('vecs', 8)")
+    val direct = DedupQueries.semanticDedup(e, 8)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+  }
+
+  test("graft_bm25 from SQL ≡ bm25Rank, terms parsed from csv") {
+    import graft.queries.TextStatsQueries
+    val docs = Seq(
+      (1L, "x z z z"), (2L, "x x y z"), (3L, "z z z z")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bm25_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_bm25('bm25_docs', 'x,y', 5)")
+    val direct = TextStatsQueries.bm25Rank(docs, Seq("x", "y"), 5)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    assert(viaSql.count() === 2L) // doc 3 matches no term
+  }
+
+  test("graft_mixture_sample from SQL ≡ mixtureSample; bad specs rejected") {
+    import graft.queries.CurationQueries
+    val docs = (
+      (0 until 10).map(i => (i.toLong, "en", s"en doc $i")) ++
+      (0 until 5).map(i => (100L + i, "de", s"de doc $i"))
+    ).toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("mix_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_mixture_sample('mix_docs', 'lang', 'en:60,de:40')")
+    val direct = CurationQueries.mixtureSample(
+      docs, "lang", Seq("en" -> 60, "de" -> 40))
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val bad = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_mixture_sample('mix_docs', 'lang', 'en:sixty')")
+        .collect()
+    }
+    assert(bad.getMessage.contains("bad weight spec"))
+    val sum = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_mixture_sample('mix_docs', 'lang', 'en:60,de:60')")
+        .collect()
+    }
+    assert(sum.getMessage.contains("sum to 100"))
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")
