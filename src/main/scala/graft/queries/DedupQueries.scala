@@ -1311,7 +1311,18 @@ object DedupQueries {
       |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id""".stripMargin)
   )
 
-  /** [[qSpanDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  /** [[qSpanDedup]]'s body over an ARBITRARY `(doc_id, text)` frame.
+    *
+    * Shuffle discipline: document TEXT crosses no exchange after the
+    * initial doc_id distribution. The span stream is reduced to compact
+    * `(md5, doc_id, pos)` triples before anything wide: the owner argmin
+    * shuffles 16-byte keys, the keeper set regroups as `(doc_id, [pos])`
+    * int lists, and reassembly joins those lists back against the
+    * doc_id-clustered chunk arrays — `element_at` re-reads the kept
+    * spans in place. (The first formulation joined exploded chunk
+    * STRINGS on `h` and re-grouped them by doc_id — two corpus-text
+    * shuffles that this shape deletes; end-to-end parquet dump at the
+    * 2 M-doc soak measured in BASELINE.md round-13.) */
   private[graft] def spanDedup(d0: DataFrame): DataFrame = {
     // the empty-token guard mirrors TextOps.shinglesHof: Spark's
     // sequence(0, -1) yields a DESCENDING array, not an empty one
@@ -1322,24 +1333,19 @@ object DedupQueries {
                s" i -> array_join(slice(toks, i*$SpanTokens+1, $SpanTokens), ' '))"))
         .otherwise(array().cast("array<string>")))
     val ch = d.select(col("doc_id"), posexplode(col("chunks")))
-      .withColumnRenamed("col", "chunk")
-      .withColumn("h", md5(col("chunk")))
-    val owner = ch.groupBy("h")
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+    val keptPos = ch.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
-      .select(col("h"), col("o.doc_id").as("o_doc"), col("o.pos").as("o_pos"))
-    val kept = ch.join(owner, Seq("h"))
-      .filter(col("doc_id") === col("o_doc") && col("pos") === col("o_pos"))
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("kept_chunks"),
-           array_join(
-             transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-                       x => x.getField("chunk")), " ").as("clean_text"))
-    d.select(col("doc_id"), size(col("chunks")).cast("long").as("total_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+    d.join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kp", coalesce(col("kept_pos"), array().cast("array<int>")))
       .select(col("doc_id"),
-              coalesce(col("clean_text"), lit("")).as("clean_text"),
-              coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
-              col("total_chunks"))
+              array_join(transform(col("kp"),
+                                   p => element_at(col("chunks"), p + 1)), " ")
+                .as("clean_text"),
+              size(col("kp")).cast("long").as("kept_chunks"),
+              size(col("chunks")).cast("long").as("total_chunks"))
   }
 
   /** 13 tokens — the GPT-3/Pile convention for exact-overlap
