@@ -408,6 +408,58 @@ object TextStatsQueries {
       |SELECT gram, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
   )
 
+  /** HyperLogLog register count (m = 2⁶) for [[qHllRegisters]]. */
+  private val HllM = 64
+
+  /**
+   * HyperLogLog SKETCH BUILD: per-(lang, register) max leading-zero rank
+   * over a portable 32-bit content hash — the distributed half of
+   * approximate distinct counting, emitted as the REGISTER TABLE rather
+   * than the final estimate. Deliberate split: the registers are exact
+   * integers (oracle-replayable bit-for-bit, and the shuffle-combinable
+   * part — `max` per register is how sketches merge across partitions,
+   * batches, or days), while the harmonic-mean estimate is a trivial
+   * driver-side fold over ≤ m rows per group whose float arithmetic
+   * would otherwise be the one engine-divergent step in the pipeline.
+   * At 100 TB this is THE way distinct cardinalities are tracked: the
+   * register table is a few hundred bytes per group, mergeable forever.
+   *
+   * Hash layout: v = first 32 md5 bits ([[TextOps.md5Prefix32]]);
+   * register = v mod m, remaining 26 bits w = v div m; rank
+   * ρ = 27 − bitlength(w) (all-zero w ⇒ ρ = 27, the field-width + 1
+   * convention). `bin()` gives the exact bitlength in both engines — no
+   * log2, no float.
+   */
+  val qHllRegisters = Q(
+    "q_hll_registers",
+    (s, dir) => hllRegisters(docs(s, dir), "lang"),
+    Some(s"""WITH h AS (
+      |  SELECT lang, ${DedupQueries.hex32("md5(text)")} AS v FROM documents
+      |), r AS (
+      |  SELECT lang, CAST(v % $HllM AS BIGINT) AS reg, v // $HllM AS w
+      |  FROM h
+      |), x AS (
+      |  SELECT lang, reg,
+      |         CASE WHEN w = 0 THEN 27
+      |              ELSE 27 - len(bin(w)) END AS rho
+      |  FROM r
+      |)
+      |SELECT lang, reg, CAST(MAX(rho) AS BIGINT) AS max_rho
+      |FROM x GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** [[qHllRegisters]]'s body over an ARBITRARY frame: the register
+    * table of the group column's distinct-`text` HLL sketch. */
+  private[graft] def hllRegisters(d: DataFrame, groupCol: String): DataFrame =
+    d.select(col(groupCol), TextOps.md5Prefix32(md5(col("text"))).as("v"))
+      .withColumn("reg", col("v") % HllM)
+      .withColumn("w", expr(s"v div $HllM"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(27))
+          .otherwise(lit(27) - length(bin(col("w")))).cast("long"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max("rho").as("max_rho"))
+
   /** Ties-inclusive cut size for [[qBpePairs]]. */
   private val BpeTopPairs = 30
 
@@ -559,6 +611,6 @@ object TextStatsQueries {
 
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs
+    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters
   )
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** HLL register build: the merge property that makes it a sketch (union
+  * = per-register max), register-domain bounds, and estimate accuracy of
+  * the driver-side fold against true distinct counts. */
+class HllRegistersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 64
+
+  private lazy val corpus = (
+    (0 until 700).map(i => (i.toLong, "en", s"unique english doc $i")) ++
+    (0 until 300).map(i => (1000L + i, "de", s"unique german doc $i")) ++
+    // duplicates: must not move the distinct estimate
+    (0 until 500).map(i => (2000L + i, "en", s"unique english doc ${i % 10}"))
+  ).toDF("doc_id", "lang", "text")
+
+  private def registers(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+    df.as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  private lazy val full = registers(TextStatsQueries.hllRegisters(corpus, "lang"))
+
+  /** Standard HLL estimate (alpha_64 · m² / Σ 2^-M_j, with the small-range
+    * linear-counting correction) from a group's register table. */
+  private def estimate(regs: Map[Long, Long]): Double = {
+    val alpha = 0.709 // alpha_64
+    val zsum = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j.toLong, 0L).toDouble)).sum
+    val e = alpha * m * m / zsum
+    val zeros = m - regs.count(_._2 > 0)
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  test("registers stay in the hash-field domain") {
+    assert(full.keys.forall { case (_, reg) => reg >= 0 && reg < m })
+    assert(full.values.forall(r => r >= 1 && r <= 27))
+  }
+
+  test("estimates track true distinct counts within HLL error bounds") {
+    val en = estimate(full.collect { case ((l, reg), v) if l == "en" => reg -> v })
+    val de = estimate(full.collect { case ((l, reg), v) if l == "de" => reg -> v })
+    // true: en = 700 distinct (the 500 extra rows repeat 10 texts), de = 300
+    assert(math.abs(en - 700) / 700.0 < 0.35, s"en estimate $en vs 700")
+    assert(math.abs(de - 300) / 300.0 < 0.35, s"de estimate $de vs 300")
+  }
+
+  test("sketches merge by per-register max (union semantics)") {
+    val half1 = registers(TextStatsQueries.hllRegisters(
+      corpus.filter($"doc_id" % 2 === 0), "lang"))
+    val half2 = registers(TextStatsQueries.hllRegisters(
+      corpus.filter($"doc_id" % 2 =!= 0), "lang"))
+    val merged = (half1.keySet ++ half2.keySet).map { k =>
+      k -> math.max(half1.getOrElse(k, 0L), half2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === full)
+  }
+
+  test("duplicates are invisible: repeating every doc changes nothing") {
+    val doubled = registers(TextStatsQueries.hllRegisters(
+      corpus.union(corpus), "lang"))
+    assert(doubled === full)
+  }
+}
