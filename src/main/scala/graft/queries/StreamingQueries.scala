@@ -460,7 +460,33 @@ object StreamingQueries {
       |GROUP BY 1, 2""".stripMargin)
   )
 
+  /**
+   * Streaming HLL sketch maintenance, gated against the BATCH register
+   * oracle: each micro-batch appends its per-row `(lang, reg, rho)`
+   * observations — a pure STATELESS projection, no state store, no
+   * watermark — and the register table is the downstream max-merge of
+   * the appended log. This is the deployment shape for streaming
+   * distinct tracking: partial sketches are append-only and tiny, the
+   * merge is `max` (associative, commutative, idempotent — the
+   * `HllRegistersSpec` union law), so ANY batch split, replay, or late
+   * re-delivery yields the same registers; compaction of the log into
+   * materialized registers can run at any cadence without coordination.
+   * The gate's final `groupBy(lang, reg).max` IS that compaction, and
+   * its output must hash-match the one-shot batch build exactly.
+   */
+  val qStreamHll = Q(
+    "q_stream_hll",
+    (s, dir) => {
+      val partials = TextStatsQueries.hllRows(
+        tableStream(s, dir, "documents").select(col("lang"), col("text")),
+        "lang")
+      runToSink(s, dir, partials, "graft_q_stream_hll")
+        .groupBy("lang", "reg").agg(max("rho").as("max_rho"))
+    },
+    TextStatsQueries.qHllRegisters.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
-                        qStreamFeed, qStreamMedia, qStreamWindowed)
+                        qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll)
 }

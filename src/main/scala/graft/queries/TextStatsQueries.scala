@@ -448,15 +448,24 @@ object TextStatsQueries {
       |FROM x GROUP BY 1, 2""".stripMargin)
   )
 
-  /** [[qHllRegisters]]'s body over an ARBITRARY frame: the register
-    * table of the group column's distinct-`text` HLL sketch. */
-  private[graft] def hllRegisters(d: DataFrame, groupCol: String): DataFrame =
+  /** The STATELESS per-row half of the HLL build — `(group, reg, rho)`
+    * observations before the register max. Factored out because it is
+    * the part that runs on a stream: each micro-batch appends partial
+    * observations and the register table is their downstream max-merge
+    * (see [[StreamingQueries.qStreamHll]]). */
+  private[graft] def hllRows(d: DataFrame, groupCol: String): DataFrame =
     d.select(col(groupCol), TextOps.md5Prefix32(md5(col("text"))).as("v"))
       .withColumn("reg", col("v") % HllM)
       .withColumn("w", expr(s"v div $HllM"))
       .withColumn("rho",
         when(col("w") === 0, lit(27))
           .otherwise(lit(27) - length(bin(col("w")))).cast("long"))
+      .select(col(groupCol), col("reg"), col("rho"))
+
+  /** [[qHllRegisters]]'s body over an ARBITRARY frame: the register
+    * table of the group column's distinct-`text` HLL sketch. */
+  private[graft] def hllRegisters(d: DataFrame, groupCol: String): DataFrame =
+    hllRows(d, groupCol)
       .groupBy(col(groupCol), col("reg"))
       .agg(max("rho").as("max_rho"))
 
