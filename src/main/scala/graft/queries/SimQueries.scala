@@ -712,6 +712,67 @@ object SimQueries {
       |QUALIFY row_number() OVER (ORDER BY dot DESC, vec_id ASC) <= $TopK""".stripMargin)
   )
 
+  /** Neighbors per vector in [[qKnnGraph]]. */
+  private val GraphK = 3
+
+  /**
+   * Approximate k-NN GRAPH construction: every vector's `GraphK` nearest
+   * cell-mates (integer dot rank, vec_id tiebreak) — the full self-join
+   * graph that graph-based curation builds on (mutual-kNN clustering,
+   * SemDeDup-style cluster pruning, label propagation over
+   * [[graft.operators.ConnectedComponents]]), where [[qSimSearchIvf]]
+   * answers external queries for a SAMPLE. nprobe is deliberately 1
+   * here: for a corpus-wide graph the cell is the locality unit, and the
+   * approximation (cross-cell neighbors missed) is the same recall knob
+   * [[graft.queries.DedupQueries.semanticDedup]] documents.
+   *
+   * Scale shape: the self-join is an equi-join on cell id (never
+   * all-pairs; (n/k)·n candidate edges at cap k), the rank window
+   * partitions by SOURCE vector — n groups, so it scales out, nothing
+   * single-task — and vectors shuffle once to co-locate cells. Isolated
+   * vectors (alone in their cell) emit no edges, matching the oracle.
+   */
+  val qKnnGraph = Q(
+    "q_knn_graph",
+    (s, dir) => {
+      val e = quantized(s, dir)
+      val cents = ivfTrain(e).localCheckpoint()
+      val m = checkpointCompact(
+        e.join(ivfAssign1(e, cents)
+                 .select(col("vec_id").as("m_vid"), col("c_id")),
+               col("vec_id") === col("m_vid"))
+          .select(col("vec_id"), col("c_id").as("cell"), col("q")))
+      val a = m.select(col("vec_id").as("src"), col("cell"),
+                       col("q").as("qa"))
+      val b = m.select(col("vec_id").as("dst"), col("cell").as("cell_b"),
+                       col("q").as("qb"))
+      val wRank = Window.partitionBy("src")
+        .orderBy(col("dot").desc, col("dst").asc)
+      a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+        .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= GraphK)
+        .select("src", "dst", "dot", "rnk")
+    },
+    Some(s"""$ivfCte,
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |)
+      |SELECT src, dst, dot,
+      |       CAST(row_number() OVER (PARTITION BY src
+      |                               ORDER BY dot DESC, dst ASC) AS BIGINT)
+      |         AS rnk
+      |FROM p
+      |QUALIFY rnk <= $GraphK""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
-                        qIvfAppend)
+                        qIvfAppend, qKnnGraph)
 }

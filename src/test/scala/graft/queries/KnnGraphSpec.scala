@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.vector.VectorOps
+
+/** Approximate k-NN graph: edges stay inside trained cells, ranks are
+  * dense and capped at K, the top neighbor is the true cell-mate argmax,
+  * and the graph is deterministic under repartitioning. */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val e = SimQueries.quantizedFrame(spark, dir).localCheckpoint()
+  private lazy val edges = SimQueries.qKnnGraph.fn(spark, dir)
+    .as[(Long, Long, Long, Long)].collect()   // (src, dst, dot, rnk)
+
+  /** Independent recomputation: cell of every vector and all cell-mate
+    * dots per source. */
+  private lazy val (cells, dots) = {
+    val cents = SimQueries.ivfTrain(e).localCheckpoint()
+    val m = e.join(SimQueries.ivfAssign1(e, cents)
+                     .select(col("vec_id").as("v"), col("c_id")),
+                   col("vec_id") === col("v"))
+      .select(col("vec_id"), col("c_id"), col("q")).localCheckpoint()
+    val cellMap = m.select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val a = m.select(col("vec_id").as("src"), col("c_id"), col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("c_id").as("cb"),
+                     col("q").as("qb"))
+    val all = a.join(b, col("c_id") === col("cb") && col("src") =!= col("dst"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .select("src", "dst", "dot").as[(Long, Long, Long)].collect()
+    (cellMap, all.groupBy(_._1))
+  }
+
+  test("edges connect cell-mates only, at most K per source, ranks dense") {
+    assert(edges.nonEmpty)
+    edges.foreach { case (src, dst, _, _) =>
+      assert(cells(src) === cells(dst), s"edge $src->$dst crosses cells")
+    }
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length <= 3)
+      assert(es.map(_._4).sorted.toSeq === (1L to es.length),
+        s"ranks not dense for src $src")
+      // rank must have exhausted the cell-mates before stopping short of K
+      if (es.length < 3)
+        assert(dots(src).length === es.length,
+          s"src $src has more cell-mates than emitted edges")
+    }
+  }
+
+  test("rank-1 edge is the true argmax over cell-mates (dot desc, dst asc)") {
+    edges.filter(_._4 == 1L).foreach { case (src, dst, dot, _) =>
+      val best = dots(src).maxBy(d => (d._3, -d._2))
+      assert((best._2, best._3) === ((dst, dot)),
+        s"src $src rank-1 edge mismatch")
+    }
+  }
+
+  test("deterministic under repartitioning") {
+    val again = SimQueries.qKnnGraph.fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSet === edges.toSet)
+  }
+}
