@@ -773,6 +773,72 @@ object SimQueries {
       |QUALIFY rnk <= $GraphK""".stripMargin)
   )
 
+  /**
+   * Semantic clustering: MUTUAL-kNN components over the
+   * [[qKnnGraph]] edges — two vectors connect iff each ranks the other
+   * in its top-K, the standard symmetrization that keeps hub vectors
+   * from chaining unrelated clusters (a one-directional edge to a hub is
+   * exactly what mutuality filters), then
+   * [[graft.operators.ConnectedComponents]] resolves min-id labels and
+   * every vector gets its cluster (singletons label themselves). The
+   * composition a curation pipeline runs for topic-level grouping,
+   * cluster-balanced sampling, and SemDeDup-style per-cluster budgets.
+   *
+   * Scale: the mutuality self-join is an equi-join on the (src, dst)
+   * pair key of an already-(n·K)-bounded edge list; the component loop
+   * inherits the measured three-regime posture of the dedup clusters
+   * (driver union-find under the broadcast bound, propagation loops
+   * past it).
+   */
+  val qSemanticClusters = Q(
+    "q_semantic_clusters",
+    (s, dir) => {
+      val edges = qKnnGraph.fn(s, dir).select("src", "dst")
+      val mutual = edges.as("x").join(
+          edges.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+            col("x.src") < col("x.dst"))
+        .select(col("x.src").as("a_id"), col("x.dst").as("b_id"))
+      val labels = graft.operators.ConnectedComponents.labels(mutual)
+      quantized(s, dir).select(col("vec_id"))
+        .join(labels, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+                coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+    },
+    Some(s"""$ivfCte,
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |),
+      |knn AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src
+      |                              ORDER BY dot DESC, dst ASC) AS rnk
+      |    FROM p) WHERE rnk <= $GraphK
+      |),
+      |mut AS (
+      |  SELECT k1.src AS a, k1.dst AS b
+      |  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+      |  WHERE k1.src < k1.dst
+      |),
+      |e2 AS (SELECT a AS s, b AS d FROM mut
+      |       UNION ALL SELECT b, a FROM mut),
+      |walk(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM e
+      |  UNION
+      |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
+      |)
+      |SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id"""
+      .stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+  )
+
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
-                        qIvfAppend, qKnnGraph)
+                        qIvfAppend, qKnnGraph, qSemanticClusters)
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Mutual-kNN semantic clustering: labels honor the mutual edge set
+  * (connected ⇒ same label, label = min member id), every vector is
+  * labeled, and the result is deterministic. */
+class SemanticClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val labels = SimQueries.qSemanticClusters.fn(spark, dir)
+    .as[(Long, Long)].collect().toMap // vec_id -> cluster_id
+
+  private lazy val mutual: Set[(Long, Long)] = {
+    val knn = SimQueries.qKnnGraph.fn(spark, dir)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    knn.collect { case (s, d) if s < d && knn.contains((d, s)) => (s, d) }
+  }
+
+  test("mutual-edge endpoints share a cluster; one-directional edges need not") {
+    assert(mutual.nonEmpty, "fixture must produce mutual edges")
+    mutual.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"mutual edge ($a,$b) split across clusters")
+    }
+  }
+
+  test("every vector is labeled; each label is its cluster's min member id") {
+    assert(labels.nonEmpty)
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl,
+        s"cluster $lbl labeled by a non-minimal member")
+    }
+  }
+
+  test("clusters are exactly the transitive closure of mutual edges") {
+    // independent union-find over the collected mutual edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    labels.keys.foreach(v => parent(v) = v)
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (v, lbl) =>
+      assert(find(v) === lbl, s"vec $v: label $lbl vs union-find ${find(v)}")
+    }
+  }
+
+  test("deterministic across re-runs") {
+    val again = SimQueries.qSemanticClusters.fn(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(again === labels)
+  }
+}
