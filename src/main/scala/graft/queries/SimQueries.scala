@@ -805,7 +805,15 @@ object SimQueries {
         .select(col("vec_id"),
                 coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
     },
-    Some(s"""$ivfCte,
+    Some(s"$semanticClustersCte\nSELECT vec_id, cluster_id FROM labels")
+  )
+
+  /** Shared oracle CTE chain ending in `labels(vec_id, cluster_id)` —
+    * the SQL replay of [[qSemanticClusters]], composed by
+    * [[qClusterSample]] (the `dedupedKeptCte` discipline: one statement
+    * of the cluster fixpoint, two gated consumers). */
+  private def semanticClustersCte: String =
+    s"""$ivfCte,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q
       |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
@@ -834,11 +842,56 @@ object SimQueries {
       |  SELECT vec_id, vec_id FROM e
       |  UNION
       |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
+      |),
+      |labels AS (
+      |  SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+      |)""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  /** Per-cluster budget for [[qClusterSample]]. */
+  private val ClusterBudget = 5
+
+  /**
+   * Cluster-balanced (diversity) sampling: at most `ClusterBudget`
+   * vectors per [[qSemanticClusters]] cluster, drawn as the md5-rank
+   * prefix — the downsampling pass that equalizes topic coverage
+   * (a head-heavy corpus keeps its tail: every cluster contributes up
+   * to the same budget regardless of size, the SemDeDup/diversity-
+   * sampling recipe after semantic grouping). Deterministic under any
+   * partitioning via the salted-hash order; a new salt is a fresh draw.
+   *
+   * Scale: the rank window partitions by CLUSTER — cluster count grows
+   * with the corpus (mutual-kNN components are locally bounded), so the
+   * window scales out; a degenerate giant cluster costs one partition
+   * of its own size, the same skew class every per-group operator in
+   * this library documents.
+   */
+  val qClusterSample = Q(
+    "q_cluster_sample",
+    (s, dir) => {
+      val labels = qSemanticClusters.fn(s, dir)
+      val wRank = Window.partitionBy("cluster_id")
+        .orderBy(col("h").asc, col("vec_id").asc)
+      labels
+        .withColumn("h", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .filter(col("rn") <= ClusterBudget)
+        .select("vec_id", "cluster_id", "rn")
+    },
+    Some(s"""$semanticClustersCte,
+      |cs AS (
+      |  SELECT vec_id, cluster_id,
+      |         md5('cs:' || CAST(vec_id AS VARCHAR)) AS h
+      |  FROM labels
       |)
-      |SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id"""
-      .stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "))
+      |SELECT vec_id, cluster_id,
+      |       CAST(row_number() OVER (PARTITION BY cluster_id
+      |                               ORDER BY h ASC, vec_id ASC) AS BIGINT)
+      |         AS rn
+      |FROM cs
+      |QUALIFY rn <= $ClusterBudget""".stripMargin)
   )
 
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
-                        qIvfAppend, qKnnGraph, qSemanticClusters)
+                        qIvfAppend, qKnnGraph, qSemanticClusters,
+                        qClusterSample)
 }

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Cluster-balanced sampling: every cluster is represented up to the
+  * budget, ranks are the dense hash-order prefix, and the draw is
+  * deterministic. */
+class ClusterSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val labels = SimQueries.qSemanticClusters.fn(spark, dir)
+    .as[(Long, Long)].collect()
+  private lazy val sample = SimQueries.qClusterSample.fn(spark, dir)
+    .as[(Long, Long, Long)].collect()   // (vec_id, cluster_id, rn)
+
+  test("every cluster contributes min(size, budget) rows with dense ranks") {
+    val sizes = labels.groupBy(_._2).view.mapValues(_.length).toMap
+    val drawn = sample.groupBy(_._2)
+    assert(drawn.keySet === sizes.keySet, "every cluster must be represented")
+    drawn.foreach { case (cid, rows) =>
+      assert(rows.length === math.min(sizes(cid), 5),
+        s"cluster $cid drew ${rows.length} of ${sizes(cid)}")
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length))
+    }
+  }
+
+  test("sampled members carry their own cluster label") {
+    val lbl = labels.toMap
+    sample.foreach { case (v, cid, _) => assert(lbl(v) === cid) }
+  }
+
+  test("head-heavy equalization: no cluster exceeds the budget") {
+    assert(sample.groupBy(_._2).values.forall(_.length <= 5))
+    assert(labels.groupBy(_._2).values.exists(_.length > 5),
+      "fixture must contain at least one over-budget cluster for the test to bite")
+  }
+
+  test("deterministic across re-runs") {
+    val again = SimQueries.qClusterSample.fn(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet === sample.toSet)
+  }
+}
