@@ -347,9 +347,84 @@ object GraftTableFunctions {
     }
   )
 
+  /** Quantized `(vec_id, q)` frame for a registered embeddings view —
+    * shared by the vector-family TVFs. */
+  private def quantizedTable(fn: String, args: Seq[Expression]):
+      org.apache.spark.sql.DataFrame =
+    active.table(strArg(args, 0, fn))
+      .select(col("vec_id"),
+              graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+
+  /** `graft_knn_graph(vecsTable, k)` — every vector's top-k nearest
+    * trained-cell-mates ([[graft.queries.SimQueries.knnGraphOf]]). */
+  val knnGraph: TVF = (
+    new FunctionIdentifier("graft_knn_graph"),
+    info("graft_knn_graph", "graft_knn_graph(vecsTable, 3)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_knn_graph"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val k = longArg(args, 1, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      graft.queries.SimQueries.knnGraphOf(quantizedTable(fn, args), k.toInt)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_semantic_clusters(vecsTable, k)` — mutual-kNN component
+    * labels ([[graft.queries.SimQueries.semanticClustersOf]]). */
+  val semanticClusters: TVF = (
+    new FunctionIdentifier("graft_semantic_clusters"),
+    info("graft_semantic_clusters", "graft_semantic_clusters(vecsTable, 3)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_semantic_clusters"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val k = longArg(args, 1, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      graft.queries.SimQueries
+        .semanticClustersOf(quantizedTable(fn, args), k.toInt)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_cluster_sample(vecsTable, k, budget)` — cluster-balanced
+    * diversity sample ([[graft.queries.SimQueries.clusterSampleOf]]). */
+  val clusterSample: TVF = (
+    new FunctionIdentifier("graft_cluster_sample"),
+    info("graft_cluster_sample", "graft_cluster_sample(vecsTable, 3, 5)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_cluster_sample"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      val k = longArg(args, 1, fn)
+      val budget = longArg(args, 2, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      require(budget > 0 && budget <= Int.MaxValue,
+              s"$fn: budget out of range: $budget")
+      graft.queries.SimQueries
+        .clusterSampleOf(quantizedTable(fn, args), k.toInt,
+                         budget = budget.toInt)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_hll(docsTable, groupCol)` — the HLL register table of the
+    * group column's distinct-`text` sketch
+    * ([[graft.queries.TextStatsQueries.hllRegisters]]). */
+  val hll: TVF = (
+    new FunctionIdentifier("graft_hll"),
+    info("graft_hll", "graft_hll(docsTable, 'lang')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_hll"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.TextStatsQueries.hllRegisters(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
-                          spanDedup, semanticDedup, bm25, mixtureSample)
+                          spanDedup, semanticDedup, bm25, mixtureSample,
+                          knnGraph, semanticClusters, clusterSample, hll)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

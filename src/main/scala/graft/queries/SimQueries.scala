@@ -734,26 +734,7 @@ object SimQueries {
    */
   val qKnnGraph = Q(
     "q_knn_graph",
-    (s, dir) => {
-      val e = quantized(s, dir)
-      val cents = ivfTrain(e).localCheckpoint()
-      val m = checkpointCompact(
-        e.join(ivfAssign1(e, cents)
-                 .select(col("vec_id").as("m_vid"), col("c_id")),
-               col("vec_id") === col("m_vid"))
-          .select(col("vec_id"), col("c_id").as("cell"), col("q")))
-      val a = m.select(col("vec_id").as("src"), col("cell"),
-                       col("q").as("qa"))
-      val b = m.select(col("vec_id").as("dst"), col("cell").as("cell_b"),
-                       col("q").as("qb"))
-      val wRank = Window.partitionBy("src")
-        .orderBy(col("dot").desc, col("dst").asc)
-      a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
-        .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= GraphK)
-        .select("src", "dst", "dot", "rnk")
-    },
+    (s, dir) => knnGraphOf(quantized(s, dir)),
     Some(s"""$ivfCte,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q
@@ -772,6 +753,29 @@ object SimQueries {
       |FROM p
       |QUALIFY rnk <= $GraphK""".stripMargin)
   )
+
+  /** [[qKnnGraph]]'s body over an ARBITRARY quantized `(vec_id, q, …)`
+    * frame — the library/TVF entry point (`k`, `cellCap` free). */
+  private[graft] def knnGraphOf(e: DataFrame, k: Int = GraphK,
+                                cellCap: Long = MaxCents): DataFrame = {
+    val cents = ivfTrain(e, cellCap).localCheckpoint()
+    val m = checkpointCompact(
+      e.join(ivfAssign1(e, cents)
+               .select(col("vec_id").as("m_vid"), col("c_id")),
+             col("vec_id") === col("m_vid"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("q")))
+    val a = m.select(col("vec_id").as("src"), col("cell"),
+                     col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("cell").as("cell_b"),
+                     col("q").as("qb"))
+    val wRank = Window.partitionBy("src")
+      .orderBy(col("dot").desc, col("dst").asc)
+    a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("src", "dst", "dot", "rnk")
+  }
 
   /**
    * Semantic clustering: MUTUAL-kNN components over the
@@ -792,21 +796,25 @@ object SimQueries {
    */
   val qSemanticClusters = Q(
     "q_semantic_clusters",
-    (s, dir) => {
-      val edges = qKnnGraph.fn(s, dir).select("src", "dst")
-      val mutual = edges.as("x").join(
-          edges.as("y"),
-          col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
-            col("x.src") < col("x.dst"))
-        .select(col("x.src").as("a_id"), col("x.dst").as("b_id"))
-      val labels = graft.operators.ConnectedComponents.labels(mutual)
-      quantized(s, dir).select(col("vec_id"))
-        .join(labels, col("vec_id") === col("id"), "left")
-        .select(col("vec_id"),
-                coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
-    },
+    (s, dir) => semanticClustersOf(quantized(s, dir)),
     Some(s"$semanticClustersCte\nSELECT vec_id, cluster_id FROM labels")
   )
+
+  /** [[qSemanticClusters]]'s body over an ARBITRARY quantized frame. */
+  private[graft] def semanticClustersOf(e: DataFrame, k: Int = GraphK,
+                                        cellCap: Long = MaxCents): DataFrame = {
+    val edges = knnGraphOf(e, k, cellCap).select("src", "dst")
+    val mutual = edges.as("x").join(
+        edges.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("a_id"), col("x.dst").as("b_id"))
+    val labels = graft.operators.ConnectedComponents.labels(mutual)
+    e.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+              coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+  }
 
   /** Shared oracle CTE chain ending in `labels(vec_id, cluster_id)` —
     * the SQL replay of [[qSemanticClusters]], composed by
@@ -867,16 +875,7 @@ object SimQueries {
    */
   val qClusterSample = Q(
     "q_cluster_sample",
-    (s, dir) => {
-      val labels = qSemanticClusters.fn(s, dir)
-      val wRank = Window.partitionBy("cluster_id")
-        .orderBy(col("h").asc, col("vec_id").asc)
-      labels
-        .withColumn("h", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
-        .withColumn("rn", row_number().over(wRank).cast("long"))
-        .filter(col("rn") <= ClusterBudget)
-        .select("vec_id", "cluster_id", "rn")
-    },
+    (s, dir) => clusterSampleOf(quantized(s, dir)),
     Some(s"""$semanticClustersCte,
       |cs AS (
       |  SELECT vec_id, cluster_id,
@@ -890,6 +889,19 @@ object SimQueries {
       |FROM cs
       |QUALIFY rn <= $ClusterBudget""".stripMargin)
   )
+
+  /** [[qClusterSample]]'s body over an ARBITRARY quantized frame. */
+  private[graft] def clusterSampleOf(e: DataFrame, k: Int = GraphK,
+                                     cellCap: Long = MaxCents,
+                                     budget: Int = ClusterBudget): DataFrame = {
+    val wRank = Window.partitionBy("cluster_id")
+      .orderBy(col("h").asc, col("vec_id").asc)
+    semanticClustersOf(e, k, cellCap)
+      .withColumn("h", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= budget)
+      .select("vec_id", "cluster_id", "rn")
+  }
 
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,

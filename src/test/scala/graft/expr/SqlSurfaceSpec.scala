@@ -264,6 +264,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sum.getMessage.contains("sum to 100"))
   }
 
+  test("vector-family TVFs ≡ their Scala operators; graft_hll ≡ hllRegisters") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.{SimQueries, TextStatsQueries}
+    val vecs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+                                         "embeddings")
+    val e = vecs.select(col("vec_id"),
+                        graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+    vecs.createOrReplaceTempView("vecs")
+    val g = spark.sql("SELECT * FROM graft_knn_graph('vecs', 3)")
+    assert(g.collect().toSet === SimQueries.knnGraphOf(e, 3).collect().toSet)
+    val c = spark.sql("SELECT * FROM graft_semantic_clusters('vecs', 3)")
+    assert(c.collect().toSet ===
+      SimQueries.semanticClustersOf(e, 3).collect().toSet)
+    val sm = spark.sql("SELECT * FROM graft_cluster_sample('vecs', 3, 5)")
+    assert(sm.collect().toSet ===
+      SimQueries.clusterSampleOf(e, 3, budget = 5).collect().toSet)
+
+    val docs = Seq((1L, "en", "alpha beta"), (2L, "en", "alpha beta"),
+                   (3L, "de", "gamma")).toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("hll_docs")
+    val h = spark.sql("SELECT * FROM graft_hll('hll_docs', 'lang')")
+    assert(h.collect().toSet ===
+      TextStatsQueries.hllRegisters(docs, "lang").collect().toSet)
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")
