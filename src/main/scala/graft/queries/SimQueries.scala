@@ -903,7 +903,43 @@ object SimQueries {
       .select("vec_id", "cluster_id", "rn")
   }
 
+  /**
+   * Embedding-space profiling: per-label member counts and the
+   * integer-exact squared-norm distribution (floor-mean, min, max over
+   * the quantized vectors) — the first-look corpus health pass for an
+   * embedding table (collapsed labels, dead/zero vectors, and norm
+   * drift between ingestion batches all show up here before any index
+   * is built). One map-side-combinable aggregate over (label); sums
+   * stay under 2⁵³ by the quantization bound, so the floor-divide mean
+   * replays exactly.
+   */
+  val qEmbedStats = Q(
+    "q_embed_stats",
+    (s, dir) => {
+      val e = Tables.read(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+                VectorOps.intNormSq(VectorOps.quantize(col("embedding")))
+                  .as("nsq"))
+      e.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+             expr("sum(nsq) div count(1)").as("mean_nsq"),
+             min("nsq").as("min_nsq"), max("nsq").as("max_nsq"))
+    },
+    Some("""WITH n AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         CAST(list_sum(list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |                * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+      |           AS BIGINT) AS nsq
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |       CAST(SUM(nsq) AS BIGINT) // COUNT(*) AS mean_nsq,
+      |       MIN(nsq) AS min_nsq, MAX(nsq) AS max_nsq
+      |FROM n GROUP BY label""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
-                        qClusterSample)
+                        qClusterSample, qEmbedStats)
 }
