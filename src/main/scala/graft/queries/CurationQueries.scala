@@ -423,7 +423,8 @@ object CurationQueries {
       |  SELECT * FROM (VALUES ${MixWeights.map { case (l, p) => s"('$l', $p)" }
                                            .mkString(", ")}) AS t(lang, wt)
       |), d AS (
-      |  SELECT doc_id, documents.lang, md5('mix:' || text) AS h, wt
+      |  SELECT doc_id, documents.lang,
+      |         md5('mix:' || COALESCE(text, '')) AS h, wt
       |  FROM documents JOIN w ON documents.lang = w.lang
       |), c AS (
       |  SELECT w.lang, CAST(COUNT(d.doc_id) AS BIGINT) AS n,
@@ -454,9 +455,13 @@ object CurationQueries {
     val s = d0.sparkSession
     import s.implicits._
     val wdf = broadcast(weights.toDF(groupCol, "wt"))
+    // coalesce: a null text must still hash to a total-order key — a
+    // null h would sort nulls-first in Spark but nulls-LAST in DuckDB,
+    // silently moving the draw boundary between engines
     val d = d0
       .select(col("doc_id"), col(groupCol),
-              md5(concat(lit("mix:"), col("text"))).as("h"))
+              md5(concat(lit("mix:"), coalesce(col("text"), lit(""))))
+                .as("h"))
       .join(wdf, Seq(groupCol))
     // group counts anchored on the WEIGHT list, not the corpus: a target
     // group absent from the corpus must drive T to 0 (exact mixture

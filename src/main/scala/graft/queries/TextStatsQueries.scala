@@ -435,6 +435,7 @@ object TextStatsQueries {
     (s, dir) => hllRegisters(docs(s, dir), "lang"),
     Some(s"""WITH h AS (
       |  SELECT lang, ${DedupQueries.hex32("md5(text)")} AS v FROM documents
+      |  WHERE text IS NOT NULL
       |), r AS (
       |  SELECT lang, CAST(v % $HllM AS BIGINT) AS reg, v // $HllM AS w
       |  FROM h
@@ -455,6 +456,10 @@ object TextStatsQueries {
     * (see [[StreamingQueries.qStreamHll]]). */
   private[graft] def hllRows(d: DataFrame, groupCol: String): DataFrame =
     d.select(col(groupCol), TextOps.md5Prefix32(md5(col("text"))).as("v"))
+      // COUNT(DISTINCT) semantics: a null text is no observation — and
+      // a null v would otherwise flow into a (group, NULL, NULL) row
+      // whose cross-engine null-sorting/stringification is undefined
+      .filter(col("v").isNotNull)
       .withColumn("reg", col("v") % HllM)
       .withColumn("w", expr(s"v div $HllM"))
       .withColumn("rho",
@@ -553,7 +558,7 @@ object TextStatsQueries {
     Some(s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL
       |), st AS (
       |  SELECT COUNT(*) AS n_docs,
       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
@@ -589,7 +594,11 @@ object TextStatsQueries {
     * runs. */
   private[graft] def bm25Rank(d0: DataFrame, terms: Seq[String],
                               k: Int): DataFrame = {
-    val d = d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // null-text docs can match no term; excluding them up front keeps
+    // them out of n_docs/avgdl too (a null dl would silently skew the
+    // length normalization for every scored document)
+    val d = d0.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = d.agg(count(lit(1)).as("n_docs"),
                       sum("dl").as("tot_tok"))

@@ -55,4 +55,14 @@ class Bm25Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(again === ranked.toSet)
   }
+
+  test("null-text docs are outside the corpus: scores unchanged, never ranked") {
+    val withNull = corpus.union(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val scored = TextStatsQueries.bm25Rank(withNull, Seq("x", "y"), 10)
+      .as[(Long, Long, Long)].collect()
+    assert(!scored.exists(_._1 == 99L))
+    assert(scored.toSet === ranked.toSet,
+      "a null doc must not perturb n_docs/avgdl for everyone else")
+  }
 }

@@ -62,4 +62,13 @@ class HllRegistersSpec extends SparkSpec {
       corpus.union(corpus), "lang"))
     assert(doubled === full)
   }
+
+  test("null text is no observation (COUNT DISTINCT semantics)") {
+    val withNulls = corpus.union(
+      Seq((9000L, "en", null.asInstanceOf[String]),
+          (9001L, "fr", null.asInstanceOf[String]))
+        .toDF("doc_id", "lang", "text"))
+    assert(registers(TextStatsQueries.hllRegisters(withNulls, "lang")) === full,
+      "null-text rows must not add registers or groups")
+  }
 }

@@ -45,6 +45,19 @@ class MixtureSampleSpec extends SparkSpec {
     assert(again.toSet === sample.toSet)
   }
 
+  test("null text gets a total-order hash key (still sampleable, deterministic)") {
+    val withNull = corpus.union(
+      Seq((400L, "en", null.asInstanceOf[String])).toDF("doc_id", "lang", "text"))
+    val s1 = CurationQueries.mixtureSample(withNull, "lang", weights)
+      .as[(Long, String, Long)].collect().toSet
+    val s2 = CurationQueries.mixtureSample(withNull.repartition(3), "lang", weights)
+      .as[(Long, String, Long)].collect().toSet
+    assert(s1 === s2)
+    // en count grew 30 -> 31: T = min(62, 33, 15) = 15 still fr-bound,
+    // keeps (7, 4, 3) — the null doc competes in the draw like any other
+    assert(s1.count(_._2 == "en") === 7)
+  }
+
   test("a scarce group takes the whole corpus down to feasibility, not past it") {
     // with fr absent from the corpus the fr row count is 0 -> T=0, empty draw
     val noFr = corpus.filter($"lang" =!= "fr")

@@ -47,6 +47,16 @@ class SpanDedupSpec extends SparkSpec {
     out.values.foreach { case (_, kept, total) => assert(kept <= total) }
   }
 
+  test("null text survives as an empty row, never a crash or a dropped doc") {
+    val withNull = corpus.union(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val o = DedupQueries.spanDedup(withNull)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o(9L) === (("", 0L, 0L)))
+    assert((o - 9L) === out)
+  }
+
   test("deterministic under repartitioning") {
     val again = DedupQueries.spanDedup(corpus.repartition(5))
       .as[(Long, String, Long, Long)].collect()
