@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.vector.VectorOps
+
+/** Embedding-space profiling: the aggregate must equal a by-hand fold
+  * over the collected quantized norms (floor-div mean, exact min/max,
+  * full label coverage). */
+class EmbedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val stats = SimQueries.qEmbedStats.fn(spark, dir)
+    .as[(Long, Long, Long, Long, Long)].collect()
+    .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  private lazy val byHand = Tables.read(spark, dir, "embeddings")
+    .select(col("label").cast("long"),
+            VectorOps.intNormSq(VectorOps.quantize(col("embedding"))).as("nsq"))
+    .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  test("per-label stats equal the by-hand fold (floor-div mean, min, max)") {
+    assert(stats.keySet === byHand.keySet, "every label must be profiled")
+    byHand.foreach { case (label, ns) =>
+      val (n, mean, mn, mx) = stats(label)
+      assert(n === ns.length)
+      assert(mean === ns.sum / ns.length) // Long floor division, exact
+      assert(mn === ns.min && mx === ns.max)
+    }
+  }
+
+  test("norm bounds are sane for the quantized fixture (no dead labels)") {
+    stats.values.foreach { case (n, mean, mn, mx) =>
+      assert(n > 0 && mn > 0 && mn <= mean && mean <= mx)
+    }
+  }
+}
