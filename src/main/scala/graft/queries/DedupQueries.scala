@@ -1323,21 +1323,37 @@ object DedupQueries {
     * STRINGS on `h` and re-grouped them by doc_id — two corpus-text
     * shuffles that this shape deletes; end-to-end parquet dump at the
     * 2 M-doc soak measured in BASELINE.md round-13.) */
-  private[graft] def spanDedup(d0: DataFrame): DataFrame = {
-    // the empty-token guard mirrors TextOps.shinglesHof: Spark's
-    // sequence(0, -1) yields a DESCENDING array, not an empty one
-    val d = d0
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+  /** `(doc_id, chunks)` — the shared span chunker: non-overlapping
+    * `SpanTokens`-token spans per document. The empty-token guard
+    * mirrors TextOps.shinglesHof: Spark's sequence(0, -1) yields a
+    * DESCENDING array, not an empty one. */
+  private def spanChunks(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("chunks", when(size(col("toks")) > 0,
           expr(s"transform(sequence(0, cast(ceil(size(toks) / $SpanTokens.0) as int) - 1)," +
                s" i -> array_join(slice(toks, i*$SpanTokens+1, $SpanTokens), ' '))"))
         .otherwise(array().cast("array<string>")))
-    val ch = d.select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("chunks"))
+
+  /** `(doc_id, pos, h)` — the compact exploded span-hash triples. */
+  private def spanHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), posexplode(col("chunks")))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+
+  private[graft] def spanDedup(d0: DataFrame): DataFrame = {
+    val d = spanChunks(d0)
+    val ch = spanHashes(d)
     val keptPos = ch.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
       .groupBy(col("o.doc_id").as("doc_id"))
       .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+    reassembleSpans(d, keptPos)
+  }
+
+  /** Rebuild `(doc_id, clean_text, kept_chunks, total_chunks)` from the
+    * chunk arrays and a `(doc_id, kept_pos)` keeper list — the shared
+    * tail of [[spanDedup]] and [[spanDedupAgainstCorpus]]. */
+  private def reassembleSpans(d: DataFrame, keptPos: DataFrame): DataFrame =
     d.join(keptPos, Seq("doc_id"), "left")
       .withColumn("kp", coalesce(col("kept_pos"), array().cast("array<int>")))
       .select(col("doc_id"),
@@ -1346,7 +1362,79 @@ object DedupQueries {
                 .as("clean_text"),
               size(col("kp")).cast("long").as("kept_chunks"),
               size(col("chunks")).cast("long").as("total_chunks"))
+
+  /**
+   * INCREMENTAL span dedup: clean an ARRIVING batch against the span
+   * index of an existing corpus — the span-granular sibling of
+   * [[dedupAgainstCorpus]] (which drops whole duplicate documents,
+   * where this strips duplicated SPANS and keeps the novel remainder —
+   * the crawl-refresh case: a re-crawled page with one new paragraph
+   * contributes exactly that paragraph). A batch span survives iff its
+   * hash is absent from the corpus span set (compact-key anti-join —
+   * the corpus side reduces to 16-byte distinct hashes, never text)
+   * AND it is the batch's own first occurrence (the [[spanDedup]]
+   * min-(doc_id, pos) rule, so intra-batch boilerplate dies too).
+   * Output rows cover every batch document, reassembled.
+   */
+  private[graft] def spanDedupAgainstCorpus(corpus: DataFrame,
+                                            batch: DataFrame): DataFrame = {
+    val corpusH = spanHashes(spanChunks(corpus)).select("h").distinct()
+    val d = spanChunks(batch)
+    val keptPos = spanHashes(d)
+      .join(corpusH, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+    reassembleSpans(d, keptPos)
   }
+
+  /** The arriving-batch convention of the incremental gates: doc_id % 5
+    * == 4 arrives, the rest is the standing corpus. */
+  val qSpanIncremental = Q(
+    "q_span_incremental",
+    (s, dir) => {
+      val docs = docsDistributed(s, dir)
+      spanDedupAgainstCorpus(docs.filter(col("doc_id") % 5 =!= 4),
+                             docs.filter(col("doc_id") % 5 === 4))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) > 0 THEN
+      |           list_transform(
+      |             generate_series(0, CAST(CEIL(len(toks) / $SpanTokens.0) AS BIGINT) - 1),
+      |             i -> array_to_string(toks[i*$SpanTokens+1 : i*$SpanTokens+$SpanTokens], ' '))
+      |         ELSE [] END AS chunks
+      |  FROM d
+      |), ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         unnest(generate_series(0, len(chunks) - 1)) AS pos
+      |  FROM c0
+      |), corpus_h AS (
+      |  SELECT DISTINCT md5(chunk) AS h FROM ch WHERE doc_id % 5 <> 4
+      |), fresh AS (
+      |  SELECT doc_id, pos, chunk, md5(chunk) AS h
+      |  FROM ch WHERE doc_id % 5 = 4
+      |    AND md5(chunk) NOT IN (SELECT h FROM corpus_h)
+      |), own AS (
+      |  SELECT doc_id, pos, chunk,
+      |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM fresh
+      |), kept AS (
+      |  SELECT doc_id, pos, chunk FROM own WHERE rn = 1
+      |), rb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT c0.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
+      |       CAST(len(c0.chunks) AS BIGINT) AS total_chunks
+      |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id
+      |WHERE c0.doc_id % 5 = 4""".stripMargin)
+  )
 
   /** 13 tokens — the GPT-3/Pile convention for exact-overlap
     * decontamination. */
@@ -1662,6 +1750,6 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSpanDedup,
-    qDedupIncremental, qDedupBloom
+    qSpanIncremental, qDedupIncremental, qDedupBloom
   )
 }

@@ -63,4 +63,27 @@ class SpanDedupSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again === out)
   }
+
+  test("incremental: batch spans die against the corpus index AND within the batch") {
+    val standing = Seq((1L, s"$span ${fill("a", 20)}")).toDF("doc_id", "text")
+    val batch = Seq(
+      // corpus-dup span + a novel tail -> only the tail survives
+      (10L, s"$span ${fill("n", 20)}"),
+      // batch-internal dup of 10's novel span + own content: novel span
+      // already owned by doc 10 (lower id), own content kept
+      (11L, s"${fill("n", 20)} ${fill("m", 5)}"),
+      // fully duplicated against the corpus -> empty survivor
+      (12L, span),
+      // untouched
+      (13L, fill("z", 7))
+    ).toDF("doc_id", "text")
+    val o = DedupQueries.spanDedupAgainstCorpus(standing, batch)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(o.keySet === Set(10L, 11L, 12L, 13L), "all batch docs emitted")
+    assert(o(10L) === ((fill("n", 20), 1L, 2L)))
+    assert(o(11L) === ((fill("m", 5), 1L, 2L)))
+    assert(o(12L) === (("", 0L, 1L)))
+    assert(o(13L) === ((fill("z", 7), 1L, 1L)))
+  }
 }
