@@ -1327,7 +1327,7 @@ object DedupQueries {
     * `SpanTokens`-token spans per document. The empty-token guard
     * mirrors TextOps.shinglesHof: Spark's sequence(0, -1) yields a
     * DESCENDING array, not an empty one. */
-  private def spanChunks(d0: DataFrame): DataFrame =
+  private[queries] def spanChunks(d0: DataFrame): DataFrame =
     d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("chunks", when(size(col("toks")) > 0,
           expr(s"transform(sequence(0, cast(ceil(size(toks) / $SpanTokens.0) as int) - 1)," +
@@ -1336,7 +1336,7 @@ object DedupQueries {
       .select(col("doc_id"), col("chunks"))
 
   /** `(doc_id, pos, h)` — the compact exploded span-hash triples. */
-  private def spanHashes(d: DataFrame): DataFrame =
+  private[queries] def spanHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"), posexplode(col("chunks")))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
 
@@ -1353,7 +1353,7 @@ object DedupQueries {
   /** Rebuild `(doc_id, clean_text, kept_chunks, total_chunks)` from the
     * chunk arrays and a `(doc_id, kept_pos)` keeper list — the shared
     * tail of [[spanDedup]] and [[spanDedupAgainstCorpus]]. */
-  private def reassembleSpans(d: DataFrame, keptPos: DataFrame): DataFrame =
+  private[queries] def reassembleSpans(d: DataFrame, keptPos: DataFrame): DataFrame =
     d.join(keptPos, Seq("doc_id"), "left")
       .withColumn("kp", coalesce(col("kept_pos"), array().cast("array<int>")))
       .select(col("doc_id"),

@@ -486,7 +486,46 @@ object StreamingQueries {
     TextStatsQueries.qHllRegisters.oracle
   )
 
+  /**
+   * Streaming INCREMENTAL span dedup, gated against the batch oracle
+   * (`q_span_incremental`'s SQL verbatim — the two faces can never
+   * drift): arriving documents are chunked, hashed, and anti-joined
+   * against the FROZEN corpus span index per micro-batch — all
+   * stateless (chunk/hash are projections, the stream-static left-anti
+   * join needs no state store, the index is materialized once before
+   * the stream starts, the deployment's offline step). The appended
+   * survivor triples are compact `(doc_id, pos, h)` — never text — and
+   * the batch-internal first-occurrence rule + reassembly run at
+   * compaction (the [[qStreamHll]] pattern: per-arrival work streams,
+   * order-insensitive merge work compacts downstream at any cadence).
+   */
+  val qStreamSpan = Q(
+    "q_stream_span",
+    (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val corpusH = DedupQueries.spanHashes(DedupQueries.spanChunks(
+          docs.filter(col("doc_id") % 5 =!= 4)))
+        .select("h").distinct().localCheckpoint()
+      val arriving = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+      val fresh = DedupQueries
+        .spanHashes(DedupQueries.spanChunks(arriving))
+        .join(corpusH, Seq("h"), "left_anti")
+        .select("doc_id", "pos", "h")
+      val sunk = runToSink(s, dir, fresh, "graft_q_stream_span")
+      val keptPos = sunk.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+        .groupBy(col("o.doc_id").as("doc_id"))
+        .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+      DedupQueries.reassembleSpans(
+        DedupQueries.spanChunks(docs.filter(col("doc_id") % 5 === 4)),
+        keptPos)
+    },
+    DedupQueries.qSpanIncremental.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
-                        qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll)
+                        qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
+                        qStreamSpan)
 }
