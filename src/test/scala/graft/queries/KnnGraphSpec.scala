@@ -64,4 +64,39 @@ class KnnGraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.toSet === edges.toSet)
   }
+
+  test("measured recall@3 vs exact all-pairs kNN (the nprobe=1 tradeoff)") {
+    val a = e.select(col("vec_id").as("src"), col("q").as("qa"))
+    val b = e.select(col("vec_id").as("dst"), col("q").as("qb"))
+    val exact = a.join(b, col("src") =!= col("dst"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .select("src", "dst", "dot").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet).toMap
+    val approx = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def recallOf(g: Map[Long, Set[Long]]): Double = {
+      val hits = g.toSeq.map { case (src, ns) => (ns & exact(src)).size }.sum
+      hits.toDouble / g.toSeq.map { case (src, _) => exact(src).size }.sum
+    }
+    val recall = recallOf(approx)
+    info(f"knn-graph recall@3 vs exact: $recall%.3f (default cells)")
+    // the fixture's embeddings are near-RANDOM (the adversarial case for
+    // any locality bucketing — real semantic corpora cluster, which is
+    // the premise of IVF/SemDeDup); ~0.5 here is the geometry, not a
+    // bug, and the floor guards collapse, not excellence
+    assert(recall >= 0.4,
+      f"cell-local kNN recall $recall%.3f collapsed below the useful range")
+    // the cell-granularity knob must move recall the documented
+    // direction: FINER cells see fewer true neighbors. At 500 fixture
+    // vectors the default stride floor yields 3 cells (~167 members);
+    // cellCap=8 forces stride 63 → 8 cells (~62 members) — finer.
+    val fine = SimQueries.knnGraphOf(e, 3, cellCap = 8L)
+      .select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fineRecall = recallOf(fine)
+    info(f"knn-graph recall@3 at cellCap=8 (finer cells): $fineRecall%.3f")
+    assert(fineRecall < recall,
+      "finer cells must lower recall (the documented cost/recall knob)")
+  }
 }

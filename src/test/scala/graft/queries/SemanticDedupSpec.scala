@@ -84,4 +84,28 @@ class SemanticDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(shuffled === kept)
   }
+
+  test("measured recall vs exhaustive all-pairs (the documented cell tradeoff)") {
+    // ground truth: drop iff ANY lower-id vector corpus-wide is cosine-
+    // similar — the all-pairs rule the cell bucketing approximates
+    val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"),
+                     VectorOps.intNormSq(col("q")).as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"),
+                     VectorOps.intNormSq(col("q")).as("nb"))
+    val trueDropped = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+      .select(col("b_id")).distinct().as[Long].collect().toSet
+    val cellDropped = {
+      val all = e.select("vec_id").as[Long].collect().toSet
+      all -- kept.keySet
+    }
+    assert(cellDropped.subsetOf(trueDropped),
+      "cell bucketing must never drop a vector all-pairs would keep")
+    val recall = cellDropped.size.toDouble / trueDropped.size
+    info(f"semantic-dedup drop recall vs all-pairs: $recall%.3f " +
+         f"(${cellDropped.size}/${trueDropped.size})")
+    assert(recall >= 0.5,
+      f"cell-bounded dedup recall $recall%.3f collapsed below the useful range")
+  }
 }
