@@ -1389,6 +1389,69 @@ object DedupQueries {
     reassembleSpans(d, keptPos)
   }
 
+  /**
+   * Corpus snapshot DIFF: compare two corpus versions by doc_id and
+   * normalized content hash — the ingest-audit pass a pipeline runs
+   * between crawl refreshes ("what did this drop actually change?")
+   * and the input to incremental downstream recomputation (only
+   * `added`/`changed` documents need re-scoring, re-embedding,
+   * re-dedup). Emits one row per NON-identical document: `added`
+   * (only in new), `removed` (only in old), `changed` (both, different
+   * normalized content). Unchanged documents are deliberately absent —
+   * at 100 TB the diff is the small output, and the comparison ships
+   * 16-byte hashes through one full-outer equi-join on doc_id, never
+   * document text.
+   */
+  private[graft] def corpusDiff(old: DataFrame, newer: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), TextOps.contentHash(col("text")).as("oh"))
+    val n = newer.select(col("doc_id"), TextOps.contentHash(col("text")).as("nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") =!= col("nh"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+  }
+
+  /** Deterministic version derivation for the gate: the OLD snapshot
+    * drops doc_id % 7 == 1 (those become `added`) and reverses the text
+    * of % 7 == 2 (those become `changed` — reversal survives the
+    * case/whitespace normalization that e.g. uppercasing would not);
+    * the NEW snapshot drops % 7 == 3 (those become `removed`). */
+  val qCorpusDiff = Q(
+    "q_corpus_diff",
+    (s, dir) => {
+      val docs = docsDistributed(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"),
+                when(col("doc_id") % 7 === 2, reverse(col("text")))
+                  .otherwise(col("text")).as("text"))
+      val newer = docs.filter(col("doc_id") % 7 =!= 3)
+      corpusDiff(old, newer)
+    },
+    Some("""WITH o AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(
+      |           CASE WHEN doc_id % 7 = 2 THEN reverse(text) ELSE text END
+      |         )), '\s+', ' ', 'g')) AS oh
+      |  FROM documents WHERE doc_id % 7 <> 1
+      |), n AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |), j AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, oh, nh
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN oh IS NULL THEN 'added'
+      |            WHEN nh IS NULL THEN 'removed'
+      |            WHEN oh <> nh THEN 'changed' END AS status
+      |FROM j
+      |WHERE (oh IS NULL OR nh IS NULL OR oh <> nh)""".stripMargin)
+  )
+
   /** The arriving-batch convention of the incremental gates: doc_id % 5
     * == 4 arrives, the rest is the standing corpus. */
   val qSpanIncremental = Q(
@@ -1750,6 +1813,6 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSpanDedup,
-    qSpanIncremental, qDedupIncremental, qDedupBloom
+    qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff
   )
 }

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Corpus snapshot diff: exact added/removed/changed classification,
+  * normalization-aware change detection, and silence on identical
+  * documents. */
+class CorpusDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val old = Seq(
+    (1L, "stable text"),
+    (2L, "original second version"),
+    (3L, "to be removed"),
+    (4L, "  Stable  CASE and spacing  ")
+  ).toDF("doc_id", "text")
+
+  private lazy val newer = Seq(
+    (1L, "stable text"),
+    (2L, "rewritten second version"),
+    (4L, "stable case and spacing"),   // normalization-equal to old 4
+    (5L, "brand new document")
+  ).toDF("doc_id", "text")
+
+  private lazy val diff = DedupQueries.corpusDiff(old, newer)
+    .as[(Long, String)].collect().toMap
+
+  test("exact classification; unchanged and normalization-equal docs are silent") {
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 5L -> "added"),
+      "doc 1 (identical) and doc 4 (case/whitespace-normalized equal) " +
+        "must not appear")
+  }
+
+  test("empty diff on identical snapshots") {
+    assert(DedupQueries.corpusDiff(old, old).count() === 0L)
+  }
+
+  test("deterministic under repartitioning") {
+    val again = DedupQueries.corpusDiff(old.repartition(3), newer.repartition(2))
+      .as[(Long, String)].collect().toMap
+    assert(again === diff)
+  }
+}
