@@ -1499,6 +1499,77 @@ object DedupQueries {
       |WHERE c0.doc_id % 5 = 4""".stripMargin)
   )
 
+  /**
+   * Snapshot MERGE (SCD-1 / MERGE INTO semantics): apply a changelog of
+   * `upsert`/`delete` operations to a corpus snapshot, producing the
+   * next snapshot — the write side of [[corpusDiff]]'s read side, and
+   * the maintenance primitive a continuously-ingested corpus runs per
+   * refresh (Delta/Iceberg MERGE without a table format: the engine
+   * half is exactly this plan). Rules: a changed key REPLACES the
+   * snapshot row (upsert) or removes it (delete); unchanged snapshot
+   * rows pass through; upserts for unseen keys insert.
+   *
+   * Shape at 100 TB: the snapshot side is touched by ONE left-anti
+   * join against the changelog's DISTINCT KEYS — 8-byte doc_ids, never
+   * text (the changelog is refresh-sized, orders of magnitude under
+   * the snapshot, so the anti-join broadcasts or shuffles compact keys
+   * only), then the surviving rows union the upsert payloads with zero
+   * further exchange. Snapshot text crosses no shuffle at all.
+   */
+  private[graft] def mergeUpsert(snapshot: DataFrame,
+                                 changes: DataFrame): DataFrame = {
+    val keys = changes.select("doc_id").distinct()
+    snapshot.join(keys, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+      .unionAll(changes.filter(col("op") === "upsert")
+        .select(col("doc_id"), col("text")))
+  }
+
+  /** Deterministic changelog derivation for the gate: doc_id % 7 == 0
+    * rows become deletes, % 7 == 1 rows update to reversed text (the
+    * same normalization-surviving mutation [[qCorpusDiff]] uses), and
+    * % 7 == 2 rows insert as NEW keys (doc_id + 1 000 000 — outside the
+    * snapshot's id space). Output ships (doc_id, content hash), never
+    * text. */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val d = docsDistributed(s, dir)
+      val changes =
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("delete").as("op"),
+                  lit(null).cast("string").as("text"))
+          .unionAll(d.filter(col("doc_id") % 7 === 1)
+            .select(col("doc_id"), lit("upsert").as("op"),
+                    reverse(col("text")).as("text")))
+          .unionAll(d.filter(col("doc_id") % 7 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+                    lit("upsert").as("op"), col("text")))
+      mergeUpsert(d, changes)
+        .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"))
+    },
+    Some("""WITH ch AS (
+      |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert', reverse(text)
+      |  FROM documents WHERE doc_id % 7 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'upsert', text
+      |  FROM documents WHERE doc_id % 7 = 2
+      |), kept AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM ch)
+      |), nxt AS (
+      |  SELECT doc_id, text FROM kept
+      |  UNION ALL
+      |  SELECT doc_id, text FROM ch WHERE op = 'upsert'
+      |)
+      |SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |FROM nxt""".stripMargin)
+  )
+
   /** 13 tokens — the GPT-3/Pile convention for exact-overlap
     * decontamination. */
   private val OverlapN = 13
@@ -1813,6 +1884,7 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSpanDedup,
-    qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff
+    qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff,
+    qMergeUpsert
   )
 }

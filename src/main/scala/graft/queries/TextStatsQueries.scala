@@ -627,8 +627,193 @@ object TextStatsQueries {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
   }
 
+  /** Count–min sketch geometry for [[qCmsSketch]]: depth (independent
+    * hash rows) × width (counters per row). d=4, w=256 gives ε = e/w ≈
+    * 1.06 % of the stream length at δ = e⁻⁴ ≈ 1.8 % — a profiling-grade
+    * sketch whose whole table is d·w = 1024 counters per corpus. */
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /**
+   * Count–min sketch BUILD over the corpus token stream — the
+   * frequency-estimation sibling of the [[qHllRegisters]] cardinality
+   * sketch, and the second member of the mergeable-summary family a
+   * 100 TB pipeline tracks instead of exact tables: registers merge by
+   * max, CM counters merge by SUM — across partitions, micro-batches,
+   * or daily corpus snapshots — and a point estimate for any token is
+   * `min over rows of counter[row][h_row(token)]`, an upper bound on
+   * the true count with the (ε, δ) guarantee above. The heavy-hitter
+   * use: probe the sketch for candidate grams instead of materializing
+   * the full [[qNgramTopk]] gram table when only approximate counts
+   * are needed.
+   *
+   * Same deliberate split as HLL: the COUNTER TABLE is emitted (exact
+   * integers, oracle-replayable bit-for-bit, shuffle-combinable — the
+   * groupBy is a map-side-combinable count over a d·w-bounded key
+   * domain, so the exchange carries ≤ d·w rows per task no matter the
+   * corpus size), while estimate folds stay downstream. Hash rows are
+   * the salted portable md5 prefix — independent rows by salt, and the
+   * per-token fanout is the constant d, applied AFTER the explode dies
+   * into compact token rows.
+   */
+  val qCmsSketch = Q(
+    "q_cms_sketch",
+    (s, dir) => cmsSketch(docs(s, dir)),
+    Some(s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |  WHERE text IS NOT NULL
+      |), b AS (
+      |  SELECT CAST(g.i AS BIGINT) AS hrow,
+      |         ${DedupQueries.hex32(
+                   "md5('cms' || CAST(g.i AS VARCHAR) || ':' || tok)")}
+      |           % $CmsW AS bucket
+      |  FROM tok, generate_series(0, ${CmsD - 1}) AS g(i)
+      |)
+      |SELECT hrow, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM b GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** [[qCmsSketch]]'s body over an ARBITRARY `text` frame: the (hrow,
+    * bucket, cnt) counter table of the token stream's count–min sketch.
+    * Merge law (spec-asserted): sketch(A ∪ B) = per-cell SUM of
+    * sketch(A) and sketch(B). */
+  private[graft] def cmsSketch(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(explode(array((0 until CmsD).map { i =>
+        struct(
+          lit(i.toLong).as("hrow"),
+          (TextOps.md5Prefix32(md5(concat(lit(s"cms$i:"), col("tok"))))
+            % CmsW).as("bucket"))
+      }: _*)).as("e"))
+      .select(col("e.hrow").as("hrow"), col("e.bucket").as("bucket"))
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Histogram bin width (chars) and target percentiles for
+    * [[qHistQuantiles]]. */
+  private val HistBinW = 64
+  private val HistPs = Seq(25L, 50L, 75L, 90L)
+
+  /**
+   * MERGEABLE approximate quantiles via a fixed equi-width histogram —
+   * the scale path beside [[qQuantiles]]' exact `percentile`: the exact
+   * operator must see every value per group in one sorted pass, while
+   * the histogram is a map-side-combinable count over a bounded bin
+   * domain that merges by per-bin SUM (the third mergeable-summary
+   * family member after HLL-max and CM-sum), so per-day histograms
+   * roll up into per-month quantiles without touching raw data again.
+   * The answer is quantized to the bin width — the estimate returned
+   * is the LOWER EDGE of the first bin whose cumulative count reaches
+   * ⌈p·total/100⌉ (error bounded by the bin width, here $HistBinW
+   * chars), compared as exact integers: `cum·100 ≥ p·total` avoids
+   * any division or float.
+   *
+   * Shape: one shuffle builds the per-(lang, bin) histogram; the
+   * cumulative window and the percentile probe run on the aggregated
+   * bin table (langs × bins rows — hundreds), never on documents.
+   */
+  val qHistQuantiles = Q(
+    "q_hist_quantiles",
+    (s, dir) => histQuantiles(docs(s, dir)),
+    Some(s"""WITH h AS (
+      |  SELECT lang, n_chars // $HistBinW AS bin, COUNT(*) AS cnt
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+      |), c AS (
+      |  SELECT lang, bin,
+      |         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY lang) AS total
+      |  FROM h
+      |), x AS (
+      |  SELECT lang, bin, p.p AS p
+      |  FROM c, (VALUES (${HistPs.mkString("), (")})) AS p(p)
+      |  WHERE cum * 100 >= p.p * total
+      |)
+      |SELECT lang, CAST(p AS BIGINT) AS p,
+      |       CAST(MIN(bin) * $HistBinW AS BIGINT) AS approx_lo
+      |FROM x GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** [[qHistQuantiles]]'s body over an ARBITRARY `(lang, n_chars)`
+    * frame. */
+  private[graft] def histQuantiles(d: DataFrame): DataFrame = {
+    val hist = d.filter(col("n_chars").isNotNull)
+      .select(col("lang"), expr(s"n_chars div $HistBinW").as("bin"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("lang")
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wTot))
+      .select(col("lang"), col("bin"), col("cum"), col("total"),
+              explode(array(HistPs.map(lit): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("p") * col("total"))
+      .groupBy("lang", "p")
+      .agg((min(col("bin")) * HistBinW).cast("long").as("approx_lo"))
+  }
+
+  /** Posting-list cap for [[qInvertedIndex]]. */
+  private val PostingsCap = 16
+
+  /**
+   * Inverted-index BUILD: per term, its document frequency, corpus
+   * term frequency, and the first [[PostingsCap]] postings (ascending
+   * doc_id) — the retrieval-side artifact a curation pipeline derives
+   * from the corpus for decontamination lookups, keyword search over
+   * quality audits, and BM25-style scoring without re-scanning text.
+   *
+   * The scale hazard of a naive build is the postings skew: stop-words
+   * appear in nearly every document, so `collect_list(doc_id)` per term
+   * materializes near-corpus-size arrays on single reducers. Here the
+   * posting prefix rides the bounded [[graft.operators.TopK]] aggregate
+   * (v = −doc_id ⇒ smallest ids rank first), so the term-level shuffle
+   * carries AT MOST [[PostingsCap]] postings per (term, map task) —
+   * the same partial-combine shape min/max get — plus two scalar
+   * aggregates. A production index shards full posting lists by range;
+   * the capped prefix is the engine-side demonstration that the build
+   * never concentrates a term's corpus on one task.
+   */
+  val qInvertedIndex = Q(
+    "q_inverted_index",
+    (s, dir) => invertedIndex(docs(s, dir)),
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |), tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |       CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |       array_to_string(
+      |         list_transform(
+      |           list_slice(list(doc_id ORDER BY doc_id), 1, $PostingsCap),
+      |           x -> CAST(x AS VARCHAR)), ',') AS postings
+      |FROM tf GROUP BY term""".stripMargin)
+  )
+
+  /** [[qInvertedIndex]]'s body over an ARBITRARY `(doc_id, text)`
+    * frame. */
+  private[graft] def invertedIndex(d: DataFrame): DataFrame = {
+    val tf = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("total_tf"),
+        graft.operators.TopK.topK(PostingsCap)(
+          -col("doc_id"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"), col("total_tf"),
+              array_join(
+                transform(col("top.items"),
+                          x => x.getField("id").cast("string")),
+                ",").as("postings"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters
+    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
+    qCmsSketch, qHistQuantiles, qInvertedIndex
   )
 }

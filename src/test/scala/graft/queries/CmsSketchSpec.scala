@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Count–min sketch build: the merge-by-sum law that makes it a sketch,
+  * the one-sided (over-)estimate guarantee, and accuracy on a planted
+  * heavy hitter. Estimates are folded driver-side exactly as a consumer
+  * of the counter table would. */
+class CmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 256
+
+  // 500 "common" occurrences of one token + a long tail of singletons
+  private lazy val corpus = (
+    (0 until 500).map(i => (i.toLong, s"heavy filler$i")) ++
+    (0 until 300).map(i => (1000L + i, s"tail$i"))
+  ).toDF("doc_id", "text")
+
+  private def cells(df: DataFrame): Map[(Long, Long), Long] =
+    df.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+  private lazy val full = cells(TextStatsQueries.cmsSketch(corpus))
+
+  /** The consumer-side point estimate: min over rows of the counter at
+    * the token's bucket (replaying the salted-md5 bucket derivation). */
+  private def estimate(sketch: Map[(Long, Long), Long], tok: String): Long =
+    (0 until D).map { i =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$i:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(md5hex.take(8), 16) % W
+      sketch.getOrElse((i.toLong, bucket), 0L)
+    }.min
+
+  test("cells stay in the (depth, width) domain with positive counts") {
+    assert(full.keys.forall { case (r, b) => r >= 0 && r < D && b >= 0 && b < W })
+    assert(full.values.forall(_ >= 1))
+  }
+
+  test("every row of the sketch counts the whole stream") {
+    // each of the D hash rows sees every token occurrence exactly once:
+    // 500 docs x 2 tokens + 300 docs x 1 token = 1300 per row
+    val perRow = full.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(perRow === (0 until D).map(i => i.toLong -> 1300L).toMap)
+  }
+
+  test("point estimates are one-sided: never below the true count") {
+    assert(estimate(full, "heavy") >= 500L)
+    assert(estimate(full, "tail7") >= 1L)
+    assert(estimate(full, "filler123") >= 1L)
+  }
+
+  test("the planted heavy hitter dominates its estimate (collision noise is bounded)") {
+    // epsilon = e/W of the 1300-token stream ~ 14; the heavy estimate can
+    // exceed 500 only by tail collisions, and min-over-rows keeps that tail
+    val e = estimate(full, "heavy")
+    assert(e >= 500L && e <= 500L + 100L, s"heavy estimate $e")
+    // an absent token's estimate is pure collision mass - far below heavy
+    assert(estimate(full, "absent-token") < 500L)
+  }
+
+  test("sketches merge by per-cell sum (union semantics)") {
+    val half1 = cells(TextStatsQueries.cmsSketch(corpus.filter($"doc_id" % 2 === 0)))
+    val half2 = cells(TextStatsQueries.cmsSketch(corpus.filter($"doc_id" % 2 =!= 0)))
+    val merged = (half1.keySet ++ half2.keySet).map { k =>
+      k -> (half1.getOrElse(k, 0L) + half2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === full)
+  }
+
+  test("frequencies, not cardinalities: doubling the corpus doubles every cell") {
+    val doubled = cells(TextStatsQueries.cmsSketch(corpus.union(corpus)))
+    assert(doubled === full.view.mapValues(_ * 2).toMap)
+  }
+
+  test("null text is no observation") {
+    val withNulls = corpus.union(
+      Seq((9000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(cells(TextStatsQueries.cmsSketch(withNulls)) === full)
+  }
+}

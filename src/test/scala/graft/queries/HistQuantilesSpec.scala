@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Histogram-based approximate quantiles: bin-width error bound vs the
+  * exact order statistic, monotonicity in p, and partitioning
+  * determinism. */
+class HistQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val BinW = 64
+
+  // two groups with known distributions: en uniform 0..1023,
+  // de concentrated at one value (all mass in a single bin)
+  private lazy val corpus = (
+    (0 until 1024).map(i => ("en", i)) ++
+    (0 until 200).map(_ => ("de", 300))
+  ).toDF("lang", "n_chars")
+
+  private def quantiles(df: DataFrame): Map[(String, Long), Long] =
+    df.as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+  private lazy val full = quantiles(TextStatsQueries.histQuantiles(corpus))
+
+  test("estimates bracket the exact order statistic within one bin") {
+    // exact p-quantile of uniform 0..1023 at ceil semantics: the
+    // ceil(p*n/100)-th smallest = ceil(1024*p/100) - 1
+    for (p <- Seq(25L, 50L, 75L, 90L)) {
+      val exact = math.ceil(1024.0 * p / 100).toLong - 1
+      val lo = full(("en", p))
+      assert(lo <= exact && exact < lo + BinW,
+        s"en p$p: approx_lo $lo vs exact $exact")
+    }
+  }
+
+  test("a point-mass group answers the exact bin at every percentile") {
+    for (p <- Seq(25L, 50L, 75L, 90L))
+      assert(full(("de", p)) === (300 / BinW * BinW).toLong)
+  }
+
+  test("estimates are monotone in p") {
+    val en = Seq(25L, 50L, 75L, 90L).map(p => full(("en", p)))
+    assert(en === en.sorted)
+  }
+
+  test("deterministic under repartitioning") {
+    assert(quantiles(TextStatsQueries.histQuantiles(corpus.repartition(7))) === full)
+  }
+
+  test("null values are no observation") {
+    val withNulls = corpus.union(
+      Seq(("en", null.asInstanceOf[Integer]), ("fr", null.asInstanceOf[Integer]))
+        .toDF("lang", "n_chars"))
+    assert(quantiles(TextStatsQueries.histQuantiles(withNulls)) === full,
+      "null n_chars must not add groups or move estimates")
+  }
+}

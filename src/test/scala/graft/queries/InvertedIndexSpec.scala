@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Inverted-index build: posting-list semantics (ascending ids, capped
+  * prefix), df vs total_tf, and the bounded-aggregate determinism. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "common" in 30 docs (> the 16-posting cap); "rare" twice in one doc;
+  // "pair" in exactly two docs
+  private lazy val corpus = (
+    (0 until 30).map(i => (100L + i, "common word")) ++
+    Seq((500L, "rare rare solo")) ++
+    Seq((600L, "pair one"), (601L, "pair two"))
+  ).toDF("doc_id", "text")
+
+  private def index(df: DataFrame): Map[String, (Long, Long, String)] =
+    df.as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  private lazy val full = index(TextStatsQueries.invertedIndex(corpus))
+
+  test("df counts documents, total_tf counts occurrences") {
+    assert(full("common")._1 === 30L)
+    assert(full("common")._2 === 30L)
+    assert(full("rare") === ((1L, 2L, "500")))
+    assert(full("pair")._1 === 2L)
+  }
+
+  test("postings are ascending doc_ids, capped at the prefix length") {
+    assert(full("pair")._3 === "600,601")
+    // the 30-doc term keeps only the 16 smallest ids
+    assert(full("common")._3 === (100 until 116).mkString(","))
+  }
+
+  test("under-cap terms list every posting") {
+    val wordDocs = full("word")._3.split(",").map(_.toLong)
+    assert(wordDocs.toSeq === (100L until 130L).take(16).toSeq)
+    assert(full("solo")._3 === "500")
+  }
+
+  test("deterministic under repartitioning (bounded top-k, not collect order)") {
+    assert(index(TextStatsQueries.invertedIndex(corpus.repartition(7))) === full)
+  }
+
+  test("null text contributes nothing") {
+    val withNulls = corpus.union(
+      Seq((9000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(index(TextStatsQueries.invertedIndex(withNulls)) === full)
+  }
+}

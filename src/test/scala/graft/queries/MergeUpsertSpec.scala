@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Snapshot MERGE semantics: delete removes, upsert replaces, unseen-key
+  * upsert inserts, untouched rows pass through — and re-applying the
+  * same changelog is a no-op (idempotence). */
+class MergeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val snapshot = Seq(
+    (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")
+  ).toDF("doc_id", "text")
+
+  private lazy val changes = Seq(
+    (2L, "delete", null.asInstanceOf[String]),
+    (3L, "upsert", "gamma v2"),
+    (9L, "upsert", "epsilon")
+  ).toDF("doc_id", "op", "text")
+
+  private def rows(df: DataFrame): Map[Long, String] =
+    df.as[(Long, String)].collect().toMap
+
+  private lazy val next = DedupQueries.mergeUpsert(snapshot, changes)
+
+  test("delete removes, upsert replaces, insert adds, untouched passes through") {
+    assert(rows(next) === Map(
+      1L -> "alpha", 3L -> "gamma v2", 4L -> "delta", 9L -> "epsilon"))
+  }
+
+  test("applying the same changelog twice is idempotent") {
+    assert(rows(DedupQueries.mergeUpsert(next, changes)) === rows(next))
+  }
+
+  test("an empty changelog is the identity") {
+    val empty = changes.filter(lit(false))
+    assert(rows(DedupQueries.mergeUpsert(snapshot, empty)) === rows(snapshot))
+  }
+
+  test("deleting an absent key and deterministic repartitioning are safe") {
+    val ghostDelete = Seq((77L, "delete", null.asInstanceOf[String]))
+      .toDF("doc_id", "op", "text")
+    assert(rows(DedupQueries.mergeUpsert(snapshot, ghostDelete)) === rows(snapshot))
+    assert(rows(DedupQueries.mergeUpsert(
+      snapshot.repartition(7), changes.repartition(5))) === rows(next))
+  }
+}
