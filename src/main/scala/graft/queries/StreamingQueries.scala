@@ -524,8 +524,45 @@ object StreamingQueries {
     DedupQueries.qSpanIncremental.oracle
   )
 
+  /**
+   * Streaming CDC ingest audit, gated against the batch oracle
+   * ([[DedupQueries.qCorpusDiff]]'s SQL with `removed` excluded): the
+   * crawl refresh replayed as a file stream, each arriving document
+   * classified `added`/`changed` against the frozen previous snapshot's
+   * compact hash index by a stateless stream-static left join
+   * ([[graft.streaming.StreamingDiff]]). Unchanged arrivals die
+   * in-flight; `removed` is decidable only once the refresh is COMPLETE
+   * — that closure is the batch [[DedupQueries.corpusDiff]]'s job at
+   * compaction, and the gate's oracle restriction states the boundary
+   * exactly. Snapshot derivation mirrors the batch gate (old = % 7 ≠ 1
+   * with % 7 == 2 reversed; arrivals = % 7 ≠ 3).
+   */
+  val qStreamDiff = Q(
+    "q_stream_diff",
+    (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"),
+                when(col("doc_id") % 7 === 2, reverse(col("text")))
+                  .otherwise(col("text")).as("text"))
+      // index materialized before the stream starts — the deployment's
+      // offline step, and the cache keeps per-batch re-reads off parquet
+      val idx = graft.streaming.StreamingDiff.snapshotIndex(old).cache()
+      idx.count()
+      val arrivals = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text")
+      try runToSink(s, dir,
+        graft.streaming.StreamingDiff.diffHits(arrivals, idx),
+        "graft_q_stream_diff")
+      finally idx.unpersist()
+    },
+    DedupQueries.qCorpusDiff.oracle.map(sql =>
+      s"SELECT doc_id, status FROM ($sql) t WHERE status <> 'removed'")
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan)
+                        qStreamSpan, qStreamDiff)
 }

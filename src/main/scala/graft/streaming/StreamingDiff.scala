@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/**
+ * Streaming CDC ingest audit — the streaming face of
+ * [[graft.queries.DedupQueries.corpusDiff]]: as a crawl refresh ARRIVES
+ * (rather than after it lands as a complete snapshot), classify each
+ * incoming document against the frozen previous snapshot as `added`
+ * (unseen doc_id) or `changed` (known doc_id, different normalized
+ * content). Unchanged arrivals are dropped in-flight, so what reaches
+ * the sink is exactly the incremental-recompute input set — the
+ * documents downstream stages (re-embedding, re-dedup, re-scoring)
+ * must process.
+ *
+ * Statelessness contract: the previous snapshot reduces to a compact
+ * `(doc_id, 16-byte hash)` index built ONCE before the stream starts
+ * ([[snapshotIndex]]); each micro-batch is a stream-static left join
+ * against it — per-row hash + equi-join, no state store, append mode.
+ * `removed` (snapshot docs that never arrive) is deliberately OUT of
+ * streaming scope: absence is only decidable when the refresh is
+ * complete, i.e. at batch-compaction time — run the full
+ * [[graft.queries.DedupQueries.corpusDiff]] then. The broadcast hint
+ * carries the same caveat as
+ * [[StreamingDecontam.evalBandIndex]]: an index past broadcast scale
+ * drops the hint and the identical plan runs as a shuffled equi-join.
+ */
+object StreamingDiff {
+
+  /** Compact previous-snapshot index: `(doc_id, oh)` — 8-byte key +
+    * 16-byte normalized content hash per document; snapshot TEXT never
+    * reaches the stream. */
+  def snapshotIndex(snapshot: DataFrame): DataFrame =
+    snapshot.select(col("doc_id"), TextOps.contentHash(col("text")).as("oh"))
+
+  /** Per-batch classification of arriving `(doc_id, text)` rows against
+    * the frozen index: `added` | `changed`; unchanged rows die here. */
+  def diffHits(arrivals: DataFrame, idx: DataFrame): DataFrame =
+    arrivals
+      .select(col("doc_id"), TextOps.contentHash(col("text")).as("nh"))
+      .join(broadcast(idx), Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("oh").isNull, lit("added"))
+          .when(col("oh") =!= col("nh"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+}

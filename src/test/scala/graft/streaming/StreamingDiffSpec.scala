@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+final case class DiffDoc(doc_id: Long, text: String)
+
+/** Streaming CDC classification: stream ≡ batch corpusDiff on the
+  * arriving side (added/changed), unchanged silence, normalization
+  * parity, and the documented removed-is-batch-scope boundary. */
+class StreamingDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    DiffDoc(1L, "alpha beta gamma"),
+    DiffDoc(2L, "delta epsilon"),
+    DiffDoc(3L, "zeta eta theta"),
+    DiffDoc(4L, "iota kappa")
+  )
+
+  // 1 unchanged; 2 changed; 3 unchanged MODULO normalization (case +
+  // whitespace — must stay silent); 4 never arrives (removed — batch
+  // scope); 9 added
+  private val arrivals = Seq(
+    DiffDoc(1L, "alpha beta gamma"),
+    DiffDoc(2L, "delta epsilon v2"),
+    DiffDoc(3L, "  ZETA eta   THETA "),
+    DiffDoc(9L, "brand new document")
+  )
+
+  private def streamed(): Map[Long, String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingDiff.snapshotIndex(oldSnap.toDF())
+    val input = MemoryStream[DiffDoc]
+    val name = s"graft_sdiff_${System.nanoTime()}"
+    val q = StreamingDiff.diffHits(input.toDF(), idx)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // two triggers: classification must not depend on batch boundaries
+      input.addData(arrivals.take(2))
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[(Long, String)].collect().toMap
+  }
+
+  test("arrivals classify added/changed; unchanged and normalization-equal stay silent") {
+    assert(streamed() === Map(2L -> "changed", 9L -> "added"))
+  }
+
+  test("stream ≡ batch corpusDiff on the arriving side (removed is the batch-only residue)") {
+    val batch = DedupQueries.corpusDiff(oldSnap.toDF(), arrivals.toDF())
+      .as[(Long, String)].collect().toMap
+    assert(batch(4L) === "removed")
+    assert(streamed() === batch - 4L)
+  }
+
+  test("identical snapshot replay emits nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = StreamingDiff.snapshotIndex(oldSnap.toDF())
+    val input = MemoryStream[DiffDoc]
+    val name = s"graft_sdiff_id_${System.nanoTime()}"
+    val q = StreamingDiff.diffHits(input.toDF(), idx)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(oldSnap)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).count() === 0L)
+  }
+}
