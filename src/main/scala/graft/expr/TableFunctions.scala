@@ -421,10 +421,70 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_cms(docsTable)` — the count–min counter table of the token
+    * stream ([[graft.queries.TextStatsQueries.cmsSketch]]). */
+  val cms: TVF = (
+    new FunctionIdentifier("graft_cms"),
+    info("graft_cms", "graft_cms(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_cms"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.TextStatsQueries.cmsSketch(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_inverted_index(docsTable)` — per-term df/tf + capped posting
+    * prefix ([[graft.queries.TextStatsQueries.invertedIndex]]). */
+  val invertedIndex: TVF = (
+    new FunctionIdentifier("graft_inverted_index"),
+    info("graft_inverted_index", "graft_inverted_index(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_inverted_index"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.TextStatsQueries.invertedIndex(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_merge(snapshotTable, changesTable)` — SCD-1 snapshot MERGE
+    * ([[graft.queries.DedupQueries.mergeUpsert]]; the changes table
+    * needs `(doc_id, op, text)` with op ∈ upsert|delete). */
+  val mergeUpsert: TVF = (
+    new FunctionIdentifier("graft_merge"),
+    info("graft_merge", "graft_merge(snapshotTable, changesTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_merge"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.DedupQueries.mergeUpsert(
+        active.table(strArg(args, 0, fn)),
+        active.table(strArg(args, 1, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_diff(oldTable, newTable)` — corpus snapshot diff
+    * ([[graft.queries.DedupQueries.corpusDiff]]). */
+  val corpusDiff: TVF = (
+    new FunctionIdentifier("graft_diff"),
+    info("graft_diff", "graft_diff(oldTable, newTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_diff"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.DedupQueries.corpusDiff(
+        active.table(strArg(args, 0, fn)),
+        active.table(strArg(args, 1, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, semanticDedup, bm25, mixtureSample,
-                          knnGraph, semanticClusters, clusterSample, hll)
+                          knnGraph, semanticClusters, clusterSample, hll,
+                          cms, invertedIndex, mergeUpsert, corpusDiff)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

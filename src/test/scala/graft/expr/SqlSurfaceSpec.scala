@@ -289,6 +289,35 @@ class SqlSurfaceSpec extends SparkSpec {
       TextStatsQueries.hllRegisters(docs, "lang").collect().toSet)
   }
 
+  test("sketch/index/snapshot TVFs ≡ their Scala operators") {
+    import graft.queries.{DedupQueries, TextStatsQueries}
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+                   (3L, "delta")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sk_docs")
+    val c = spark.sql("SELECT * FROM graft_cms('sk_docs')")
+    assert(c.collect().toSet ===
+      TextStatsQueries.cmsSketch(docs).collect().toSet)
+    val ix = spark.sql("SELECT * FROM graft_inverted_index('sk_docs')")
+    assert(ix.collect().toSet ===
+      TextStatsQueries.invertedIndex(docs).collect().toSet)
+
+    val changes = Seq((2L, "delete", null.asInstanceOf[String]),
+                      (3L, "upsert", "delta v2"),
+                      (9L, "upsert", "epsilon"))
+      .toDF("doc_id", "op", "text")
+    changes.createOrReplaceTempView("sk_changes")
+    val m = spark.sql("SELECT * FROM graft_merge('sk_docs', 'sk_changes')")
+    assert(m.collect().toSet ===
+      DedupQueries.mergeUpsert(docs, changes).collect().toSet)
+
+    val newer = Seq((1L, "alpha beta alpha"), (2L, "beta gamma v2"),
+                    (9L, "epsilon")).toDF("doc_id", "text")
+    newer.createOrReplaceTempView("sk_newer")
+    val d = spark.sql("SELECT * FROM graft_diff('sk_docs', 'sk_newer')")
+    assert(d.collect().toSet ===
+      DedupQueries.corpusDiff(docs, newer).collect().toSet)
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")
