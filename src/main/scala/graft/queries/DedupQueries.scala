@@ -1534,7 +1534,12 @@ object DedupQueries {
   val qMergeUpsert = Q(
     "q_merge_upsert",
     (s, dir) => {
-      val d = docsDistributed(s, dir)
+      // plain reader, not docsDistributed: merge work is a cheap per-row
+      // hash with no explode fanout, and `d` fans into four scans (the
+      // snapshot + three changelog branches) — a pre-exchange would be
+      // re-executed per branch for nothing (plan-audited: 7 → 3
+      // exchanges after dropping it)
+      val d = docs(s, dir)
       val changes =
         d.filter(col("doc_id") % 7 === 0)
           .select(col("doc_id"), lit("delete").as("op"),
