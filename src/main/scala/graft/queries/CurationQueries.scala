@@ -488,7 +488,75 @@ object CurationQueries {
       .select("doc_id", groupCol, "rn")
   }
 
+  /** Chunk geometry for [[qChunkOverlap]]: width and stride in tokens
+    * (stride < width ⇒ 50 % overlap here). */
+  private val ChunkW = 20
+  private val ChunkS = 10
+
+  /**
+   * OVERLAPPING sliding-window chunker — retrieval/RAG prep: split each
+   * document into [[ChunkW]]-token windows advancing by [[ChunkS]]
+   * (50 % overlap), one row per (doc, chunk) with its position and
+   * token count. Overlap is what distinguishes this from
+   * [[graft.queries.DedupQueries.spanDedup]]'s NON-overlapping span
+   * cut: dedup spans must partition the text exactly once (a token in
+   * two spans would double-delete), while retrieval chunks overlap
+   * deliberately so no answer span straddles a chunk boundary unseen.
+   *
+   * Chunk count per doc: 1 + ⌈max(0, len − W) / S⌉, all integer math
+   * (the final window may run short; every token is covered; a
+   * sub-width document yields exactly one chunk). Pure per-row
+   * projection + explode — no shuffle anywhere: the chunker pipelines
+   * inside whole-stage codegen and scales embarrassingly.
+   */
+  val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, dir) => chunkOverlap(docs(s, dir)),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL
+      |), x AS (
+      |  SELECT doc_id, toks, len(toks) AS l FROM d WHERE len(toks) >= 1
+      |), c AS (
+      |  SELECT doc_id, toks,
+      |         unnest(generate_series(0,
+      |           CASE WHEN l > $ChunkW
+      |                THEN (l - $ChunkW + $ChunkS - 1) // $ChunkS
+      |                ELSE 0 END)) AS i
+      |  FROM x
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       array_to_string(
+      |         toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ')
+      |         AS chunk_text,
+      |       CAST(len(toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW])
+      |            AS BIGINT) AS n_tokens
+      |FROM c""".stripMargin)
+  )
+
+  /** [[qChunkOverlap]]'s body over an ARBITRARY `(doc_id, text)`
+    * frame. */
+  private[graft] def chunkOverlap(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("l", size(col("toks")))
+      .filter(col("l") >= 1)
+      .withColumn("n_extra",
+        when(col("l") > ChunkW,
+             expr(s"(l - $ChunkW + $ChunkS - 1) div $ChunkS"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("toks"),
+              explode(sequence(lit(0L), col("n_extra"))).as("i"))
+      .select(
+        col("doc_id"), col("i").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"),
+                         (col("i") * ChunkS + 1).cast("int"), lit(ChunkW)),
+                   " ").as("chunk_text"),
+        size(slice(col("toks"),
+                   (col("i") * ChunkS + 1).cast("int"), lit(ChunkW)))
+          .cast("long").as("n_tokens"))
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
-                        qCuratedCorpus, qShuffleExport)
+                        qCuratedCorpus, qShuffleExport, qChunkOverlap)
 }

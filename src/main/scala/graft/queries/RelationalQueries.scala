@@ -432,10 +432,66 @@ object RelationalQueries {
       |QUALIFY rnk <= 3""".stripMargin)
   )
 
+  /** Replication factor for [[qJoinSalted]]. */
+  private val SaltR = 8
+
+  /**
+   * Skew-safe SALTED join — the join-side sibling of
+   * [[graft.queries.CoreQueries.qAggSalted]]: the fact side gets a
+   * deterministic salt (orderkey mod [[SaltR]], never `rand()` — the
+   * oracle must replay the UNSALTED equivalent), the dimension side is
+   * replicated once per salt value, and the join keys on
+   * (partkey, salt) — so a power-law hot partkey's rows spread over
+   * [[SaltR]] reducers instead of one. The decomposition is
+   * algebraically invisible: the salted join emits exactly the plain
+   * join's rows, which is what the oracle checks.
+   *
+   * Scale honesty: at fixture scale the replicated dim broadcasts and
+   * the salt is free-but-pointless (a BHJ has no reducer skew); the
+   * pattern pays off exactly when BOTH sides exceed broadcast scale
+   * and the physical join is SMJ/SHJ — AQE's skew-join split handles
+   * many such cases at runtime, salting is the static remedy when the
+   * skew is known (and the only one for aggregation). The spec pins
+   * the SMJ regime explicitly (broadcast threshold off) and asserts
+   * salted ≡ unsalted there.
+   */
+  val qJoinSalted = Q(
+    "q_join_salted",
+    (s, dir) => {
+      val lineitem = Tables.read(s, dir, "lineitem")
+      val part = Tables.read(s, dir, "part")
+      joinSalted(lineitem, part, SaltR)
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin)
+  )
+
+  /** [[qJoinSalted]]'s body: salted lineitem ⋈ replicated part,
+    * aggregated per brand. */
+  private[graft] def joinSalted(lineitem: org.apache.spark.sql.DataFrame,
+                                part: org.apache.spark.sql.DataFrame,
+                                r: Int): org.apache.spark.sql.DataFrame = {
+    val salted = lineitem
+      .select(col("l_partkey"), col("l_extendedprice"),
+              pmod(col("l_orderkey"), lit(r)).as("salt"))
+    val repl = part
+      .select(col("p_partkey"), col("p_brand"),
+              explode(sequence(lit(0), lit(r - 1))).as("rsalt"))
+    salted
+      .join(repl, col("l_partkey") === col("p_partkey") &&
+                  col("salt") === col("rsalt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+           sum(cents("l_extendedprice")).as("revenue_cents"))
+  }
+
   val all: Seq[Q] = Seq(
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
     qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
-    qTopkGrouped
+    qTopkGrouped, qJoinSalted
   )
 }

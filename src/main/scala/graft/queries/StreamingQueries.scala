@@ -561,8 +561,33 @@ object StreamingQueries {
       s"SELECT doc_id, status FROM ($sql) t WHERE status <> 'removed'")
   )
 
+  /**
+   * Streaming COUNT–MIN sketch maintenance, gated against the batch
+   * counter oracle — [[qStreamHll]]'s pattern for the SUM-merge sketch
+   * class: each micro-batch appends its stateless per-occurrence
+   * `(hrow, bucket)` observations (token explode + salted hash — pure
+   * projection, no state store, no watermark), and the counter table
+   * is the downstream COUNT of the appended log. Count/sum merges
+   * associatively and commutatively (though NOT idempotently — unlike
+   * HLL-max, replay-once delivery matters for CM, which is the
+   * documented difference between the two sketch classes), so batch
+   * splits and compaction cadence are free. The gate's final
+   * `groupBy.count` IS the compaction, and must hash-match the
+   * one-shot batch build.
+   */
+  val qStreamCms = Q(
+    "q_stream_cms",
+    (s, dir) => {
+      val obs = TextStatsQueries.cmsRows(
+        tableStream(s, dir, "documents").select(col("text")))
+      runToSink(s, dir, obs, "graft_q_stream_cms")
+        .groupBy("hrow", "bucket").agg(count(lit(1)).as("cnt"))
+    },
+    TextStatsQueries.qCmsSketch.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan, qStreamDiff)
+                        qStreamSpan, qStreamDiff, qStreamCms)
 }

@@ -674,11 +674,13 @@ object TextStatsQueries {
       |FROM b GROUP BY 1, 2""".stripMargin)
   )
 
-  /** [[qCmsSketch]]'s body over an ARBITRARY `text` frame: the (hrow,
-    * bucket, cnt) counter table of the token stream's count–min sketch.
-    * Merge law (spec-asserted): sketch(A ∪ B) = per-cell SUM of
-    * sketch(A) and sketch(B). */
-  private[graft] def cmsSketch(d: DataFrame): DataFrame =
+  /** The STATELESS per-row half of the CMS build — one `(hrow, bucket)`
+    * observation per (hash row, token occurrence), before the counter
+    * aggregation. Factored out for the streaming face (the [[hllRows]]
+    * pattern): each micro-batch appends observations, and the counter
+    * table is their downstream count — count/sum merges associatively,
+    * so compaction can run at any cadence. */
+  private[graft] def cmsRows(d: DataFrame): DataFrame =
     d.filter(col("text").isNotNull)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .select(explode(array((0 until CmsD).map { i =>
@@ -688,6 +690,13 @@ object TextStatsQueries {
             % CmsW).as("bucket"))
       }: _*)).as("e"))
       .select(col("e.hrow").as("hrow"), col("e.bucket").as("bucket"))
+
+  /** [[qCmsSketch]]'s body over an ARBITRARY `text` frame: the (hrow,
+    * bucket, cnt) counter table of the token stream's count–min sketch.
+    * Merge law (spec-asserted): sketch(A ∪ B) = per-cell SUM of
+    * sketch(A) and sketch(B). */
+  private[graft] def cmsSketch(d: DataFrame): DataFrame =
+    cmsRows(d)
       .groupBy("hrow", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
@@ -754,6 +763,72 @@ object TextStatsQueries {
       .agg((min(col("bin")) * HistBinW).cast("long").as("approx_lo"))
   }
 
+  /** Keywords kept per document by [[qTfidfTerms]]. */
+  private val TfidfK = 3
+
+  /**
+   * Per-document KEYWORD extraction by tf·idf — the document-side
+   * complement of [[qBm25]]'s query-side scoring: each document keeps
+   * its [[TfidfK]] most distinctive terms (metadata tagging, topic
+   * labels, index keys for retrieval audits). Same integer-exactness
+   * discipline as BM25: idf is the raw odds ratio (no `ln` — the one
+   * op with no cross-engine rounding guarantee), the weight is
+   * `FLOOR(1e6 · tf · idf)` — an identical correctly-rounded expression
+   * tree over exact integers in both engines — and ties break on the
+   * term string, a total order.
+   *
+   * Shape at scale: tf is one shuffle on (doc_id, term); df is a tiny
+   * aggregated table broadcast back; the top-K rank window partitions
+   * by DOC — the group count grows with the corpus, so the window
+   * scales out (never a corpus-wide single-partition sort), and each
+   * group holds at most the document's distinct-term count.
+   */
+  val qTfidfTerms = Q(
+    "q_tfidf_terms",
+    (s, dir) => tfidfTerms(docs(s, dir), TfidfK),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM d GROUP BY 1, 2
+      |), st AS (
+      |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+      |), dfreq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(FLOOR(1e6 * tf.tf *
+      |           ((st.n_docs - dfreq.df + CAST(0.5 AS DOUBLE)) /
+      |            (dfreq.df + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS w
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN st
+      |)
+      |SELECT doc_id, term, w,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY w DESC, term ASC) AS BIGINT)
+      |         AS rnk
+      |FROM w QUALIFY rnk <= $TfidfK""".stripMargin)
+  )
+
+  /** [[qTfidfTerms]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  private[graft] def tfidfTerms(d0: DataFrame, k: Int): DataFrame = {
+    val tf = d0.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("w",
+        floor(lit(1e6) * col("tf") *
+              ((col("n_docs") - col("df") + lit(0.5)) /
+               (col("df") + lit(0.5)))).cast("long"))
+      .select(col("doc_id"), col("term"), col("w"))
+      .withColumn("rnk", row_number().over(wDoc).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Posting-list cap for [[qInvertedIndex]]. */
   private val PostingsCap = 16
 
@@ -814,6 +889,6 @@ object TextStatsQueries {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
-    qCmsSketch, qHistQuantiles, qInvertedIndex
+    qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms
   )
 }

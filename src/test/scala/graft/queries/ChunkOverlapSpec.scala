@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Overlapping chunker (W=20, S=10): full coverage, 50 % overlap between
+  * neighbors, boundary arithmetic at exact-width documents, and the
+  * sub-width single-chunk case. */
+class ChunkOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(n: Int): (Long, String) =
+    (n.toLong, (0 until n).map(i => s"t$i").mkString(" "))
+
+  private def chunks(df: DataFrame): Map[(Long, Long), (String, Long)] =
+    df.as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  private def run(ns: Int*): Map[(Long, Long), (String, Long)] =
+    chunks(CurationQueries.chunkOverlap(
+      ns.map(doc).toDF("doc_id", "text")))
+
+  test("chunk counts follow 1 + ceil(max(0, len-20)/10)") {
+    val c = run(1, 5, 20, 21, 30, 31, 45)
+    val perDoc = c.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDoc === Map(1L -> 1, 5L -> 1, 20L -> 1, 21L -> 2, 30L -> 2,
+                          31L -> 3, 45L -> 4))
+  }
+
+  test("sub-width documents yield one full-text chunk") {
+    val c = run(5)
+    assert(c((5L, 0L)) === (("t0 t1 t2 t3 t4", 5L)))
+  }
+
+  test("windows advance by the stride with 50 % overlap; every token is covered") {
+    val c = run(45)
+    val texts = (0L to 3L).map(i => c((45L, i))._1.split(" ").toSeq)
+    assert(texts(0) === (0 until 20).map(i => s"t$i"))
+    assert(texts(1) === (10 until 30).map(i => s"t$i"))
+    assert(texts(2) === (20 until 40).map(i => s"t$i"))
+    // the ragged tail: starts at 30, runs short
+    assert(texts(3) === (30 until 45).map(i => s"t$i"))
+    assert(c((45L, 3L))._2 === 15L)
+    // overlap between neighbors is exactly W - S = 10 tokens
+    assert(texts(0).drop(10) === texts(1).take(10))
+    // coverage: the union of chunk tokens is the document
+    assert(texts.flatten.toSet === (0 until 45).map(i => s"t$i").toSet)
+  }
+
+  test("null/empty text contributes no chunks; determinism under repartitioning") {
+    val mixed = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val c = chunks(CurationQueries.chunkOverlap(mixed))
+    // "" splits to [""] (one empty token) — len 1, one chunk; null -> none
+    assert(c.keys.map(_._1).toSet === Set(1L, 3L))
+    val big = (1 to 40).map(doc).toDF("doc_id", "text")
+    assert(chunks(CurationQueries.chunkOverlap(big.repartition(7))) ===
+           chunks(CurationQueries.chunkOverlap(big)))
+  }
+}

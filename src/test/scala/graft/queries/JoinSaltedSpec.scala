@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Salted join: algebraically invisible vs the plain join in BOTH the
+  * broadcast regime and the pinned shuffle-join regime (where the salt
+  * actually spreads a hot key), including a planted power-law key. */
+class JoinSaltedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot partkey 1: 1000 of 1060 lines hit it (the power-law shape the
+  // salt exists for); orderkeys vary so the deterministic salt spreads
+  private lazy val lineitem = (
+    (0 until 1000).map(i => (i.toLong, 1L, 10.0 + (i % 7))) ++
+    (0 until 60).map(i => (5000L + i, 2L + (i % 3), 20.0))
+  ).toDF("l_orderkey", "l_partkey", "l_extendedprice")
+
+  private lazy val part = Seq(
+    (1L, "BrandA"), (2L, "BrandB"), (3L, "BrandC"), (4L, "BrandD"),
+    (9L, "BrandUnmatched")
+  ).toDF("p_partkey", "p_brand")
+
+  private def plain: Map[String, (Long, Long)] =
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(round(col("l_extendedprice") * 100)
+        .cast("long")).as("cents"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def salted(r: Int): Map[String, (Long, Long)] =
+    RelationalQueries.joinSalted(lineitem, part, r)
+      .as[(String, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+
+  test("salted ≡ plain join in the default (broadcast) regime") {
+    assert(salted(8) === plain)
+  }
+
+  test("salted ≡ plain join in the pinned shuffle-join regime") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try assert(salted(8) === plain)
+    finally spark.conf.set(key, old)
+  }
+
+  test("replication factor is semantics-free (r = 1 degenerates to plain)") {
+    assert(salted(1) === plain)
+    assert(salted(16) === plain)
+  }
+
+  test("the hot key's rows actually spread across salt values") {
+    val spread = lineitem.filter(col("l_partkey") === 1L)
+      .select(pmod(col("l_orderkey"), lit(8)).as("salt"))
+      .groupBy("salt").count().as[(Long, Long)].collect().toMap
+    assert(spread.size === 8, "all 8 salt buckets populated")
+    assert(spread.values.max <= 2L * spread.values.min,
+      "deterministic salt balances the hot key")
+  }
+}

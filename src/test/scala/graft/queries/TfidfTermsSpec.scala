@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** TF-IDF keyword extraction: distinctive terms outrank common ones,
+  * ranks are dense and capped, ties break on the term string, and the
+  * scoring is deterministic under repartitioning. */
+class TfidfTermsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "the" appears in every doc (low idf); each doc has one unique term
+  // (high idf); doc 3 repeats its unique term (tf boost)
+  private lazy val corpus = Seq(
+    (1L, "the alpha the"),
+    (2L, "the beta"),
+    (3L, "the gamma gamma gamma"),
+    (4L, "the delta")
+  ).toDF("doc_id", "text")
+
+  private def ranked(df: DataFrame): Map[(Long, Long), String] =
+    df.as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._4) -> r._2).toMap
+
+  private lazy val full = ranked(TextStatsQueries.tfidfTerms(corpus, 3))
+
+  test("the distinctive term ranks first in every document") {
+    assert(full((1L, 1L)) === "alpha")
+    assert(full((2L, 1L)) === "beta")
+    assert(full((3L, 1L)) === "gamma")
+    assert(full((4L, 1L)) === "delta")
+    // the ubiquitous term is never the top keyword
+    assert(full.collect { case ((_, 1L), t) => t }.forall(_ != "the"))
+  }
+
+  test("ranks are dense, capped at k, bounded by distinct terms") {
+    val perDoc = full.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    // each doc has exactly 2 distinct terms -> 2 ranked rows despite k=3
+    assert(perDoc.toMap.values.forall(_ == Seq(1L, 2L)))
+    val k1 = ranked(TextStatsQueries.tfidfTerms(corpus, 1))
+    assert(k1.keys.map(_._2).toSet === Set(1L))
+  }
+
+  test("equal weights break ties on the term string ascending") {
+    val tied = Seq((1L, "zeta alpha"), (2L, "other words")).toDF("doc_id", "text")
+    val r = ranked(TextStatsQueries.tfidfTerms(tied, 2))
+    // both terms of doc 1: tf=1, df=1 -> equal weight; alpha < zeta
+    assert(r((1L, 1L)) === "alpha" && r((1L, 2L)) === "zeta")
+  }
+
+  test("deterministic under repartitioning; null text contributes nothing") {
+    assert(ranked(TextStatsQueries.tfidfTerms(corpus.repartition(7), 3)) === full)
+    val withNulls = corpus.union(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(ranked(TextStatsQueries.tfidfTerms(withNulls, 3)) === full)
+  }
+}
