@@ -480,11 +480,42 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_chunk(docsTable)` — overlapping sliding-window chunks
+    * ([[graft.queries.CurationQueries.chunkOverlap]]). */
+  val chunk: TVF = (
+    new FunctionIdentifier("graft_chunk"),
+    info("graft_chunk", "graft_chunk(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_chunk"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.chunkOverlap(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_tfidf(docsTable, k)` — per-document top-k keywords
+    * ([[graft.queries.TextStatsQueries.tfidfTerms]]). */
+  val tfidf: TVF = (
+    new FunctionIdentifier("graft_tfidf"),
+    info("graft_tfidf", "graft_tfidf(docsTable, 3)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_tfidf"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val k = longArg(args, 1, fn)
+      require(k > 0 && k <= Int.MaxValue, s"$fn: k out of range: $k")
+      graft.queries.TextStatsQueries.tfidfTerms(
+        active.table(strArg(args, 0, fn)), k.toInt)
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, semanticDedup, bm25, mixtureSample,
                           knnGraph, semanticClusters, clusterSample, hll,
-                          cms, invertedIndex, mergeUpsert, corpusDiff)
+                          cms, invertedIndex, mergeUpsert, corpusDiff,
+                          chunk, tfidf)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -810,23 +810,33 @@ object TextStatsQueries {
       |FROM w QUALIFY rnk <= $TfidfK""".stripMargin)
   )
 
-  /** [[qTfidfTerms]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  /** [[qTfidfTerms]]'s body over an ARBITRARY `(doc_id, text)` frame.
+    *
+    * The top-K cut rides the string-payload bounded aggregate
+    * ([[graft.operators.TopK.topKStr]]), NOT a per-doc rank window: the
+    * window formulation must repartition and SORT the full (doc, term,
+    * w) table before discarding all but k rows per doc — measured
+    * 92.8 s at the 2 M-doc soak (~300 M tf rows), vs the aggregate's
+    * sort-free partial-combine pass (the exchange carries ≤ k rows per
+    * (doc, map task)). Buffer order is (w desc, term asc) — the same
+    * total order — so the emitted ranks replay the ROW_NUMBER oracle
+    * exactly. */
   private[graft] def tfidfTerms(d0: DataFrame, k: Int): DataFrame = {
     val tf = d0.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val stats = tf.agg(countDistinct("doc_id").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id")
-      .orderBy(col("w").desc, col("term").asc)
     tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
       .withColumn("w",
         floor(lit(1e6) * col("tf") *
               ((col("n_docs") - col("df") + lit(0.5)) /
                (col("df") + lit(0.5)))).cast("long"))
-      .select(col("doc_id"), col("term"), col("w"))
-      .withColumn("rnk", row_number().over(wDoc).cast("long"))
-      .filter(col("rnk") <= k)
+      .groupBy("doc_id")
+      .agg(graft.operators.TopK.topKStr(k)(col("w"), col("term")).as("top"))
+      .select(col("doc_id"), posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("e.id").as("term"), col("e.v").as("w"),
+              (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Posting-list cap for [[qInvertedIndex]]. */

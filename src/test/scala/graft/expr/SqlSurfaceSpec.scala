@@ -316,6 +316,13 @@ class SqlSurfaceSpec extends SparkSpec {
     val d = spark.sql("SELECT * FROM graft_diff('sk_docs', 'sk_newer')")
     assert(d.collect().toSet ===
       DedupQueries.corpusDiff(docs, newer).collect().toSet)
+
+    val ch = spark.sql("SELECT * FROM graft_chunk('sk_docs')")
+    assert(ch.collect().toSet ===
+      graft.queries.CurationQueries.chunkOverlap(docs).collect().toSet)
+    val tf = spark.sql("SELECT * FROM graft_tfidf('sk_docs', 2)")
+    assert(tf.collect().toSet ===
+      TextStatsQueries.tfidfTerms(docs, 2).collect().toSet)
   }
 
   test("table functions reject non-constant and missing arguments") {

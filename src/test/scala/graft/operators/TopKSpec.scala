@@ -61,4 +61,36 @@ class TopKSpec extends SparkSpec {
     assert(aggs.exists(_.aggregateExpressions.exists(_.toString.contains("partial"))),
            "one aggregate must run in Partial mode on the map side")
   }
+
+  test("property: topKStr(k) ≡ row_number window top-k with string tiebreak") {
+    val rows = Gen.listOfN(
+      60, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-5L, 5L)))
+    (1 to 8).foreach { seed =>
+      val data = rows.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      // few distinct string ids on purpose: v ties AND id ties per group
+      val ids = data.zipWithIndex
+        .map { case ((g, v), i) => (g, v, s"s${i % 7}") }
+      val df = ids.toDF("g", "v", "id").repartition(4)
+      val viaAgg = df.groupBy("g")
+        .agg(TopK.topKStr(2)(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top.items")).as(Seq("pos", "t")))
+        .select(col("g"), (col("pos") + 1).as("rnk"), col("t.v"), col("t.id"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      // window replay needs a total order; dedupe exact (g,v,id) repeats
+      // first (the aggregate keeps repeats, the window ranks them
+      // arbitrarily — compare on the deduplicated frame)
+      val ddf = df.distinct()
+      val viaAggD = ddf.groupBy("g")
+        .agg(TopK.topKStr(2)(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top.items")).as(Seq("pos", "t")))
+        .select(col("g"), (col("pos") + 1).as("rnk"), col("t.v"), col("t.id"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val viaWindow = ddf.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2).select("g", "rnk", "v", "id")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(viaAggD === viaWindow, s"seed $seed")
+      assert(viaAgg.size >= viaAggD.size) // repeats never LOSE items
+    }
+  }
 }
