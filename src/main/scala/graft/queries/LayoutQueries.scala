@@ -204,5 +204,60 @@ object LayoutQueries {
       |GROUP BY 1""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune)
+  /** The daily aggregate maintained by [[qBackfill]] — one definition
+    * for the initial build and the backfill recompute. */
+  private def dailyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /**
+   * BACKFILL via dynamic partition overwrite — the incremental-recompute
+   * WRITE pattern that pairs with [[DedupQueries.corpusDiff]]'s read
+   * side: when late data (or a bug fix) invalidates a date range of a
+   * derived layout, recompute THAT RANGE and overwrite only its
+   * partitions, leaving every other partition's files untouched.
+   * `partitionOverwriteMode=dynamic` is the load-bearing option: static
+   * overwrite (the default) would DELETE the whole table first, turning
+   * a one-range backfill into a full rebuild (and a window of data
+   * loss) — at a 100 TB lake the difference is the whole point of
+   * date-partitioned derived tables.
+   *
+   * The gate makes the semantics observable: the initial build writes
+   * days ≥ 01-08 deliberately WRONG (value double-counted), the
+   * backfill recomputes exactly that range, and the read-back must
+   * match the all-days oracle — which can only happen if dynamic
+   * overwrite replaced every targeted partition and preserved every
+   * untouched one ([[graft.queries]] `BackfillSpec` additionally
+   * asserts the untouched partitions' FILES are byte-identical).
+   */
+  val qBackfill = Q(
+    "q_backfill",
+    (s, dir) => {
+      val base = derivedDir(s, dir, s"backfill-${System.nanoTime()}")
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts_t")))
+        .select(col("day"), col("value"))
+      val wrong = ev.withColumn("value",
+        when(col("day") >= lit("2024-01-08"), col("value") * 2)
+          .otherwise(col("value")))
+      dailyAgg(wrong).repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      dailyAgg(ev.filter(col("day") >= lit("2024-01-08")))
+        .repartition(col("day"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(base)
+      s.read.parquet(base)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("n_events"), col("value_cents"))
+    },
+    Some("""SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events GROUP BY 1""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill)
 }
