@@ -299,9 +299,61 @@ object CoreQueries {
       |FROM events GROUP BY user_id""".stripMargin)
   )
 
+  /**
+   * GAP-FILLED daily time series — resampling onto a dense calendar
+   * spine: daily counts of a RARE event slice (value ≥ 400, the
+   * distribution's tail) per event type, with absent (day, type) cells
+   * emitted as explicit zeros. Dashboards, anomaly detectors, and
+   * forecasting features all need the dense grid — a groupBy alone
+   * silently drops empty days, which reads as "no data" instead of
+   * "zero events".
+   *
+   * Scale shape: the spine is GENERATED (sequence × a literal type
+   * list — days × types rows, tiny at any corpus size; never a
+   * distinct-scan of the fact table to discover its own domain), the
+   * fact side aggregates FIRST (one map-combinable shuffle to ~spine
+   * cardinality), and the spine left-joins the aggregated table — so
+   * the join touches two small frames regardless of event volume.
+   */
+  val qGapFill = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      val types = Seq("view", "click", "signup", "purchase", "error")
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+          expr("interval 1 day"))).as("day"))
+        .select(col("day"),
+                explode(array(types.map(lit): _*)).as("event_type"))
+      val actual = events(s, dir)
+        .filter(col("value") >= 400)
+        .groupBy(to_date(col("ts_t")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      spine.join(actual, Seq("day", "event_type"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("event_type"),
+                coalesce(col("c"), lit(0L)).as("n_events"))
+    },
+    Some("""WITH spine AS (
+      |  SELECT CAST(g.d AS DATE) AS day, t.event_type
+      |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+      |                       INTERVAL 1 DAY) g(d),
+      |       (VALUES ('view'), ('click'), ('signup'), ('purchase'),
+      |               ('error')) t(event_type)
+      |), actual AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      |  FROM events WHERE value >= 400 GROUP BY 1, 2
+      |)
+      |SELECT STRFTIME(spine.day, '%Y-%m-%d') AS day, spine.event_type,
+      |       CAST(COALESCE(actual.c, 0) AS BIGINT) AS n_events
+      |FROM spine LEFT JOIN actual
+      |  ON spine.day = actual.day AND spine.event_type = actual.event_type"""
+      .stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
-    qAggSalted, qPivot
+    qAggSalted, qPivot, qGapFill
   )
 }

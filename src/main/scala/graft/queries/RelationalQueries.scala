@@ -488,10 +488,57 @@ object RelationalQueries {
            sum(cents("l_extendedprice")).as("revenue_cents"))
   }
 
+  /**
+   * TPC-H Q3 (shipping priority) — the classic three-way
+   * selective-join-then-top-k shape, included as the multi-join
+   * optimizer exercise the two-table queries don't cover: Catalyst must
+   * push three independent filters below their joins, pick
+   * broadcast-vs-shuffle per join (customer is dim-sized → BHJ;
+   * lineitem ⋈ orders stays a big-big shuffle join), and plan the
+   * top-10 as TakeOrderedAndProject — never a global sort. Revenue is
+   * the usual integer-cents discipline so the sum is
+   * shuffle-order-independent and the tiebreak (orderkey) total-orders
+   * the cut.
+   */
+  val qTpchQ3 = Q(
+    "q_tpch_q3",
+    (s, dir) => {
+      val customer = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+      val lineitem = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+                 date_format(col("o_orderdate"), "yyyy-MM-dd")
+                   .as("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                 * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+      |       STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY 1, 2
+      |ORDER BY revenue_cents DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
     qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
-    qTopkGrouped, qJoinSalted
+    qTopkGrouped, qJoinSalted, qTpchQ3
   )
 }
