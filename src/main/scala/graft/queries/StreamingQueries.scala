@@ -586,8 +586,36 @@ object StreamingQueries {
     TextStatsQueries.qCmsSketch.oracle
   )
 
+  /**
+   * Streaming TF-IDF keyword extraction, gated against the batch oracle
+   * verbatim: corpus df/n_docs frozen into a one-row broadcast map
+   * ([[graft.streaming.StreamingTfidf]]), per-document scoring and the
+   * top-k cut run as pure higher-order functions INSIDE each row —
+   * no explode-regroup (a stateful aggregation a stream can't do in
+   * append mode, and needless when a document's tokens live in one
+   * row), no state store, no watermark. When the arriving set is the
+   * frozen corpus, the weights are the batch operator's identical
+   * correctly-rounded expression tree, so the gate hash-matches
+   * `q_tfidf_terms`' oracle exactly.
+   */
+  val qStreamTfidf = Q(
+    "q_stream_tfidf",
+    (s, dir) => {
+      val stats = graft.streaming.StreamingTfidf.corpusStats(
+        Tables.read(s, dir, "documents").select("doc_id", "text")).cache()
+      stats.count()
+      try runToSink(s, dir,
+        graft.streaming.StreamingTfidf.tfidfHits(
+          tableStream(s, dir, "documents").select("doc_id", "text"),
+          stats, TextStatsQueries.TfidfK),
+        "graft_q_stream_tfidf")
+      finally stats.unpersist()
+    },
+    TextStatsQueries.qTfidfTerms.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan, qStreamDiff, qStreamCms)
+                        qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf)
 }

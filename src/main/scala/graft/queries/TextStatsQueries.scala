@@ -764,7 +764,7 @@ object TextStatsQueries {
   }
 
   /** Keywords kept per document by [[qTfidfTerms]]. */
-  private val TfidfK = 3
+  private[graft] val TfidfK = 3
 
   /**
    * Per-document KEYWORD extraction by tf·idf — the document-side

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/**
+ * Streaming TF-IDF keyword extraction — the streaming face of
+ * `q_tfidf_terms`, and the demonstration that a corpus-global scorer
+ * can run FULLY STATELESSLY per row once its corpus statistics are
+ * frozen: the batch operator needs two corpus aggregations (document
+ * frequency, document count); on a stream those become a one-row
+ * static frame holding `(n_docs, map(term → df))` built offline
+ * ([[corpusStats]] — the "frozen index" pattern of
+ * [[StreamingDecontam]]), and the per-document work is pure
+ * higher-order functions over the row's own token array:
+ *
+ *  - tf for each distinct term via `size(filter(toks, = t))` — no
+ *    explode-then-regroup, which on a stream would be a stateful
+ *    aggregation (disallowed in append mode without a watermark, and
+ *    needless here because a document's tokens all live in ONE row);
+ *  - df lookup via `element_at` on the broadcast one-row map — a
+ *    stream-static cross join of one row, the same bounded-static
+ *    contract as the decontamination indexes (a frozen vocabulary is
+ *    benchmark-sized; one that outgrows broadcast scale switches to
+ *    the explode + stream-static equi-join formulation at the price
+ *    of a per-term row fanout);
+ *  - the top-k cut via a comparator `array_sort` + `slice` INSIDE the
+ *    row — the document's own distinct-term list is the whole rank
+ *    domain, so no window, no aggregate, no state anywhere.
+ *
+ * The weight expression is the batch operator's identical
+ * correctly-rounded tree (`FLOOR(1e6 · tf · odds-ratio-idf)` over
+ * exact integers), so when the arriving set IS the frozen corpus the
+ * stream's output hash-matches the batch oracle bit-for-bit — which is
+ * exactly how the gate checks it.
+ */
+object StreamingTfidf {
+
+  /** Frozen corpus statistics as ONE row: `(dfmap: map<term, df>,
+    * n_docs)`. Built offline from the corpus batch — the deployment's
+    * index-build step (the `count()` driver action is part of that
+    * offline build, never of the stream). */
+  def corpusStats(corpus: DataFrame): DataFrame = {
+    val scored = corpus.filter(col("text").isNotNull)
+    val dfreq = scored
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = scored.count()
+    dfreq
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("df")))).as("dfmap"))
+      .withColumn("n_docs", lit(nDocs))
+  }
+
+  /** Per-row stateless scoring of arriving `(doc_id, text)` docs
+    * against the frozen stats: each document's top-k terms by the
+    * batch-identical floored tf·idf weight, ranks dense from 1. */
+  def tfidfHits(arrivals: DataFrame, stats: DataFrame, k: Int): DataFrame =
+    arrivals.filter(col("text").isNotNull)
+      .crossJoin(broadcast(stats))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("scored", expr(
+        """transform(array_distinct(toks), t -> struct(
+          |  CAST(FLOOR(1e6 * size(filter(toks, x -> x = t)) *
+          |    ((n_docs - coalesce(element_at(dfmap, t), 0L)
+          |      + CAST(0.5 AS DOUBLE)) /
+          |     (coalesce(element_at(dfmap, t), 0L)
+          |      + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS w,
+          |  t AS term))""".stripMargin))
+      .withColumn("top", slice(expr(
+        """array_sort(scored, (a, b) ->
+          |  CASE WHEN a.w > b.w THEN -1 WHEN a.w < b.w THEN 1
+          |       WHEN a.term < b.term THEN -1
+          |       WHEN a.term > b.term THEN 1 ELSE 0 END)""".stripMargin),
+        1, k))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.w").as("w"),
+              (col("pos") + 1).cast("long").as("rnk"))
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.queries.TextStatsQueries
+
+final case class TfDoc(doc_id: Long, text: String)
+
+/** The stateless per-row tf-idf face: stream ≡ batch bit-for-bit when
+  * the arriving set is the frozen corpus (same floored weights, same
+  * (w desc, term asc) cut), ties included; null text is silent; unseen
+  * terms score against df = 0. */
+class StreamingTfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    TfDoc(1L, "the alpha the"),
+    TfDoc(2L, "the beta"),
+    TfDoc(3L, "the gamma gamma gamma"),
+    TfDoc(4L, "zeta alpha"), // in-doc tie: equal tf, equal df terms
+    TfDoc(5L, null)
+  )
+
+  private def streamed(arrivals: Seq[TfDoc], k: Int): Set[(Long, String, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val stats = StreamingTfidf.corpusStats(corpus.toDF())
+    val input = MemoryStream[TfDoc]
+    val name = s"graft_stfidf_${System.nanoTime()}"
+    val q = StreamingTfidf.tfidfHits(input.toDF(), stats, k)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(2))
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[(Long, String, Long, Long)].collect().toSet
+  }
+
+  test("stream ≡ batch tf-idf bit-for-bit on the frozen corpus, ties included") {
+    val batch = TextStatsQueries.tfidfTerms(corpus.toDF(), 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed(corpus, 3) === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("an unseen term scores against df = 0 (maximal idf), statelessly") {
+    val hits = streamed(Seq(TfDoc(9L, "novel the")), 2)
+      .toSeq.sortBy(_._4)
+    assert(hits.map(_._2) === Seq("novel", "the"),
+      "the frozen-vocab miss must outrank the ubiquitous term")
+    // df=0 weight: floor(1e6 * 1 * (4 - 0 + 0.5) / 0.5) = 9_000_000
+    assert(hits.head._3 === 9000000L)
+  }
+}
