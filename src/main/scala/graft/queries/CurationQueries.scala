@@ -556,7 +556,59 @@ object CurationQueries {
                    (col("i") * ChunkS + 1).cast("int"), lit(ChunkW)))
           .cast("long").as("n_tokens"))
 
+  /** Bucket count for [[qDecileAssign]]. */
+  private val Deciles = 10
+
+  /**
+   * EXACT decile assignment (NTILE semantics) at corpus scale — the
+   * bucketing behind "train on the top quality decile" curation
+   * policies. The textbook formulation, `NTILE(10) OVER (ORDER BY …)`,
+   * is a GLOBAL window: every row through one task — the same
+   * scale-killer [[graft.operators.GlobalRank]] exists to avoid. Here
+   * the global position comes from the range-exchange rank
+   * decomposition, and the bucket is NTILE's exact integer arithmetic
+   * over (rank, n): the first `n mod k` buckets take `⌈n/k⌉` rows, the
+   * rest `⌊n/k⌋` — replayed bit-for-bit by the oracle's real NTILE.
+   * The sort key (n_chars, doc_id) is a total order, so the bucket of
+   * every row is deterministic under any partitioning.
+   */
+  val qDecileAssign = Q(
+    "q_decile_assign",
+    (s, dir) =>
+      ntileAssign(Tables.read(s, dir, "documents").select("doc_id", "n_chars"),
+                  Deciles,
+                  s.conf.get("spark.sql.shuffle.partitions").toInt),
+    Some(s"""SELECT doc_id, n_chars,
+      |       CAST(NTILE($Deciles) OVER (ORDER BY n_chars, doc_id)
+      |            AS BIGINT) AS decile
+      |FROM documents""".stripMargin)
+  )
+
+  /** [[qDecileAssign]]'s body over an ARBITRARY `(doc_id, n_chars)`
+    * frame: NTILE(k)'s exact bucket arithmetic over the GlobalRank
+    * position — first `n mod k` buckets take ⌈n/k⌉ rows, the rest
+    * ⌊n/k⌋. */
+  private[graft] def ntileAssign(d: DataFrame, k: Int,
+                                 numPartitions: Int): DataFrame = {
+    val n = d.count()
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      d, Seq(col("n_chars").asc, col("doc_id").asc), numPartitions, "rnk")
+    val base = n / k
+    val big = n % k
+    val threshold = big * (base + 1)
+    // `div` (integral division), never `/` — Spark's `/` on longs is
+    // double division; the NTILE arithmetic must stay exact-integer
+    val bucket =
+      if (base == 0) expr(s"(rnk - 1) div ${base + 1} + 1")
+      else when(col("rnk") <= threshold,
+                expr(s"(rnk - 1) div ${base + 1} + 1"))
+             .otherwise(expr(s"$big + (rnk - 1 - $threshold) div $base + 1"))
+    ranked.select(col("doc_id"), col("n_chars"),
+                  bucket.cast("long").as("decile"))
+  }
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
-                        qCuratedCorpus, qShuffleExport, qChunkOverlap)
+                        qCuratedCorpus, qShuffleExport, qChunkOverlap,
+                        qDecileAssign)
 }

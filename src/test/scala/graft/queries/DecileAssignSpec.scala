@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The range-exchange NTILE: bucket-for-bucket parity with Spark's own
+  * ntile window on awkward sizes (remainder buckets, n < k, ties), and
+  * partitioning determinism. */
+class DecileAssignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaOperator(rows: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    CurationQueries.ntileAssign(
+      rows.toDF("doc_id", "n_chars").repartition(5), k, 4)
+      .select("doc_id", "decile").as[(Long, Long)].collect().toMap
+
+  private def viaWindow(rows: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+    rows.toDF("doc_id", "n_chars")
+      .withColumn("decile", ntile(k).over(w).cast("long"))
+      .select("doc_id", "decile").as[(Long, Long)].collect().toMap
+  }
+
+  test("parity with the ntile window on a remainder size (23 rows, k=10)") {
+    // 23 = 3 buckets of 3 + 7 of 2; heavy ties in the sort value
+    val rows = (1L to 23L).map(i => (i, i % 4))
+    assert(viaOperator(rows, 10) === viaWindow(rows, 10))
+  }
+
+  test("parity when n < k (every bucket size ≤ 1) and when n % k == 0") {
+    val tiny = (1L to 7L).map(i => (i, 100L - i))
+    assert(viaOperator(tiny, 10) === viaWindow(tiny, 10))
+    val exact = (1L to 40L).map(i => (i, i * 3 % 11))
+    assert(viaOperator(exact, 10) === viaWindow(exact, 10))
+  }
+
+  test("deterministic under repartitioning") {
+    val rows = (1L to 51L).map(i => (i, i % 6))
+    assert(viaOperator(rows, 10) === viaOperator(rows.reverse, 10))
+  }
+}
