@@ -351,9 +351,146 @@ object CoreQueries {
       .stripMargin)
   )
 
+  /**
+   * Event TRANSITION MATRIX — first-order Markov view of the
+   * clickstream: for each (event_type → next event_type) transition
+   * within a user's stream, its count and total dwell time (µs gap
+   * summed as exact integers). The standard next-step analysis behind
+   * "what do users do after a view?" dashboards and session-model
+   * features.
+   *
+   * Scale shape: the lead window partitions BY USER — the group count
+   * grows with the corpus, so the window scales out (each partition
+   * holds one user's events, human-bounded like sessions) — and the
+   * transition aggregate then shuffles only the (from, to) pair domain
+   * (|types|² rows after map-side combine). The window ordering
+   * carries `event_id` as tiebreak: equal timestamps within a user
+   * would otherwise make the successor nondeterministic, in BOTH
+   * engines.
+   */
+  val qTransitionMatrix = Q(
+    "q_transition_matrix",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .withColumn("gap_us", lead("ts_us", 1).over(w) - col("ts_us"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+                 col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+             sum("gap_us").as("total_gap_us"))
+    },
+    Some("""WITH nxt AS (
+      |  SELECT event_type,
+      |         LEAD(event_type) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |           AS next_type,
+      |         LEAD(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |           - epoch_us(ts) AS gap_us
+      |  FROM events
+      |)
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |       COUNT(*) AS n_transitions,
+      |       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+      |FROM nxt WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** Ties-inclusive cut size for [[qTopPaths]]. */
+  private val TopPaths = 15
+
+  /**
+   * TOP EVENT PATHS — corpus-frequency counts of length-3 event-type
+   * sequences within a user's stream (the n-gram heavy-hitter
+   * discipline of `q_ngram_topk` applied to the clickstream): the
+   * "view > click > purchase"-style journeys product analytics ranks.
+   * Two `lead`s over the per-user window build the triple in one pass
+   * (the window scales out by user), the aggregate shuffles only the
+   * |types|³-bounded path domain, and the cut is the ties-INCLUSIVE
+   * threshold band — deterministic, no arbitrary tiebreak among equal
+   * counts.
+   */
+  val qTopPaths = Q(
+    "q_top_paths",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val counts = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+      val kth = counts.orderBy(col("cnt").desc).limit(TopPaths)
+        .agg(min(col("cnt")).as("__kth"))
+      counts.join(broadcast(kth), col("cnt") >= col("__kth"))
+        .select("path", "cnt")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT event_type,
+      |         LEAD(event_type, 1) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t2,
+      |         LEAD(event_type, 2) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t3
+      |  FROM events
+      |), p AS (
+      |  SELECT event_type || '>' || t2 || '>' || t3 AS path
+      |  FROM t WHERE t3 IS NOT NULL
+      |), c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+      |k AS (SELECT MIN(cnt) AS m
+      |      FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT $TopPaths) q)
+      |SELECT path, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
+  )
+
+  /**
+   * Session ENTRY/EXIT pages — per visit, the first and last event
+   * type (landing and abandonment analysis: "where do sessions start,
+   * where do they die?"). Rides [[Sessionize.withSessionIds]]'s
+   * gaps-and-islands sessions and extracts the endpoints as
+   * `min/max(struct(ts, event_id, type))` — a map-side-combinable
+   * aggregate with the event_id tiebreak making equal-timestamp
+   * endpoints deterministic, never a per-session sort or group list.
+   */
+  val qEntryExit = Q(
+    "q_entry_exit",
+    (s, dir) =>
+      Sessionize.withSessionIds(events(s, dir)
+          .select("user_id", "event_id", "ts_us", "event_type"))
+        .groupBy("user_id", "visit_key")
+        .agg(
+          min(struct(col("ts_us"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+          max(struct(col("ts_us"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"),
+          count(lit(1)).as("n_events")),
+    Some(s"""${Sessionize.islandsSql()},
+      |r AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                            ORDER BY ts_us, event_id) AS ra,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                            ORDER BY ts_us DESC, event_id DESC) AS rd
+      |  FROM s
+      |)
+      |SELECT user_id,
+      |       user_id || '_' || CAST(MIN(ts_us) AS VARCHAR) AS visit_key,
+      |       MAX(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+      |       MAX(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+      |       COUNT(*) AS n_events
+      |FROM r GROUP BY user_id, session_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
-    qAggSalted, qPivot, qGapFill
+    qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit
   )
 }
