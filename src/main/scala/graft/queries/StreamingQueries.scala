@@ -614,8 +614,59 @@ object StreamingQueries {
     TextStatsQueries.qTfidfTerms.oracle
   )
 
+  /**
+   * Streaming windowed LEADERBOARD (15th gate): the hourly top-2 event
+   * types — [[qStreamWindowed]]'s watermarked tumbling-window counts
+   * drained through the file sink, then the rank CUT at compaction
+   * over the already-aggregated (window, type) table: a
+   * window-partitioned row_number whose group count grows with time
+   * (scales out) over windows×types rows, never events. The per-window
+   * tiebreak (count desc, type asc) is a total order, so the
+   * leaderboard is deterministic and the oracle replays it with a real
+   * ROW_NUMBER. The sketch/compaction split is the [[qStreamHll]]
+   * discipline: per-arrival work streams, rank work compacts.
+   */
+  val qStreamLeaderboard = Q(
+    "q_stream_leaderboard",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+                                            col("ts_t"))
+      val inDir = streamDir(s, dir, "stream-leaderboard")
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      val counts =
+        runToSink(s, dir, graft.streaming.StreamingFeed.windowedCounts(stream),
+                  "graft_q_stream_leaderboard")
+          .filter(col("event_type") =!= "zz")
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+                  col("event_type"), col("n_events"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start_us")
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      counts.withColumn("rnk", row_number().over(wR).cast("long"))
+        .filter(col("rnk") <= 2)
+    },
+    Some("""WITH c AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |         event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT window_start_us, event_type, n_events,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us
+      |                               ORDER BY n_events DESC, event_type ASC)
+      |            AS BIGINT) AS rnk
+      |FROM c QUALIFY rnk <= 2""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf)
+                        qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
+                        qStreamLeaderboard)
 }
