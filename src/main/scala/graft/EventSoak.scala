@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev soak: an events table at cluster-ish scale for the SESSIONIZATION
+ * core and the clickstream analytics — the reference's own workload,
+ * which the driver fixtures cap at sf0.1 (100 k events). Deterministic
+ * synthesis (xxhash64 columns, no rand()):
+ *
+ *  - `nUsers` visitors, events spread over the 30-day fixture window;
+ *  - SESSIONFUL time structure: each event lands in one of 200 per-user
+ *    burst slots (slots ~3.6 h apart — always a session break) at a
+ *    jitter under 20 min inside the slot (intra-burst gaps always under
+ *    the 30-min timeout) — so sessions exist by construction and their
+ *    expected count is testable (≈ distinct (user, slot) pairs);
+ *  - the full fixture schema (event_id, ts, user_id, event_type, value,
+ *    props) so every events-backed query runs unmodified.
+ *
+ * Run: sbt "runMain graft.EventSoak [outDir] [nRows] [nUsers]"
+ * then: SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_ONLY=q_sessionize,...
+ *       sbt "runMain graft.Bench"
+ */
+object EventSoak {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-event-soak")
+    val nRows = if (args.length > 1) args(1).toLong else 50000000L
+    val nUsers = if (args.length > 2) args(2).toLong else 500000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val slotUs = 30L * 86400000000L / 200L // ~3.6 h
+    val types = array(Seq("view", "click", "signup", "purchase", "error")
+      .map(lit): _*)
+
+    val df = spark.range(nRows).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+      (lit(baseUs) +
+        pmod(xxhash64(col("id"), lit(2)), lit(200L)) * slotUs +
+        pmod(xxhash64(col("id"), lit(3)), lit(1200000000L))).as("ts_us"),
+      element_at(types,
+        (pmod(xxhash64(col("id"), lit(4)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(49000L)).cast("double") / 100.0)
+        .as("value"),
+      concat(lit("""{"k": """),
+             pmod(xxhash64(col("id"), lit(6)), lit(100L)),
+             lit("}")).as("props"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    df.repartition(64).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    println(s"""{"soak_dir":"$out","n_rows":$nRows,"n_users":$nUsers}""")
+    spark.stop()
+  }
+}
