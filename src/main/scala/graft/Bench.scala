@@ -72,7 +72,9 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Locale-pinned: a comma decimal separator would corrupt the JSON line.
+    def j3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${j3(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Batch vs streaming subtotals: the streaming gates carry fixed
@@ -85,7 +87,14 @@ object Bench {
     val isStream = (name: String) => name.startsWith("q_stream_")
     val totalBatch = results.filterNot(r => isStream(r._1)).map(_._2).sum
     val totalStream = results.filter(r => isStream(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_batch":$totalBatch,"total_stream":$totalStream,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Field order matters for the DRIVER, not for JSON: the driver records
+    // only the last ~2000 chars of stdout, and at 100+ queries the per-query
+    // map alone exceeds that — with the headline fields first they get
+    // truncated out of the recorded tail (BENCH_r12 shows a mid-map cut).
+    // Emitting queries/errors first and the summary scalars last keeps the
+    // line one valid JSON object while guaranteeing metric/value/subtotals
+    // land inside the recorded window.
+    println(s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${j3(total)},"unit":"sec","n_queries":${results.size},"total_batch":${j3(totalBatch)},"total_stream":${j3(totalStream)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] $k FAILED: $v") }

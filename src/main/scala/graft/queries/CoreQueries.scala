@@ -488,9 +488,116 @@ object CoreQueries {
       |FROM r GROUP BY user_id, session_id""".stripMargin)
   )
 
+  /** Rolling window span for [[qWindowRolling]] (1 hour in µs). */
+  private val RollingUs = 3600000000L
+
+  /**
+   * Per-event ROLLING 1-HOUR aggregates — the time-RANGE window frame
+   * (`RANGE BETWEEN 1h PRECEDING AND CURRENT ROW` over event time, per
+   * user): each event carries how many events and how much value the
+   * user produced in the trailing hour — the rate-limiter / burst-
+   * detection / feature-engineering primitive that row-count sliding
+   * frames (`q_window_sliding`) can't express when events are unevenly
+   * spaced. Value sums as exact integer cents (the `q_tpch_q3`
+   * discipline — per-row rounding is engine-deterministic, integer
+   * addition is associative, so the hash gate is exact where a double
+   * sum would be order-sensitive).
+   *
+   * Scale shape: the window partitions BY USER — group count grows with
+   * the corpus so the frame scales out, and each frame is human-bounded
+   * (one user's trailing hour). RANGE mode makes equal-timestamp rows
+   * peers (both engines follow the SQL standard: CURRENT ROW in RANGE
+   * mode means "last peer"), so the result needs no tiebreak to be
+   * deterministic.
+   */
+  val qWindowRolling = Q(
+    "q_window_rolling",
+    (s, dir) => rollingOf(events(s, dir)),
+    Some(s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+      |         AS value_cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN $RollingUs PRECEDING AND CURRENT ROW)"""
+      .stripMargin)
+  )
+
+  /** [[qWindowRolling]]'s body over an ARBITRARY events frame
+    * (`event_id, user_id, ts_us, value`) — the spec's seam. */
+  private[graft] def rollingOf(ev: DataFrame,
+                               spanUs: Long = RollingUs): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-spanUs, org.apache.spark.sql.expressions.Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("ts_us"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("value_cents_1h", sum(col("cents")).over(w))
+      .drop("cents")
+  }
+
+  /**
+   * Daily-count ANOMALY detection per event type — the ops-dashboard
+   * "did error volume spike today?" check: a day is anomalous for a
+   * type when its count deviates from the type's mean by more than two
+   * population standard deviations. The test is evaluated in EXACT
+   * integer arithmetic — z > 2 ⟺ (n·c − S)² > 4·(n·Q − S²) with
+   * n = #days, S = Σc, Q = Σc² — because a floating stddev computed in
+   * different association orders puts boundary days on different sides
+   * of the cut in different engines; cross-multiplied integers cannot.
+   *
+   * Scale shape: the event scan aggregates map-side into the day×type
+   * domain (bounded: 31×5 here, calendar×taxonomy generally), and the
+   * stats window runs over that compact frame only — per-type groups of
+   * |days| rows, never events.
+   */
+  val qAnomalyDaily = Q(
+    "q_anomaly_daily",
+    (s, dir) =>
+      anomalyOverCounts(
+        events(s, dir)
+          .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n_events"))),
+    Some("""WITH daily AS (
+      |  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT *,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+      |         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+      |         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS q
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type)
+      |)
+      |SELECT day, event_type, n_events,
+      |       CAST((n_days * n_events - s) * (n_days * n_events - s)
+      |            > 4 * (n_days * q - s * s) AS INT) AS is_anomaly
+      |FROM st""".stripMargin)
+  )
+
+  /** The exact-integer 2σ test over an ARBITRARY `(day, event_type,
+    * n_events)` daily-count frame — [[qAnomalyDaily]]'s seam, and the
+    * spec's: z > 2 ⟺ (n·c − S)² > 4·(n·Q − S²), all BIGINT. */
+  private[graft] def anomalyOverCounts(daily: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("q", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("dev", col("n_days") * col("n_events") - col("s"))
+      .select(col("day"), col("event_type"), col("n_events"),
+              (col("dev") * col("dev") >
+                 lit(4L) * (col("n_days") * col("q") - col("s") * col("s")))
+                .cast("int").as("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
-    qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit
+    qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
+    qWindowRolling, qAnomalyDaily
   )
 }

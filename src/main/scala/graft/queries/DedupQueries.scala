@@ -1810,13 +1810,27 @@ object DedupQueries {
     // keeps the per-call build honest about it.
     val hashes = checkpointCompact(
       corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct())
-    val n = if (expectedItems > 0) expectedItems else hashes.count()
-    val bloom = hashes.na.drop("all").stat
-      .bloomFilter("ch", math.max(n, 1L), fpp)
+    val bloom = bloomOf(hashes, expectedItems, fpp)
     dedupAgainstIndexBloom(newDocs, hashes,
                            bandSignaturesOf(corpus)
                              .select("band", "sig0", "sig1").distinct(),
                            bloom)
+  }
+
+  /** Corpus Bloom sketch over a `(ch)` hash-index frame, safe at the
+    * edges: `DataFrameStatFunctions.bloomFilter` NPEs on an aggregation
+    * that saw ZERO rows (null deserialized buffer — hit when the corpus
+    * is empty or every text is null), so the zero-row case returns an
+    * explicit empty sketch: same answer ("definitely not present")
+    * without the landmine. `expectedItems` ≤ 0 means size from the
+    * observed non-null count. */
+  private[graft] def bloomOf(hashes: DataFrame, expectedItems: Long = 0L,
+                             fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val nonNull = hashes.na.drop("all")
+    val n = if (expectedItems > 0) expectedItems else nonNull.count()
+    if (n == 0 || nonNull.isEmpty)
+      org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    else nonNull.stat.bloomFilter("ch", math.max(n, 1L), fpp)
   }
 
   /** [[dedupAgainstCorpus]] behind the driver gate: the documents table

@@ -327,6 +327,37 @@ object RelationalQueries {
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
   )
 
+  /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * one Expand pass emits the detail grid, a single-dimension slice on
+    * a DIFFERENT column (line number), and the grand total, with no hierarchy between
+    * them (the report shape dashboards actually ask for: "by flag×status,
+    * and separately by shipmode, and overall" in one scan). GROUPING()
+    * bits disambiguate a subtotal NULL from a data NULL — the part
+    * ROLLUP's unambiguous hierarchy let `q_agg_rollup` skip. One scan,
+    * one shuffle of the expanded (set-id-tagged) rows, map-side partials
+    * per set — the same Expand economics as CUBE but paying only for the
+    * 3 requested sets, not the 2^k lattice. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) =>
+      s.sql(s"""SELECT l_returnflag, l_linestatus, l_linenumber,
+              |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+              |       CAST(GROUPING(l_linenumber) AS INT) AS g_line,
+              |       COUNT(*) AS n_lines,
+              |       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+              |FROM parquet.`$dir/lineitem.parquet` AS lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_linenumber), ())""".stripMargin),
+    Some("""SELECT l_returnflag, l_linestatus, l_linenumber,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linenumber) AS INT) AS g_line,
+      |       COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_linenumber), ())""".stripMargin)
+  )
+
   /** Sliding window frame: 3-order trailing revenue per customer
     * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
     * variant the rank/lag/full-frame queries don't cover. Deterministic
@@ -539,6 +570,6 @@ object RelationalQueries {
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
     qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
-    qTopkGrouped, qJoinSalted, qTpchQ3
+    qTopkGrouped, qJoinSalted, qTpchQ3, qGroupingSets
   )
 }

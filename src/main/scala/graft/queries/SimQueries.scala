@@ -939,7 +939,116 @@ object SimQueries {
       |FROM n GROUP BY label""".stripMargin)
   )
 
+  /** Fixed-point scale for [[qPagerank]] ranks (1.0 ≡ 1e6). */
+  private val PrScale = 1000000L
+  /** (1 − d)·[[PrScale]] for damping d = 0.85. */
+  private val PrBase = 150000L
+  /** Power-iteration count for [[qPagerank]]. */
+  private val PrIters = 3
+
+  /**
+   * PAGERANK over the [[qKnnGraph]] edges — centrality scoring of the
+   * embedding corpus (hub/prototype detection for curation: which
+   * vectors sit at the center of their neighborhood graph), by `PrIters`
+   * rounds of damped power iteration (d = 0.85). Ranks are FIXED-POINT
+   * integers (1.0 ≡ 1e6, integer division throughout) — the quantized-
+   * dot discipline applied to the iteration itself: every contribution
+   * `r(u) div outdeg(u)` and every damped update is exact integer
+   * arithmetic, so the sum is associative under ANY partitioning and
+   * the oracle replays it bit-equal where a floating formulation would
+   * diverge in the third decimal after one shuffle-order change.
+   * Dangling mass (vectors whose cell had no mates emit no edges)
+   * deliberately leaks rather than redistributing — the standard
+   * simplification, stated; ranks remain a valid relative ordering.
+   *
+   * Scale shape per round: one equi-join of the (n·K)-bounded edge list
+   * with the rank frame on src, one map-side-combinable sum into the
+   * node domain, one left join back to nodes — no all-pairs, no driver
+   * state, lineage bounded by the fixed round count. The edge list is
+   * checkpointed compact once; iteration cost is independent of corpus
+   * text size.
+   */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, dir) => pageRankOf(quantized(s, dir)),
+    Some(s"""$ivfCte,
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |),
+      |knn AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src
+      |                              ORDER BY dot DESC, dst ASC) AS rnk
+      |    FROM p) WHERE rnk <= $GraphK
+      |),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM knn GROUP BY 1),
+      |nd AS (SELECT vec_id AS id FROM e),
+      |r0 AS (SELECT id, CAST($PrScale AS BIGINT) AS r FROM nd),
+      |c1 AS (SELECT k.dst AS id, CAST(SUM(r0.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r0 ON r0.id = k.src GROUP BY 1),
+      |r1 AS (SELECT nd.id,
+      |              CAST($PrBase + (85 * COALESCE(c1.sc, 0)) // 100 AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c1 ON nd.id = c1.id),
+      |c2 AS (SELECT k.dst AS id, CAST(SUM(r1.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r1 ON r1.id = k.src GROUP BY 1),
+      |r2 AS (SELECT nd.id,
+      |              CAST($PrBase + (85 * COALESCE(c2.sc, 0)) // 100 AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c2 ON nd.id = c2.id),
+      |c3 AS (SELECT k.dst AS id, CAST(SUM(r2.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r2 ON r2.id = k.src GROUP BY 1),
+      |r3 AS (SELECT nd.id,
+      |              CAST($PrBase + (85 * COALESCE(c3.sc, 0)) // 100 AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c3 ON nd.id = c3.id)
+      |SELECT id AS vec_id, r AS rank_fp FROM r3""".stripMargin)
+  )
+
+  /** [[qPagerank]]'s body over an ARBITRARY quantized frame — the
+    * library entry point (`iters`, `k`, `cellCap` free). */
+  private[graft] def pageRankOf(e: DataFrame, iters: Int = PrIters,
+                                k: Int = GraphK,
+                                cellCap: Long = MaxCents): DataFrame =
+    pageRankOnEdges(e.select(col("vec_id").as("id")),
+                    knnGraphOf(e, k, cellCap).select("src", "dst"), iters)
+      .select(col("id").as("vec_id"), col("rank_fp"))
+
+  /** The damped fixed-point power iteration itself, over an EXPLICIT
+    * `(id)` node frame and `(src, dst)` edge frame — the seam the graph
+    * construction is independent of (and the one the spec pins with
+    * hand-computed ranks). */
+  private[graft] def pageRankOnEdges(nodes: DataFrame, edgeList: DataFrame,
+                                     iters: Int): DataFrame = {
+    // edge list + out-degrees materialized ONCE (compact long triples):
+    // every round re-reads them, and without the pin each round would
+    // re-run the whole upstream graph construction
+    val edges = checkpointCompact(edgeList)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = checkpointCompact(edges.join(deg, "src"))
+    var r = nodes.withColumn("r", lit(PrScale))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(r, col("src") === col("id"))
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+        .groupBy("id").agg(sum("c").as("sc"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+                (lit(PrBase) +
+                   expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+                  .as("r"))
+    }
+    r.select(col("id"), col("r").as("rank_fp"))
+  }
+
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
-                        qClusterSample, qEmbedStats)
+                        qClusterSample, qEmbedStats, qPagerank)
 }

@@ -664,9 +664,72 @@ object StreamingQueries {
       |FROM c QUALIFY rnk <= 2""".stripMargin)
   )
 
+  /**
+   * Streaming INCREMENTAL DEDUP with the Bloom pre-probe (16th gate),
+   * gated against the batch oracle ([[DedupQueries.qDedupBloom]]'s SQL
+   * verbatim — three faces, one semantics statement): arriving
+   * documents probe the FROZEN corpus indexes per micro-batch, all
+   * stateless —
+   *
+   *  - the broadcast Bloom sketch answers "definitely new" inside the
+   *    map task (a filter on a per-row UDF probe — at 100 TB ingest
+   *    this is the stage that keeps almost every arriving row out of
+   *    the exact-hash join entirely, the same economics
+   *    [[DedupQueries.dedupAgainstIndexBloom]] documents for batch);
+   *  - sketch maybes confirm against the compact corpus hash index
+   *    (stream-static inner join — a Bloom false positive dies here);
+   *  - near-dup band signatures compute PER ROW
+   *    ([[DedupQueries.bandSigArrayCol]], the stateless HOF
+   *    formulation — no groupBy, no state store) and collide against
+   *    the frozen band index.
+   *
+   * Both hit logs append through one sink; compaction anti-joins the
+   * arrival set against the distinct hit ids — the
+   * [[qStreamDecontam]]/[[qStreamHll]] split: per-arrival probes
+   * stream, set subtraction compacts at any cadence.
+   */
+  val qStreamBloom = Q(
+    "q_stream_bloom",
+    (s, dir) => {
+      import graft.text.TextOps
+      val d = Tables.read(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 < 4)
+      // frozen corpus indexes — the deployment's offline step, built and
+      // materialized BEFORE the stream starts (the qStreamDecontam rule:
+      // index construction must not bill to the first micro-batch)
+      val hashes = checkpointCompact(
+        corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct())
+      val bloom = DedupQueries.bloomOf(hashes, fpp = 0.03)
+      val bands = checkpointCompact(
+        DedupQueries.bandSignaturesOf(corpus.select("doc_id", "text"))
+          .select("band", "sig0", "sig1").distinct())
+      val bc = s.sparkContext.broadcast(bloom)
+      val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
+      val arrivals = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+      val exactHits = arrivals
+        .withColumn("__ch", TextOps.contentHash(col("text")))
+        .filter(might(col("__ch")))
+        .join(hashes, col("__ch") === col("ch"))
+        .select("doc_id")
+      val nearHits = arrivals
+        .select(col("doc_id"),
+                explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+                col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
+        .join(broadcast(bands), Seq("band", "sig0", "sig1"))
+        .select("doc_id")
+      val hitLog = runToSink(s, dir, exactHits.unionByName(nearHits),
+                             "graft_q_stream_bloom")
+      d.filter(col("doc_id") % 5 === 4).select("doc_id")
+        .join(hitLog.distinct(), Seq("doc_id"), "left_anti")
+    },
+    DedupQueries.qDedupBloom.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
-                        qStreamLeaderboard)
+                        qStreamLeaderboard, qStreamBloom)
 }

@@ -907,9 +907,80 @@ object TextStatsQueries {
                 ",").as("postings"))
   }
 
+  /** Document-frequency floor and ties-inclusive cut for [[qCooccurTopk]]. */
+  private val CoMinDf = 5
+  private val CoTopK = 25
+
+  /**
+   * Term CO-OCCURRENCE heavy hitters: for unordered token pairs, in how
+   * many documents do both appear — the document-level association table
+   * behind PMI/collocation analysis, topic-term maps, and related-term
+   * suggestion. Pair semantics are SET-based (distinct tokens per doc,
+   * each co-occurring pair counted once per document), the pair key is
+   * ordered `w1 < w2` so each pair has one canonical row, and the cut is
+   * the [[qNgramTopk]] ties-inclusive threshold band.
+   *
+   * Scale shape — the market-basket fanout problem, handled the Apriori
+   * way: a document with m distinct tokens emits m²/2 pairs, so the
+   * per-doc token set is pruned FIRST to tokens with document frequency
+   * ≥ `CoMinDf` (a pair's count is ≤ min of its members' df — the
+   * monotonicity that makes df-pruning lossless for any threshold the
+   * cut could land on above the floor; the floor itself is part of the
+   * operator's stated semantics, replayed by the oracle). After pruning,
+   * the self-join is an equi-join on doc_id over compact (doc_id, tok)
+   * rows, the count map-combines into the pair domain (vocab²-bounded,
+   * corpus-independent), and the K-th count is a TakeOrdered over the
+   * aggregated table rejoined as a broadcast 1-row threshold.
+   */
+  lazy val qCooccurTopk = Q(
+    "q_cooccur_topk",
+    (s, dir) => cooccurTopkOf(docs(s, dir)),
+    Some(s"""WITH u AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |kept AS (
+      |  SELECT doc_id, tok FROM u
+      |  WHERE tok IN (SELECT tok FROM u GROUP BY tok
+      |                HAVING COUNT(*) >= $CoMinDf)
+      |),
+      |p AS (
+      |  SELECT a.tok AS w1, b.tok AS w2
+      |  FROM kept a JOIN kept b
+      |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+      |k AS (SELECT MIN(cnt) AS m
+      |      FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT $CoTopK) q)
+      |SELECT w1, w2, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
+  )
+
+  /** [[qCooccurTopk]]'s body over an ARBITRARY `(doc_id, text)` frame —
+    * the spec's seam (`minDf`, `topK` free). */
+  private[graft] def cooccurTopkOf(d: DataFrame, minDf: Int = CoMinDf,
+                                   topK: Int = CoTopK): DataFrame = {
+    val toks = d.select(
+      col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val kept = toks.join(
+      toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf).select("tok"),
+      Seq("tok"), "left_semi")
+    val counts = kept.as("a")
+      .join(kept.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("w1"), col("b.tok").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val kth = counts.orderBy(col("cnt").desc).limit(topK)
+      .agg(min(col("cnt")).as("__kth"))
+    counts.join(broadcast(kth), col("cnt") >= col("__kth"))
+      .select("w1", "w2", "cnt")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
-    qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms
+    qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk
   )
 }

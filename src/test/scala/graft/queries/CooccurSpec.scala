@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Co-occurrence contracts: set semantics per document, canonical pair
+  * order, df-floor pruning, ties-inclusive cut. */
+class CooccurSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairs are per-document sets with one canonical (w1 < w2) row") {
+    val d = Seq(
+      (1L, "a b b a c"), // duplicates collapse: {a,b,c}
+      (2L, "c a"),       // order never matters: pair is (a,c)
+      (3L, "b a")
+    ).toDF("doc_id", "text")
+    val got = TextStatsQueries.cooccurTopkOf(d, minDf = 1, topK = 10)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("df floor prunes rare tokens before the pair fanout (Apriori direction)") {
+    val d = Seq(
+      (1L, "x y rare1"), (2L, "x y rare2"), (3L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextStatsQueries.cooccurTopkOf(d, minDf = 2, topK = 10)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // rare1/rare2 have df=1 < 2: no pair involving them survives
+    assert(got === Map(("x", "y") -> 3L))
+  }
+
+  test("cut is ties-inclusive: every pair at the k-th count stays") {
+    // three pairs all with count 1; topK=1 must keep all three
+    val d = Seq((1L, "a b"), (2L, "c d"), (3L, "e f")).toDF("doc_id", "text")
+    val got = TextStatsQueries.cooccurTopkOf(d, minDf = 1, topK = 1)
+      .as[(String, String, Long)].collect()
+    assert(got.length === 3)
+  }
+
+  test("null and single-token documents contribute nothing") {
+    val d = Seq((1L, "solo"), (2L, null.asInstanceOf[String]),
+                (3L, "p q"), (4L, "p q")).toDF("doc_id", "text")
+    val got = TextStatsQueries.cooccurTopkOf(d, minDf = 1, topK = 10)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("p", "q") -> 2L))
+  }
+}

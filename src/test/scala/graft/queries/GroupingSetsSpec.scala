@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GROUPING SETS contract on the fixture: each requested set reproduces
+  * its standalone GROUP BY, the grouping bits identify the set, and no
+  * unrequested lattice member appears (the CUBE-vs-sets economics). */
+class GroupingSetsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the three requested sets — and only those — appear, each bit-tagged") {
+    val got = RelationalQueries.qGroupingSets.fn(spark, dir).cache()
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      // set 1: (flag, status) detail — g_flag=0, g_line=1
+      val s1 = got.filter(col("g_flag") === 0 && col("g_line") === 1)
+      val expected1 = li.groupBy("l_returnflag", "l_linestatus").count()
+      assert(s1.count() === expected1.count())
+      assert(s1.filter(col("l_linenumber").isNotNull).count() === 0)
+      // set 2: (linenumber) slice — flag side rolled up
+      val s2 = got.filter(col("g_flag") === 1 && col("g_line") === 0)
+      assert(s2.count() === li.select("l_linenumber").distinct().count())
+      val perLine = s2.select(col("l_linenumber"), col("n_lines"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expect2 = li.groupBy("l_linenumber").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perLine === expect2)
+      // set 3: grand total
+      val s3 = got.filter(col("g_flag") === 1 && col("g_line") === 1)
+      assert(s3.count() === 1)
+      assert(s3.select("n_lines").head().getLong(0) === li.count())
+      // nothing else: the un-requested (flag-only / status-mixed) lattice
+      // members of a CUBE must be absent
+      assert(got.count() === s1.count() + s2.count() + 1)
+    } finally got.unpersist()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank contracts: hand-computed ranks, floor division,
+  * dangling leak, partitioning invariance. */
+class PagerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-node graph matches hand-computed fixed-point ranks per iteration") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def ranks(iters: Int): Map[Long, Long] =
+      SimQueries.pageRankOnEdges(nodes, edges, iters)
+        .as[(Long, Long)].collect().toMap
+    // r0 = 1_000_000 each; base = 150_000, damp 85/100 floor-div.
+    // iter1: in(1) = r(2)+r(3) = 2_000_000 -> 150_000 + 1_700_000
+    assert(ranks(1) === Map(1L -> 1850000L, 2L -> 1000000L, 3L -> 150000L))
+    // iter2: in(1) = 1_000_000 + 150_000; in(2) = 1_850_000
+    assert(ranks(2) === Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
+    // iter3: in(1) = 1_722_500 + 150_000 = 1_872_500
+    //   85*1_872_500 = 159_162_500 -> //100 = 1_591_625 -> 1_741_625
+    //        in(2) = 1_127_500 -> 958_375 -> 1_108_375
+    assert(ranks(3) === Map(1L -> 1741625L, 2L -> 1108375L, 3L -> 150000L))
+  }
+
+  test("out-degree split floors: three targets share r div 3 exactly") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = SimQueries.pageRankOnEdges(nodes, edges, 1)
+      .as[(Long, Long)].collect().toMap
+    // contribution to each target: 1_000_000 div 3 = 333_333 (floored),
+    // damped: 85*333_333 = 28_333_305 -> //100 = 283_333
+    assert(got(2L) === 150000L + 283333L)
+    assert(got(3L) === got(2L) && got(4L) === got(2L))
+    // node 1 has no in-edges: pure base after iter 1
+    assert(got(1L) === 150000L)
+  }
+
+  test("ranks are invariant under input partitioning (integer sums associate)") {
+    val nodes = (1L to 40L).toDF("id")
+    val edges = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i + 7) % 40 + 1)))
+      .toDF("src", "dst")
+    val a = SimQueries.pageRankOnEdges(nodes, edges, 3)
+      .as[(Long, Long)].collect().toMap
+    val b = SimQueries.pageRankOnEdges(nodes.repartition(7),
+                                       edges.repartition(11), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts of the rolling time-range window and the exact-integer
+  * daily anomaly test. */
+class RollingAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling range frame: trailing-span membership, peer inclusion, exact cents") {
+    // user 1 at t = 0, 10, 3_600_000_000 (exactly 1h after t=0, still in
+    // t=0's... no: frame is [t-1h, t], so the t=0 event IS included at
+    // t=1h), and 3_600_000_010 (t=10 in range, t=0 out)
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0),
+      (2L, 1L, 10L, 2.0),
+      (3L, 1L, 3600000000L, 4.0),
+      (4L, 1L, 3600000010L, 8.0),
+      (5L, 2L, 0L, 0.5) // other user: frames never cross users
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = CoreQueries.rollingOf(ev)
+      .select("event_id", "n_1h", "value_cents_1h")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, 100L)))
+    assert(got(2L) === ((2L, 300L)))
+    // inclusive lower bound: t=0 is exactly spanUs before t=1h
+    assert(got(3L) === ((3L, 700L)))
+    // t=0 aged out, t=10 and t=1h still inside
+    assert(got(4L) === ((3L, 1400L)))
+    assert(got(5L) === ((1L, 50L)))
+  }
+
+  test("rolling range frame: equal timestamps are peers — all included regardless of row order") {
+    val ev = Seq(
+      (1L, 9L, 100L, 1.0), (2L, 9L, 100L, 2.0), (3L, 9L, 100L, 4.0)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = CoreQueries.rollingOf(ev)
+      .select("event_id", "n_1h", "value_cents_1h")
+      .as[(Long, Long, Long)].collect().toSet
+    // RANGE mode: CURRENT ROW means "last peer", so every tied row sees
+    // the full peer group — deterministic with no tiebreak column
+    assert(got === Set((1L, 3L, 700L), (2L, 3L, 700L), (3L, 3L, 700L)))
+  }
+
+  test("anomaly test is exact at the boundary: strictly-greater, never float-rounded") {
+    // type A over 5 days: counts 10,10,10,10,35.
+    // n=5, S=75, Q=1625. For c=35: dev=5*35-75=100, dev^2=10000;
+    // 4*(n*Q - S^2)=4*(8125-5625)=10000 -> NOT anomalous (strict >).
+    val daily = Seq(
+      ("d1", "A", 10L), ("d2", "A", 10L), ("d3", "A", 10L),
+      ("d4", "A", 10L), ("d5", "A", 35L)
+    ).toDF("day", "event_type", "n_events")
+    val got = CoreQueries.anomalyOverCounts(daily)
+      .select("day", "is_anomaly").as[(String, Int)].collect().toMap
+    assert(got.values.forall(_ == 0), s"boundary z == 2 must not flag: $got")
+    // (a single spike among 4 equal days is ALWAYS exactly z = 2 — the
+    // spike drags the mean and variance with it; more baseline days are
+    // what let a spike exceed 2 sigma)
+    // 9 days at 10 + one at 100: dev = 10*100-190 = 810, dev^2 = 656100;
+    // 4*(10*10900 - 36100) = 291600 -> anomalous (z = 3)
+    val daily2 = Seq.tabulate(9)(i => (s"d$i", "B", 10L))
+      .:+(("d9", "B", 100L))
+      .toDF("day", "event_type", "n_events")
+    val got2 = CoreQueries.anomalyOverCounts(daily2)
+      .select("day", "is_anomaly").as[(String, Int)].collect().toMap
+    assert(got2("d9") === 1)
+    assert(got2.filter(_._1 != "d9").values.forall(_ == 0))
+  }
+
+  test("anomaly stats never cross event types") {
+    val daily = Seq(
+      ("d1", "A", 10L), ("d2", "A", 10L), ("d3", "A", 10L),
+      // type B's wild counts must not widen A's variance
+      ("d1", "B", 1L), ("d2", "B", 1000000L), ("d3", "B", 1L)
+    ).toDF("day", "event_type", "n_events")
+    val got = CoreQueries.anomalyOverCounts(daily)
+      .select("event_type", "day", "is_anomaly")
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "d1")) === 0)
+    // B: n=3, S=1000002, Q=10^12+2; c=10^6: dev=3000000-1000002=1999998
+    // dev^2=3.999992e12
+    // < 8e12 -> with n=3 a single spike is NOT > 2 sigma (max z in a
+    // 3-point set is sqrt(2)); assert the math, not the intuition
+    assert(got(("B", "d2")) === 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextOps
+
+/** The streaming Bloom-dedup gate's ALGEBRA, pinned batch-side: the
+  * hit-log-then-anti-join formulation (what `q_stream_bloom` streams)
+  * must select exactly the documents `dedupAgainstCorpusBloom` keeps —
+  * the two faces share one semantics statement (the batch oracle), so
+  * their equivalence is the invariant that lets the gate reuse it. */
+class StreamBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The gate's stateless hit-log probes, applied to a BATCH arrivals
+    * frame (every op is identical — filter, stream-static joins, and
+    * per-row band signatures are engine-side the same plan). */
+  private def hitLogSurvivors(corpus: DataFrame, arrivals: DataFrame): DataFrame = {
+    val s = spark
+    val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct()
+      .localCheckpoint()
+    val bloom = DedupQueries.bloomOf(hashes, fpp = 0.03)
+    val bands = DedupQueries.bandSignaturesOf(corpus.select("doc_id", "text"))
+      .select("band", "sig0", "sig1").distinct().localCheckpoint()
+    val bc = s.sparkContext.broadcast(bloom)
+    val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
+    val exactHits = arrivals
+      .withColumn("__ch", TextOps.contentHash(col("text")))
+      .filter(might(col("__ch")))
+      .join(hashes, col("__ch") === col("ch")).select("doc_id")
+    val nearHits = arrivals
+      .select(col("doc_id"),
+              explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+              col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
+      .join(broadcast(bands), Seq("band", "sig0", "sig1")).select("doc_id")
+    arrivals.select("doc_id")
+      .join(exactHits.unionByName(nearHits).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  test("hit-log anti-join ≡ dedupAgainstCorpusBloom on a mixed corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about spark partitions and shuffles"),
+      (3L, "a third corpus document with its own distinctive words entirely")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      // exact dup (normalization: case + whitespace collapse)
+      (10L, "  The QUICK brown fox jumps over the lazy dog again and again today"),
+      // near dup: identical token stream -> identical shingle set ->
+      // every band collides even though the raw bytes differ
+      (11L, "completely different corpus content about spark partitions and shuffles"),
+      // novel
+      (12L, "nothing in the corpus looks remotely like this arriving document"),
+      // null text is definite-new on both paths
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaHitLog = hitLogSurvivors(corpus, arrivals)
+      .as[Long].collect().toSet
+    val viaBatch = DedupQueries.dedupAgainstCorpusBloom(corpus, arrivals, fpp = 0.03)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaHitLog === viaBatch)
+    assert(viaHitLog.contains(12L) && viaHitLog.contains(13L))
+    assert(!viaHitLog.contains(10L))
+  }
+
+  test("equivalence holds when the corpus is empty (all arrivals survive)") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val arrivals = Seq((1L, "anything at all works here")).toDF("doc_id", "text")
+    val viaHitLog = hitLogSurvivors(corpus, arrivals).as[Long].collect().toSet
+    val viaBatch = DedupQueries.dedupAgainstCorpusBloom(corpus, arrivals)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaHitLog === Set(1L) && viaBatch === Set(1L))
+  }
+}
