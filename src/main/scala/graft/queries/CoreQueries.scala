@@ -594,10 +594,74 @@ object CoreQueries {
                 .cast("int").as("is_anomaly"))
   }
 
+  /**
+   * RFM SEGMENTATION — the classic user-value grid: per user, recency
+   * (days since last event, against the corpus max day), frequency
+   * (event count), monetary (exact cents), each quartiled and combined
+   * into a 3-digit segment code. The standard audience/cohort operator
+   * downstream dashboards and targeting pipelines key on.
+   *
+   * NTILE at corpus scale: the textbook `NTILE(4) OVER (ORDER BY …)` is
+   * a GLOBAL single-task window, so each quartile instead rides
+   * [[CurationQueries.ntileOver]] — range-exchange rank decomposition +
+   * NTILE's exact integer bucket arithmetic, replayed bit-for-bit by
+   * the oracle's real NTILE. Three metrics = three ranked passes over
+   * the (already user-aggregated) frame — the aggregation did the big
+   * reduction; ranking cost scales with USERS, not events. All
+   * quartiles ascend (q1 = most recent / least frequent / lowest
+   * spend) with user_id tiebreaks — a total order per metric, so the
+   * grid is deterministic under any partitioning.
+   */
+  val qRfmSegments = Q(
+    "q_rfm_segments",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val corpusMax = ev.agg(max(to_date(col("ts_t"))).as("__cmax"))
+      val u = ev.groupBy("user_id")
+        .agg(max(to_date(col("ts_t"))).as("__last"),
+             count(lit(1)).as("freq"),
+             sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+        .crossJoin(broadcast(corpusMax))
+        .withColumn("r_days", datediff(col("__cmax"), col("__last")).cast("long"))
+        .drop("__cmax", "__last")
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val q1 = CurationQueries.ntileOver(
+        u, Seq(col("r_days").asc, col("user_id").asc), 4, nPart, "r_q")
+      val q2 = CurationQueries.ntileOver(
+        q1, Seq(col("freq").asc, col("user_id").asc), 4, nPart, "f_q")
+      val q3 = CurationQueries.ntileOver(
+        q2, Seq(col("monetary_cents").asc, col("user_id").asc), 4, nPart, "m_q")
+      q3.select(col("user_id"), col("r_days"), col("freq"),
+                col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+                (col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+                  .as("segment"))
+    },
+    Some("""WITH u AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+      |                (SELECT MAX(CAST(ts AS DATE)) FROM events))
+      |              AS BIGINT) AS r_days,
+      |         CAST(COUNT(*) AS BIGINT) AS freq,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS monetary_cents
+      |  FROM events GROUP BY user_id
+      |), q AS (
+      |  SELECT *,
+      |         CAST(NTILE(4) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
+      |         CAST(NTILE(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+      |         CAST(NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+      |           AS m_q
+      |  FROM u
+      |)
+      |SELECT user_id, r_days, freq, monetary_cents, r_q, f_q, m_q,
+      |       r_q * 100 + f_q * 10 + m_q AS segment
+      |FROM q""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
-    qWindowRolling, qAnomalyDaily
+    qWindowRolling, qAnomalyDaily, qRfmSegments
   )
 }

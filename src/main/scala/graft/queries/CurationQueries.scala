@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -586,25 +586,35 @@ object CurationQueries {
 
   /** [[qDecileAssign]]'s body over an ARBITRARY `(doc_id, n_chars)`
     * frame: NTILE(k)'s exact bucket arithmetic over the GlobalRank
-    * position — first `n mod k` buckets take ⌈n/k⌉ rows, the rest
-    * ⌊n/k⌋. */
+    * position. */
   private[graft] def ntileAssign(d: DataFrame, k: Int,
-                                 numPartitions: Int): DataFrame = {
+                                 numPartitions: Int): DataFrame =
+    ntileOver(d, Seq(col("n_chars").asc, col("doc_id").asc), k,
+              numPartitions, "decile")
+      .select("doc_id", "n_chars", "decile")
+
+  /** NTILE(k) OVER (ORDER BY `sortCols`) at corpus scale, as `outCol`
+    * on an ARBITRARY frame — the general seam ([[ntileAssign]]'s and
+    * the RFM quartiles'): global position from the range-exchange rank
+    * decomposition, then NTILE's exact bucket arithmetic — first
+    * `n mod k` buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋. `sortCols`
+    * must be a total order for the bucket to be deterministic. */
+  private[graft] def ntileOver(d: DataFrame, sortCols: Seq[Column], k: Int,
+                               numPartitions: Int, outCol: String): DataFrame = {
     val n = d.count()
     val ranked = graft.operators.GlobalRank.withGlobalRank(
-      d, Seq(col("n_chars").asc, col("doc_id").asc), numPartitions, "rnk")
+      d, sortCols, numPartitions, "__rnk")
     val base = n / k
     val big = n % k
     val threshold = big * (base + 1)
     // `div` (integral division), never `/` — Spark's `/` on longs is
     // double division; the NTILE arithmetic must stay exact-integer
     val bucket =
-      if (base == 0) expr(s"(rnk - 1) div ${base + 1} + 1")
-      else when(col("rnk") <= threshold,
-                expr(s"(rnk - 1) div ${base + 1} + 1"))
-             .otherwise(expr(s"$big + (rnk - 1 - $threshold) div $base + 1"))
-    ranked.select(col("doc_id"), col("n_chars"),
-                  bucket.cast("long").as("decile"))
+      if (base == 0) expr(s"(__rnk - 1) div ${base + 1} + 1")
+      else when(col("__rnk") <= threshold,
+                expr(s"(__rnk - 1) div ${base + 1} + 1"))
+             .otherwise(expr(s"$big + (__rnk - 1 - $threshold) div $base + 1"))
+    ranked.withColumn(outCol, bucket.cast("long")).drop("__rnk")
   }
 
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,

@@ -259,5 +259,66 @@ object LayoutQueries {
       |FROM events GROUP BY 1""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill)
+  /** Bucket count for [[qBucketJoin]] — cluster-width-scale in a real
+    * deployment; 8 keeps the fixture write cheap. */
+  private val NBuckets = 8
+
+  /** The bucketed-layout JOIN INPUT for [[qBucketJoin]]: lineitem and
+    * orders written once per (corpus, process) as bucketed+sorted
+    * catalog tables on the SAME key and bucket count, then joined —
+    * the layout where the join needs NO exchange on either side
+    * (`BucketJoinSpec` asserts the shuffle-free plan; at 100 TB this is
+    * THE repeated-join economics: pay the shuffle once at write time,
+    * never again per query). Table names are corpus- and pid-keyed like
+    * [[derivedDir]] scratch, registered in the session catalog with
+    * external paths under the same cleanup discipline. */
+  private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // identifier-safe: a corpus basename like "sf0.001" would otherwise
+    // put a '.' in the table name, which the parser reads as a schema
+    // separator
+    val key = f"${new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")}" +
+      f"_${dir.hashCode & 0x7FFFFFFF}%08x_p${ProcessHandle.current().pid()}"
+    val liName = s"graft_bkt_li_$key"
+    val ordName = s"graft_bkt_ord_$key"
+    if (!s.catalog.tableExists(liName)) {
+      val base = derivedDir(s, dir, "bucketed")
+      Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").mode("overwrite")
+        .saveAsTable(liName)
+      Tables.read(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").mode("overwrite")
+        .saveAsTable(ordName)
+    }
+    s.table(liName)
+      .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /**
+   * Bucket-co-located join behind the driver gate: the two fact tables
+   * pre-bucketed on the join key meet WITHOUT a shuffle on either side
+   * (the plan property `BucketJoinSpec` pins); only the small
+   * per-priority aggregate exchanges after. The oracle is the plain
+   * logical join — bucketing is pure physical layout, so any drift
+   * (bucket pruning bug, sorted-scan merge bug, bucket-count mismatch
+   * silently falling back to a shuffle of HALF the rows) surfaces as a
+   * hash mismatch here.
+   */
+  val qBucketJoin = Q(
+    "q_bucket_join",
+    (s, dir) =>
+      bucketedJoin(s, dir)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c")),
+    Some("""SELECT o_orderpriority, l_returnflag, COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill, qBucketJoin)
 }

@@ -358,6 +358,58 @@ object RelationalQueries {
       |                        (l_linenumber), ())""".stripMargin)
   )
 
+  /** TPC-H Q5 shape — the 6-table local-supplier-volume join: lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with the
+    * same-nation (c_nationkey = s_nationkey) correlation and a region +
+    * date-range filter. The multi-way-join planning benchmark: the two
+    * fact tables meet in ONE shuffled join (orderkey), every dimension
+    * side is an explicit broadcast, and the date filter pushes to the
+    * orders scan so the fact join starts from the pruned year slice.
+    * Revenue in exact cents (the q_tpch_q3 discipline). Date range is
+    * two years (not Q5's one) — the synthetic fixture's order dates
+    * cluster late, and the wider slice keeps the result a real
+    * per-nation table. */
+  val qTpchQ5 = Q(
+    "q_tpch_q5",
+    (s, dir) => {
+      val lineitem = Tables.read(s, dir, "lineitem")
+      val orders = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val customer = Tables.read(s, dir, "customer")
+      val supplier = Tables.read(s, dir, "supplier")
+      val nation = Tables.read(s, dir, "nation")
+      val region = Tables.read(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                 * 100).cast("long")).as("revenue_cents"),
+             count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT n_name,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin)
+  )
+
   /** Sliding window frame: 3-order trailing revenue per customer
     * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
     * variant the rank/lag/full-frame queries don't cover. Deterministic
@@ -570,6 +622,6 @@ object RelationalQueries {
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
     qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
-    qTopkGrouped, qJoinSalted, qTpchQ3, qGroupingSets
+    qTopkGrouped, qJoinSalted, qTpchQ3, qGroupingSets, qTpchQ5
   )
 }

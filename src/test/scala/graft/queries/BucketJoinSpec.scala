@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The bucketed-join layout contract: same-key/same-count bucketed
+  * tables join with ZERO shuffle exchanges, and the layout is pure
+  * physics — logical results equal the plain join's. */
+class BucketJoinSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucket-co-located join plans no exchange on either side") {
+    val joined = LayoutQueries.bucketedJoin(spark, dir)
+    joined.count() // materialize through AQE so the final plan is real
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+           s"bucketed join must not shuffle, got:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("bucketed layout is invisible to semantics: equals the plain join + agg") {
+    val viaBuckets = LayoutQueries.qBucketJoin.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val plain = Tables.read(spark, dir, "lineitem")
+      .join(Tables.read(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+           sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(viaBuckets === plain)
+  }
+}

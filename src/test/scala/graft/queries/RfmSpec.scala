@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The generalized NTILE seam: exact bucket arithmetic vs a real NTILE
+  * window, uneven buckets, and partitioning invariance — the contracts
+  * the RFM quartiles ride on. */
+class RfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ntileOver matches the window NTILE on uneven buckets (n mod k != 0)") {
+    // 10 rows into 4 buckets: sizes 3,3,2,2
+    val d = (1L to 10L).map(i => (i, i * 7 % 10)).toDF("user_id", "metric")
+    val got = CurationQueries.ntileOver(
+        d, Seq(col("metric").asc, col("user_id").asc), 4, 3, "q")
+      .select("user_id", "q").as[(Long, Long)].collect().toMap
+    val expect = d.withColumn("q",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("metric").asc, col("user_id").asc)).cast("long"))
+      .select("user_id", "q").as[(Long, Long)].collect().toMap
+    assert(got === expect)
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ===
+           Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2))
+  }
+
+  test("fewer rows than buckets: each row its own bucket, in order") {
+    val d = Seq((1L, 5L), (2L, 1L)).toDF("user_id", "metric")
+    val got = CurationQueries.ntileOver(
+        d, Seq(col("metric").asc, col("user_id").asc), 4, 2, "q")
+      .select("user_id", "q").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L, 1L -> 2L))
+  }
+
+  test("buckets are invariant under input partitioning") {
+    val d = (1L to 101L).map(i => (i, i * 13 % 31)).toDF("user_id", "metric")
+    val sort = Seq(col("metric").asc, col("user_id").asc)
+    val a = CurationQueries.ntileOver(d, sort, 4, 5, "q")
+      .select("user_id", "q").as[(Long, Long)].collect().toMap
+    val b = CurationQueries.ntileOver(d.repartition(9), sort, 4, 2, "q")
+      .select("user_id", "q").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}
