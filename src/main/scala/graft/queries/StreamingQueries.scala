@@ -424,6 +424,34 @@ object StreamingQueries {
     MediaQueries.qMediaDecode.oracle
   )
 
+  /** Shared staging for the windowed-count gates
+    * ([[qStreamWindowed]]/[[qStreamLeaderboard]]/[[qStreamAnomaly]]):
+    * the events table persisted as stream input with the single
+    * watermark-flush sentinel row (event_type `zz`, one gap horizon
+    * past the corpus max) appended, replayed as a file stream, drained
+    * through [[graft.streaming.StreamingFeed.windowedCounts]], sentinel
+    * filtered back out. Returns the drained `(window_start_us,
+    * event_type, n_events)` table. */
+  private def drainedWindowedCounts(s: SparkSession, dir: String,
+                                    suffix: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"),
+                                          col("ts_t"))
+    val inDir = streamDir(s, dir, suffix)
+    ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+      .parquet(inDir)
+    runToSink(s, dir, graft.streaming.StreamingFeed.windowedCounts(stream),
+              s"graft_q_$suffix".replace('-', '_'))
+      .filter(col("event_type") =!= "zz")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+              col("event_type"), col("n_events"))
+  }
+
   /**
    * Tumbling-window streaming aggregation
    * ([[graft.streaming.StreamingFeed.windowedCounts]] — the standard
@@ -436,24 +464,7 @@ object StreamingQueries {
    */
   val qStreamWindowed = Q(
     "q_stream_windowed",
-    (s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"),
-                                            col("ts_t"))
-      val inDir = streamDir(s, dir, "stream-windowed")
-      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
-      Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
-        .withColumn("ts_t", timestamp_micros(col("ts_us")))
-        .coalesce(1).write.mode("append").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
-        .parquet(inDir)
-      runToSink(s, dir, graft.streaming.StreamingFeed.windowedCounts(stream),
-                "graft_q_stream_windowed")
-        .filter(col("event_type") =!= "zz")
-        .select(unix_micros(col("window_start")).as("window_start_us"),
-                col("event_type"), col("n_events"))
-    },
+    (s, dir) => drainedWindowedCounts(s, dir, "stream-windowed"),
     Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
       |       event_type, COUNT(*) AS n_events
       |FROM events
@@ -629,23 +640,7 @@ object StreamingQueries {
   val qStreamLeaderboard = Q(
     "q_stream_leaderboard",
     (s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir).select(col("event_type"), col("ts_us"),
-                                            col("ts_t"))
-      val inDir = streamDir(s, dir, "stream-leaderboard")
-      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
-      Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
-        .withColumn("ts_t", timestamp_micros(col("ts_us")))
-        .coalesce(1).write.mode("append").parquet(inDir)
-      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
-        .parquet(inDir)
-      val counts =
-        runToSink(s, dir, graft.streaming.StreamingFeed.windowedCounts(stream),
-                  "graft_q_stream_leaderboard")
-          .filter(col("event_type") =!= "zz")
-          .select(unix_micros(col("window_start")).as("window_start_us"),
-                  col("event_type"), col("n_events"))
+      val counts = drainedWindowedCounts(s, dir, "stream-leaderboard")
       val wR = org.apache.spark.sql.expressions.Window
         .partitionBy("window_start_us")
         .orderBy(col("n_events").desc, col("event_type").asc)
@@ -727,9 +722,47 @@ object StreamingQueries {
     DedupQueries.qDedupBloom.oracle
   )
 
+  /**
+   * Streaming ANOMALY detection (17th gate): hourly per-type counts
+   * stream through the watermarked tumbling window
+   * ([[drainedWindowedCounts]]), and the 2σ spike test runs at
+   * COMPACTION over the drained (window, type) table —
+   * [[CoreQueries.anomalyOverCounts]]'s exact-integer cross-multiplied
+   * form, over windows×types rows, never events. The [[qStreamHll]]
+   * split again, for STATISTICS this time: per-arrival counting is the
+   * streamable (associative, append-only) half; the mean/variance
+   * threshold needs the full population and is exactly what batch
+   * compaction recomputes cheaply at any cadence. The oracle replays
+   * both halves in one statement.
+   */
+  val qStreamAnomaly = Q(
+    "q_stream_anomaly",
+    (s, dir) =>
+      CoreQueries.anomalyOverCounts(
+          drainedWindowedCounts(s, dir, "stream-anomaly")
+            .withColumnRenamed("window_start_us", "day"))
+        .withColumnRenamed("day", "window_start_us"),
+    Some("""WITH c AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT *,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+      |         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+      |         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS q
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type)
+      |)
+      |SELECT window_start_us, event_type, n_events,
+      |       CAST((n_w * n_events - s) * (n_w * n_events - s)
+      |            > 4 * (n_w * q - s * s) AS INT) AS is_anomaly
+      |FROM st""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
-                        qStreamLeaderboard, qStreamBloom)
+                        qStreamLeaderboard, qStreamBloom, qStreamAnomaly)
 }

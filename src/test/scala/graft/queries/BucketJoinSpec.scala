@@ -14,13 +14,27 @@ class BucketJoinSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("bucket-co-located join plans no exchange on either side") {
-    val joined = LayoutQueries.bucketedJoin(spark, dir)
-    joined.count() // materialize through AQE so the final plan is real
-    val exchanges = joined.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
-    }
-    assert(exchanges.isEmpty,
-           s"bucketed join must not shuffle, got:\n${joined.queryExecution.executedPlan}")
+    // broadcast OFF for the assertion: at fixture size the planner would
+    // pick BHJ (which avoids shuffles for the WRONG reason — the small
+    // side fits in memory); the bucketing claim is about the big-big
+    // regime, where the join must be SMJ/SHJ with ZERO exchanges because
+    // both scans already carry the bucket hash distribution
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = LayoutQueries.bucketedJoin(spark, dir)
+      joined.count() // materialize through AQE so the final plan is real
+      val plan = joined.queryExecution.executedPlan
+      val flat = graft.PlanAudit.flatten(plan)
+      val exchanges = flat.filter(_.isInstanceOf[ShuffleExchangeExec])
+      assert(exchanges.isEmpty,
+             s"bucketed join must not shuffle, got:\n$plan")
+      assert(flat.exists(p =>
+               p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+                 p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+             s"expected a non-broadcast join over the bucketed scans, got:\n$plan")
+    } finally spark.conf.set(key, old)
   }
 
   test("bucketed layout is invisible to semantics: equals the plain join + agg") {
