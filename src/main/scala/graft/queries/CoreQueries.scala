@@ -658,10 +658,44 @@ object CoreQueries {
       |FROM q""".stripMargin)
   )
 
+  /**
+   * Semi-structured JSON extraction — the TYPED path: `from_json` with
+   * a declared schema parses the `props` payload into a struct inside
+   * codegen (one parse, schema-checked, null on malformed — the
+   * engine-native route for semi-structured event payloads at scale),
+   * where [[qParseExtract]] deliberately demonstrates the regex-scrape
+   * route. Grouped k-stats in exact integers; `count(k)` counts
+   * non-null parses only, so a malformed payload shows up as a count
+   * deficit rather than a silent zero.
+   */
+  val qJsonExtract = Q(
+    "q_json_extract",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+                from_json(col("props"),
+                          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+                  .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_parsed"),
+             sum("k").as("sum_k"),
+             min("k").as("min_k"), max("k").as("max_k")),
+    Some("""SELECT event_type,
+      |       CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |         AS n_parsed,
+      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |         AS sum_k,
+      |       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |         AS min_k,
+      |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |         AS max_k
+      |FROM events GROUP BY event_type""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
-    qWindowRolling, qAnomalyDaily, qRfmSegments
+    qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract
   )
 }
