@@ -61,7 +61,26 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // SPARK_GRAFT_ACTION=checksum replaces the count action with a
+      // full-row xxhash64 fold: count() lets Catalyst PRUNE projections
+      // that don't change cardinality (windows, enrichment joins'
+      // payload columns — the q_hits_enriched/q_window_rolling artifact
+      // class), so count-timed numbers for those queries are scan cost
+      // only. The checksum forces every output column to evaluate —
+      // the soak harness's honest-cost mode. Default stays count: it is
+      // the driver-bench contract and the cross-round comparison basis.
+      try {
+        val df = fn(spark, sfDir)
+        sys.env.getOrElse("SPARK_GRAFT_ACTION", "count") match {
+          case "checksum" =>
+            // XOR fold, not SUM: summing 64-bit hashes overflows long
+            // (an ANSI-mode error at any real row count)
+            import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+            df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+              .agg(expr("bit_xor(__h)")).head()
+          case _ => df.count()
+        }
+      }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }

@@ -692,10 +692,106 @@ object CoreQueries {
       |FROM events GROUP BY event_type""".stripMargin)
   )
 
+  /**
+   * LAST-TOUCH ATTRIBUTION — for every purchase, the most recent prior
+   * non-purchase event in the user's stream (type + dwell gap): the
+   * default credit model of marketing analytics. One running
+   * conditional struct-max over the per-user ROWS frame (unbounded
+   * preceding → 1 preceding, (ts, event_id) total order) — never a
+   * per-purchase rescan; the frame max is O(1) amortized per row and
+   * the window partitions by user, so it scales out exactly like the
+   * other per-user windows here. Struct comparison is lexicographic by
+   * field order in BOTH engines, so (ts_us, event_id, event_type) makes
+   * the winning touch deterministic under ties; a purchase with no
+   * prior touch keeps NULLs (the MAX over an all-null frame).
+   */
+  val qAttribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("event_type"))
+        .withColumn("touch",
+          max(when(col("event_type") =!= "purchase",
+                   struct(col("ts_us"), col("event_id"), col("event_type"))))
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("touch.event_type").as("touch_type"),
+                (col("ts_us") - col("touch.ts_us")).as("touch_gap_us"))
+    },
+    Some("""WITH t AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+      |         MAX(CASE WHEN event_type <> 'purchase'
+      |                  THEN struct_pack(ts_us := epoch_us(ts),
+      |                                   event_id := event_id,
+      |                                   event_type := event_type) END)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS touch
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       touch.event_type AS touch_type,
+      |       ts_us - touch.ts_us AS touch_gap_us
+      |FROM t WHERE event_type = 'purchase'""".stripMargin)
+  )
+
+  /** Conversion horizon for [[qFunnelWindowed]] (7 days in µs). */
+  private val ConvertUs = 7L * 86400000000L
+
+  /**
+   * TIME-BOUNDED FUNNEL — did the user purchase within 7 days of their
+   * FIRST view: the windowed-conversion metric the flat [[qFunnel]]
+   * counts can't express (a purchase BEFORE any view must not count,
+   * nor one past the horizon). Two map-side-combinable aggregates and
+   * one shuffled equi-join on user_id, all exact integers: first-view
+   * times, then the earliest purchase at-or-after that user's first
+   * view, then the horizon flag. Users with no view never appear
+   * (the funnel's population is viewers); no purchase ⇒ NULL
+   * first_purchase_us and converted_7d = 0.
+   */
+  val qFunnelWindowed = Q(
+    "q_funnel_windowed",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("ts_us") >= col("first_view_us"))
+        .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+      fv.join(fp, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+                coalesce(
+                  (col("first_purchase_us") - col("first_view_us") <= ConvertUs)
+                    .cast("int"),
+                  lit(0)).as("converted_7d"))
+    },
+    Some(s"""WITH fv AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS first_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.first_view_us
+      |  GROUP BY e.user_id
+      |)
+      |SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+      |       CAST(COALESCE(fp.first_purchase_us - fv.first_view_us
+      |                       <= $ConvertUs, FALSE) AS INT) AS converted_7d
+      |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
-    qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract
+    qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract,
+    qAttribution, qFunnelWindowed
   )
 }
