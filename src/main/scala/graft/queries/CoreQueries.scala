@@ -787,11 +787,94 @@ object CoreQueries {
       |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id""".stripMargin)
   )
 
+  /**
+   * ROBUST daily-count outliers via MEDIAN ABSOLUTE DEVIATION — the
+   * companion to [[qAnomalyDaily]]'s 2σ test for series where the
+   * spike itself inflates the variance it's tested against (the n=5
+   * ceiling the RollingAnomalySpec derives): medians don't move with
+   * one outlier. Both medians are the DISCRETE lower-middle element
+   * (rank ⌈n/2⌉ under a (value, day) total order — an element of the
+   * set, never an interpolated float, so both engines replay the same
+   * integer), and the flag is the σ-calibrated MAD test
+   * |dev| > 2·1.4826·MAD, cross-multiplied to exact integers:
+   * 10000·|dev| > 29652·MAD. MAD = 0 (over half the days identical)
+   * degenerates to "any deviation flags" — the standard caveat,
+   * stated.
+   *
+   * Scale shape: the event scan reduces map-side to the day×type
+   * domain; both rank passes run per type over |days| rows only.
+   */
+  val qOutlierMad = Q(
+    "q_outlier_mad",
+    (s, dir) => madOverCounts(
+      events(s, dir)
+        .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"))),
+    Some("""WITH daily AS (
+      |  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), r1 AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY n_events, day) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), med AS (
+      |  SELECT event_type, n_events AS med FROM r1 WHERE rn = (n + 1) // 2
+      |), d AS (
+      |  SELECT daily.*, med.med, ABS(daily.n_events - med.med) AS adev
+      |  FROM daily JOIN med ON daily.event_type = med.event_type
+      |), r2 AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type
+      |                            ORDER BY adev, day) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d
+      |), mad AS (
+      |  SELECT event_type, adev AS mad FROM r2 WHERE rn = (n + 1) // 2
+      |)
+      |SELECT d.day, d.event_type, d.n_events,
+      |       CAST(d.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+      |       CAST(10000 * d.adev > 29652 * mad.mad AS INT) AS is_outlier
+      |FROM d JOIN mad ON d.event_type = mad.event_type""".stripMargin)
+  )
+
+  /** [[qOutlierMad]]'s body over an ARBITRARY `(day, event_type,
+    * n_events)` daily-count frame — the spec's seam. */
+  private[graft] def madOverCounts(daily: DataFrame): DataFrame = {
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    // ranked lower-middle element per type, broadcast back via window max
+    val wOrd1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n_events").asc, col("day").asc)
+    val withMed = daily
+      .withColumn("__rn", row_number().over(wOrd1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wT))
+      .withColumn("med",
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("n_events")))
+          .over(wT))
+      .drop("__rn", "__n")
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val wOrd2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("adev").asc, col("day").asc)
+    withMed
+      .withColumn("__rn", row_number().over(wOrd2).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wT))
+      .withColumn("mad",
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("adev")))
+          .over(wT))
+      .select(col("day"), col("event_type"), col("n_events"), col("med"),
+              col("mad"),
+              (lit(10000L) * col("adev") > lit(29652L) * col("mad"))
+                .cast("int").as("is_outlier"))
+  }
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
     qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract,
-    qAttribution, qFunnelWindowed
+    qAttribution, qFunnelWindowed, qOutlierMad
   )
 }

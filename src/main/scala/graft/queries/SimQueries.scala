@@ -800,15 +800,24 @@ object SimQueries {
     Some(s"$semanticClustersCte\nSELECT vec_id, cluster_id FROM labels")
   )
 
-  /** [[qSemanticClusters]]'s body over an ARBITRARY quantized frame. */
-  private[graft] def semanticClustersOf(e: DataFrame, k: Int = GraphK,
-                                        cellCap: Long = MaxCents): DataFrame = {
+  /** The UNDIRECTED mutual-kNN edge set `(a_id < b_id)` — the
+    * symmetrization [[semanticClustersOf]] and [[qTriangleCount]]
+    * share: an edge survives iff each endpoint ranks the other in its
+    * top-K. */
+  private[graft] def mutualEdgesOf(e: DataFrame, k: Int = GraphK,
+                                   cellCap: Long = MaxCents): DataFrame = {
     val edges = knnGraphOf(e, k, cellCap).select("src", "dst")
-    val mutual = edges.as("x").join(
+    edges.as("x").join(
         edges.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
           col("x.src") < col("x.dst"))
       .select(col("x.src").as("a_id"), col("x.dst").as("b_id"))
+  }
+
+  /** [[qSemanticClusters]]'s body over an ARBITRARY quantized frame. */
+  private[graft] def semanticClustersOf(e: DataFrame, k: Int = GraphK,
+                                        cellCap: Long = MaxCents): DataFrame = {
+    val mutual = mutualEdgesOf(e, k, cellCap)
     val labels = graft.operators.ConnectedComponents.labels(mutual)
     e.select(col("vec_id"))
       .join(labels, col("vec_id") === col("id"), "left")
@@ -1048,7 +1057,93 @@ object SimQueries {
     r.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /**
+   * TRIANGLE participation counts over the mutual-kNN graph — the
+   * local-density / community-cohesion signal (a vector in many
+   * triangles sits in a tight clique; triangle-free vectors are chain
+   * or hub artifacts), and the classic test that a graph pipeline
+   * handles the 3-way self-join shape. Canonical a < b < c enumeration
+   * — each triangle found exactly once by two equi-joins over the
+   * (n·K-bounded, checkpointed-once) mutual edge list — then each
+   * corner credits its vertex; vectors in no triangle report 0, so the
+   * output is total (n rows) and row-count drift catches a lost
+   * corner. Never all-pairs: the first join fans out only along
+   * existing edges (Σ deg² bounded by the mutual cap K per side), the
+   * closing join is an equi-join on the (a, c) pair key.
+   */
+  val qTriangleCount = Q(
+    "q_triangle_count",
+    (s, dir) => triangleCountOf(quantized(s, dir)),
+    Some(s"""$ivfCte,
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |),
+      |knn AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src
+      |                              ORDER BY dot DESC, dst ASC) AS rnk
+      |    FROM p) WHERE rnk <= $GraphK
+      |),
+      |mut AS (
+      |  SELECT k1.src AS a, k1.dst AS b
+      |  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+      |  WHERE k1.src < k1.dst
+      |),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM mut e1
+      |  JOIN mut e2 ON e1.b = e2.a
+      |  JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b
+      |),
+      |corner AS (
+      |  SELECT a AS vec_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |),
+      |cnt AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |        FROM corner GROUP BY vec_id)
+      |SELECT e.vec_id, COALESCE(cnt.n_triangles, 0) AS n_triangles
+      |FROM e LEFT JOIN cnt ON e.vec_id = cnt.vec_id""".stripMargin)
+  )
+
+  /** [[qTriangleCount]]'s body over an ARBITRARY quantized frame. */
+  private[graft] def triangleCountOf(e: DataFrame, k: Int = GraphK,
+                                     cellCap: Long = MaxCents): DataFrame =
+    trianglesOnMutual(e.select(col("vec_id")),
+                      checkpointCompact(mutualEdgesOf(e, k, cellCap)))
+
+  /** The triangle enumeration itself over EXPLICIT `(vec_id)` nodes and
+    * `(a_id < b_id)` undirected edges — the spec's seam: canonical
+    * a < b < c wedges closed by a semi-join on the (a, c) pair key,
+    * corners credited per vertex, absent vertices report 0. */
+  private[graft] def trianglesOnMutual(nodes: DataFrame,
+                                       mut: DataFrame): DataFrame = {
+    val tri = mut.as("e1")
+      .join(mut.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
+              col("e2.b_id").as("c"))
+      .join(mut.as("e3"),
+            col("a") === col("e3.a_id") && col("c") === col("e3.b_id"),
+            "left_semi")
+    val corners = tri.select(col("a").as("vec_id"))
+      .unionByName(tri.select(col("b").as("vec_id")))
+      .unionByName(tri.select(col("c").as("vec_id")))
+    val cnt = corners.groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col("vec_id").as("v"))
+      .join(cnt, col("v") === col("vec_id"), "left")
+      .select(col("v").as("vec_id"),
+              coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
-                        qClusterSample, qEmbedStats, qPagerank)
+                        qClusterSample, qEmbedStats, qPagerank, qTriangleCount)
 }

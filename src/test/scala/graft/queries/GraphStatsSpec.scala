@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Triangle-count and MAD-outlier contracts. */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangles: K4 minus an edge — exact per-vertex participation, isolated nodes report 0") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("vec_id")
+    // K4 on {1,2,3,4} minus the (1,4) edge: triangles {1,2,3} and {2,3,4}
+    val mut = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val got = SimQueries.trianglesOnMutual(nodes, mut)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 9L -> 0L))
+  }
+
+  test("triangles: a wedge without its closing edge counts nothing") {
+    val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
+    val mut = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = SimQueries.trianglesOnMutual(nodes, mut)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("MAD catches the n=5 single spike the 2-sigma test provably cannot") {
+    // counts 10,10,10,10,35: z of the spike is EXACTLY 2 (the spike
+    // drags mean and variance), so q_anomaly_daily's strict > never
+    // fires at n=5 — the robust median pair does
+    val daily = Seq(
+      ("d1", "A", 10L), ("d2", "A", 10L), ("d3", "A", 10L),
+      ("d4", "A", 10L), ("d5", "A", 35L)
+    ).toDF("day", "event_type", "n_events")
+    val z = CoreQueries.anomalyOverCounts(daily)
+      .select("day", "is_anomaly").as[(String, Int)].collect().toMap
+    assert(z.values.forall(_ == 0))
+    val m = CoreQueries.madOverCounts(daily)
+      .select("day", "is_outlier").as[(String, Int)].collect().toMap
+    assert(m === Map("d1" -> 0, "d2" -> 0, "d3" -> 0, "d4" -> 0, "d5" -> 1))
+  }
+
+  test("MAD medians are the discrete lower-middle element; sigma calibration is exact-integer") {
+    // counts 8,9,10,11,12,100: med = rank-3 element = 10,
+    // adevs sorted 0,1,1,2,2,90 -> mad = 1; flag iff 10000*adev > 29652
+    val daily = Seq(
+      ("d1", "B", 8L), ("d2", "B", 9L), ("d3", "B", 10L),
+      ("d4", "B", 11L), ("d5", "B", 12L), ("d6", "B", 100L)
+    ).toDF("day", "event_type", "n_events")
+    val got = CoreQueries.madOverCounts(daily)
+      .select("day", "med", "mad", "is_outlier")
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("d6") === ((10L, 1L, 1)))
+    assert(got("d1") === ((10L, 1L, 0))) // adev 2: 20000 < 29652
+    assert(got("d3") === ((10L, 1L, 0)))
+  }
+}
