@@ -870,11 +870,62 @@ object CoreQueries {
                 .cast("int").as("is_outlier"))
   }
 
+  /**
+   * Daily-volume TREND per event type — least-squares slope over (day
+   * index, count), emitted as the EXACT RATIONAL it is: numerator
+   * n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as integers, plus the
+   * direction sign. Emitting the ratio as a float would trade the
+   * whole pipeline's engine-exactness for one division the consumer
+   * can do (or compare cross-multiplied, as [[qAnomalyDaily]] does);
+   * the rational IS the slope, losslessly. Day index is
+   * days-since-first-day per type — calendar-gap-aware, not a dense
+   * rank. One map-combined aggregate over the day×type domain.
+   */
+  val qTrendDaily = Q(
+    "q_trend_daily",
+    (s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      events(s, dir)
+        .groupBy(to_date(col("ts_t")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("day"), min("day").over(wT)).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             (count(lit(1)) * sum(col("x") * col("y")) -
+                sum(col("x")) * sum(col("y"))).as("trend_num"),
+             (count(lit(1)) * sum(col("x") * col("x")) -
+                sum(col("x")) * sum(col("x"))).as("trend_den"))
+        .withColumn("direction",
+          when(col("trend_num") > 0, 1)
+            .when(col("trend_num") < 0, -1).otherwise(0))
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), xi AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type),
+      |                        day) AS BIGINT) AS x,
+      |         y
+      |  FROM daily
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+      |         AS trend_num,
+      |       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+      |         AS trend_den,
+      |       CAST(CASE WHEN COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) > 0 THEN 1
+      |                 WHEN COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) < 0 THEN -1
+      |                 ELSE 0 END AS INT) AS direction
+      |FROM xi GROUP BY event_type""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
     qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract,
-    qAttribution, qFunnelWindowed, qOutlierMad
+    qAttribution, qFunnelWindowed, qOutlierMad, qTrendDaily
   )
 }

@@ -949,11 +949,11 @@ object SimQueries {
   )
 
   /** Fixed-point scale for [[qPagerank]] ranks (1.0 ≡ 1e6). */
-  private val PrScale = 1000000L
+  private[graft] val PrScale = 1000000L
   /** (1 − d)·[[PrScale]] for damping d = 0.85. */
-  private val PrBase = 150000L
+  private[graft] val PrBase = 150000L
   /** Power-iteration count for [[qPagerank]]. */
-  private val PrIters = 3
+  private[graft] val PrIters = 3
 
   /**
    * PAGERANK over the [[qKnnGraph]] edges — centrality scoring of the

@@ -978,9 +978,92 @@ object TextStatsQueries {
       .select("w1", "w2", "cnt")
   }
 
+  /**
+   * TEXTRANK keyword scoring — PageRank over the document
+   * CO-OCCURRENCE graph: nodes are the df-pruned vocabulary
+   * ([[qCooccurTopk]]'s kept set), an undirected edge joins tokens
+   * that co-occur in at least one document, and
+   * [[SimQueries.pageRankOnEdges]] runs its damped fixed-point power
+   * iteration over both directions of each edge. The graph-centrality
+   * keyword extractor (the classic TextRank recipe, unweighted-edge
+   * variant) beside the frequency family (tf-idf, BM25) — a corpus
+   * keyword here is a token that co-occurs with many well-connected
+   * tokens, not just a frequent one. Token ids ride the same generic
+   * (id, src, dst) seam the vector PageRank uses — the iteration is
+   * type-agnostic, integer-exact, and shared, so the two gates can
+   * never drift on the fixed-point semantics.
+   */
+  lazy val qTextrank = Q(
+    "q_textrank",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+                explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val kept = toks.join(
+        toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= CoMinDf).select("tok"),
+        Seq("tok"), "left_semi")
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+              col("a.doc_id") === col("b.doc_id") &&
+                col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("w1"), col("b.tok").as("w2"))
+        .distinct()
+      val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+        .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      val nodes = kept.select(col("tok").as("id")).distinct()
+      SimQueries.pageRankOnEdges(nodes, edges, SimQueries.PrIters)
+        .select(col("id").as("token"), col("rank_fp"))
+    },
+    Some(s"""WITH u AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |kept AS (
+      |  SELECT doc_id, tok FROM u
+      |  WHERE tok IN (SELECT tok FROM u GROUP BY tok
+      |                HAVING COUNT(*) >= $CoMinDf)
+      |),
+      |pr AS (
+      |  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+      |  FROM kept a JOIN kept b
+      |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |),
+      |knn AS (
+      |  SELECT w1 AS src, w2 AS dst FROM pr
+      |  UNION ALL SELECT w2, w1 FROM pr
+      |),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM knn GROUP BY 1),
+      |nd AS (SELECT DISTINCT tok AS id FROM kept),
+      |r0 AS (SELECT id, CAST(${SimQueries.PrScale} AS BIGINT) AS r FROM nd),
+      |c1 AS (SELECT k.dst AS id, CAST(SUM(r0.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r0 ON r0.id = k.src GROUP BY 1),
+      |r1 AS (SELECT nd.id,
+      |              CAST(${SimQueries.PrBase} + (85 * COALESCE(c1.sc, 0)) // 100
+      |                   AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c1 ON nd.id = c1.id),
+      |c2 AS (SELECT k.dst AS id, CAST(SUM(r1.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r1 ON r1.id = k.src GROUP BY 1),
+      |r2 AS (SELECT nd.id,
+      |              CAST(${SimQueries.PrBase} + (85 * COALESCE(c2.sc, 0)) // 100
+      |                   AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c2 ON nd.id = c2.id),
+      |c3 AS (SELECT k.dst AS id, CAST(SUM(r2.r // deg.d) AS BIGINT) AS sc
+      |       FROM knn k JOIN deg ON k.src = deg.src
+      |       JOIN r2 ON r2.id = k.src GROUP BY 1),
+      |r3 AS (SELECT nd.id,
+      |              CAST(${SimQueries.PrBase} + (85 * COALESCE(c3.sc, 0)) // 100
+      |                   AS BIGINT) AS r
+      |       FROM nd LEFT JOIN c3 ON nd.id = c3.id)
+      |SELECT id AS token, r AS rank_fp FROM r3""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
-    qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk
+    qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
+    qTextrank
   )
 }
