@@ -69,5 +69,45 @@ object IngestQueries {
       |FROM v""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qTsvParse, qHitsExport)
+  /**
+   * Per-column DATA PROFILE of the documents table — the first
+   * operator an ingest pipeline runs on a new drop: null counts and
+   * exact distinct cardinalities for every column, as rows. One pass:
+   * a single multi-aggregate (Spark plans the distinct set via one
+   * Expand — no per-column rescan), then `stack` pivots the scalar
+   * row into the (col_name, n_nulls, n_distinct) report. At 100 TB
+   * exact distincts would swap for the HLL register path
+   * (`q_hll_registers`); the exact form is the oracle-checkable
+   * contract of the profile itself.
+   */
+  val qProfileColumns = Q(
+    "q_profile_columns",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      val aggs = d.columns.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val cells = d.columns
+        .map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      d.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${d.columns.length}, $cells) " +
+                    "as (col_name, n_nulls, n_distinct)")
+    },
+    Some("""SELECT 'doc_id' AS col_name,
+      |       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+      |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+      |FROM documents
+      |UNION ALL SELECT 'text', CAST(COUNT(*) - COUNT(text) AS BIGINT),
+      |       CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+      |UNION ALL SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+      |UNION ALL SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+      |       CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+      |UNION ALL SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+      |       CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents"""
+      .stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qTsvParse, qHitsExport, qProfileColumns)
 }
