@@ -921,11 +921,83 @@ object CoreQueries {
       |FROM xi GROUP BY event_type""".stripMargin)
   )
 
+  /**
+   * A/B-TEST SIGNIFICANCE — the experimentation read-out: users split
+   * into two arms by id parity (the deployment substitutes its real
+   * assignment column), and for each event type the 2×2 contingency
+   * (did/didn't × arm) is chi-square tested at α = 0.05. The test is
+   * EXACT: χ² > 3.841459 is evaluated as the cross-multiplied integer
+   * comparison 10⁶·N·(ad−bc)² > 3841459·(a+b)(c+d)(a+c)(b+d) in
+   * DECIMAL(38) — (ad−bc)² overflows a long at ~10⁶ users, and decimal
+   * products are exact in both engines, so the flag is
+   * engine-deterministic at any population (the float χ² it replaces
+   * is not). Output keeps the raw cell counts — the consumer can
+   * recompute any statistic; the engine ships the exact verdict.
+   *
+   * Shape: one distinct (user, type) pass (map-combined), one tiny
+   * per-type aggregate, one broadcast of the 2-row arm totals.
+   */
+  val qAbSignificance = Q(
+    "q_ab_significance",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val totals = users.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+      val did = ev.select(col("user_id"), col("event_type")).distinct()
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "grp").agg(count(lit(1)).as("n_did"))
+      val cells = did.join(broadcast(totals), Seq("grp"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("grp") === 0, col("n_did"))).as("a"),
+          sum(when(col("grp") === 0, col("n_grp") - col("n_did"))).as("b"),
+          sum(when(col("grp") === 1, col("n_did"))).as("c"),
+          sum(when(col("grp") === 1, col("n_grp") - col("n_did"))).as("d"))
+      val dec = (c: String) => col(c).cast("decimal(38,0)")
+      cells.select(
+        col("event_type"), col("a"), col("b"), col("c"), col("d"),
+        ((lit(1000000L).cast("decimal(38,0)") *
+            (dec("a") + dec("b") + dec("c") + dec("d")) *
+            (dec("a") * dec("d") - dec("b") * dec("c")) *
+            (dec("a") * dec("d") - dec("b") * dec("c"))) >
+           (lit(3841459L).cast("decimal(38,0)") *
+              (dec("a") + dec("b")) * (dec("c") + dec("d")) *
+              (dec("a") + dec("c")) * (dec("b") + dec("d"))))
+          .cast("int").as("significant"))
+    },
+    Some("""WITH users AS (
+      |  SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS grp FROM events
+      |), totals AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp FROM users GROUP BY grp
+      |), did AS (
+      |  SELECT event_type, CAST(user_id % 2 AS INT) AS grp,
+      |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_did
+      |  FROM events GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT event_type,
+      |         CAST(SUM(CASE WHEN did.grp = 0 THEN n_did END) AS BIGINT) AS a,
+      |         CAST(SUM(CASE WHEN did.grp = 0 THEN n_grp - n_did END) AS BIGINT) AS b,
+      |         CAST(SUM(CASE WHEN did.grp = 1 THEN n_did END) AS BIGINT) AS c,
+      |         CAST(SUM(CASE WHEN did.grp = 1 THEN n_grp - n_did END) AS BIGINT) AS d
+      |  FROM did JOIN totals ON did.grp = totals.grp
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type, a, b, c, d,
+      |       CAST(CAST(1000000 AS HUGEINT) * (a + b + c + d)
+      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |            > CAST(3841459 AS HUGEINT) * (a + b) * (c + d)
+      |              * (a + c) * (b + d) AS INT) AS significant
+      |FROM cells""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
     qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract,
-    qAttribution, qFunnelWindowed, qOutlierMad, qTrendDaily
+    qAttribution, qFunnelWindowed, qOutlierMad, qTrendDaily,
+    qAbSignificance
   )
 }

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Exact chi-square verdict contracts: hand-computed 2x2 cells on both
+  * sides of the 3.841459 cut, and the zero-association case. */
+class AbSignificanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    rows.zipWithIndex.map { case ((user, ty), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+       user, ty, 1.0, "{\"k\": 1}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    CoreQueries.qAbSignificance.fn(spark, dir)
+      .select("event_type", "a", "b", "c", "d", "significant")
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+  }
+
+  test("cells land exactly; chi-square flags the skewed type, not the uniform one") {
+    val users = 0L until 20L
+    // "base": everyone -> a=10 b=0 c=10 d=0, (ad-bc)=0 -> chi2=0
+    val base = users.map(_ -> "base")
+    // "t": 9 of 10 even users, 2 of 10 odd users ->
+    // a=9 b=1 c=2 d=8, chi2 = 20*70^2/(10*10*11*9) = 9.898.. > 3.841459
+    val t = users.filter(u => u % 2 == 0 && u != 18).map(_ -> "t") ++
+      Seq(1L -> "t", 3L -> "t")
+    val got = run(base ++ t)
+    assert(got("base") === ((10L, 0L, 10L, 0L, 0)))
+    assert(got("t") === ((9L, 1L, 2L, 8L, 1)))
+  }
+
+  test("a mild skew below the cut does not flag") {
+    val users = 0L until 20L
+    val base = users.map(_ -> "base")
+    // "m": 7 of 10 even, 4 of 10 odd -> a=7 b=3 c=4 d=6,
+    // chi2 = 20*(42-12)^2/(10*10*11*9) = 20*900/9900 = 1.818 < 3.841459
+    val m = users.filter(u => u % 2 == 0 && u <= 12).map(_ -> "m") ++
+      Seq(1L, 3L, 5L, 7L).map(_ -> "m")
+    val got = run(base ++ m)
+    assert(got("m") === ((7L, 3L, 4L, 6L, 0)))
+  }
+}
