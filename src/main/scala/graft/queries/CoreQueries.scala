@@ -740,6 +740,51 @@ object CoreQueries {
       |FROM t WHERE event_type = 'purchase'""".stripMargin)
   )
 
+  /**
+   * FIRST-TOUCH ATTRIBUTION — [[qAttribution]]'s mirror credit model:
+   * every purchase credits the EARLIEST prior non-purchase event (the
+   * acquisition view, where last-touch is the conversion view; real
+   * marketing stacks report both). Same running conditional struct
+   * extreme over the same per-user ROWS frame — `min` instead of
+   * `max` — so the two models share cost shape, determinism argument,
+   * and null behavior, and their disagreement per purchase is itself
+   * the multi-touch signal.
+   */
+  val qFirstTouch = Q(
+    "q_first_touch",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("event_type"))
+        .withColumn("touch",
+          min(when(col("event_type") =!= "purchase",
+                   struct(col("ts_us"), col("event_id"), col("event_type"))))
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("touch.event_type").as("touch_type"),
+                (col("ts_us") - col("touch.ts_us")).as("touch_age_us"))
+    },
+    Some("""WITH t AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+      |         MIN(CASE WHEN event_type <> 'purchase'
+      |                  THEN struct_pack(ts_us := epoch_us(ts),
+      |                                   event_id := event_id,
+      |                                   event_type := event_type) END)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS touch
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us,
+      |       touch.event_type AS touch_type,
+      |       ts_us - touch.ts_us AS touch_age_us
+      |FROM t WHERE event_type = 'purchase'""".stripMargin)
+  )
+
   /** Conversion horizon for [[qFunnelWindowed]] (7 days in µs). */
   private val ConvertUs = 7L * 86400000000L
 
@@ -992,12 +1037,72 @@ object CoreQueries {
       |FROM cells""".stripMargin)
   )
 
+  /**
+   * RUN-LENGTH ENCODING of the per-user event-type stream — the
+   * VALUE-CHANGE variant of gaps-and-islands (sessions split on time
+   * gaps; runs split on the dimension changing): each maximal stretch
+   * of consecutive same-type events becomes one row with its span and
+   * length. The state-compression primitive behind SCD-style interval
+   * tables, "how long did the user stay in state X", and
+   * repeated-event collapse before sequence mining. Same one-exchange
+   * shape as [[Sessionize]]: a `lag` marks change points, a running
+   * sum over the SAME per-user sort numbers the runs (one window sort,
+   * two frames), and the aggregate is map-side combinable on the
+   * (user, run) key. (ts, event_id) is a total order, so runs are
+   * deterministic under ties.
+   */
+  val qRunLength = Q(
+    "q_run_length",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                col("event_type"))
+        .withColumn("chg",
+          (lag("event_type", 1).over(w).isNull ||
+             lag("event_type", 1).over(w) =!= col("event_type")).cast("long"))
+        .withColumn("run_id", sum("chg").over(wRun))
+        .groupBy("user_id", "run_id")
+        .agg(min("ts_us").as("run_start_us"),
+             max("ts_us").as("run_end_us"),
+             // constant within a run by construction; min is just the
+             // aggregate form of "the" value
+             min("event_type").as("event_type"),
+             count(lit(1)).as("run_len"))
+    },
+    Some("""WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |         CASE WHEN LAG(event_type) OVER w IS NULL
+      |                OR LAG(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), r AS (
+      |  SELECT *,
+      |         CAST(SUM(chg) OVER (PARTITION BY user_id
+      |                             ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM o
+      |)
+      |SELECT user_id, run_id,
+      |       MIN(ts_us) AS run_start_us, MAX(ts_us) AS run_end_us,
+      |       MIN(event_type) AS event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS run_len
+      |FROM r GROUP BY user_id, run_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(
     qSessionize, qHitsEnriched, qFunnel, qVisitorsRaw, qVisitorsDedup,
     qParseExtract, qVisitStats, qCsvFormat, qFunnelOrdered, qRetention,
     qAggSalted, qPivot, qGapFill, qTransitionMatrix, qTopPaths, qEntryExit,
     qWindowRolling, qAnomalyDaily, qRfmSegments, qJsonExtract,
     qAttribution, qFunnelWindowed, qOutlierMad, qTrendDaily,
-    qAbSignificance
+    qAbSignificance, qRunLength, qFirstTouch
   )
 }

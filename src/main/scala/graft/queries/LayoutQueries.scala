@@ -320,5 +320,52 @@ object LayoutQueries {
       |GROUP BY 1, 2""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill, qBucketJoin)
+  /** Target output file size for [[qCompactFiles]] (bytes). Small on
+    * purpose at fixture scale so the op demonstrably produces MORE
+    * than one file; a deployment sets ~128–512 MB. */
+  private[graft] val CompactTargetBytes = 256L * 1024
+
+  /**
+   * SMALL-FILE COMPACTION — the table-maintenance op every streaming/
+   * incremental lake needs: rewrite a table into `⌈bytes/target⌉`
+   * right-sized files, where the file count is derived from the
+   * MEASURED input bytes (the scan relation's file sizes), not
+   * guessed. At 100 TB the small-file problem is a top-3 operational
+   * cost (every file is a task + a NameNode/liststore entry + a
+   * parquet footer parse); compaction cadence is how it's paid down.
+   * The gate proves content preservation through the rewrite (identity
+   * oracle — compaction must be invisible to readers);
+   * `CompactFilesSpec` pins the file-count arithmetic and that the
+   * rewrite actually coalesced.
+   */
+  val qCompactFiles = Q(
+    "q_compact_files",
+    (s, dir) => {
+      val out = derivedDir(s, dir, s"compact-${System.nanoTime()}")
+      compactTo(Tables.read(s, dir, "documents"), s"$dir/documents.parquet",
+                out, CompactTargetBytes)
+      s.read.parquet(out)
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents")
+  )
+
+  /** The compaction itself: size `src`'s files, rewrite `df` into
+    * `⌈bytes/targetBytes⌉` output files under `out`. Returns the file
+    * count chosen. */
+  private[graft] def compactTo(df: DataFrame, src: String, out: String,
+                               targetBytes: Long): Int = {
+    val s = df.sparkSession
+    val p = new Path(src)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // round-robin repartition: compaction balances BYTES, not keys —
+    // there is no join locality to preserve here, and RR gives the
+    // tightest size distribution
+    df.repartition(nFiles).write.mode("overwrite").parquet(out)
+    nFiles
+  }
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill, qBucketJoin,
+                        qCompactFiles)
 }
