@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property invariants of the scale-safe NTILE seam (the machinery under
+  * q_decile_assign and the RFM quartiles): for ANY input and any k, the
+  * bucket assignment must equal the window NTILE exactly, sizes must
+  * differ by at most one with the larger buckets first, and buckets must
+  * be monotone in the sort key. Generators are seed-pinned `Gen`s (the
+  * explicit-sampling convention of SessionPropertiesSpec). */
+class NtilePropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val caseGen: Gen[(Int, List[Long])] = for {
+    k <- Gen.choose(1, 7)
+    n <- Gen.choose(1, 60)
+    // duplicate-heavy values so the (metric, id) tiebreak matters
+    vals <- Gen.listOfN(n, Gen.choose(0L, 9L))
+  } yield (k, vals)
+
+  private def sample(seed: Long): (Int, List[Long]) =
+    caseGen.apply(Gen.Parameters.default, Seed(seed)).getOrElse((1, List(0L)))
+
+  test("ntileOver ≡ window NTILE; sizes differ ≤1, larger first; monotone in sort key") {
+    for (seed <- 1L to 12L) {
+      val (k, vals) = sample(seed)
+      val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("user_id", "metric")
+      val sort = Seq(col("metric").asc, col("user_id").asc)
+      val got = CurationQueries.ntileOver(d, sort, k, 3, "q")
+        .select("user_id", "metric", "q")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      val expect = d.withColumn("q",
+          ntile(k).over(Window.orderBy(sort: _*)).cast("long"))
+        .select("user_id", "metric", "q")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      assert(got.toSeq === expect.toSeq, s"seed=$seed k=$k")
+      val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"seed=$seed")
+      val ordered = sizes.toSeq.sortBy(_._1).map(_._2)
+      assert(ordered === ordered.sortBy(-_), s"seed=$seed larger buckets first")
+      // monotone: walking the sorted rows, bucket never decreases
+      assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted, s"seed=$seed")
+    }
+  }
+}
