@@ -211,6 +211,68 @@ object SimQueries {
       |QUALIFY rnk <= $TopK""".stripMargin)
   )
 
+  /**
+   * MULTI-PROBE sign-LSH — the recall knob on [[qSimSearchLsh]]'s
+   * single-bucket probe, left as its own gate so both points on the
+   * recall/cost curve stay measured: each query probes its own bucket
+   * PLUS the 8 Hamming-distance-1 buckets (one sign bit flipped).
+   * Near neighbors that straddle one orthant boundary — the dominant
+   * miss mode of single-probe (measured recall@10 0.049 single-probe
+   * vs brute force at the 50 k clustered soak; see BASELINE) — are
+   * recovered at 9× the candidate volume, still bucket-bounded and
+   * corpus-size-independent per probe. The probe set is exact algebra
+   * (bucket XOR 2^i), so the oracle replays it bit-for-bit.
+   */
+  val qSimSearchMp = Q(
+    "q_sim_search_mp",
+    (s, dir) => {
+      val e = quantized(s, dir)
+        .withColumn("bucket", VectorOps.signBucket(col("q")))
+      val probes = array(
+        (col("q_bucket") +: (0 until 8).map(i =>
+          col("q_bucket").bitwiseXOR(lit(1L << i)))): _*)
+      val queries = e.select(col("vec_id").as("q_id"), col("q").as("qq"),
+                             col("bucket").as("q_bucket"))
+        .filter(col("q_id") % 100 === 0)
+        .withColumn("probe", explode(probes))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      e.join(broadcast(queries),
+             col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id", "dot", "rnk")
+    },
+    Some(s"""$quantCte,
+      |eb AS (
+      |  SELECT vec_id, q,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |                i -> CASE WHEN q[i] >= 0 THEN CAST(POWER(2, i - 1) AS BIGINT)
+      |                          ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM e
+      |),
+      |qs AS (SELECT vec_id AS q_id, q AS qq, bucket AS q_bucket
+      |       FROM eb WHERE vec_id % 100 = 0),
+      |pr AS (
+      |  SELECT q_id, qq,
+      |         CASE WHEN i = 0 THEN q_bucket
+      |              ELSE xor(q_bucket, CAST(POWER(2, i - 1) AS BIGINT)) END
+      |           AS probe
+      |  FROM qs CROSS JOIN generate_series(0, 8) g(i)
+      |),
+      |p AS (
+      |  SELECT q_id, vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(q)),
+      |                i -> q[i] * qq[i])) AS BIGINT) AS dot
+      |  FROM eb JOIN pr ON bucket = probe AND vec_id <> q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rnk
+      |FROM p
+      |QUALIFY rnk <= $TopK""".stripMargin)
+  )
+
   /** Every `CentStride`-th vector seeds an IVF centroid — but never more
     * than `MaxCents` of them: the stride grows with the corpus
     * (`ivfStride`) so the centroid table is BROADCAST-SCALE AT ANY
@@ -1143,7 +1205,7 @@ object SimQueries {
               coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
-  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchIvf, qIvfProbe,
+  val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchMp, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
                         qClusterSample, qEmbedStats, qPagerank, qTriangleCount)
 }

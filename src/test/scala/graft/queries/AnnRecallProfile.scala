@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (test scope, not shipped): measures recall@K of
+  * the ANN variants against the brute-force gate on a SOAK corpus. The
+  * fixture-scale recall specs run on near-random vectors — the
+  * adversarial floor case for locality bucketing; this harness runs the
+  * same comparison on the family-CLUSTERED soak corpora (the premise of
+  * IVF/SemDeDup is that real embedding corpora cluster), so the recall
+  * claim is measured on both regimes. Run:
+  *   sbt "Test/runMain graft.queries.AnnRecallProfile /tmp/graft-soak"
+  */
+object AnnRecallProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("ann-recall-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+
+    def pairs(q: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(q)(s, dir)
+        .select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val truth = pairs("q_sim_search")
+    for (variant <- Seq("q_sim_search_ivf", "q_sim_search_lsh",
+                        "q_sim_search_mp")) {
+      val got = pairs(variant)
+      val hit = (got intersect truth).size
+      System.err.println(
+        f"[ann-recall] $variant%-18s recall@k = ${hit.toDouble / truth.size}%.3f " +
+          f"(${hit}/${truth.size} of brute-force pairs; returned ${got.size})")
+    }
+    s.stop()
+  }
+}
