@@ -35,6 +35,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run — the scale-soak harness
     // points SPARK_GRAFT_SF_DIR at a DocSynth corpus dir (documents +
     // embeddings only) and benches just the chains those tables feed.
+    // Unknown action names ERROR (the SPARK_GRAFT_ONLY rule): a typo
+    // silently falling back to count would record count-pruned numbers
+    // AS the requested honest-cost ones — the exact artifact the
+    // checksum mode exists to eliminate.
+    val action = sys.env.getOrElse("SPARK_GRAFT_ACTION", "count")
+    require(action == "count" || action == "checksum",
+            s"SPARK_GRAFT_ACTION unknown: $action (count|checksum)")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -71,15 +78,13 @@ object Bench {
       // the driver-bench contract and the cross-round comparison basis.
       try {
         val df = fn(spark, sfDir)
-        sys.env.getOrElse("SPARK_GRAFT_ACTION", "count") match {
-          case "checksum" =>
-            // XOR fold, not SUM: summing 64-bit hashes overflows long
-            // (an ANSI-mode error at any real row count)
-            import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
-            df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
-              .agg(expr("bit_xor(__h)")).head()
-          case _ => df.count()
-        }
+        if (action == "checksum") {
+          // XOR fold, not SUM: summing 64-bit hashes overflows long
+          // (an ANSI-mode error at any real row count)
+          import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+            .agg(expr("bit_xor(__h)")).head()
+        } else df.count()
       }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

@@ -680,16 +680,23 @@ object CoreQueries {
         .agg(count(col("k")).as("n_parsed"),
              sum("k").as("sum_k"),
              min("k").as("min_k"), max("k").as("max_k")),
-    Some("""SELECT event_type,
-      |       CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-      |         AS n_parsed,
-      |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-      |         AS sum_k,
-      |       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-      |         AS min_k,
-      |       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-      |         AS max_k
-      |FROM events GROUP BY event_type""".stripMargin)
+    Some("""WITH j AS (
+      |  -- replicate from_json's STRICT typed semantics: a malformed
+      |  -- payload, a quoted "7", a fractional 1.5, or a missing key all
+      |  -- parse to NULL (a bare CAST(json_extract(..)) would ERROR on
+      |  -- malformed input and silently COERCE quoted/fractional values)
+      |  SELECT event_type,
+      |         CASE WHEN json_valid(props)
+      |                AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+      |              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       CAST(MIN(k) AS BIGINT) AS min_k,
+      |       CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM j GROUP BY event_type""".stripMargin)
   )
 
   /**
@@ -970,14 +977,16 @@ object CoreQueries {
    * A/B-TEST SIGNIFICANCE — the experimentation read-out: users split
    * into two arms by id parity (the deployment substitutes its real
    * assignment column), and for each event type the 2×2 contingency
-   * (did/didn't × arm) is chi-square tested at α = 0.05. The test is
-   * EXACT: χ² > 3.841459 is evaluated as the cross-multiplied integer
-   * comparison 10⁶·N·(ad−bc)² > 3841459·(a+b)(c+d)(a+c)(b+d) in
-   * DECIMAL(38) — (ad−bc)² overflows a long at ~10⁶ users, and decimal
-   * products are exact in both engines, so the flag is
-   * engine-deterministic at any population (the float χ² it replaces
-   * is not). Output keeps the raw cell counts — the consumer can
-   * recompute any statistic; the engine ships the exact verdict.
+   * (did/didn't × arm) is chi-square tested at α = 0.05: the
+   * cross-multiplied comparison 10⁶·N·(ad−bc)² > 3841459·(a+b)(c+d)
+   * (a+c)(b+d), evaluated in DOUBLE through the IDENTICAL expression
+   * tree on both sides of the gate — every op is IEEE
+   * correctly-rounded, so the verdict is engine-deterministic at ANY
+   * population (an integer formulation is bit-exact but overflows
+   * 64-bit at ~10⁶ users and decimal(38) at ~5·10⁶; a divided-out
+   * float χ² aggregated in engine-specific order is deterministic in
+   * neither). Output keeps the raw cell counts — the consumer can
+   * recompute any statistic; the engine ships the verdict.
    *
    * Shape: one distinct (user, type) pass (map-combined), one tiny
    * per-type aggregate, one broadcast of the 2-row arm totals.
@@ -999,16 +1008,24 @@ object CoreQueries {
           sum(when(col("grp") === 0, col("n_grp") - col("n_did"))).as("b"),
           sum(when(col("grp") === 1, col("n_did"))).as("c"),
           sum(when(col("grp") === 1, col("n_grp") - col("n_did"))).as("d"))
-      val dec = (c: String) => col(c).cast("decimal(38,0)")
+      // DOUBLE, not decimal(38): the decimal cross-product overflows 38
+      // digits at ~5 M users (silent NULL in Spark, loud error in
+      // DuckDB). Doubles never overflow at these magnitudes, and the
+      // BM25 determinism argument applies — +,−,×,> are IEEE
+      // correctly-rounded, so the IDENTICAL expression tree over the
+      // same exact integer cells yields the same verdict in any engine;
+      // a boundary flip from rounding happens identically on both sides
+      // of the gate.
+      val dbl = (c: String) => col(c).cast("double")
       cells.select(
         col("event_type"), col("a"), col("b"), col("c"), col("d"),
-        ((lit(1000000L).cast("decimal(38,0)") *
-            (dec("a") + dec("b") + dec("c") + dec("d")) *
-            (dec("a") * dec("d") - dec("b") * dec("c")) *
-            (dec("a") * dec("d") - dec("b") * dec("c"))) >
-           (lit(3841459L).cast("decimal(38,0)") *
-              (dec("a") + dec("b")) * (dec("c") + dec("d")) *
-              (dec("a") + dec("c")) * (dec("b") + dec("d"))))
+        ((lit(1000000.0) *
+            (dbl("a") + dbl("b") + dbl("c") + dbl("d")) *
+            (dbl("a") * dbl("d") - dbl("b") * dbl("c")) *
+            (dbl("a") * dbl("d") - dbl("b") * dbl("c"))) >
+           (lit(3841459.0) *
+              (dbl("a") + dbl("b")) * (dbl("c") + dbl("d")) *
+              (dbl("a") + dbl("c")) * (dbl("b") + dbl("d"))))
           .cast("int").as("significant"))
     },
     Some("""WITH users AS (
@@ -1029,11 +1046,19 @@ object CoreQueries {
       |  GROUP BY event_type
       |)
       |SELECT event_type, a, b, c, d,
-      |       CAST(CAST(1000000 AS HUGEINT) * (a + b + c + d)
-      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
-      |              * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
-      |            > CAST(3841459 AS HUGEINT) * (a + b) * (c + d)
-      |              * (a + c) * (b + d) AS INT) AS significant
+      |       CAST(1000000.0
+      |              * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+      |                 + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+      |              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      |              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      |            > 3841459.0
+      |              * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+      |              * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+      |              * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+      |              * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) AS INT)
+      |         AS significant
       |FROM cells""".stripMargin)
   )
 

@@ -1827,9 +1827,12 @@ object DedupQueries {
   private[graft] def bloomOf(hashes: DataFrame, expectedItems: Long = 0L,
                              fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val nonNull = hashes.na.drop("all")
+    // one emptiness action, not two: the sized path's count already
+    // proves (non-)emptiness; isEmpty runs only when the caller supplied
+    // the size and the count was skipped
     val n = if (expectedItems > 0) expectedItems else nonNull.count()
-    if (n == 0 || nonNull.isEmpty)
-      org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    val empty = if (expectedItems > 0) nonNull.isEmpty else n == 0
+    if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
     else nonNull.stat.bloomFilter("ch", math.max(n, 1L), fpp)
   }
 

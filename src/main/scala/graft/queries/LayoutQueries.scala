@@ -280,7 +280,10 @@ object LayoutQueries {
       f"_${dir.hashCode & 0x7FFFFFFF}%08x_p${ProcessHandle.current().pid()}"
     val liName = s"graft_bkt_li_$key"
     val ordName = s"graft_bkt_ord_$key"
-    if (!s.catalog.tableExists(liName)) {
+    // BOTH tables gate the write: a failure between the two saveAsTable
+    // calls must not leave a half-registered pair that every later call
+    // then trusts (lineitem present, orders missing, no recovery path)
+    if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(ordName)) {
       val base = derivedDir(s, dir, "bucketed")
       Tables.read(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_returnflag")
@@ -341,7 +344,10 @@ object LayoutQueries {
   val qCompactFiles = Q(
     "q_compact_files",
     (s, dir) => {
-      val out = derivedDir(s, dir, s"compact-${System.nanoTime()}")
+      // fixed suffix + overwrite mode: a nanoTime-unique dir would leak
+      // one full corpus copy PER INVOCATION until JVM exit (Verify dump
+      // + bench + retries in one session each holding a copy)
+      val out = derivedDir(s, dir, "compact")
       compactTo(Tables.read(s, dir, "documents"), s"$dir/documents.parquet",
                 out, CompactTargetBytes)
       s.read.parquet(out)

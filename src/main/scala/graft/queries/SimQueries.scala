@@ -1099,18 +1099,20 @@ object SimQueries {
     * hand-computed ranks). */
   private[graft] def pageRankOnEdges(nodes: DataFrame, edgeList: DataFrame,
                                      iters: Int): DataFrame = {
-    // edge list + out-degrees materialized ONCE (compact long triples):
-    // every round re-reads them, and without the pin each round would
-    // re-run the whole upstream graph construction
+    // edge list + out-degrees + NODES materialized ONCE (compact rows):
+    // every round re-reads all three, and without the pins each round
+    // would re-run the whole upstream construction — for the TextRank
+    // caller the node frame alone is a corpus tokenize + df-filter
     val edges = checkpointCompact(edgeList)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val withDeg = checkpointCompact(edges.join(deg, "src"))
-    var r = nodes.withColumn("r", lit(PrScale))
+    val pinnedNodes = checkpointCompact(nodes)
+    var r = pinnedNodes.withColumn("r", lit(PrScale))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(r, col("src") === col("id"))
         .select(col("dst").as("id"), expr("r div d").as("c"))
         .groupBy("id").agg(sum("c").as("sc"))
-      r = nodes.join(contrib, Seq("id"), "left")
+      r = pinnedNodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
                 (lit(PrBase) +
                    expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
@@ -1195,9 +1197,10 @@ object SimQueries {
       .join(mut.as("e3"),
             col("a") === col("e3.a_id") && col("c") === col("e3.b_id"),
             "left_semi")
-    val corners = tri.select(col("a").as("vec_id"))
-      .unionByName(tri.select(col("b").as("vec_id")))
-      .unionByName(tri.select(col("c").as("vec_id")))
+    // one explode, not a 3-branch union: the wedge+close join is the
+    // dominant Σdeg² stage and a union would re-execute it per corner
+    val corners = tri.select(
+      explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
     val cnt = corners.groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
     nodes.select(col("vec_id").as("v"))
       .join(cnt, col("v") === col("vec_id"), "left")
