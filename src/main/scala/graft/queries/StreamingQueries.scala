@@ -760,9 +760,75 @@ object StreamingQueries {
       |FROM st""".stripMargin)
   )
 
+  /**
+   * Streaming RUN-LENGTH encoding (18th gate) — the second custom-state
+   * protocol ([[graft.streaming.StatefulRuns]]): runs split on TYPE
+   * CHANGE or SESSION GAP, and because a run boundary depends on the
+   * time-adjacent neighbor's type, the state holds not-yet-final events
+   * RAW and folds them only once the watermark seals the prefix — a
+   * semantics [[graft.streaming.StatefulSessionize]]'s interval-merge
+   * state cannot express (sessions are reorder-insensitive; runs are
+   * not). The gap rule is also what makes streaming RLE emittable at
+   * all: a change-only run could be extended by an arbitrarily late
+   * same-type event forever. The oracle states the batch twin directly
+   * (gaps-and-islands with the OR'd boundary) — `q_run_length`'s shape
+   * plus the gap predicate.
+   */
+  val qStreamRuns = Q(
+    "q_stream_runs",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+                                            col("ts_us"), col("event_type"),
+                                            col("ts_t"))
+      val inDir = streamDir(s, dir, "stream-runs")
+      ev.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      Seq((-1L, -1L, maxTs + 1000L * Schemas.SessionGapUs, "zz"))
+        .toDF("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+        .withColumn("user_id", col("user_id").cast("string"))
+        .withWatermark("ts_t", Schemas.SessionGap)
+        .as[graft.streaming.RunEvent]
+      runToSink(s, dir,
+                graft.streaming.StatefulRuns.runs(s, stream).toDF(),
+                "graft_q_stream_runs")
+        .filter(col("user_id") =!= "-1")
+        .select(col("user_id").cast("long").as("user_id"),
+                col("run_start_us"), col("run_end_us"), col("event_type"),
+                col("run_len"))
+    },
+    Some(s"""WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+      |         CASE WHEN LAG(event_type) OVER w IS NULL
+      |                OR LAG(event_type) OVER w <> event_type
+      |                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+      |                   >= ${Schemas.SessionGapUs}
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), r AS (
+      |  SELECT *,
+      |         CAST(SUM(chg) OVER (PARTITION BY user_id
+      |                             ORDER BY ts_us, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                             AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM o
+      |)
+      |SELECT user_id,
+      |       MIN(ts_us) AS run_start_us, MAX(ts_us) AS run_end_us,
+      |       MIN(event_type) AS event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS run_len
+      |FROM r GROUP BY user_id, run_id""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
-                        qStreamLeaderboard, qStreamBloom, qStreamAnomaly)
+                        qStreamLeaderboard, qStreamBloom, qStreamAnomaly,
+                        qStreamRuns)
 }

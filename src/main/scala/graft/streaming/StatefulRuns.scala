@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Schemas
+
+/** One event on the run-length custom-state path (event time in µs;
+  * the stream must also carry a watermarked `ts_t` timestamp column).
+  * `event_id` is the tie-break that makes equal-timestamp neighbors
+  * deterministic — runs care about ORDER, sessions only about span. */
+final case class RunEvent(user_id: String, event_id: Long, ts_us: Long,
+                          event_type: String)
+
+/** The trailing not-yet-sealed run. */
+final case class OpenRun(start_us: Long, end_us: Long, end_id: Long,
+                         event_type: String, n: Long)
+
+/** Per-user state: raw events the watermark has not yet made final
+  * (a later-arriving in-watermark event may interleave among them and
+  * SPLIT a would-be run — compressing them early would lose that), plus
+  * the trailing open run over the already-final prefix. */
+final case class RunBuffer(raw: List[RunEvent], open: Option[OpenRun])
+
+/** A finalized run — same contract as the batch q_run_length rows, plus
+  * the gap rule (below). */
+final case class RunRow(user_id: String, run_start_us: Long,
+                        run_end_us: Long, event_type: String, run_len: Long)
+
+/**
+ * STREAMING RUN-LENGTH ENCODING via `flatMapGroupsWithState` — the
+ * second custom-state protocol in the library, and a genuinely
+ * different one from [[StatefulSessionize]]: sessions can hold
+ * interval-MERGED state (an interval sweep is reorder-insensitive),
+ * but a RUN boundary depends on the TYPE of the time-adjacent
+ * neighbor, so an in-watermark late arrival can SPLIT a run that
+ * looked contiguous. State therefore holds the not-yet-final events
+ * RAW and folds them into runs only once the watermark makes the
+ * prefix immutable.
+ *
+ * Run rule: a run breaks on type change OR on a session gap
+ * (`gapUs`) — the gap rule is what lets a stream SEAL runs at all (a
+ * change-only run could be extended by an arbitrarily-late future
+ * event of the same type, so it would never be emittable); it is also
+ * the analytically useful definition ("state the user stayed in,
+ * within a session").
+ *
+ * Protocol, per user key and trigger:
+ *  - new events append to the raw buffer;
+ *  - events with ts < watermark are FINAL (nothing admissible can
+ *    interleave below the watermark): sort them by (ts, event_id),
+ *    fold left-to-right continuing the held open run;
+ *  - every run closed by a boundary AT a final event is emitted — a
+ *    future event (ts ≥ wm, beyond every final ts) cannot insert
+ *    before the boundary that closed it;
+ *  - the trailing run stays open unless the watermark has passed
+ *    `end + gap` (then no admissible event can be within the gap, so
+ *    the gap rule seals it regardless of type);
+ *  - timeout re-arms at the earliest of (open run's end + gap, first
+ *    still-raw event + 1) so sealing happens even with no new data
+ *    for this key.
+ *
+ * State size: the raw buffer spans one watermark delay of one user's
+ * events; the open run is O(1) — bounded by activity rate × delay,
+ * never by history.
+ */
+object StatefulRuns {
+
+  def runs(spark: SparkSession,
+           events: Dataset[RunEvent],
+           gapUs: Long = Schemas.SessionGapUs): Dataset[RunRow] = {
+    import spark.implicits._
+
+    def emit(userId: String, r: OpenRun): RunRow =
+      RunRow(userId, r.start_us, r.end_us, r.event_type, r.n)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+                              GroupStateTimeout.EventTimeTimeout()) {
+        (userId: String, batch: Iterator[RunEvent],
+         state: GroupState[RunBuffer]) =>
+          val prev = state.getOption.getOrElse(RunBuffer(Nil, None))
+          // ms → µs floor: conservative (holds longer, never seals early)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val raw = prev.raw ++ batch
+          val (fin, still) = raw.partition(_.ts_us < wmUs)
+          val ordered = fin.sortBy(e => (e.ts_us, e.event_id))
+          val out = List.newBuilder[RunRow]
+          var open = prev.open
+          for (e <- ordered) {
+            open match {
+              case Some(r)
+                  if r.event_type == e.event_type &&
+                    e.ts_us - r.end_us < gapUs =>
+                open = Some(r.copy(end_us = math.max(r.end_us, e.ts_us),
+                                   end_id = e.event_id, n = r.n + 1))
+              case Some(r) =>
+                out += emit(userId, r)
+                open = Some(OpenRun(e.ts_us, e.ts_us, e.event_id,
+                                    e.event_type, 1))
+              case None =>
+                open = Some(OpenRun(e.ts_us, e.ts_us, e.event_id,
+                                    e.event_type, 1))
+            }
+          }
+          // gap seal: nothing admissible (ts ≥ wm ≥ end+gap) can be
+          // within the gap, so the trailing run is final too
+          open match {
+            case Some(r) if r.end_us + gapUs <= wmUs =>
+              out += emit(userId, r)
+              open = None
+            case _ => ()
+          }
+          if (still.isEmpty && open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(RunBuffer(still, open))
+            // earliest future seal/finalization moment, CEIL to ms;
+            // both candidates are > wm by construction
+            val cands = open.map(_.end_us + gapUs).toList ++
+              (if (still.nonEmpty) List(still.map(_.ts_us).min + 1) else Nil)
+            state.setTimeoutTimestamp((cands.min + 999) / 1000)
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Schemas
+
+/** The custom-state streaming RLE must agree with the batch
+  * gaps-and-islands fold under any in-watermark arrival order — in
+  * particular when a LATE arrival splits a run that looked contiguous,
+  * the case that forces the state to hold raw events. */
+class StatefulRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sentinelTs = 1600000000L * 1000000L
+  // epoch-0 event times collide with the INITIAL watermark (the stateful
+  // operator's late filter drops ts <= wm, and wm starts at 0), so all
+  // planted times sit on a realistic base
+  private val base = 1517000000L * 1000000L
+
+  private def runStateful(batches: Seq[Seq[RunEvent]]): Array[(String, Long, Long, String, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RunEvent]
+    val withTime = input.toDS()
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "30 minutes")
+      .as[RunEvent]
+    val name = s"graft_runs_${System.nanoTime()}"
+    val q = StatefulRuns.runs(spark, withTime)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Seq(RunEvent("zz", -1L, sentinelTs, "zz")))
+      q.processAllAvailable()
+      input.addData(Seq(RunEvent("zz", -2L, sentinelTs + 1, "zz")))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") =!= "zz")
+      .as[(String, Long, Long, String, Long)].collect().sorted
+  }
+
+  private def batchRuns(events: Seq[RunEvent]): Array[(String, Long, Long, String, Long)] = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.toDF()
+      .withColumn("chg",
+        (lag("event_type", 1).over(w).isNull ||
+           lag("event_type", 1).over(w) =!= col("event_type") ||
+           col("ts_us") - lag("ts_us", 1).over(w) >= Schemas.SessionGapUs)
+          .cast("long"))
+      .withColumn("run_id", sum("chg").over(wRun))
+      .groupBy("user_id", "run_id")
+      .agg(min("ts_us").as("run_start_us"), max("ts_us").as("run_end_us"),
+           min("event_type").as("event_type"), count(lit(1)).as("run_len"))
+      .select("user_id", "run_start_us", "run_end_us", "event_type", "run_len")
+      .as[(String, Long, Long, String, Long)].collect().sorted
+  }
+
+  private val mixed = Seq(
+    RunEvent("u1", 1L, base, "A"), RunEvent("u1", 2L, base + 1000000L, "A"),
+    RunEvent("u1", 3L, base + 2000000L, "B"),
+    RunEvent("u1", 4L, base + 3000000L, "B"),
+    // gap >= 30 min: same type, new run
+    RunEvent("u1", 5L, base + 3000000L + Schemas.SessionGapUs, "B"),
+    RunEvent("u2", 6L, base, "C")
+  )
+
+  test("one trigger: custom state ≡ batch fold (change AND gap boundaries)") {
+    assert(runStateful(Seq(mixed)) === batchRuns(mixed))
+  }
+
+  test("a late in-watermark arrival SPLITS a held run — the raw-buffer case") {
+    // trigger 1 delivers A(t=0) and A(t=2s): looks like one run of 2;
+    // trigger 2 delivers B(t=1s) — admissible (watermark far below) —
+    // which must split it into A | B | A. Early compression would have
+    // already fused the two A's and emitted A(n=2) wrongly.
+    val a1 = RunEvent("u1", 1L, base, "A")
+    val b = RunEvent("u1", 2L, base + 1000000L, "B")
+    val a2 = RunEvent("u1", 3L, base + 2000000L, "A")
+    val got = runStateful(Seq(Seq(a1, a2), Seq(b)))
+    assert(got === batchRuns(Seq(a1, b, a2)))
+    assert(got.length === 3, s"late splitter must yield 3 runs: ${got.toSeq}")
+  }
+
+  test("runs spanning triggers continue; equal timestamps break by event_id") {
+    val evs = Seq(
+      RunEvent("u1", 1L, base, "A"), RunEvent("u1", 2L, base + 1000000L, "A"),
+      // tie at t=2s: id 3 (A) then id 4 (B) — run boundary inside the tie
+      RunEvent("u1", 3L, base + 2000000L, "A"), RunEvent("u1", 4L, base + 2000000L, "B")
+    )
+    val chronological = evs.sortBy(e => (e.ts_us, e.event_id))
+    val (f, s2) = chronological.splitAt(2)
+    assert(runStateful(Seq(f, s2)) === batchRuns(evs))
+  }
+
+  test("property: random streams under chronological splits ≡ batch") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nUsers <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0, nUsers - 1)
+        ts <- Gen.choose(0L, 250000L)
+        ty <- Gen.oneOf("A", "B")
+      } yield (u, ts, ty))
+      cut <- Gen.choose(0, n)
+    } yield (rows, cut)
+    for (seed <- 1L to 5L) {
+      val (rows, cut) = gen(Gen.Parameters.default, Seed(seed)).get
+      val evs = rows.zipWithIndex.map { case ((u, ts, ty), i) =>
+        RunEvent(s"u$u", i.toLong, base + ts * 1000000L, ty)
+      }
+      val chronological = evs.sortBy(e => (e.ts_us, e.event_id))
+      val (f, s2) = chronological.splitAt(cut)
+      val batches = Seq(f, s2).filter(_.nonEmpty)
+      if (batches.nonEmpty)
+        assert(runStateful(batches) === batchRuns(evs), s"seed=$seed")
+    }
+  }
+}
