@@ -617,8 +617,60 @@ object CurationQueries {
     ranked.withColumn(outCol, bucket.cast("long")).drop("__rnk")
   }
 
+  /**
+   * WINSORIZATION — clip `n_chars` at the corpus' discrete P5/P95
+   * (elements at ranks ⌈0.05n⌉ and ⌈0.95n⌉ under the (value, doc_id)
+   * total order): the outlier-capping pass run before any
+   * moment-based statistic or normalization that a heavy tail would
+   * dominate. DISCRETE quantiles — an element of the set, never an
+   * interpolated float — so both engines pick the identical threshold
+   * (the [[qOutlierMad]] median discipline), and the global positions
+   * come from [[graft.operators.GlobalRank]]'s range-exchange rank,
+   * never a single-task window. Thresholds rejoin as a broadcast
+   * 1-row frame; the clip itself is a codegen'd greatest/least.
+   */
+  val qWinsorize = Q(
+    "q_winsorize",
+    (s, dir) =>
+      winsorize(Tables.read(s, dir, "documents").select("doc_id", "n_chars"),
+                s.conf.get("spark.sql.shuffle.partitions").toInt),
+    Some("""WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+      |         COUNT(*) OVER () AS n
+      |  FROM documents
+      |), th AS (
+      |  SELECT CAST(MIN(CASE WHEN rnk = (n * 5 + 99) // 100
+      |                       THEN n_chars END) AS BIGINT) AS p5,
+      |         CAST(MIN(CASE WHEN rnk = (n * 95 + 99) // 100
+      |                       THEN n_chars END) AS BIGINT) AS p95
+      |  FROM r
+      |)
+      |SELECT doc_id, n_chars,
+      |       GREATEST(LEAST(n_chars, th.p95), th.p5) AS clipped
+      |FROM r, th""".stripMargin)
+  )
+
+  /** [[qWinsorize]]'s body over an ARBITRARY `(doc_id, n_chars)` frame
+    * — the spec's seam. */
+  private[graft] def winsorize(d: DataFrame, numPartitions: Int): DataFrame = {
+    val n = d.count()
+    val loRank = (n * 5 + 99) / 100
+    val hiRank = (n * 95 + 99) / 100
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      d, Seq(col("n_chars").asc, col("doc_id").asc), numPartitions, "__rnk")
+    val th = ranked
+      .filter(col("__rnk") === loRank || col("__rnk") === hiRank)
+      .agg(min(when(col("__rnk") === loRank, col("n_chars"))).as("p5"),
+           min(when(col("__rnk") === hiRank, col("n_chars"))).as("p95"))
+    ranked.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_chars"),
+              greatest(least(col("n_chars"), col("p95")), col("p5"))
+                .as("clipped"))
+  }
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
-                        qDecileAssign)
+                        qDecileAssign, qWinsorize)
 }

@@ -410,6 +410,41 @@ object RelationalQueries {
       |GROUP BY n_name""".stripMargin)
   )
 
+  /** SHARE-OF-TOTAL per market segment, as the EXACT RATIONAL it is
+    * (`q_trend_daily`'s discipline): segment revenue cents over total
+    * cents, numerator and denominator shipped as integers plus basis
+    * points by integer division — no float share ever leaves the
+    * engine, so the report is hash-exact and consumers pick their own
+    * rounding. One aggregate plus a broadcast 1-row total: the
+    * percent-of-total window (`SUM() OVER ()`) this replaces is a
+    * single-task global frame at scale; the two-agg shape never is. */
+  val qShareOfTotal = Q(
+    "q_share_of_total",
+    (s, dir) => {
+      val seg = Tables.read(s, dir, "orders")
+        .join(broadcast(Tables.read(s, dir, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(cents("o_totalprice")).as("segment_cents"))
+      val total = seg.agg(sum("segment_cents").as("total_cents"))
+      seg.crossJoin(broadcast(total))
+        .select(col("c_mktsegment"), col("segment_cents"), col("total_cents"),
+                expr("(10000 * segment_cents) div total_cents").as("share_bps"))
+    },
+    Some(s"""WITH seg AS (
+      |  SELECT c_mktsegment,
+      |         CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS segment_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, segment_cents,
+      |       (SELECT CAST(SUM(segment_cents) AS BIGINT) FROM seg) AS total_cents,
+      |       (10000 * segment_cents)
+      |         // (SELECT CAST(SUM(segment_cents) AS BIGINT) FROM seg)
+      |         AS share_bps
+      |FROM seg""".stripMargin)
+  )
+
   /** Sliding window frame: 3-order trailing revenue per customer
     * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-frame
     * variant the rank/lag/full-frame queries don't cover. Deterministic
@@ -622,6 +657,7 @@ object RelationalQueries {
     qFilterProject, qAggGroupby, qJoinBroadcast, qJoinShuffle, qJoinSemi,
     qJoinAnti, qTopk, qSetOps, qWindowRank, qAggRollup, qDistinctAgg,
     qSubqueryScalar, qAggCube, qWindowSliding, qGlobalRank, qUnpivot,
-    qTopkGrouped, qJoinSalted, qTpchQ3, qGroupingSets, qTpchQ5
+    qTopkGrouped, qJoinSalted, qTpchQ3, qGroupingSets, qTpchQ5,
+    qShareOfTotal
   )
 }

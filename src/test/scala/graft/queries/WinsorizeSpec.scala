@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Winsorize contracts: discrete rank thresholds, clip boundaries, and
+  * the degenerate tiny-corpus case. */
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P5/P95 are the ceil-rank elements; values clip to them inclusively") {
+    // n = 20: lo rank = ceil(1.0) = 1? (20*5+99)//100 = 1; hi = (20*95+99)//100 = 19
+    val d = (1L to 20L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val got = CurationQueries.winsorize(d, 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // p5 = value at rank 1 = 10; p95 = value at rank 19 = 190
+    assert(got(1L) === 10L)   // at the floor: unchanged
+    assert(got(2L) === 20L)   // inside: unchanged
+    assert(got(19L) === 190L) // at the cap: unchanged
+    assert(got(20L) === 190L) // above the cap: clipped down to p95
+  }
+
+  test("single-row corpus: p5 = p95 = the value, nothing moves") {
+    val d = Seq((7L, 42L)).toDF("doc_id", "n_chars")
+    val got = CurationQueries.winsorize(d, 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((7L, 42L, 42L)))
+  }
+
+  test("clipping is invariant under input partitioning") {
+    val d = (1L to 101L).map(i => (i, i * 13 % 97)).toDF("doc_id", "n_chars")
+    val a = CurationQueries.winsorize(d, 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = CurationQueries.winsorize(d.repartition(9), 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
