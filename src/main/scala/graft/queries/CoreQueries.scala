@@ -684,10 +684,18 @@ object CoreQueries {
       |  -- replicate from_json's STRICT typed semantics: a malformed
       |  -- payload, a quoted "7", a fractional 1.5, or a missing key all
       |  -- parse to NULL (a bare CAST(json_extract(..)) would ERROR on
-      |  -- malformed input and silently COERCE quoted/fractional values)
+      |  -- malformed input and silently COERCE quoted/fractional values).
+      |  -- UBIGINT needs the range guard: DuckDB types ANY non-negative
+      |  -- JSON integer as UBIGINT (so it must stay admitted), but a
+      |  -- payload k in [2^63, 2^64) overflows Spark's LongType, where
+      |  -- from_json nulls the record — without the guard this CAST
+      |  -- would raise (aborting verification) exactly where Spark says
+      |  -- NULL. The HUGEINT comparison never overflows.
       |  SELECT event_type,
       |         CASE WHEN json_valid(props)
       |                AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+      |                AND CAST(json_extract(props, '$.k') AS HUGEINT)
+      |                      <= 9223372036854775807
       |              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       |  FROM events
       |)
@@ -990,6 +998,16 @@ object CoreQueries {
    *
    * Shape: one distinct (user, type) pass (map-combined), one tiny
    * per-type aggregate, one broadcast of the 2-row arm totals.
+   *
+   * Degenerate tables are DEFINED, not accidental: cells build from
+   * the full event_type × arm grid (both arms pinned as literal rows,
+   * doer counts coalesced to 0), so a type with doers in only one arm
+   * — or an arm with zero users entirely — still yields four non-null
+   * cells. Any zero marginal then makes ad−bc = 0, so the χ²
+   * comparison reads 0 > 0 and the verdict is `significant = 0`
+   * (correct: a degenerate 2×2 carries no evidence), never a silently
+   * NULL verdict for exactly the extreme-imbalance rows a reader of
+   * this table cares most about.
    */
   val qAbSignificance = Q(
     "q_ab_significance",
@@ -998,10 +1016,18 @@ object CoreQueries {
       val users = ev.select(col("user_id")).distinct()
         .withColumn("grp", (col("user_id") % 2).cast("int"))
       val totals = users.groupBy("grp").agg(count(lit(1)).as("n_grp"))
+      // both arms as literal rows: an arm with ZERO users would be
+      // absent from `totals` and its grid half would vanish otherwise
+      val arms = s.range(2).select(col("id").cast("int").as("grp"))
+        .join(totals, Seq("grp"), "left")
+        .na.fill(0L, Seq("n_grp"))
       val did = ev.select(col("user_id"), col("event_type")).distinct()
         .withColumn("grp", (col("user_id") % 2).cast("int"))
         .groupBy("event_type", "grp").agg(count(lit(1)).as("n_did"))
-      val cells = did.join(broadcast(totals), Seq("grp"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(arms))
+      val cells = grid.join(did, Seq("event_type", "grp"), "left")
+        .na.fill(0L, Seq("n_did"))
         .groupBy("event_type")
         .agg(
           sum(when(col("grp") === 0, col("n_did"))).as("a"),
@@ -1032,17 +1058,27 @@ object CoreQueries {
       |  SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS grp FROM events
       |), totals AS (
       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp FROM users GROUP BY grp
+      |), arms AS (
+      |  SELECT g.grp, COALESCE(n_grp, 0) AS n_grp
+      |  FROM (VALUES (CAST(0 AS INT)), (CAST(1 AS INT))) g(grp)
+      |  LEFT JOIN totals ON g.grp = totals.grp
       |), did AS (
       |  SELECT event_type, CAST(user_id % 2 AS INT) AS grp,
       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_did
       |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT t.event_type, arms.grp, arms.n_grp,
+      |         COALESCE(n_did, 0) AS n_did
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN arms
+      |  LEFT JOIN did ON t.event_type = did.event_type AND arms.grp = did.grp
       |), cells AS (
       |  SELECT event_type,
-      |         CAST(SUM(CASE WHEN did.grp = 0 THEN n_did END) AS BIGINT) AS a,
-      |         CAST(SUM(CASE WHEN did.grp = 0 THEN n_grp - n_did END) AS BIGINT) AS b,
-      |         CAST(SUM(CASE WHEN did.grp = 1 THEN n_did END) AS BIGINT) AS c,
-      |         CAST(SUM(CASE WHEN did.grp = 1 THEN n_grp - n_did END) AS BIGINT) AS d
-      |  FROM did JOIN totals ON did.grp = totals.grp
+      |         CAST(SUM(CASE WHEN grp = 0 THEN n_did END) AS BIGINT) AS a,
+      |         CAST(SUM(CASE WHEN grp = 0 THEN n_grp - n_did END) AS BIGINT) AS b,
+      |         CAST(SUM(CASE WHEN grp = 1 THEN n_did END) AS BIGINT) AS c,
+      |         CAST(SUM(CASE WHEN grp = 1 THEN n_grp - n_did END) AS BIGINT) AS d
+      |  FROM grid
       |  GROUP BY event_type
       |)
       |SELECT event_type, a, b, c, d,

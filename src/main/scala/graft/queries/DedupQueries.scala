@@ -1766,7 +1766,7 @@ object DedupQueries {
    * precision knob.
    *
    * Sizing at scale: the sketch costs ~1.2 bytes/key at 1 % fpp
-   * (n·ln fpp / ln²2 bits), so 10⁹ corpus hashes ≈ 1.2 GB broadcast —
+   * (n·ln fpp / ln²2 bits), so 10⁹ corpus hashes ≈ 1.2 GB shipped —
    * at that point raise fpp (3 % ≈ 0.9 GB, and FPs still only add
    * join rows) or shard the sketch by hash prefix; the per-executor
    * cost is one-time per batch, against a per-row shuffle saved.
@@ -1780,18 +1780,42 @@ object DedupQueries {
                              bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     require(newDocs.columns.contains("doc_id") && newDocs.columns.contains("text"),
             "newDocs needs doc_id and text columns")
-    val s = newDocs.sparkSession
-    val bc = s.sparkContext.broadcast(bloom)
-    // a NULL hash (null text) is definite-new: the anti-join's equality
-    // predicate can never match it either, so both paths keep the row
-    val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
+    val might = bloomProbe(bloom, col("__ch"))
     val withCh = newDocs.withColumn("__ch", TextOps.contentHash(col("text")))
-    val exactSurvivors = withCh.filter(!might(col("__ch")))
+    val exactSurvivors = withCh.filter(!might)
       .unionByName(
-        withCh.filter(might(col("__ch")))
+        withCh.filter(might)
           .join(corpusHashes, col("__ch") === col("ch"), "left_anti"))
       .drop("__ch")
     bandAntiJoin(exactSurvivors, corpusBands)
+  }
+
+  /**
+   * The sketch probe as Spark's NATIVE codegen'd expression — not a
+   * Scala UDF: `BloomFilterMightContain(sketchBytes, xxhash64(ch))`,
+   * exactly the (literal-sketch, XXH64-keyed) shape Catalyst itself
+   * injects for runtime bloom-filter joins, so the probe stays inside
+   * the whole-stage-codegen region (no per-row serialization boundary,
+   * no broadcast-wrapper capture). [[bloomOf]] keys the sketch the
+   * same way (`putLong(xxhash64(ch))`), which is what makes the pair
+   * consistent; probing this column against a string-keyed sketch
+   * would silently answer "absent" for present keys.
+   *
+   * A NULL hash (null text) is pinned to `false` ("definitely new")
+   * BEFORE the hash: `xxhash64(NULL)` degenerates to the seed value,
+   * and probing the seed could false-positive every null row into the
+   * residual join.
+   */
+  private[graft] def bloomProbe(bloom: org.apache.spark.util.sketch.BloomFilter,
+                                ch: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(ch))))
+    when(ch.isNull, lit(false)).otherwise(probe)
   }
 
   /** [[dedupAgainstCorpus]] with the Bloom pre-probe: builds the sketch
@@ -1817,10 +1841,14 @@ object DedupQueries {
                            bloom)
   }
 
-  /** Corpus Bloom sketch over a `(ch)` hash-index frame, safe at the
-    * edges: `DataFrameStatFunctions.bloomFilter` NPEs on an aggregation
-    * that saw ZERO rows (null deserialized buffer — hit when the corpus
-    * is empty or every text is null), so the zero-row case returns an
+  /** Corpus Bloom sketch over a `(ch)` hash-index frame, keyed as
+    * `putLong(xxhash64(ch))` — the key scheme [[bloomProbe]]'s native
+    * `BloomFilterMightContain` expects (it probes with
+    * `mightContainLong`), and the same one Spark's own injected
+    * runtime bloom-filter joins use. Safe at the edges:
+    * `DataFrameStatFunctions.bloomFilter` NPEs on an aggregation that
+    * saw ZERO rows (null deserialized buffer — hit when the corpus is
+    * empty or every text is null), so the zero-row case returns an
     * explicit empty sketch: same answer ("definitely not present")
     * without the landmine. `expectedItems` ≤ 0 means size from the
     * observed non-null count. */
@@ -1833,7 +1861,8 @@ object DedupQueries {
     val n = if (expectedItems > 0) expectedItems else nonNull.count()
     val empty = if (expectedItems > 0) nonNull.isEmpty else n == 0
     if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-    else nonNull.stat.bloomFilter("ch", math.max(n, 1L), fpp)
+    else nonNull.select(xxhash64(col("ch")).as("h"))
+      .stat.bloomFilter("h", math.max(n, 1L), fpp)
   }
 
   /** [[dedupAgainstCorpus]] behind the driver gate: the documents table

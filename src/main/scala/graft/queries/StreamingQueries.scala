@@ -106,6 +106,44 @@ object StreamingQueries {
       .option("basePath", dir)
       .parquet(s"$dir/$name.[p]arquet")
 
+  /** Watermark-flush horizon for the file-replay gates: max `ts_us`
+    * read from the freshly-staged parquet FOOTERS (one driver-side
+    * footer open per file — the writer always records int64 min/max
+    * block stats), not an executor scan. The r13 harness ran
+    * `ev.agg(max("ts_us"))` independently at FOUR gate sites — each a
+    * full pass over the events table just to place one sentinel row;
+    * this is the single shared replacement. Falls back to the scan if
+    * any file lacks the stat (e.g. an all-null block), so the horizon
+    * is never silently wrong. */
+  private[queries] def stagedMaxTsUs(s: SparkSession, staged: String,
+                                     fallback: => DataFrame): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(staged)
+    val fs = dirPath.getFileSystem(conf)
+    val parts = fs.listStatus(dirPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+                && !p.getName.startsWith("."))
+    val maxes = parts.toSeq.flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        b.getColumns.asScala
+          .filter(_.getPath.toDotString == "ts_us")
+          .map { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else st.genericGetMax match {
+              case l: java.lang.Long => Some(l.longValue)
+              case _                 => None
+            }
+          }
+      } finally reader.close()
+    }
+    if (maxes.nonEmpty && maxes.forall(_.isDefined)) maxes.flatten.max
+    else fallback.agg(max("ts_us")).head().getLong(0)
+  }
+
   /**
    * Streaming train/eval decontamination, gated against the BATCH
    * oracle: the documents table replayed as a parquet file stream,
@@ -186,7 +224,7 @@ object StreamingQueries {
                                             col("ts_t"))
       val inDir = streamDir(s, dir, "stream-sess")
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val maxTs = stagedMaxTsUs(s, inDir, ev)
       val flushTs = maxTs + 1000L * Schemas.SessionGapUs
       Seq((-1L, flushTs)).toDF("user_id", "ts_us")
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
@@ -284,7 +322,7 @@ object StreamingQueries {
                                             col("ts_t"))
       val inDir = streamDir(s, dir, "stream-sess-state")
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val maxTs = stagedMaxTsUs(s, inDir, ev)
       val flushTs = maxTs + 1000L * Schemas.SessionGapUs
       Seq((-1L, flushTs)).toDF("user_id", "ts_us")
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
@@ -439,7 +477,7 @@ object StreamingQueries {
                                           col("ts_t"))
     val inDir = streamDir(s, dir, suffix)
     ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+    val maxTs = stagedMaxTsUs(s, inDir, ev)
     Seq(("zz", maxTs + 1000L * Schemas.SessionGapUs)).toDF("event_type", "ts_us")
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .coalesce(1).write.mode("append").parquet(inDir)
@@ -666,10 +704,11 @@ object StreamingQueries {
    * documents probe the FROZEN corpus indexes per micro-batch, all
    * stateless —
    *
-   *  - the broadcast Bloom sketch answers "definitely new" inside the
-   *    map task (a filter on a per-row UDF probe — at 100 TB ingest
-   *    this is the stage that keeps almost every arriving row out of
-   *    the exact-hash join entirely, the same economics
+   *  - the Bloom sketch answers "definitely new" inside the map task
+   *    (a codegen'd `BloomFilterMightContain` literal-sketch probe,
+   *    [[DedupQueries.bloomProbe]] — at 100 TB ingest this is the
+   *    stage that keeps almost every arriving row out of the
+   *    exact-hash join entirely, the same economics
    *    [[DedupQueries.dedupAgainstIndexBloom]] documents for batch);
    *  - sketch maybes confirm against the compact corpus hash index
    *    (stream-static inner join — a Bloom false positive dies here);
@@ -698,21 +737,26 @@ object StreamingQueries {
       val bands = checkpointCompact(
         DedupQueries.bandSignaturesOf(corpus.select("doc_id", "text"))
           .select("band", "sig0", "sig1").distinct())
-      val bc = s.sparkContext.broadcast(bloom)
-      val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
+      // native codegen'd probe (BloomFilterMightContain), not a UDF —
+      // see DedupQueries.bloomProbe
       val arrivals = tableStream(s, dir, "documents")
         .filter(col("doc_id") % 5 === 4)
       val exactHits = arrivals
         .withColumn("__ch", TextOps.contentHash(col("text")))
-        .filter(might(col("__ch")))
+        .filter(DedupQueries.bloomProbe(bloom, col("__ch")))
         .join(hashes, col("__ch") === col("ch"))
         .select("doc_id")
+      // no broadcast() hint on the band index: at the fixture scale the
+      // planner broadcasts it anyway (it's under the auto threshold), and
+      // at ingest scale — where the frozen corpus index is billions of
+      // band rows — a forced hint would OOM instead of falling back to
+      // the shuffled band join the batch path (bandAntiJoin) uses.
       val nearHits = arrivals
         .select(col("doc_id"),
                 explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"),
                 col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
-        .join(broadcast(bands), Seq("band", "sig0", "sig1"))
+        .join(bands, Seq("band", "sig0", "sig1"))
         .select("doc_id")
       val hitLog = runToSink(s, dir, exactHits.unionByName(nearHits),
                              "graft_q_stream_bloom")
@@ -783,7 +827,7 @@ object StreamingQueries {
                                             col("ts_t"))
       val inDir = streamDir(s, dir, "stream-runs")
       ev.coalesce(1).write.mode("overwrite").parquet(inDir)
-      val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+      val maxTs = stagedMaxTsUs(s, inDir, ev)
       Seq((-1L, -1L, maxTs + 1000L * Schemas.SessionGapUs, "zz"))
         .toDF("user_id", "event_id", "ts_us", "event_type")
         .withColumn("ts_t", timestamp_micros(col("ts_us")))

@@ -43,4 +43,29 @@ class AbSignificanceSpec extends SparkSpec {
     val got = run(base ++ m)
     assert(got("m") === ((7L, 3L, 4L, 6L, 0)))
   }
+
+  test("doers in only one arm still yields four cells and a defined verdict") {
+    val users = 0L until 20L
+    val base = users.map(_ -> "base")
+    // "solo": 3 even users only — the (solo, grp=1) row does not exist,
+    // which used to NULL c and d (and the verdict) through the aggregate;
+    // the full-grid build pins c=0, d=n_grp(1)=10. a=3 b=7 c=0 d=10:
+    // chi2 = 20*(30-0)^2 / (10*10*3*17) = 3.529 < 3.841459 -> 0
+    val solo = Seq(0L, 2L, 4L).map(_ -> "solo")
+    val got = run(base ++ solo)
+    assert(got("solo") === ((3L, 7L, 0L, 10L, 0)))
+    // "heavy": 8 even users only. a=8 b=2 c=0 d=10:
+    // chi2 = 20*6400/(10*10*8*12) = 13.33 > 3.841459 -> 1
+    val got2 = run(base ++ users.filter(u => u % 2 == 0 && u < 16).map(_ -> "heavy"))
+    assert(got2("heavy") === ((8L, 2L, 0L, 10L, 1)))
+  }
+
+  test("one arm empty entirely: zero-marginal table, verdict pinned to 0") {
+    // only even users exist anywhere -> arm 1 has ZERO users; the literal
+    // arms frame keeps grp=1 alive with n_grp=0, so c=d=0 and every type's
+    // verdict is the defined degenerate 0 — not a vanished row
+    val evens = Seq(0L, 2L, 4L, 6L).map(_ -> "only")
+    val got = run(evens)
+    assert(got("only") === ((4L, 0L, 0L, 0L, 0)))
+  }
 }

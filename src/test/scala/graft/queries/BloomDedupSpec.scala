@@ -41,16 +41,35 @@ class BloomDedupSpec extends SparkSpec {
 
   test("the sketch answers definite-new for fresh content and maybe for corpus hashes") {
     val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch"))
-    val bf = hashes.stat.bloomFilter("ch", 3L, 0.01)
-    val corpusHashes = hashes.as[String].collect()
-    corpusHashes.foreach(h => assert(bf.mightContainString(h),
-      "a Bloom filter can never false-negative on an inserted key"))
+    val bf = DedupQueries.bloomOf(hashes, fpp = 0.01)
+    // probe through the PRODUCTION column (native BloomFilterMightContain
+    // over xxhash64 keys) — a scheme mismatch between bloomOf's build
+    // keys and bloomProbe's probe keys would false-negative every
+    // inserted key, which is exactly what this assertion would catch
+    val probed = hashes.withColumn("hit", DedupQueries.bloomProbe(bf, col("ch")))
+      .select("hit").as[Boolean].collect()
+    assert(probed.forall(identity),
+      "a Bloom filter can never false-negative on an inserted key")
     // the fresh doc's hash: overwhelmingly a true negative at fpp=1% —
     // this is the row the pre-probe spares from the anti-join shuffle
-    val freshHash = newBatch.filter(col("doc_id") === 12L)
-      .select(TextOps.contentHash(col("text"))).as[String].head()
-    assert(!bf.mightContainString(freshHash),
-      "fresh content should test negative (pruned before the join)")
+    val fresh = newBatch.filter(col("doc_id") === 12L)
+      .select(TextOps.contentHash(col("text")).as("ch"))
+      .withColumn("hit", DedupQueries.bloomProbe(bf, col("ch")))
+      .select("hit").as[Boolean].head()
+    assert(!fresh, "fresh content should test negative (pruned before the join)")
+  }
+
+  test("the probe column compiles to the native expression, not a ScalaUDF") {
+    val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch"))
+    val bf = DedupQueries.bloomOf(hashes, fpp = 0.01)
+    // localCheckpoint blocks ConvertToLocalRelation from evaluating the
+    // whole filter at plan time (which would leave nothing to inspect)
+    val plan = newBatch.localCheckpoint()
+      .withColumn("__ch", TextOps.contentHash(col("text")))
+      .filter(DedupQueries.bloomProbe(bf, col("__ch")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected native probe in:\n$plan")
+    assert(!plan.contains("UDF"), s"expected no ScalaUDF in:\n$plan")
   }
 
   test("fpp is a traffic knob, not a correctness knob: results equal at a coarse fpp") {

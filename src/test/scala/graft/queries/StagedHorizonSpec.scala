@@ -1,0 +1,41 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The footer-stats watermark horizon ([[StreamingQueries.stagedMaxTsUs]])
+  * must agree exactly with the scan it replaced — the sentinel row it
+  * places decides which sessions flush, so an off-by-anything horizon
+  * would silently change gate results. */
+class StagedHorizonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("footer max ts_us equals the full-scan max, across multiple files") {
+    val dir = Files.createTempDirectory("graft-horizon").toString
+    val ev = spark.range(10000)
+      .select(col("id").as("user_id"),
+              (col("id") * 7919L % 86400000000L).as("ts_us"))
+    // two files: the staged layout the gates produce is 1 data file +
+    // 1 sentinel file, so the helper must fold maxes ACROSS files
+    ev.filter(col("user_id") < 9000).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    ev.filter(col("user_id") >= 9000).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val viaScan = spark.read.parquet(dir).agg(max("ts_us")).head().getLong(0)
+    val viaFooter = StreamingQueries.stagedMaxTsUs(spark, dir,
+      fallback = sys.error("footer stats must exist for a Spark-written file"))
+    assert(viaFooter === viaScan)
+  }
+
+  test("falls back to the scan when ts_us stats are unusable (all-null column)") {
+    val dir = Files.createTempDirectory("graft-horizon-null").toString
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("user_id", "ts_us")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fb = Seq((1L, 42L), (2L, 41L)).toDF("user_id", "ts_us")
+    assert(StreamingQueries.stagedMaxTsUs(spark, dir, fb) === 42L)
+  }
+}

@@ -18,24 +18,21 @@ class StreamBloomSpec extends SparkSpec {
     * frame (every op is identical — filter, stream-static joins, and
     * per-row band signatures are engine-side the same plan). */
   private def hitLogSurvivors(corpus: DataFrame, arrivals: DataFrame): DataFrame = {
-    val s = spark
     val hashes = corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct()
       .localCheckpoint()
     val bloom = DedupQueries.bloomOf(hashes, fpp = 0.03)
     val bands = DedupQueries.bandSignaturesOf(corpus.select("doc_id", "text"))
       .select("band", "sig0", "sig1").distinct().localCheckpoint()
-    val bc = s.sparkContext.broadcast(bloom)
-    val might = udf((ch: String) => ch != null && bc.value.mightContainString(ch))
     val exactHits = arrivals
       .withColumn("__ch", TextOps.contentHash(col("text")))
-      .filter(might(col("__ch")))
+      .filter(DedupQueries.bloomProbe(bloom, col("__ch")))
       .join(hashes, col("__ch") === col("ch")).select("doc_id")
     val nearHits = arrivals
       .select(col("doc_id"),
               explode(DedupQueries.bandSigArrayCol(col("text"))).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
               col("bs.sig0").as("sig0"), col("bs.sig1").as("sig1"))
-      .join(broadcast(bands), Seq("band", "sig0", "sig1")).select("doc_id")
+      .join(bands, Seq("band", "sig0", "sig1")).select("doc_id")
     arrivals.select("doc_id")
       .join(exactHits.unionByName(nearHits).distinct(), Seq("doc_id"), "left_anti")
   }
