@@ -974,6 +974,129 @@ object SimQueries {
       .select("vec_id", "cluster_id", "rn")
   }
 
+  /** Physical bucket count for [[writeClustersOf]]: cluster_id hashes
+    * into a BOUNDED number of partition directories. Partitioning by
+    * raw cluster_id would create one directory per cluster — cluster
+    * count grows with the corpus (mutual-kNN components are locally
+    * bounded), so at 100 TB that is millions of tiny dirs and a
+    * metadata-bound scan; 64 hash buckets keep every cluster's rows
+    * CO-LOCATED in exactly one prunable directory at any corpus size. */
+  private[graft] val ClusterBuckets = 64
+
+  /**
+   * Materialize the trained semantic-cluster assignment as a physical
+   * layout — the cluster-family twin of [[writeIvfLayout]]: every
+   * vector written with its [[semanticClustersOf]] label under its
+   * cluster's hash-bucket partition directory
+   * (`<outDir>/members/cbucket=<b>/`), vector payload alongside the
+   * label so in-cluster passes (SemDeDup cosine budgets) read one
+   * bucket, not the corpus. At scale this is the production shape for
+   * the whole cluster family: the expensive artifact (kNN graph +
+   * mutual symmetrization + component fixpoint — recomputed per call
+   * by the self-contained [[qClusterSample]] gate, 41.5 s at the 200 k
+   * soak) is built ONCE, and every consumer — membership probes,
+   * balanced sampling, per-cluster budgets — is a scan over stored
+   * labels: [[probeClusters]] is partition-pruned scan+filter with
+   * zero shuffles (plan-asserted in `ClusterLayoutSpec`),
+   * [[clusterSampleFromLayout]] is one bounded rank window.
+   */
+  def writeClusters(s: SparkSession, dir: String, outDir: String): Unit =
+    writeClustersOf(quantized(s, dir), outDir)
+
+  /** [[writeClusters]] over an ARBITRARY quantized `(vec_id, label, q)`
+    * frame — the build step for any non-testdata caller. */
+  def writeClustersOf(e: DataFrame, outDir: String, k: Int = GraphK,
+                      cellCap: Long = MaxCents): Unit = {
+    val labels = semanticClustersOf(e, k, cellCap)
+      .select(col("vec_id").as("l_vid"), col("cluster_id"))
+    e.join(labels, col("vec_id") === col("l_vid"))
+      .select(col("vec_id"), col("label"), col("q"), col("cluster_id"),
+              pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong))
+                .as("cbucket"))
+      // cluster rows by the partition column before the partitioned
+      // write — same rationale as writeIvfLayoutOf
+      .repartition(col("cbucket"))
+      .write.mode("overwrite").partitionBy("cbucket")
+      .parquet(s"$outDir/members")
+  }
+
+  /**
+   * Membership probe over a materialized cluster layout: all vectors
+   * sharing `vecId`'s cluster. Two scans, ZERO shuffles: a
+   * column-pruned point lookup resolves (cluster_id, cbucket) for the
+   * probe vector (pushed `vec_id =` filter + parquet row-group stats;
+   * driver receives one row — the [[probeIvfLayout]] centroid-collect
+   * discipline), then the members scan carries `cbucket = b AND
+   * cluster_id = c`, so partition pruning drops every other bucket
+   * directory and query cost scales with bucket size, not corpus size.
+   */
+  def probeClusters(s: SparkSession, layoutDir: String,
+                    vecId: Long): DataFrame = {
+    val members = s.read.parquet(s"$layoutDir/members")
+    val at = members.filter(col("vec_id") === vecId)
+      .select(col("cluster_id"), col("cbucket")).head()
+    val cid = at.getLong(0)
+    val bucket = at.getAs[Number](1).intValue()
+    members
+      .filter(col("cbucket") === bucket && col("cluster_id") === cid)
+      .select("vec_id", "cluster_id")
+  }
+
+  /** Cluster-balanced sampling OVER STORED LABELS — [[clusterSampleOf]]
+    * with the graph+component recompute replaced by a members scan:
+    * one bounded rank window (partitioned by cluster — scales out) on
+    * top of the layout. Must draw the IDENTICAL sample: the gate
+    * reuses [[qClusterSample]]'s oracle verbatim, so any drift between
+    * the stored labels and the from-scratch clustering hash-mismatches. */
+  def clusterSampleFromLayout(s: SparkSession, layoutDir: String,
+                              budget: Int = ClusterBudget): DataFrame = {
+    val wRank = Window.partitionBy("cluster_id")
+      .orderBy(col("h").asc, col("vec_id").asc)
+    s.read.parquet(s"$layoutDir/members")
+      .select(col("vec_id"), col("cluster_id"))
+      .withColumn("h", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= budget)
+      .select("vec_id", "cluster_id", "rn")
+  }
+
+  /** The cluster PHYSICAL layout behind the driver gate: write the
+    * bucketed member layout, then answer one membership probe (vec 0's
+    * cluster) THROUGH it — point lookup, then partition-pruned
+    * scan+filter, zero shuffles. The oracle replays the stored labels
+    * from the shared [[semanticClustersCte]] fixpoint and selects the
+    * probe cluster's members, so a regression in the write's label
+    * join, the bucket derivation, or the pruning filter all
+    * hash-mismatch here. The layout is rewritten each run — the gate
+    * always checks the CURRENT code's layout ([[qIvfProbe]] rule). */
+  val qClusterProbe = Q(
+    "q_cluster_probe",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "clusters")
+      writeClusters(s, dir, out)
+      probeClusters(s, out, ProbeVecId)
+    },
+    Some(s"""$semanticClustersCte
+      |SELECT vec_id, cluster_id FROM labels
+      |WHERE cluster_id = (SELECT cluster_id FROM labels
+      |                    WHERE vec_id = $ProbeVecId)""".stripMargin)
+  )
+
+  /** Balanced sampling THROUGH the stored layout behind its own gate —
+    * same draw, same ORACLE ([[qClusterSample]]'s SQL verbatim): the
+    * layout is a pure materialization, so any drift between
+    * sample-from-storage and sample-from-recompute is a label bug this
+    * row exists to catch (the [[DedupQueries.qDedupBloom]] discipline). */
+  val qClusterSampleStored = Q(
+    "q_cluster_sample_stored",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "clusters-sample")
+      writeClusters(s, dir, out)
+      clusterSampleFromLayout(s, out)
+    },
+    qClusterSample.oracle
+  )
+
   /**
    * Embedding-space profiling: per-label member counts and the
    * integer-exact squared-norm distribution (floor-mean, min, max over
@@ -1210,5 +1333,6 @@ object SimQueries {
 
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchMp, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
-                        qClusterSample, qEmbedStats, qPagerank, qTriangleCount)
+                        qClusterSample, qClusterProbe, qClusterSampleStored,
+                        qEmbedStats, qPagerank, qTriangleCount)
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The materialized cluster layout must be a pure materialization of
+  * [[SimQueries.semanticClustersOf]] (probe and sample agree with the
+  * from-scratch computation), and the probe must be scan+prune — one
+  * bucket directory, zero shuffles. */
+class ClusterLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three orthogonal clusters (the SimIvfSpec dir3 fixture): X =
+    * {0..5, 100}, Y = {200..205, 300}, Z = {400..405}. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-cluster-layout").toString
+    def axis(k: Int): Seq[Float] =
+      Seq.tabulate(16)(i => if (i >= 5 * k && i < 5 * k + 5) 1.0f else 0.0f)
+    def near(base: Seq[Float], j: Int): Seq[Float] =
+      base.updated(15, 0.1f * (j % 3 + 1))
+    val rows =
+      Seq((0L, axis(0), 0), (200L, axis(1), 1), (400L, axis(2), 2)) ++
+        (1L to 5L).map(i => (i, near(axis(0), i.toInt), 0)) ++
+        Seq((100L, near(axis(0), 0), 0)) ++
+        (201L to 205L).map(i => (i, near(axis(1), i.toInt), 1)) ++
+        Seq((300L, near(axis(1), 0), 1)) ++
+        (401L to 405L).map(i => (i, near(axis(2), i.toInt), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private lazy val e = SimQueries.quantizedFrame(spark, dir)
+
+  test("probe through the layout ≡ from-scratch cluster membership; scan is pruned, shuffle-free") {
+    val out = Files.createTempDirectory("graft-cl-out").toString
+    SimQueries.writeClustersOf(e, out)
+    val labels = SimQueries.semanticClustersOf(e)
+      .as[(Long, Long)].collect().toMap
+    // probe a member of a MULTI-member cluster (mutual-kNN keeps most of
+    // this fixture singleton — hub edges aren't reciprocated): the probe
+    // must return the whole cluster, not just the probed vector
+    val multi = labels.groupBy(_._2).values.filter(_.size >= 2)
+    assert(multi.nonEmpty, "fixture must yield at least one real cluster")
+    val probeVec = multi.head.keys.min
+    val probe = SimQueries.probeClusters(spark, out, vecId = probeVec)
+    val got = probe.as[(Long, Long)].collect().toMap
+    val expected = labels.filter(_._2 == labels(probeVec))
+    assert(got === expected)
+    assert(got.size >= 2)
+    // scan+prune: exactly ONE bucket directory read, ZERO exchanges
+    val plan = probe.queryExecution.executedPlan
+    val scans = graft.PlanAudit.flatten(plan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 1,
+           s"expected 1 pruned bucket, got ${scans.head.selectedPartitions.partitionCount}")
+    assert(graft.PlanAudit.flatten(plan).collect { case x: Exchange => x }.isEmpty,
+           "the probe must not shuffle")
+  }
+
+  test("sample through the layout ≡ from-scratch balanced sample") {
+    val out = Files.createTempDirectory("graft-cl-sample").toString
+    SimQueries.writeClustersOf(e, out)
+    val stored = SimQueries.clusterSampleFromLayout(spark, out)
+      .as[(Long, Long, Long)].collect().toSet
+    val scratch = SimQueries.clusterSampleOf(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stored === scratch)
+  }
+
+  test("every vector lands in the layout exactly once, each cluster in one bucket") {
+    val out = Files.createTempDirectory("graft-cl-inv").toString
+    SimQueries.writeClustersOf(e, out)
+    val members = spark.read.parquet(s"$out/members")
+    assert(members.count() === e.count())
+    assert(members.select("vec_id").distinct().count() === e.count())
+    val spread = members.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("cbucket").as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(spread === 0L, "a cluster must never straddle bucket directories")
+  }
+}
