@@ -664,6 +664,41 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming TF-IDF, LARGE-VOCABULARY formulation — the path
+   * [[qStreamTfidf]]'s one-row-map broadcast cannot take (the map path
+   * now enforces [[graft.streaming.StreamingTfidf.VocabBound]]): the
+   * frozen df index stays a distributed `(term, df)` TABLE, arriving
+   * documents fan out to per-term tf rows inside the map task
+   * (stateless HOF over the row's own tokens) and stream-static
+   * equi-join the index — planner-sized, never a forced one-row
+   * broadcast — while the per-document top-k cut runs at COMPACTION
+   * over the drained score log (it would be an unwatermarked stateful
+   * aggregation in the stream; the [[qStreamLeaderboard]] split:
+   * per-arrival scoring streams, the rank cut compacts). Same oracle
+   * as the map path and the batch operator — three faces, one
+   * semantics statement — so any weight/ordering drift between the
+   * formulations hash-mismatches here.
+   */
+  val qStreamTfidfJoin = Q(
+    "q_stream_tfidf_join",
+    (s, dir) => {
+      // frozen df index, built and materialized offline (qStreamDecontam
+      // rule: index construction never bills to the first micro-batch)
+      val (dfreq0, nDocs) = graft.streaming.StreamingTfidf.dfTable(
+        Tables.read(s, dir, "documents").select("doc_id", "text"))
+      val dfreq = checkpointCompact(dfreq0)
+      val scoreLog = runToSink(s, dir,
+        graft.streaming.StreamingTfidf.termScores(
+          tableStream(s, dir, "documents").select("doc_id", "text"),
+          dfreq, nDocs),
+        "graft_q_stream_tfidf_join")
+      graft.streaming.StreamingTfidf.topKHits(scoreLog,
+                                              TextStatsQueries.TfidfK)
+    },
+    TextStatsQueries.qTfidfTerms.oracle
+  )
+
+  /**
    * Streaming windowed LEADERBOARD (15th gate): the hourly top-2 event
    * types — [[qStreamWindowed]]'s watermarked tumbling-window counts
    * drained through the file sink, then the rank CUT at compaction
@@ -873,6 +908,6 @@ object StreamingQueries {
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
-                        qStreamLeaderboard, qStreamBloom, qStreamAnomaly,
-                        qStreamRuns)
+                        qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
+                        qStreamAnomaly, qStreamRuns)
 }

@@ -54,4 +54,61 @@ class StreamingTfidfSpec extends SparkSpec {
     // df=0 weight: floor(1e6 * 1 * (4 - 0 + 0.5) / 0.5) = 9_000_000
     assert(hits.head._3 === 9000000L)
   }
+
+  /** 12 k-term corpus: 600 docs × 20 unique terms each + 1 shared term —
+    * past [[StreamingTfidf.VocabBound]] when the bound is test-scoped
+    * down, and big enough that the join path's correctness is exercised
+    * across a genuinely wide vocabulary. */
+  private lazy val wideCorpus: Seq[TfDoc] =
+    (0L until 600L).map { d =>
+      TfDoc(d, ((0 until 20).map(j => s"term_${d}_$j") :+ "shared").mkString(" "))
+    }
+
+  test("corpusStats refuses past the vocab bound and names the join path") {
+    val e = intercept[IllegalArgumentException] {
+      StreamingTfidf.corpusStats(wideCorpus.toDF(), vocabBound = 10000L)
+    }
+    assert(e.getMessage.contains("termScores"),
+      s"the error must route the caller to the large-vocab path: ${e.getMessage}")
+    // the fixture really is a >=10k-term vocabulary
+    assert(StreamingTfidf.dfTable(wideCorpus.toDF())._1.count() >= 10000L)
+  }
+
+  test("large-vocab join path: streamed scores + compaction cut ≡ batch, on 12k terms") {
+    implicit val sqlCtx = spark.sqlContext
+    val (dfreq, nDocs) = StreamingTfidf.dfTable(wideCorpus.toDF())
+    val frozen = dfreq.localCheckpoint()
+    val input = MemoryStream[TfDoc]
+    val name = s"graft_stfidf_join_${System.nanoTime()}"
+    val q = StreamingTfidf.termScores(input.toDF(), frozen, nDocs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(wideCorpus.take(300))
+      q.processAllAvailable()
+      input.addData(wideCorpus.drop(300))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingTfidf.topKHits(spark.table(name), 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = TextStatsQueries.tfidfTerms(wideCorpus.toDF(), 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.size === 600 * 3)
+  }
+
+  test("the two streaming formulations agree on the small corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val (dfreq, nDocs) = StreamingTfidf.dfTable(corpus.toDF())
+    val frozen = dfreq.localCheckpoint()
+    val input = MemoryStream[TfDoc]
+    val name = s"graft_stfidf_join2_${System.nanoTime()}"
+    val q = StreamingTfidf.termScores(input.toDF(), frozen, nDocs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { input.addData(corpus); q.processAllAvailable() } finally q.stop()
+    val viaJoin = StreamingTfidf.topKHits(spark.table(name), 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(viaJoin === streamed(corpus, 3))
+  }
 }
