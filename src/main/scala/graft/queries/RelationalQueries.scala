@@ -567,11 +567,16 @@ object RelationalQueries {
    * Scale honesty: at fixture scale the replicated dim broadcasts and
    * the salt is free-but-pointless (a BHJ has no reducer skew); the
    * pattern pays off exactly when BOTH sides exceed broadcast scale
-   * and the physical join is SMJ/SHJ — AQE's skew-join split handles
-   * many such cases at runtime, salting is the static remedy when the
-   * skew is known (and the only one for aggregation). The spec pins
-   * the SMJ regime explicitly (broadcast threshold off) and asserts
-   * salted ≡ unsalted there.
+   * and the physical join is SMJ/SHJ. MEASURED (BASELINE.md "AQE
+   * skew-join vs manual salting", 20 M rows, 50 % hot key, default
+   * AQE thresholds): AQE's runtime split alone is the better join-side
+   * remedy — 3.0 s vs 11.8 s unsplit vs 4.6 s salted (the salt pays
+   * 16× dim replication and spreads every key, AQE splits only the
+   * partition that measured big) — so salting is reserved for
+   * AGGREGATION skew (`q_agg_salted`; no runtime split exists there)
+   * and statically-known skew. The spec pins the SMJ regime explicitly
+   * (broadcast threshold off), asserts salted ≡ unsalted there, and
+   * asserts the AQE path splits (`skew=true`) on the same fixture.
    */
   val qJoinSalted = Q(
     "q_join_salted",
