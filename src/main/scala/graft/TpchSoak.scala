@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev soak: a minimal orders+customer pair at cluster-ish scale for the
+ * RELATIONAL tail operators whose only driver fixture is TPC-H sf0.1
+ * (150 k orders) — first consumer: `q_share_of_total` (two aggregates +
+ * broadcast 1-row total). Deterministic synthesis (xxhash64 columns, no
+ * rand()), columns limited to what the consumers read (o_custkey,
+ * o_totalprice / c_custkey, c_mktsegment) — parquet is columnar, so
+ * absent columns a query never touches change nothing about its scan.
+ *
+ * Run: sbt "runMain graft.TpchSoak [outDir] [nOrders] [nCust]"
+ * then: SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_ONLY=q_share_of_total
+ *       sbt "runMain graft.Bench"
+ */
+object TpchSoak {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-tpch-soak")
+    val nOrders = if (args.length > 1) args(1).toLong else 100000000L
+    val nCust = if (args.length > 2) args(2).toLong else 1000000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val segments = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+                             "HOUSEHOLD", "MACHINERY").map(lit): _*)
+    spark.range(nCust).select(
+        col("id").as("c_custkey"),
+        element_at(segments,
+          (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).cast("int"))
+          .as("c_mktsegment"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    spark.range(nOrders).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nCust)).as("o_custkey"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(100000000L)).cast("double")
+          / 100.0).as("o_totalprice"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    println(s"""{"soak_dir":"$out","n_orders":$nOrders,"n_cust":$nCust}""")
+    spark.stop()
+  }
+}

@@ -427,9 +427,17 @@ object RelationalQueries {
         .groupBy("c_mktsegment")
         .agg(sum(cents("o_totalprice")).as("segment_cents"))
       val total = seg.agg(sum("segment_cents").as("total_cents"))
+      // the bps multiply is WIDENED before the divide: 10000 ×
+      // segment_cents overflows long once a segment holds ~$9.2 T —
+      // hit for real at the 100 M-order soak (ANSI loud-error, which is
+      // the point of ANSI; BASELINE.md round-14). decimal(38) div long
+      // is still exact-integer and the result is ≤ 10000, so the
+      // output column stays BIGINT on both faces.
       seg.crossJoin(broadcast(total))
         .select(col("c_mktsegment"), col("segment_cents"), col("total_cents"),
-                expr("(10000 * segment_cents) div total_cents").as("share_bps"))
+                expr("""CAST((10000 * CAST(segment_cents AS DECIMAL(38, 0)))
+                       |     div total_cents AS BIGINT)""".stripMargin)
+                  .as("share_bps"))
     },
     Some(s"""WITH seg AS (
       |  SELECT c_mktsegment,
@@ -439,9 +447,9 @@ object RelationalQueries {
       |)
       |SELECT c_mktsegment, segment_cents,
       |       (SELECT CAST(SUM(segment_cents) AS BIGINT) FROM seg) AS total_cents,
-      |       (10000 * segment_cents)
+      |       CAST((10000 * CAST(segment_cents AS HUGEINT))
       |         // (SELECT CAST(SUM(segment_cents) AS BIGINT) FROM seg)
-      |         AS share_bps
+      |         AS BIGINT) AS share_bps
       |FROM seg""".stripMargin)
   )
 
