@@ -1004,7 +1004,14 @@ object SimQueries {
     writeClustersOf(quantized(s, dir), outDir)
 
   /** [[writeClusters]] over an ARBITRARY quantized `(vec_id, label, q)`
-    * frame — the build step for any non-testdata caller. */
+    * frame — the build step for any non-testdata caller. Alongside the
+    * bucketed member table it stores the per-cluster CENTROIDS
+    * (`<outDir>/centroids`, same bucketing): the floor-mean vector each
+    * downstream pass scores against — SemDeDup keeps the
+    * lowest-cosine-to-centroid member per near-dup group, and
+    * [[clusterStaleness]] reads them as the REBUILD trigger. Computed
+    * from the just-written members scan (compact columnar read), not by
+    * re-running the label join. */
   def writeClustersOf(e: DataFrame, outDir: String, k: Int = GraphK,
                       cellCap: Long = MaxCents): Unit = {
     val labels = semanticClustersOf(e, k, cellCap)
@@ -1018,6 +1025,59 @@ object SimQueries {
       .repartition(col("cbucket"))
       .write.mode("overwrite").partitionBy("cbucket")
       .parquet(s"$outDir/members")
+    clusterCentroidsOf(e.sparkSession.read.parquet(s"$outDir/members"))
+      .repartition(col("cbucket"))
+      .write.mode("overwrite").partitionBy("cbucket")
+      .parquet(s"$outDir/centroids")
+  }
+
+  /** Per-cluster floor-mean centroid over a `(cluster_id, cbucket, q)`
+    * members frame — [[ivfTrain]]'s exact-arithmetic centroid shape
+    * (sums/counts < 2⁵³ ⇒ the double divide has exact inputs, FLOOR is
+    * engine-identical) keyed by cluster: `(cluster_id, cbucket, cq, cn,
+    * n_members)`. The (cluster, dim)-keyed aggregate scales out — never
+    * a per-cluster collect — and cluster count rides the same bounded
+    * bucketing as the members. */
+  private[graft] def clusterCentroidsOf(members: DataFrame): DataFrame =
+    members
+      .select(col("cluster_id"), col("cbucket"), posexplode(col("q")))
+      .groupBy("cluster_id", "cbucket", "pos")
+      .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("sv").cast("double") / col("cnt")).cast("long"))
+      .groupBy("cluster_id", "cbucket")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+           max(col("cnt")).as("n_members"))
+      .select(col("cluster_id"), col("cbucket"),
+              transform(col("pm"), x => x.getField("m")).as("cq"),
+              col("n_members"))
+      .withColumn("cn", VectorOps.intNormSq(col("cq")))
+
+  /** The staleness metric for a stored cluster layout — the cluster
+    * twin of [[ivfStaleness]], and the REBUILD trigger that replaces
+    * incremental maintenance here: mutual-kNN components are a global
+    * fixpoint, so unlike IVF cells they cannot absorb appends against
+    * frozen state without changing semantics — the production cadence
+    * is probe/sample from the layout, watch this metric, re-cluster
+    * when drift passes tolerance. Per cluster: member count and mean
+    * cosine DISTANCE (1 − cos) to the stored centroid. One
+    * (cbucket, cluster_id) equi-join between two tables bucketed the
+    * same way + one aggregation; zero-norm members carry a null
+    * distance (excluded from the mean by `avg`). */
+  def clusterStaleness(s: SparkSession, layoutDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$layoutDir/centroids")
+      .select(col("cluster_id"), col("cbucket"), col("cq"), col("cn"))
+    s.read.parquet(s"$layoutDir/members")
+      .select(col("cluster_id"), col("cbucket"), col("q"))
+      .join(cents, Seq("cbucket", "cluster_id"))
+      .withColumn("qn", VectorOps.intNormSq(col("q")))
+      .withColumn(
+        "cos_dist",
+        when(col("qn") > 0 && col("cn") > 0,
+             lit(1.0) - VectorOps.intDot(col("q"), col("cq")).cast("double") /
+               (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double")))))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           avg(col("cos_dist")).as("mean_cos_dist"))
   }
 
   /**
@@ -1033,8 +1093,12 @@ object SimQueries {
   def probeClusters(s: SparkSession, layoutDir: String,
                     vecId: Long): DataFrame = {
     val members = s.read.parquet(s"$layoutDir/members")
-    val at = members.filter(col("vec_id") === vecId)
-      .select(col("cluster_id"), col("cbucket")).head()
+    val rows = members.filter(col("vec_id") === vecId)
+      .select(col("cluster_id"), col("cbucket")).head(1)
+    require(rows.nonEmpty,
+            s"vec_id $vecId is not in the cluster layout at $layoutDir " +
+              "(probe an existing member, or rebuild the layout)")
+    val at = rows.head
     val cid = at.getLong(0)
     val bucket = at.getAs[Number](1).intValue()
     members

@@ -85,4 +85,45 @@ class ClusterLayoutSpec extends SparkSpec {
       .filter(col("nb") > 1).count()
     assert(spread === 0L, "a cluster must never straddle bucket directories")
   }
+
+  test("stored centroids are the members' per-dimension floor-mean; staleness is tight") {
+    val out = Files.createTempDirectory("graft-cl-cent").toString
+    SimQueries.writeClustersOf(e, out)
+    val members = spark.read.parquet(s"$out/members")
+      .select("cluster_id", "vec_id", "q")
+      .as[(Long, Long, Seq[Long])].collect()
+    val cents = spark.read.parquet(s"$out/centroids")
+      .select("cluster_id", "cq", "n_members")
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // one centroid per cluster, floor-mean verified independently
+    assert(cents.keySet === members.map(_._1).toSet)
+    members.groupBy(_._1).foreach { case (cid, ms) =>
+      val (cq, n) = cents(cid)
+      assert(n === ms.size)
+      val dim = ms.head._3.size
+      val expected = (0 until dim).map { d =>
+        math.floor(ms.map(_._3(d)).sum.toDouble / ms.size).toLong
+      }
+      assert(cq === expected, s"cluster $cid centroid")
+    }
+    // planted clusters are tight: every member within 0.2 cosine distance
+    val stale = SimQueries.clusterStaleness(spark, out)
+      .select("cluster_id", "n_members", "mean_cos_dist")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(stale.map(_._1).toSet === cents.keySet)
+    stale.foreach { case (cid, n, d) =>
+      assert(n === cents(cid)._2)
+      d.foreach(v => assert(v >= 0.0 && v < 0.2, s"cluster $cid dist $v"))
+    }
+  }
+
+  test("probing a vec_id absent from the layout fails loudly, not with NoSuchElement") {
+    val out = Files.createTempDirectory("graft-cl-miss").toString
+    SimQueries.writeClustersOf(e, out)
+    val err = intercept[IllegalArgumentException] {
+      SimQueries.probeClusters(spark, out, vecId = 999999L)
+    }
+    assert(err.getMessage.contains("999999"))
+  }
 }
