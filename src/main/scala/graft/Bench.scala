@@ -131,12 +131,18 @@ object Bench {
     // lost the first half — only 77/138 per-query times were recoverable
     // for regression diffing). Persist the FULL line as a repo artifact so
     // every round's per-query table survives; the driver's commit sweep
-    // picks it up. Best-effort: a read-only CWD must not fail the bench.
+    // picks it up. FULL runs only — a SPARK_GRAFT_ONLY subset run (dev
+    // loop, scale soak) overwriting the full table would be worse than
+    // the truncation this fixes — unless the caller names an explicit
+    // output. Best-effort: a read-only CWD must not fail the bench.
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_PERQUERY_OUT", "bench_perquery.json"))
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val explicit = sys.env.get("SPARK_GRAFT_PERQUERY_OUT")
+      if (only.isEmpty || explicit.isDefined) {
+        val out = java.nio.file.Paths.get(
+          explicit.getOrElse("bench_perquery.json"))
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) {

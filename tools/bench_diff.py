@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local dev-only bench regression differ. NOT part of the shipped
+library. Compares two per-query bench JSON lines (graft.Bench output —
+either a bench_perquery.json artifact or a BENCH_rN.json driver record,
+whose truncated `tail` is parsed best-effort) and prints per-query
+ratios, flagging growth past the threshold.
+
+Usage: python3 tools/bench_diff.py OLD NEW [--threshold 1.3]
+"""
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d and isinstance(d["queries"], dict):
+        return d["queries"], False
+    # driver BENCH_rN.json: {"n":..,"tail":"...{truncated json}..."}
+    if isinstance(d, dict) and "tail" in d:
+        text = d["tail"]
+    # best-effort: scrape "q_name":secs pairs out of whatever survived
+    pairs = re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', text)
+    if not pairs:
+        sys.exit(f"no per-query times found in {path}")
+    return {k: float(v) for k, v in pairs}, True
+
+
+def main():
+    argv = sys.argv[1:]
+    threshold = 1.3
+    if "--threshold" in argv:
+        i = argv.index("--threshold")
+        threshold = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, old_partial = load_queries(args[0])
+    new, new_partial = load_queries(args[1])
+    common = sorted(set(old) & set(new))
+    if old_partial or new_partial:
+        print(f"note: partial artifact ({len(old)} old / {len(new)} new "
+              f"queries recovered; {len(common)} common)")
+    # ratio alone flags noise on sub-second queries (1.3x of 0.15s is
+    # 45ms — host jitter); require a real absolute delta too
+    min_delta = 0.5
+    regressed = []
+    for q in common:
+        r = new[q] / old[q] if old[q] > 0 else float("inf")
+        if r > threshold and new[q] - old[q] > min_delta:
+            regressed.append((r, q))
+    so, sn = (sum(old[q] for q in common), sum(new[q] for q in common))
+    print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
+          f"({sn / so:.2f}x)" if so else "no common queries")
+    for q in sorted(set(new) - set(old)):
+        print(f"  NEW      {q:28s} {new[q]:7.2f}s")
+    for q in sorted(set(old) - set(new)):
+        print(f"  REMOVED  {q:28s} {old[q]:7.2f}s")
+    if not regressed:
+        print(f"no common query regressed past {threshold}x")
+    for r, q in sorted(regressed, reverse=True):
+        print(f"  REGRESSED {q:27s} {old[q]:7.2f}s -> {new[q]:7.2f}s ({r:.2f}x)")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
