@@ -124,7 +124,11 @@ object Bench {
     // Emitting queries/errors first and the summary scalars last keeps the
     // line one valid JSON object while guaranteeing metric/value/subtotals
     // land inside the recorded window.
-    val line = s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${j3(total)},"unit":"sec","n_queries":${results.size},"total_batch":${j3(totalBatch)},"total_stream":${j3(totalStream)},"sf":"$sfDir"}"""
+    // action/shuffle are part of the line so artifacts are
+    // self-describing: a checksum-mode table diffed against a count-mode
+    // one reads as a systematic regression (checksum forces every output
+    // column); bench_diff.py refuses mismatched actions.
+    val line = s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${j3(total)},"unit":"sec","n_queries":${results.size},"total_batch":${j3(totalBatch)},"total_stream":${j3(totalStream)},"sf":"$sfDir","action":"$action","shuffle":"$shuffle"}"""
     println(line)
     // The driver records only the stdout TAIL (~2000 chars), which at 138
     // queries truncates the per-query map out of BENCH_rN.json (r12/r13
@@ -135,15 +139,24 @@ object Bench {
     // loop, scale soak) overwriting the full table would be worse than
     // the truncation this fixes — unless the caller names an explicit
     // output. Best-effort: a read-only CWD must not fail the bench.
+    val explicit = sys.env.get("SPARK_GRAFT_PERQUERY_OUT")
     try {
-      val explicit = sys.env.get("SPARK_GRAFT_PERQUERY_OUT")
       if (only.isEmpty || explicit.isDefined) {
         val out = java.nio.file.Paths.get(
           explicit.getOrElse("bench_perquery.json"))
         java.nio.file.Files.write(out,
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      // best-effort ONLY for the implicit CWD default; an EXPLICITLY
+      // requested artifact silently not written is the data-loss mode
+      // this write exists to fix — surface it (stderr, not exit: the
+      // bench numbers on stdout are still valid)
+      case e: Throwable if explicit.isDefined =>
+        System.err.println(
+          s"[bench] FAILED to write ${explicit.get}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      case _: Throwable => ()
+    }
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] $k FAILED: $v") }

@@ -1026,7 +1026,16 @@ object CoreQueries {
         .groupBy("event_type", "grp").agg(count(lit(1)).as("n_did"))
       val grid = ev.select(col("event_type")).distinct()
         .crossJoin(broadcast(arms))
-      val cells = grid.join(did, Seq("event_type", "grp"), "left")
+      // NULL-SAFE on event_type: distinct() keeps a NULL type as a real
+      // group, and an equality join would never match it back to its
+      // did row — silently zeroing the NULL group's true doer counts
+      // on BOTH faces (gate-invisible, since the oracle would share the
+      // hole; round-14 review finding)
+      val didR = did.withColumnRenamed("event_type", "d_type")
+        .withColumnRenamed("grp", "d_grp")
+      val cells = grid
+        .join(didR, col("event_type") <=> col("d_type") &&
+                    col("grp") === col("d_grp"), "left")
         .na.fill(0L, Seq("n_did"))
         .groupBy("event_type")
         .agg(
@@ -1067,11 +1076,14 @@ object CoreQueries {
       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_did
       |  FROM events GROUP BY 1, 2
       |), grid AS (
+      |  -- IS NOT DISTINCT FROM: a NULL event_type is a real group and
+      |  -- must match its did row (mirrors the Spark face's <=>)
       |  SELECT t.event_type, arms.grp, arms.n_grp,
       |         COALESCE(n_did, 0) AS n_did
       |  FROM (SELECT DISTINCT event_type FROM events) t
       |  CROSS JOIN arms
-      |  LEFT JOIN did ON t.event_type = did.event_type AND arms.grp = did.grp
+      |  LEFT JOIN did ON t.event_type IS NOT DISTINCT FROM did.event_type
+      |               AND arms.grp = did.grp
       |), cells AS (
       |  SELECT event_type,
       |         CAST(SUM(CASE WHEN grp = 0 THEN n_did END) AS BIGINT) AS a,

@@ -1774,6 +1774,17 @@ object DedupQueries {
    * The near-dup band stage is unchanged: band keys are ~3 compact
    * rows/doc and the probe already computes signatures on the batch
    * side only.
+   *
+   * @param bloom MUST come from [[bloomOf]] (xxhash64-long-keyed — the
+   *              [[bloomProbe]] scheme). A sketch keyed any other way
+   *              (e.g. `stat.bloomFilter` on the raw `ch` strings)
+   *              false-negatives every present key, and a Bloom
+   *              false NEGATIVE here is a CORRECTNESS bug, not a
+   *              latency one: the "definitely new" branch skips the
+   *              anti-join, so true duplicates survive dedup. (False
+   *              POSITIVES remain harmless — they only add join
+   *              traffic.) BloomDedupSpec pins build/probe scheme
+   *              agreement for exactly this reason.
    */
   def dedupAgainstIndexBloom(newDocs: DataFrame, corpusHashes: DataFrame,
                              corpusBands: DataFrame,
@@ -1805,6 +1816,17 @@ object DedupQueries {
    * BEFORE the hash: `xxhash64(NULL)` degenerates to the seed value,
    * and probing the seed could false-positive every null row into the
    * residual join.
+   *
+   * Literal-size bound: the sketch bytes live INSIDE the expression
+   * tree — per-task-binary shipping and any plan stringification
+   * (explain, error rendering) carry them. Fine to ~tens of MB (the
+   * gates' sketches are KBs; Spark's own injected runtime filters take
+   * the same shape), but a GB-scale sketch (10⁹ keys at 1 % fpp)
+   * should NOT ride a literal: raise fpp / shard the sketch by hash
+   * prefix (the [[dedupAgainstIndexBloom]] sizing note), or fall back
+   * to the plain [[dedupAgainstIndex]] anti-join — the
+   * [[graft.streaming.StreamingTfidf.VocabBound]] discipline, applied
+   * to sketches.
    */
   private[graft] def bloomProbe(bloom: org.apache.spark.util.sketch.BloomFilter,
                                 ch: Column): Column = {

@@ -1000,8 +1000,9 @@ object SimQueries {
    * zero shuffles (plan-asserted in `ClusterLayoutSpec`),
    * [[clusterSampleFromLayout]] is one bounded rank window.
    */
-  def writeClusters(s: SparkSession, dir: String, outDir: String): Unit =
-    writeClustersOf(quantized(s, dir), outDir)
+  def writeClusters(s: SparkSession, dir: String, outDir: String,
+                    withCentroids: Boolean = true): Unit =
+    writeClustersOf(quantized(s, dir), outDir, withCentroids = withCentroids)
 
   /** [[writeClusters]] over an ARBITRARY quantized `(vec_id, label, q)`
     * frame — the build step for any non-testdata caller. Alongside the
@@ -1013,7 +1014,8 @@ object SimQueries {
     * from the just-written members scan (compact columnar read), not by
     * re-running the label join. */
   def writeClustersOf(e: DataFrame, outDir: String, k: Int = GraphK,
-                      cellCap: Long = MaxCents): Unit = {
+                      cellCap: Long = MaxCents,
+                      withCentroids: Boolean = true): Unit = {
     val labels = semanticClustersOf(e, k, cellCap)
       .select(col("vec_id").as("l_vid"), col("cluster_id"))
     e.join(labels, col("vec_id") === col("l_vid"))
@@ -1025,10 +1027,15 @@ object SimQueries {
       .repartition(col("cbucket"))
       .write.mode("overwrite").partitionBy("cbucket")
       .parquet(s"$outDir/members")
-    clusterCentroidsOf(e.sparkSession.read.parquet(s"$outDir/members"))
-      .repartition(col("cbucket"))
-      .write.mode("overwrite").partitionBy("cbucket")
-      .parquet(s"$outDir/centroids")
+    // opt-out for consumers that only probe/sample members: the centroid
+    // half costs a members re-scan + a (cluster, dim) aggregate + a
+    // second bucketed write, and only the staleness/SemDeDup readers
+    // need it (the two label-only gates measured ~+2 s each at sf0.1)
+    if (withCentroids)
+      clusterCentroidsOf(e.sparkSession.read.parquet(s"$outDir/members"))
+        .repartition(col("cbucket"))
+        .write.mode("overwrite").partitionBy("cbucket")
+        .parquet(s"$outDir/centroids")
   }
 
   /** Per-cluster floor-mean centroid over a `(cluster_id, cbucket, q)`
@@ -1137,7 +1144,9 @@ object SimQueries {
     "q_cluster_probe",
     (s, dir) => {
       val out = LayoutQueries.derivedDir(s, dir, "clusters")
-      writeClusters(s, dir, out)
+      // label-only consumer: skip the centroid half (gate bills build
+      // cost honestly, but only the build it actually reads)
+      writeClusters(s, dir, out, withCentroids = false)
       probeClusters(s, out, ProbeVecId)
     },
     Some(s"""$semanticClustersCte
@@ -1155,7 +1164,7 @@ object SimQueries {
     "q_cluster_sample_stored",
     (s, dir) => {
       val out = LayoutQueries.derivedDir(s, dir, "clusters-sample")
-      writeClusters(s, dir, out)
+      writeClusters(s, dir, out, withCentroids = false)
       clusterSampleFromLayout(s, out)
     },
     qClusterSample.oracle

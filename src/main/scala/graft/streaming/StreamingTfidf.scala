@@ -67,7 +67,14 @@ object StreamingTfidf {
     * large-vocab path to switch to. */
   def corpusStats(corpus: DataFrame,
                   vocabBound: Long = VocabBound): DataFrame = {
-    val dfreq = dfreqOf(corpus)
+    // checkpoint the df index BEFORE counting it: the guard's count and
+    // the map aggregation below would otherwise each re-run the whole
+    // corpus explode + two aggregations (three corpus passes per build);
+    // checkpointed, the corpus is tokenized once and both consumers read
+    // the compact (term, df) rows. Bounded on disk by the vocabulary —
+    // and when the vocabulary is over-bound, writing it once is the
+    // price of measuring it (the build aborts right after).
+    val dfreq = graft.queries.checkpointCompact(dfreqOf(corpus))
     val vocab = dfreq.count()
     require(vocab <= vocabBound,
             s"vocabulary has $vocab terms > bound $vocabBound: the one-row " +

@@ -60,6 +60,17 @@ class AbSignificanceSpec extends SparkSpec {
     assert(got2("heavy") === ((8L, 2L, 0L, 10L, 1)))
   }
 
+  test("a NULL event_type is a real group with its true doer counts") {
+    val users = 0L until 20L
+    val base = users.map(_ -> "base")
+    // users 0,2 (even arm) and 1 (odd arm) fire a NULL-typed event:
+    // distinct() keeps NULL as a group and the null-safe grid join must
+    // report a=2 b=8 c=1 d=9 — not the zeroed row an equality join gives
+    val nulls = Seq(0L, 2L, 1L).map(_ -> (null: String))
+    val got = run(base ++ nulls)
+    assert(got(null) === ((2L, 8L, 1L, 9L, 0)))
+  }
+
   test("one arm empty entirely: zero-marginal table, verdict pinned to 0") {
     // only even users exist anywhere -> arm 1 has ZERO users; the literal
     // arms frame keeps grp=1 alive with n_grp=0, so c=d=0 and every type's

@@ -42,8 +42,12 @@ object BloomProfile {
       graft.queries.checkpointCompact(
         corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct()))
     val n = t("count")(hashes.count())
-    val bloom = t("bloom agg")(
-      hashes.na.drop("all").stat.bloomFilter("ch", n, 0.03))
+    // bloomOf, NOT a hand-built stat.bloomFilter("ch"): the sketch must
+    // be xxhash64-long-keyed to match bloomProbe's native
+    // BloomFilterMightContain — a string-keyed sketch silently answers
+    // "absent" for every present key (the DedupQueries.bloomProbe
+    // scaladoc hazard), which would profile a wrong-result pipeline
+    val bloom = t("bloom agg")(DedupQueries.bloomOf(hashes, n, 0.03))
     val bands = t("band index")(
       DedupQueries.bandSignaturesOf(corpus)
         .select("band", "sig0", "sig1").distinct())

@@ -19,7 +19,7 @@ def load_queries(path):
     except json.JSONDecodeError:
         d = None
     if isinstance(d, dict) and "queries" in d and isinstance(d["queries"], dict):
-        return d["queries"], False
+        return d["queries"], False, d.get("action", "count")
     # driver BENCH_rN.json: {"n":..,"tail":"...{truncated json}..."}
     if isinstance(d, dict) and "tail" in d:
         text = d["tail"]
@@ -27,7 +27,9 @@ def load_queries(path):
     pairs = re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', text)
     if not pairs:
         sys.exit(f"no per-query times found in {path}")
-    return {k: float(v) for k, v in pairs}, True
+    m = re.search(r'"action":"(\w+)"', text)
+    return ({k: float(v) for k, v in pairs}, True,
+            m.group(1) if m else "count")
 
 
 def main():
@@ -40,8 +42,13 @@ def main():
     args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
         sys.exit(__doc__)
-    old, old_partial = load_queries(args[0])
-    new, new_partial = load_queries(args[1])
+    old, old_partial, old_action = load_queries(args[0])
+    new, new_partial, new_action = load_queries(args[1])
+    if old_action != new_action:
+        # checksum forces every output column; count lets Catalyst prune —
+        # a cross-mode diff reads as a systematic bogus regression
+        sys.exit(f"refusing to diff across actions: {args[0]} is "
+                 f"'{old_action}', {args[1]} is '{new_action}'")
     common = sorted(set(old) & set(new))
     if old_partial or new_partial:
         print(f"note: partial artifact ({len(old)} old / {len(new)} new "
