@@ -1253,6 +1253,78 @@ object DedupQueries {
       .select("vec_id", "cell")
   }
 
+  /**
+   * SEMANTIC decontamination: train/eval overlap in EMBEDDING space —
+   * the paraphrase-robust complement to [[qDecontaminate]] (13-gram /
+   * LSH catches lexical overlap; a reworded eval question sails past
+   * both, but its embedding doesn't move). The SemDeDup bucketing
+   * applied across the split: IVF cells trained over all embeddings,
+   * and only (train, eval) pairs sharing a cell are cosine-scored —
+   * the same (n/k)²-per-cell pair bound as [[qSemanticDedup]], never
+   * train×eval all-pairs. Output: the contaminated (train_id, eval_id,
+   * dot) pairs, the audit row a curation pipeline joins back to drop
+   * or flag training documents.
+   *
+   * Threshold τ = 0.3 via exact integer cross-multiplication
+   * ([[VectorOps.cosAtLeast]]) — fixture-scaled like the other
+   * embedding gates (synthetic embeddings are near-orthogonal; a
+   * deployment with a real encoder raises τ to ~0.8 through the
+   * `minCosNum/minCosDen` knobs). Cell-miss recall and the cellCap
+   * cost knob are exactly [[semanticDedup]]'s, documented there.
+   *
+   * Deployment shape: the eval side is a frozen benchmark suite
+   * (bounded — the [[graft.streaming.StreamingDecontam]] contract), so
+   * its per-cell index broadcasts and arriving train batches pay one
+   * assignment pass + a broadcast join; the gate's 80/20 replay keeps
+   * both sides engine-scale so the oracle can replay everything.
+   */
+  val qSemanticDecontam = Q(
+    "q_semantic_decontam",
+    (s, dir) => semanticDecontam(SimQueries.quantizedFrame(s, dir)),
+    Some(s"""${SimQueries.ivfCte},
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q,
+      |         CAST(list_sum(list_transform(e.q, x -> x * x)) AS BIGINT) AS nsq
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+      |         a.nsq AS na, b.nsq AS nb,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell
+      |   AND a.vec_id % 5 <> 4 AND b.vec_id % 5 = 4
+      |)
+      |SELECT train_id, eval_id, dot FROM p
+      |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""".stripMargin)
+  )
+
+  /** [[qSemanticDecontam]]'s body over an ARBITRARY quantized
+    * `(vec_id, label, q)` frame: eval = `vec_id % 5 = 4` (the
+    * [[qDedupIncremental]] replay convention), τ = num/den. */
+  private[graft] def semanticDecontam(
+      e: DataFrame, cellCap: Long = SimQueries.MaxCents,
+      minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
+    val cents = SimQueries.ivfTrain(e, cellCap).localCheckpoint()
+    val m = checkpointCompact(
+      e.join(SimQueries.ivfAssign1(e, cents)
+               .select(col("vec_id").as("m_vid"), col("c_id")),
+             col("vec_id") === col("m_vid"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("q"),
+                VectorOps.intNormSq(col("q")).as("nsq")))
+    val train = m.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id").as("train_id"), col("cell"),
+              col("q").as("qa"), col("nsq").as("na"))
+    val eval = m.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id").as("eval_id"), col("cell").as("cell_b"),
+              col("q").as("qb"), col("nsq").as("nb"))
+    train.join(eval, col("cell") === col("cell_b"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"),
+                                   minCosNum, minCosDen))
+      .select("train_id", "eval_id", "dot")
+  }
+
   /** Non-overlapping span width (tokens) for [[qSpanDedup]]. */
   private val SpanTokens = 20
 
@@ -1956,7 +2028,7 @@ object DedupQueries {
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
-    qDocFingerprint, qDedupEmbed, qSemanticDedup, qSpanDedup,
+    qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff,
     qMergeUpsert
   )

@@ -351,7 +351,7 @@ object SimQueries {
     * ids, the k·dim codeword matrix, and the squared norms — the layout
     * [[VectorOps.ivfNearest]] scans. ≤ MaxCents·(dim+2) longs by the
     * stride cap, i.e. KB-scale at any corpus size. */
-  private def centsFlat(cents: DataFrame): DataFrame =
+  private[queries] def centsFlat(cents: DataFrame): DataFrame =
     cents.groupBy()
       .agg(array_sort(collect_list(struct(col("c_id"), col("cq"), col("cn"))))
         .as("cc"))

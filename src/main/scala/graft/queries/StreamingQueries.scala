@@ -198,6 +198,60 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming SEMANTIC decontamination — the embedding-space twin of
+   * [[qStreamDecontam]], gated on [[DedupQueries.qSemanticDecontam]]'s
+   * oracle verbatim: arriving train embeddings probe the FROZEN
+   * eval-side cell index per micro-batch, all stateless —
+   *
+   *  - cell assignment is a pure PROJECTION against the one-row
+   *    flattened centroid broadcast (the codegen'd `graft_ivf_nearest`
+   *    argmax — [[SimQueries.ivfAssign1]]'s shape applied to a stream:
+   *    at ingest scale this is the stage that routes every arriving
+   *    vector without shuffling anything);
+   *  - candidates come from the stream-static equi-join on cell id
+   *    against the eval index (a frozen benchmark suite — bounded, the
+   *    [[graft.streaming.StreamingDecontam]] contract);
+   *  - the exact integer cosine test runs per candidate row.
+   *
+   * No state store, no watermark; each (train, eval) pair emits at most
+   * once because cell assignment is a function. The offline step builds
+   * centroids + the eval cell index before the stream starts
+   * ([[qStreamDecontam]]'s billing rule).
+   */
+  val qStreamSemanticDecontam = Q(
+    "q_stream_semantic_decontam",
+    (s, dir) => {
+      import graft.vector.VectorOps
+      val e = SimQueries.quantizedFrame(s, dir)
+      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val evalQ = e.filter(col("vec_id") % 5 === 4)
+      val evalIdx = checkpointCompact(
+        evalQ.join(SimQueries.ivfAssign1(evalQ, cents)
+                     .select(col("vec_id").as("m_vid"), col("c_id")),
+                   col("vec_id") === col("m_vid"))
+          .select(col("vec_id").as("eval_id"), col("c_id").as("cell"),
+                  col("q").as("qb"), VectorOps.intNormSq(col("q")).as("nb")))
+      val flat = SimQueries.centsFlat(cents)
+      val arrivals = tableStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id").as("train_id"),
+                VectorOps.quantize(col("embedding")).as("qa"))
+        .withColumn("na", VectorOps.intNormSq(col("qa")))
+        .crossJoin(broadcast(flat))
+        .select(col("train_id"), col("qa"), col("na"),
+                element_at(col("cids"),
+                  VectorOps.ivfNearest(col("qa"), col("cqs"), col("cns")) + 1)
+                  .as("cell"))
+      val hits = arrivals.join(evalIdx, Seq("cell"))
+        .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+        .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
+        .select("train_id", "eval_id", "dot")
+      runToSink(s, dir, hits, "graft_q_stream_semantic_decontam")
+    },
+    DedupQueries.qSemanticDecontam.oracle
+  )
+
+  /**
    * Streaming sessionization — the FLAGSHIP face — gated against the
    * batch oracle: the events table replayed as a parquet file stream
    * through [[graft.streaming.StreamingSessionize.visitsStream]] (the
@@ -909,5 +963,5 @@ object StreamingQueries {
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
-                        qStreamAnomaly, qStreamRuns)
+                        qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam)
 }
