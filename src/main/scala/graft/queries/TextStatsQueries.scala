@@ -1060,10 +1060,118 @@ object TextStatsQueries {
       |SELECT id AS token, r AS rank_fp FROM r3""".stripMargin)
   )
 
+  /**
+   * LANGUAGE-MODEL FAMILIARITY scoring — the perplexity-filter class
+   * (CCNet / pretraining-data curation: score every candidate document
+   * by how well a reference LM predicts it; drop or down-weight the
+   * unfamiliar tail) expressed in this engine's exact-integer
+   * discipline: a BIGRAM model trained over the corpus, each
+   * document's score the mean of its bigrams' scaled conditional
+   * probabilities `⌊10⁶·cnt(w₁w₂)/cnt(w₁·)⌋` — integral division over
+   * exact counts, so both engines agree bit-for-bit. No `ln`, hence no
+   * true perplexity: log is the one op with no cross-engine rounding
+   * guarantee (the BM25 idf rule), and for FILTERING the familiarity
+   * mean induces the same kind of ordering (reference-unseen bigrams
+   * score 0 and pull the mean down) without leaving integer
+   * arithmetic.
+   *
+   * The PRIMARY shape is [[lmCounts]] (train on the reference corpus —
+   * the high-quality subset — offline) + [[lmScoreOf]] (score
+   * candidates, unseen → 0): that asymmetry is what makes the score a
+   * filter. The gate self-trains on the scored corpus purely for
+   * replayability — the special case where left ≡ inner joins and a
+   * wholly-novel document self-supports (its unique bigrams each score
+   * 1/1); `LmScoreSpec` pins the reference-vs-candidate behavior the
+   * gate can't.
+   *
+   * Shape at scale: one bigram fanout (corpus-token-sized, the BM25
+   * class), two map-combinable count aggregations, two equi-joins the
+   * planner sizes (the conditional table is vocabulary², broadcast
+   * only when it fits), one per-doc mean. The fanout is recomputed for
+   * its three consumers rather than checkpointed — the
+   * [[tfidfTerms]] measurement (codegen scan+agg 3× cheaper than
+   * materializing the triples) applies unchanged.
+   */
+  lazy val qLmScore = Q(
+    "q_lm_score",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val (c2, c1) = lmCounts(d)
+      lmScoreOf(d, c2, c1)
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), bg0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])))
+      |           AS b
+      |  FROM d WHERE len(toks) >= 2
+      |), bg AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0
+      |), c2 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY 1
+      |), sc AS (
+      |  SELECT bg.doc_id, (1000000 * c2.n2) // c1.n1 AS p
+      |  FROM bg
+      |  JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      |  JOIN c1 ON bg.w1 = c1.w1
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(p) // COUNT(*) AS BIGINT) AS familiarity
+      |FROM sc GROUP BY doc_id""".stripMargin)
+  )
+
+  /** The per-doc bigram fanout shared by [[lmCounts]] and
+    * [[lmScoreOf]]: `(doc_id, w1, w2)` rows, docs under two tokens
+    * (no bigrams) and null text silently absent. */
+  private def lmBigrams(d0: DataFrame): DataFrame =
+    d0.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The trained LM: `(w1, w2, n2)` and `(w1, n1)` count tables over a
+    * REFERENCE corpus — the offline build step a deployment runs on its
+    * high-quality subset (the frozen-index pattern). */
+  private[graft] def lmCounts(reference: DataFrame): (DataFrame, DataFrame) = {
+    val bg = lmBigrams(reference)
+    (bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")),
+     bg.groupBy("w1").agg(count(lit(1)).as("n1")))
+  }
+
+  /** Score CANDIDATE documents against a trained LM. LEFT joins with
+    * unseen → 0: a bigram the reference never produced contributes
+    * zero familiarity — the honest un-smoothed convention, and the
+    * property that makes the score a FILTER (a candidate of wholly
+    * novel text averages ~0; under SELF-scoring its unique bigrams
+    * would each score cnt2/cnt1 = 1/1 = max, which is why the
+    * reference-vs-candidate form is the primary shape and the gate's
+    * self-scoring is just the replayable special case — there every
+    * candidate bigram is by construction in the training set, so left
+    * ≡ inner). */
+  private[graft] def lmScoreOf(candidates: DataFrame, c2: DataFrame,
+                               c1: DataFrame): DataFrame =
+    lmBigrams(candidates)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("p", coalesce(expr("(1000000 * n2) div n1"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("sum(p) div count(1)").as("familiarity"))
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
-    qTextrank
+    qTextrank, qLmScore
   )
 }
