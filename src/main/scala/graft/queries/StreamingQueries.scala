@@ -198,6 +198,34 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming LM-FAMILIARITY scoring — the perplexity-filter class on
+   * a stream, gated on [[TextStatsQueries.qLmScore]]'s oracle
+   * verbatim: the bigram count tables freeze offline (the reference-LM
+   * build — here the corpus itself, the gate's replayable special
+   * case), arriving documents fan out to per-bigram scores inside the
+   * map task (stateless in-row fanout + stream-static LEFT joins,
+   * unseen → 0), and the per-document mean runs at COMPACTION over the
+   * drained score log — the [[qStreamTfidfJoin]] split applied to the
+   * quality-filter family: per-arrival scoring streams, the aggregate
+   * compacts.
+   */
+  val qStreamLmScore = Q(
+    "q_stream_lm_score",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents").select("doc_id", "text")
+      val (c2raw, c1raw) = TextStatsQueries.lmCounts(d)
+      val c2 = checkpointCompact(c2raw)
+      val c1 = checkpointCompact(c1raw)
+      val scoreLog = runToSink(s, dir,
+        TextStatsQueries.lmBigramScores(
+          tableStream(s, dir, "documents").select("doc_id", "text"), c2, c1),
+        "graft_q_stream_lm_score")
+      TextStatsQueries.lmMeanOf(scoreLog)
+    },
+    TextStatsQueries.qLmScore.oracle
+  )
+
+  /**
    * Streaming SEMANTIC decontamination — the embedding-space twin of
    * [[qStreamDecontam]], gated on [[DedupQueries.qSemanticDecontam]]'s
    * oracle verbatim: arriving train embeddings probe the FROZEN
@@ -963,5 +991,6 @@ object StreamingQueries {
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
-                        qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam)
+                        qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
+                        qStreamLmScore)
 }

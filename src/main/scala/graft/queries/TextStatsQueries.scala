@@ -1148,6 +1148,25 @@ object TextStatsQueries {
      bg.groupBy("w1").agg(count(lit(1)).as("n1")))
   }
 
+  /** The streamable HALF of [[lmScoreOf]] — per-bigram scores without
+    * the per-doc mean (an unwatermarked stateful aggregation on a
+    * stream; it runs at compaction via [[lmMeanOf]] — the
+    * tfidf-join split): stateless in-row bigram fanout, stream-static
+    * LEFT joins against the frozen count tables, unseen → 0. */
+  private[graft] def lmBigramScores(candidates: DataFrame, c2: DataFrame,
+                                    c1: DataFrame): DataFrame =
+    lmBigrams(candidates)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("p", coalesce(expr("(1000000 * n2) div n1"), lit(0L)))
+      .select("doc_id", "p")
+
+  /** The compaction HALF: per-doc mean over the drained score log. */
+  private[graft] def lmMeanOf(scoreLog: DataFrame): DataFrame =
+    scoreLog.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("sum(p) div count(1)").as("familiarity"))
+
   /** Score CANDIDATE documents against a trained LM. LEFT joins with
     * unseen → 0: a bigram the reference never produced contributes
     * zero familiarity — the honest un-smoothed convention, and the
@@ -1160,13 +1179,7 @@ object TextStatsQueries {
     * ≡ inner). */
   private[graft] def lmScoreOf(candidates: DataFrame, c2: DataFrame,
                                c1: DataFrame): DataFrame =
-    lmBigrams(candidates)
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .withColumn("p", coalesce(expr("(1000000 * n2) div n1"), lit(0L)))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-           expr("sum(p) div count(1)").as("familiarity"))
+    lmMeanOf(lmBigramScores(candidates, c2, c1))
 
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
