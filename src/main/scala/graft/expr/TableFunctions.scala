@@ -300,6 +300,48 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_semantic_decontam(trainVecs, evalVecs, cellCap)` —
+    * embedding-space train/eval contamination pairs from SQL over two
+    * `(vec_id, embedding, …)` tables (vec_ids disjoint across them —
+    * they key the output): cells train on the union at `cellCap`, and
+    * the (train_id, eval_id, dot) pairs above τ = 0.3 return
+    * ([[graft.queries.DedupQueries.semanticDecontamBetween]]). */
+  val semanticDecontam: TVF = (
+    new FunctionIdentifier("graft_semantic_decontam"),
+    info("graft_semantic_decontam",
+         "graft_semantic_decontam(trainVecs, evalVecs, 256)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_semantic_decontam"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      val cap = longArg(args, 2, fn)
+      require(cap > 0 && cap <= Int.MaxValue, s"$fn: cellCap out of range: $cap")
+      def q(t: String) = active.table(t)
+        .select(col("vec_id"),
+                graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+      graft.queries.DedupQueries.semanticDecontamBetween(
+        q(strArg(args, 0, fn)), q(strArg(args, 1, fn)), cap)
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_lm_score(refTable, candTable)` — LM-familiarity scores
+    * from SQL: bigram counts train on the reference table, candidates
+    * score against them with unseen → 0
+    * ([[graft.queries.TextStatsQueries.lmScoreOf]]). */
+  val lmScore: TVF = (
+    new FunctionIdentifier("graft_lm_score"),
+    info("graft_lm_score", "graft_lm_score(refDocs, candidateDocs)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_lm_score"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val (c2, c1) = graft.queries.TextStatsQueries.lmCounts(
+        active.table(strArg(args, 0, fn)))
+      graft.queries.TextStatsQueries.lmScoreOf(
+        active.table(strArg(args, 1, fn)), c2, c1)
+        .queryExecution.logical
+    }
+  )
+
   /** `graft_bm25(docsTable, 'termsCsv', k)` — BM25 relevance top-K from
     * SQL over any `(doc_id, text, …)` table
     * ([[graft.queries.TextStatsQueries.bm25Rank]] — the integer-exact
@@ -512,10 +554,11 @@ object GraftTableFunctions {
 
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
-                          spanDedup, semanticDedup, bm25, mixtureSample,
+                          spanDedup, semanticDedup, semanticDecontam,
+                          bm25, mixtureSample,
                           knnGraph, semanticClusters, clusterSample, hll,
                           cms, invertedIndex, mergeUpsert, corpusDiff,
-                          chunk, tfidf)
+                          chunk, tfidf, lmScore)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

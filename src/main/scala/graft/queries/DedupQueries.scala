@@ -1299,6 +1299,38 @@ object DedupQueries {
       |WHERE dot > 0 AND dot * dot * 100 >= na * nb * 9""".stripMargin)
   )
 
+  /** [[semanticDecontam]] over TWO separate quantized frames — the
+    * library/TVF entry point (decontamination is an offline audit
+    * where both corpora are known, so cells train on the union).
+    * Caller contract: vec_ids disjoint across the two frames (the
+    * [[dedupAgainstIndex]] rule — they key the output pairs). */
+  private[graft] def semanticDecontamBetween(
+      train: DataFrame, eval0: DataFrame,
+      cellCap: Long = SimQueries.MaxCents,
+      minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
+    val union = train.select("vec_id", "q")
+      .unionByName(eval0.select("vec_id", "q"))
+    val cents = SimQueries.ivfTrain(union, cellCap).localCheckpoint()
+    def assigned(e: DataFrame): DataFrame =
+      e.select("vec_id", "q")
+        .join(SimQueries.ivfAssign1(e, cents)
+                .select(col("vec_id").as("m_vid"), col("c_id")),
+              col("vec_id") === col("m_vid"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("q"),
+                VectorOps.intNormSq(col("q")).as("nsq"))
+    val t = assigned(train)
+      .select(col("vec_id").as("train_id"), col("cell"),
+              col("q").as("qa"), col("nsq").as("na"))
+    val ev = assigned(eval0)
+      .select(col("vec_id").as("eval_id"), col("cell").as("cell_b"),
+              col("q").as("qb"), col("nsq").as("nb"))
+    t.join(ev, col("cell") === col("cell_b"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"),
+                                   minCosNum, minCosDen))
+      .select("train_id", "eval_id", "dot")
+  }
+
   /** [[qSemanticDecontam]]'s body over an ARBITRARY quantized
     * `(vec_id, label, q)` frame: eval = `vec_id % 5 = 4` (the
     * [[qDedupIncremental]] replay convention), τ = num/den. */

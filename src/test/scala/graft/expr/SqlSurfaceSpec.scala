@@ -224,6 +224,41 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.collect().toSet === direct.collect().toSet)
   }
 
+  test("graft_semantic_decontam from SQL ≡ semanticDecontamBetween on two tables") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.DedupQueries
+    val vecs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001",
+                                         "embeddings")
+    val train = vecs.filter(col("vec_id") % 5 =!= 4)
+    val eval0 = vecs.filter(col("vec_id") % 5 === 4)
+    train.createOrReplaceTempView("sd_train")
+    eval0.createOrReplaceTempView("sd_eval")
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+                graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+    val viaSql =
+      spark.sql("SELECT * FROM graft_semantic_decontam('sd_train', 'sd_eval', 8)")
+    val direct = DedupQueries.semanticDecontamBetween(q(train), q(eval0), 8)
+    assert(viaSql.columns.toSeq === Seq("train_id", "eval_id", "dot"))
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    assert(viaSql.count() > 0, "fixture must produce contaminated pairs")
+  }
+
+  test("graft_lm_score from SQL ≡ lmScoreOf; novel candidates score 0") {
+    import graft.queries.TextStatsQueries
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val cand = Seq((10L, "a b"), (11L, "zz qq")).toDF("doc_id", "text")
+    ref.createOrReplaceTempView("lm_ref")
+    cand.createOrReplaceTempView("lm_cand")
+    val viaSql = spark.sql("SELECT * FROM graft_lm_score('lm_ref', 'lm_cand')")
+    val (c2, c1) = TextStatsQueries.lmCounts(ref)
+    val direct = TextStatsQueries.lmScoreOf(cand, c2, c1)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val byDoc = viaSql.select("doc_id", "familiarity")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(10L) === 1000000L && byDoc(11L) === 0L)
+  }
+
   test("graft_bm25 from SQL ≡ bm25Rank, terms parsed from csv") {
     import graft.queries.TextStatsQueries
     val docs = Seq(
