@@ -1016,12 +1016,17 @@ object SimQueries {
   def writeClustersOf(e: DataFrame, outDir: String, k: Int = GraphK,
                       cellCap: Long = MaxCents,
                       withCentroids: Boolean = true): Unit = {
-    val labels = semanticClustersOf(e, k, cellCap)
-      .select(col("vec_id").as("l_vid"), col("cluster_id"))
-    e.join(labels, col("vec_id") === col("l_vid"))
-      .select(col("vec_id"), col("label"), col("q"), col("cluster_id"),
-              pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong))
-                .as("cbucket"))
+    // one label join, not two: semanticClustersOf's (vec_id, cluster_id)
+    // projection would force joining e BACK on vec_id to recover the
+    // payload; joining the component labels against full-width e
+    // directly is the same left join with the payload already aboard
+    val labels = graft.operators.ConnectedComponents.labels(
+      mutualEdgesOf(e, k, cellCap))
+    e.join(labels, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"), col("label"), col("q"),
+              coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .withColumn("cbucket",
+              pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong)))
       // cluster rows by the partition column before the partitioned
       // write — same rationale as writeIvfLayoutOf
       .repartition(col("cbucket"))
