@@ -629,6 +629,47 @@ object CurationQueries {
    * never a single-task window. Thresholds rejoin as a broadcast
    * 1-row frame; the clip itself is a codegen'd greatest/least.
    */
+  /**
+   * SOURCE COMPOSITION report with duplication-aware accounting — the
+   * first dashboard a corpus owner reads before weighting sources: per
+   * (source, lang), document and character volume, null-text count,
+   * distinct-content count (the exact-dedup hash), and the implied
+   * duplicate surplus — "which sources ship how much, in what
+   * language, and how much of it is copies". All exact integers; one
+   * map-combinable aggregate (`count(distinct)` expands to the
+   * standard two-phase plan) over a group count of sources×languages —
+   * grows with the corpus catalog, never a single hot group. Null text
+   * is accounted, not conflated: it joins `n_docs`/`n_null_text` but
+   * neither the distinct-hash count nor the surplus (a null hash is
+   * absent from both, so `n_dup_docs = (n_docs − n_null_text) −
+   * n_distinct` stays exact).
+   */
+  val qSourceReport = Q(
+    "q_source_report",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+                col("text").isNull.cast("long").as("is_null"),
+                graft.text.TextOps.contentHash(col("text")).as("ch"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"),
+             sum("is_null").as("n_null_text"),
+             countDistinct(col("ch")).as("n_distinct"),
+             (count(col("ch")) - countDistinct(col("ch"))).as("n_dup_docs")),
+    Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_text,
+      |       CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+      |                                              '\s+', ' ', 'g')))
+      |            AS BIGINT) AS n_distinct,
+      |       CAST(COUNT(text) - COUNT(DISTINCT md5(regexp_replace(
+      |              lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+      |         AS n_dup_docs
+      |FROM documents GROUP BY source, lang""".stripMargin)
+  )
+
   val qWinsorize = Q(
     "q_winsorize",
     (s, dir) =>
@@ -672,5 +713,5 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
-                        qDecileAssign, qWinsorize)
+                        qDecileAssign, qWinsorize, qSourceReport)
 }
