@@ -140,22 +140,37 @@ object Bench {
     // the truncation this fixes — unless the caller names an explicit
     // output. Best-effort: a read-only CWD must not fail the bench.
     val explicit = sys.env.get("SPARK_GRAFT_PERQUERY_OUT")
+    // The implicit default anchors to the REPO ROOT (nearest ancestor of
+    // the launch CWD containing build.sbt), not the raw CWD: a bench
+    // launched from a scratch dir would otherwise misplace the artifact
+    // the regression differ reads, silently (round-14 ADVICE). Falls back
+    // to the CWD only when no build.sbt ancestor exists.
+    def repoRootDefault: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (d != null && found.isEmpty) {
+        if (java.nio.file.Files.exists(d.resolve("build.sbt"))) found = Some(d)
+        d = d.getParent
+      }
+      found.getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+        .resolve("bench_perquery.json")
+    }
     try {
       if (only.isEmpty || explicit.isDefined) {
-        val out = java.nio.file.Paths.get(
-          explicit.getOrElse("bench_perquery.json"))
+        val out = explicit.map(java.nio.file.Paths.get(_))
+          .getOrElse(repoRootDefault)
         java.nio.file.Files.write(out,
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } catch {
-      // best-effort ONLY for the implicit CWD default; an EXPLICITLY
-      // requested artifact silently not written is the data-loss mode
-      // this write exists to fix — surface it (stderr, not exit: the
-      // bench numbers on stdout are still valid)
-      case e: Throwable if explicit.isDefined =>
+      // Best-effort either way (the bench numbers on stdout are still
+      // valid — never exit on artifact failure), but ALWAYS say so on
+      // stderr: a silently missing per-query artifact is the data-loss
+      // mode this write exists to fix, implicit path included.
+      case e: Throwable =>
         System.err.println(
-          s"[bench] FAILED to write ${explicit.get}: ${e.getClass.getSimpleName}: ${e.getMessage}")
-      case _: Throwable => ()
+          s"[bench] FAILED to write ${explicit.getOrElse(repoRootDefault.toString)}: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     spark.stop()
     if (errors.nonEmpty) {

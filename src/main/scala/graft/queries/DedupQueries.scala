@@ -31,6 +31,23 @@ import graft.vector.VectorOps
  * (see [[graft.text.TextOps]] / [[graft.vector.VectorOps]]) — the DuckDB
  * oracle replays every computation bit-for-bit.
  */
+
+/**
+ * A corpus Bloom sketch whose keys are `xxhash64(contentHash)` LONGS —
+ * the scheme [[DedupQueries.bloomProbe]]'s native
+ * `BloomFilterMightContain` probes with. The wrapper exists to make the
+ * key scheme a compile-time contract: a Bloom false NEGATIVE in the
+ * dedup pre-filter is a correctness bug (true duplicates skip the
+ * anti-join and survive), and the only way to get one is a build/probe
+ * key-scheme mismatch. The constructor is library-private — the sole
+ * public mint is [[DedupQueries.bloomOf]], so an externally-built
+ * string-keyed `BloomFilter` no longer type-checks into
+ * [[DedupQueries.dedupAgainstIndexBloom]] (round-14 ADVICE: the scheme
+ * change from string keys was documented but not enforced).
+ */
+final case class XxKeyedBloom private[graft] (
+    sketch: org.apache.spark.util.sketch.BloomFilter)
+
 object DedupQueries {
 
   private val NumBands = 8
@@ -1888,11 +1905,14 @@ object DedupQueries {
    *              anti-join, so true duplicates survive dedup. (False
    *              POSITIVES remain harmless — they only add join
    *              traffic.) BloomDedupSpec pins build/probe scheme
-   *              agreement for exactly this reason.
+   *              agreement for exactly this reason — and the
+   *              [[XxKeyedBloom]] wrapper makes the contract a TYPE:
+   *              a caller holding a raw string-keyed sketch cannot
+   *              compile into this parameter.
    */
   def dedupAgainstIndexBloom(newDocs: DataFrame, corpusHashes: DataFrame,
                              corpusBands: DataFrame,
-                             bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+                             bloom: XxKeyedBloom): DataFrame = {
     require(newDocs.columns.contains("doc_id") && newDocs.columns.contains("text"),
             "newDocs needs doc_id and text columns")
     val might = bloomProbe(bloom, col("__ch"))
@@ -1932,10 +1952,10 @@ object DedupQueries {
    * [[graft.streaming.StreamingTfidf.VocabBound]] discipline, applied
    * to sketches.
    */
-  private[graft] def bloomProbe(bloom: org.apache.spark.util.sketch.BloomFilter,
+  private[graft] def bloomProbe(bloom: XxKeyedBloom,
                                 ch: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    bloom.sketch.writeTo(bos)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val probe = ColumnBridge.column(BloomFilterMightContain(
@@ -1977,18 +1997,30 @@ object DedupQueries {
     * empty or every text is null), so the zero-row case returns an
     * explicit empty sketch: same answer ("definitely not present")
     * without the landmine. `expectedItems` ≤ 0 means size from the
-    * observed non-null count. */
+    * observed non-null count.
+    *
+    * Returns the [[XxKeyedBloom]] WRAPPER, not the raw sketch: the
+    * xxhash64-long key scheme is a correctness contract between build
+    * and probe (a false negative silently lets a true duplicate
+    * survive), and a raw `BloomFilter` type can't carry it — round-14
+    * switched the scheme from string keys and any external caller
+    * still holding a string-keyed sketch would have kept compiling
+    * while returning wrong answers. Wrapping makes the scheme part of
+    * the signature: only this builder mints the type, so a mis-keyed
+    * sketch is now a compile error at the call site, not a silent
+    * recall hole (per round-14 ADVICE). */
   private[graft] def bloomOf(hashes: DataFrame, expectedItems: Long = 0L,
-                             fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+                             fpp: Double = 0.01): XxKeyedBloom = {
     val nonNull = hashes.na.drop("all")
     // one emptiness action, not two: the sized path's count already
     // proves (non-)emptiness; isEmpty runs only when the caller supplied
     // the size and the count was skipped
     val n = if (expectedItems > 0) expectedItems else nonNull.count()
     val empty = if (expectedItems > 0) nonNull.isEmpty else n == 0
-    if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-    else nonNull.select(xxhash64(col("ch")).as("h"))
-      .stat.bloomFilter("h", math.max(n, 1L), fpp)
+    XxKeyedBloom(
+      if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else nonNull.select(xxhash64(col("ch")).as("h"))
+        .stat.bloomFilter("h", math.max(n, 1L), fpp))
   }
 
   /** [[dedupAgainstCorpus]] behind the driver gate: the documents table

@@ -1050,19 +1050,31 @@ object SimQueries {
     * n_members)`. The (cluster, dim)-keyed aggregate scales out — never
     * a per-cluster collect — and cluster count rides the same bounded
     * bucketing as the members. */
-  private[graft] def clusterCentroidsOf(members: DataFrame): DataFrame =
+  private[graft] def clusterCentroidsOf(members: DataFrame): DataFrame = {
+    // n_members counts MEMBER ROWS, not exploded positions: a member
+    // with a null/empty q contributes zero posexplode rows, and ragged
+    // vector lengths make the per-dim cnt vary by pos — so the former
+    // max(cnt) undercounted relative to the members table and
+    // clusterStaleness's count(*) (round-14 ADVICE). The row count is
+    // its own aggregate on the same (cluster_id, cbucket) grouping; the
+    // join is cluster-cardinality-sized on both sides, and clusters
+    // whose every member lacks a vector still (correctly) have no
+    // centroid row — the inner join preserves that.
+    val counts = members.groupBy("cluster_id", "cbucket")
+      .agg(count(lit(1)).as("n_members"))
     members
       .select(col("cluster_id"), col("cbucket"), posexplode(col("q")))
       .groupBy("cluster_id", "cbucket", "pos")
       .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
       .withColumn("m", floor(col("sv").cast("double") / col("cnt")).cast("long"))
       .groupBy("cluster_id", "cbucket")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
-           max(col("cnt")).as("n_members"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .join(counts, Seq("cluster_id", "cbucket"))
       .select(col("cluster_id"), col("cbucket"),
               transform(col("pm"), x => x.getField("m")).as("cq"),
               col("n_members"))
       .withColumn("cn", VectorOps.intNormSq(col("cq")))
+  }
 
   /** The staleness metric for a stored cluster layout — the cluster
     * twin of [[ivfStaleness]], and the REBUILD trigger that replaces
