@@ -1463,12 +1463,7 @@ object DedupQueries {
 
   private[graft] def spanDedup(d0: DataFrame): DataFrame = {
     val d = spanChunks(d0)
-    val ch = spanHashes(d)
-    val keptPos = ch.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
-      .groupBy(col("o.doc_id").as("doc_id"))
-      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
-    reassembleSpans(d, keptPos)
+    reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
   }
 
   /** Rebuild `(doc_id, clean_text, kept_chunks, total_chunks)` from the
@@ -1501,12 +1496,8 @@ object DedupQueries {
                                             batch: DataFrame): DataFrame = {
     val corpusH = spanHashes(spanChunks(corpus)).select("h").distinct()
     val d = spanChunks(batch)
-    val keptPos = spanHashes(d)
-      .join(corpusH, Seq("h"), "left_anti")
-      .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
-      .groupBy(col("o.doc_id").as("doc_id"))
-      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+    val keptPos = firstOccurrenceKeepers(
+      spanHashes(d).join(corpusH, Seq("h"), "left_anti"))
     reassembleSpans(d, keptPos)
   }
 
@@ -1618,6 +1609,161 @@ object DedupQueries {
       |       CAST(len(c0.chunks) AS BIGINT) AS total_chunks
       |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id
       |WHERE c0.doc_id % 5 = 4""".stripMargin)
+  )
+
+  /** CDC rolling-window width (tokens): a boundary decision looks at
+    * exactly this many trailing tokens, so identical text re-synchronizes
+    * to identical chunk boundaries within `CdcW` tokens of any shift. */
+  private val CdcW = 4
+
+  /** CDC cut divisor — a window value ≡ 0 (mod CdcD) cuts, so expected
+    * chunk length ≈ CdcD tokens (geometric), commensurate with
+    * [[qSpanDedup]]'s fixed `SpanTokens` = 20. */
+  private val CdcD = 16L
+
+  /** Window mixing coefficients (distinct primes < 2¹⁷). Exactness bound:
+    * token bases are 32-bit ([[TextOps.md5Prefix32]]), so each product is
+    * < 2⁴⁹ and the 4-term sum < 2⁵¹ — exact int64 in BOTH engines, no
+    * modular reduction needed before the divisor test. */
+  private val CdcA = Seq(10007L, 20011L, 40009L, 80021L)
+
+  /**
+   * Content-defined chunking (the FastCDC/rsync boundary idea, done
+   * relationally): `(doc_id, chunks)` where chunk boundaries are chosen
+   * by the TEXT, not by position — a cut lands after token `i` iff the
+   * mixed hash of the trailing `CdcW`-token window divides `CdcD`.
+   * Because the decision is a pure function of the last `CdcW` tokens,
+   * equal text produces equal interior boundaries AT ANY OFFSET — the
+   * property that closes [[qSpanDedup]]'s documented recall hole
+   * (a duplicate shifted by < span width escapes fixed boundaries;
+   * `CdcSpanSpec` plants exactly that and proves this variant catches
+   * it). No min/max chunk guard: cut probability is 1/CdcD per token
+   * with md5-derived window values, so chunk length is geometric with
+   * mean CdcD — a degenerate run without cuts costs one long chunk,
+   * never correctness (documented tradeoff: guards would reintroduce
+   * boundary statefulness and with it shift-dependence).
+   *
+   * All array HOFs over the per-doc token array — no explode, no
+   * shuffle; the per-token base hashes are computed once into `bases`
+   * and each window test is 4 `element_at` + integer arithmetic.
+   */
+  private[queries] def cdcChunks(d0: DataFrame): DataFrame = {
+    def baseAt(i: Column, off: Int) =
+      element_at(col("bases"), i - lit(CdcW - 2 - off))
+    val windowVal = (i: Column) =>
+      CdcA.zipWithIndex.map { case (a, o) => baseAt(i, o) * lit(a) }
+        .reduce(_ + _)
+    d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("bases",
+        transform(col("toks"), t => TextOps.md5Prefix32(md5(t))))
+      // valid cut positions (0-based): [CdcW-1, n-2] — a full window
+      // must precede the cut, and a cut after the last token is the
+      // implicit end boundary, not a cut. sequence() guarded: Spark
+      // yields a DESCENDING array when stop < start (the shinglesHof
+      // gotcha), so short docs short-circuit to no cuts.
+      .withColumn("cuts",
+        when(size(col("toks")) >= CdcW + 1,
+          filter(sequence(lit(CdcW - 1), size(col("toks")) - 2),
+                 i => windowVal(i) % CdcD === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("ends", concat(col("cuts"), array(size(col("toks")) - 1)))
+      .withColumn("starts",
+        concat(array(lit(0)), transform(col("cuts"), c => c + 1)))
+      .withColumn("chunks",
+        when(size(col("toks")) > 0,
+          transform(sequence(lit(0), size(col("ends")) - 1), k =>
+            array_join(
+              slice(col("toks"),
+                    element_at(col("starts"), k + 1) + 1,
+                    element_at(col("ends"), k + 1)
+                      - element_at(col("starts"), k + 1) + 1),
+              " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("chunks"))
+  }
+
+  /** First-occurrence keeper list `(doc_id, kept_pos)` over a span-hash
+    * triple frame — the owner-argmin shared by [[spanDedup]] and
+    * [[spanDedupCdc]]: a span survives at its corpus-wide minimum
+    * (doc_id, pos). `min(struct)` groupBy, map-side combinable. */
+  private[queries] def firstOccurrenceKeepers(ch: DataFrame): DataFrame =
+    ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.pos"))).as("kept_pos"))
+
+  /** [[spanDedup]] with content-defined boundaries — same owner-argmin
+    * and reassembly tail, same compact-key shuffle discipline (the text
+    * never crosses an exchange after chunking; only (16-byte md5,
+    * doc_id, pos) triples shuffle). */
+  private[graft] def spanDedupCdc(d0: DataFrame): DataFrame = {
+    val d = cdcChunks(d0)
+    reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
+  }
+
+  /** The CDC boundary replay for the oracle: per-token base hashes via
+    * [[hex32]], the 4-token window via LAG, cut set re-aggregated per
+    * doc. 1-based j here ↔ 0-based i = j-1 in [[cdcChunks]]; valid cuts
+    * j ∈ [CdcW, n-1]. */
+  val qSpanCdc = Q(
+    "q_span_cdc",
+    (s, dir) => spanDedupCdc(docsDistributed(s, dir)),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tk AS (
+      |  SELECT doc_id, unnest(toks) AS tok,
+      |         unnest(generate_series(1, len(toks))) AS j
+      |  FROM d
+      |), tb AS (
+      |  SELECT doc_id, j, ${hex32("md5(tok)")} AS base FROM tk
+      |), rolled AS (
+      |  SELECT doc_id, j,
+      |         lag(base, 3) OVER w AS b1, lag(base, 2) OVER w AS b2,
+      |         lag(base, 1) OVER w AS b3, base AS b4
+      |  FROM tb WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+      |), cw AS (
+      |  SELECT r.doc_id, r.j
+      |  FROM rolled r JOIN d ON d.doc_id = r.doc_id
+      |  WHERE r.j >= ${CdcW} AND r.j <= len(d.toks) - 1
+      |    AND (r.b1*${CdcA(0)} + r.b2*${CdcA(1)} + r.b3*${CdcA(2)}
+      |         + r.b4*${CdcA(3)}) % ${CdcD} = 0
+      |), cl AS (
+      |  SELECT doc_id, list_sort(list(j)) AS cuts FROM cw GROUP BY doc_id
+      |), cb AS (
+      |  SELECT d.doc_id, d.toks,
+      |         list_concat(COALESCE(cl.cuts, CAST([] AS BIGINT[])),
+      |                     [CAST(len(d.toks) AS BIGINT)]) AS ends1,
+      |         list_concat([CAST(1 AS BIGINT)],
+      |                     list_transform(COALESCE(cl.cuts, CAST([] AS BIGINT[])),
+      |                                    x -> x + 1)) AS starts1
+      |  FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |), cx AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) > 0 THEN
+      |           list_transform(generate_series(1, len(ends1)), k ->
+      |             array_to_string(toks[starts1[k]:ends1[k]], ' '))
+      |         ELSE [] END AS chunks
+      |  FROM cb
+      |), ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         unnest(generate_series(0, len(chunks) - 1)) AS pos
+      |  FROM cx
+      |), own AS (
+      |  SELECT doc_id, pos, chunk,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+      |                            ORDER BY doc_id, pos) AS rn
+      |  FROM ch
+      |), kept AS (
+      |  SELECT doc_id, pos, chunk FROM own WHERE rn = 1
+      |), rb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT cx.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
+      |       CAST(len(cx.chunks) AS BIGINT) AS total_chunks
+      |FROM cx LEFT JOIN rb ON cx.doc_id = rb.doc_id""".stripMargin)
   )
 
   /**
@@ -2093,7 +2239,7 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
-    qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff,
+    qSpanCdc, qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff,
     qMergeUpsert
   )
 }
