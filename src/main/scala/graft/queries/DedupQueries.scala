@@ -1202,10 +1202,12 @@ object DedupQueries {
    * survivor, the same convention as exact dedup), no greedy sequential
    * scan. Output: the kept (vec_id, cell) rows.
    *
-   * 100 TB posture: cell count is hard-capped at `MaxCents` by the
-   * [[SimQueries.ivfSeeds]] stride, so the pair stage is an equi-join on
-   * cell id with ~ (n/k)² pairs per cell — never all-pairs — and the
-   * shuffles carry (vec_id, cell, q) rows, never documents. The trained
+   * 100 TB posture: the pair stage is an equi-join on cell id with
+   * ~ (n/k)² pairs per cell — never all-pairs — and k is AUTO-SIZED to
+   * hold cell occupancy at ~[[SemTargetCell]] members
+   * ([[semanticCellCap]]: pair work stays LINEAR in the corpus, where
+   * the former fixed `MaxCents` cap let it grow n²/256); the shuffles
+   * carry (vec_id, cell, q) rows, never documents. The trained
    * centroids and the member frame are each materialized once
    * (checkpoint) because they feed multiple consumers; cell skew is
    * bounded by the same Lloyd-pass mass-balancing the ANN index relies
@@ -1236,19 +1238,62 @@ object DedupQueries {
       |WHERE vec_id NOT IN (SELECT b_id FROM dup)""".stripMargin)
   )
 
+  /** Sentinel `cellCap`: size the cap from the corpus count
+    * ([[semanticCellCap]]) — the default for every semantic pass. */
+  private[graft] val DeriveCellCap = 0L
+
+  /** Target per-cell occupancy for the semantic pair stages. Matches the
+    * IVF seed stride ([[SimQueries]] `CentStride`), so the derived cap
+    * collapses to the gated `MaxCents` everywhere at or below
+    * `MaxCents·SemTargetCell` = 51 200 vectors — which is why the
+    * sf-scale oracles (fixtures ≤ 2 000 embeddings) replay the same
+    * trained-IVF CTE unchanged. */
+  private[graft] val SemTargetCell = 200L
+
+  /** Cell cap for an n-vector semantic pass: `max(MaxCents,
+    * ⌈n/SemTargetCell⌉)` — hold CELL SIZE (not cell count) constant, so
+    * in-cell pair work is ~n·SemTargetCell, LINEAR in the corpus. The
+    * former fixed `MaxCents` default meant pair work grew ~n²/256: the
+    * 200 k-vector soak measured the pair stage up ~16× at 4× vectors
+    * (BASELINE.md round-13) — exactly the growth this flattens
+    * (round-14 ADVICE/VERDICT item 2).
+    *
+    * The broadcast ceiling the fixed cap was protecting: the
+    * cell-assignment pass broadcasts one flattened centroid row of
+    * cap·(dim+2) longs ([[SimQueries.centsFlat]]), now O(n/200·dim) —
+    * ~8 MB per 10⁶ cells at dim 16, so fine to ~10⁸–10⁹ vectors on any
+    * real executor; beyond that a deployment goes hierarchical (coarse
+    * MaxCents-level quantizer routing to per-cell fine quantizers)
+    * rather than re-capping, because a fixed cap silently degrades the
+    * pair stage back to quadratic. The ANN search surface keeps the
+    * hard `MaxCents` cap — its contract is a bounded DRIVER collect at
+    * probe time, not bounded pair work. */
+  private[graft] def semanticCellCap(n: Long): Long =
+    math.max(SimQueries.MaxCents, (n + SemTargetCell - 1) / SemTargetCell)
+
+  /** Resolve a caller cap: explicit wins; the [[DeriveCellCap]] sentinel
+    * counts the frame. The count is one extra action over the compact
+    * quantized projection — a deployment that already tracks corpus
+    * cardinality passes it via [[semanticCellCap]] explicitly. */
+  private def resolveCellCap(cellCap: Long, e: DataFrame): Long =
+    if (cellCap > 0) cellCap else semanticCellCap(e.count())
+
   /** [[qSemanticDedup]]'s body over an ARBITRARY quantized
     * `(vec_id, label, q)` frame — factored so specs and non-testdata
     * callers run the exact pipeline the gate runs.
     *
     * `cellCap` is SemDeDup's recall/cost knob: cells average n/cellCap
-    * members, so the pair stage does ~n²/cellCap dot products — a
-    * deployment holds CELL SIZE constant (cellCap ∝ n) to keep the pass
-    * linear, at the price of missing τ-near-dups that land in different
-    * cells (more cells = finer semantic buckets = lower recall). The
-    * default is the gated ANN cap, which the sf-scale oracle replays. */
+    * members, so the pair stage does ~n²/cellCap dot products — holding
+    * CELL SIZE constant (cellCap ∝ n) keeps the pass linear, at the
+    * price of missing τ-near-dups that land in different cells (more
+    * cells = finer semantic buckets = lower recall). The default
+    * DERIVES the cap from the corpus count ([[semanticCellCap]]); at
+    * fixture scale that is exactly the gated `MaxCents` the oracle
+    * replays. */
   private[graft] def semanticDedup(
-      e: DataFrame, cellCap: Long = SimQueries.MaxCents): DataFrame = {
-    val cents = SimQueries.ivfTrain(e, cellCap).localCheckpoint()
+      e: DataFrame, cellCap: Long = DeriveCellCap): DataFrame = {
+    val cents = SimQueries.ivfTrain(e, resolveCellCap(cellCap, e))
+      .localCheckpoint()
     // (vec_id, cell, q, nsq) — checkpointed: feeds both self-join sides
     // AND the anti-join left, i.e. 3 consumers of the n·k assignment
     val m = checkpointCompact(
@@ -1323,11 +1368,12 @@ object DedupQueries {
     * [[dedupAgainstIndex]] rule — they key the output pairs). */
   private[graft] def semanticDecontamBetween(
       train: DataFrame, eval0: DataFrame,
-      cellCap: Long = SimQueries.MaxCents,
+      cellCap: Long = DeriveCellCap,
       minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
     val union = train.select("vec_id", "q")
       .unionByName(eval0.select("vec_id", "q"))
-    val cents = SimQueries.ivfTrain(union, cellCap).localCheckpoint()
+    val cents = SimQueries.ivfTrain(union, resolveCellCap(cellCap, union))
+      .localCheckpoint()
     def assigned(e: DataFrame): DataFrame =
       e.select("vec_id", "q")
         .join(SimQueries.ivfAssign1(e, cents)
@@ -1352,9 +1398,10 @@ object DedupQueries {
     * `(vec_id, label, q)` frame: eval = `vec_id % 5 = 4` (the
     * [[qDedupIncremental]] replay convention), τ = num/den. */
   private[graft] def semanticDecontam(
-      e: DataFrame, cellCap: Long = SimQueries.MaxCents,
+      e: DataFrame, cellCap: Long = DeriveCellCap,
       minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
-    val cents = SimQueries.ivfTrain(e, cellCap).localCheckpoint()
+    val cents = SimQueries.ivfTrain(e, resolveCellCap(cellCap, e))
+      .localCheckpoint()
     val m = checkpointCompact(
       e.join(SimQueries.ivfAssign1(e, cents)
                .select(col("vec_id").as("m_vid"), col("c_id")),
