@@ -52,6 +52,36 @@ class LmScoreSpec extends SparkSpec {
     assert(got(102L) === ((3L, 1000000L / 3)))
   }
 
+  test("smoothing kills the one-novel-bigram cliff but preserves the familiarity ordering") {
+    val reference = (1L to 10L).map(i => (i, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val candidates = Seq(
+      (100L, "the quick brown fox"),   // fully in-distribution
+      (101L, "zxq wvu tsr qpo nml"),   // wholly novel
+      (102L, "the quick brown fox zz") // familiar with ONE novel continuation
+    ).toDF("doc_id", "text")
+    val (c2, c1) = TextStatsQueries.lmCounts(reference)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("doc_id", "familiarity").as[(Long, Long)].collect().toMap
+    val raw = scores(TextStatsQueries.lmScoreOf(candidates, c2, c1))
+    val sm = scores(TextStatsQueries.lmScoreSmoothedOf(
+      candidates, c2, c1, TextStatsQueries.lmVocab(reference)))
+    // ordering law: familiar > mixed > novel under BOTH conventions
+    assert(raw(100L) > raw(102L) && raw(102L) > raw(101L))
+    assert(sm(100L) > sm(102L) && sm(102L) > sm(101L))
+    // the cliff: un-smoothed, one novel bigram among 4 costs a full
+    // quarter of the mean (a hard 0 term); smoothed, the novel term
+    // contributes a small positive mass instead, so the mixed doc
+    // retains MORE than 3/4 of the fully-familiar score
+    assert(raw(102L) === raw(100L) * 3 / 4)
+    assert(sm(102L) > sm(100L) * 3 / 4)
+    // and smoothing never manufactures familiarity: wholly-novel stays
+    // near zero (V=4 continuations, K=10 → each unseen bigram scores
+    // 10⁶/4 = 250 000 only if n1=0... the exact value: 10⁶·1/(0+4))
+    assert(sm(101L) === 1000000L / 4)
+    assert(raw(101L) === 0L)
+  }
+
   test("self-scoring (the gate's replayable case) equals left-join scoring on itself") {
     val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val (c2, c1) = TextStatsQueries.lmCounts(d)
