@@ -891,11 +891,18 @@ object SimQueries {
     * the SQL replay of [[qSemanticClusters]], composed by
     * [[qClusterSample]] (the `dedupedKeptCte` discipline: one statement
     * of the cluster fixpoint, two gated consumers). */
-  private def semanticClustersCte: String =
-    s"""$ivfCte,
+  private def semanticClustersCte: String = semanticClustersCteOn("e")
+
+  /** [[semanticClustersCte]] with the member table parameterized — the
+    * [[ivfCteOn]] move applied to the cluster fixpoint, so
+    * [[qClusterAppend]] can replay a layout BUILT from a subset (graph,
+    * mutual edges, components, and labels all read `$t` only) while the
+    * surrounding query still sees every vector of `e`. */
+  private def semanticClustersCteOn(t: String, extra: String = ""): String =
+    s"""${ivfCteOn(t, extra)},
       |m AS (
-      |  SELECT ce.vec_id, ce.cell, e.q
-      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |  SELECT ce.vec_id, ce.cell, t0.q
+      |  FROM cell ce JOIN $t t0 ON t0.vec_id = ce.vec_id
       |),
       |p AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -918,7 +925,7 @@ object SimQueries {
       |e2 AS (SELECT a AS s, b AS d FROM mut
       |       UNION ALL SELECT b, a FROM mut),
       |walk(id, lbl) AS (
-      |  SELECT vec_id, vec_id FROM e
+      |  SELECT vec_id, vec_id FROM $t
       |  UNION
       |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
       |),
@@ -1130,6 +1137,93 @@ object SimQueries {
       .select("vec_id", "cluster_id")
   }
 
+  /**
+   * INCREMENTAL cluster-layout maintenance — [[appendToIvfLayout]]'s
+   * frozen-state pattern applied to the cluster family: arriving
+   * vectors are assigned to the nearest STORED cluster centroid (no
+   * re-clustering) and appended under their cluster's hash-bucket
+   * partition, covering the continuous-ingest window between full
+   * rebuilds. Mutual-kNN components are a global fixpoint, so unlike
+   * IVF cells the labels genuinely drift as appends accumulate —
+   * [[clusterStaleness]] stays the rebuild trigger
+   * ([[writeClustersOf]]); this path bounds the drift window, it does
+   * not replace the rebuild.
+   *
+   * Scale shape — the centroid table is CLUSTER-COUNT-sized
+   * (unbounded: singletons label themselves), so nearest-centroid
+   * cannot be one broadcast argmax like the IVF append. The assignment
+   * goes hierarchical with a seed ROUTER over the centroids
+   * themselves: a stride-sampled ≤ `MaxCents` seed subset (md5-hash
+   * stride, not `% id` — cluster ids are sparse min-ids, an id-modulo
+   * stride can select zero seeds) broadcasts and routes both centroids
+   * and arrivals to cells as a codegen'd projection
+   * ([[ivfAssign1]]); each arrival then ranks only its cell's
+   * centroids — per-arrival work is O(C/MaxCents), never O(C). Every
+   * cell always contains at least its own seed centroid (the
+   * augmentation below), so no arrival can land in an empty cell and
+   * drop. Zero-norm centroids are excluded as assignment targets (no
+   * cosine direction — the [[ivfTrain]] rule).
+   *
+   * @param newVecs quantized `(vec_id, label, q)` rows, vec_ids
+   *                disjoint from the layout's (the
+   *                [[appendToIvfLayout]] contract)
+   */
+  def appendToClusters(s: SparkSession, layoutDir: String,
+                       newVecs: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$layoutDir/centroids")
+      .select(col("cluster_id"), col("cq"), col("cn"))
+      .filter(col("cn") > 0)
+    // router stride computed IN the plan (the ivfSeeds discipline):
+    // ~MaxCents seeds at any centroid count, selected by portable
+    // md5-hash stride + the unconditional ordered LIMIT cap
+    val rst = cents.agg(
+      greatest(lit(1L),
+               ceil(count(lit(1)).cast("double") / MaxCents).cast("long"))
+        .as("__rstride"))
+    val seeds = cents.crossJoin(broadcast(rst))
+      .filter(graft.text.TextOps.md5Prefix32(
+                md5(col("cluster_id").cast("string"))) % col("__rstride") === 0)
+      .select(col("cluster_id").as("c_id"), col("cq"), col("cn"))
+      .orderBy(col("c_id").asc)
+      .limit(MaxCents.toInt)
+      .localCheckpoint()
+    require(!seeds.isEmpty,
+            s"cluster layout at $layoutDir has no usable centroids " +
+              "(empty build, or every centroid is zero-norm) — rebuild it")
+    // centroids -> router cells, each cell augmented with its own seed
+    // so the arrival join below can never empty out
+    val ccell = cents
+      .join(ivfAssign1(cents.select(col("cluster_id").as("vec_id"),
+                                    col("cq").as("q")), seeds)
+              .select(col("vec_id").as("cv"), col("c_id").as("rcell")),
+            col("cluster_id") === col("cv"))
+      .select(col("rcell"), col("cluster_id"), col("cq"), col("cn"))
+      .unionByName(seeds.select(col("c_id").as("rcell"),
+                                col("c_id").as("cluster_id"),
+                                col("cq"), col("cn")))
+      .dropDuplicates("rcell", "cluster_id")
+    val arr = newVecs.select("vec_id", "label", "q")
+    val arrCell = arr
+      .join(ivfAssign1(arr, seeds)
+              .select(col("vec_id").as("av"), col("c_id").as("rcell")),
+            col("vec_id") === col("av"))
+      .select(col("vec_id"), col("label"), col("q"), col("rcell"))
+    val wNear = Window.partitionBy("vec_id")
+      .orderBy(col("ckey").desc, col("cluster_id").asc)
+    arrCell.join(ccell, Seq("rcell"))
+      .withColumn("cdot", VectorOps.intDot(col("q"), col("cq")))
+      .withColumn("ckey",
+                  col("cdot").cast("double") / sqrt(col("cn").cast("double")))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("q"), col("cluster_id"))
+      .withColumn("cbucket",
+                  pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong)))
+      .repartition(col("cbucket"))
+      .write.mode("append").partitionBy("cbucket")
+      .parquet(s"$layoutDir/members")
+  }
+
   /** Cluster-balanced sampling OVER STORED LABELS — [[clusterSampleOf]]
     * with the graph+component recompute replaced by a members scan:
     * one bounded rank window (partitioned by cluster — scales out) on
@@ -1185,6 +1279,119 @@ object SimQueries {
       clusterSampleFromLayout(s, out)
     },
     qClusterSample.oracle
+  )
+
+  /**
+   * Incremental cluster maintenance behind the driver gate — the
+   * [[qIvfAppend]] replay applied to the cluster family: build the
+   * layout (labels + centroids) from the EVEN vec_ids, [[appendToClusters]]
+   * the odd half against the frozen stored centroids, then return the
+   * whole post-append membership READ BACK THROUGH the layout. The
+   * oracle recomputes the build-half fixpoint
+   * ([[semanticClustersCteOn]]), derives the stored centroids
+   * (per-dimension floor-mean — the [[clusterCentroidsOf]]
+   * arithmetic), and replays the hierarchical assignment — router
+   * stride, seed selection, cell routing, in-cell argmax — so a
+   * regression in the centroid write, the router, the assignment
+   * ranking, or the partitioned append all hash-mismatch here.
+   */
+  val qClusterAppend = Q(
+    "q_cluster_append",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "clusters-append")
+      val e = quantized(s, dir)
+      writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
+      appendToClusters(s, out, e.filter(col("vec_id") % 2 =!= 0))
+      s.read.parquet(s"$out/members").select("vec_id", "cluster_id")
+    },
+    Some(s"""${semanticClustersCteOn(
+               "eb",
+               "\n      |eb AS (SELECT * FROM e WHERE vec_id % 2 = 0),")},
+      |bmem AS (
+      |  SELECT l.vec_id, l.cluster_id, t0.q
+      |  FROM labels l JOIN eb t0 ON t0.vec_id = l.vec_id
+      |),
+      |cdim AS (
+      |  SELECT cluster_id, unnest(generate_series(1, len(q))) AS pos,
+      |         unnest(q) AS v
+      |  FROM bmem
+      |),
+      |cflo AS (
+      |  SELECT cluster_id, pos,
+      |         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+      |  FROM cdim GROUP BY cluster_id, pos
+      |),
+      |cc0 AS (
+      |  SELECT cluster_id, list(mv ORDER BY pos) AS ccq
+      |  FROM cflo GROUP BY cluster_id
+      |),
+      |ccz AS (
+      |  SELECT cluster_id, ccq,
+      |         CAST(list_sum(list_transform(ccq, x -> x * x)) AS BIGINT) AS ccn
+      |  FROM cc0
+      |),
+      |ccnz AS (SELECT * FROM ccz WHERE ccn > 0),
+      |rst AS (
+      |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $MaxCents.0) AS BIGINT)) AS stride
+      |  FROM ccnz
+      |),
+      |rs AS (
+      |  SELECT cluster_id AS s_id, ccq AS scq, ccn AS scn FROM (
+      |    SELECT cluster_id, ccq, ccn,
+      |           ROW_NUMBER() OVER (ORDER BY cluster_id ASC) AS srn
+      |    FROM ccnz
+      |    WHERE ${DedupQueries.hex32("md5(CAST(cluster_id AS VARCHAR))")}
+      |            % (SELECT stride FROM rst) = 0
+      |  ) WHERE srn <= $MaxCents
+      |),
+      |ccell AS (
+      |  SELECT rcell, cluster_id, ccq, ccn FROM (
+      |    SELECT r.s_id AS rcell, c.cluster_id, c.ccq, c.ccn,
+      |           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |             ORDER BY CAST(list_sum(list_transform(
+      |                        generate_series(1, len(c.ccq)),
+      |                        i -> c.ccq[i] * r.scq[i])) AS BIGINT)
+      |                      / sqrt(CAST(r.scn AS DOUBLE)) DESC,
+      |                      r.s_id ASC) AS rn
+      |    FROM ccnz c CROSS JOIN rs r
+      |  ) WHERE rn = 1
+      |),
+      |cellm AS (
+      |  SELECT DISTINCT rcell, cluster_id, ccq, ccn FROM (
+      |    SELECT rcell, cluster_id, ccq, ccn FROM ccell
+      |    UNION ALL
+      |    SELECT s_id AS rcell, s_id AS cluster_id, scq AS ccq, scn AS ccn
+      |    FROM rs
+      |  )
+      |),
+      |arrv AS (SELECT vec_id, q FROM e WHERE vec_id % 2 <> 0),
+      |acell AS (
+      |  SELECT vec_id, q, rcell FROM (
+      |    SELECT a.vec_id, a.q, r.s_id AS rcell,
+      |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |             ORDER BY CAST(list_sum(list_transform(
+      |                        generate_series(1, len(a.q)),
+      |                        i -> a.q[i] * r.scq[i])) AS BIGINT)
+      |                      / sqrt(CAST(r.scn AS DOUBLE)) DESC,
+      |                      r.s_id ASC) AS rn
+      |    FROM arrv a CROSS JOIN rs r
+      |  ) WHERE rn = 1
+      |),
+      |asg AS (
+      |  SELECT vec_id, cluster_id FROM (
+      |    SELECT a.vec_id, cm.cluster_id,
+      |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |             ORDER BY CAST(list_sum(list_transform(
+      |                        generate_series(1, len(a.q)),
+      |                        i -> a.q[i] * cm.ccq[i])) AS BIGINT)
+      |                      / sqrt(CAST(cm.ccn AS DOUBLE)) DESC,
+      |                      cm.cluster_id ASC) AS rn
+      |    FROM acell a JOIN cellm cm ON cm.rcell = a.rcell
+      |  ) WHERE rn = 1
+      |)
+      |SELECT vec_id, cluster_id FROM labels
+      |UNION ALL
+      |SELECT vec_id, cluster_id FROM asg""".stripMargin)
   )
 
   /**
@@ -1424,5 +1631,5 @@ object SimQueries {
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchMp, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
                         qClusterSample, qClusterProbe, qClusterSampleStored,
-                        qEmbedStats, qPagerank, qTriangleCount)
+                        qClusterAppend, qEmbedStats, qPagerank, qTriangleCount)
 }
