@@ -56,7 +56,7 @@ object Bench {
     // (and so its JIT/GC neighborhood) between rounds — pinning the order
     // keeps cross-round per-query ratios meaningful (BASELINE.md r9
     // q_doc_fingerprint attribution).
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // collect between queries so one query's garbage doesn't surface as a
       // GC pause inside the next one's wall time (r2 judge re-ran a 11.7s
       // outlier that measured 1.6s in isolation — cross-query GC noise).
@@ -67,6 +67,9 @@ object Bench {
       // heap (BASELINE.md round-12 2M soak).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
+      // per-gate drain accounting starts clean (see the stream_split
+      // emission below — batch queries never touch the accumulator)
+      graft.queries.StreamingQueries.StreamObservability.resetDrain()
       val t0 = System.nanoTime()
       // SPARK_GRAFT_ACTION=checksum replaces the count action with a
       // full-row xxhash64 fold: count() lets Catalyst PRUNE projections
@@ -95,8 +98,21 @@ object Bench {
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, secs,
+       graft.queries.StreamingQueries.StreamObservability.drainSecs)
     }
+    // Build/drain split for the streaming gates (round-14 VERDICT item
+    // 5): drain_s is the in-stream execution window the observability
+    // hook accumulated during this query; build_s = total − drain is
+    // the amortizable half (frozen-index construction, input staging,
+    // sink read-back). Keyed per gate so BASELINE.md can pin the drain
+    // alone — a regression in ingest cost is no longer masked by index
+    // build noise. Batch queries never drain (accumulator stays 0).
+    val streamSplit = timed.collect { case (n, s, d) if d > 0.0 =>
+      n -> ((math.max(0.0, s - d), d))
+    }
+    val results = timed.map { case (n, s, _) => n -> s }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -128,7 +144,11 @@ object Bench {
     // self-describing: a checksum-mode table diffed against a count-mode
     // one reads as a systematic regression (checksum forces every output
     // column); bench_diff.py refuses mismatched actions.
-    val line = s"""{"queries":$qs,"errors":$errs,"metric":"total","value":${j3(total)},"unit":"sec","n_queries":${results.size},"total_batch":${j3(totalBatch)},"total_stream":${j3(totalStream)},"sf":"$sfDir","action":"$action","shuffle":"$shuffle"}"""
+    val split = streamSplit.map { case (k, (b, d)) =>
+      s"${jstr(k)}:{\"build_s\":${j3(b)},\"drain_s\":${j3(d)}}"
+    }.mkString("{", ",", "}")
+    val drainStream = streamSplit.map(_._2._2).sum
+    val line = s"""{"queries":$qs,"errors":$errs,"stream_split":$split,"metric":"total","value":${j3(total)},"unit":"sec","n_queries":${results.size},"total_batch":${j3(totalBatch)},"total_stream":${j3(totalStream)},"total_stream_drain":${j3(drainStream)},"sf":"$sfDir","action":"$action","shuffle":"$shuffle"}"""
     println(line)
     // The driver records only the stdout TAIL (~2000 chars), which at 138
     // queries truncates the per-query map out of BENCH_rN.json (r12/r13

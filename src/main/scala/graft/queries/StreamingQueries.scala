@@ -51,6 +51,22 @@ object StreamingQueries {
       lastTl.set(msg)
       System.err.println(s"[graft-stream] $msg")
     }
+
+    /** Wall seconds spent INSIDE stream drains (query start →
+      * AvailableNow termination) since the last [[resetDrain]], this
+      * thread — accumulated across multiple [[runToSink]] calls in one
+      * gate. The bench reads it to split a gate's time into
+      * `drain_s` (micro-batch execution — the per-round perf signal)
+      * and `build_s` = total − drain (frozen-index construction +
+      * input staging + sink read-back — amortizable deployment cost):
+      * for the index-backed gates the build half dominates and was
+      * masking drain regressions inside the headline number (round-14
+      * VERDICT item 5). */
+    private val drainNsTl = new ThreadLocal[Long] { override def initialValue = 0L }
+    private[graft] def resetDrain(): Unit = drainNsTl.set(0L)
+    private[graft] def drainSecs: Double = drainNsTl.get / 1e9
+    private[queries] def addDrain(ns: Long): Unit =
+      drainNsTl.set(drainNsTl.get + ns)
   }
 
   /** Drive a streaming frame into a parquet FILE sink under per-process
@@ -78,16 +94,18 @@ object StreamingQueries {
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .start()
+    val tDrain0 = System.nanoTime()
+    val qr = q.start()
     try {
-      q.awaitTermination()
-      val progress = q.recentProgress
+      qr.awaitTermination()
+      StreamObservability.addDrain(System.nanoTime() - tDrain0)
+      val progress = qr.recentProgress
       StreamObservability.record(
         s"gate=$prefix batches=${progress.length} " +
           s"rows=${progress.map(_.numInputRows).sum} " +
           s"batch_ms=${progress.map(_.durationMs.getOrDefault("triggerExecution", 0L)).mkString(",")}")
     } finally {
-      q.stop()
+      qr.stop()
       ndPrev match {
         case Some(v) => s.conf.set(ndKey, v)
         case None    => s.conf.unset(ndKey)
