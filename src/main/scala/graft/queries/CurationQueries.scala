@@ -710,8 +710,109 @@ object CurationQueries {
                 .as("clipped"))
   }
 
+  /** Hashed-feature space size for [[qQualityClassifier]] — the
+    * fastText hashing-trick bucket count. 512 keeps the weight table
+    * broadcast-trivial (one long per bucket); a deployment raises it
+    * to 2²¹ (fastText's default) when collision noise matters, cost
+    * unchanged in shape. */
+  private[queries] val QcBuckets = 512L
+
+  /** `(doc_id, lang, b)` — one row per token OCCURRENCE with its hashed
+    * feature bucket, the shared fanout of the classifier's train and
+    * score halves. Portable bucketing: md5-prefix32 mod buckets
+    * ([[TextOps.md5Prefix32]] is nonnegative, so `%` agrees across
+    * engines). */
+  private def tokenBuckets(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+              explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("b", TextOps.md5Prefix32(md5(col("tok"))) % QcBuckets)
+
+  /**
+   * fastText-class LINEAR quality classifier over hashed token features
+   * — the curation-family scorer a pipeline trains on a labeled
+   * reference (curated-good vs crawl-bad) and then applies to every
+   * candidate document as a cheap linear pass. Model: the hashing
+   * trick (token → md5 bucket, collisions merge features — the
+   * fastText recipe), weights = the signed class-count difference
+   * `w[b] = n_pos[b] − n_neg[b]` over reference token occurrences (a
+   * closed-form Naive-Bayes-flavored fit: exact integers, no
+   * iterative training to replay), score = Σ_t w[bucket(t)], decision
+   * by SIGN — integer end-to-end, no division anywhere (the
+   * cross-engine `div`-vs-`//` negative-flooring trap never arises).
+   *
+   * The gate's planted label is `lang = 'en'` — the fixture's known
+   * class — standing in for any good/bad curation label; the machinery
+   * (hash, fit, score, decide) is label-agnostic.
+   *
+   * Scale shape: train is one map-combinable count aggregate to a
+   * `QcBuckets`-row weight table; scoring BROADCASTS that table into
+   * an equi-join on the bucket key (map-side, no shuffle of the token
+   * fanout) and sums per doc_id — linear in corpus tokens, the
+   * [[TextStatsQueries.qLmScore]] class. [[qualityScoreCol]] is the
+   * same model as a PURE PROJECTION for the streaming face.
+   */
+  lazy val qQualityClassifier = Q(
+    "q_quality_classifier",
+    (s, dir) => {
+      val tb = tokenBuckets(docs(s, dir))
+      val w = tb.filter(col("doc_id") % 5 =!= 4)
+        .groupBy("b")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(-1L)).as("wt"))
+      tb.filter(col("doc_id") % 5 === 4)
+        .join(broadcast(w), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(coalesce(col("wt"), lit(0L))).as("score_sum"))
+        .withColumn("pred_pos",
+                    when(col("score_sum") > 0, 1L).otherwise(0L))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), tk AS (
+      |  SELECT doc_id, lang, unnest(toks) AS tok FROM d
+      |), tb AS (
+      |  SELECT doc_id, lang,
+      |         ${DedupQueries.hex32("md5(tok)")} % $QcBuckets AS b
+      |  FROM tk
+      |), w AS (
+      |  SELECT b,
+      |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE -1 END) AS BIGINT)
+      |           AS wt
+      |  FROM tb WHERE doc_id % 5 <> 4 GROUP BY b
+      |), sc AS (
+      |  SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(COALESCE(w.wt, 0)) AS BIGINT) AS score_sum
+      |  FROM tb LEFT JOIN w ON tb.b = w.b
+      |  WHERE tb.doc_id % 5 = 4
+      |  GROUP BY tb.doc_id
+      |)
+      |SELECT doc_id, n_tokens, score_sum,
+      |       CASE WHEN score_sum > 0 THEN CAST(1 AS BIGINT)
+      |            ELSE CAST(0 AS BIGINT) END AS pred_pos
+      |FROM sc""".stripMargin)
+  )
+
+  /** The classifier as a PURE PROJECTION — score a text column against
+    * a materialized weight ARRAY (index b+1 = w[b], the driver-side
+    * collect of the trained table; `QcBuckets` longs, a broadcast-
+    * trivial literal): per row, Σ_t w[bucket(t)] via HOF aggregate.
+    * This is what makes the streaming face free — stateless, no join,
+    * no state store — and `QualityClassifierSpec` pins it equal to the
+    * join formulation. */
+  private[graft] def qualityScoreCol(text: Column, weights: Seq[Long]): Column = {
+    val wArr = array(weights.map(lit): _*)
+    aggregate(
+      transform(TextOps.tokens(text),
+                t => element_at(wArr,
+                       (TextOps.md5Prefix32(md5(t)) % QcBuckets).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
-                        qDecileAssign, qWinsorize, qSourceReport)
+                        qDecileAssign, qWinsorize, qSourceReport,
+                        qQualityClassifier)
 }
