@@ -204,6 +204,63 @@ object LayoutQueries {
       |GROUP BY 1""".stripMargin)
   )
 
+  /** The 3-key z-ordered events layout — [[eventsZOrdered]] with
+    * hour-of-day as the third clustering dimension: the lake shape for
+    * a table answering user-scoped, date-scoped AND time-of-day-scoped
+    * queries (sessionization windows, peak-hour analyses) off one
+    * copy. Same idempotent build protocol. */
+  private[queries] def eventsZOrdered3(s: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcFs = new Path(sfDir).getFileSystem(conf)
+      val path = new Path(layoutRoot(s, srcFs, sfDir), "events_zorder3")
+      val layoutFs = path.getFileSystem(conf)
+      val marker = new Path(path, "_SUCCESS")
+      val srcMtime = newestMtime(srcFs, new Path(s"$sfDir/events.parquet"))
+      val fresh = layoutFs.exists(marker) &&
+        layoutFs.getFileStatus(marker).getModificationTime >= srcMtime
+      if (!fresh) {
+        val ev = Tables.events(s, sfDir)
+          .withColumn("day_n", expr("ts_us div 86400000000"))
+          .withColumn("hour_n", expr("(ts_us div 3600000000) % 24"))
+          .select("event_id", "user_id", "event_type", "day_n", "hour_n")
+        graft.sources.Layouts.writeZOrdered3(
+          ev, col("user_id"), col("day_n"), col("hour_n"),
+          path.toString, nFiles = 16)
+      }
+      s.read.parquet(path.toString)
+    }
+
+  /** 3-D box query over the [[eventsZOrdered3]] layout: one user band ×
+    * one calendar week × business hours. All three predicates reach the
+    * scan pushed, and the 3-key curve bounds all three per-file spans
+    * (`ZOrderSpec` measures the contraction on a cube fixture). The
+    * oracle replays the box on raw events — the layout must stay a pure
+    * re-clustering. */
+  val qZorder3Prune = Q(
+    "q_zorder3_prune",
+    (s, dir) => {
+      val d1 = java.time.LocalDate.parse("2024-01-10").toEpochDay
+      val d2 = java.time.LocalDate.parse("2024-01-16").toEpochDay
+      eventsZOrdered3(s, dir)
+        .filter(col("user_id").between(100L, 299L) &&
+                col("day_n").between(d1, d2) &&
+                col("hour_n").between(9L, 17L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("day_n")).as("n_days"),
+             countDistinct(col("hour_n")).as("n_hours"))
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(COUNT(DISTINCT EXTRACT(HOUR FROM ts)) AS BIGINT) AS n_hours
+      |FROM events
+      |WHERE user_id BETWEEN 100 AND 299
+      |  AND CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-16'
+      |  AND EXTRACT(HOUR FROM ts) BETWEEN 9 AND 17
+      |GROUP BY 1""".stripMargin)
+  )
+
   /** The daily aggregate maintained by [[qBackfill]] — one definition
     * for the initial build and the backfill recompute. */
   private def dailyAgg(ev: DataFrame): DataFrame =
@@ -372,6 +429,7 @@ object LayoutQueries {
     nFiles
   }
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qBackfill, qBucketJoin,
+  val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qZorder3Prune,
+                        qBackfill, qBucketJoin,
                         qCompactFiles)
 }

@@ -99,6 +99,44 @@ object Layouts {
   }
 
   /**
+   * Three-key Morton interleave — [[zOrder2]] generalized to layouts
+   * that must prune on THREE dimensions at once (x_i → bit 3i, y_i →
+   * 3i+1, z_i → 3i+2; each key contributes its low 21 bits, so the
+   * result tops out at bit 62 and stays positive in a long). Same
+   * mask-cascade construction, one more rung (the 32-shift) because 21
+   * bits spread over 63; same built-ins-only rationale. Callers bucket
+   * each dimension to a non-negative int exactly as for [[zOrder2]] —
+   * at 21 bits per key that is 2 M distinct buckets per dimension,
+   * far past what min/max skipping can exploit per file anyway.
+   */
+  def zOrder3(x: Column, y: Column, z: Column): Column = {
+    // spread 21 bits over 63: v_i → bit 3i (the libmorton mask cascade)
+    def spread(v: Column): Column = {
+      val masked = v.cast("long").bitwiseAND(lit(0x1FFFFFL))
+      Seq((32, 0x1F00000000FFFFL), (16, 0x1F0000FF0000FFL),
+          (8, 0x100F00F00F00F00FL), (4, 0x10C30C30C30C30C3L),
+          (2, 0x1249249249249249L))
+        .foldLeft(masked) { case (acc, (sh, mask)) =>
+          acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(mask))
+        }
+    }
+    spread(x)
+      .bitwiseOR(shiftleft(spread(y), 1))
+      .bitwiseOR(shiftleft(spread(z), 2))
+  }
+
+  /** [[writeZOrdered]] on the three-key curve. */
+  def writeZOrdered3(df: DataFrame, x: Column, y: Column, z: Column,
+                     outDir: String, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.withColumn("__z", zOrder3(x, y, z))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /**
    * Write `df` as a z-ordered parquet layout: range-partition on the
    * interleaved key (contiguous z-curve segments per file — the sampled
    * range exchange is what makes file COUNT the knob), sort within each
