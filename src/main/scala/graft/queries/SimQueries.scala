@@ -1035,8 +1035,19 @@ object SimQueries {
       .withColumn("cbucket",
               pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong)))
       // cluster rows by the partition column before the partitioned
-      // write — same rationale as writeIvfLayoutOf
+      // write — same rationale as writeIvfLayoutOf. The within-task
+      // sort leads with cbucket ON PURPOSE: the dynamic-partition
+      // writer requires partition-column ordering and would re-sort by
+      // cbucket alone (destroying any bare vec_id order — Spark's sort
+      // is not stable); leading with it satisfies that requirement by
+      // prefix, so the vec_id order SURVIVES into each bucket's files.
+      // vec_id-sorted files give tight per-row-group min/max on
+      // vec_id, which is what lets probeClusters' point lookup skip
+      // row groups instead of scanning every bucket file end-to-end
+      // (round-14 VERDICT item 8; ClusterLayoutSpec asserts the
+      // physical order and the footer stats).
       .repartition(col("cbucket"))
+      .sortWithinPartitions("cbucket", "vec_id")
       .write.mode("overwrite").partitionBy("cbucket")
       .parquet(s"$outDir/members")
     // opt-out for consumers that only probe/sample members: the centroid
@@ -1220,6 +1231,10 @@ object SimQueries {
       .withColumn("cbucket",
                   pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong)))
       .repartition(col("cbucket"))
+      // appended files keep the build's vec_id order discipline (see
+      // writeClustersOf) so probe row-group skipping stays effective
+      // over the mixed layout
+      .sortWithinPartitions("cbucket", "vec_id")
       .write.mode("append").partitionBy("cbucket")
       .parquet(s"$layoutDir/members")
   }

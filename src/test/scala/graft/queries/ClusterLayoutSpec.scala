@@ -126,4 +126,97 @@ class ClusterLayoutSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("999999"))
   }
+
+  test("members files are vec_id-sorted with disjoint row-group stats; point lookup prunes") {
+    // a layout big enough to force MULTIPLE parquet row groups per
+    // bucket file (tiny block size for the duration of the write), so
+    // the row-group-skipping claim is testable rather than vacuous
+    val big = (0L until 1200L).map(i =>
+        (i, (i % 7).toInt, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 50) - 25)))
+      .toDF("vec_id", "label", "q")
+    val out = Files.createTempDirectory("graft-cl-rg").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // tiny row groups AND an eager size check: the writer only
+    // evaluates block.size every row.check.min records, so small files
+    // need both knobs or they flush as one group regardless
+    val prev = Seq("parquet.block.size", "parquet.page.size.row.check.min",
+                   "parquet.page.size.row.check.max").map(k => k -> hconf.get(k))
+    hconf.setInt("parquet.block.size", 1024)
+    hconf.setInt("parquet.page.size.row.check.min", 5)
+    hconf.setInt("parquet.page.size.row.check.max", 5)
+    try SimQueries.writeClustersOf(big, out, withCentroids = false)
+    finally prev.foreach { case (k, v) =>
+      if (v == null) hconf.unset(k) else hconf.set(k, v)
+    }
+    // physical order: every file's vec_ids ascend (the property that
+    // makes per-row-group min/max tight)
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = spark.read.parquet(s"$out/members")
+      .select(input_file_name().as("f"), col("vec_id"))
+      .as[(String, Long)].collect().groupBy(_._1).values
+    perFile.foreach { rows =>
+      val ids = rows.map(_._2).toSeq
+      assert(ids === ids.sorted, s"file not vec_id-sorted: ${rows.head._1}")
+    }
+    // footer stats: per file the row-group vec_id ranges are disjoint
+    // and increasing, so ANY point lookup matches at most one row
+    // group per file — and with several row groups per file that is a
+    // real skip, not a full scan
+    import scala.jdk.CollectionConverters._
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hconf)
+    val files = fs.listFiles(new org.apache.hadoop.fs.Path(s"$out/members"), true)
+    var totalGroups = 0
+    var filesWithManyGroups = 0
+    val probeId = 601L
+    var containing = 0
+    while (files.hasNext) {
+      val st = files.next()
+      if (st.getPath.getName.startsWith("part-")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
+        try {
+          val ranges = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == "vec_id").get
+            val s0 = c.getStatistics
+            (s0.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+             s0.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          }
+          totalGroups += ranges.size
+          if (ranges.size > 1) filesWithManyGroups += 1
+          ranges.sliding(2).foreach {
+            case Seq((_, max1), (min2, _)) =>
+              assert(max1 < min2,
+                s"overlapping row-group vec_id ranges in ${st.getPath}")
+            case _ => ()
+          }
+          containing += ranges.count { case (mn, mx) => mn <= probeId && probeId <= mx }
+        } finally reader.close()
+      }
+    }
+    assert(filesWithManyGroups > 0,
+      "fixture must produce multi-row-group files or the test is vacuous")
+    assert(containing <= ClusterBucketsFiles(out),
+      "a point lookup must match at most one row group per file")
+    assert(containing < totalGroups,
+      s"row-group stats must prune ($containing of $totalGroups contain the probe)")
+    // and the point lookup's scan actually carries the pushed filter
+    val scan = spark.read.parquet(s"$out/members")
+      .filter(col("vec_id") === probeId)
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(fail("no parquet scan"))
+    assert(scan.metadata("PushedFilters").contains("vec_id"),
+      s"vec_id must be pushed: ${scan.metadata("PushedFilters")}")
+  }
+
+  /** Number of data files under the members tree. */
+  private def ClusterBucketsFiles(out: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hconf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$out/members"), true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) n += 1 }
+    n
+  }
 }
