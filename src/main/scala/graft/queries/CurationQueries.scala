@@ -794,6 +794,19 @@ object CurationQueries {
       |FROM sc""".stripMargin)
   )
 
+  /** Materialize the trained weight table as the `QcBuckets`-long array
+    * [[qualityScoreCol]] scores against — the offline model-build step
+    * (one count aggregate + a bounded 512-row collect; the
+    * probeIvfLayout driver-collect discipline). `ref` must carry
+    * (text, lang) — lang is the planted label source, as in the gate. */
+  private[graft] def trainQualityWeights(ref: DataFrame): Seq[Long] = {
+    val m = tokenBuckets(ref)
+      .groupBy("b")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(-1L)).as("wt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq.tabulate(QcBuckets.toInt)(b => m.getOrElse(b.toLong, 0L))
+  }
+
   /** The classifier as a PURE PROJECTION — score a text column against
     * a materialized weight ARRAY (index b+1 = w[b], the driver-side
     * collect of the trained table; `QcBuckets` longs, a broadcast-

@@ -1009,11 +1009,42 @@ object StreamingQueries {
       |FROM r GROUP BY user_id, run_id""".stripMargin)
   )
 
+  /**
+   * The quality classifier's streaming face — the "free" one
+   * ([[CurationQueries.qQualityClassifier]] scaladoc): the frozen
+   * linear model ships as a 512-long weight ARRAY inside the projection
+   * ([[CurationQueries.qualityScoreCol]]), so scoring an arriving
+   * document is stateless per-row arithmetic — no join, no state store,
+   * no watermark; at ingest scale this is a model applied at wire
+   * speed. Training bills to the offline step (the [[qStreamDecontam]]
+   * rule); the gate reuses the batch oracle verbatim, proving the
+   * projection formulation ≡ the broadcast-join aggregation under the
+   * driver's independent replay, not just under the spec's assert.
+   */
+  val qStreamQuality = Q(
+    "q_stream_quality",
+    (s, dir) => {
+      val weights = CurationQueries.trainQualityWeights(
+        Tables.read(s, dir, "documents").filter(col("doc_id") % 5 =!= 4))
+      val arrivals = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4 && col("text").isNotNull)
+      val scored = arrivals.select(
+          col("doc_id"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"),
+          CurationQueries.qualityScoreCol(col("text"), weights)
+            .as("score_sum"))
+        .withColumn("pred_pos", when(col("score_sum") > 0, 1L).otherwise(0L))
+      runToSink(s, dir, scored, "graft_q_stream_quality")
+    },
+    CurationQueries.qQualityClassifier.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
-                        qStreamLmScore)
+                        qStreamLmScore, qStreamQuality)
 }
