@@ -1540,9 +1540,41 @@ object DedupQueries {
    * Output rows cover every batch document, reassembled.
    */
   private[graft] def spanDedupAgainstCorpus(corpus: DataFrame,
-                                            batch: DataFrame): DataFrame = {
-    val corpusH = spanHashes(spanChunks(corpus)).select("h").distinct()
-    val d = spanChunks(batch)
+                                            batch: DataFrame): DataFrame =
+    spanDedupAgainstCorpusWith(spanChunks, corpus, batch)
+
+  /** [[spanDedupAgainstCorpus]] with CONTENT-DEFINED boundaries — the
+    * crawl-refresh pass that survives shifted boilerplate: a re-crawled
+    * page whose navigation chrome moved by a few tokens still sheds it
+    * against the corpus span index, because [[cdcChunks]] boundaries
+    * re-synchronize to content (the [[qSpanCdc]] property, applied
+    * incrementally). */
+  private[graft] def spanDedupCdcAgainstCorpus(corpus: DataFrame,
+                                               batch: DataFrame): DataFrame = {
+    // BOTH chunk frames pinned against the [[spanDedupCdc]] inlining
+    // blowup, and pinned BEFORE the hash explode — materializing only
+    // the post-explode hash index still evaluates the generator over
+    // the raw alias chain and stays quadratic (measured 105 s for the
+    // corpus half alone at sf0.01; ~1 s with the chunk-frame pin,
+    // CdcProfile). A production crawl-refresh pipeline persists the
+    // span-hash index between batches anyway (the
+    // [[dedupAgainstIndex]] discipline), which subsumes this pin.
+    val corpusH = spanHashes(checkpointCompact(cdcChunks(corpus)))
+      .select("h").distinct()
+    val d = checkpointCompact(cdcChunks(batch))
+    reassembleSpans(d, firstOccurrenceKeepers(
+      spanHashes(d).join(corpusH, Seq("h"), "left_anti")))
+  }
+
+  /** The incremental span pass over ANY chunker: corpus side reduces to
+    * 16-byte distinct span hashes (compact-key anti-join),
+    * batch-internal first-occurrence rule composes on top, every batch
+    * doc reassembled. */
+  private def spanDedupAgainstCorpusWith(chunker: DataFrame => DataFrame,
+                                         corpus: DataFrame,
+                                         batch: DataFrame): DataFrame = {
+    val corpusH = spanHashes(chunker(corpus)).select("h").distinct()
+    val d = chunker(batch)
     val keptPos = firstOccurrenceKeepers(
       spanHashes(d).join(corpusH, Seq("h"), "left_anti"))
     reassembleSpans(d, keptPos)
@@ -1742,20 +1774,30 @@ object DedupQueries {
   /** [[spanDedup]] with content-defined boundaries — same owner-argmin
     * and reassembly tail, same compact-key shuffle discipline (the text
     * never crosses an exchange after chunking; only (16-byte md5,
-    * doc_id, pos) triples shuffle). */
+    * doc_id, pos) triples shuffle).
+    *
+    * The chunk frame is CHECKPOINTED, unlike [[spanDedup]]'s: the CDC
+    * chunk column is a deep alias chain (toks → bases → cuts →
+    * starts/ends → chunks), and when its consumers inline that chain
+    * into lambda bodies (the reassembly's per-kept-position
+    * `element_at`), evaluation goes quadratic-in-tokens PER ELEMENT —
+    * measured 127.6 s vs 3.4 s for the chunk pass alone at sf0.01 in
+    * write mode (CdcProfile); the materialization boundary pins
+    * chunks as a real column evaluated once per row (2.2 s after).
+    * Fixed-width chunks are one shallow transform, cheap enough to
+    * duplicate, which is why [[spanDedup]] doesn't need the pin. */
   private[graft] def spanDedupCdc(d0: DataFrame): DataFrame = {
-    val d = cdcChunks(d0)
+    val d = checkpointCompact(cdcChunks(d0))
     reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
   }
 
-  /** The CDC boundary replay for the oracle: per-token base hashes via
-    * [[hex32]], the 4-token window via LAG, cut set re-aggregated per
-    * doc. 1-based j here ↔ 0-based i = j-1 in [[cdcChunks]]; valid cuts
-    * j ∈ [CdcW, n-1]. */
-  val qSpanCdc = Q(
-    "q_span_cdc",
-    (s, dir) => spanDedupCdc(docsDistributed(s, dir)),
-    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The CDC boundary replay shared by [[qSpanCdc]] and
+    * [[qSpanCdcIncremental]], ending in `cx(doc_id, chunks)`: per-token
+    * base hashes via [[hex32]], the 4-token window via LAG, cut set
+    * re-aggregated per doc. 1-based j here ↔ 0-based i = j-1 in
+    * [[cdcChunks]]; valid cuts j ∈ [CdcW, n-1]. */
+  private lazy val cdcCxCte: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |tk AS (
       |  SELECT doc_id, unnest(toks) AS tok,
       |         unnest(generate_series(1, len(toks))) AS j
@@ -1790,7 +1832,13 @@ object DedupQueries {
       |             array_to_string(toks[starts1[k]:ends1[k]], ' '))
       |         ELSE [] END AS chunks
       |  FROM cb
-      |), ch AS (
+      |)""".stripMargin
+
+  val qSpanCdc = Q(
+    "q_span_cdc",
+    (s, dir) => spanDedupCdc(docsDistributed(s, dir)),
+    Some(s"""$cdcCxCte,
+      |ch AS (
       |  SELECT doc_id, unnest(chunks) AS chunk,
       |         unnest(generate_series(0, len(chunks) - 1)) AS pos
       |  FROM cx
@@ -1811,6 +1859,46 @@ object DedupQueries {
       |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
       |       CAST(len(cx.chunks) AS BIGINT) AS total_chunks
       |FROM cx LEFT JOIN rb ON cx.doc_id = rb.doc_id""".stripMargin)
+  )
+
+  /** [[qSpanIncremental]] with CDC boundaries — the %5 arrival-split
+    * replay of [[spanDedupCdcAgainstCorpus]], on the shared CDC chunk
+    * CTEs. */
+  val qSpanCdcIncremental = Q(
+    "q_span_cdc_incremental",
+    (s, dir) => {
+      val docs = docsDistributed(s, dir)
+      spanDedupCdcAgainstCorpus(docs.filter(col("doc_id") % 5 =!= 4),
+                                docs.filter(col("doc_id") % 5 === 4))
+    },
+    Some(s"""$cdcCxCte,
+      |ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         unnest(generate_series(0, len(chunks) - 1)) AS pos
+      |  FROM cx
+      |), corpus_h AS (
+      |  SELECT DISTINCT md5(chunk) AS h FROM ch WHERE doc_id % 5 <> 4
+      |), fresh AS (
+      |  SELECT doc_id, pos, chunk, md5(chunk) AS h
+      |  FROM ch WHERE doc_id % 5 = 4
+      |    AND md5(chunk) NOT IN (SELECT h FROM corpus_h)
+      |), own AS (
+      |  SELECT doc_id, pos, chunk,
+      |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM fresh
+      |), kept AS (
+      |  SELECT doc_id, pos, chunk FROM own WHERE rn = 1
+      |), rb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT cx.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
+      |       CAST(len(cx.chunks) AS BIGINT) AS total_chunks
+      |FROM cx LEFT JOIN rb ON cx.doc_id = rb.doc_id
+      |WHERE cx.doc_id % 5 = 4""".stripMargin)
   )
 
   /**
@@ -2286,7 +2374,7 @@ object DedupQueries {
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
-    qSpanCdc, qSpanIncremental, qDedupIncremental, qDedupBloom, qCorpusDiff,
-    qMergeUpsert
+    qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
+    qDedupBloom, qCorpusDiff, qMergeUpsert
   )
 }

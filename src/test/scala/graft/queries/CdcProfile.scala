@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness (test scope, not shipped): times the CDC span
+  * family in WRITE mode — full-column materialization, the shape Verify
+  * runs — because count-mode prunes the reassembly and hid the
+  * alias-chain inlining blowup this caught (127 s batch / 105 s
+  * incremental before the chunk-frame checkpoints; ~2 s / ~1 s after —
+  * see spanDedupCdc / spanDedupCdcAgainstCorpus scaladoc). Run:
+  *   SPARK_GRAFT_CPUS=4 sbt "Test/runMain graft.queries.CdcProfile /root/testdata/sf0.01"
+  */
+object CdcProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    def t(tag: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val out = java.nio.file.Files.createTempDirectory("cdcprof").toString
+      df.coalesce(1).write.mode("overwrite").parquet(out)
+      println(f"[cdc-profile] $tag wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val d = DedupQueries.docsDistributed(s, dir)
+    t("cdcChunks-only")(DedupQueries.cdcChunks(d))
+    t("spanDedupCdc")(DedupQueries.spanDedupCdc(d))
+    t("spanDedup-fixed")(DedupQueries.spanDedup(d))
+    t("cdc-incremental")(DedupQueries.spanDedupCdcAgainstCorpus(
+      d.filter(col("doc_id") % 5 =!= 4), d.filter(col("doc_id") % 5 === 4)))
+    s.stop()
+  }
+}
