@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling harness (test scope, not shipped): exercises
+  * [[SimQueries.appendToClusters]]'s ROUTER REGIME — a layout with more
+  * centroids than MaxCents, so the md5-stride seed selection and the
+  * two-stage (route, in-cell rank) assignment actually engage (the spec
+  * fixture stays under the cap, where routing degenerates to exact
+  * nearest-centroid). Builds from the even half of a soak corpus,
+  * appends the odd half, reports cluster/seed counts and walls. Run:
+  *   sbt "Test/runMain graft.queries.ClusterAppendProfile /tmp/graft-soak"
+  */
+object ClusterAppendProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-soak")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val out = java.nio.file.Files.createTempDirectory("graft-cl-app-soak").toString
+    val e = SimQueries.quantizedFrame(s, dir)
+    val n = e.count()
+    val t0 = System.nanoTime()
+    SimQueries.writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val nCents = s.read.parquet(s"$out/centroids").count()
+    val t1 = System.nanoTime()
+    SimQueries.appendToClusters(s, out, e.filter(col("vec_id") % 2 =!= 0))
+    val tAppend = (System.nanoTime() - t1) / 1e9
+    val members = s.read.parquet(s"$out/members")
+    val total = members.count()
+    val distinct = members.select("vec_id").distinct().count()
+    val spread = members.groupBy("cluster_id")
+      .agg(countDistinct("cbucket").as("nb")).filter(col("nb") > 1).count()
+    println(f"[cl-append-profile] n=$n centroids=$nCents " +
+            f"router=${if (nCents > SimQueries.MaxCents) "STRIDE" else "degenerate"} " +
+            f"build=$tBuild%.1f s append=$tAppend%.1f s " +
+            f"members=$total distinct=$distinct bucket_spread=$spread")
+    s.stop()
+  }
+}
