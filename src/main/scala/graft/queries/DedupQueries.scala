@@ -44,8 +44,16 @@ import graft.vector.VectorOps
  * string-keyed `BloomFilter` no longer type-checks into
  * [[DedupQueries.dedupAgainstIndexBloom]] (round-14 ADVICE: the scheme
  * change from string keys was documented but not enforced).
+ *
+ * SEALED ABSTRACT case class on purpose: a plain case class with a
+ * `private[graft]` constructor still exposes the PUBLIC synthetic
+ * `apply` and `copy` (verified against scalac 2.13 — an
+ * outside-package `XxKeyedBloom(rawSketch)` compiled cleanly), which
+ * would let a caller mint the type around [[DedupQueries.bloomOf]]
+ * and defeat the whole contract. The abstract form suppresses both
+ * synthetics; pattern matching and field access keep working.
  */
-final case class XxKeyedBloom private[graft] (
+sealed abstract case class XxKeyedBloom private[graft] (
     sketch: org.apache.spark.util.sketch.BloomFilter)
 
 object DedupQueries {
@@ -1217,7 +1225,8 @@ object DedupQueries {
    */
   val qSemanticDedup = Q(
     "q_semantic_dedup",
-    (s, dir) => semanticDedup(SimQueries.quantizedFrame(s, dir)),
+    (s, dir) => semanticDedup(SimQueries.quantizedFrame(s, dir),
+                              gateCellCap(s, dir)),
     Some(s"""${SimQueries.ivfCte},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
@@ -1274,9 +1283,32 @@ object DedupQueries {
   /** Resolve a caller cap: explicit wins; the [[DeriveCellCap]] sentinel
     * counts the frame. The count is one extra action over the compact
     * quantized projection — a deployment that already tracks corpus
-    * cardinality passes it via [[semanticCellCap]] explicitly. */
+    * cardinality passes it via [[semanticCellCap]] explicitly (the
+    * GATES do: [[gateCellCap]] counts the raw source instead, skipping
+    * the quantized frame's repartition shuffle). */
   private def resolveCellCap(cellCap: Long, e: DataFrame): Long =
     if (cellCap > 0) cellCap else semanticCellCap(e.count())
+
+  /** The gate-side cap: derived from a cheap count of the RAW
+    * embeddings table (metadata-backed parquet count — no quantize
+    * projection, no repartition exchange; the derived-default count on
+    * the quantized frame cost ~1 s of pure shuffle at sf0.1), and
+    * REQUIRED to land on the fixed `MaxCents` the shared trained-IVF
+    * oracle CTE replays. Past 51 200 vectors the derived cap diverges
+    * from the oracle's — without this guard the gate would
+    * hash-mismatch mysteriously on an oversized fixture; with it, it
+    * fails loudly naming the bound (oversized corpora profile through
+    * `SemDedupProfile` with explicit caps instead). */
+  private[graft] def gateCellCap(s: SparkSession, dir: String): Long = {
+    val cap = semanticCellCap(Tables.read(s, dir, "embeddings").count())
+    require(cap == SimQueries.MaxCents,
+      s"semantic-gate fixture exceeds the oracle-replayable bound: derived " +
+        s"cellCap $cap != MaxCents ${SimQueries.MaxCents} (the DuckDB oracle " +
+        "replays the fixed-cap trained-IVF CTE, valid to " +
+        s"${SimQueries.MaxCents * SemTargetCell} vectors) — use a smaller " +
+        "fixture, or call the library function with an explicit cap")
+    cap
+  }
 
   /** [[qSemanticDedup]]'s body over an ARBITRARY quantized
     * `(vec_id, label, q)` frame — factored so specs and non-testdata
@@ -1342,7 +1374,8 @@ object DedupQueries {
    */
   val qSemanticDecontam = Q(
     "q_semantic_decontam",
-    (s, dir) => semanticDecontam(SimQueries.quantizedFrame(s, dir)),
+    (s, dir) => semanticDecontam(SimQueries.quantizedFrame(s, dir),
+                                 gateCellCap(s, dir)),
     Some(s"""${SimQueries.ivfCte},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
@@ -1550,7 +1583,7 @@ object DedupQueries {
     * re-synchronize to content (the [[qSpanCdc]] property, applied
     * incrementally). */
   private[graft] def spanDedupCdcAgainstCorpus(corpus: DataFrame,
-                                               batch: DataFrame): DataFrame = {
+                                               batch: DataFrame): DataFrame =
     // BOTH chunk frames pinned against the [[spanDedupCdc]] inlining
     // blowup, and pinned BEFORE the hash explode — materializing only
     // the post-explode hash index still evaluates the generator over
@@ -1559,12 +1592,8 @@ object DedupQueries {
     // CdcProfile). A production crawl-refresh pipeline persists the
     // span-hash index between batches anyway (the
     // [[dedupAgainstIndex]] discipline), which subsumes this pin.
-    val corpusH = spanHashes(checkpointCompact(cdcChunks(corpus)))
-      .select("h").distinct()
-    val d = checkpointCompact(cdcChunks(batch))
-    reassembleSpans(d, firstOccurrenceKeepers(
-      spanHashes(d).join(corpusH, Seq("h"), "left_anti")))
-  }
+    spanDedupAgainstCorpusWith(df => checkpointCompact(cdcChunks(df)),
+                               corpus, batch)
 
   /** The incremental span pass over ANY chunker: corpus side reduces to
     * 16-byte distinct span hashes (compact-key anti-join),
@@ -2298,10 +2327,10 @@ object DedupQueries {
     // the size and the count was skipped
     val n = if (expectedItems > 0) expectedItems else nonNull.count()
     val empty = if (expectedItems > 0) nonNull.isEmpty else n == 0
-    XxKeyedBloom(
+    new XxKeyedBloom(
       if (empty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
       else nonNull.select(xxhash64(col("ch")).as("h"))
-        .stat.bloomFilter("h", math.max(n, 1L), fpp))
+        .stat.bloomFilter("h", math.max(n, 1L), fpp)) {}
   }
 
   /** [[dedupAgainstCorpus]] behind the driver gate: the documents table

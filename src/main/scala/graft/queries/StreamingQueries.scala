@@ -269,12 +269,12 @@ object StreamingQueries {
     (s, dir) => {
       import graft.vector.VectorOps
       val e = SimQueries.quantizedFrame(s, dir)
-      // same auto-sized cap as the batch face (cell SIZE bounded, not
-      // cell count — DedupQueries.semanticCellCap): at fixture scale it
-      // is exactly MaxCents, which is what the shared oracle replays;
-      // the count bills to the offline index build, not the drain
+      // same auto-sized cap as the batch face, resolved the gate way
+      // (DedupQueries.gateCellCap: cheap raw-source count + the
+      // loud oracle-bound guard); the count bills to the offline index
+      // build, not the drain
       val cents = SimQueries.ivfTrain(
-        e, DedupQueries.semanticCellCap(e.count())).localCheckpoint()
+        e, DedupQueries.gateCellCap(s, dir)).localCheckpoint()
       val evalQ = e.filter(col("vec_id") % 5 === 4)
       val evalIdx = checkpointCompact(
         evalQ.join(SimQueries.ivfAssign1(evalQ, cents)
