@@ -1,0 +1,115 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * BPE tokenizer APPLY ([[graft.queries.TextStatsQueries]] `q_bpe_encode`):
+ * encode a text into subword units under a LEARNED merge list — the
+ * step between `q_bpe_pairs` (merge-candidate counting) and
+ * `q_token_packing` (sequence assembly) that turns raw text into the
+ * units a training pipeline actually packs.
+ *
+ * Semantics (the operator's DEFINITION, deterministic and
+ * engine-replayable): each whitespace word starts as its
+ * single-codepoint units; repeatedly, among all ADJACENT unit pairs
+ * present in the merge table, merge the one with the LOWEST rank —
+ * leftmost occurrence on rank ties — until no adjacent pair is ranked.
+ * Words are independent; the output is the per-word unit lists
+ * concatenated in document order. (Canonical HF-BPE merges every
+ * non-overlapping occurrence of the best pair per step; re-selecting
+ * the global (rank, position) minimum one merge at a time yields the
+ * same terminal state on non-overlapping structure and is what a
+ * recursive-CTE oracle can replay exactly — the DuckDB gate does.)
+ *
+ * Why a custom expression (SURVEY §7.4 rung (b)): the merge loop is
+ * inherently iterative per row — no `functions._` composition
+ * expresses "repeat until fixpoint" — and the relational alternative
+ * (a driver loop issuing one plan per merge rank) rewrites the whole
+ * corpus `|merges|` times. Here the loop runs row-locally inside the
+ * generated stage; the merge table rides the expression as a
+ * reference object (rank lookup is one hash probe), sized to the
+ * tokenizer's merge count — fastText/GPT-style vocabularies are
+ * 10⁴–10⁵ entries, KB–MB scale, the broadcast class.
+ *
+ * The pair key joins the two units with U+001F (unit separator), the
+ * same convention the oracle's learned-table CTE uses; U+001F inside
+ * corpus words would alias pair keys — acceptable for the text class
+ * this targets, stated here. Null text → null. Codegen calls
+ * [[encode]] through a reference object — one virtual call per row
+ * around a tight local loop, keeping the stage compiled (the
+ * [[IntDotProduct]] tradeoff discussion; here the loop is too branchy
+ * to inline profitably).
+ */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_encode requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def prettyName: String = "graft_bpe_encode"
+
+  /** U+001F pair-key separator — the scaladoc convention. */
+  private val PairSep = "\u001f"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, r) => m.put(p, Int.box(r)) }
+    m
+  }
+
+  /** One document: split on single spaces (empties preserved — a word
+    * of zero codepoints contributes zero units, matching the oracle's
+    * empty-list row), merge-loop each word, concatenate. */
+  def encode(text: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    text.toString.split(" ", -1).foreach { word =>
+      val units = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        units += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      var done = false
+      while (!done && units.length > 1) {
+        var bestR = Int.MaxValue
+        var bestI = -1
+        var i = 0
+        while (i < units.length - 1) {
+          val r = rank.get(units(i) + PairSep + units(i + 1))
+          if (r != null && r < bestR) { bestR = r; bestI = i }
+          i += 1
+        }
+        if (bestI < 0) done = true
+        else {
+          units(bestI) = units(bestI) + units(bestI + 1)
+          units.remove(bestI + 1)
+        }
+      }
+      units.foreach(u => out += UTF8String.fromString(u))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

@@ -521,6 +521,132 @@ object TextStatsQueries {
       |SELECT pair, cnt FROM c WHERE cnt >= (SELECT m FROM k)""".stripMargin)
   )
 
+  /** Merge-list size for [[qBpeEncode]] — deliberately small so the
+    * oracle's recursive replay stays bounded; a production tokenizer's
+    * 10⁴–10⁵ merges change only the table size, not the shape. */
+  private val BpeMerges = 32
+
+  /** U+001F pair-key separator — must match
+    * [[graft.expr.BpeEncode]]'s convention and the oracle's `chr(31)`. */
+  private val BpeSep = "\u001f"
+
+  /** Learn the ranked merge list: occurrence-weighted adjacent
+    * single-CODEPOINT pairs over corpus words, top-[[BpeMerges]] by
+    * (count DESC, pair ASC) — a STRICT row-numbered ranking, unlike
+    * [[qBpePairs]]' ties-inclusive band, because merge order is the
+    * tokenizer's identity (two ties resolved differently are two
+    * different tokenizers). One-shot learning by design: true BPE
+    * learning re-counts after each merge (an offline loop a deployment
+    * runs once); the APPLY operator takes any ranked list. Driver
+    * collect is the merge-list size — bounded, the centroid-collect
+    * discipline. */
+  private[graft] def bpeLearnMerges(d: DataFrame,
+                                    k: Int = BpeMerges): Seq[String] =
+    d.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => concat(col("w").substr(i, lit(1)), lit(BpeSep),
+                    col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /**
+   * BPE tokenizer APPLY: encode every document into subword units under
+   * the corpus-learned merge list — the missing middle of the tokenizer
+   * story ([[qBpePairs]] counts merge candidates, [[this]] applies a
+   * ranked merge list, `q_token_packing` packs the result). The encode
+   * itself is the codegen'd row-local loop [[graft.expr.BpeEncode]];
+   * the gate emits per-doc `(n_words, n_subwords, subword_hash)` where
+   * the hash is md5 over the unit-separator join of all subwords in
+   * document order — so the oracle's recursive-CTE replay (one merge
+   * per step: the global (rank, position) minimum, exactly the
+   * expression's definition) must reproduce every unit of every word
+   * to hash-match, not just the counts.
+   *
+   * Scale shape: learning is one map-combinable pair count + a
+   * merge-list-sized driver collect; encoding is a pure projection —
+   * zero shuffles, zero joins, the model rides the expression as a
+   * reference object. Compression is observable: n_subwords < the
+   * corpus codepoint count whenever any merge applies.
+   */
+  lazy val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = bpeLearnMerges(d)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+                subs.as("subs"))
+        .select(col("doc_id"), col("n_words"),
+                size(col("subs")).cast("long").as("n_subwords"),
+                md5(array_join(col("subs"), BpeSep)).as("subword_hash"))
+    },
+    Some(s"""WITH RECURSIVE
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents WHERE text IS NOT NULL
+      |), w AS (
+      |  SELECT doc_id, unnest(words) AS word,
+      |         unnest(generate_series(1, len(words))) AS wpos
+      |  FROM d
+      |), pc AS (
+      |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT word[i] || chr(31) || word[i + 1] AS pair
+      |    FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+      |          FROM w WHERE length(word) >= 2)
+      |  ) GROUP BY pair
+      |), mt AS (
+      |  SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+      |  FROM pc QUALIFY rnk <= $BpeMerges
+      |), mta AS (SELECT list(pair ORDER BY rnk) AS pairs FROM mt),
+      |c0 AS (
+      |  SELECT doc_id, wpos,
+      |         list_transform(generate_series(1, length(word)),
+      |                        i -> word[i]) AS u
+      |  FROM w
+      |), enc AS (
+      |  SELECT doc_id, wpos, u FROM c0
+      |  UNION ALL
+      |  SELECT doc_id, wpos,
+      |         list_concat(list_concat(u[1:bi-1], [u[bi] || u[bi+1]]),
+      |                     u[bi+2:]) AS u
+      |  FROM (
+      |    SELECT e.doc_id, e.wpos, e.u,
+      |           (list_sort(list_filter(
+      |              list_transform(generate_series(1, len(e.u) - 1),
+      |                i -> {'r': list_position(m.pairs,
+      |                             e.u[i] || chr(31) || e.u[i+1]),
+      |                      'i': i}),
+      |              x -> x.r IS NOT NULL AND x.r > 0))[1]).i AS bi
+      |    FROM enc e CROSS JOIN mta m
+      |  ) WHERE bi IS NOT NULL
+      |), fin AS (
+      |  SELECT doc_id, wpos, u FROM (
+      |    SELECT doc_id, wpos, u,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+      |                              ORDER BY len(u) ASC) AS rn
+      |    FROM enc) WHERE rn = 1
+      |), sb AS (
+      |  SELECT doc_id, wpos, unnest(u) AS sub,
+      |         unnest(generate_series(1, len(u))) AS spos
+      |  FROM fin
+      |), dn AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM d)
+      |SELECT dn.doc_id, dn.n_words,
+      |       COALESCE(s.ns, 0) AS n_subwords,
+      |       COALESCE(s.h, md5('')) AS subword_hash
+      |FROM dn LEFT JOIN (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+      |         md5(string_agg(sub, chr(31) ORDER BY wpos, spos)) AS h
+      |  FROM sb GROUP BY doc_id) s ON dn.doc_id = s.doc_id""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -1324,6 +1450,6 @@ object TextStatsQueries {
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
-    qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth
+    qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode
   )
 }

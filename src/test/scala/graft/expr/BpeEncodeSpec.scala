@@ -1,0 +1,92 @@
+package graft.expr
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkSpec
+
+/** The BPE apply expression: hand-computed merge sequences, rank
+  * priority over position, edge shapes, and agreement between the
+  * interpreted eval and the codegen'd path that production uses. */
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Sep = "\u001f"
+
+  private def enc(text: String, merges: Seq[String]): Seq[String] = {
+    val c = ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(col("t")), merges))
+    Seq(Tuple1(text)).toDF("t").select(c.as("u")).as[Seq[String]].head()
+  }
+
+  test("merges apply in rank order, re-scanning after each merge") {
+    // merges: (l,o) rank 0, (lo,w) rank 1 — 'low' becomes one unit via
+    // the cascade; 'w' alone survives; chars without merges stay chars
+    val m = Seq(s"l${Sep}o", s"lo${Sep}w")
+    assert(enc("low", m) === Seq("low"))
+    assert(enc("lot", m) === Seq("lo", "t"))
+    assert(enc("wool", m) === Seq("w", "o", "o", "l"))
+    assert(enc("low low", m) === Seq("low", "low"))
+  }
+
+  test("lowest rank wins over leftmost position; leftmost breaks rank ties") {
+    // 'ab' ranked 1, 'bc' ranked 0: in 'abc' the RIGHT pair merges
+    // first, leaving a + bc (no 'a,bc' merge) — position alone would
+    // have produced ab + c
+    val m = Seq(s"b${Sep}c", s"a${Sep}b")
+    assert(enc("abc", m) === Seq("a", "bc"))
+    // same pair twice: leftmost occurrence merges first — observable
+    // with 'aa' ranked then 'aaa': "aaaa" -> aa|aa; "aaa" -> aa|a
+    val m2 = Seq(s"a${Sep}a")
+    assert(enc("aaaa", m2) === Seq("aa", "aa"))
+    assert(enc("aaa", m2) === Seq("aa", "a"))
+  }
+
+  test("words are independent; empty words and empty text contribute nothing") {
+    val m = Seq(s"a${Sep}b")
+    assert(enc("ab ab", m) === Seq("ab", "ab"))
+    // double space -> empty middle word, zero units
+    assert(enc("ab  ab", m) === Seq("ab", "ab"))
+    assert(enc("", m) === Seq.empty)
+    assert(enc(" ", m) === Seq.empty)
+  }
+
+  test("null text stays null; empty merge list is the identity chunking") {
+    val c = ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(col("t")), Seq.empty))
+    val out = Seq(Some("abc"), None).toDF("t")
+      .select(c.as("u")).as[Option[Seq[String]]].collect()
+    assert(out(0) === Some(Seq("a", "b", "c")))
+    assert(out(1) === None)
+  }
+
+  test("codepoint units: supplementary-plane characters are one unit, not two") {
+    // U+1F600 is two UTF-16 chars; a char-indexed split would tear it
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(enc(s"a${emoji}b", Seq.empty) === Seq("a", emoji, "b"))
+    val m = Seq(s"a${Sep}$emoji")
+    assert(enc(s"a${emoji}b", m) === Seq(s"a$emoji", "b"))
+  }
+
+  test("whole-stage codegen evaluates the expression (no interpreted fallback)") {
+    val m = Seq(s"t${Sep}h", s"th${Sep}e")
+    val c = ColumnBridge.column(
+      BpeEncode(ColumnBridge.expression(col("t")), m))
+    // a range scan, not a local Seq: ConvertToLocalRelation folds a
+    // local projection at optimization time and no stage runs at all
+    val df = spark.range(64)
+      .select(org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("the tok"),
+                col("id").cast("string")).as("t"))
+      .select(c.as("u"))
+    val plan = df.queryExecution.executedPlan
+    val inStage = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("graft_bpe_encode") => w
+    }
+    assert(inStage.nonEmpty,
+      s"expected graft_bpe_encode inside a WholeStageCodegen stage:\n$plan")
+    val got = df.as[Seq[String]].collect()
+    assert(got.length === 64 && got.forall(_.head === "the"))
+  }
+}
