@@ -152,6 +152,26 @@ object GraftFunctions {
       IvfNearestCell(children(0), children(1), children(2))
     }
   )
+
+  /** `graft_bpe_encode(text, merges)` — subword encoding under a
+    * CONSTANT ranked merge list (array of U+001F-joined pair keys, rank
+    * = position); the merge table must be foldable because it becomes
+    * the expression's reference object (the [[shingles]] evaluate-not-
+    * pattern-match rule for pre-folding arguments). */
+  val bpeEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text, m) if m.foldable && m.dataType.isInstanceOf[ArrayType] =>
+        val arr = m.eval().asInstanceOf[ArrayData]
+        require(arr != null, "graft_bpe_encode: merges must not be null")
+        val merges = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        BpeEncode(text, merges)
+      case _ => throw new IllegalArgumentException(
+        "graft_bpe_encode takes (string text, constant array<string> merges)")
+    }
+  )
 }
 
 /**
@@ -168,6 +188,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.shingles)
     ext.injectFunction(GraftFunctions.pqNearest)
     ext.injectFunction(GraftFunctions.ivfNearest)
+    ext.injectFunction(GraftFunctions.bpeEncode)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
   }
 }

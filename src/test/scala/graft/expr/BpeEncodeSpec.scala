@@ -68,6 +68,21 @@ class BpeEncodeSpec extends SparkSpec {
     assert(enc(s"a${emoji}b", m) === Seq(s"a$emoji", "b"))
   }
 
+  test("graft_bpe_encode is SQL-callable through the extension registration") {
+    val (id, info, builder) = GraftFunctions.bpeEncode
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val got = spark.sql(
+      s"SELECT graft_bpe_encode('low lot', array('l${Sep}o', 'lo${Sep}w')) AS u")
+      .as[Seq[String]].head()
+    assert(got === Seq("low", "lo", "t"))
+    // non-constant merge table must fail loudly at resolution
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode('x', array(CAST(rand() AS STRING)))")
+        .collect()
+    }
+    assert(err.getMessage.contains("constant array<string>"))
+  }
+
   test("whole-stage codegen evaluates the expression (no interpreted fallback)") {
     val m = Seq(s"t${Sep}h", s"th${Sep}e")
     val c = ColumnBridge.column(
