@@ -1040,11 +1040,43 @@ object StreamingQueries {
     CurationQueries.qQualityClassifier.oracle
   )
 
+  /**
+   * BPE encoding's streaming face — the tokenize-at-ingest pass: the
+   * frozen merge list (trained offline on the standing corpus — the
+   * [[qStreamQuality]] billing split) rides the codegen'd
+   * [[graft.expr.BpeEncode]] expression as a reference object, so
+   * encoding an arriving document is a stateless per-row projection.
+   * Same oracle as the batch gate verbatim: the micro-batch path must
+   * reproduce every subword of every word (the md5-over-all-subwords
+   * hash), not just counts.
+   */
+  val qStreamBpe = Q(
+    "q_stream_bpe",
+    (s, dir) => {
+      val merges = TextStatsQueries.bpeLearnMerges(
+        Tables.read(s, dir, "documents"))
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      val scored = tableStream(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+                subs.as("subs"))
+        .select(col("doc_id"), col("n_words"),
+                size(col("subs")).cast("long").as("n_subwords"),
+                md5(array_join(col("subs"), TextStatsQueries.BpeSep))
+                  .as("subword_hash"))
+      runToSink(s, dir, scored, "graft_q_stream_bpe")
+    },
+    TextStatsQueries.qBpeEncode.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
-                        qStreamLmScore, qStreamQuality)
+                        qStreamLmScore, qStreamQuality, qStreamBpe)
 }

@@ -528,7 +528,7 @@ object TextStatsQueries {
 
   /** U+001F pair-key separator — must match
     * [[graft.expr.BpeEncode]]'s convention and the oracle's `chr(31)`. */
-  private val BpeSep = "\u001f"
+  private[graft] val BpeSep = "\u001f"
 
   /** Learn the ranked merge list: occurrence-weighted adjacent
     * single-CODEPOINT pairs over corpus words, top-[[BpeMerges]] by
