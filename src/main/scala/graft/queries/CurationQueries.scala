@@ -823,9 +823,59 @@ object CurationQueries {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /**
+   * Token packing over the REAL tokenizer's output — [[qTokenPacking]]
+   * with whitespace-token counts replaced by BPE subword counts
+   * ([[graft.expr.BpeEncode]] under the corpus-learned merge list):
+   * pack boundaries land where the tokenizer the training run actually
+   * uses says they do, which is the number that matters for sequence
+   * budgets (whitespace counts over- or under-fill packs by the corpus'
+   * compression ratio). Same greedy per-source running-sum shape, same
+   * budget; only documents with text participate (the encode
+   * contract). Oracle composes the shared BPE recursive replay
+   * ([[TextStatsQueries]] `bpeSbCte`) with [[qTokenPacking]]'s window
+   * — one statement of each, no drift surface.
+   */
+  lazy val qBpePacking = Q(
+    "q_bpe_packing",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TextStatsQueries.bpeLearnMerges(d)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("source"),
+               size(subs).cast("long").as("n_sub"))
+        .withColumn("sub_before", coalesce(sum("n_sub").over(w), lit(0L)))
+        .withColumn("pack_id", expr(s"sub_before div $PackBudget"))
+        .select("doc_id", "source", "n_sub", "pack_id")
+    },
+    Some(s"""${TextStatsQueries.bpeSbCte},
+      |nt AS (
+      |  SELECT dn.doc_id, COALESCE(s.ns, 0) AS n_sub
+      |  FROM dn LEFT JOIN (
+      |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns
+      |    FROM sb GROUP BY doc_id) s ON dn.doc_id = s.doc_id
+      |), t AS (
+      |  SELECT dd.doc_id, dd.source, nt.n_sub
+      |  FROM documents dd JOIN nt ON dd.doc_id = nt.doc_id
+      |), cw AS (
+      |  SELECT doc_id, source, n_sub,
+      |         CAST(COALESCE(SUM(n_sub) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |           AS sub_before
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_sub, sub_before // $PackBudget AS pack_id
+      |FROM cw""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport,
-                        qQualityClassifier)
+                        qQualityClassifier, qBpePacking)
 }

@@ -553,42 +553,14 @@ object TextStatsQueries {
       .limit(k)
       .collect().map(_.getString(0)).toSeq
 
-  /**
-   * BPE tokenizer APPLY: encode every document into subword units under
-   * the corpus-learned merge list — the missing middle of the tokenizer
-   * story ([[qBpePairs]] counts merge candidates, [[this]] applies a
-   * ranked merge list, `q_token_packing` packs the result). The encode
-   * itself is the codegen'd row-local loop [[graft.expr.BpeEncode]];
-   * the gate emits per-doc `(n_words, n_subwords, subword_hash)` where
-   * the hash is md5 over the unit-separator join of all subwords in
-   * document order — so the oracle's recursive-CTE replay (one merge
-   * per step: the global (rank, position) minimum, exactly the
-   * expression's definition) must reproduce every unit of every word
-   * to hash-match, not just the counts.
-   *
-   * Scale shape: learning is one map-combinable pair count + a
-   * merge-list-sized driver collect; encoding is a pure projection —
-   * zero shuffles, zero joins, the model rides the expression as a
-   * reference object. Compression is observable: n_subwords < the
-   * corpus codepoint count whenever any merge applies.
-   */
-  lazy val qBpeEncode = Q(
-    "q_bpe_encode",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val merges = bpeLearnMerges(d)
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val subs = ColumnBridge.column(graft.expr.BpeEncode(
-        ColumnBridge.expression(col("text")), merges))
-      d.filter(col("text").isNotNull)
-        .select(col("doc_id"),
-                size(split(col("text"), " ", -1)).cast("long").as("n_words"),
-                subs.as("subs"))
-        .select(col("doc_id"), col("n_words"),
-                size(col("subs")).cast("long").as("n_subwords"),
-                md5(array_join(col("subs"), BpeSep)).as("subword_hash"))
-    },
-    Some(s"""WITH RECURSIVE
+  /** The BPE replay shared by [[qBpeEncode]] and the packing
+    * composition (`q_bpe_packing`) — the learned merge table, the
+    * recursive one-merge-per-step fixpoint, and the exploded final
+    * subwords: defines `sb(doc_id, wpos, sub, spos)` and
+    * `dn(doc_id, n_words)`. One statement of the encode semantics, two
+    * gated consumers (the `dedupedKeptCte` discipline). */
+  private[queries] lazy val bpeSbCte: String =
+    s"""WITH RECURSIVE
       |d AS (
       |  SELECT doc_id, string_split(text, ' ') AS words
       |  FROM documents WHERE text IS NOT NULL
@@ -637,7 +609,45 @@ object TextStatsQueries {
       |  SELECT doc_id, wpos, unnest(u) AS sub,
       |         unnest(generate_series(1, len(u))) AS spos
       |  FROM fin
-      |), dn AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM d)
+      |), dn AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM d)""".stripMargin
+
+  /**
+   * BPE tokenizer APPLY: encode every document into subword units under
+   * the corpus-learned merge list — the missing middle of the tokenizer
+   * story ([[qBpePairs]] counts merge candidates, this applies a
+   * ranked merge list, `q_token_packing`/`q_bpe_packing` pack the
+   * result). The encode itself is the codegen'd row-local loop
+   * [[graft.expr.BpeEncode]]; the gate emits per-doc
+   * `(n_words, n_subwords, subword_hash)` where the hash is md5 over
+   * the unit-separator join of all subwords in document order — so the
+   * oracle's recursive-CTE replay (one merge per step: the global
+   * (rank, position) minimum, exactly the expression's definition)
+   * must reproduce every unit of every word to hash-match, not just
+   * the counts.
+   *
+   * Scale shape: learning is one map-combinable pair count + a
+   * merge-list-sized driver collect; encoding is a pure projection —
+   * zero shuffles, zero joins, the model rides the expression as a
+   * reference object. Compression is observable: n_subwords < the
+   * corpus codepoint count whenever any merge applies.
+   */
+  lazy val qBpeEncode = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = bpeLearnMerges(d)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+                subs.as("subs"))
+        .select(col("doc_id"), col("n_words"),
+                size(col("subs")).cast("long").as("n_subwords"),
+                md5(array_join(col("subs"), BpeSep)).as("subword_hash"))
+    },
+    Some(s"""$bpeSbCte
       |SELECT dn.doc_id, dn.n_words,
       |       COALESCE(s.ns, 0) AS n_subwords,
       |       COALESCE(s.h, md5('')) AS subword_hash
