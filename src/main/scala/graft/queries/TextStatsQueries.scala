@@ -553,6 +553,53 @@ object TextStatsQueries {
       .limit(k)
       .collect().map(_.getString(0)).toSeq
 
+  /**
+   * TRUE iterative BPE training — the offline learn loop
+   * [[bpeLearnMerges]]' one-shot ranking deliberately is not: after
+   * each adopted merge the corpus is RE-ENCODED under the
+   * merges-so-far (the [[graft.expr.BpeEncode]] expression itself, so
+   * train and apply can never disagree on semantics) and the next
+   * merge is the most frequent adjacent SUBWORD pair of the new
+   * encoding — which is what lets multi-character merges compound
+   * ('aa'+'aa' → 'aaaa'), something a one-shot character-pair count
+   * can never produce (`BpeTrainSpec` pins exactly that divergence).
+   *
+   * Deployment shape: k corpus passes, one per adopted merge — the
+   * classic offline tokenizer-training loop, run once and persisted;
+   * each pass is a zero-shuffle encode projection + one
+   * map-combinable pair count + a 1-row TakeOrdered (count DESC, pair
+   * ASC — the [[bpeLearnMerges]] determinism rule). Pairs are counted
+   * WITHIN words (words exploded before encoding), never across word
+   * boundaries. Stops early when no adjacent pair repeats.
+   */
+  private[graft] def bpeTrainMerges(d: DataFrame,
+                                    k: Int = BpeMerges): Seq[String] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = d.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+    var merges = Vector.empty[String]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val u = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("w")), merges))
+      val best = words.select(u.as("u"))
+        .filter(size(col("u")) >= 2)
+        .select(explode(zip_with(
+          slice(col("u"), lit(1), size(col("u")) - 1),
+          slice(col("u"), lit(2), size(col("u")) - 1),
+          (a, b) => concat(a, lit(BpeSep), b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else { merges :+= best.head.getString(0); i += 1 }
+    }
+    merges
+  }
+
   /** The BPE replay shared by [[qBpeEncode]] and the packing
     * composition (`q_bpe_packing`) — the learned merge table, the
     * recursive one-merge-per-step fixpoint, and the exploded final

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkSpec
+
+/** Iterative BPE training must COMPOUND merges (re-encode, then count
+  * subword pairs) — the property that separates it from the one-shot
+  * character-pair ranking, and the reason tokenizers are trained with
+  * a loop. */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Sep = "\u001f"
+
+  private def encode(text: String, merges: Seq[String]): Seq[String] = {
+    val c = ColumnBridge.column(graft.expr.BpeEncode(
+      ColumnBridge.expression(col("t")), merges))
+    Seq(Tuple1(text)).toDF("t").select(c.as("u")).as[Seq[String]].head()
+  }
+
+  test("iterative training compounds merges that one-shot counting cannot mint") {
+    val d = Seq.fill(5)("aaaa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // one-shot: the only CHARACTER pair is (a,a); no multi-char merge
+    // can ever appear in its ranking
+    val oneShot = TextStatsQueries.bpeLearnMerges(d, k = 4)
+    assert(oneShot === Seq(s"a${Sep}a"))
+    assert(encode("aaaa", oneShot) === Seq("aa", "aa"))
+    // iterative: after adopting (a,a) the corpus re-encodes to [aa, aa]
+    // and the next round learns (aa,aa) — full-word compression
+    val trained = TextStatsQueries.bpeTrainMerges(d, k = 4)
+    assert(trained === Seq(s"a${Sep}a", s"aa${Sep}aa"))
+    assert(encode("aaaa", trained) === Seq("aaaa"))
+  }
+
+  test("training stops when no adjacent pair repeats; determinism across runs") {
+    val d = Seq((1L, "ab cd"), (2L, "ef gh")).toDF("doc_id", "text")
+    // every pair occurs once — the cnt >= 2 floor stops training
+    // immediately (a merge seen once is memorization, not compression)
+    assert(TextStatsQueries.bpeTrainMerges(d, k = 8) === Seq.empty)
+    val d2 = Seq((1L, "ab ab xy"), (2L, "ab xy")).toDF("doc_id", "text")
+    val m1 = TextStatsQueries.bpeTrainMerges(d2, k = 8)
+    val m2 = TextStatsQueries.bpeTrainMerges(d2.repartition(7), k = 8)
+    assert(m1 === m2, "training must be partitioning-independent")
+    assert(m1.head === s"a${Sep}b")
+    assert(m1.contains(s"x${Sep}y"))
+  }
+
+  test("trained merges feed the same apply path the gates use") {
+    val d = Seq((1L, "the the then")).toDF("doc_id", "text")
+    val trained = TextStatsQueries.bpeTrainMerges(d, k = 8)
+    // 'th' then 'the' (compounded) must emerge, and applying them
+    // reproduces whole-word units for 'the'
+    assert(trained.nonEmpty)
+    val enc = encode("the then", trained)
+    assert(enc.head === "the", s"expected whole-word 'the', got $enc")
+  }
+}
