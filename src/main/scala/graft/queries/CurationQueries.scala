@@ -873,9 +873,222 @@ object CurationQueries {
       |FROM cw""".stripMargin)
   )
 
+  /** Feature-hash bucket count for the DSIR family. 2¹⁰ buckets: dense
+    * enough that the fixture's ~40-word vocabulary (unigrams + bigrams)
+    * collides rarely, small enough that the weight table broadcasts as
+    * a few KB at ANY corpus size — the table is B rows by construction,
+    * never corpus-scale. (DSIR's published config is 10⁴ buckets; the
+    * constant is the deployment's knob.) */
+  private val DsirB = 1024L
+
+  /** 10⁶ — both the weight scale (w = 10⁶ ≡ likelihood ratio 1, i.e.
+    * "looks equally target-like and raw-like") and the resample
+    * probability denominator. */
+  private val DsirScale = 1000000L
+
+  /** The planted target label: `lang = 'en'` stands in for "a trusted
+    * high-quality corpus" (Wikipedia/books in the published recipe);
+    * the machinery is label-agnostic — a deployment binds any target
+    * predicate or a separate target table. */
+  private val DsirTarget = "en"
+
+  /**
+   * DSIR-style importance scoring (Data Selection via Importance
+   * Resampling, Xie et al. 2023 — arXiv:2302.03169): estimate target
+   * and raw bag-of-hashed-n-gram distributions (unigrams + bigrams →
+   * `DsirB` buckets), then score each candidate document by how
+   * target-like its features are. The published scorer sums LOG
+   * likelihood ratios; `ln` is the one operation this engine's
+   * exact-integer discipline forbids (engine-divergent rounding, see
+   * [[TextStatsQueries]] BM25 notes), so the scorer here sums the
+   * SCALED RATIOS themselves — Σ_occ ⌊10⁶·p̂(b)/q̂(b)⌋, Laplace-smoothed
+   * — a deliberate surrogate that keeps the same hashed-feature signal
+   * and the same linear-in-tokens cost while staying bit-reproducible
+   * in any engine. The per-bucket ratio is evaluated once (B rows)
+   * through an IDENTICAL IEEE double expression tree on both gate
+   * faces (the [[CoreQueries.qAbSignificance]] determinism argument:
+   * ×, / are correctly-rounded, so ⌊·⌋ lands identically; an integer
+   * cross-product would overflow 64-bit at ~10⁹ target tokens), then
+   * floored to a BIGINT — everything per-document after that is exact
+   * integer sums.
+   *
+   * Scale shape: one explode pass over corpus tokens (checkpointed —
+   * consumed by three aggregates); bucket counts are map-side-combined
+   * to ≤ B rows; the weight table BROADCASTS into the scoring join (no
+   * shuffle of the feature fanout); the per-doc sum is the one
+   * corpus-scale shuffle, carrying (doc_id, partial sums) after
+   * partial aggregation. Linear in corpus tokens — the
+   * [[TextStatsQueries.qLmScore]] cost class.
+   */
+  /** (doc_id, lang, sel_h, b) per feature occurrence, checkpointed —
+    * consumed by three aggregates. sel_h rides the explode as an 8-byte
+    * constant — cheaper than re-joining the doc frame after the score
+    * aggregate. */
+  private def dsirFeatureFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+              pmod(TextOps.md5Prefix32(md5(concat(lit("dsirsel:"), col("text")))),
+                   lit(DsirScale)).as("sel_h"),
+              TextOps.tokens(col("text")).as("toks"))
+    checkpointCompact(
+      d.select(col("doc_id"), col("lang"), col("sel_h"),
+               explode(concat(col("toks"), TextOps.shingles(col("toks"), 2)))
+                 .as("feat"))
+        .withColumn("b", pmod(TextOps.md5Prefix32(
+                                md5(concat(lit("dsir:"), col("feat")))),
+                              lit(DsirB)))
+        .drop("feat"))
+  }
+
+  /** The ≤ `DsirB`-row weight table (b, w) over a feature frame —
+    * w_b = ⌊10⁶ · p̂(b)/q̂(b)⌋ with p̂(b) = (tgt_b+1)/(T+B), q̂(b) =
+    * (raw_b+1)/(R+B) — grouping pinned to ((10⁶·x)·y)/(u·v) so the
+    * oracle's left-assoc SQL reproduces every intermediate rounding. */
+  private def dsirWeightsOf(fb: DataFrame): DataFrame = {
+    val raw = fb.groupBy("b").agg(count(lit(1)).as("raw_b"))
+    val tgt = fb.filter(col("lang") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tgt_b"))
+    val tot = fb.agg(
+      count(lit(1)).as("r_tot"),
+      sum(when(col("lang") === DsirTarget, 1L).otherwise(0L)).as("t_tot"))
+    val dbl = (c: Column) => c.cast("double")
+    raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tgt_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+              floor(lit(1000000.0) * dbl(col("tgt_b") + 1) *
+                      dbl(col("r_tot") + DsirB) /
+                      (dbl(col("raw_b") + 1) * dbl(col("t_tot") + DsirB)))
+                .cast("long").as("w"))
+  }
+
+  private[queries] def dsirScored(s: SparkSession, dir: String): DataFrame = {
+    val fb = dsirFeatureFrame(s, dir)
+    fb.join(broadcast(dsirWeightsOf(fb)), Seq("b"))
+      .groupBy("doc_id")
+      .agg(max(col("lang")).as("lang"), max(col("sel_h")).as("sel_h"),
+           count(lit(1)).as("n_feats"), sum(col("w")).as("imp_sum"))
+      .withColumn("imp_bp", expr("imp_sum div n_feats"))
+  }
+
+  /** Materialize the trained DSIR weight table as a `DsirB`-long array
+    * (index b+1 = w_b; absent buckets — no raw occurrence anywhere — 0)
+    * for the pure-projection face: the offline model-build step, a
+    * bounded 1024-row collect (the [[trainQualityWeights]] discipline). */
+  private[graft] def trainDsirWeights(s: SparkSession, dir: String): Seq[Long] = {
+    val m = dsirWeightsOf(dsirFeatureFrame(s, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq.tabulate(DsirB.toInt)(b => m.getOrElse(b.toLong, 0L))
+  }
+
+  /** The DSIR feature stream of one document — unigrams ++ bigrams, the
+    * single definition both faces hash from. */
+  private[graft] def dsirFeatsCol(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    concat(toks, TextOps.shingles(toks, 2))
+  }
+
+  /** DSIR scoring as a PURE PROJECTION against the materialized weight
+    * array — Σ_feat w[bucket(feat)] via HOF aggregate; what makes the
+    * streaming face stateless (no join, no state store). Every bucket a
+    * scored document touches exists in the trained table whenever the
+    * model was trained on a corpus containing it; unseen buckets read
+    * the array's 0. */
+  private[graft] def dsirScoreCol(feats: Column, weights: Seq[Long]): Column = {
+    val wArr = array(weights.map(lit): _*)
+    aggregate(
+      transform(feats,
+                f => element_at(wArr,
+                       (TextOps.md5Prefix32(md5(concat(lit("dsir:"), f)))
+                          % DsirB).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Shared oracle CTE chain for the DSIR pair, ending in a
+    * `sc(doc_id, lang, sel_h, n_feats, imp_sum, imp_bp)` relation —
+    * one statement of the hash/smoothing/rounding pipeline, so the two
+    * gates cannot drift on the model. */
+  private def dsirScoredSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+       |         ${DedupQueries.hex32("md5('dsirsel:' || text)")} % $DsirScale
+       |           AS sel_h
+       |  FROM documents WHERE text IS NOT NULL
+       |), f AS (
+       |  SELECT doc_id, lang, sel_h,
+       |         unnest(list_concat(toks,
+       |           list_transform(generate_series(1, len(toks) - 1),
+       |                          i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+       |  FROM d
+       |), fb AS (
+       |  SELECT doc_id, lang, sel_h,
+       |         ${DedupQueries.hex32("md5('dsir:' || feat)")} % $DsirB AS b
+       |  FROM f
+       |), raw AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_b FROM fb GROUP BY b
+       |), tgt AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS tgt_b
+       |  FROM fb WHERE lang = '$DsirTarget' GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS r_tot,
+       |         CAST(SUM(CASE WHEN lang = '$DsirTarget' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS t_tot
+       |  FROM fb
+       |), w AS (
+       |  SELECT raw.b,
+       |         CAST(FLOOR(1000000.0 * CAST(COALESCE(tgt_b, 0) + 1 AS DOUBLE)
+       |                              * CAST(r_tot + $DsirB AS DOUBLE)
+       |                    / (CAST(raw_b + 1 AS DOUBLE)
+       |                       * CAST(t_tot + $DsirB AS DOUBLE)))
+       |              AS BIGINT) AS w
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+       |), sc AS (
+       |  SELECT doc_id, MAX(lang) AS lang, MAX(sel_h) AS sel_h,
+       |         CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |         CAST(SUM(w.w) AS BIGINT) AS imp_sum,
+       |         CAST(SUM(w.w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS imp_bp
+       |  FROM fb JOIN w ON fb.b = w.b GROUP BY doc_id
+       |)""".stripMargin
+
+  /** DSIR importance weights per candidate document — the scoring half
+    * (see [[dsirScored]]): n_feats, the exact imp_sum of scaled
+    * per-feature ratios, and imp_bp = imp_sum div n_feats (the average
+    * scaled ratio; 10⁶ ≡ "as target-like as raw-like"). */
+  lazy val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, dir) => dsirScored(s, dir)
+      .select("doc_id", "lang", "n_feats", "imp_sum", "imp_bp"),
+    Some(s"""$dsirScoredSql
+      |SELECT doc_id, lang, n_feats, imp_sum, imp_bp FROM sc""".stripMargin)
+  )
+
+  /**
+   * DSIR resampling — the selection half: keep each document with
+   * probability min(1, imp_bp/10⁶) via the deterministic hash-threshold
+   * draw (`sel_h < min(10⁶, imp_bp)`; independent Bernoulli rejection
+   * sampling, the distributed stand-in for the paper's Gumbel top-k,
+   * which needs both `ln` and a global sort). Above-neutral documents
+   * (imp_bp ≥ 10⁶ — more target-like than the raw pool) always
+   * survive; raw-like documents survive in proportion to their ratio.
+   * Deterministic under any partitioning or re-run — the
+   * [[qSplitAssign]] argument — and a fresh draw is one salt change
+   * away.
+   */
+  lazy val qDsirResample = Q(
+    "q_dsir_resample",
+    (s, dir) => dsirScored(s, dir)
+      .filter(col("sel_h") < least(lit(DsirScale), col("imp_bp")))
+      .select(col("doc_id"), col("lang"), col("imp_bp"),
+              col("sel_h").as("h")),
+    Some(s"""$dsirScoredSql
+      |SELECT doc_id, lang, imp_bp, sel_h AS h FROM sc
+      |WHERE sel_h < LEAST($DsirScale, imp_bp)""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport,
-                        qQualityClassifier, qBpePacking)
+                        qQualityClassifier, qBpePacking,
+                        qDsirWeights, qDsirResample)
 }

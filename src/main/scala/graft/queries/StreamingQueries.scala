@@ -1041,6 +1041,34 @@ object StreamingQueries {
   )
 
   /**
+   * DSIR scoring's streaming face — importance-score documents AT
+   * INGEST against the frozen selection model: the ≤1024-long weight
+   * array (trained offline on the standing corpus — the
+   * [[qStreamQuality]] billing split) ships inside the projection
+   * ([[CurationQueries.dsirScoreCol]]), so scoring an arriving
+   * document is stateless per-row arithmetic — no join, no state
+   * store, no watermark. Gate reuses [[CurationQueries.qDsirWeights]]'
+   * oracle verbatim, proving projection ≡ broadcast-join aggregation
+   * under the driver's independent replay.
+   */
+  val qStreamDsir = Q(
+    "q_stream_dsir",
+    (s, dir) => {
+      val w = CurationQueries.trainDsirWeights(s, dir)
+      val arrivals = tableStream(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val feats = CurationQueries.dsirFeatsCol(col("text"))
+      val scored = arrivals.select(
+          col("doc_id"), col("lang"),
+          size(feats).cast("long").as("n_feats"),
+          CurationQueries.dsirScoreCol(feats, w).as("imp_sum"))
+        .withColumn("imp_bp", expr("imp_sum div n_feats"))
+      runToSink(s, dir, scored, "graft_q_stream_dsir")
+    },
+    CurationQueries.qDsirWeights.oracle
+  )
+
+  /**
    * BPE encoding's streaming face — the tokenize-at-ingest pass: the
    * frozen merge list (trained offline on the standing corpus — the
    * [[qStreamQuality]] billing split) rides the codegen'd
@@ -1078,5 +1106,6 @@ object StreamingQueries {
                         qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
-                        qStreamLmScore, qStreamQuality, qStreamBpe)
+                        qStreamLmScore, qStreamQuality, qStreamBpe,
+                        qStreamDsir)
 }
