@@ -912,29 +912,37 @@ object DedupQueries {
     * arbitrary-frame surfaces cannot drift. */
   private def dedupeWithPairs(docsDf: DataFrame,
                               nearPairs: DataFrame): DataFrame = {
-    // exact (normalized-content) duplicates are ALWAYS edges — they are
-    // duplicates by definition, no LSH recall or Jaccard verification
-    // applies. LSH shingles run over RAW tokens, so a case/whitespace
-    // variant of a doc can evade the near-dup bands entirely; without
-    // this union the composition would keep both copies. One 16-byte
-    // hash groupBy + equi-join — the cheap stage, exactly the
-    // "exact-dedup removes those first" convention the skew guard's
-    // scaladoc already relies on. localCheckpoint: the self-join's two
-    // inputs differ below their exchanges (one aggregates), so
-    // ReuseExchange can't dedup them — unmaterialized, the corpus scan
-    // and the normalize+md5 would run twice.
+    // paired docs that are NOT their component's min are the removals;
+    // everything else (canonical ids + singletons) survives
+    val removed = components(dedupEdges(docsDf, nearPairs))
+      .filter(col("id") =!= col("lbl")).select(col("id"))
+    docsDf.join(removed, col("doc_id") === col("id"), "left_anti")
+  }
+
+  /** Near edges ∪ exact edges — the ONE edge-set definition under every
+    * dedup composition ([[dedupeWithPairs]] min-survivor and
+    * [[canonicalCorpus]] quality-survivor).
+    *
+    * Exact (normalized-content) duplicates are ALWAYS edges — they are
+    * duplicates by definition, no LSH recall or Jaccard verification
+    * applies. LSH shingles run over RAW tokens, so a case/whitespace
+    * variant of a doc can evade the near-dup bands entirely; without
+    * this union the composition would keep both copies. One 16-byte
+    * hash groupBy + equi-join — the cheap stage, exactly the
+    * "exact-dedup removes those first" convention the skew guard's
+    * scaladoc already relies on. localCheckpoint: the self-join's two
+    * inputs differ below their exchanges (one aggregates), so
+    * ReuseExchange can't dedup them — unmaterialized, the corpus scan
+    * and the normalize+md5 would run twice. */
+  private def dedupEdges(docsDf: DataFrame,
+                         nearPairs: DataFrame): DataFrame = {
     val hashes = checkpointCompact(
       docsDf.select(col("doc_id"), TextOps.contentHash(col("text")).as("h")))
     val exactPairs = hashes
       .join(hashes.groupBy("h").agg(min("doc_id").as("a_id")), "h")
       .filter(col("doc_id") =!= col("a_id"))
       .select(col("a_id"), col("doc_id").as("b_id"))
-    val pairs = nearPairs.union(exactPairs)
-    // paired docs that are NOT their component's min are the removals;
-    // everything else (canonical ids + singletons) survives
-    val removed = components(pairs)
-      .filter(col("id") =!= col("lbl")).select(col("id"))
-    docsDf.join(removed, col("doc_id") === col("id"), "left_anti")
+    nearPairs.union(exactPairs)
   }
 
   /** Cross-corpus decontamination over ARBITRARY train/eval frames (each
@@ -986,6 +994,14 @@ object DedupQueries {
     * (`cand` for LSH-candidate mode, `ver` for Jaccard-verified mode) so
     * both modes state the SAME fixpoint over different edge sets. */
   private def keptSuffix(near: String): String =
+    s"""${walkSuffix(near)},
+      |kept AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id)""".stripMargin
+
+  /** The exact-edge ∪ near-edge → components fixpoint, ending at `walk`
+    * (id → every reachable label) — factored from [[keptSuffix]] so the
+    * quality-aware canonical pick ([[qCanonicalCorpus]]) states the SAME
+    * component structure and only swaps the survivor rule. */
+  private def walkSuffix(near: String): String =
     s"""eh AS (
       |  SELECT doc_id,
       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
@@ -1001,8 +1017,7 @@ object DedupQueries {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e2.d, w.lbl FROM walk w JOIN e2 ON e2.s = w.id
-      |),
-      |kept AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id)""".stripMargin
+      |)""".stripMargin
 
   /** Shared oracle prefix for the dedup COMPOSITIONS: the recursive-CTE
     * fixpoint of [[qDedupClusters]] extended with the exact
@@ -1060,6 +1075,64 @@ object DedupQueries {
       |),
       |${keptSuffix("ver")}
       |SELECT doc_id FROM kept""".stripMargin)
+  )
+
+  /**
+   * Quality-aware canonical selection — the dedup composition with the
+   * survivor rule production pipelines actually want: per duplicate
+   * component keep the member with the MOST CONTENT (max n_chars,
+   * min doc_id tiebreak), not the smallest id. First-occurrence keeping
+   * ([[qDedupedCorpus]]) silently discards the longest/cleanest copy
+   * whenever a truncated variant happens to carry the smaller id — on
+   * real crawls (snippet pages, AMP mirrors, paywall stubs duplicating
+   * full articles) that is the COMMON case, and the kept corpus is
+   * measurably worse for it. Same edge set, same components fixpoint —
+   * only the per-component argmax differs, stated as two exact integer
+   * aggregates (max n_chars, then min doc_id among the maximal) so no
+   * engine-divergent struct/argmax comparison is involved.
+   *
+   * Scale shape: reuses [[dedupEdges]] + [[components]]; the membership
+   * join hashes on doc_id, the argmax is two map-combinable aggregates
+   * keyed by component label — nothing beyond [[dedupedCorpus]]'s cost
+   * but one extra tiny agg. Output one row per surviving component
+   * (singletons included: a doc absent from the pair set is its own
+   * component) with its size — the cluster accounting a curation report
+   * wants alongside the kept ids.
+   */
+  def canonicalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val comp = components(dedupEdges(d, candidateStars(shingled(s, dir))))
+    val mem = d.select(col("doc_id"), col("n_chars"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+              coalesce(col("lbl"), col("doc_id")).as("comp"))
+    val mx = mem.groupBy("comp")
+      .agg(max("n_chars").as("mc"), count(lit(1)).as("n_members"))
+    mem.join(mx, Seq("comp"))
+      .filter(col("n_chars") === col("mc"))
+      .groupBy("comp", "n_members")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "n_members")
+  }
+
+  val qCanonicalCorpus = Q(
+    "q_canonical_corpus",
+    (s, dir) => canonicalCorpus(s, dir),
+    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |${walkSuffix("cand")},
+      |cm AS (SELECT id, MIN(lbl) AS comp FROM walk GROUP BY id),
+      |mem AS (
+      |  SELECT d.doc_id, d.n_chars, cm.comp
+      |  FROM documents d JOIN cm ON d.doc_id = cm.id
+      |),
+      |mx AS (
+      |  SELECT comp, MAX(n_chars) AS mc,
+      |         CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM mem GROUP BY comp
+      |)
+      |SELECT MIN(mem.doc_id) AS doc_id, mx.n_members
+      |FROM mem JOIN mx ON mem.comp = mx.comp AND mem.n_chars = mx.mc
+      |GROUP BY mx.comp, mx.n_members""".stripMargin)
   )
 
   /**
@@ -2401,7 +2474,8 @@ object DedupQueries {
 
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
-    qDedupClusters, qDedupedCorpus, qDedupedVerified, qDecontaminate, qExactOverlap,
+    qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
+    qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert
