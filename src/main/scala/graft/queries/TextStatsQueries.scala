@@ -704,6 +704,53 @@ object TextStatsQueries {
       |  FROM sb GROUP BY doc_id) s ON dn.doc_id = s.doc_id""".stripMargin)
   )
 
+  /**
+   * Tokenizer FERTILITY per language — subwords emitted per input word
+   * under the corpus-learned merge list, the standard tokenizer-parity
+   * metric for multilingual corpora (a language whose fertility runs
+   * ~2× the corpus median pays ~2× the context budget per sentence —
+   * the number a tokenizer review reads first). Exact integers: group
+   * sums of per-doc word/subword counts, ratio reported as
+   * ⌊1000·subwords/words⌋ — no float division crosses the gate.
+   *
+   * Scale shape: the encode is the same zero-shuffle
+   * [[graft.expr.BpeEncode]] projection as [[qBpeEncode]]; the
+   * fertility table is one map-combinable aggregate to #languages
+   * rows. Oracle composes the shared recursive replay ([[bpeSbCte]])
+   * — a third consumer of the one encode-semantics statement.
+   */
+  lazy val qBpeFertility = Q(
+    "q_bpe_fertility",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val merges = bpeLearnMerges(d)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.BpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      d.filter(col("text").isNotNull)
+        .select(col("lang"),
+                size(split(col("text"), " ", -1)).cast("long").as("nw"),
+                size(subs).cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(sum("nw").as("n_words"), sum("ns").as("n_subwords"))
+        .withColumn("fertility_x1000",
+                    expr("(1000 * n_subwords) div n_words"))
+    },
+    Some(s"""$bpeSbCte,
+      |nsd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sb GROUP BY doc_id
+      |), t AS (
+      |  SELECT dd.lang, dn.n_words, COALESCE(nsd.ns, 0) AS ns
+      |  FROM dn JOIN documents dd ON dd.doc_id = dn.doc_id
+      |  LEFT JOIN nsd ON nsd.doc_id = dn.doc_id
+      |)
+      |SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |       CAST(SUM(ns) AS BIGINT) AS n_subwords,
+      |       (1000 * CAST(SUM(ns) AS BIGINT))
+      |         // CAST(SUM(n_words) AS BIGINT) AS fertility_x1000
+      |FROM t GROUP BY lang""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -1507,6 +1554,7 @@ object TextStatsQueries {
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
-    qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode
+    qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
+    qBpeFertility
   )
 }

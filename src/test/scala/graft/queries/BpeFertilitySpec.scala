@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fertility must be exactly the per-doc encode aggregated by language —
+  * the composition contract with q_bpe_encode — and bounded below by
+  * 1000 (every non-empty word emits at least one subword). */
+class BpeFertilitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fertility == aggregated per-doc encode; >= 1000 per language") {
+    import spark.implicits._
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang")
+    val perDoc = TextStatsQueries.qBpeEncode.fn(spark, dir)
+      .join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_subwords").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val fert = TextStatsQueries.qBpeFertility.fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(fert.map(_._1).toSet === perDoc.keySet)
+    fert.foreach { case (lang, nw, ns, f) =>
+      val (w, s) = perDoc(lang)
+      assert(nw === w && ns === s, s"$lang sums drifted from q_bpe_encode")
+      assert(f === (1000L * ns) / nw, s"$lang ratio must be the floored div")
+      assert(f >= 1000L, s"$lang fertility below 1: every word emits >= 1 subword")
+    }
+  }
+}
