@@ -1585,6 +1585,72 @@ object DedupQueries {
       |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id""".stripMargin)
   )
 
+  /**
+   * INTRA-document span dedup — strip repeated spans WITHIN each
+   * document (keep the first occurrence, reassemble in order): the
+   * within-page boilerplate pass (repeated nav blocks, duplicated
+   * paragraphs from templating bugs, copy-paste loops) that cleans a
+   * document without consulting the rest of the corpus. The
+   * corpus-wide [[qSpanDedup]] subsumes the REMOVALS but changes
+   * cross-document ownership; this pass is what runs when the pipeline
+   * wants documents cleaned independently — which is also what makes
+   * it a ZERO-SHUFFLE pure projection: chunk, then keep chunk i iff
+   * its first occurrence in the chunk array is at i
+   * (`array_position = i+1` inside a HOF filter — per-doc work is
+   * O(chunks²) with chunks = tokens/20, trivially row-local), then
+   * rejoin. No explode, no groupBy, no exchange; the streaming face is
+   * free. The oracle replays the same semantics through the window
+   * formulation (first occurrence per (doc, span content)).
+   */
+  val qIntradocDedup = Q(
+    "q_intradoc_dedup",
+    (s, dir) => intraDocDedup(docs(s, dir)),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) > 0 THEN
+      |           list_transform(
+      |             generate_series(0, CAST(CEIL(len(toks) / $SpanTokens.0) AS BIGINT) - 1),
+      |             i -> array_to_string(toks[i*$SpanTokens+1 : i*$SpanTokens+$SpanTokens], ' '))
+      |         ELSE [] END AS chunks
+      |  FROM d
+      |), ch AS (
+      |  SELECT doc_id, unnest(chunks) AS chunk,
+      |         unnest(generate_series(0, len(chunks) - 1)) AS pos
+      |  FROM c0
+      |), own AS (
+      |  SELECT doc_id, pos, chunk,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id, md5(chunk)
+      |                            ORDER BY pos) AS rn
+      |  FROM ch
+      |), kept AS (
+      |  SELECT doc_id, pos, chunk FROM own WHERE rn = 1
+      |), rb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT c0.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_chunks, 0) AS kept_chunks,
+      |       CAST(len(c0.chunks) AS BIGINT) AS total_chunks
+      |FROM c0 LEFT JOIN rb ON c0.doc_id = rb.doc_id""".stripMargin)
+  )
+
+  /** [[qIntradocDedup]]'s body over an ARBITRARY `(doc_id, text, …)`
+    * frame — stateless per row, so the streaming face applies it
+    * verbatim. */
+  private[graft] def intraDocDedup(d0: DataFrame): DataFrame =
+    spanChunks(d0)
+      .select(col("doc_id"),
+              expr("filter(chunks, (c, i) -> array_position(chunks, c) = i + 1)")
+                .as("kp"),
+              col("chunks"))
+      .select(col("doc_id"),
+              array_join(col("kp"), " ").as("clean_text"),
+              size(col("kp")).cast("long").as("kept_chunks"),
+              size(col("chunks")).cast("long").as("total_chunks"))
+
   /** [[qSpanDedup]]'s body over an ARBITRARY `(doc_id, text)` frame.
     *
     * Shuffle discipline: document TEXT crosses no exchange after the
@@ -2477,6 +2543,7 @@ object DedupQueries {
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
     qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
+    qIntradocDedup,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert
   )

@@ -1041,6 +1041,24 @@ object StreamingQueries {
   )
 
   /**
+   * Intra-document span dedup at ingest — the within-page boilerplate
+   * strip as a stream: [[DedupQueries.intraDocDedup]] is a zero-shuffle
+   * pure projection (no corpus state consulted), so the streaming face
+   * is the batch body applied verbatim per micro-batch — no join, no
+   * state store, no watermark — and the gate reuses the batch oracle
+   * unchanged.
+   */
+  val qStreamIntradoc = Q(
+    "q_stream_intradoc",
+    (s, dir) => {
+      val cleaned = DedupQueries.intraDocDedup(
+        tableStream(s, dir, "documents"))
+      runToSink(s, dir, cleaned, "graft_q_stream_intradoc")
+    },
+    DedupQueries.qIntradocDedup.oracle
+  )
+
+  /**
    * DSIR scoring's streaming face — importance-score documents AT
    * INGEST against the frozen selection model: the ≤1024-long weight
    * array (trained offline on the standing corpus — the
@@ -1107,5 +1125,5 @@ object StreamingQueries {
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
-                        qStreamDsir)
+                        qStreamDsir, qStreamIntradoc)
 }
