@@ -552,13 +552,60 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_dsir_score(rawTable, targetTable)` — DSIR importance scores
+    * for every raw document against a target corpus's hashed-n-gram
+    * distribution ([[graft.queries.CurationQueries.dsirScoredOf]]). */
+  val dsirScore: TVF = (
+    new FunctionIdentifier("graft_dsir_score"),
+    info("graft_dsir_score", "graft_dsir_score(rawDocs, targetDocs)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_dsir_score"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.CurationQueries.dsirScoredOf(
+        active.table(strArg(args, 0, fn)),
+        active.table(strArg(args, 1, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_intradoc_dedup(docsTable)` — within-document repeated-span
+    * strip ([[graft.queries.DedupQueries.intraDocDedup]]); zero-shuffle
+    * pure projection. */
+  val intradocDedup: TVF = (
+    new FunctionIdentifier("graft_intradoc_dedup"),
+    info("graft_intradoc_dedup", "graft_intradoc_dedup(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_intradoc_dedup"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.DedupQueries.intraDocDedup(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_canonical_dedup(docsTable)` — the dedup composition keeping
+    * the FULLEST member of each duplicate cluster
+    * ([[graft.queries.DedupQueries.canonicalCorpusOf]]). */
+  val canonicalDedup: TVF = (
+    new FunctionIdentifier("graft_canonical_dedup"),
+    info("graft_canonical_dedup", "graft_canonical_dedup(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_canonical_dedup"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.DedupQueries.canonicalCorpusOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, semanticDedup, semanticDecontam,
                           bm25, mixtureSample,
                           knnGraph, semanticClusters, clusterSample, hll,
                           cms, invertedIndex, mergeUpsert, corpusDiff,
-                          chunk, tfidf, lmScore)
+                          chunk, tfidf, lmScore,
+                          dsirScore, intradocDedup, canonicalDedup)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -981,6 +981,43 @@ object CurationQueries {
     Seq.tabulate(DsirB.toInt)(b => m.getOrElse(b.toLong, 0L))
   }
 
+  /** [[dsirScored]] generalized to TWO ARBITRARY `(doc_id, text, …)`
+    * frames — the deployment-realistic API (`graft_dsir_score` TVF):
+    * estimate the target distribution from `target`, the raw
+    * distribution from `raw`, score every raw document. The gate's
+    * single-table form is the special case target = raw WHERE
+    * lang = target-label (embedded label, one feature pass);
+    * `DsirSpec` pins the two forms equal on exactly that binding.
+    * Totals derive from the ≤ `DsirB`-row count tables (sum over
+    * buckets ≡ count over occurrences), so the only corpus-scale work
+    * is the raw feature pass + the per-doc aggregate. */
+  private[graft] def dsirScoredOf(raw: DataFrame, target: DataFrame): DataFrame = {
+    def fb(df: DataFrame) = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(dsirFeatsCol(col("text"))).as("feat"))
+      .withColumn("b", pmod(TextOps.md5Prefix32(
+                              md5(concat(lit("dsir:"), col("feat")))),
+                            lit(DsirB)))
+      .drop("feat")
+    val rawFb = checkpointCompact(fb(raw))
+    val rawCnt = rawFb.groupBy("b").agg(count(lit(1)).as("raw_b"))
+    val tgtCnt = fb(target).groupBy("b").agg(count(lit(1)).as("tgt_b"))
+    val tot = broadcast(
+      rawCnt.agg(sum("raw_b").as("r_tot"))
+        .crossJoin(tgtCnt.agg(coalesce(sum("tgt_b"), lit(0L)).as("t_tot"))))
+    val dbl = (c: Column) => c.cast("double")
+    val weights = rawCnt.join(tgtCnt, Seq("b"), "left").na.fill(0L, Seq("tgt_b"))
+      .crossJoin(tot)
+      .select(col("b"),
+              floor(lit(1000000.0) * dbl(col("tgt_b") + 1) *
+                      dbl(col("r_tot") + DsirB) /
+                      (dbl(col("raw_b") + 1) * dbl(col("t_tot") + DsirB)))
+                .cast("long").as("w"))
+    rawFb.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("imp_sum"))
+      .withColumn("imp_bp", expr("imp_sum div n_feats"))
+  }
+
   /** The DSIR feature stream of one document — unigrams ++ bigrams, the
     * single definition both faces hash from. */
   private[graft] def dsirFeatsCol(text: Column): Column = {

@@ -1099,9 +1099,13 @@ object DedupQueries {
    * component) with its size — the cluster accounting a curation report
    * wants alongside the kept ids.
    */
-  def canonicalCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val comp = components(dedupEdges(d, candidateStars(shingled(s, dir))))
+  def canonicalCorpus(s: SparkSession, dir: String): DataFrame =
+    canonicalCorpusOf(docs(s, dir))
+
+  /** [[canonicalCorpus]] over an ARBITRARY `(doc_id, text, n_chars, …)`
+    * frame — the `graft_canonical_dedup('t')` TVF delegate. */
+  def canonicalCorpusOf(d: DataFrame): DataFrame = {
+    val comp = components(dedupEdges(d, candidateStarsOf(d)))
     val mem = d.select(col("doc_id"), col("n_chars"))
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), col("n_chars"),

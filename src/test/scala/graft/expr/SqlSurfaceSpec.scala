@@ -360,6 +360,33 @@ class SqlSurfaceSpec extends SparkSpec {
       TextStatsQueries.tfidfTerms(docs, 2).collect().toSet)
   }
 
+  test("curation/dedup TVFs (dsir_score, intradoc_dedup, canonical_dedup)") {
+    import graft.queries.{CurationQueries, DedupQueries}
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val raw = Seq(
+      (1L, s"good clean prose $span", 40L),
+      (2L, s"$span $span", 40L), // intra-doc repeat
+      (3L, "junk1 junk2 junk3", 17L)
+    ).toDF("doc_id", "text", "n_chars")
+    val target = Seq((10L, "good clean prose reads well", 27L))
+      .toDF("doc_id", "text", "n_chars")
+    raw.createOrReplaceTempView("dsir_raw")
+    target.createOrReplaceTempView("dsir_tgt")
+    val ds = spark.sql("SELECT * FROM graft_dsir_score('dsir_raw', 'dsir_tgt')")
+    val dsDirect = CurationQueries.dsirScoredOf(raw, target)
+    assert(ds.columns.toSeq === dsDirect.columns.toSeq)
+    assert(ds.collect().toSet === dsDirect.collect().toSet)
+    // every raw doc scored (ranking properties live in DsirSpec, whose
+    // fixture plants the raw-pool dilution the ratios are meaningful under)
+    assert(ds.count() === 3L)
+    val intra = spark.sql("SELECT * FROM graft_intradoc_dedup('dsir_raw')")
+    assert(intra.collect().toSet ===
+      DedupQueries.intraDocDedup(raw).collect().toSet)
+    val canon = spark.sql("SELECT * FROM graft_canonical_dedup('dsir_raw')")
+    assert(canon.collect().toSet ===
+      DedupQueries.canonicalCorpusOf(raw).collect().toSet)
+  }
+
   test("table functions reject non-constant and missing arguments") {
     trades.createOrReplaceTempView("trades")
     quotes.createOrReplaceTempView("quotes")

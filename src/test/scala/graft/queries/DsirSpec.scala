@@ -77,6 +77,20 @@ class DsirSpec extends SparkSpec {
     assert(kept.contains(100L), "above-neutral doc must always be selected")
   }
 
+  test("two-table form equals the embedded-label form on the gate's binding") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val two = CurationQueries.dsirScoredOf(d, d.filter(col("lang") === "en"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(two.keySet === scored.keySet)
+    two.foreach { case (id, (nf, s, bp)) =>
+      val (_, nf1, s1, bp1) = scored(id)
+      assert(nf === nf1 && s === s1 && bp === bp1,
+             s"doc $id drifted between the one- and two-table forms")
+    }
+  }
+
   test("pure projection scores equal the broadcast-join aggregation") {
     import org.apache.spark.sql.functions._
     val w = CurationQueries.trainDsirWeights(spark, dir)
