@@ -1122,10 +1122,68 @@ object CurationQueries {
       |WHERE sel_h < LEAST($DsirScale, imp_bp)""".stripMargin)
   )
 
+  /** Sample size for [[qPrioritySample]] (a deployment binds its own). */
+  private val PrioK = 50
+
+  /**
+   * PRIORITY SAMPLING (Duffield–Lund–Thorup, CACM 2007): a weighted
+   * k-sample whose Horvitz–Thompson weights `max(w, τ)` give UNBIASED
+   * subset-sum estimates from just k rows — the sampling scheme to use
+   * when downstream wants "estimate total tokens/bytes per slice from
+   * a tiny sample" rather than uniform rows. Priority p = w/u with
+   * u ~ U(0,1]; here u = (md5-hash mod 10⁶ + 1)/10⁶, so
+   * p = ⌊w·10⁶/(h+1)⌋ is exact-integer and the draw is deterministic
+   * under any partitioning or re-run (the [[qSplitAssign]] argument).
+   * τ is the (k+1)-th priority (0 when the population fits in k — the
+   * whole corpus IS the sample and est_w degenerates to w exactly).
+   *
+   * Scale shape: the top-k is `TakeOrderedAndProject` (per-partition
+   * bounded heaps, k rows to the driver merge — never a global sort),
+   * τ is a second bounded take, and the weights sum map-side. Weight
+   * column is n_chars (bytes-ish); any positive weight plugs in.
+   */
+  lazy val qPrioritySample = Q(
+    "q_priority_sample",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+                col("n_chars").cast("long").as("w"),
+                (pmod(TextOps.md5Prefix32(
+                        md5(concat(lit("prio:"), col("text")))),
+                      lit(1000000L)) + 1L).as("u"))
+        .withColumn("p", expr("(w * 1000000) div u"))
+      val top = d.orderBy(col("p").desc, col("doc_id")).limit(PrioK)
+      val tau = d.orderBy(col("p").desc, col("doc_id")).limit(PrioK + 1)
+        .agg(when(count(lit(1)) === PrioK + 1, min(col("p")))
+               .otherwise(0L).as("tau"))
+      top.crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("lang"), col("w"), col("p"),
+                greatest(col("w"), col("tau")).as("est_w"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+      |         ${DedupQueries.hex32("md5('prio:' || text)")} % 1000000 + 1 AS u
+      |  FROM documents WHERE text IS NOT NULL
+      |), pr AS (
+      |  SELECT doc_id, lang, w, (w * 1000000) // u AS p FROM d
+      |), top AS (
+      |  SELECT * FROM pr ORDER BY p DESC, doc_id LIMIT $PrioK
+      |), t1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS c, MIN(p) AS m
+      |  FROM (SELECT p FROM pr ORDER BY p DESC, doc_id LIMIT ${PrioK + 1})
+      |), tau AS (
+      |  SELECT CASE WHEN c = ${PrioK + 1} THEN m
+      |              ELSE CAST(0 AS BIGINT) END AS tau FROM t1
+      |)
+      |SELECT doc_id, lang, w, p, GREATEST(w, tau) AS est_w
+      |FROM top CROSS JOIN tau""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport,
                         qQualityClassifier, qBpePacking,
-                        qDsirWeights, qDsirResample)
+                        qDsirWeights, qDsirResample, qPrioritySample)
 }
