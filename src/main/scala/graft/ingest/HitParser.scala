@@ -77,4 +77,29 @@ object HitParser {
     val observed = raw.observe("graft_parse_in", count(lit(1)).as("input_rows"))
     parse(observed).observe("graft_parse_out", count(lit(1)).as("parsed_rows"))
   }
+
+  /**
+   * The DEAD-LETTER side of [[parse]]: every line parse drops, with the
+   * FIRST-failing rule (in [[parse]]'s filter order) as a reason code —
+   * the quarantine output a production feed pipeline writes beside the
+   * parsed table so "silently discarded" ([[parse]]'s reference-parity
+   * contract, `main.py:78-81`) becomes "discarded, attributed, and
+   * re-processable". [[parse]] ∪ this = the input, exactly
+   * (spec-pinned conservation): the predicates here are the literal
+   * negations of [[parse]]'s filters, stated once each. Pure
+   * projection + filter — codegen'd, no shuffle.
+   */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val c = split(col("value"), "\t")
+    raw
+      .select(col("value"), c.as("c"))
+      .withColumn(
+        "reason",
+        when(size(col("c")) < 10, "short_row")
+          .when(!col("c")(0).rlike("^[0-9]+$"), "bad_ts")
+          .when(col("c")(4) =!= "" && size(split(col("c")(4), ";")) < 2,
+                "bad_product"))
+      .filter(col("reason").isNotNull)
+      .select(col("value").as("line"), col("reason"))
+  }
 }

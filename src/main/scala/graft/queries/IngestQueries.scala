@@ -109,5 +109,30 @@ object IngestQueries {
       .stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qTsvParse, qHitsExport, qProfileColumns)
+  /** The dead-letter complement of [[qTsvParse]]: the dropped lines
+    * with first-failing-rule reason codes ([[HitParser.quarantine]]) —
+    * same synthesized feed, so the gate proves rejects + parses
+    * partition the input under the driver's independent replay. */
+  val qTsvQuarantine = Q(
+    "q_tsv_quarantine",
+    (s, dir) => HitParser.quarantine(FeedSynth.synthLines(
+      distributeBy(Tables.events(s, dir), col("event_id")))),
+    Some(s"""${FeedSynth.parsedHitsCte},
+      |bad AS (
+      |  SELECT value AS line,
+      |         CASE
+      |           WHEN len(string_split(value, chr(9))) < 10 THEN 'short_row'
+      |           WHEN NOT regexp_matches(string_split(value, chr(9))[1],
+      |                                   '^[0-9]+$$') THEN 'bad_ts'
+      |           WHEN string_split(value, chr(9))[5] <> ''
+      |                AND len(string_split(string_split(value, chr(9))[5],
+      |                                     ';')) < 2 THEN 'bad_product'
+      |         END AS reason
+      |  FROM raw
+      |)
+      |SELECT line, reason FROM bad WHERE reason IS NOT NULL""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qTsvParse, qHitsExport, qProfileColumns,
+                        qTsvQuarantine)
 }

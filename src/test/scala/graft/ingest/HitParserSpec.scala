@@ -106,4 +106,25 @@ class HitParserSpec extends SparkSpec {
     assert(observed("graft_parse_in") === Row(3L))
     assert(observed("graft_parse_out") === Row(1L))
   }
+
+  test("quarantine is the exact complement of parse, with first-rule reasons") {
+    val lines = Seq(
+      happy,                                               // parses
+      "1000\tu\tv",                                      // short_row
+      "\tu\tv\tt\t\tcodes\tp\tsrv\ti\ts",         // bad_ts (empty)
+      "xx\tu\tv\tt\t\tcodes\tp\tsrv\ti\ts",       // bad_ts (non-numeric)
+      "1000\tu\tv\tt\tNOSEMI\tc\tp\tsrv\ti\ts",   // bad_product
+      "abc\tu\tv\tt\tNOSEMI"                           // short_row wins (first rule)
+    )
+    val raw = lines.toDF("value")
+    val q = HitParser.quarantine(raw).as[(String, String)].collect().toMap
+    assert(q === Map(
+      lines(1) -> "short_row",
+      lines(2) -> "bad_ts",
+      lines(3) -> "bad_ts",
+      lines(4) -> "bad_product",
+      lines(5) -> "short_row"))
+    // conservation: parse keeps exactly the lines quarantine rejects nothing of
+    assert(HitParser.parse(raw).count() + q.size === lines.size)
+  }
 }
