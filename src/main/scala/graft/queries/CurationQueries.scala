@@ -1122,6 +1122,83 @@ object CurationQueries {
       |WHERE sel_h < LEAST($DsirScale, imp_bp)""".stripMargin)
   )
 
+  /**
+   * TEMPERATURE-rebalanced mixture (the multilingual exponential-
+   * smoothing practice, α = 1/2: sample shares ∝ n_g^α): the
+   * data-DERIVED sibling of [[qMixtureSample]] — instead of a target
+   * list, the weights come from the corpus itself, w_g = ⌊√n_g⌋, which
+   * UPSAMPLES rare groups relative to their raw share (the reason
+   * multilingual pretraining uses it: a head language at 96 % of the
+   * crawl should not be 96 % of training). ⌊√·⌋ through an identical
+   * IEEE tree on both faces (sqrt is correctly-rounded); everything
+   * after is exact integers: feasible total T = min_g ⌊n_g·W/w_g⌋ — the
+   * SMALLEST group binds and is kept in full — keep_g = ⌊T·w_g/W⌋,
+   * drawn as the md5-rank prefix through the same GlobalRank
+   * range-exchange decomposition as the exact mixture (never a
+   * one-task per-group window).
+   */
+  lazy val qTemperatureMixture = Q(
+    "q_temperature_mixture",
+    (s, dir) => temperatureMixture(Tables.read(s, dir, "documents"), "lang"),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang, md5('tmix:' || COALESCE(text, '')) AS h
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY lang
+      |), w AS (
+      |  SELECT lang, n,
+      |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      |  FROM c
+      |), tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+      |t AS (SELECT MIN(n * tot // wt) AS t FROM w CROSS JOIN tw),
+      |k AS (
+      |  SELECT lang, (SELECT t FROM t) * wt // (SELECT tot FROM tw) AS keep_n
+      |  FROM w
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |                                 ORDER BY h, doc_id) AS BIGINT) AS rn
+      |  FROM d
+      |)
+      |SELECT r.doc_id, r.lang, r.rn
+      |FROM r JOIN k ON r.lang = k.lang
+      |WHERE r.rn <= k.keep_n""".stripMargin)
+  )
+
+  /** [[qTemperatureMixture]]'s body over an ARBITRARY
+    * `(doc_id, <group>, text)` frame. Same scale shape as
+    * [[mixtureSample]]: the group-count/offset frames are tiny
+    * broadcast aggregates, the per-group rank is the group-major
+    * GlobalRank minus broadcast prefix offsets. (Integer-range note:
+    * n·W and T·w stay under 2⁶³ while n_g·Σ⌊√n_g⌋ does — ~10¹² docs
+    * across ~10³ groups; past that, lift to decimal(38).) */
+  private[graft] def temperatureMixture(d0: DataFrame,
+                                        groupCol: String): DataFrame = {
+    val s = d0.sparkSession
+    val d = d0.select(col("doc_id"), col(groupCol),
+                      md5(concat(lit("tmix:"), coalesce(col("text"), lit(""))))
+                        .as("h"))
+    val counts = d.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("wt", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+    val tot = counts.agg(sum("wt").as("tot"))
+    val t = counts.crossJoin(broadcast(tot))
+      .agg(min(expr("n * tot div wt")).as("t"))
+    val wGrp = Window.orderBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = counts.crossJoin(broadcast(tot)).crossJoin(broadcast(t))
+      .withColumn("keep_n", expr("t * wt div tot"))
+      .withColumn("off", coalesce(sum("n").over(wGrp), lit(0L)))
+      .select(groupCol, "keep_n", "off")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.operators.GlobalRank
+      .withGlobalRank(d, Seq(col(groupCol), col("h"), col("doc_id")),
+                      parts, "grnk")
+      .join(broadcast(keep), Seq(groupCol))
+      .withColumn("rn", col("grnk") - col("off"))
+      .filter(col("rn") <= col("keep_n"))
+      .select("doc_id", groupCol, "rn")
+  }
+
   /** Sample size for [[qPrioritySample]] (a deployment binds its own). */
   private val PrioK = 50
 
@@ -1185,5 +1262,6 @@ object CurationQueries {
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport,
                         qQualityClassifier, qBpePacking,
-                        qDsirWeights, qDsirResample, qPrioritySample)
+                        qDsirWeights, qDsirResample, qPrioritySample,
+                        qTemperatureMixture)
 }

@@ -1041,6 +1041,29 @@ object StreamingQueries {
   )
 
   /**
+   * The dead-letter quarantine AT INGEST: the raw feed streamed from a
+   * landing dir ([[qStreamFeed]]'s discovery path) with
+   * [[graft.ingest.HitParser.quarantine]] applied per micro-batch — a
+   * stateless projection+filter, so rejected lines land in the
+   * quarantine sink with reason codes in the same trigger that parses
+   * the good ones. Gate reuses the batch oracle verbatim.
+   */
+  val qStreamQuarantine = Q(
+    "q_stream_quarantine",
+    (s, dir) => {
+      val feedDir = streamDir(s, dir, "stream-quarantine")
+      graft.ingest.FeedSynth.synthLines(
+          distributeBy(Tables.events(s, dir), col("event_id")))
+        .coalesce(1).write.mode("overwrite").text(feedDir)
+      val raw = s.readStream.format("text")
+        .schema("value STRING").load(feedDir)
+      runToSink(s, dir, graft.ingest.HitParser.quarantine(raw),
+                "graft_q_stream_quarantine")
+    },
+    IngestQueries.qTsvQuarantine.oracle
+  )
+
+  /**
    * Intra-document span dedup at ingest — the within-page boilerplate
    * strip as a stream: [[DedupQueries.intraDocDedup]] is a zero-shuffle
    * pure projection (no corpus state consulted), so the streaming face
@@ -1125,5 +1148,5 @@ object StreamingQueries {
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
-                        qStreamDsir, qStreamIntradoc)
+                        qStreamDsir, qStreamIntradoc, qStreamQuarantine)
 }
