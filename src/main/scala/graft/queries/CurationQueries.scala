@@ -1199,6 +1199,111 @@ object CurationQueries {
       .select("doc_id", groupCol, "rn")
   }
 
+  /** Mask rate (percent of token positions) for [[qSpanCorrupt]]. */
+  private val CorruptPct = 15
+
+  /**
+   * T5/UL2-style SPAN CORRUPTION prep: turn each document into the
+   * (input, target) pair a denoising pretraining objective consumes —
+   * token positions masked at [[CorruptPct]] % by a DETERMINISTIC
+   * per-(doc, position) hash draw, ADJACENT masked tokens coalesced
+   * into one numbered sentinel (exactly what span corruption produces:
+   * `<extra_id_k>` replaces the whole run in the input, and the target
+   * is the sentinel-prefixed run contents in order). The hash draw
+   * replaces the published RNG: reproducible under any partitioning,
+   * re-run, or cluster size — the property a training pipeline needs
+   * for resumable preprocessing — and a fresh corruption is one salt
+   * change away.
+   *
+   * Shape: gaps-and-islands over the exploded token stream (two
+   * per-doc windows — partitioned by doc_id, scales with the doc
+   * count), runs re-aggregated by position-sorted collect, pieces
+   * re-joined per document. Shuffles carry (doc_id, pos, token)
+   * triples and run summaries — never the document twice.
+   */
+  lazy val qSpanCorrupt = Q(
+    "q_span_corrupt",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("mflag",
+          (pmod(TextOps.md5Prefix32(
+                  md5(concat(lit("mask:"), col("doc_id"), lit(":"), col("pos")))),
+                lit(100L)) < CorruptPct).cast("int"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = d
+        .withColumn("chg",
+          when(lag("mflag", 1).over(wDoc).isNull ||
+               col("mflag") =!= lag("mflag", 1).over(wDoc), 1).otherwise(0))
+        .withColumn("run_id", sum("chg").over(wDoc))
+        .groupBy("doc_id", "run_id")
+        .agg(min(col("pos")).as("rpos"), max(col("mflag")).as("m"),
+             count(lit(1)).as("n_tok"),
+             expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+               .as("runtext"))
+      val wK = Window.partitionBy("doc_id").orderBy("rpos")
+      val pieces = runs
+        .withColumn("k", sum(col("m")).over(wK) - col("m"))
+        .withColumn("inp",
+          when(col("m") === 1, concat(lit("<extra_id_"), col("k"), lit(">")))
+            .otherwise(col("runtext")))
+        .withColumn("tgt",
+          when(col("m") === 1,
+               concat(lit("<extra_id_"), col("k"), lit("> "), col("runtext"))))
+      pieces.groupBy("doc_id")
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(struct(rpos, inp))), x -> x.inp), ' ')")
+            .as("input_text"),
+          expr("array_join(transform(array_sort(collect_list(CASE WHEN tgt IS NOT NULL THEN struct(rpos, tgt) END)), x -> x.tgt), ' ')")
+            .as("target_text"),
+          sum(when(col("m") === 1, col("n_tok")).otherwise(0L)).as("n_masked"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), tk AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+      |         unnest(toks) AS tok
+      |  FROM d
+      |), mf AS (
+      |  SELECT doc_id, pos, tok,
+      |         CASE WHEN ${DedupQueries.hex32(
+                       "md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))")}
+      |                   % 100 < $CorruptPct THEN 1 ELSE 0 END AS mflag
+      |  FROM tk
+      |), rn AS (
+      |  SELECT *, CASE WHEN LAG(mflag) OVER w IS NULL
+      |                   OR mflag <> LAG(mflag) OVER w THEN 1 ELSE 0 END AS chg
+      |  FROM mf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), rs AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+      |                           ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM rn
+      |), runs AS (
+      |  SELECT doc_id, run_id, MIN(pos) AS rpos, MAX(mflag) AS m,
+      |         CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |         string_agg(tok, ' ' ORDER BY pos) AS runtext
+      |  FROM rs GROUP BY doc_id, run_id
+      |), pieces AS (
+      |  SELECT *,
+      |         SUM(m) OVER (PARTITION BY doc_id ORDER BY rpos
+      |                      ROWS UNBOUNDED PRECEDING) - m AS k
+      |  FROM runs
+      |)
+      |SELECT doc_id,
+      |       string_agg(CASE WHEN m = 1
+      |                       THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+      |                       ELSE runtext END, ' ' ORDER BY rpos) AS input_text,
+      |       COALESCE(string_agg(CASE WHEN m = 1
+      |                    THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || runtext
+      |                  END, ' ' ORDER BY rpos), '') AS target_text,
+      |       CAST(SUM(CASE WHEN m = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+      |         AS n_masked
+      |FROM pieces GROUP BY doc_id""".stripMargin)
+  )
+
   /** Sample size for [[qPrioritySample]] (a deployment binds its own). */
   private val PrioK = 50
 
@@ -1263,5 +1368,5 @@ object CurationQueries {
                         qDecileAssign, qWinsorize, qSourceReport,
                         qQualityClassifier, qBpePacking,
                         qDsirWeights, qDsirResample, qPrioritySample,
-                        qTemperatureMixture)
+                        qTemperatureMixture, qSpanCorrupt)
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Span corruption is LOSSLESS by construction: substituting each
+  * sentinel in input_text with its target span must reproduce the
+  * original document exactly, sentinels must be consecutively numbered
+  * from 0, and n_masked must account for every masked token. */
+class SpanCorruptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val Sentinel = "<extra_id_(\\d+)>".r
+
+  /** target_text "<extra_id_0> a b <extra_id_1> c" -> Map(0 -> "a b", 1 -> "c") */
+  private def parseTarget(t: String): Map[Int, String] = {
+    if (t.isEmpty) return Map.empty
+    val ids = Sentinel.findAllMatchIn(t).map(_.group(1).toInt).toVector
+    val parts = Sentinel.split(t).drop(1).map(_.trim)
+    assert(ids.length === parts.length, s"malformed target: $t")
+    ids.zip(parts).toMap
+  }
+
+  test("splice(input, target) == original; sentinels dense; n_masked exact") {
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("text IS NOT NULL")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val out = CurationQueries.qSpanCorrupt.fn(spark, dir)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.map(_._1).toSet === orig.keySet)
+    var sawMask = false
+    out.foreach { case (id, inp, tgt, nMasked) =>
+      val spans = parseTarget(tgt)
+      // sentinels in input are exactly 0..k-1 in order
+      val inIds = Sentinel.findAllMatchIn(inp).map(_.group(1).toInt).toVector
+      assert(inIds === (0 until spans.size).toVector, s"doc $id sentinel order")
+      val spliced = inp.split(" ").toVector.flatMap {
+        case Sentinel(k) => spans(k.toInt).split(" ").toVector
+        case w           => Vector(w)
+      }.mkString(" ")
+      assert(spliced === orig(id), s"doc $id reconstruction failed")
+      assert(nMasked === spans.values.map(_.split(" ").length).sum.toLong,
+             s"doc $id n_masked")
+      if (spans.nonEmpty) sawMask = true
+    }
+    assert(sawMask, "fixture must exercise the masked path")
+  }
+}
