@@ -16,6 +16,8 @@ final case class MediaRecord(media_id: Long, media_type: String,
                              n_bytes: Long, content: Array[Byte])
 
 /** Decoded audio: stream shape plus integer amplitude features. */
+final case class PhashRecord(media_id: Long, phash: Long)
+
 final case class AudioFeatures(sampleRate: Int, nChannels: Int,
                                nSamples: Long, meanAbsX1000: Long,
                                histogram: Array[Long])
@@ -128,6 +130,52 @@ object MediaOps {
     val g = out.createGraphics()
     try g.drawImage(scaled, 0, 0, null) finally g.dispose()
     out
+  }
+
+  /**
+   * 64-bit PERCEPTUAL average-hash (aHash): area-average the decoded
+   * image to 8×8 (identity when already 8×8 — the closed-form fixture
+   * path), BT.601 integer luma per cell, bit j (row-major, j = 8y + x)
+   * set iff cell j is at-or-above the grid mean — stated as the exact
+   * integer cross-multiplication `luma·64 ≥ Σluma` so no float mean
+   * crosses the contract. Two perceptually-identical images hash
+   * equal; small content changes flip few bits, which is what makes
+   * Hamming-band dedup over the hash meaningful.
+   */
+  def aHash64(img: BufferedImage): Long = {
+    val g = if (img.getWidth == 8 && img.getHeight == 8) img
+            else resizeImage(img, 8, 8)
+    val lumas = new Array[Int](64)
+    var sum = 0L
+    var y = 0
+    var j = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = luma(g.getRGB(x, y))
+        lumas(j) = l
+        sum += l
+        x += 1; j += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    j = 0
+    while (j < 64) {
+      if (lumas(j).toLong * 64L >= sum) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Partition-wise perceptual hashing of a media frame: one
+    * `(media_id, phash)` row per DECODABLE image payload (the codec
+    * boundary, like [[extractFeatures]]); non-image payloads drop. */
+  def imagePhash(spark: SparkSession, media: DataFrame): Dataset[PhashRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { m =>
+      decodeImage(m.content).map(img => PhashRecord(m.media_id, aHash64(img)))
+    })
   }
 
   /** Real audio decode via the JDK's sampled-sound API (WAV/AIFF/AU):

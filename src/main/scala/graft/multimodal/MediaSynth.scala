@@ -72,6 +72,43 @@ object MediaSynth {
     bos.toByteArray
   }
 
+  /** 8×8 two-tone STRIPE card: the left `c` columns at gray `bright`,
+    * the rest at `dark`, optionally one bright "noise" pixel at (7,7) —
+    * the closed-form fixture for perceptual hashing: with the margins
+    * here, [[MediaOps.imagePhash]]'s bit rule reduces to per-pixel
+    * brightness, so the expected hash is a pure function of (c, flip)
+    * (see `q_image_phash`'s oracle). */
+  def stripePng(c: Int, flip: Boolean,
+                bright: Int = 200, dark: Int = 40): Array[Byte] = {
+    require(c >= 1 && c <= 7, s"stripe boundary out of range: $c")
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val g = if (x < c || (flip && x == 7 && y == 7)) bright else dark
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One stripe card per doc_id (`c = id % 7 + 1`, noise pixel when
+    * `id % 13 == 0`), encoded partition-wise — the perceptual-hash
+    * fixture generator. */
+  def syntheticCards(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = stripePng((id % 7 + 1).toInt, id % 13 == 0)
+        MediaRecord(id, "image", bytes.length.toLong, bytes)
+      })
+  }
+
   /** The payload for one doc_id per the closed-form contract above. */
   def payloadFor(docId: Long): MediaRecord = (docId % 3) match {
     case 0 =>

@@ -86,5 +86,79 @@ object MediaQueries {
       |FROM f""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qMediaDecode)
+  /** Closed-form expected aHash of a stripe card: `c = id % 7 + 1`
+    * bright columns → bit j set iff `j % 8 < c` (the margin argument in
+    * [[graft.multimodal.MediaSynth.stripePng]]'s scaladoc), i.e.
+    * `(2^c − 1) · 0x0101010101010101`; the noise pixel (id % 13 = 0)
+    * additionally sets bit 63, which in signed-64 arithmetic is
+    * `− 2⁶³`. One statement, two gated consumers. */
+  private val phashCte: String =
+    """ph AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST((CAST(POWER(2, doc_id % 7 + 1) AS BIGINT) - 1)
+      |              * 72340172838076673 AS BIGINT)
+      |           + CASE WHEN doc_id % 13 = 0
+      |                  THEN CAST(-9223372036854775808 AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END AS phash
+      |  FROM documents
+      |)""".stripMargin
+
+  /**
+   * Perceptual image hashing behind the gate: REAL PNG decode of the
+   * stripe-card fixture ([[graft.multimodal.MediaSynth.stripePng]])
+   * through the full aHash pipeline (area-average → integer luma →
+   * cross-multiplied mean threshold), hash-compared against the
+   * closed-form expectation — so a regression anywhere in decode,
+   * resize-identity, luma, or the bit rule mismatches the row.
+   */
+  val qImagePhash = Q(
+    "q_image_phash",
+    (s, dir) => {
+      val cards = MediaSynth.syntheticCards(
+        s, Tables.read(s, dir, "documents").select("doc_id"))
+      MediaOps.imagePhash(s, cards.toDF()).toDF()
+    },
+    Some(s"""WITH $phashCte
+      |SELECT media_id, phash FROM ph""".stripMargin)
+  )
+
+  /**
+   * Perceptual near-dup pairs over the image corpus: aHash → the SAME
+   * Manku block-band machinery as text SimHash
+   * ([[DedupQueries.simhashPairs]] — exact for hamming ≤ 3, bucket-
+   * local, skew-guarded, never n²). The fixture's distances are
+   * engineered: same-c cards are hamming 0, the noise-pixel variant is
+   * hamming 1 from its family, and families differ by ≥ 8 bits — so
+   * the oracle can state the semantics as the plain all-pairs
+   * inequality with no band condition, exactly the q_simhash_pairs
+   * discipline.
+   */
+  val qImageDedup = Q(
+    "q_image_dedup",
+    (s, dir) => {
+      val cards = MediaSynth.syntheticCards(
+        s, Tables.read(s, dir, "documents").select("doc_id"))
+      val sim = MediaOps.imagePhash(s, cards.toDF()).toDF()
+        .select(col("media_id").as("doc_id"),
+                col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
+                shiftrightunsigned(col("phash"), 32).as("sim_hi"))
+      DedupQueries.simhashPairs(sim)
+    },
+    Some(s"""WITH $phashCte,
+      |sim AS (
+      |  SELECT media_id AS doc_id,
+      |         phash & 4294967295 AS sim_lo,
+      |         (phash >> 32) & 4294967295 AS sim_hi
+      |  FROM ph
+      |)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+      |              + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+      |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |)
+      |WHERE hamming <= 3""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qMediaDecode, qImagePhash, qImageDedup)
 }

@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+
+import graft.SparkSpec
+
+/** aHash invariants: perceptually-identical cards hash equal, the
+  * noise-pixel variant is hamming 1, different stripe widths differ by
+  * a full column stride (>= 8 bits), and a 2x-scale image AREA-AVERAGES
+  * back to the same hash (the resize path, not the identity shortcut). */
+class ImagePhashSpec extends SparkSpec {
+
+  private def hashOf(bytes: Array[Byte]): Long =
+    MediaOps.aHash64(MediaOps.decodeImage(bytes).get)
+
+  private def expected(c: Int, flip: Boolean): Long =
+    ((1L << c) - 1) * 0x0101010101010101L | (if (flip) 1L << 63 else 0L)
+
+  test("closed-form hashes; identity, noise, and family distances") {
+    for (c <- 1 to 7) {
+      assert(hashOf(MediaSynth.stripePng(c, flip = false)) === expected(c, false),
+             s"c=$c")
+      assert(hashOf(MediaSynth.stripePng(c, flip = true)) === expected(c, true),
+             s"c=$c flipped")
+    }
+    val h3 = hashOf(MediaSynth.stripePng(3, flip = false))
+    val h3b = hashOf(MediaSynth.stripePng(3, flip = true))
+    assert(java.lang.Long.bitCount(h3 ^ h3b) === 1, "noise pixel is hamming 1")
+    val h4 = hashOf(MediaSynth.stripePng(4, flip = false))
+    assert(java.lang.Long.bitCount(h3 ^ h4) === 8, "one column stride apart")
+  }
+
+  test("2x-scale stripe area-averages to the same hash (real resize path)") {
+    for (c <- Seq(2, 5)) {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = if (x < 2 * c) 200 else 40
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      assert(MediaOps.aHash64(img) === expected(c, flip = false),
+             s"16x16 stripe c=$c must resize to the 8x8 hash")
+    }
+  }
+}
