@@ -567,6 +567,30 @@ object StreamingQueries {
     MediaQueries.qMediaDecode.oracle
   )
 
+  /**
+   * Perceptual hashing AT INGEST: the stripe-card payloads replayed as
+   * a parquet stream and pushed through the SAME partition-wise
+   * decode→aHash pass as batch ([[graft.multimodal.MediaOps.imagePhash]]
+   * is a stateless `mapPartitions` — streaming-legal as-is). Batch
+   * oracle verbatim: the micro-batch path must reproduce every bit of
+   * every hash.
+   */
+  val qStreamPhash = Q(
+    "q_stream_phash",
+    (s, dir) => {
+      val inDir = streamDir(s, dir, "stream-phash")
+      graft.multimodal.MediaSynth.syntheticCards(
+          s, Tables.read(s, dir, "documents").select("doc_id"))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      runToSink(s, dir,
+                graft.multimodal.MediaOps.imagePhash(s, stream).toDF(),
+                "graft_q_stream_phash")
+    },
+    MediaQueries.qImagePhash.oracle
+  )
+
   /** Shared staging for the windowed-count gates
     * ([[qStreamWindowed]]/[[qStreamLeaderboard]]/[[qStreamAnomaly]]):
     * the events table persisted as stream input with the single
@@ -1148,5 +1172,6 @@ object StreamingQueries {
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
-                        qStreamDsir, qStreamIntradoc, qStreamQuarantine)
+                        qStreamDsir, qStreamIntradoc, qStreamQuarantine,
+                        qStreamPhash)
 }
