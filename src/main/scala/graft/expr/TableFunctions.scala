@@ -598,6 +598,22 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_temperature_mixture(docsTable, groupCol)` — α = 1/2
+    * exponential-smoothing mixture
+    * ([[graft.queries.CurationQueries.temperatureMixture]]). */
+  val temperatureMixture: TVF = (
+    new FunctionIdentifier("graft_temperature_mixture"),
+    info("graft_temperature_mixture",
+         "graft_temperature_mixture(docsTable, 'lang')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_temperature_mixture"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.CurationQueries.temperatureMixture(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, semanticDedup, semanticDecontam,
@@ -605,7 +621,8 @@ object GraftTableFunctions {
                           knnGraph, semanticClusters, clusterSample, hll,
                           cms, invertedIndex, mergeUpsert, corpusDiff,
                           chunk, tfidf, lmScore,
-                          dsirScore, intradocDedup, canonicalDedup)
+                          dsirScore, intradocDedup, canonicalDedup,
+                          temperatureMixture)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -385,6 +385,12 @@ class SqlSurfaceSpec extends SparkSpec {
     val canon = spark.sql("SELECT * FROM graft_canonical_dedup('dsir_raw')")
     assert(canon.collect().toSet ===
       DedupQueries.canonicalCorpusOf(raw).collect().toSet)
+    val tmixDocs = (0L until 30L).map(i => (i, s"doc $i", if (i < 27) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    tmixDocs.createOrReplaceTempView("tmix_docs")
+    val tm = spark.sql("SELECT * FROM graft_temperature_mixture('tmix_docs', 'lang')")
+    assert(tm.collect().toSet ===
+      CurationQueries.temperatureMixture(tmixDocs, "lang").collect().toSet)
   }
 
   test("table functions reject non-constant and missing arguments") {
