@@ -816,6 +816,67 @@ object SimQueries {
       |QUALIFY rnk <= $GraphK""".stripMargin)
   )
 
+  /**
+   * HARD-NEGATIVE MINING for contrastive training: per anchor, the
+   * top-k most-similar vectors with a DIFFERENT label — the negatives
+   * that actually teach an embedding model (easy negatives are already
+   * far; hard ones are the near-misses). Candidates come from the
+   * anchor's IVF cell, which is exactly the "hard" neighborhood AND the
+   * scale shape: pair work is per-cell (n/k)², never corpus², the same
+   * bucketing as [[qKnnGraph]] with the label-mismatch predicate pushed
+   * INTO the join (a different-label vector outside the cell is by
+   * construction an easy negative — not worth shipping). Output
+   * `(src, src_label, dst, dst_label, dot, rnk)`.
+   */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, dir) => hardNegativesOf(quantized(s, dir)),
+    Some(s"""$ivfCte,
+      |m AS (
+      |  SELECT ce.vec_id, ce.cell, e.q, e.label
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS src, a.label AS src_label,
+      |         b.vec_id AS dst, b.label AS dst_label,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |                    AND a.label <> b.label
+      |)
+      |SELECT src, src_label, dst, dst_label, dot,
+      |       CAST(row_number() OVER (PARTITION BY src
+      |                               ORDER BY dot DESC, dst ASC) AS BIGINT)
+      |         AS rnk
+      |FROM p
+      |QUALIFY rnk <= $GraphK""".stripMargin)
+  )
+
+  /** [[qHardNegatives]]'s body over an ARBITRARY quantized
+    * `(vec_id, q, label, …)` frame. */
+  private[graft] def hardNegativesOf(e: DataFrame, k: Int = GraphK,
+                                     cellCap: Long = MaxCents): DataFrame = {
+    val cents = ivfTrain(e, cellCap).localCheckpoint()
+    val m = checkpointCompact(
+      e.join(ivfAssign1(e, cents)
+               .select(col("vec_id").as("m_vid"), col("c_id")),
+             col("vec_id") === col("m_vid"))
+        .select(col("vec_id"), col("c_id").as("cell"), col("q"),
+                col("label")))
+    val a = m.select(col("vec_id").as("src"), col("cell"),
+                     col("q").as("qa"), col("label").as("src_label"))
+    val b = m.select(col("vec_id").as("dst"), col("cell").as("cell_b"),
+                     col("q").as("qb"), col("label").as("dst_label"))
+    val wRank = Window.partitionBy("src")
+      .orderBy(col("dot").desc, col("dst").asc)
+    a.join(b, col("cell") === col("cell_b") && col("src") =!= col("dst") &&
+              col("src_label") =!= col("dst_label"))
+      .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("src", "src_label", "dst", "dst_label", "dot", "rnk")
+  }
+
   /** [[qKnnGraph]]'s body over an ARBITRARY quantized `(vec_id, q, …)`
     * frame — the library/TVF entry point (`k`, `cellCap` free). */
   private[graft] def knnGraphOf(e: DataFrame, k: Int = GraphK,
@@ -1646,5 +1707,6 @@ object SimQueries {
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchMp, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
                         qClusterSample, qClusterProbe, qClusterSampleStored,
-                        qClusterAppend, qEmbedStats, qPagerank, qTriangleCount)
+                        qClusterAppend, qEmbedStats, qPagerank, qTriangleCount,
+                        qHardNegatives)
 }

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hard negatives: every emitted pair crosses labels, ranks are dense
+  * per anchor and ordered by descending dot, and the top negative is
+  * the true different-label argmax in the anchor's cell (verified
+  * exhaustively on a one-cell fixture). */
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One cell (cellCap = 1): anchors of label 0 sit near a label-1
+    * near-miss (the hard negative) and a label-1 far vector. */
+  private lazy val e = Seq(
+    (1L, Seq(100L, 0L, 0L), 0),   // anchor A
+    (2L, Seq(95L, 10L, 0L), 0),   // same-label near A — never a negative
+    (3L, Seq(90L, 30L, 0L), 1),   // hard negative for A
+    (4L, Seq(0L, 0L, 100L), 1),   // easy (far) negative
+    (5L, Seq(0L, 100L, 0L), 2)    // third label
+  ).toDF("vec_id", "q", "label")
+
+  private lazy val out =
+    SimQueries.hardNegativesOf(e, k = 2, cellCap = 1L)
+      .as[(Long, Int, Long, Int, Long, Long)].collect()
+
+  test("pairs cross labels; ranks dense; ordering by dot") {
+    assert(out.nonEmpty)
+    out.foreach { case (src, sl, dst, dl, _, _) =>
+      assert(sl !== dl, s"$src->$dst shares label $sl")
+      assert(src !== dst)
+    }
+    out.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length <= 2)
+      assert(es.map(_._6).sorted.toSeq === (1L to es.length), s"src $src ranks")
+      val sorted = es.sortBy(_._6)
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sortBy(-_).toSeq,
+             s"src $src not dot-ordered")
+    }
+  }
+
+  test("the top negative is the different-label argmax, not the same-label one") {
+    val a1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // dot(1,2)=9500 is the global argmax but same-label; dot(1,3)=9000 wins
+    assert(a1.head._3 === 3L, "anchor 1's hardest negative must be vec 3")
+    assert(a1.head._5 === 9000L)
+    // vec 2 (same label) never appears among anchor 1's negatives
+    assert(!a1.exists(_._3 == 2L))
+  }
+}
