@@ -22,7 +22,7 @@ import graft.vector.VectorOps
  */
 object SimQueries {
 
-  private val TopK = 10
+  private[queries] val TopK = 10
 
   /** (vec_id, label, q = quantized embedding), hash-distributed by vec_id:
     * the per-candidate dot products must not run inside one compact-scan

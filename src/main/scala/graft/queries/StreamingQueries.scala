@@ -303,6 +303,87 @@ object StreamingQueries {
   )
 
   /**
+   * ANN QUERY-AT-INGEST — the vector-database ingest path: arriving
+   * query vectors answered against a FROZEN IVF index within the same
+   * micro-batch, fully STATELESS. The index freezes offline (trained
+   * centroids + per-cell member arrays — the [[qStreamBloom]] billing
+   * split); each arriving vector then (1) routes to its nearest cell
+   * by the codegen'd [[graft.expr.IvfNearestCell]] projection against
+   * the one-row centroid broadcast, (2) stream-static-joins that ONE
+   * cell's member array, and (3) ranks candidates ROW-LOCALLY with a
+   * comparator `array_sort` + `slice` HOF — top-k per query with no
+   * window, no aggregation, no state store (streaming append mode
+   * cannot run a rank window; the per-cell-array formulation is what
+   * makes ingest-time ANN expressible at all). nprobe = 1 at ingest by
+   * design — the recall knob the deployment's offline batch path
+   * ([[SimQueries.qSimSearchIvf]], nprobe = ${SimQueries.NProbe})
+   * keeps; the oracle states exactly the crn = 1 semantics.
+   */
+  val qStreamAnn = Q(
+    "q_stream_ann",
+    (s, dir) => {
+      import graft.vector.VectorOps
+      val e = SimQueries.quantizedFrame(s, dir)
+      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val members = checkpointCompact(
+        e.join(SimQueries.ivfAssign1(e, cents)
+                 .select(col("vec_id").as("m_vid"), col("c_id")),
+               col("vec_id") === col("m_vid"))
+          .groupBy(col("c_id").as("cell"))
+          .agg(collect_list(struct(col("vec_id"), col("q"))).as("members")))
+      val flat = SimQueries.centsFlat(cents)
+      val arrivals = tableStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"),
+                VectorOps.quantize(col("embedding")).as("qq"))
+        .crossJoin(broadcast(flat))
+        .select(col("q_id"), col("qq"),
+                element_at(col("cids"),
+                  VectorOps.ivfNearest(col("qq"), col("cqs"), col("cns")) + 1)
+                  .as("cell"))
+      val top = arrivals.join(members, Seq("cell"))
+        .select(col("q_id"),
+          slice(
+            array_sort(
+              transform(
+                filter(col("members"), m => m.getField("vec_id") =!= col("q_id")),
+                m => struct(
+                  VectorOps.intDot(col("qq"), m.getField("q")).as("dot"),
+                  m.getField("vec_id").as("vec_id"))),
+              (l, r) =>
+                when(l.getField("dot") > r.getField("dot"), -1)
+                  .when(l.getField("dot") < r.getField("dot"), 1)
+                  .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+                  .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+                  .otherwise(0)),
+            1, SimQueries.TopK).as("top"))
+      val out = top
+        .select(col("q_id"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("q_id"), col("t.vec_id").as("vec_id"),
+                col("t.dot").as("dot"), (col("p") + 1).cast("long").as("rnk"))
+      runToSink(s, dir, out, "graft_q_stream_ann")
+    },
+    Some(s"""${SimQueries.ivfCte},
+      |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM rk
+      |           WHERE vec_id % 100 = 0 AND crn = 1),
+      |p AS (
+      |  SELECT pr.q_id, ce.vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+      |                i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+      |  FROM probes pr
+      |  JOIN cell ce ON ce.cell = pr.cell AND ce.vec_id <> pr.q_id
+      |  JOIN e a ON a.vec_id = ce.vec_id
+      |  JOIN e b ON b.vec_id = pr.q_id
+      |)
+      |SELECT q_id, vec_id, dot,
+      |       CAST(row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY dot DESC, vec_id ASC) AS BIGINT)
+      |         AS rnk
+      |FROM p
+      |QUALIFY rnk <= ${SimQueries.TopK}""".stripMargin)
+  )
+
+  /**
    * Streaming sessionization — the FLAGSHIP face — gated against the
    * batch oracle: the events table replayed as a parquet file stream
    * through [[graft.streaming.StreamingSessionize.visitsStream]] (the
@@ -1173,5 +1254,5 @@ object StreamingQueries {
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
-                        qStreamPhash)
+                        qStreamPhash, qStreamAnn)
 }
