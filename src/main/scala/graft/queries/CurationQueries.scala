@@ -1199,6 +1199,71 @@ object CurationQueries {
       .select("doc_id", groupCol, "rn")
   }
 
+  /**
+   * THE one-call PRETRAINING-CORPUS composition — what a user actually
+   * runs end-to-end: quality-aware canonical dedup (keep the fullest
+   * copy of every duplicate cluster,
+   * [[DedupQueries.canonicalCorpus]]) → Gopher repetition gate
+   * ([[repetitionSignals]], the shared inequality) → temperature-
+   * rebalanced mixture draw ([[temperatureMixture]], α = 1/2 by lang).
+   * Each stage is the SAME body as its standalone gate — the oracle
+   * interpolates the same shared CTE fragments
+   * ([[DedupQueries.canonicalKeptCte]], [[repSignalCtes]], the tmix
+   * chain), so a threshold or semantics change cannot reach the
+   * standalone gate and miss the composition (the `dedupedKeptCte`
+   * discipline). Differs from [[qCuratedCorpus]] in both selection
+   * rules: fullest-copy survivors (not min-id) and a data-derived
+   * mixture draw (not a hash split).
+   */
+  lazy val qPretrainCorpus = Q(
+    "q_pretrain_corpus",
+    (s, dir) => {
+      val all = Tables.read(s, dir, "documents")
+      val kept = DedupQueries.canonicalCorpus(s, dir).select("doc_id")
+      val survivors = all.join(kept, Seq("doc_id"), "left_semi")
+      val repetitive = repetitionSignals(survivors.select("doc_id", "text"))
+        .filter(col("repetitive") === 1).select("doc_id")
+      temperatureMixture(survivors.join(repetitive, Seq("doc_id"), "left_anti"),
+                         "lang")
+    },
+    Some(s"""${DedupQueries.canonicalKeptCte},
+      |${repSignalCtes("r")},
+      |gated AS (
+      |  SELECT dd.doc_id, dd.lang, dd.text
+      |  FROM documents dd JOIN ckept k ON dd.doc_id = k.doc_id
+      |  LEFT JOIN rua ON rua.doc_id = dd.doc_id
+      |  LEFT JOIN rba ON rba.doc_id = dd.doc_id
+      |  WHERE NOT (${repGateSql("COALESCE(rba.top_bigram_n, 0)",
+                                 "COALESCE(rba.n_bigrams, 0)",
+                                 "COALESCE(rua.n_types, 0)",
+                                 "COALESCE(rua.n_tok, 0)")})
+      |),
+      |td AS (
+      |  SELECT doc_id, lang, md5('tmix:' || COALESCE(text, '')) AS h
+      |  FROM gated
+      |), tc AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM td GROUP BY lang
+      |), tww AS (
+      |  SELECT lang, n,
+      |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      |  FROM tc
+      |), ttot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM tww),
+      |tt AS (SELECT MIN(n * tot // wt) AS t FROM tww CROSS JOIN ttot),
+      |tk AS (
+      |  SELECT lang,
+      |         (SELECT t FROM tt) * wt // (SELECT tot FROM ttot) AS keep_n
+      |  FROM tww
+      |), tr AS (
+      |  SELECT doc_id, lang,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |                                 ORDER BY h, doc_id) AS BIGINT) AS rn
+      |  FROM td
+      |)
+      |SELECT tr.doc_id, tr.lang, tr.rn
+      |FROM tr JOIN tk ON tr.lang = tk.lang
+      |WHERE tr.rn <= tk.keep_n""".stripMargin)
+  )
+
   /** Mask rate (percent of token positions) for [[qSpanCorrupt]]. */
   private val CorruptPct = 15
 
@@ -1368,5 +1433,5 @@ object CurationQueries {
                         qDecileAssign, qWinsorize, qSourceReport,
                         qQualityClassifier, qBpePacking,
                         qDsirWeights, qDsirResample, qPrioritySample,
-                        qTemperatureMixture, qSpanCorrupt)
+                        qTemperatureMixture, qSpanCorrupt, qPretrainCorpus)
 }

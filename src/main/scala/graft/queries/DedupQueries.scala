@@ -1119,24 +1119,37 @@ object DedupQueries {
       .select("doc_id", "n_members")
   }
 
-  val qCanonicalCorpus = Q(
-    "q_canonical_corpus",
-    (s, dir) => canonicalCorpus(s, dir),
-    Some(s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+  /** Shared oracle prefix ending in `ckept(doc_id, n_members)` — the
+    * quality-aware canonical survivors. One statement, two gated
+    * consumers ([[qCanonicalCorpus]] and the
+    * [[CurationQueries.qPretrainCorpus]] composition — the
+    * [[dedupedKeptCte]] discipline). CTE names are c-prefixed so the
+    * composition can layer [[CurationQueries.repSignalCtes]] (whose
+    * relations are `d`/`<p>u`/…) on top without collision. */
+  private[queries] val canonicalKeptCte: String =
+    s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
       |${walkSuffix("cand")},
       |cm AS (SELECT id, MIN(lbl) AS comp FROM walk GROUP BY id),
-      |mem AS (
+      |cmem AS (
       |  SELECT d.doc_id, d.n_chars, cm.comp
       |  FROM documents d JOIN cm ON d.doc_id = cm.id
       |),
-      |mx AS (
+      |cmx AS (
       |  SELECT comp, MAX(n_chars) AS mc,
       |         CAST(COUNT(*) AS BIGINT) AS n_members
-      |  FROM mem GROUP BY comp
-      |)
-      |SELECT MIN(mem.doc_id) AS doc_id, mx.n_members
-      |FROM mem JOIN mx ON mem.comp = mx.comp AND mem.n_chars = mx.mc
-      |GROUP BY mx.comp, mx.n_members""".stripMargin)
+      |  FROM cmem GROUP BY comp
+      |),
+      |ckept AS (
+      |  SELECT MIN(cmem.doc_id) AS doc_id, cmx.n_members
+      |  FROM cmem JOIN cmx ON cmem.comp = cmx.comp AND cmem.n_chars = cmx.mc
+      |  GROUP BY cmx.comp, cmx.n_members
+      |)""".stripMargin
+
+  val qCanonicalCorpus = Q(
+    "q_canonical_corpus",
+    (s, dir) => canonicalCorpus(s, dir),
+    Some(s"""$canonicalKeptCte
+      |SELECT doc_id, n_members FROM ckept""".stripMargin)
   )
 
   /**

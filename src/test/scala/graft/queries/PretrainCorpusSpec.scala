@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The composition must be exactly its stages: every drawn doc is a
+  * canonical survivor, none is repetitive, and the draw equals the
+  * temperature mixture run standalone on the gated set. */
+class PretrainCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stage containment and standalone-draw equivalence") {
+    val out = CurationQueries.qPretrainCorpus.fn(spark, dir)
+      .select("doc_id", "lang", "rn").as[(Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    val kept = DedupQueries.qCanonicalCorpus.fn(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val repetitive = CurationQueries
+      .repetitionSignals(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+      .filter(col("repetitive") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    out.foreach { case (id, _, _) =>
+      assert(kept.contains(id), s"doc $id not a canonical survivor")
+      assert(!repetitive.contains(id), s"doc $id is repetitive")
+    }
+    val gated = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(kept.toSeq: _*) &&
+              !col("doc_id").isin(repetitive.toSeq: _*))
+    val standalone = CurationQueries.temperatureMixture(gated, "lang")
+      .select("doc_id", "lang", "rn").as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === standalone.sortBy(_._1).toSeq,
+           "composition must equal the standalone draw over the gated set")
+  }
+}
