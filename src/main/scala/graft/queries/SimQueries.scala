@@ -775,7 +775,7 @@ object SimQueries {
   )
 
   /** Neighbors per vector in [[qKnnGraph]]. */
-  private val GraphK = 3
+  private[queries] val GraphK = 3
 
   /**
    * Approximate k-NN GRAPH construction: every vector's `GraphK` nearest

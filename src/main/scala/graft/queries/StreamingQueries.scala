@@ -384,6 +384,69 @@ object StreamingQueries {
   )
 
   /**
+   * Hard-negative mining AT INGEST — the continual-training companion
+   * of [[qStreamAnn]]: each arriving labeled vector routes to its
+   * frozen cell and mines its top-k DIFFERENT-label near-misses from
+   * the cell's member array, row-locally (the label predicate joins
+   * the vec-id exclusion inside the HOF filter). Same stateless shape,
+   * same frozen-index billing; the cell assignment is the identical
+   * [[graft.expr.IvfNearestCell]] projection the batch face's
+   * `ivfAssign1` runs, so the gate reuses
+   * [[SimQueries.qHardNegatives]]' oracle verbatim.
+   */
+  val qStreamHardNegatives = Q(
+    "q_stream_hard_negatives",
+    (s, dir) => {
+      import graft.vector.VectorOps
+      val e = SimQueries.quantizedFrame(s, dir)
+      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val members = checkpointCompact(
+        e.join(SimQueries.ivfAssign1(e, cents)
+                 .select(col("vec_id").as("m_vid"), col("c_id")),
+               col("vec_id") === col("m_vid"))
+          .groupBy(col("c_id").as("cell"))
+          .agg(collect_list(struct(col("vec_id"), col("q"), col("label")))
+                 .as("members")))
+      val flat = SimQueries.centsFlat(cents)
+      val arrivals = tableStream(s, dir, "embeddings")
+        .select(col("vec_id").as("src"), col("label").as("src_label"),
+                VectorOps.quantize(col("embedding")).as("qq"))
+        .crossJoin(broadcast(flat))
+        .select(col("src"), col("src_label"), col("qq"),
+                element_at(col("cids"),
+                  VectorOps.ivfNearest(col("qq"), col("cqs"), col("cns")) + 1)
+                  .as("cell"))
+      val top = arrivals.join(members, Seq("cell"))
+        .select(col("src"), col("src_label"),
+          slice(
+            array_sort(
+              transform(
+                filter(col("members"),
+                       m => m.getField("vec_id") =!= col("src") &&
+                            m.getField("label") =!= col("src_label")),
+                m => struct(
+                  VectorOps.intDot(col("qq"), m.getField("q")).as("dot"),
+                  m.getField("vec_id").as("vec_id"),
+                  m.getField("label").as("label"))),
+              (l, r) =>
+                when(l.getField("dot") > r.getField("dot"), -1)
+                  .when(l.getField("dot") < r.getField("dot"), 1)
+                  .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+                  .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+                  .otherwise(0)),
+            1, SimQueries.GraphK).as("top"))
+      val out = top
+        .select(col("src"), col("src_label"),
+                posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("src"), col("src_label"),
+                col("t.vec_id").as("dst"), col("t.label").as("dst_label"),
+                col("t.dot").as("dot"), (col("p") + 1).cast("long").as("rnk"))
+      runToSink(s, dir, out, "graft_q_stream_hard_negatives")
+    },
+    SimQueries.qHardNegatives.oracle
+  )
+
+  /**
    * Streaming sessionization — the FLAGSHIP face — gated against the
    * batch oracle: the events table replayed as a parquet file stream
    * through [[graft.streaming.StreamingSessionize.visitsStream]] (the
@@ -1254,5 +1317,5 @@ object StreamingQueries {
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
-                        qStreamPhash, qStreamAnn)
+                        qStreamPhash, qStreamAnn, qStreamHardNegatives)
 }

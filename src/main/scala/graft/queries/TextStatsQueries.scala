@@ -751,6 +751,28 @@ object TextStatsQueries {
       |FROM t GROUP BY lang""".stripMargin)
   )
 
+  /**
+   * The trained tokenizer ARTIFACT as data: the ranked merge table
+   * [[bpeLearnMerges]] produces — (rnk, pair) with the
+   * (count DESC, pair ASC) strict ranking that IS the tokenizer's
+   * identity — behind its own gate, so the training step (not just the
+   * encode that consumes it) is oracle-checked. Driver materialization
+   * is the merge-list size (≤ [[BpeMerges]] rows — the centroid-collect
+   * discipline); the oracle reads the SAME `mt` relation the encode
+   * replay ranks from, one statement.
+   */
+  lazy val qBpeVocab = Q(
+    "q_bpe_vocab",
+    (s, dir) => {
+      import s.implicits._
+      bpeLearnMerges(docs(s, dir)).zipWithIndex
+        .map { case (p, i) => (i + 1L, p) }
+        .toDF("rnk", "pair")
+    },
+    Some(s"""$bpeSbCte
+      |SELECT CAST(rnk AS BIGINT) AS rnk, pair FROM mt""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -1555,6 +1577,6 @@ object TextStatsQueries {
     qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
-    qBpeFertility
+    qBpeFertility, qBpeVocab
   )
 }
