@@ -614,6 +614,21 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_pretrain(docsTable)` — the one-call pretraining-corpus
+    * composition: canonical dedup → repetition gate → temperature
+    * mixture ([[graft.queries.CurationQueries.pretrainCorpusOf]]). */
+  val pretrain: TVF = (
+    new FunctionIdentifier("graft_pretrain"),
+    info("graft_pretrain", "graft_pretrain(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_pretrain"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.pretrainCorpusOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, semanticDedup, semanticDecontam,
@@ -622,7 +637,7 @@ object GraftTableFunctions {
                           cms, invertedIndex, mergeUpsert, corpusDiff,
                           chunk, tfidf, lmScore,
                           dsirScore, intradocDedup, canonicalDedup,
-                          temperatureMixture)
+                          temperatureMixture, pretrain)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

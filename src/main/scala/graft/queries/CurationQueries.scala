@@ -1217,15 +1217,7 @@ object CurationQueries {
    */
   lazy val qPretrainCorpus = Q(
     "q_pretrain_corpus",
-    (s, dir) => {
-      val all = Tables.read(s, dir, "documents")
-      val kept = DedupQueries.canonicalCorpus(s, dir).select("doc_id")
-      val survivors = all.join(kept, Seq("doc_id"), "left_semi")
-      val repetitive = repetitionSignals(survivors.select("doc_id", "text"))
-        .filter(col("repetitive") === 1).select("doc_id")
-      temperatureMixture(survivors.join(repetitive, Seq("doc_id"), "left_anti"),
-                         "lang")
-    },
+    (s, dir) => pretrainCorpusOf(docs(s, dir)),
     Some(s"""${DedupQueries.canonicalKeptCte},
       |${repSignalCtes("r")},
       |gated AS (
@@ -1263,6 +1255,18 @@ object CurationQueries {
       |FROM tr JOIN tk ON tr.lang = tk.lang
       |WHERE tr.rn <= tk.keep_n""".stripMargin)
   )
+
+  /** [[qPretrainCorpus]]'s body over an ARBITRARY
+    * `(doc_id, text, lang, n_chars, …)` frame — the
+    * `graft_pretrain('docs')` TVF delegate. */
+  def pretrainCorpusOf(docsDf: DataFrame): DataFrame = {
+    val kept = DedupQueries.canonicalCorpusOf(docsDf).select("doc_id")
+    val survivors = docsDf.join(kept, Seq("doc_id"), "left_semi")
+    val repetitive = repetitionSignals(survivors.select("doc_id", "text"))
+      .filter(col("repetitive") === 1).select("doc_id")
+    temperatureMixture(survivors.join(repetitive, Seq("doc_id"), "left_anti"),
+                       "lang")
+  }
 
   /** Mask rate (percent of token positions) for [[qSpanCorrupt]]. */
   private val CorruptPct = 15

@@ -391,6 +391,13 @@ class SqlSurfaceSpec extends SparkSpec {
     val tm = spark.sql("SELECT * FROM graft_temperature_mixture('tmix_docs', 'lang')")
     assert(tm.collect().toSet ===
       CurationQueries.temperatureMixture(tmixDocs, "lang").collect().toSet)
+    val pDocs = (0L until 20L)
+      .map(i => (i, s"clean doc number $i body", if (i % 4 == 0) "de" else "en", 20L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    pDocs.createOrReplaceTempView("pre_docs")
+    val pt = spark.sql("SELECT * FROM graft_pretrain('pre_docs')")
+    assert(pt.collect().toSet ===
+      CurationQueries.pretrainCorpusOf(pDocs).collect().toSet)
   }
 
   test("table functions reject non-constant and missing arguments") {
