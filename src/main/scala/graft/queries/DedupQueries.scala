@@ -1910,41 +1910,68 @@ object DedupQueries {
    * All array HOFs over the per-doc token array — no explode, no
    * shuffle; the per-token base hashes are computed once into `bases`
    * and each window test is 4 `element_at` + integer arithmetic.
+   *
+   * The whole chunker is ONE expression with the intermediates
+   * (`toks`, `bases`, `cuts`, `starts`, `ends`) introduced as
+   * [[letBound]] lambda variables rather than projection columns.
+   * Projection-column aliases are a CORRECTNESS-of-cost hazard here:
+   * Catalyst's collapse inlines an alias into every reference site,
+   * and references INSIDE HOF lambda bodies re-evaluate the inlined
+   * chain per element — `chunks` referencing `starts`/`ends` (each an
+   * O(n)-work array) from the per-chunk lambda made the withColumn
+   * formulation cubic-ish per document. Batch callers could pin the
+   * frame ([[checkpointCompact]]), but a STREAMING frame cannot be
+   * checkpointed, and the q_stream_span_cdc micro-batch measured
+   * 42.5 s vs fixed-width's 1.6 s on identical input. A lambda
+   * variable is a bound VALUE — evaluated once when the enclosing HOF
+   * binds it, free to re-reference, and invisible to projection
+   * collapse — so the let-bound form is linear in BOTH faces (same
+   * micro-batch: 1.3 s after).
    */
-  private[queries] def cdcChunks(d0: DataFrame): DataFrame = {
-    def baseAt(i: Column, off: Int) =
-      element_at(col("bases"), i - lit(CdcW - 2 - off))
-    val windowVal = (i: Column) =>
-      CdcA.zipWithIndex.map { case (a, o) => baseAt(i, o) * lit(a) }
-        .reduce(_ + _)
-    d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("bases",
-        transform(col("toks"), t => TextOps.md5Prefix32(md5(t))))
-      // valid cut positions (0-based): [CdcW-1, n-2] — a full window
-      // must precede the cut, and a cut after the last token is the
-      // implicit end boundary, not a cut. sequence() guarded: Spark
-      // yields a DESCENDING array when stop < start (the shinglesHof
-      // gotcha), so short docs short-circuit to no cuts.
-      .withColumn("cuts",
-        when(size(col("toks")) >= CdcW + 1,
-          filter(sequence(lit(CdcW - 1), size(col("toks")) - 2),
-                 i => windowVal(i) % CdcD === 0))
-          .otherwise(array().cast("array<int>")))
-      .withColumn("ends", concat(col("cuts"), array(size(col("toks")) - 1)))
-      .withColumn("starts",
-        concat(array(lit(0)), transform(col("cuts"), c => c + 1)))
-      .withColumn("chunks",
-        when(size(col("toks")) > 0,
-          transform(sequence(lit(0), size(col("ends")) - 1), k =>
-            array_join(
-              slice(col("toks"),
-                    element_at(col("starts"), k + 1) + 1,
-                    element_at(col("ends"), k + 1)
-                      - element_at(col("starts"), k + 1) + 1),
-              " ")))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("chunks"))
-  }
+  private[queries] def cdcChunks(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id"), cdcChunksOf(col("text")).as("chunks"))
+
+  /** Single-use `transform` over a one-element array as a let-binding:
+    * `body` sees `v` as a bound lambda variable (evaluated exactly
+    * once), `element_at(…, 1)` unwraps. No optimizer rule beta-reduces
+    * HOFs, so the binding survives into the physical plan. */
+  private def letBound(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  private def cdcChunksOf(text: Column): Column =
+    letBound(TextOps.tokens(text)) { toks =>
+      letBound(transform(toks, t => TextOps.md5Prefix32(md5(t)))) { bases =>
+        def baseAt(i: Column, off: Int) =
+          element_at(bases, i - lit(CdcW - 2 - off))
+        def windowVal(i: Column) =
+          CdcA.zipWithIndex.map { case (a, o) => baseAt(i, o) * lit(a) }
+            .reduce(_ + _)
+        // valid cut positions (0-based): [CdcW-1, n-2] — a full window
+        // must precede the cut, and a cut after the last token is the
+        // implicit end boundary, not a cut. sequence() guarded: Spark
+        // yields a DESCENDING array when stop < start (the shinglesHof
+        // gotcha), so short docs short-circuit to no cuts.
+        letBound(when(size(toks) >= CdcW + 1,
+            filter(sequence(lit(CdcW - 1), size(toks) - 2),
+                   i => windowVal(i) % CdcD === 0))
+          .otherwise(array().cast("array<int>"))) { cuts =>
+          letBound(concat(cuts, array(size(toks) - 1))) { ends =>
+            letBound(concat(array(lit(0)),
+                            transform(cuts, c => c + 1))) { starts =>
+              when(size(toks) > 0,
+                transform(sequence(lit(0), size(ends) - 1), k =>
+                  array_join(
+                    slice(toks,
+                          element_at(starts, k + 1) + 1,
+                          element_at(ends, k + 1)
+                            - element_at(starts, k + 1) + 1),
+                    " ")))
+                .otherwise(array().cast("array<string>"))
+            }
+          }
+        }
+      }
+    }
 
   /** First-occurrence keeper list `(doc_id, kept_pos)` over a span-hash
     * triple frame — the owner-argmin shared by [[spanDedup]] and

@@ -847,6 +847,52 @@ object StreamingQueries {
   )
 
   /**
+   * [[qStreamSpan]] with CONTENT-DEFINED boundaries — the streaming
+   * face of [[DedupQueries.qSpanCdcIncremental]] (oracle reused
+   * verbatim, so the two faces can never drift): arriving documents
+   * are CDC-chunked ([[DedupQueries.cdcChunks]] — pure array HOFs, so
+   * the chunker is stateless and stream-legal as-is), hashed, and
+   * anti-joined against the frozen corpus CDC span index per
+   * micro-batch. This closes the streaming half of the shifted-
+   * boilerplate hole: a re-crawled page arriving at ingest with its
+   * navigation chrome moved by a few tokens still sheds it, because
+   * CDC boundaries re-synchronize to content regardless of offset —
+   * the fixed-width [[qStreamSpan]] face misses exactly that arrival.
+   *
+   * Checkpoint discipline: the BATCH-side chunk frames (corpus index
+   * build, compaction-time reassembly) are pinned via
+   * [[checkpointCompact]] against the CDC alias-chain inlining blowup
+   * ([[DedupQueries.spanDedupCdc]] scaladoc — measured 127.6 s vs
+   * 2.2 s); the STREAMING side needs no pin because its only consumer
+   * is [[DedupQueries.spanHashes]]' posexplode, which evaluates the
+   * chunk chain once per row. Per-arrival work stays compact
+   * `(doc_id, pos, h)` — text never reaches the sink — and the
+   * first-occurrence rule + reassembly run at compaction (the
+   * [[qStreamHll]] pattern).
+   */
+  val qStreamSpanCdc = Q(
+    "q_stream_span_cdc",
+    (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val corpusH = DedupQueries.spanHashes(checkpointCompact(
+          DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 =!= 4))))
+        .select("h").distinct().localCheckpoint()
+      val arriving = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+      val fresh = DedupQueries
+        .spanHashes(DedupQueries.cdcChunks(arriving))
+        .join(corpusH, Seq("h"), "left_anti")
+        .select("doc_id", "pos", "h")
+      val sunk = runToSink(s, dir, fresh, "graft_q_stream_span_cdc")
+      DedupQueries.reassembleSpans(
+        checkpointCompact(
+          DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 === 4))),
+        DedupQueries.firstOccurrenceKeepers(sunk))
+    },
+    DedupQueries.qSpanCdcIncremental.oracle
+  )
+
+  /**
    * Streaming CDC ingest audit, gated against the batch oracle
    * ([[DedupQueries.qCorpusDiff]]'s SQL with `removed` excluded): the
    * crawl refresh replayed as a file stream, each arriving document
@@ -1312,7 +1358,8 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan, qStreamDiff, qStreamCms, qStreamTfidf,
+                        qStreamSpan, qStreamSpanCdc, qStreamDiff,
+                        qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class ArrivingDoc(doc_id: Long, text: String)
+
+/** The streaming CDC span face's distinctive property, pinned at the
+  * ingest boundary: a re-crawled page arriving with its boilerplate
+  * shifted by one token sheds it against the frozen corpus span index
+  * when chunk boundaries are content-defined, and provably does NOT
+  * when they are fixed-width — the [[CdcSpanSpec]] shift-invariance
+  * pair replayed through a real MemoryStream micro-batch (stateless
+  * chunk→hash→anti-join per arrival, first-occurrence + reassembly at
+  * compaction, the q_stream_span_cdc shape).
+  *
+  * This spec also guards the let-binding regression class: the CDC
+  * chunker runs INSIDE a streaming plan here, where no checkpoint pin
+  * is possible — if [[DedupQueries.cdcChunksOf]] ever regresses to
+  * projection-column aliases, this drain goes quadratic again
+  * (measured 42.5 s vs 1.3 s per micro-batch at sf0.01) and the
+  * suite's runtime jump is the tell. */
+class StreamingCdcSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val body: Seq[String] = (0 until 200).map(i => s"tok$i")
+  private val corpusText = body.mkString(" ")
+  private val shiftedText = ("zzz" +: body).mkString(" ")
+
+  /** Drain ONE arriving shifted-duplicate doc against a frozen one-doc
+    * corpus index, with independent batch/stream chunkers (the batch
+    * sides may pin; a streaming frame cannot). Returns doc 2's
+    * reassembled row. */
+  private def drainShifted(batchChunker: DataFrame => DataFrame,
+                           streamChunker: DataFrame => DataFrame): Row = {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val corpusH = DedupQueries.spanHashes(batchChunker(corpus))
+      .select("h").distinct().localCheckpoint()
+    val input = MemoryStream[ArrivingDoc]
+    val fresh = DedupQueries.spanHashes(streamChunker(input.toDS().toDF()))
+      .join(corpusH, Seq("h"), "left_anti")
+      .select("doc_id", "pos", "h")
+    val name = s"graft_scdc_${System.nanoTime()}"
+    val q = fresh.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(ArrivingDoc(2L, shiftedText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val arrived = Seq((2L, shiftedText)).toDF("doc_id", "text")
+    DedupQueries.reassembleSpans(
+        batchChunker(arrived),
+        DedupQueries.firstOccurrenceKeepers(spark.table(name)))
+      .collect().head
+  }
+
+  test("CDC face sheds a 1-token-shifted duplicate arriving at ingest") {
+    val pinnedCdc: DataFrame => DataFrame =
+      df => checkpointCompact(DedupQueries.cdcChunks(df))
+    val r = drainShifted(pinnedCdc, DedupQueries.cdcChunks)
+    val kept = r.getAs[Long]("kept_chunks")
+    val total = r.getAs[Long]("total_chunks")
+    assert(total >= 8, s"fixture too short to cut: total=$total")
+    assert(kept <= 2, s"interior duplicate chunks survived ingest: $kept/$total")
+  }
+
+  test("fixed-width face misses the same shifted arrival (the hole this closes)") {
+    val r = drainShifted(DedupQueries.spanChunks, DedupQueries.spanChunks)
+    assert(r.getAs[Long]("kept_chunks") === r.getAs[Long]("total_chunks"))
+  }
+}
