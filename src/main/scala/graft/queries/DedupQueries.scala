@@ -2113,6 +2113,128 @@ object DedupQueries {
       |WHERE cx.doc_id % 5 = 4""".stripMargin)
   )
 
+  /** Rolling-window width (tokens) for [[qSubstrDedup]] — the repo's
+    * 13-gram decontamination convention ([[qExactOverlap]]) reused as
+    * the minimum duplicated-region length worth stripping. */
+  private val SubstrW = 13
+
+  /**
+   * EXACT-SUBSTRING dedup at token resolution — the ExactSubstr pass
+   * of Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better" (2022), re-expressed relationally: every `SubstrW`-token
+   * ROLLING window (all positions, not chunk boundaries) is hashed;
+   * a window occurrence that is not the corpus-wide first occurrence
+   * of its content marks its tokens covered; covered tokens are
+   * stripped and the survivors reassembled in order. Any duplicated
+   * region of ≥ `SubstrW` tokens has ALL its interior windows
+   * duplicated, so coverage equals the full duplicated region EXACTLY
+   * — at any offset and any granularity, strictly stronger than both
+   * fixed spans ([[qSpanDedup]], misses shifted duplicates) and CDC
+   * chunks ([[qSpanCdc]], catches shifts but only at chunk
+   * granularity: a duplicated region without an interior
+   * content-defined cut escapes). Regions shorter than `SubstrW`
+   * survive by design — that is the threshold, not a hole. The paper's
+   * suffix array is the offline-index formulation of the same
+   * semantics; the rolling-window join is the one-relational-pass
+   * formulation, at W× the gram rows of the chunked variants.
+   *
+   * Scale: grams shuffle as `(16-byte md5, doc_id, int)` triples —
+   * one row per corpus TOKEN (the W× price of exactness; the chunked
+   * variants shuffle one row per W/CdcD tokens), but never text. The
+   * owner rule is one `row_number` window per gram hash (group size =
+   * occurrence count; a mega-hot boilerplate gram is the same
+   * skew class every per-key operator documents). Covered positions
+   * explode only from DUPLICATE occurrences — proportional to the
+   * duplicated volume, the "diff is small" discipline — and the
+   * complement anti-join ships ints. Reassembly is the
+   * [[reassembleSpans]] shape: kept positions regroup per doc_id and
+   * `element_at` re-reads tokens in place; the token array is
+   * [[letBound]] so the split never re-evaluates per kept position.
+   */
+  val qSubstrDedup = Q(
+    "q_substr_dedup",
+    (s, dir) => substrDedup(docsDistributed(s, dir)),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, j - 1 AS pos,
+      |         md5(array_to_string(toks[j:j+${SubstrW - 1}], ' ')) AS h
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - ${SubstrW - 1})) AS j
+      |        FROM d WHERE len(toks) >= $SubstrW)
+      |), dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |           ROW_NUMBER() OVER (PARTITION BY h
+      |                              ORDER BY doc_id, pos) AS rn
+      |    FROM g) WHERE rn > 1
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + k AS p
+      |  FROM (SELECT doc_id, pos,
+      |               unnest(generate_series(0, ${SubstrW - 1})) AS k
+      |        FROM dup)
+      |), ap AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p
+      |  FROM d WHERE len(toks) > 0
+      |), kt AS (
+      |  SELECT a.doc_id, a.p
+      |  FROM ap a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+      |  WHERE c.doc_id IS NULL
+      |), rb AS (
+      |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(d.toks[k.p + 1], ' ' ORDER BY k.p) AS clean_text
+      |  FROM kt k JOIN d ON d.doc_id = k.doc_id
+      |  GROUP BY k.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_tokens, 0) AS kept_tokens,
+      |       CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS total_tokens
+      |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin)
+  )
+
+  /** [[qSubstrDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  private[graft] def substrDedup(d0: DataFrame): DataFrame = {
+    val grams = d0.select(col("doc_id"),
+        explode(letBound(TextOps.tokens(col("text"))) { toks =>
+          when(size(toks) >= SubstrW,
+            transform(sequence(lit(0), size(toks) - SubstrW), i =>
+              struct(i.cast("int").as("pos"),
+                     md5(array_join(slice(toks, i + 1, lit(SubstrW)), " "))
+                       .as("h"))))
+            .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+        }).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    val covered = grams
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
+                .as("p"))
+      .distinct()
+    val allPos = d0.select(col("doc_id"),
+        explode(letBound(TextOps.tokens(col("text"))) { toks =>
+          when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
+            .otherwise(array().cast("array<int>"))
+        }).as("p"))
+    val keptList = allPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("kp"))
+    d0.join(keptList, Seq("doc_id"), "left")
+      .withColumn("kp", coalesce(col("kp"), array().cast("array<int>")))
+      .withColumn("out",
+        letBound(coalesce(TextOps.tokens(col("text")),
+                          array().cast("array<string>"))) { toks =>
+          struct(
+            array_join(transform(col("kp"), p => element_at(toks, p + 1)),
+                       " ").as("clean_text"),
+            size(col("kp")).cast("long").as("kept_tokens"),
+            size(toks).cast("long").as("total_tokens"))
+        })
+      .select(col("doc_id"), col("out.clean_text").as("clean_text"),
+              col("out.kept_tokens").as("kept_tokens"),
+              col("out.total_tokens").as("total_tokens"))
+  }
+
   /**
    * Snapshot MERGE (SCD-1 / MERGE INTO semantics): apply a changelog of
    * `upsert`/`delete` operations to a corpus snapshot, producing the
@@ -2587,7 +2709,7 @@ object DedupQueries {
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
     qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
-    qIntradocDedup,
+    qIntradocDedup, qSubstrDedup,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert
   )

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Exact-substring dedup (the Lee et al. ExactSubstr semantics at
+  * 13-token resolution): duplicated regions ≥ W tokens are stripped
+  * EXACTLY — at any offset and at token granularity — where the
+  * chunk-based passes are structurally coarser ([[DedupQueries.spanDedup]]
+  * misses shifted duplicates entirely; [[DedupQueries.spanDedupCdc]]
+  * catches shifts but strips whole chunks, not the precise region). */
+class SubstrDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 13
+
+  private def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Row] =
+    df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("1-token-shifted full duplicate strips to exactly the fresh token") {
+    val body = (0 until 200).map(i => s"tok$i")
+    val r = byId(DedupQueries.substrDedup(Seq(
+      (1L, body.mkString(" ")),
+      (2L, ("zzz" +: body).mkString(" "))).toDF("doc_id", "text")))
+    // doc 1 owns every window; doc 2's windows from pos 1 on are all
+    // duplicates, covering tokens 1..200 — ONLY the fresh prefix survives
+    assert(r(1L).getAs[Long]("kept_tokens") === 200L)
+    assert(r(2L).getAs[Long]("kept_tokens") === 1L)
+    assert(r(2L).getAs[String]("clean_text") === "zzz")
+    assert(r(2L).getAs[Long]("total_tokens") === 201L)
+  }
+
+  test("an interior shared region is stripped at exact token boundaries") {
+    val a = (0 until 50).map(i => s"a$i")
+    val b = (0 until 20).map(i => s"b$i") // shared, ≥ W
+    val c = (0 until 50).map(i => s"c$i")
+    val d = (0 until 50).map(i => s"d$i")
+    val e = (0 until 50).map(i => s"e$i")
+    val r = byId(DedupQueries.substrDedup(Seq(
+      (1L, (a ++ b ++ c).mkString(" ")),
+      (2L, (d ++ b ++ e).mkString(" "))).toDF("doc_id", "text")))
+    // doc 2 loses exactly b — the surrounding d/e tokens are untouched,
+    // including the ones adjacent to the shared region (the precision
+    // the chunked passes cannot promise)
+    assert(r(2L).getAs[Long]("kept_tokens") === 100L)
+    assert(r(2L).getAs[String]("clean_text") === (d ++ e).mkString(" "))
+    assert(r(1L).getAs[Long]("kept_tokens") === 120L)
+  }
+
+  test("a shared region shorter than W survives (the threshold, not a hole)") {
+    val short = (0 until W - 1).map(i => s"s$i")
+    val r = byId(DedupQueries.substrDedup(Seq(
+      (1L, ((0 until 30).map(i => s"x$i") ++ short).mkString(" ")),
+      (2L, ((0 until 30).map(i => s"y$i") ++ short).mkString(" "))).toDF("doc_id", "text")))
+    assert(r(2L).getAs[Long]("kept_tokens") === r(2L).getAs[Long]("total_tokens"))
+  }
+
+  test("intra-document repetition: the second occurrence dies, the first survives") {
+    val b = (0 until 20).map(i => s"b$i")
+    val r = byId(DedupQueries.substrDedup(Seq(
+      (1L, (b ++ b).mkString(" "))).toDF("doc_id", "text")))
+    assert(r(1L).getAs[Long]("total_tokens") === 40L)
+    assert(r(1L).getAs[Long]("kept_tokens") === 20L)
+    assert(r(1L).getAs[String]("clean_text") === b.mkString(" "))
+  }
+
+  test("edge shapes: empty, short, and null text reassemble without error") {
+    val r = byId(DedupQueries.substrDedup(Seq(
+      (1L, ""), (2L, "one two"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")))
+    assert(r(1L).getAs[Long]("total_tokens") === 1L) // '' splits to ['']
+    assert(r(2L).getAs[String]("clean_text") === "one two")
+    assert(r(3L).getAs[Long]("total_tokens") === 0L)
+    assert(r(3L).getAs[String]("clean_text") === "")
+  }
+}
