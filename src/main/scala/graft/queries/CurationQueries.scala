@@ -670,6 +670,55 @@ object CurationQueries {
       |FROM documents GROUP BY source, lang""".stripMargin)
   )
 
+  /** Hard per-source document cap for [[qSourceCap]]. */
+  private val SourceCap = 10
+
+  /**
+   * HARD per-source frequency cap — the C4/Gopher domain-cap pass: at
+   * most [[SourceCap]] documents survive per source, drawn as the
+   * salted-md5 rank prefix (the [[graft.queries.SimQueries]] cluster-
+   * budget draw applied to the source axis). Complements the two
+   * existing downsamplers exactly where they don't reach:
+   * [[qStratifiedSample]] keeps a RATE per stratum (a mega-source
+   * still dominates after rate-sampling), and the mixture/temperature
+   * passes REWEIGHT; this is the absolute ceiling that stops any
+   * single domain from owning the corpus regardless of its size.
+   * Deterministic under any partitioning via the salted-hash order
+   * (`md5('cap:' || doc_id)` — a new salt is a fresh draw), never
+   * `rand()`.
+   *
+   * Scale: one rank window partitioned by SOURCE — source count grows
+   * with the corpus catalog, so the window scales out; a mega-source
+   * costs one partition of its own size (the documented per-group skew
+   * class; at 100 TB the practical mitigation is a per-partition
+   * pre-rank candidate cut, which this plan's `rn <= cap` filter
+   * already lets AQE shrink downstream of).
+   */
+  val qSourceCap = Q(
+    "q_source_cap",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= SourceCap)
+        .select("doc_id", "source", "rn")
+    },
+    Some(s"""WITH h AS (
+      |  SELECT doc_id, source,
+      |         md5('cap:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, source,
+      |       CAST(row_number() OVER (PARTITION BY source
+      |                               ORDER BY h ASC, doc_id ASC) AS BIGINT)
+      |         AS rn
+      |FROM h
+      |QUALIFY rn <= $SourceCap""".stripMargin)
+  )
+
   val qWinsorize = Q(
     "q_winsorize",
     (s, dir) =>
@@ -1434,7 +1483,7 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
-                        qDecileAssign, qWinsorize, qSourceReport,
+                        qDecileAssign, qWinsorize, qSourceReport, qSourceCap,
                         qQualityClassifier, qBpePacking,
                         qDsirWeights, qDsirResample, qPrioritySample,
                         qTemperatureMixture, qSpanCorrupt, qPretrainCorpus)

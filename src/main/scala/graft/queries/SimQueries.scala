@@ -1470,6 +1470,88 @@ object SimQueries {
       |SELECT vec_id, cluster_id FROM asg""".stripMargin)
   )
 
+  /** Per-cluster cohesion over a STORED layout — the quality half of
+    * [[clusterStaleness]] under the gate's exact-integer discipline:
+    * member count, k-means-style inertia (sum of squared integer
+    * distances member→stored centroid), its floor-mean, and the
+    * squared radius (max). Squared L2 instead of cosine ON PURPOSE —
+    * dist² = Σ(qᵢ−cᵢ)² is pure int64 arithmetic (≤ dim·(2·scale)²·n
+    * < 2⁵³ by the quantization bound), so the oracle replays it
+    * bit-exactly, where a cosine mean would drag `sqrt` rounding into
+    * the hash compare (cosine stays [[clusterStaleness]]'s job as an
+    * ungated monitor). One (cbucket, cluster_id) equi-join between the
+    * two same-bucketed tables + one map-combinable aggregate; members
+    * with no vector carry a null dist² (excluded from inertia/max,
+    * counted in n_members — both engines' null-skipping aggregates). */
+  def clusterQualityOf(s: SparkSession, layoutDir: String): DataFrame = {
+    val cents = s.read.parquet(s"$layoutDir/centroids")
+      .select(col("cluster_id"), col("cbucket"), col("cq"))
+    s.read.parquet(s"$layoutDir/members")
+      .select(col("cluster_id"), col("cbucket"), col("q"))
+      .join(cents, Seq("cbucket", "cluster_id"))
+      .withColumn("dist2", VectorOps.intL2Sq(col("q"), col("cq")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           sum("dist2").as("inertia"),
+           floor(sum("dist2").cast("double") / count(lit(1)))
+             .cast("long").as("mean_dist2"),
+           max("dist2").as("max_dist2"))
+  }
+
+  /**
+   * Cluster QUALITY through the materialized layout, behind the driver
+   * gate: build the layout (labels + centroids), then report
+   * [[clusterQualityOf]] per cluster — the dashboard a corpus owner
+   * reads next to [[clusterStaleness]] to decide rebuild-vs-append
+   * (inertia growing under stable membership = drift; a ballooning
+   * radius = a cluster absorbing junk). The oracle recomputes the
+   * cluster fixpoint ([[semanticClustersCteOn]]), derives the stored
+   * centroids (the [[clusterCentroidsOf]] floor-mean arithmetic), and
+   * replays the squared distances — so a regression in the centroid
+   * write, the member/centroid bucketing, or the distance arithmetic
+   * all hash-mismatch here.
+   */
+  val qClusterQuality = Q(
+    "q_cluster_quality",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "clusters-quality")
+      writeClusters(s, dir, out)
+      clusterQualityOf(s, out)
+    },
+    Some(s"""$semanticClustersCte,
+      |bmem AS (
+      |  SELECT l.vec_id, l.cluster_id, t0.q
+      |  FROM labels l JOIN e t0 ON t0.vec_id = l.vec_id
+      |),
+      |cdim AS (
+      |  SELECT cluster_id, unnest(generate_series(1, len(q))) AS pos,
+      |         unnest(q) AS v
+      |  FROM bmem
+      |),
+      |cflo AS (
+      |  SELECT cluster_id, pos,
+      |         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+      |  FROM cdim GROUP BY cluster_id, pos
+      |),
+      |cc AS (
+      |  SELECT cluster_id, list(mv ORDER BY pos) AS cq
+      |  FROM cflo GROUP BY cluster_id
+      |),
+      |md AS (
+      |  SELECT m.cluster_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(m.q)),
+      |                i -> (m.q[i] - c.cq[i]) * (m.q[i] - c.cq[i])))
+      |           AS BIGINT) AS dist2
+      |  FROM bmem m JOIN cc c ON c.cluster_id = m.cluster_id
+      |)
+      |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |       CAST(SUM(dist2) AS BIGINT) AS inertia,
+      |       CAST(FLOOR(CAST(SUM(dist2) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |         AS mean_dist2,
+      |       CAST(MAX(dist2) AS BIGINT) AS max_dist2
+      |FROM md GROUP BY cluster_id""".stripMargin)
+  )
+
   /**
    * Embedding-space profiling: per-label member counts and the
    * integer-exact squared-norm distribution (floor-mean, min, max over
@@ -1707,6 +1789,7 @@ object SimQueries {
   val all: Seq[Q] = Seq(qSimSearch, qSimSearchLsh, qSimSearchMp, qSimSearchIvf, qIvfProbe,
                         qIvfAppend, qKnnGraph, qSemanticClusters,
                         qClusterSample, qClusterProbe, qClusterSampleStored,
-                        qClusterAppend, qEmbedStats, qPagerank, qTriangleCount,
+                        qClusterAppend, qClusterQuality,
+                        qEmbedStats, qPagerank, qTriangleCount,
                         qHardNegatives)
 }
