@@ -2192,9 +2192,13 @@ object DedupQueries {
       |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin)
   )
 
-  /** [[qSubstrDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
-  private[graft] def substrDedup(d0: DataFrame): DataFrame = {
-    val grams = d0.select(col("doc_id"),
+  /** `(doc_id, pos, h)` — the rolling `SubstrW`-token gram triples of
+    * an arbitrary `(doc_id, text)` frame, one per token position. Pure
+    * projections (stateless, so the streaming face applies it
+    * verbatim); the token array is [[letBound]] against per-window
+    * re-splitting. */
+  private[queries] def substrGrams(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id"),
         explode(letBound(TextOps.tokens(col("text"))) { toks =>
           when(size(toks) >= SubstrW,
             transform(sequence(lit(0), size(toks) - SubstrW), i =>
@@ -2204,10 +2208,15 @@ object DedupQueries {
             .otherwise(array().cast("array<struct<pos:int,h:string>>"))
         }).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
-    val covered = grams
-      .withColumn("rn", row_number().over(wOwn))
-      .filter(col("rn") > 1)
+
+  /** The strip-and-reassemble tail shared by all [[qSubstrDedup]]
+    * faces: explode the DUPLICATE gram occurrences into covered token
+    * positions, anti-join the complement, regroup kept positions per
+    * doc, and rebuild `(doc_id, clean_text, kept_tokens,
+    * total_tokens)` over every document of `d0`. */
+  private[queries] def substrReassemble(d0: DataFrame,
+                                        dup: DataFrame): DataFrame = {
+    val covered = dup
       .select(col("doc_id"),
               explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
                 .as("p"))
@@ -2234,6 +2243,91 @@ object DedupQueries {
               col("out.kept_tokens").as("kept_tokens"),
               col("out.total_tokens").as("total_tokens"))
   }
+
+  /** [[qSubstrDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
+  private[graft] def substrDedup(d0: DataFrame): DataFrame = {
+    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    val dup = substrGrams(d0)
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos")
+    substrReassemble(d0, dup)
+  }
+
+  /**
+   * INCREMENTAL exact-substring dedup: strip an ARRIVING batch's
+   * duplicated regions against the gram index of an existing corpus —
+   * the [[spanDedupAgainstCorpus]] contract at [[qSubstrDedup]]'s
+   * token resolution. A batch gram occurrence is a duplicate iff its
+   * hash is in the corpus gram set (all its occurrences die — compact
+   * 16-byte-key membership, never text) OR it is a batch-internal
+   * non-first occurrence; covered tokens strip, every batch document
+   * reassembles. Equivalent to the streaming face's
+   * fresh-and-first-occurrence rule (all occurrences of a
+   * corpus-known gram are non-kept regardless of batch rank).
+   */
+  private[graft] def substrDedupAgainstCorpus(corpus: DataFrame,
+                                              batch: DataFrame): DataFrame = {
+    val corpusH = substrGrams(corpus).select("h").distinct()
+    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    val dup = substrGrams(batch)
+      .join(corpusH.withColumn("in_corpus", lit(1)), Seq("h"), "left")
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("in_corpus").isNotNull || col("rn") > 1)
+      .select("doc_id", "pos")
+    substrReassemble(batch, dup)
+  }
+
+  /** [[qSpanIncremental]]'s %5 arrival split applied to
+    * [[substrDedupAgainstCorpus]]. */
+  val qSubstrIncremental = Q(
+    "q_substr_incremental",
+    (s, dir) => {
+      val docs = docsDistributed(s, dir)
+      substrDedupAgainstCorpus(docs.filter(col("doc_id") % 5 =!= 4),
+                               docs.filter(col("doc_id") % 5 === 4))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, j - 1 AS pos,
+      |         md5(array_to_string(toks[j:j+${SubstrW - 1}], ' ')) AS h
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - ${SubstrW - 1})) AS j
+      |        FROM d WHERE len(toks) >= $SubstrW)
+      |), cg AS (
+      |  SELECT DISTINCT h FROM g WHERE doc_id % 5 <> 4
+      |), dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, h,
+      |           ROW_NUMBER() OVER (PARTITION BY h
+      |                              ORDER BY doc_id, pos) AS rn
+      |    FROM g WHERE doc_id % 5 = 4)
+      |  WHERE rn > 1 OR h IN (SELECT h FROM cg)
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, pos + k AS p
+      |  FROM (SELECT doc_id, pos,
+      |               unnest(generate_series(0, ${SubstrW - 1})) AS k
+      |        FROM dup)
+      |), ap AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p
+      |  FROM d WHERE len(toks) > 0 AND doc_id % 5 = 4
+      |), kt AS (
+      |  SELECT a.doc_id, a.p
+      |  FROM ap a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+      |  WHERE c.doc_id IS NULL
+      |), rb AS (
+      |  SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(d.toks[k.p + 1], ' ' ORDER BY k.p) AS clean_text
+      |  FROM kt k JOIN d ON d.doc_id = k.doc_id
+      |  GROUP BY k.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(rb.clean_text, '') AS clean_text,
+      |       COALESCE(rb.kept_tokens, 0) AS kept_tokens,
+      |       CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS total_tokens
+      |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
+      |WHERE d.doc_id % 5 = 4""".stripMargin)
+  )
 
   /**
    * Snapshot MERGE (SCD-1 / MERGE INTO semantics): apply a changelog of
@@ -2709,7 +2803,7 @@ object DedupQueries {
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
     qDecontaminate, qExactOverlap,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
-    qIntradocDedup, qSubstrDedup,
+    qIntradocDedup, qSubstrDedup, qSubstrIncremental,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert
   )

@@ -893,6 +893,45 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming EXACT-SUBSTRING dedup — [[qStreamSpan]]'s shape at
+   * [[DedupQueries.qSubstrDedup]]'s token resolution, gated against
+   * the batch oracle (`q_substr_incremental`'s SQL verbatim): arriving
+   * documents emit rolling-gram triples ([[DedupQueries.substrGrams]]
+   * — pure projections, stream-legal), anti-joined against the frozen
+   * corpus gram index per micro-batch, so only FRESH gram occurrences
+   * reach the sink (compact `(doc_id, pos, h)`, proportional to novel
+   * volume — corpus-known boilerplate dies in-flight). Compaction
+   * derives the keepers as the fresh first occurrences (`min(struct)`
+   * per hash), recomputes the batch grams, and marks every NON-keeper
+   * occurrence as covered — equivalent to the batch face's
+   * in-corpus-OR-non-first rule — then strips and reassembles.
+   */
+  val qStreamSubstr = Q(
+    "q_stream_substr",
+    (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val corpusH = DedupQueries
+        .substrGrams(docs.filter(col("doc_id") % 5 =!= 4))
+        .select("h").distinct().localCheckpoint()
+      val arriving = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+      val fresh = DedupQueries.substrGrams(arriving)
+        .join(corpusH, Seq("h"), "left_anti")
+        .select("doc_id", "pos", "h")
+      val sunk = runToSink(s, dir, fresh, "graft_q_stream_substr")
+      val keepers = sunk.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+        .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      val batch = docs.filter(col("doc_id") % 5 === 4)
+      val dup = DedupQueries.substrGrams(batch)
+        .join(keepers, Seq("doc_id", "pos"), "left_anti")
+        .select("doc_id", "pos")
+      DedupQueries.substrReassemble(batch, dup)
+    },
+    DedupQueries.qSubstrIncremental.oracle
+  )
+
+  /**
    * Streaming CDC ingest audit, gated against the batch oracle
    * ([[DedupQueries.qCorpusDiff]]'s SQL with `removed` excluded): the
    * crawl refresh replayed as a file stream, each arriving document
@@ -1358,7 +1397,8 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
-                        qStreamSpan, qStreamSpanCdc, qStreamDiff,
+                        qStreamSpan, qStreamSpanCdc, qStreamSubstr,
+                        qStreamDiff,
                         qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,

@@ -65,6 +65,30 @@ class SubstrDedupSpec extends SparkSpec {
     assert(r(1L).getAs[String]("clean_text") === b.mkString(" "))
   }
 
+  test("incremental: a corpus-known region strips EVERY batch occurrence, " +
+       "batch-novel repetition keeps its first") {
+    val known = (0 until 20).map(i => s"k$i")   // in the corpus
+    val novel = (0 until 20).map(i => s"n$i")   // batch-only, repeated
+    val corpus = Seq((1L, known.mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (known ++ novel).mkString(" ")),    // batch-first of BOTH regions
+      (11L, (novel ++ known).mkString(" ")))    // second occurrences
+      .toDF("doc_id", "text")
+    val r = byId(DedupQueries.substrDedupAgainstCorpus(corpus, batch))
+    // doc 10: `known` dies (corpus membership beats batch-first),
+    // `novel` survives as the batch's first occurrence — but the
+    // straddle windows spanning the known→novel seam are batch-unique
+    // and also survive, so exactly the known-only positions die
+    assert(r(10L).getAs[Long]("kept_tokens") === 20L)
+    assert(r(10L).getAs[String]("clean_text") === novel.mkString(" "))
+    // doc 11: both regions are non-first (novel's first is doc 10,
+    // known is corpus-known) and its seam windows are its own —
+    // covered = both interiors, kept = nothing (seam windows are
+    // duplicates of nothing, but every token also lies in a covered
+    // region window)
+    assert(r(11L).getAs[Long]("kept_tokens") === 0L)
+  }
+
   test("edge shapes: empty, short, and null text reassemble without error") {
     val r = byId(DedupQueries.substrDedup(Seq(
       (1L, ""), (2L, "one two"), (3L, null.asInstanceOf[String]))
