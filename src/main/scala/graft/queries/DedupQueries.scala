@@ -1708,12 +1708,27 @@ object DedupQueries {
   private[queries] def reassembleSpans(d: DataFrame, keptPos: DataFrame): DataFrame =
     d.join(keptPos, Seq("doc_id"), "left")
       .withColumn("kp", coalesce(col("kept_pos"), array().cast("array<int>")))
+      // the chunks column is [[letBound]] so it references ONCE no
+      // matter how the optimizer rewrites: when `d` is an unpinned
+      // computed frame (the CDC chunker), projection collapse inlines
+      // the chunk expression into every reference site — three here,
+      // one of them INSIDE the per-kept-position lambda, which is the
+      // quadratic class this file documents. Binding it as a lambda
+      // value makes reassembly safe for any chunker without a
+      // checkpoint pin (the pins this change retired cost ~2× on
+      // q_span_cdc at the 50 k soak: 4.8 s pinned → 2.4 s unpinned).
       .select(col("doc_id"),
-              array_join(transform(col("kp"),
-                                   p => element_at(col("chunks"), p + 1)), " ")
-                .as("clean_text"),
-              size(col("kp")).cast("long").as("kept_chunks"),
-              size(col("chunks")).cast("long").as("total_chunks"))
+              letBound(col("chunks")) { ch =>
+                struct(
+                  array_join(transform(col("kp"),
+                                       p => element_at(ch, p + 1)), " ")
+                    .as("clean_text"),
+                  size(col("kp")).cast("long").as("kept_chunks"),
+                  size(ch).cast("long").as("total_chunks"))
+              }.as("o"))
+      .select(col("doc_id"), col("o.clean_text").as("clean_text"),
+              col("o.kept_chunks").as("kept_chunks"),
+              col("o.total_chunks").as("total_chunks"))
 
   /**
    * INCREMENTAL span dedup: clean an ARRIVING batch against the span
@@ -1740,16 +1755,15 @@ object DedupQueries {
     * incrementally). */
   private[graft] def spanDedupCdcAgainstCorpus(corpus: DataFrame,
                                                batch: DataFrame): DataFrame =
-    // BOTH chunk frames pinned against the [[spanDedupCdc]] inlining
-    // blowup, and pinned BEFORE the hash explode — materializing only
-    // the post-explode hash index still evaluates the generator over
-    // the raw alias chain and stays quadratic (measured 105 s for the
-    // corpus half alone at sf0.01; ~1 s with the chunk-frame pin,
-    // CdcProfile). A production crawl-refresh pipeline persists the
-    // span-hash index between batches anyway (the
-    // [[dedupAgainstIndex]] discipline), which subsumes this pin.
-    spanDedupAgainstCorpusWith(df => checkpointCompact(cdcChunks(df)),
-                               corpus, batch)
+    // No checkpoint pins since the let-binding rewrite: the chunker is
+    // one bound expression (cdcChunksOf) and every consumer references
+    // the chunk column once ([[spanHashes]]' posexplode;
+    // [[reassembleSpans]]' own letBound), so the alias-inlining blowup
+    // this site used to pin against (105 s for the corpus half alone
+    // at sf0.01, CdcProfile) is structurally gone. A production
+    // crawl-refresh pipeline persists the span-hash index between
+    // batches anyway (the [[dedupAgainstIndex]] discipline).
+    spanDedupAgainstCorpusWith(cdcChunks, corpus, batch)
 
   /** The incremental span pass over ANY chunker: corpus side reduces to
     * 16-byte distinct span hashes (compact-key anti-join),
@@ -1988,18 +2002,19 @@ object DedupQueries {
     * never crosses an exchange after chunking; only (16-byte md5,
     * doc_id, pos) triples shuffle).
     *
-    * The chunk frame is CHECKPOINTED, unlike [[spanDedup]]'s: the CDC
-    * chunk column is a deep alias chain (toks → bases → cuts →
-    * starts/ends → chunks), and when its consumers inline that chain
-    * into lambda bodies (the reassembly's per-kept-position
-    * `element_at`), evaluation goes quadratic-in-tokens PER ELEMENT —
-    * measured 127.6 s vs 3.4 s for the chunk pass alone at sf0.01 in
-    * write mode (CdcProfile); the materialization boundary pins
-    * chunks as a real column evaluated once per row (2.2 s after).
-    * Fixed-width chunks are one shallow transform, cheap enough to
-    * duplicate, which is why [[spanDedup]] doesn't need the pin. */
+    * No checkpoint pin: the original withColumn formulation of the
+    * chunker was a deep alias chain (toks → bases → cuts →
+    * starts/ends → chunks) whose inlining into consumer lambda bodies
+    * went quadratic-in-tokens PER ELEMENT — measured 127.6 s vs 3.4 s
+    * for the chunk pass alone at sf0.01 in write mode (CdcProfile) —
+    * and this site pinned the frame through a DISK_ONLY checkpoint to
+    * stop it. The [[letBound]] rewrite of [[cdcChunksOf]] plus
+    * [[reassembleSpans]]' own chunk binding removed the hazard
+    * structurally (every consumer references the chunk expression
+    * exactly once), and retiring the pin halved the gate at the 50 k
+    * soak (4.8 s → 2.4 s). */
   private[graft] def spanDedupCdc(d0: DataFrame): DataFrame = {
-    val d = checkpointCompact(cdcChunks(d0))
+    val d = cdcChunks(d0)
     reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
   }
 

@@ -859,23 +859,22 @@ object StreamingQueries {
    * CDC boundaries re-synchronize to content regardless of offset —
    * the fixed-width [[qStreamSpan]] face misses exactly that arrival.
    *
-   * Checkpoint discipline: the BATCH-side chunk frames (corpus index
-   * build, compaction-time reassembly) are pinned via
-   * [[checkpointCompact]] against the CDC alias-chain inlining blowup
-   * ([[DedupQueries.spanDedupCdc]] scaladoc — measured 127.6 s vs
-   * 2.2 s); the STREAMING side needs no pin because its only consumer
-   * is [[DedupQueries.spanHashes]]' posexplode, which evaluates the
-   * chunk chain once per row. Per-arrival work stays compact
-   * `(doc_id, pos, h)` — text never reaches the sink — and the
-   * first-occurrence rule + reassembly run at compaction (the
-   * [[qStreamHll]] pattern).
+   * No checkpoint pins anywhere: the CDC chunker is one [[letBound]]
+   * expression and every consumer ([[DedupQueries.spanHashes]]'
+   * posexplode, [[DedupQueries.reassembleSpans]]' own chunk binding)
+   * references it exactly once, so the alias-inlining blowup the batch
+   * face originally pinned against is structurally gone — which is
+   * precisely what makes this face possible (a streaming frame cannot
+   * be checkpointed). Per-arrival work stays compact `(doc_id, pos,
+   * h)` — text never reaches the sink — and the first-occurrence rule
+   * + reassembly run at compaction (the [[qStreamHll]] pattern).
    */
   val qStreamSpanCdc = Q(
     "q_stream_span_cdc",
     (s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val corpusH = DedupQueries.spanHashes(checkpointCompact(
-          DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 =!= 4))))
+      val corpusH = DedupQueries
+        .spanHashes(DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 =!= 4)))
         .select("h").distinct().localCheckpoint()
       val arriving = tableStream(s, dir, "documents")
         .filter(col("doc_id") % 5 === 4)
@@ -885,8 +884,7 @@ object StreamingQueries {
         .select("doc_id", "pos", "h")
       val sunk = runToSink(s, dir, fresh, "graft_q_stream_span_cdc")
       DedupQueries.reassembleSpans(
-        checkpointCompact(
-          DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 === 4))),
+        DedupQueries.cdcChunks(docs.filter(col("doc_id") % 5 === 4)),
         DedupQueries.firstOccurrenceKeepers(sunk))
     },
     DedupQueries.qSpanCdcIncremental.oracle
