@@ -429,7 +429,81 @@ object LayoutQueries {
     nFiles
   }
 
+  /** Physical bucket count for the stored inverted index — the
+    * [[graft.queries.SimQueries]] ClusterBuckets rationale applied to
+    * terms: partitioning by raw term would create one directory per
+    * vocabulary entry (metadata-bound at corpus scale); 64 hash
+    * buckets keep every term's row in exactly one prunable directory
+    * at any vocabulary size. */
+  private[queries] val TermBuckets = 64
+
+  /** Materialize [[TextStatsQueries.invertedIndex]] as a bucketed
+    * physical layout (`<outDir>/terms/tbucket=<b>/`, term-sorted
+    * within files so the probe's `term =` filter skips row groups). */
+  private[queries] def writeIndex(s: SparkSession, dir: String,
+                                  outDir: String): Unit =
+    TextStatsQueries.invertedIndex(Tables.read(s, dir, "documents"))
+      .withColumn("tbucket", pmod(xxhash64(col("term")),
+                                  lit(TermBuckets.toLong)))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions("tbucket", "term")
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$outDir/terms")
+
+  /**
+   * Term probe THROUGH the stored inverted-index layout — the
+   * layout+probe discipline ([[graft.queries.SimQueries]] qIvfProbe /
+   * qClusterProbe) applied to the text-retrieval artifact: build the
+   * bucketed index once, then answer one term lookup as a
+   * partition-pruned, filter-pushed scan of a single bucket directory
+   * — query cost scales with bucket size, not vocabulary size, and
+   * the `tbucket =` literal is a folded constant so pruning happens at
+   * planning. The probe term is DATA-DERIVED deterministically (the
+   * first token of the lowest-doc_id document), so the gate runs
+   * unchanged on any corpus; the oracle recomputes the full index and
+   * selects the same term, so a regression in the index build, the
+   * bucket derivation, or the pruned read all hash-mismatch here.
+   */
+  val qIndexProbe = Q(
+    "q_index_probe",
+    (s, dir) => {
+      val out = derivedDir(s, dir, "inv-index")
+      writeIndex(s, dir, out)
+      val t = Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .orderBy(col("doc_id"))
+        .select(element_at(split(col("text"), " "), 1).as("t"))
+        .head(1).head.getString(0)
+      s.read.parquet(s"$out/terms")
+        .filter(col("tbucket") === pmod(xxhash64(lit(t)),
+                                        lit(TermBuckets.toLong)) &&
+                  col("term") === t)
+        .select("term", "df", "total_tf", "postings")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |), tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |         CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |         array_to_string(
+      |           list_transform(
+      |             list_slice(list(doc_id ORDER BY doc_id), 1,
+      |                        ${TextStatsQueries.PostingsCap}),
+      |             x -> CAST(x AS VARCHAR)), ',') AS postings
+      |  FROM tf GROUP BY term
+      |), pt AS (
+      |  SELECT string_split(text, ' ')[1] AS t FROM documents
+      |  WHERE text IS NOT NULL
+      |  ORDER BY doc_id LIMIT 1
+      |)
+      |SELECT term, df, total_tf, postings FROM idx
+      |WHERE term = (SELECT t FROM pt)""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qZorder3Prune,
                         qBackfill, qBucketJoin,
-                        qCompactFiles)
+                        qCompactFiles, qIndexProbe)
 }

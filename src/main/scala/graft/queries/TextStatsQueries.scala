@@ -1103,7 +1103,7 @@ object TextStatsQueries {
   }
 
   /** Posting-list cap for [[qInvertedIndex]]. */
-  private val PostingsCap = 16
+  private[queries] val PostingsCap = 16
 
   /**
    * Inverted-index BUILD: per term, its document frequency, corpus
