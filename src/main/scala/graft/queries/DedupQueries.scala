@@ -1714,9 +1714,12 @@ object DedupQueries {
       // the chunk expression into every reference site — three here,
       // one of them INSIDE the per-kept-position lambda, which is the
       // quadratic class this file documents. Binding it as a lambda
-      // value makes reassembly safe for any chunker without a
-      // checkpoint pin (the pins this change retired cost ~2× on
-      // q_span_cdc at the 50 k soak: 4.8 s pinned → 2.4 s unpinned).
+      // value makes reassembly structurally safe for ANY chunker —
+      // unpinned consumption costs one chain evaluation, never
+      // per-element re-evaluation — which is what lets the
+      // single-consumer sites (incremental corpus side, streaming
+      // face) drop their pins and the multi-consumer sites keep them
+      // on economics alone (see spanDedupCdc).
       .select(col("doc_id"),
               letBound(col("chunks")) { ch =>
                 struct(
@@ -1755,25 +1758,39 @@ object DedupQueries {
     * incrementally). */
   private[graft] def spanDedupCdcAgainstCorpus(corpus: DataFrame,
                                                batch: DataFrame): DataFrame =
-    // No checkpoint pins since the let-binding rewrite: the chunker is
-    // one bound expression (cdcChunksOf) and every consumer references
-    // the chunk column once ([[spanHashes]]' posexplode;
-    // [[reassembleSpans]]' own letBound), so the alias-inlining blowup
-    // this site used to pin against (105 s for the corpus half alone
-    // at sf0.01, CdcProfile) is structurally gone. A production
-    // crawl-refresh pipeline persists the span-hash index between
-    // batches anyway (the [[dedupAgainstIndex]] discipline).
-    spanDedupAgainstCorpusWith(cdcChunks, corpus, batch)
+    // Pin-by-consumer-count (the checksum-mode A/B at the 50 k soak,
+    // BASELINE.md round-15 session-3): the CORPUS chunk frame has ONE
+    // consumer (spanHashes' posexplode), so a pin is pure
+    // materialization overhead — 9.0 s pinned vs 5.7 s unpinned —
+    // while the BATCH frame is consumed twice (hash explode +
+    // reassembly) and the pin saves the second chain evaluation. The
+    // let-binding rewrite of the chunker is what makes the unpinned
+    // corpus side MERELY one-evaluation, not quadratic (the 105 s
+    // alias-chain blowup this site originally pinned against,
+    // CdcProfile). A production crawl-refresh pipeline persists the
+    // span-hash index between batches anyway (the
+    // [[dedupAgainstIndex]] discipline).
+    spanDedupAgainstCorpusWith(cdcChunks,
+                               df => checkpointCompact(cdcChunks(df)),
+                               corpus, batch)
 
   /** The incremental span pass over ANY chunker: corpus side reduces to
     * 16-byte distinct span hashes (compact-key anti-join),
     * batch-internal first-occurrence rule composes on top, every batch
-    * doc reassembled. */
+    * doc reassembled. Chunkers are per-side because their pin needs
+    * differ (see [[spanDedupCdcAgainstCorpus]]): the corpus frame is
+    * consumed once, the batch frame twice. */
   private def spanDedupAgainstCorpusWith(chunker: DataFrame => DataFrame,
                                          corpus: DataFrame,
+                                         batch: DataFrame): DataFrame =
+    spanDedupAgainstCorpusWith(chunker, chunker, corpus, batch)
+
+  private def spanDedupAgainstCorpusWith(corpusChunker: DataFrame => DataFrame,
+                                         batchChunker: DataFrame => DataFrame,
+                                         corpus: DataFrame,
                                          batch: DataFrame): DataFrame = {
-    val corpusH = spanHashes(chunker(corpus)).select("h").distinct()
-    val d = chunker(batch)
+    val corpusH = spanHashes(corpusChunker(corpus)).select("h").distinct()
+    val d = batchChunker(batch)
     val keptPos = firstOccurrenceKeepers(
       spanHashes(d).join(corpusH, Seq("h"), "left_anti"))
     reassembleSpans(d, keptPos)
@@ -2002,19 +2019,21 @@ object DedupQueries {
     * never crosses an exchange after chunking; only (16-byte md5,
     * doc_id, pos) triples shuffle).
     *
-    * No checkpoint pin: the original withColumn formulation of the
-    * chunker was a deep alias chain (toks → bases → cuts →
-    * starts/ends → chunks) whose inlining into consumer lambda bodies
-    * went quadratic-in-tokens PER ELEMENT — measured 127.6 s vs 3.4 s
-    * for the chunk pass alone at sf0.01 in write mode (CdcProfile) —
-    * and this site pinned the frame through a DISK_ONLY checkpoint to
-    * stop it. The [[letBound]] rewrite of [[cdcChunksOf]] plus
-    * [[reassembleSpans]]' own chunk binding removed the hazard
-    * structurally (every consumer references the chunk expression
-    * exactly once), and retiring the pin halved the gate at the 50 k
-    * soak (4.8 s → 2.4 s). */
+    * The chunk frame keeps its pin — but for a DIFFERENT reason than
+    * it was introduced. Originally it guarded the alias-chain inlining
+    * blowup (127.6 s vs 3.4 s for the chunk pass at sf0.01 write mode,
+    * CdcProfile); the [[letBound]] rewrite of [[cdcChunksOf]] plus
+    * [[reassembleSpans]]' own chunk binding removed that hazard
+    * structurally (unpinned is one-evaluation-per-consumer, never
+    * quadratic). What remains is plain common-subexpression economics:
+    * this frame has TWO consumers (hash explode + reassembly), so the
+    * pin trades one disk round-trip for the second full chain
+    * evaluation — 7.2 s pinned vs 8.5 s unpinned at the 50 k
+    * checksum-mode soak. Single-consumer chunk frames (the incremental
+    * corpus side, the streaming face) measurably should NOT pin —
+    * see [[spanDedupCdcAgainstCorpus]]. */
   private[graft] def spanDedupCdc(d0: DataFrame): DataFrame = {
-    val d = cdcChunks(d0)
+    val d = checkpointCompact(cdcChunks(d0))
     reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
   }
 
