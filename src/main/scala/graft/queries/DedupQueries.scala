@@ -2237,41 +2237,88 @@ object DedupQueries {
           when(size(toks) >= SubstrW,
             transform(sequence(lit(0), size(toks) - SubstrW), i =>
               struct(i.cast("int").as("pos"),
-                     md5(array_join(slice(toks, i + 1, lit(SubstrW)), " "))
+                     // 16-byte BINARY key, not the 32-char hex string:
+                     // the gram key is internal (ownership classes
+                     // only — the oracle never sees it), and the owner
+                     // window + anti-joins shuffle one row per corpus
+                     // token, so key width is half the exchange
+                     unhex(md5(array_join(slice(toks, i + 1, lit(SubstrW)),
+                                          " ")))
                        .as("h"))))
             .otherwise(array().cast("array<struct<pos:int,h:string>>"))
         }).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
 
   /** The strip-and-reassemble tail shared by all [[qSubstrDedup]]
-    * faces: explode the DUPLICATE gram occurrences into covered token
-    * positions, anti-join the complement, regroup kept positions per
-    * doc, and rebuild `(doc_id, clean_text, kept_tokens,
-    * total_tokens)` over every document of `d0`. */
+    * faces: from the DUPLICATE gram occurrences, rebuild `(doc_id,
+    * clean_text, kept_tokens, total_tokens)` over every document of
+    * `d0`.
+    *
+    * Coverage is computed ROW-LOCALLY as a merged-interval complement,
+    * not by exploding each duplicate window into its `SubstrW` covered
+    * positions: the explode formulation shipped 13× the duplicate-gram
+    * rows through a distinct + anti-join + regroup (three corpus-scale
+    * exchanges), which at the pathological 500 k-doc soak — 150-member
+    * families, ~99 % duplication, the worst case for a dedup pass —
+    * measured 72 s with the blowup concentrated exactly there. Here
+    * the duplicate STARTS aggregate once per doc (map-combinable
+    * collect, compact ints), and the interval union, its complement,
+    * and the kept-token rebuild are all HOFs over the sorted starts
+    * array: O(dups + tokens) per row, zero further exchanges —
+    * 72 s → 26.6 s at the same soak, same oracle (the remainder is
+    * the gram hash + owner window, the pass's irreducible core). */
   private[queries] def substrReassemble(d0: DataFrame,
                                         dup: DataFrame): DataFrame = {
-    val covered = dup
-      .select(col("doc_id"),
-              explode(sequence(col("pos"), col("pos") + lit(SubstrW - 1)))
-                .as("p"))
-      .distinct()
-    val allPos = d0.select(col("doc_id"),
-        explode(letBound(TextOps.tokens(col("text"))) { toks =>
-          when(size(toks) > 0, sequence(lit(0), size(toks) - 1))
-            .otherwise(array().cast("array<int>"))
-        }).as("p"))
-    val keptList = allPos.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("kp"))
-    d0.join(keptList, Seq("doc_id"), "left")
-      .withColumn("kp", coalesce(col("kp"), array().cast("array<int>")))
+    val starts = dup.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("dstarts"))
+    d0.join(starts, Seq("doc_id"), "left")
+      .withColumn("dstarts",
+                  coalesce(col("dstarts"), array().cast("array<int>")))
       .withColumn("out",
         letBound(coalesce(TextOps.tokens(col("text")),
                           array().cast("array<string>"))) { toks =>
-          struct(
-            array_join(transform(col("kp"), p => element_at(toks, p + 1)),
-                       " ").as("clean_text"),
-            size(col("kp")).cast("long").as("kept_tokens"),
-            size(toks).cast("long").as("total_tokens"))
+          // union of [d, d+W-1] over the ASCENDING starts: a start
+          // extends the last interval iff it begins inside-or-adjacent
+          // (d <= last.e + 1); ends are monotone under equal widths,
+          // so extension never shrinks
+          letBound(aggregate(
+              col("dstarts"),
+              array().cast("array<struct<s:int,e:int>>"),
+              (acc, d) => when(
+                  size(acc) > 0 &&
+                    d <= element_at(acc, -1).getField("e") + 1,
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                         array(struct(
+                           element_at(acc, -1).getField("s").as("s"),
+                           (d + lit(SubstrW - 1)).as("e")))))
+                .otherwise(concat(acc,
+                  array(struct(d.as("s"), (d + lit(SubstrW - 1)).as("e"))))))) {
+            merged =>
+              // complement gaps: before each interval (bounded by the
+              // previous one's end) and after the last; degenerate
+              // gaps filter out, the whole-doc case falls out of the
+              // empty merged array
+              val gaps = concat(
+                transform(merged, (iv, i) =>
+                  struct(
+                    when(i === 0, lit(0))
+                      .otherwise(element_at(merged, i).getField("e") + 1)
+                      .as("gs"),
+                    (iv.getField("s") - 1).as("ge"))),
+                array(struct(
+                  when(size(merged) > 0,
+                       element_at(merged, -1).getField("e") + 1)
+                    .otherwise(lit(0)).as("gs"),
+                  (size(toks) - 1).as("ge"))))
+              val kp = flatten(transform(
+                filter(gaps, g => g.getField("gs") <= g.getField("ge")),
+                g => sequence(g.getField("gs"), g.getField("ge"))))
+              struct(
+                array_join(transform(kp, p => element_at(toks, p + 1)),
+                           " ").as("clean_text"),
+                size(kp).cast("long").as("kept_tokens"),
+                size(toks).cast("long").as("total_tokens"))
+          }
         })
       .select(col("doc_id"), col("out.clean_text").as("clean_text"),
               col("out.kept_tokens").as("kept_tokens"),
