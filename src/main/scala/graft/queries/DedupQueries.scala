@@ -2410,6 +2410,115 @@ object DedupQueries {
       |WHERE d.doc_id % 5 = 4""".stripMargin)
   )
 
+  /** Physical bucket count for [[writeBandIndex]] — the bounded-
+    * directory rationale ([[graft.queries.SimQueries]] ClusterBuckets)
+    * applied to band signatures. */
+  private[queries] val BandBuckets = 64
+
+  /** Materialize a corpus' distinct MinHash band signatures as a
+    * bucketed physical layout (`<outDir>/bands/bband=<b>/`) — the
+    * near-dup sibling of the exact-hash index behind
+    * [[dedupAgainstIndex]]: the artifact a continuously-ingested
+    * pipeline keeps BETWEEN batches so each arrival probes frozen
+    * state instead of re-signing the corpus. Compact by construction:
+    * three 8-byte ints per distinct (band, signature), independent of
+    * document length. */
+  def writeBandIndex(corpus: DataFrame, outDir: String): Unit =
+    bandSignaturesOf(corpus.select("doc_id", "text"))
+      .select("band", "sig0", "sig1").distinct()
+      .withColumn("bband",
+                  pmod(xxhash64(col("band"), col("sig0"), col("sig1")),
+                       lit(BandBuckets.toLong)))
+      .repartition(col("bband"))
+      .sortWithinPartitions("bband", "band", "sig0", "sig1")
+      .write.mode("overwrite").partitionBy("bband")
+      .parquet(s"$outDir/bands")
+
+  /** Surviving arrivals of an INCREMENTAL near-dup pass against a
+    * stored band index: a batch document dies iff any of its band
+    * signatures matches the index (near-duplicate of the standing
+    * corpus — compact 24-byte-key semi-join, never text) or it is the
+    * LARGER side of any batch-internal LSH candidate pair (the
+    * `a_id < b_id` greedy-min rule — deterministic, and conservative:
+    * a batch doc colliding with a smaller batch doc dies even if that
+    * smaller doc itself died to a corpus hit). Returns the surviving
+    * `doc_id`s. */
+  private[graft] def dedupAgainstBandIndex(s: SparkSession,
+                                           layoutDir: String,
+                                           batch: DataFrame): DataFrame = {
+    val idx = s.read.parquet(s"$layoutDir/bands")
+      .select("band", "sig0", "sig1")
+    val hits = bandSignaturesOf(batch.select("doc_id", "text"))
+      .join(idx, Seq("band", "sig0", "sig1"), "left_semi")
+      .select("doc_id").distinct()
+    val losers = candidatePairsOf(batch)
+      .select(col("b_id").as("doc_id")).distinct()
+    batch.select("doc_id")
+      .join(hits, Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** The maintenance half: append a frame's band signatures under
+    * their buckets (arrivals that survived [[dedupAgainstBandIndex]]
+    * join the standing index for the NEXT batch — the
+    * [[graft.queries.SimQueries]] qIvfAppend frozen-state cadence). */
+  def appendToBandIndex(s: SparkSession, layoutDir: String,
+                        survivors: DataFrame): Unit =
+    bandSignaturesOf(survivors.select("doc_id", "text"))
+      .select("band", "sig0", "sig1").distinct()
+      .withColumn("bband",
+                  pmod(xxhash64(col("band"), col("sig0"), col("sig1")),
+                       lit(BandBuckets.toLong)))
+      .repartition(col("bband"))
+      .sortWithinPartitions("bband", "band", "sig0", "sig1")
+      .write.mode("append").partitionBy("bband")
+      .parquet(s"$layoutDir/bands")
+
+  /**
+   * INCREMENTAL near-dup dedup through the STORED band index, behind
+   * the driver gate — [[qDedupIncremental]]'s exact-hash contract
+   * lifted to MinHash granularity, with the index as a materialized
+   * layout rather than a per-run recompute ([[qDedupBloom]]'s
+   * result-invisible discipline: the oracle replays the signatures
+   * from scratch, so the stored artifact must be a PURE
+   * materialization — any drift in the write, the bucket derivation,
+   * or the probe join hash-mismatches here). The gate also APPENDS the
+   * survivors' signatures (the next batch's frozen state) and bills
+   * that cost; `BandIndexSpec` proves the append's content.
+   */
+  val qMinhashIncremental = Q(
+    "q_minhash_incremental",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "minhash-index")
+      val d = docsDistributed(s, dir)
+      val batch = d.filter(col("doc_id") % 5 === 4)
+      writeBandIndex(d.filter(col("doc_id") % 5 =!= 4), out)
+      val survivors = dedupAgainstBandIndex(s, out, batch)
+      appendToBandIndex(s, out,
+                        batch.join(survivors, Seq("doc_id"), "left_semi"))
+      survivors
+    },
+    Some(s"""$bandSigCte,
+      |ci AS (
+      |  SELECT DISTINCT band, sig0, sig1 FROM sig WHERE doc_id % 5 <> 4
+      |), bs AS (
+      |  SELECT doc_id, band, sig0, sig1 FROM sig WHERE doc_id % 5 = 4
+      |), corpus_hit AS (
+      |  SELECT DISTINCT bs.doc_id
+      |  FROM bs JOIN ci ON bs.band = ci.band AND bs.sig0 = ci.sig0
+      |                 AND bs.sig1 = ci.sig1
+      |), bcand AS (
+      |  SELECT DISTINCT b.doc_id AS b_id
+      |  FROM bs a JOIN bs b
+      |    ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+      |       AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 5 = 4
+      |  AND doc_id NOT IN (SELECT doc_id FROM corpus_hit)
+      |  AND doc_id NOT IN (SELECT b_id FROM bcand)""".stripMargin)
+  )
+
   /**
    * Snapshot MERGE (SCD-1 / MERGE INTO semantics): apply a changelog of
    * `upsert`/`delete` operations to a corpus snapshot, producing the
@@ -2886,6 +2995,7 @@ object DedupQueries {
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qIntradocDedup, qSubstrDedup, qSubstrIncremental,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
+    qMinhashIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert
   )
 }
