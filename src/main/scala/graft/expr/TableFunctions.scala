@@ -278,6 +278,24 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_substr_dedup(docsTable)` — EXACT-substring dedup from SQL
+    * over any `(doc_id, text, …)` table: duplicated regions ≥ 13
+    * tokens are stripped at token resolution and at any offset (the
+    * Lee et al. ExactSubstr semantics,
+    * [[graft.queries.DedupQueries.substrDedup]]) — the precision
+    * upgrade over `graft_span_dedup`'s fixed 20-token chunks. */
+  val substrDedup: TVF = (
+    new FunctionIdentifier("graft_substr_dedup"),
+    info("graft_substr_dedup", "graft_substr_dedup(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_substr_dedup"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.DedupQueries.substrDedup(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   /** `graft_semantic_dedup(vecsTable, cellCap)` — SemDeDup-style
     * semantic dedup from SQL over any `(vec_id, embedding, …)` table:
     * embeddings are quantized, cells trained at `cellCap` (the
@@ -631,7 +649,7 @@ object GraftTableFunctions {
 
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
-                          spanDedup, semanticDedup, semanticDecontam,
+                          spanDedup, substrDedup, semanticDedup, semanticDecontam,
                           bm25, mixtureSample,
                           knnGraph, semanticClusters, clusterSample, hll,
                           cms, invertedIndex, mergeUpsert, corpusDiff,

@@ -210,6 +210,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byDoc(2L) === "" && byDoc(1L).startsWith(span))
   }
 
+  test("graft_substr_dedup from SQL ≡ DedupQueries.substrDedup") {
+    import graft.queries.DedupQueries
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, s"shifted $body") // 1-token offset — the case span dedup misses
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("substr_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_substr_dedup('substr_docs')")
+    val direct = DedupQueries.substrDedup(docs)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    val byDoc = viaSql.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(byDoc(2L) === "shifted" && byDoc(1L) === body)
+  }
+
   test("graft_semantic_dedup from SQL ≡ semanticDedup on quantized vectors") {
     import org.apache.spark.sql.functions.col
     import graft.queries.DedupQueries
