@@ -930,6 +930,59 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming NEAR-dup dedup at ingest — the [[qStreamSpan]] sink-and-
+   * compact shape for the MinHash family, gated against the batch
+   * oracle (`q_minhash_incremental`'s SQL verbatim): arriving documents
+   * compute their band signatures as a STATELESS per-row projection
+   * ([[DedupQueries.bandSigArrayCol]] — the same hash family as the
+   * batch aggregation, equivalence spec-pinned), explode, and flag
+   * each band row against the frozen corpus index by a stream-static
+   * left join. Per-arrival work sinks compact `(doc_id, band, sig0,
+   * sig1, hit)` rows; the DOC verdicts compose at compaction — a doc
+   * dies iff any band hit the corpus, or it shares a band group with a
+   * smaller arriving doc (`doc_id > min(group)`, the pair-free
+   * restatement of the batch face's greedy-min rule: d loses iff some
+   * a < d shares a group, iff d exceeds the min of a group containing
+   * it). One deliberate divergence class, documented: the batch face's
+   * pair stage carries the MaxBucket skew guard; the compaction's
+   * groupBy-min needs no guard (no pair expansion exists to bound),
+   * so degenerate mega-buckets that the guard would DROP are handled
+   * here exactly — the guard never fires at oracle-checked scales.
+   */
+  val qStreamMinhash = Q(
+    "q_stream_minhash",
+    (s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val idx = DedupQueries
+        .bandSignaturesOf(docs.filter(col("doc_id") % 5 =!= 4)
+          .select("doc_id", "text"))
+        .select("band", "sig0", "sig1").distinct()
+        .withColumn("hit", lit(1)).localCheckpoint()
+      val arriving = tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+      val flagged = arriving
+        .select(col("doc_id"),
+                explode(DedupQueries.bandSigArrayCol(col("text"))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+                col("b.sig0").as("sig0"), col("b.sig1").as("sig1"))
+        .join(idx, Seq("band", "sig0", "sig1"), "left")
+      val sunk = runToSink(s, dir, flagged, "graft_q_stream_minhash")
+      val corpusHit = sunk.filter(col("hit").isNotNull)
+        .select("doc_id").distinct()
+      val losers = sunk.groupBy("band", "sig0", "sig1")
+        .agg(min("doc_id").as("keep"),
+             collect_set(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("doc_id"), col("keep"))
+        .filter(col("doc_id") =!= col("keep"))
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 5 === 4).select("doc_id")
+        .join(corpusHit, Seq("doc_id"), "left_anti")
+        .join(losers, Seq("doc_id"), "left_anti")
+    },
+    DedupQueries.qMinhashIncremental.oracle
+  )
+
+  /**
    * Streaming CDC ingest audit, gated against the batch oracle
    * ([[DedupQueries.qCorpusDiff]]'s SQL with `removed` excluded): the
    * crawl refresh replayed as a file stream, each arriving document
@@ -1396,7 +1449,7 @@ object StreamingQueries {
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamSpanCdc, qStreamSubstr,
-                        qStreamDiff,
+                        qStreamMinhash, qStreamDiff,
                         qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
