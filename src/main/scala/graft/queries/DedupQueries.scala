@@ -1683,14 +1683,28 @@ object DedupQueries {
   /** `(doc_id, chunks)` — the shared span chunker: non-overlapping
     * `SpanTokens`-token spans per document. The empty-token guard
     * mirrors TextOps.shinglesHof: Spark's sequence(0, -1) yields a
-    * DESCENDING array, not an empty one. */
+    * DESCENDING array, not an empty one.
+    *
+    * The token array is [[letBound]], not a projection alias: the
+    * original `toks` column inlined into the per-chunk `slice` lambda
+    * (projection collapse), re-running the split once per CHUNK —
+    * O(tokens²/20) per document, invisible on short fixtures but
+    * 72.7 s at the 2 000-doc × 2 000-token long-doc profile
+    * (CdcProfile `synth:`) where the CDC face, already let-bound, ran
+    * 8.5 s; 15.6 s let-bound, 4.9 s once [[spanDedup]] additionally
+    * pins its two-consumer chunk frame. */
   private[queries] def spanChunks(d0: DataFrame): DataFrame =
-    d0.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("chunks", when(size(col("toks")) > 0,
-          expr(s"transform(sequence(0, cast(ceil(size(toks) / $SpanTokens.0) as int) - 1)," +
-               s" i -> array_join(slice(toks, i*$SpanTokens+1, $SpanTokens), ' '))"))
-        .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("chunks"))
+    d0.select(col("doc_id"),
+      letBound(TextOps.tokens(col("text"))) { toks =>
+        when(size(toks) > 0,
+          transform(
+            sequence(lit(0),
+                     ceil(size(toks) / lit(SpanTokens.toDouble)).cast("int")
+                       - 1),
+            i => array_join(slice(toks, i * SpanTokens + 1, lit(SpanTokens)),
+                            " ")))
+          .otherwise(array().cast("array<string>"))
+      }.as("chunks"))
 
   /** `(doc_id, pos, h)` — the compact exploded span-hash triples. */
   private[queries] def spanHashes(d: DataFrame): DataFrame =
@@ -1698,7 +1712,12 @@ object DedupQueries {
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
 
   private[graft] def spanDedup(d0: DataFrame): DataFrame = {
-    val d = spanChunks(d0)
+    // two consumers (hash explode + reassembly) → pin, the
+    // [[spanDedupCdc]] rule. Corpus-shape tradeoff, measured: long
+    // docs 15.6 → 4.9 s (2 k×2 k profile); short docs 3.4 → 4.6 s
+    // (50 k soak) — the pin buys the regime where the chunk chain is
+    // expensive to re-evaluate, which is the regime that hurts.
+    val d = checkpointCompact(spanChunks(d0))
     reassembleSpans(d, firstOccurrenceKeepers(spanHashes(d)))
   }
 
@@ -1748,7 +1767,11 @@ object DedupQueries {
    */
   private[graft] def spanDedupAgainstCorpus(corpus: DataFrame,
                                             batch: DataFrame): DataFrame =
-    spanDedupAgainstCorpusWith(spanChunks, corpus, batch)
+    // per-side pins, the [[spanDedupCdcAgainstCorpus]] rule: corpus
+    // frame has one consumer, batch frame two
+    spanDedupAgainstCorpusWith(spanChunks,
+                               df => checkpointCompact(spanChunks(df)),
+                               corpus, batch)
 
   /** [[spanDedupAgainstCorpus]] with CONTENT-DEFINED boundaries — the
     * crawl-refresh pass that survives shifted boilerplate: a re-crawled

@@ -25,10 +25,28 @@ object CdcProfile {
       df.coalesce(1).write.mode("overwrite").parquet(out)
       println(f"[cdc-profile] $tag wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val d = DedupQueries.docsDistributed(s, dir)
+    // `synth:N:T` instead of a dir: N docs of T tokens each (20 % of
+    // them near-duplicates of earlier docs) — the LONG-document
+    // pathological shape for the unpinned/letBound reassembly paths:
+    // any per-kept-element re-evaluation regression scales T× here
+    // instead of hiding in short-doc fixtures.
+    val d = dir match {
+      case s"synth:${n}:${tk}" =>
+        import s.implicits._
+        val toks = tk.toInt
+        s.range(n.toLong)
+          .select(col("id").as("doc_id"),
+                  concat_ws(" ",
+                    (0 until toks).map(i =>
+                      concat(lit(s"t$i"),
+                             (col("id") % 5) * lit(i % 97))): _*).as("text"))
+          .repartition(col("doc_id"))
+      case _ => DedupQueries.docsDistributed(s, dir)
+    }
     t("cdcChunks-only")(DedupQueries.cdcChunks(d))
     t("spanDedupCdc")(DedupQueries.spanDedupCdc(d))
     t("spanDedup-fixed")(DedupQueries.spanDedup(d))
+    t("substrDedup")(DedupQueries.substrDedup(d))
     t("cdc-incremental")(DedupQueries.spanDedupCdcAgainstCorpus(
       d.filter(col("doc_id") % 5 =!= 4), d.filter(col("doc_id") % 5 === 4)))
     s.stop()
