@@ -1660,13 +1660,23 @@ object DedupQueries {
   private[graft] def intraDocDedup(d0: DataFrame): DataFrame =
     spanChunks(d0)
       .select(col("doc_id"),
-              expr("filter(chunks, (c, i) -> array_position(chunks, c) = i + 1)")
-                .as("kp"),
-              col("chunks"))
-      .select(col("doc_id"),
-              array_join(col("kp"), " ").as("clean_text"),
-              size(col("kp")).cast("long").as("kept_chunks"),
-              size(col("chunks")).cast("long").as("total_chunks"))
+        // chunks and kp [[letBound]]: the lambda references the chunk
+        // array a second time (array_position) and the final struct a
+        // third — as projection aliases those inline and re-evaluate
+        // the chunk chain per element on long documents (the
+        // spanChunks hazard class); as lambda values they bind once
+        letBound(col("chunks")) { ch =>
+          letBound(filter(ch,
+              (c, i) => array_position(ch, c) === (i + 1).cast("long"))) {
+            kp =>
+              struct(array_join(kp, " ").as("clean_text"),
+                     size(kp).cast("long").as("kept_chunks"),
+                     size(ch).cast("long").as("total_chunks"))
+          }
+        }.as("o"))
+      .select(col("doc_id"), col("o.clean_text").as("clean_text"),
+              col("o.kept_chunks").as("kept_chunks"),
+              col("o.total_chunks").as("total_chunks"))
 
   /** [[qSpanDedup]]'s body over an ARBITRARY `(doc_id, text)` frame.
     *
