@@ -2310,47 +2310,55 @@ object DedupQueries {
       .withColumn("out",
         letBound(coalesce(TextOps.tokens(col("text")),
                           array().cast("array<string>"))) { toks =>
-          // union of [d, d+W-1] over the ASCENDING starts: a start
-          // extends the last interval iff it begins inside-or-adjacent
-          // (d <= last.e + 1); ends are monotone under equal widths,
-          // so extension never shrinks
-          letBound(aggregate(
-              col("dstarts"),
-              array().cast("array<struct<s:int,e:int>>"),
-              (acc, d) => when(
-                  size(acc) > 0 &&
-                    d <= element_at(acc, -1).getField("e") + 1,
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                         array(struct(
-                           element_at(acc, -1).getField("s").as("s"),
-                           (d + lit(SubstrW - 1)).as("e")))))
-                .otherwise(concat(acc,
-                  array(struct(d.as("s"), (d + lit(SubstrW - 1)).as("e"))))))) {
-            merged =>
-              // complement gaps: before each interval (bounded by the
-              // previous one's end) and after the last; degenerate
-              // gaps filter out, the whole-doc case falls out of the
-              // empty merged array
-              val gaps = concat(
-                transform(merged, (iv, i) =>
-                  struct(
-                    when(i === 0, lit(0))
-                      .otherwise(element_at(merged, i).getField("e") + 1)
-                      .as("gs"),
-                    (iv.getField("s") - 1).as("ge"))),
-                array(struct(
-                  when(size(merged) > 0,
-                       element_at(merged, -1).getField("e") + 1)
-                    .otherwise(lit(0)).as("gs"),
-                  (size(toks) - 1).as("ge"))))
-              val kp = flatten(transform(
-                filter(gaps, g => g.getField("gs") <= g.getField("ge")),
-                g => sequence(g.getField("gs"), g.getField("ge"))))
-              struct(
-                array_join(transform(kp, p => element_at(toks, p + 1)),
-                           " ").as("clean_text"),
-                size(kp).cast("long").as("kept_tokens"),
-                size(toks).cast("long").as("total_tokens"))
+          // union of [d, d+W-1] over the ASCENDING starts, LINEARLY:
+          // under equal widths the running interval's end after
+          // processing dᵢ₋₁ is always dᵢ₋₁+W−1, so "dᵢ extends it"
+          // depends only on the CONSECUTIVE gap (dᵢ − dᵢ₋₁ ≤ W) —
+          // interval starts are the gap-breaks looking back, interval
+          // ends the gap-breaks looking forward, paired positionally.
+          // (An aggregate() fold that rebuilt the merged array per
+          // start was O(intervals²) per doc via the slice+concat copy;
+          // this is O(dups). Branch ORDER is load-bearing: the i == 0 /
+          // last-index arms guard the neighbor element_at from ANSI
+          // out-of-bounds, and CaseWhen evaluates lazily.)
+          letBound(col("dstarts")) { ds =>
+            val iStarts = filter(
+              transform(ds, (d, i) =>
+                when(i === 0, d)
+                  .when(d - element_at(ds, i) > SubstrW, d)),
+              x => x.isNotNull)
+            val iEnds = filter(
+              transform(ds, (d, i) =>
+                when(i === size(ds) - 1, d + lit(SubstrW - 1))
+                  .when(element_at(ds, i + 2) - d > SubstrW,
+                        d + lit(SubstrW - 1))),
+              x => x.isNotNull)
+            letBound(iStarts) { ss =>
+              letBound(iEnds) { es =>
+                // complement gaps: before each interval (bounded by
+                // the previous one's end) and after the last;
+                // degenerate gaps filter out, the whole-doc case falls
+                // out of the empty start set
+                val gaps = concat(
+                  transform(ss, (st, j) =>
+                    struct(
+                      when(j === 0, lit(0))
+                        .otherwise(element_at(es, j) + 1).as("gs"),
+                      (st - 1).as("ge"))),
+                  array(struct(
+                    when(size(es) > 0, element_at(es, -1) + 1)
+                      .otherwise(lit(0)).as("gs"),
+                    (size(toks) - 1).as("ge"))))
+                val kp = flatten(transform(
+                  filter(gaps, g => g.getField("gs") <= g.getField("ge")),
+                  g => sequence(g.getField("gs"), g.getField("ge"))))
+                struct(
+                  array_join(transform(kp, p => element_at(toks, p + 1)),
+                             " ").as("clean_text"),
+                  size(kp).cast("long").as("kept_tokens"),
+                  size(toks).cast("long").as("total_tokens"))
+              }
+            }
           }
         })
       .select(col("doc_id"), col("out.clean_text").as("clean_text"),
@@ -2526,7 +2534,14 @@ object DedupQueries {
       val d = docsDistributed(s, dir)
       val batch = d.filter(col("doc_id") % 5 === 4)
       writeBandIndex(d.filter(col("doc_id") % 5 =!= 4), out)
-      val survivors = dedupAgainstBandIndex(s, out, batch)
+      // survivors PINNED before the append: the append mutates the very
+      // path the survivor plan scans, and only the FileIndex's
+      // plan-build-time listing snapshot keeps a lazy re-evaluation
+      // from seeing the survivors' own appended signatures (every doc
+      // would then self-hit and vanish). An eager localCheckpoint makes
+      // the correctness explicit instead of resting on listing-cache
+      // behavior; the pinned frame is survivor-id-sized.
+      val survivors = dedupAgainstBandIndex(s, out, batch).localCheckpoint()
       appendToBandIndex(s, out,
                         batch.join(survivors, Seq("doc_id"), "left_semi"))
       survivors
