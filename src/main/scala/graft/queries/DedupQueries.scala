@@ -2465,14 +2465,23 @@ object DedupQueries {
     * three 8-byte ints per distinct (band, signature), independent of
     * document length. */
   def writeBandIndex(corpus: DataFrame, outDir: String): Unit =
-    bandSignaturesOf(corpus.select("doc_id", "text"))
+    writeBands(corpus, outDir, mode = "overwrite")
+
+  /** The one statement of the bucketed signature write shared by the
+    * build ([[writeBandIndex]]) and the maintenance append
+    * ([[appendToBandIndex]]) — mode is the only difference, and any
+    * drift between the two (bucket derivation, sort order) would break
+    * the probe's layout contract silently. */
+  private def writeBands(docsDf: DataFrame, outDir: String,
+                         mode: String): Unit =
+    bandSignaturesOf(docsDf.select("doc_id", "text"))
       .select("band", "sig0", "sig1").distinct()
       .withColumn("bband",
                   pmod(xxhash64(col("band"), col("sig0"), col("sig1")),
                        lit(BandBuckets.toLong)))
       .repartition(col("bband"))
       .sortWithinPartitions("bband", "band", "sig0", "sig1")
-      .write.mode("overwrite").partitionBy("bband")
+      .write.mode(mode).partitionBy("bband")
       .parquet(s"$outDir/bands")
 
   /** Surviving arrivals of an INCREMENTAL near-dup pass against a
@@ -2505,15 +2514,7 @@ object DedupQueries {
     * [[graft.queries.SimQueries]] qIvfAppend frozen-state cadence). */
   def appendToBandIndex(s: SparkSession, layoutDir: String,
                         survivors: DataFrame): Unit =
-    bandSignaturesOf(survivors.select("doc_id", "text"))
-      .select("band", "sig0", "sig1").distinct()
-      .withColumn("bband",
-                  pmod(xxhash64(col("band"), col("sig0"), col("sig1")),
-                       lit(BandBuckets.toLong)))
-      .repartition(col("bband"))
-      .sortWithinPartitions("bband", "band", "sig0", "sig1")
-      .write.mode("append").partitionBy("bband")
-      .parquet(s"$layoutDir/bands")
+    writeBands(survivors, layoutDir, mode = "append")
 
   /**
    * INCREMENTAL near-dup dedup through the STORED band index, behind

@@ -1240,8 +1240,18 @@ object SimQueries {
    *                disjoint from the layout's (the
    *                [[appendToIvfLayout]] contract)
    */
-  def appendToClusters(s: SparkSession, layoutDir: String,
-                       newVecs: DataFrame): Unit = {
+  /** The frozen ROUTING artifacts of a stored cluster layout —
+    * `(seeds, ccell)`: the stride-sampled ≤ [[MaxCents]] seed router
+    * (ordered LIMIT cap, localCheckpointed — the bounded broadcast)
+    * and every usable centroid assigned to its router cell, each cell
+    * augmented with its own seed so no assignment can land in an empty
+    * cell. Extracted from [[appendToClusters]] so the streaming
+    * assign-at-ingest face derives its per-cell candidate arrays from
+    * the IDENTICAL router — any drift between the two faces' routing
+    * is a construction impossibility, not a test hope. */
+  private[queries] def clusterRouter(s: SparkSession,
+                                     layoutDir: String)
+      : (DataFrame, DataFrame) = {
     val cents = s.read.parquet(s"$layoutDir/centroids")
       .select(col("cluster_id"), col("cq"), col("cn"))
       .filter(col("cn") > 0)
@@ -1274,6 +1284,12 @@ object SimQueries {
                                 col("c_id").as("cluster_id"),
                                 col("cq"), col("cn")))
       .dropDuplicates("rcell", "cluster_id")
+    (seeds, ccell)
+  }
+
+  def appendToClusters(s: SparkSession, layoutDir: String,
+                       newVecs: DataFrame): Unit = {
+    val (seeds, ccell) = clusterRouter(s, layoutDir)
     val arr = newVecs.select("vec_id", "label", "q")
     val arrCell = arr
       .join(ivfAssign1(arr, seeds)

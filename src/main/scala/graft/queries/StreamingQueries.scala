@@ -983,6 +983,70 @@ object StreamingQueries {
   )
 
   /**
+   * Streaming CLUSTER ASSIGNMENT at ingest — [[qStreamAnn]]'s
+   * stateless shape applied to [[SimQueries.appendToClusters]]'s
+   * hierarchical assignment, gated against the batch oracle
+   * (`q_cluster_append`'s SQL verbatim, so the two maintenance faces
+   * can never drift): the layout builds from the even vec_ids, then
+   * the odd half ARRIVES as a file stream and each vector is labeled
+   * in its own micro-batch — quantize (projection), route to a seed
+   * cell (codegen'd [[graft.vector.VectorOps.ivfNearest]] against the
+   * one-row seed broadcast), join the ONE cell's candidate-centroid
+   * array (stream-static equi-join on rcell, built from the IDENTICAL
+   * [[SimQueries.clusterRouter]] artifacts the batch append uses), and
+   * take the in-cell argmax row-locally via a comparator `array_sort`
+   * (append mode cannot run the batch face's rank window; the
+   * comparator replicates its exact tie rule — cosine-key desc,
+   * cluster_id asc, doubles in the same arithmetic). The gate returns
+   * stored labels ∪ sunk assignments — the batch gate's read-back
+   * shape.
+   */
+  val qStreamClusterAssign = Q(
+    "q_stream_cluster_assign",
+    (s, dir) => {
+      import graft.vector.VectorOps
+      val out = LayoutQueries.derivedDir(s, dir, "clusters-stream")
+      val e = SimQueries.quantizedFrame(s, dir)
+      SimQueries.writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
+      val (seeds, ccell) = SimQueries.clusterRouter(s, out)
+      val flat = SimQueries.centsFlat(seeds).localCheckpoint()
+      val cellm = ccell.groupBy("rcell")
+        .agg(array_sort(collect_list(
+          struct(col("cluster_id"), col("cq"), col("cn")))).as("cands"))
+        .localCheckpoint()
+      val assigned = tableStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+        .crossJoin(broadcast(flat))
+        .select(col("vec_id"), col("q"),
+                element_at(col("cids"),
+                  VectorOps.ivfNearest(col("q"), col("cqs"), col("cns")) + 1)
+                  .as("rcell"))
+        .join(cellm, Seq("rcell"))
+        .select(col("vec_id"),
+          element_at(
+            array_sort(
+              transform(col("cands"), c => struct(
+                (VectorOps.intDot(col("q"), c.getField("cq")).cast("double")
+                   / sqrt(c.getField("cn").cast("double"))).as("ckey"),
+                c.getField("cluster_id").as("cluster_id"))),
+              (l, r) =>
+                when(l.getField("ckey") > r.getField("ckey"), -1)
+                  .when(l.getField("ckey") < r.getField("ckey"), 1)
+                  .when(l.getField("cluster_id") < r.getField("cluster_id"),
+                        -1)
+                  .when(l.getField("cluster_id") > r.getField("cluster_id"),
+                        1)
+                  .otherwise(0)),
+            1).getField("cluster_id").as("cluster_id"))
+      val sunk = runToSink(s, dir, assigned, "graft_q_stream_cluster_assign")
+      s.read.parquet(s"$out/members").select("vec_id", "cluster_id")
+        .unionByName(sunk.select("vec_id", "cluster_id"))
+    },
+    SimQueries.qClusterAppend.oracle
+  )
+
+  /**
    * Streaming CDC ingest audit, gated against the batch oracle
    * ([[DedupQueries.qCorpusDiff]]'s SQL with `removed` excluded): the
    * crawl refresh replayed as a file stream, each arriving document
@@ -1449,7 +1513,7 @@ object StreamingQueries {
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
                         qStreamSpan, qStreamSpanCdc, qStreamSubstr,
-                        qStreamMinhash, qStreamDiff,
+                        qStreamMinhash, qStreamClusterAssign, qStreamDiff,
                         qStreamCms, qStreamTfidf,
                         qStreamTfidfJoin, qStreamLeaderboard, qStreamBloom,
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
