@@ -296,6 +296,24 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_source_cap(docsTable, cap)` — the C4/Gopher hard
+    * per-source document cap from SQL: at most `cap` rows survive per
+    * source, drawn as the salted-md5 rank prefix
+    * ([[graft.queries.CurationQueries.sourceCapOf]]). */
+  val sourceCap: TVF = (
+    new FunctionIdentifier("graft_source_cap"),
+    info("graft_source_cap", "graft_source_cap(docsTable, cap)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_source_cap"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val cap = longArg(args, 1, fn)
+      require(cap > 0 && cap <= Int.MaxValue, s"$fn: cap out of range: $cap")
+      graft.queries.CurationQueries.sourceCapOf(
+        active.table(strArg(args, 0, fn)), cap.toInt)
+        .queryExecution.logical
+    }
+  )
+
   /** `graft_semantic_dedup(vecsTable, cellCap)` — SemDeDup-style
     * semantic dedup from SQL over any `(vec_id, embedding, …)` table:
     * embeddings are quantized, cells trained at `cellCap` (the
@@ -649,7 +667,8 @@ object GraftTableFunctions {
 
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
-                          spanDedup, substrDedup, semanticDedup, semanticDecontam,
+                          spanDedup, substrDedup, sourceCap,
+                          semanticDedup, semanticDecontam,
                           bm25, mixtureSample,
                           knnGraph, semanticClusters, clusterSample, hll,
                           cms, invertedIndex, mergeUpsert, corpusDiff,

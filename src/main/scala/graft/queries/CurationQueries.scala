@@ -696,16 +696,7 @@ object CurationQueries {
    */
   val qSourceCap = Q(
     "q_source_cap",
-    (s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("h").asc, col("doc_id").asc)
-      Tables.read(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-                md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= SourceCap)
-        .select("doc_id", "source", "rn")
-    },
+    (s, dir) => sourceCapOf(Tables.read(s, dir, "documents"), SourceCap),
     Some(s"""WITH h AS (
       |  SELECT doc_id, source,
       |         md5('cap:' || CAST(doc_id AS VARCHAR)) AS h
@@ -718,6 +709,19 @@ object CurationQueries {
       |FROM h
       |QUALIFY rn <= $SourceCap""".stripMargin)
   )
+
+  /** [[qSourceCap]]'s body over an ARBITRARY `(doc_id, source, ...)`
+    * frame with the cap as a parameter — the SQL TVF surface's entry
+    * point (`graft_source_cap`). */
+  private[graft] def sourceCapOf(d: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), col("source"),
+             md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .select("doc_id", "source", "rn")
+  }
 
   val qWinsorize = Q(
     "q_winsorize",

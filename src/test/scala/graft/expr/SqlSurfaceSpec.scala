@@ -227,6 +227,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byDoc(2L) === "shifted" && byDoc(1L) === body)
   }
 
+  test("graft_source_cap from SQL ≡ CurationQueries.sourceCapOf") {
+    import graft.queries.CurationQueries
+    val docs = (1L to 30L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    docs.createOrReplaceTempView("cap_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_source_cap('cap_docs', 4)")
+    val direct = CurationQueries.sourceCapOf(docs, 4)
+    assert(viaSql.columns.toSeq === direct.columns.toSeq)
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    // the cap binds: 3 sources × 4 = 12 survivors of 30
+    assert(viaSql.count() === 12)
+  }
+
   test("graft_semantic_dedup from SQL ≡ semanticDedup on quantized vectors") {
     import org.apache.spark.sql.functions.col
     import graft.queries.DedupQueries
