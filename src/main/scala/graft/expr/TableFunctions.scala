@@ -278,20 +278,24 @@ object GraftTableFunctions {
     }
   )
 
-  /** `graft_substr_dedup(docsTable)` — EXACT-substring dedup from SQL
-    * over any `(doc_id, text, …)` table: duplicated regions ≥ 13
-    * tokens are stripped at token resolution and at any offset (the
-    * Lee et al. ExactSubstr semantics,
+  /** `graft_substr_dedup(docsTable[, w])` — EXACT-substring dedup from
+    * SQL over any `(doc_id, text, …)` table: duplicated regions ≥ `w`
+    * tokens (default 13; Lee et al. used ~50) are stripped at token
+    * resolution and at any offset (the ExactSubstr semantics,
     * [[graft.queries.DedupQueries.substrDedup]]) — the precision
-    * upgrade over `graft_span_dedup`'s fixed 20-token chunks. */
+    * upgrade over `graft_span_dedup`'s fixed 20-token chunks. `w` is
+    * THE recall/aggressiveness knob: smaller strips more. */
   val substrDedup: TVF = (
     new FunctionIdentifier("graft_substr_dedup"),
-    info("graft_substr_dedup", "graft_substr_dedup(docsTable)"),
+    info("graft_substr_dedup", "graft_substr_dedup(docsTable[, w])"),
     (args: Seq[Expression]) => {
       val fn = "graft_substr_dedup"
-      require(args.length == 1, s"$fn takes exactly 1 argument")
+      require(args.length == 1 || args.length == 2,
+              s"$fn takes 1 or 2 arguments")
+      val w = if (args.length == 2) longArg(args, 1, fn) else 13L
+      require(w >= 2 && w <= Int.MaxValue, s"$fn: w out of range: $w")
       graft.queries.DedupQueries.substrDedup(
-        active.table(strArg(args, 0, fn)))
+        active.table(strArg(args, 0, fn)), w.toInt)
         .queryExecution.logical
     }
   )

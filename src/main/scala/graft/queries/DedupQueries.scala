@@ -2264,18 +2264,19 @@ object DedupQueries {
     * projections (stateless, so the streaming face applies it
     * verbatim); the token array is [[letBound]] against per-window
     * re-splitting. */
-  private[queries] def substrGrams(d0: DataFrame): DataFrame =
+  private[queries] def substrGrams(d0: DataFrame,
+                                   w: Int = SubstrW): DataFrame =
     d0.select(col("doc_id"),
         explode(letBound(TextOps.tokens(col("text"))) { toks =>
-          when(size(toks) >= SubstrW,
-            transform(sequence(lit(0), size(toks) - SubstrW), i =>
+          when(size(toks) >= w,
+            transform(sequence(lit(0), size(toks) - w), i =>
               struct(i.cast("int").as("pos"),
                      // 16-byte BINARY key, not the 32-char hex string:
                      // the gram key is internal (ownership classes
                      // only — the oracle never sees it), and the owner
                      // window + anti-joins shuffle one row per corpus
                      // token, so key width is half the exchange
-                     unhex(md5(array_join(slice(toks, i + 1, lit(SubstrW)),
+                     unhex(md5(array_join(slice(toks, i + 1, lit(w)),
                                           " ")))
                        .as("h"))))
             .otherwise(array().cast("array<struct<pos:int,h:string>>"))
@@ -2300,8 +2301,8 @@ object DedupQueries {
     * array: O(dups + tokens) per row, zero further exchanges —
     * 72 s → 26.6 s at the same soak, same oracle (the remainder is
     * the gram hash + owner window, the pass's irreducible core). */
-  private[queries] def substrReassemble(d0: DataFrame,
-                                        dup: DataFrame): DataFrame = {
+  private[queries] def substrReassemble(d0: DataFrame, dup: DataFrame,
+                                        w: Int = SubstrW): DataFrame = {
     val starts = dup.groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("dstarts"))
     d0.join(starts, Seq("doc_id"), "left")
@@ -2325,13 +2326,13 @@ object DedupQueries {
             val iStarts = filter(
               transform(ds, (d, i) =>
                 when(i === 0, d)
-                  .when(d - element_at(ds, i) > SubstrW, d)),
+                  .when(d - element_at(ds, i) > w, d)),
               x => x.isNotNull)
             val iEnds = filter(
               transform(ds, (d, i) =>
-                when(i === size(ds) - 1, d + lit(SubstrW - 1))
-                  .when(element_at(ds, i + 2) - d > SubstrW,
-                        d + lit(SubstrW - 1))),
+                when(i === size(ds) - 1, d + lit(w - 1))
+                  .when(element_at(ds, i + 2) - d > w,
+                        d + lit(w - 1))),
               x => x.isNotNull)
             letBound(iStarts) { ss =>
               letBound(iEnds) { es =>
@@ -2367,13 +2368,14 @@ object DedupQueries {
   }
 
   /** [[qSubstrDedup]]'s body over an ARBITRARY `(doc_id, text)` frame. */
-  private[graft] def substrDedup(d0: DataFrame): DataFrame = {
+  private[graft] def substrDedup(d0: DataFrame,
+                                 w: Int = SubstrW): DataFrame = {
     val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
-    val dup = substrGrams(d0)
+    val dup = substrGrams(d0, w)
       .withColumn("rn", row_number().over(wOwn))
       .filter(col("rn") > 1)
       .select("doc_id", "pos")
-    substrReassemble(d0, dup)
+    substrReassemble(d0, dup, w)
   }
 
   /**

@@ -89,6 +89,19 @@ class SubstrDedupSpec extends SparkSpec {
     assert(r(11L).getAs[Long]("kept_tokens") === 0L)
   }
 
+  test("W is the aggressiveness knob: a 20-token shared region dies at " +
+       "W=13 and survives at W=50") {
+    val b = (0 until 20).map(i => s"b$i")
+    val docs = Seq(
+      (1L, ((0 until 60).map(i => s"x$i") ++ b).mkString(" ")),
+      (2L, ((0 until 60).map(i => s"y$i") ++ b).mkString(" ")))
+      .toDF("doc_id", "text")
+    val narrow = byId(DedupQueries.substrDedup(docs, w = 13))
+    val wide = byId(DedupQueries.substrDedup(docs, w = 50))
+    assert(narrow(2L).getAs[Long]("kept_tokens") === 60L)
+    assert(wide(2L).getAs[Long]("kept_tokens") === 80L)
+  }
+
   test("edge shapes: empty, short, and null text reassemble without error") {
     val r = byId(DedupQueries.substrDedup(Seq(
       (1L, ""), (2L, "one two"), (3L, null.asInstanceOf[String]))
