@@ -18,6 +18,10 @@ final case class MediaRecord(media_id: Long, media_type: String,
 /** Decoded audio: stream shape plus integer amplitude features. */
 final case class PhashRecord(media_id: Long, phash: Long)
 
+/** Audio energy-envelope fingerprint row ([[MediaOps.audioFingerprint]]). */
+final case class AudioFpRecord(media_id: Long, fingerprint: Long,
+                               n_samples: Long, sample_rate: Int)
+
 final case class AudioFeatures(sampleRate: Int, nChannels: Int,
                                nSamples: Long, meanAbsX1000: Long,
                                histogram: Array[Long])
@@ -211,6 +215,73 @@ object MediaOps {
                              n / math.max(f.getChannels, 1),
                              if (n == 0) 0L else sumAbs * 1000L / (n * 32768L),
                              hist))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio ENERGY-ENVELOPE fingerprint — the audio analog of
+    * [[aHash64]]: decode to 16-bit mono-interleaved PCM, split the
+    * sample stream into `nWin` equal windows, and set bit k iff window
+    * k's summed |amplitude| exceeds the per-window share of the total
+    * (cross-multiplied integers: `windowSum * nWin > totalSum`, exact —
+    * windowSum <= n * 32767 < 2^46 at any practical clip length and the
+    * x16 stays in int64). Robust to level scaling by a constant factor
+    * and to codec container changes (only decoded PCM matters); two
+    * clips with the same coarse loudness shape collide, which is the
+    * dedup property. Payloads that don't decode to 16-bit PCM or whose
+    * sample count isn't window-divisible drop (the codec-boundary
+    * convention; a production path pads the tail window). */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+                       nWin: Int = 16): Dataset[AudioFpRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { m =>
+      decodeSamples(m.content).collect {
+        case (rate, samples) if samples.length % nWin == 0 &&
+                                samples.length > 0 =>
+          val n = samples.length
+          val winLen = n / nWin
+          var total = 0L
+          val winSum = new Array[Long](nWin)
+          var i = 0
+          while (i < n) {
+            val a = math.abs(samples(i)).toLong
+            winSum(i / winLen) += a
+            total += a
+            i += 1
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nWin) {
+            if (winSum(k) * nWin > total) fp |= (1L << k)
+            k += 1
+          }
+          AudioFpRecord(m.media_id, fp, n.toLong, rate)
+      }
+    })
+  }
+
+  /** Decoded 16-bit PCM samples (mono-interleaved order) + sample rate —
+    * the shared decode core of [[decodeAudio]] and
+    * [[audioFingerprint]]. */
+  private def decodeSamples(content: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val lo = bytes(i) & 0xff
+            val hi = bytes(i + 1) & 0xff
+            out(i / 2) =
+              (if (f.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            i += 2
+          }
+          Some((f.getSampleRate.toInt, out))
         }
       } finally in.close()
     } catch { case _: Exception => None }

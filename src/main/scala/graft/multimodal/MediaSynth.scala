@@ -97,6 +97,46 @@ object MediaSynth {
     bos.toByteArray
   }
 
+  /** Two-level STEP tone: `p` windows of amplitude `a1` then the rest
+    * at `a2` (16 windows x `winLen` samples, 16-bit mono LE WAV) — the
+    * closed-form fixture for the audio energy-envelope fingerprint
+    * ([[MediaOps.audioFingerprint]]): with a1 < a2 and the step on a
+    * window boundary, exactly the windows >= p exceed the overall mean,
+    * so the expected fingerprint is `2^16 - 2^p`. */
+  def stepWav(a1: Int, a2: Int, p: Int, winLen: Int = 20,
+              nWin: Int = 16, rate: Float = 8000f): Array[Byte] = {
+    require(a1 >= 0 && a2 > a1 && a2 <= 32767 && p >= 1 && p <= nWin - 1,
+            s"bad step tone ($a1,$a2,$p)")
+    val n = nWin * winLen
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = if (i < p * winLen) a1 else a2
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One step tone per doc_id (`a1 = 100 + (id % 7) * 50`,
+    * `a2 = a1 + 400`, step window `p = 4 + id % 9`), encoded
+    * partition-wise — the audio-fingerprint fixture generator. */
+  def syntheticSteps(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val a1 = 100 + (id % 7).toInt * 50
+        val bytes = stepWav(a1, a1 + 400, (4 + id % 9).toInt)
+        MediaRecord(id, "audio", bytes.length.toLong, bytes)
+      })
+  }
+
   /** One stripe card per doc_id (`c = id % 7 + 1`, noise pixel when
     * `id % 13 == 0`), encoded partition-wise — the perceptual-hash
     * fixture generator. */

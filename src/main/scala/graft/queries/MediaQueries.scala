@@ -160,5 +160,33 @@ object MediaQueries {
       |WHERE hamming <= 3""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qMediaDecode, qImagePhash, qImageDedup)
+  /**
+   * Audio energy-envelope fingerprinting behind the gate — the audio
+   * analog of [[qImagePhash]]: REAL WAV decode of the step-tone fixture
+   * ([[graft.multimodal.MediaSynth.stepWav]] — two amplitude levels
+   * with the step on a window boundary) through the full envelope
+   * pipeline (PCM decode → 16 equal windows → cross-multiplied
+   * mean-threshold bits), hash-compared against the closed-form
+   * expectation `2¹⁶ − 2^p` — so a regression anywhere in the decode,
+   * the windowing, or the bit rule mismatches the row. The envelope
+   * hash is the compact join key an audio near-dup pass buckets on
+   * (the [[qImageDedup]] Manku machinery applies verbatim; two clips
+   * with the same coarse loudness shape collide by design).
+   */
+  val qAudioFingerprint = Q(
+    "q_audio_fingerprint",
+    (s, dir) => {
+      val steps = MediaSynth.syntheticSteps(
+        s, Tables.read(s, dir, "documents").select("doc_id"))
+      MediaOps.audioFingerprint(s, steps.toDF()).toDF()
+    },
+    Some("""SELECT doc_id AS media_id,
+      |       CAST(65536 - (1 << (4 + doc_id % 9)) AS BIGINT) AS fingerprint,
+      |       CAST(320 AS BIGINT) AS n_samples,
+      |       CAST(8000 AS INTEGER) AS sample_rate
+      |FROM documents""".stripMargin)
+  )
+
+  val all: Seq[Q] = Seq(qMediaDecode, qImagePhash, qImageDedup,
+                        qAudioFingerprint)
 }
