@@ -735,6 +735,28 @@ object StreamingQueries {
     MediaQueries.qImagePhash.oracle
   )
 
+  /** [[qStreamPhash]] for AUDIO — fingerprint-at-ingest: the step-tone
+    * payloads staged once, replayed as a file stream, and
+    * [[graft.multimodal.MediaOps.audioFingerprint]] (a stateless typed
+    * mapPartitions: decode → windowed envelope → bits) runs per
+    * micro-batch, gated on `q_audio_fingerprint`'s closed-form oracle
+    * verbatim. */
+  val qStreamAudioFp = Q(
+    "q_stream_audio_fp",
+    (s, dir) => {
+      val inDir = streamDir(s, dir, "stream-audiofp")
+      graft.multimodal.MediaSynth.syntheticSteps(
+          s, Tables.read(s, dir, "documents").select("doc_id"))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir)
+      runToSink(s, dir,
+                graft.multimodal.MediaOps.audioFingerprint(s, stream).toDF(),
+                "graft_q_stream_audio_fp")
+    },
+    MediaQueries.qAudioFingerprint.oracle
+  )
+
   /** Shared staging for the windowed-count gates
     * ([[qStreamWindowed]]/[[qStreamLeaderboard]]/[[qStreamAnomaly]]):
     * the events table persisted as stream input with the single
@@ -1519,5 +1541,6 @@ object StreamingQueries {
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
-                        qStreamPhash, qStreamAnn, qStreamHardNegatives)
+                        qStreamPhash, qStreamAudioFp,
+                        qStreamAnn, qStreamHardNegatives)
 }
