@@ -442,13 +442,72 @@ object LayoutQueries {
     * within files so the probe's `term =` filter skips row groups). */
   private[queries] def writeIndex(s: SparkSession, dir: String,
                                   outDir: String): Unit =
-    TextStatsQueries.invertedIndex(Tables.read(s, dir, "documents"))
+    writeIndexRows(Tables.read(s, dir, "documents"), outDir, "overwrite")
+
+  /** The one statement of the bucketed index write — build
+    * (`overwrite`) and incremental append share it, so the two can
+    * never drift on bucketing or sort order. */
+  private def writeIndexRows(docsDf: DataFrame, outDir: String,
+                             mode: String): Unit =
+    TextStatsQueries.invertedIndex(docsDf)
       .withColumn("tbucket", pmod(xxhash64(col("term")),
                                   lit(TermBuckets.toLong)))
       .repartition(col("tbucket"))
       .sortWithinPartitions("tbucket", "term")
-      .write.mode("overwrite").partitionBy("tbucket")
+      .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$outDir/terms")
+
+  /** The maintenance half of the stored index: an arriving batch's
+    * PARTIAL index rows append under their term buckets. Partial rows
+    * are exactly the mergeable-summary trio this library's sketches
+    * pin — `df`/`total_tf` are additive over disjoint doc sets, and
+    * the capped ascending-posting prefix merges because the smallest
+    * `PostingsCap` of a union are contained in the union of the
+    * sides' smallest `PostingsCap` — so compaction at any cadence
+    * reconstructs the from-scratch index EXACTLY ([[qIndexAppend]]'s
+    * oracle is the full-build SQL verbatim). */
+  private[queries] def appendToIndex(batch: DataFrame,
+                                     outDir: String): Unit =
+    writeIndexRows(batch, outDir, "append")
+
+  /** Compact a stored index's partial rows into final per-term rows:
+    * one term-keyed aggregate — additive counters summed, posting
+    * prefixes merged as sort-then-cap over the flattened parts. */
+  private[queries] def compactIndex(s: SparkSession,
+                                    outDir: String): DataFrame =
+    s.read.parquet(s"$outDir/terms")
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("total_tf").as("total_tf"),
+           array_join(
+             transform(
+               slice(array_sort(flatten(collect_list(
+                       split(col("postings"), ",").cast("array<long>")))),
+                     1, TextStatsQueries.PostingsCap),
+               x => x.cast("string")),
+             ",").as("postings"))
+      .select("term", "df", "total_tf", "postings")
+
+  /**
+   * INCREMENTAL inverted-index maintenance behind the gate — the
+   * strongest invariant the layout family states: build the index from
+   * the standing corpus, append the arriving batch's partial rows
+   * (never re-reading the corpus), compact, and the result must equal
+   * the FROM-SCRATCH index over everything — the oracle is
+   * `q_inverted_index`'s SQL verbatim, so any error in the partial-row
+   * shape, the additive merge, or the posting-prefix containment
+   * argument hash-mismatches here.
+   */
+  val qIndexAppend = Q(
+    "q_index_append",
+    (s, dir) => {
+      val out = derivedDir(s, dir, "inv-index-append")
+      val docs = Tables.read(s, dir, "documents")
+      writeIndexRows(docs.filter(col("doc_id") % 5 =!= 4), out, "overwrite")
+      appendToIndex(docs.filter(col("doc_id") % 5 === 4), out)
+      compactIndex(s, out)
+    },
+    TextStatsQueries.qInvertedIndex.oracle
+  )
 
   /**
    * Term probe THROUGH the stored inverted-index layout — the
@@ -505,5 +564,5 @@ object LayoutQueries {
 
   val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qZorder3Prune,
                         qBackfill, qBucketJoin,
-                        qCompactFiles, qIndexProbe)
+                        qCompactFiles, qIndexProbe, qIndexAppend)
 }
