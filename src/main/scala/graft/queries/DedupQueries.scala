@@ -1995,13 +1995,6 @@ object DedupQueries {
   private[queries] def cdcChunks(d0: DataFrame): DataFrame =
     d0.select(col("doc_id"), cdcChunksOf(col("text")).as("chunks"))
 
-  /** Single-use `transform` over a one-element array as a let-binding:
-    * `body` sees `v` as a bound lambda variable (evaluated exactly
-    * once), `element_at(…, 1)` unwraps. No optimizer rule beta-reduces
-    * HOFs, so the binding survives into the physical plan. */
-  private def letBound(v: Column)(body: Column => Column): Column =
-    element_at(transform(array(v), body), 1)
-
   private def cdcChunksOf(text: Column): Column =
     letBound(TextOps.tokens(text)) { toks =>
       letBound(transform(toks, t => TextOps.md5Prefix32(md5(t)))) { bases =>

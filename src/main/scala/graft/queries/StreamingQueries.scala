@@ -757,6 +757,42 @@ object StreamingQueries {
     MediaQueries.qAudioFingerprint.oracle
   )
 
+  /**
+   * Streaming INVERTED-INDEX build — postings-at-ingest, completing the
+   * index trio (build / [[graft.queries.LayoutQueries]] append /
+   * stream) on `q_inverted_index`'s oracle verbatim: each arriving
+   * document emits its `(term, tf)` pairs as ONE row-local expression
+   * ([[TextStatsQueries.termCountsCol]] — sorted-run boundaries, no
+   * aggregation, so the partial rows are stateless), and the sink
+   * holds exactly the mergeable partials [[LayoutQueries.qIndexAppend]]
+   * proves compactable: df counts partial rows, total_tf sums, the
+   * posting prefix rides the same bounded TopK the batch build uses
+   * (stop-word skew never concentrates a term's corpus on one task —
+   * not even at compaction).
+   */
+  val qStreamIndex = Q(
+    "q_stream_index",
+    (s, dir) => {
+      val partial = tableStream(s, dir, "documents")
+        .select(col("doc_id"),
+                explode(TextStatsQueries.termCountsCol(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"),
+                col("tc.tf").as("tf"))
+      val sunk = runToSink(s, dir, partial, "graft_q_stream_index")
+      sunk.groupBy("term").agg(
+          count(lit(1)).as("df"),
+          sum("tf").as("total_tf"),
+          graft.operators.TopK.topK(TextStatsQueries.PostingsCap)(
+            -col("doc_id"), col("doc_id")).as("top"))
+        .select(col("term"), col("df"), col("total_tf"),
+                array_join(
+                  transform(col("top.items"),
+                            x => x.getField("id").cast("string")),
+                  ",").as("postings"))
+    },
+    TextStatsQueries.qInvertedIndex.oracle
+  )
+
   /** Shared staging for the windowed-count gates
     * ([[qStreamWindowed]]/[[qStreamLeaderboard]]/[[qStreamAnomaly]]):
     * the events table persisted as stream input with the single
@@ -1541,6 +1577,6 @@ object StreamingQueries {
                         qStreamAnomaly, qStreamRuns, qStreamSemanticDecontam,
                         qStreamLmScore, qStreamQuality, qStreamBpe,
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
-                        qStreamPhash, qStreamAudioFp,
+                        qStreamPhash, qStreamAudioFp, qStreamIndex,
                         qStreamAnn, qStreamHardNegatives)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1140,6 +1140,33 @@ object TextStatsQueries {
       |           x -> CAST(x AS VARCHAR)), ',') AS postings
       |FROM tf GROUP BY term""".stripMargin)
   )
+
+  /** Per-document `(term, tf)` pairs as ONE row-local expression — no
+    * aggregation, so a streaming face computes PARTIAL index rows
+    * statelessly per arrival: tokens sort, run boundaries pair
+    * positionally looking back/forward (the substr interval-merge
+    * machinery applied to runs), each run is one term with its
+    * occurrence count. O(n log n) per row; every intermediate is
+    * [[letBound]]. Null text yields an empty array (a downstream
+    * explode drops it, matching the batch build's null filter). */
+  private[queries] def termCountsCol(text: Column): Column =
+    letBound(array_sort(TextOps.tokens(text))) { st =>
+      letBound(filter(transform(st, (t, i) =>
+          when(i === 0, i).when(element_at(st, i) =!= t, i)),
+        x => x.isNotNull)) { ss =>
+        letBound(filter(transform(st, (t, i) =>
+            when(i === size(st) - 1, i)
+              .when(element_at(st, i + 2) =!= t, i)),
+          x => x.isNotNull)) { es =>
+          when(size(st) > 0,
+            transform(sequence(lit(0), size(ss) - 1), j =>
+              struct(element_at(st, element_at(ss, j + 1) + 1).as("term"),
+                     (element_at(es, j + 1) - element_at(ss, j + 1) + 1)
+                       .cast("long").as("tf"))))
+            .otherwise(array().cast("array<struct<term:string,tf:bigint>>"))
+        }
+      }
+    }
 
   /** [[qInvertedIndex]]'s body over an ARBITRARY `(doc_id, text)`
     * frame. */

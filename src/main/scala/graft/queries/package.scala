@@ -71,4 +71,18 @@ package object queries {
     * and they are orders of magnitude under block-size hazard. */
   private[graft] def checkpointCompact(df: DataFrame): DataFrame =
     df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** Single-use `transform` over a one-element array as a let-binding:
+    * `body` sees `v` as a bound lambda variable (evaluated exactly
+    * once), `element_at(…, 1)` unwraps. No optimizer rule beta-reduces
+    * HOFs, so the binding survives into the physical plan — the
+    * library-wide defense against the alias-inlining re-evaluation
+    * class ([[graft.queries.DedupQueries]] cdcChunks scaladoc: a
+    * projection alias referenced inside a consumer's lambda body
+    * re-evaluates per ELEMENT once projections collapse; a lambda
+    * value re-references for free). */
+  private[graft] def letBound(v: Column)(body: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(v), body), 1)
 }
