@@ -793,6 +793,35 @@ object StreamingQueries {
     TextStatsQueries.qInvertedIndex.oracle
   )
 
+  /**
+   * Streaming SOURCE-COMPOSITION audit — the corpus-owner dashboard
+   * ([[CurationQueries.qSourceReport]]) maintained at ingest, oracle
+   * verbatim: each arrival sinks its compact audit projection
+   * `(source, lang, n_chars, is_null, ch)` — a pure stateless
+   * projection, text reduced to its 16-byte content hash in-flight —
+   * and the duplication-aware aggregate (incl. the exact
+   * count-distinct, which is NOT incrementally mergeable and is
+   * exactly why it runs at compaction, not per-batch) composes
+   * downstream at any cadence.
+   */
+  val qStreamSourceReport = Q(
+    "q_stream_source_report",
+    (s, dir) => {
+      val partial = tableStream(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+                col("text").isNull.cast("long").as("is_null"),
+                graft.text.TextOps.contentHash(col("text")).as("ch"))
+      val sunk = runToSink(s, dir, partial, "graft_q_stream_source_report")
+      sunk.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"),
+             sum("is_null").as("n_null_text"),
+             countDistinct(col("ch")).as("n_distinct"),
+             (count(col("ch")) - countDistinct(col("ch"))).as("n_dup_docs"))
+    },
+    CurationQueries.qSourceReport.oracle
+  )
+
   /** Shared staging for the windowed-count gates
     * ([[qStreamWindowed]]/[[qStreamLeaderboard]]/[[qStreamAnomaly]]):
     * the events table persisted as stream input with the single
@@ -1578,5 +1607,6 @@ object StreamingQueries {
                         qStreamLmScore, qStreamQuality, qStreamBpe,
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
                         qStreamPhash, qStreamAudioFp, qStreamIndex,
+                        qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives)
 }
