@@ -528,11 +528,15 @@ object LayoutQueries {
     (s, dir) => {
       val out = derivedDir(s, dir, "inv-index")
       writeIndex(s, dir, out)
-      val t = Tables.read(s, dir, "documents")
+      val rows = Tables.read(s, dir, "documents")
         .filter(col("text").isNotNull)
         .orderBy(col("doc_id"))
         .select(element_at(split(col("text"), " "), 1).as("t"))
-        .head(1).head.getString(0)
+        .head(1)
+      require(rows.nonEmpty,
+              s"$dir/documents has no non-null text to derive a probe " +
+                "term from — probe an explicit term instead")
+      val t = rows.head.getString(0)
       s.read.parquet(s"$out/terms")
         .filter(col("tbucket") === pmod(xxhash64(lit(t)),
                                         lit(TermBuckets.toLong)) &&
