@@ -72,21 +72,40 @@ object MediaSynth {
     bos.toByteArray
   }
 
+  /** The 8 salt codewords for [[stripePng]]: the cyclic [7,3,4]
+    * simplex code (0 plus the 7 cyclic shifts of 0011101₂) — every
+    * distinct pair is hamming distance EXACTLY 4, so two cards whose
+    * salts differ can never land within the hamming-3 near-dup radius
+    * (noise pixel included: 4 > 3 + 0). The salt splits each stripe
+    * family into 8 sub-families, bounding band-bucket growth: without
+    * it every same-`c` card hashed identically, so buckets grew
+    * linearly with the corpus and crossed the pair stage's
+    * MaxBucket=512 skew guard at ~3.6 k docs, silently diverging from
+    * the plain all-pairs oracle. */
+  val SaltCode: Array[Int] = Array(0, 29, 58, 116, 105, 83, 39, 78)
+
   /** 8×8 two-tone STRIPE card: the left `c` columns at gray `bright`,
-    * the rest at `dark`, optionally one bright "noise" pixel at (7,7) —
-    * the closed-form fixture for perceptual hashing: with the margins
-    * here, [[MediaOps.imagePhash]]'s bit rule reduces to per-pixel
-    * brightness, so the expected hash is a pure function of (c, flip)
-    * (see `q_image_phash`'s oracle). */
-  def stripePng(c: Int, flip: Boolean,
+    * the rest at `dark`, optionally one bright "noise" pixel at (7,7),
+    * plus a bright pixel at (7,y) for every set bit y of `salt`
+    * (0 ≤ salt < 128 — column 7, rows 0..6, the positions the stripe
+    * pattern never uses) — the closed-form fixture for perceptual
+    * hashing: with the margins here (worst case 61 bright of 64 →
+    * mean 192.5, still below bright=200), [[MediaOps.imagePhash]]'s
+    * bit rule reduces to per-pixel brightness, so the expected hash
+    * is a pure function of (c, flip, salt): bit (8y+x) set iff that
+    * pixel is bright (see `q_image_phash`'s oracle). */
+  def stripePng(c: Int, flip: Boolean, salt: Int = 0,
                 bright: Int = 200, dark: Int = 40): Array[Byte] = {
     require(c >= 1 && c <= 7, s"stripe boundary out of range: $c")
+    require(salt >= 0 && salt < 128, s"salt out of range: $salt")
     val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        val g = if (x < c || (flip && x == 7 && y == 7)) bright else dark
+        val g = if (x < c || (flip && x == 7 && y == 7) ||
+                    (x == 7 && y < 7 && ((salt >> y) & 1) == 1)) bright
+                else dark
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -138,13 +157,18 @@ object MediaSynth {
   }
 
   /** One stripe card per doc_id (`c = id % 7 + 1`, noise pixel when
-    * `id % 13 == 0`), encoded partition-wise — the perceptual-hash
-    * fixture generator. */
+    * `id % 13 == 0`, salt codeword `SaltCode[(id / 7) % 8]`), encoded
+    * partition-wise — the perceptual-hash fixture generator. The salt
+    * keeps every (c, salt) near-dup family at ~N/56 cards, under the
+    * pair stage's MaxBucket=512 guard for corpora up to ~28 k docs
+    * (the gated query additionally caps its input; see
+    * `q_image_dedup`). */
   def syntheticCards(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docIds.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map { id =>
-        val bytes = stripePng((id % 7 + 1).toInt, id % 13 == 0)
+        val bytes = stripePng((id % 7 + 1).toInt, id % 13 == 0,
+                              SaltCode(((id / 7) % 8).toInt))
         MediaRecord(id, "image", bytes.length.toLong, bytes)
       })
   }

@@ -1666,12 +1666,27 @@ object DedupQueries {
         // the chunk chain per element on long documents (the
         // spanChunks hazard class); as lambda values they bind once
         letBound(col("chunks")) { ch =>
-          letBound(filter(ch,
-              (c, i) => array_position(ch, c) === (i + 1).cast("long"))) {
-            kp =>
-              struct(array_join(kp, " ").as("clean_text"),
-                     size(kp).cast("long").as("kept_chunks"),
-                     size(ch).cast("long").as("total_chunks"))
+          // First-occurrence positions via sorted-run boundaries (the
+          // [[TextStatsQueries.termCountsCol]] trick): sort (chunk,
+          // pos) structs, keep each run's first pos, re-sort ascending,
+          // index back into the chunk array. O(n log n) per document —
+          // the former array_position filter re-scanned the whole
+          // array per element (O(n²)), which q_stream_intradoc applies
+          // at ingest, where one very long document stalls its
+          // micro-batch.
+          letBound(array_sort(transform(ch, (c, i) =>
+              struct(c.as("c"), i.as("p"))))) { srt =>
+            letBound(array_sort(filter(transform(srt, (e, i) =>
+                when(i === 0, e.getField("p"))
+                  .when(element_at(srt, i).getField("c") =!= e.getField("c"),
+                        e.getField("p"))),
+              x => x.isNotNull))) { kpos =>
+              letBound(transform(kpos, p => element_at(ch, p + 1))) { kp =>
+                struct(array_join(kp, " ").as("clean_text"),
+                       size(kp).cast("long").as("kept_chunks"),
+                       size(ch).cast("long").as("total_chunks"))
+              }
+            }
           }
         }.as("o"))
       .select(col("doc_id"), col("o.clean_text").as("clean_text"),
@@ -2272,7 +2287,7 @@ object DedupQueries {
                      unhex(md5(array_join(slice(toks, i + 1, lit(w)),
                                           " ")))
                        .as("h"))))
-            .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+            .otherwise(array().cast("array<struct<pos:int,h:binary>>"))
         }).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
 

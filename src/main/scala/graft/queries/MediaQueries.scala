@@ -89,14 +89,26 @@ object MediaQueries {
   /** Closed-form expected aHash of a stripe card: `c = id % 7 + 1`
     * bright columns → bit j set iff `j % 8 < c` (the margin argument in
     * [[graft.multimodal.MediaSynth.stripePng]]'s scaladoc), i.e.
-    * `(2^c − 1) · 0x0101010101010101`; the noise pixel (id % 13 = 0)
-    * additionally sets bit 63, which in signed-64 arithmetic is
-    * `− 2⁶³`. One statement, two gated consumers. */
+    * `(2^c − 1) · 0x0101010101010101`; the salt codeword
+    * `SaltCode[(id / 7) % 8]` brightens pixel (7, y) per set bit y →
+    * adds `Σ 2^(8y+7)` (the CASE constants below are exactly those
+    * sums for the 8 codewords {0,29,58,116,105,83,39,78}); the noise
+    * pixel (id % 13 = 0) additionally sets bit 63, which in signed-64
+    * arithmetic is `− 2⁶³`. One statement, two gated consumers. */
   private val phashCte: String =
     """ph AS (
       |  SELECT doc_id AS media_id,
       |         CAST((CAST(POWER(2, doc_id % 7 + 1) AS BIGINT) - 1)
       |              * 72340172838076673 AS BIGINT)
+      |           + CASE CAST((doc_id // 7) % 8 AS INTEGER)
+      |               WHEN 1 THEN CAST(551911686272 AS BIGINT)
+      |               WHEN 2 THEN CAST(141289391685632 AS BIGINT)
+      |               WHEN 3 THEN CAST(36170084271521792 AS BIGINT)
+      |               WHEN 4 THEN CAST(36169536654803072 AS BIGINT)
+      |               WHEN 5 THEN CAST(36029346774810752 AS BIGINT)
+      |               WHEN 6 THEN CAST(140737496776832 AS BIGINT)
+      |               WHEN 7 THEN CAST(36028799174868992 AS BIGINT)
+      |               ELSE CAST(0 AS BIGINT) END
       |           + CASE WHEN doc_id % 13 = 0
       |                  THEN CAST(-9223372036854775808 AS BIGINT)
       |                  ELSE CAST(0 AS BIGINT) END AS phash
@@ -127,17 +139,27 @@ object MediaQueries {
    * Manku block-band machinery as text SimHash
    * ([[DedupQueries.simhashPairs]] — exact for hamming ≤ 3, bucket-
    * local, skew-guarded, never n²). The fixture's distances are
-   * engineered: same-c cards are hamming 0, the noise-pixel variant is
-   * hamming 1 from its family, and families differ by ≥ 8 bits — so
-   * the oracle can state the semantics as the plain all-pairs
-   * inequality with no band condition, exactly the q_simhash_pairs
-   * discipline.
+   * engineered: same-(c, salt) cards are hamming 0, the noise-pixel
+   * variant is hamming 1 from its family, salt sub-families differ by
+   * exactly 4 bits ([[graft.multimodal.MediaSynth.SaltCode]]'s
+   * distance-4 guarantee) and stripe families by ≥ 8 — so the oracle
+   * can state the semantics as the plain all-pairs inequality with no
+   * band condition, exactly the q_simhash_pairs discipline.
+   *
+   * Scale bound, stated because the oracle is UNguarded all-pairs:
+   * with 7 × 8 = 56 (c, salt) families, buckets reach the pair
+   * stage's MaxBucket=512 skew guard at ~56·512 ≈ 28 k cards. The
+   * input cap at 20 k docs (both faces of the gate) keeps every
+   * family ≤ ~357 < 512 at ANY corpus scale, so the guard never
+   * fires and gate semantics equal the oracle's exactly — a no-op at
+   * all shipped SFs (sf0.1 has ~5 k docs), binding only for soaks.
    */
   val qImageDedup = Q(
     "q_image_dedup",
     (s, dir) => {
       val cards = MediaSynth.syntheticCards(
-        s, Tables.read(s, dir, "documents").select("doc_id"))
+        s, Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 20000).select("doc_id"))
       val sim = MediaOps.imagePhash(s, cards.toDF()).toDF()
         .select(col("media_id").as("doc_id"),
                 col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
@@ -149,7 +171,7 @@ object MediaQueries {
       |  SELECT media_id AS doc_id,
       |         phash & 4294967295 AS sim_lo,
       |         (phash >> 32) & 4294967295 AS sim_hi
-      |  FROM ph
+      |  FROM ph WHERE media_id < 20000
       |)
       |SELECT a_id, b_id, hamming FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

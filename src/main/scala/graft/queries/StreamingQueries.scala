@@ -1056,10 +1056,15 @@ object StreamingQueries {
       val sunk = runToSink(s, dir, flagged, "graft_q_stream_minhash")
       val corpusHit = sunk.filter(col("hit").isNotNull)
         .select("doc_id").distinct()
-      val losers = sunk.groupBy("band", "sig0", "sig1")
-        .agg(min("doc_id").as("keep"),
-             collect_set(col("doc_id")).as("ds"))
-        .select(explode(col("ds")).as("doc_id"), col("keep"))
+      // Losers derive by joining the flat sunk rows back against the
+      // groupBy-min frame — never collect_set: a degenerate mega-group
+      // (the case the batch face's MaxBucket guard bounds) would
+      // materialize the whole group as ONE array value on a single
+      // task; the join keeps every row flat at any group size.
+      val losers = sunk.select("doc_id", "band", "sig0", "sig1")
+        .join(sunk.groupBy("band", "sig0", "sig1")
+                .agg(min("doc_id").as("keep")),
+              Seq("band", "sig0", "sig1"))
         .filter(col("doc_id") =!= col("keep"))
         .select("doc_id").distinct()
       docs.filter(col("doc_id") % 5 === 4).select("doc_id")

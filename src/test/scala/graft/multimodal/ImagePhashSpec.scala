@@ -30,6 +30,26 @@ class ImagePhashSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h3 ^ h4) === 8, "one column stride apart")
   }
 
+  test("salt codewords: closed-form bits, pairwise distance exactly 4") {
+    // The code keeps band buckets bounded (families split 8 ways) while
+    // staying OUTSIDE the hamming-3 pair radius: distinct salts never
+    // pair, even with one noise bit in play (4 > 3).
+    val codes = MediaSynth.SaltCode
+    for (i <- codes.indices; j <- codes.indices if i < j)
+      assert(Integer.bitCount(codes(i) ^ codes(j)) === 4,
+             s"salt pair ($i,$j)")
+    for (s <- codes; c <- Seq(1, 7)) {
+      val saltBits = (0 until 7).filter(y => ((s >> y) & 1) == 1)
+        .map(y => 1L << (8 * y + 7)).sum
+      assert(hashOf(MediaSynth.stripePng(c, flip = false, salt = s)) ===
+               (expected(c, false) | saltBits),
+             s"c=$c salt=$s")
+      assert(hashOf(MediaSynth.stripePng(c, flip = true, salt = s)) ===
+               (expected(c, true) | saltBits),
+             s"c=$c salt=$s flipped")
+    }
+  }
+
   test("2x-scale stripe area-averages to the same hash (real resize path)") {
     for (c <- Seq(2, 5)) {
       val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
