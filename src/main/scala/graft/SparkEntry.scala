@@ -14,6 +14,7 @@ object SparkEntry {
       TextStatsQueries.all ++
       IngestQueries.all ++ LayoutQueries.all ++
       JoinQueries.all ++ CurationQueries.all ++ MediaQueries.all ++
+      WebQueries.all ++
       StreamingQueries.all
 
   /** The contract boundary is the one layer that receives FOREIGN sessions

@@ -1,0 +1,118 @@
+package graft.expr
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Evaluation kernels for the Unicode-normalization expressions, kept in
+ * a plain object so generated code calls them as STATIC methods (Scala
+ * top-level objects emit static forwarders) — the [[WordShingles]]
+ * discipline: interpreted and codegen paths share one body, so they
+ * cannot drift.
+ */
+object TextNormalizeOps {
+
+  /** NFC (canonical composition) of a UTF8String. Fast path: the
+    * normalizer is only consulted when the string leaves ASCII —
+    * `Normalizer.isNormalized` is a cheap scan, and at 100 TB the
+    * overwhelmingly common all-ASCII row must not pay a round-trip
+    * through java.text. */
+  def nfc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s // pure ASCII is NFC by definition
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  /** Single-pass UTF-8-as-Latin-1 double-encoding repair (the ftfy-lite
+    * whole-string rule): if EVERY code point fits in one byte (≤ U+00FF,
+    * so the text could have come from a Latin-1 decode), at least one is
+    * non-ASCII, and reinterpreting those bytes as UTF-8 decodes STRICTLY
+    * (malformed → untouched), the reinterpretation is the repaired text.
+    * Pure ASCII short-circuits untouched; genuine Latin-1 text (e.g. a
+    * lone `é` at end of string) fails the strict decode and is never
+    * corrupted — the asymmetry that makes the whole-string rule safe:
+    * real mojibake is valid UTF-8 by construction, real Latin-1 prose
+    * essentially never is. Mixed rows (clean é AND mojibake Ã© in one
+    * string) are left untouched — a partial repair would need per-run
+    * heuristics this operator deliberately does not guess at. */
+  def repairMojibake(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var hasHigh = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c > 0xFF) return s
+      if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val bytes = new Array[Byte](str.length)
+    i = 0
+    while (i < str.length) { bytes(i) = str.charAt(i).toByte; i += 1 }
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(ByteBuffer.wrap(bytes)).toString
+      if (out == str) s else UTF8String.fromString(out)
+    } catch { case _: CharacterCodingException => s }
+  }
+}
+
+/** Shared shape of the two string-to-string normalization expressions:
+  * null-propagating unary on STRING, codegen delegating to the SAME
+  * static kernel the interpreted path runs. */
+sealed abstract class TextNormalizeExpression extends UnaryExpression {
+  /** Static kernel name on [[TextNormalizeOps]], referenced by codegen. */
+  protected def kernel: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.expr.TextNormalizeOps.$kernel($in);")
+}
+
+/**
+ * Unicode NFC normalization as a Catalyst expression — Spark ships no
+ * normalization function, and the alternative (a Scala UDF) would break
+ * whole-stage codegen in the hottest path of the curation chain (every
+ * document's content-identity key flows through normalization before
+ * hashing). DuckDB replays it as `nfc_normalize`.
+ */
+case class NfcNormalize(child: Expression) extends TextNormalizeExpression {
+  override protected def kernel: String = "nfc"
+  override def prettyName: String = "graft_nfc"
+  override def nullSafeEval(input: Any): Any =
+    TextNormalizeOps.nfc(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Mojibake (UTF-8-read-as-Latin-1 double encoding) repair as a Catalyst
+ * expression — see [[TextNormalizeOps.repairMojibake]] for the exact
+ * whole-string rule and its safety argument.
+ */
+case class MojibakeRepair(child: Expression) extends TextNormalizeExpression {
+  override protected def kernel: String = "repairMojibake"
+  override def prettyName: String = "graft_repair_mojibake"
+  override def nullSafeEval(input: Any): Any =
+    TextNormalizeOps.repairMojibake(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

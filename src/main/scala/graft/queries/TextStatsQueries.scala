@@ -26,7 +26,7 @@ object TextStatsQueries {
 
   /** Stopword list for quality scoring (function words in the fixture's
     * vocabulary; any real deployment swaps its own list in). */
-  private val Stopwords = Seq("the", "a", "and", "of", "to")
+  private[queries] val Stopwords = Seq("the", "a", "and", "of", "to")
 
   /** Corpus statistics per language: doc/char/token volume and vocabulary
     * size — the first profiling pass over any new corpus. */

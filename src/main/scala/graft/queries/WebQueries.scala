@@ -1,0 +1,555 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextOps
+
+/**
+ * Crawl-reality front door (VERDICT r15 "what a 100 TB-pipeline user
+ * hits next"): the operators that stand between raw crawled bytes and
+ * the clean `(doc_id, text)` frame every downstream gate in this
+ * library assumes — HTML boilerplate extraction, Unicode
+ * normalization + mojibake repair, URL canonicalization with
+ * host-level frequency capping, and the C4-class safety wordlist gate.
+ *
+ * 100 TB posture: every operator here is a STATELESS row-local
+ * projection (regex/HOF/codegen'd expression chains — no joins, no
+ * windows, no aggregation except the host cap's rank, which reuses the
+ * proven [[CurationQueries.sourceCapOf]] shape). Stateless projections
+ * are the cheapest operator class at scale: they pipeline inside
+ * whole-stage codegen above the parquet scan, shuffle nothing, and
+ * stream verbatim (the faces in [[StreamingQueries]] apply the same
+ * Column bodies per micro-batch).
+ *
+ * Fixture discipline (the [[graft.multimodal.MediaSynth]] pattern): the
+ * testdata has no html/url/mojibake columns, so each gate plants a
+ * CLOSED-FORM fixture derived from `documents` — built identically in
+ * the Scala body and the oracle CTE — and then runs its operator as a
+ * GENERAL computation over that column; the oracle replays the general
+ * computation (not the fixture's answer), so the gate checks the
+ * operator, not the plant.
+ */
+object WebQueries {
+
+  // ---------------------------------------------------------------- URLs
+
+  /** Messy-URL fixture: scheme/host case noise, default and non-default
+    * ports, unsorted query params, fragments — one URL per doc_id,
+    * covering every canonicalization rule across the id stream. */
+  private[graft] def urlCol(docId: Column): Column = {
+    val id = docId.cast("string")
+    concat(
+      when(pmod(docId, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://WWW.Src"), pmod(docId, lit(5)).cast("string"), lit(".Example.COM"),
+      when(pmod(docId, lit(3)) === 0,
+           when(pmod(docId, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+        .when(pmod(docId, lit(3)) === 1, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/docs/"), id,
+      when(pmod(docId, lit(4)) === 0, lit("?b=2&a=1&c=3"))
+        .when(pmod(docId, lit(4)) === 1, lit("?a=1"))
+        .when(pmod(docId, lit(4)) === 2, lit("?z=9&a=1"))
+        .otherwise(lit("")),
+      when(pmod(docId, lit(7)) === 0, lit("#sec2")).otherwise(lit("")))
+  }
+
+  /** The same fixture in DuckDB SQL — interpolated by every URL oracle.
+    * NOTE the `||` operators sit at line ENDS: these constants embed in
+    * s-strings whose `.stripMargin` runs AFTER interpolation, so an
+    * embedded line starting with `||` would lose its first pipe. */
+  private val urlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+      |'://WWW.Src' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
+      |CASE WHEN doc_id % 3 = 0 THEN
+      |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+      |  WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |'/docs/' || CAST(doc_id AS VARCHAR) ||
+      |CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&c=3'
+      |  WHEN doc_id % 4 = 1 THEN '?a=1'
+      |  WHEN doc_id % 4 = 2 THEN '?z=9&a=1' ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END""".stripMargin
+
+  /**
+   * URL canonicalization as a pure projection —
+   * `struct(canonical_url, host_key)` from a raw URL string. Rules (the
+   * standard crawl-dedup set): scheme and host lowercased, default port
+   * stripped (80 for http, 443 for https; other ports kept), empty path
+   * → `/`, query parameters SORTED (the order-insensitivity that makes
+   * canonical URLs a dedup key), fragment dropped, and the host-level
+   * key additionally strips a leading `www.` — the per-site axis the
+   * host cap groups on. All regexp_extract/HOF — identical semantics in
+   * DuckDB's RE2 (no backreferences, inline flags only).
+   */
+  private[graft] def urlCanonicalCols(url: Column): Column =
+    letBound(lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))) { scheme =>
+      letBound(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)) { auth =>
+        letBound(lower(regexp_extract(auth, "^([^:]*)", 1))) { host =>
+          letBound(regexp_extract(auth, ":([0-9]+)$", 1)) { port =>
+            letBound(regexp_extract(
+                url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)) { path =>
+              letBound(regexp_extract(url, "\\?([^#]*)", 1)) { qs =>
+                struct(
+                  concat(
+                    scheme, lit("://"), host,
+                    when(port === "" ||
+                           (scheme === "http" && port === "80") ||
+                           (scheme === "https" && port === "443"), lit(""))
+                      .otherwise(concat(lit(":"), port)),
+                    when(path === "", lit("/")).otherwise(path),
+                    when(qs === "", lit(""))
+                      .otherwise(concat(lit("?"),
+                        array_join(array_sort(split(qs, "&")), "&"))))
+                    .as("canonical_url"),
+                  regexp_replace(host, "^www\\.", "").as("host_key"))
+              }
+            }
+          }
+        }
+      }
+    }
+
+  /** The canonicalization in DuckDB SQL over a `u(doc_id, url)` CTE —
+    * the same regexes, the same assembly order. */
+  private def urlCanonicalSql: String =
+    """SELECT doc_id, url,
+      |       sch || '://' || hst ||
+      |       CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+      |              OR (sch = 'https' AND prt = '443')
+      |            THEN '' ELSE ':' || prt END ||
+      |       CASE WHEN pth = '' THEN '/' ELSE pth END ||
+      |       CASE WHEN qs = '' THEN ''
+      |            ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END
+      |         AS canonical_url,
+      |       regexp_replace(hst, '^www\.', '') AS host_key
+      |FROM (
+      |  SELECT doc_id, url,
+      |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |         lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS hst,
+      |         regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS prt,
+      |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+      |         regexp_extract(url, '\?([^#]*)', 1) AS qs
+      |  FROM u
+      |)""".stripMargin
+
+  /**
+   * URL canonicalization behind the gate: the messy fixture URL per
+   * document, canonicalized + host-keyed as one stateless projection.
+   * Canonical-equivalence classes are spec-pinned (`WebQueriesSpec`:
+   * case/port/param-order/fragment variants collapse to one canonical).
+   */
+  val qUrlCanonical = Q(
+    "q_url_canonical",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), urlCol(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+                urlCanonicalCols(col("url")).as("c"))
+        .select(col("doc_id"), col("url"),
+                col("c.canonical_url").as("canonical_url"),
+                col("c.host_key").as("host_key")),
+    Some(s"""WITH u AS (
+      |  SELECT doc_id, $urlSql AS url FROM documents
+      |)
+      |$urlCanonicalSql""".stripMargin)
+  )
+
+  /** Per-host document cap for [[qHostCap]]. */
+  private val HostCap = 30
+
+  /**
+   * HARD per-HOST frequency cap — [[CurationQueries.qSourceCap]]'s
+   * rank-prefix draw applied at crawl reality: the cap key is the
+   * DERIVED canonical host ([[urlCanonicalCols]]'s `host_key`), not a
+   * given label column, so a domain spread across `www.`/cased/ported
+   * URL variants still caps as ONE host. Same salted-md5 determinism,
+   * same per-host window scale shape (and the same documented
+   * mega-source skew class) as the source cap it composes.
+   */
+  val qHostCap = Q(
+    "q_host_cap",
+    (s, dir) => {
+      val keyed = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+                urlCanonicalCols(urlCol(col("doc_id")))
+                  .getField("host_key").as("source"))
+      CurationQueries.sourceCapOf(keyed, HostCap)
+        .select(col("doc_id"), col("source").as("host_key"), col("rn"))
+    },
+    Some(s"""WITH u AS (
+      |  SELECT doc_id, $urlSql AS url FROM documents
+      |), canon AS (
+      |$urlCanonicalSql
+      |), h AS (
+      |  SELECT doc_id, host_key,
+      |         md5('cap:' || CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM canon
+      |)
+      |SELECT doc_id, host_key,
+      |       CAST(row_number() OVER (PARTITION BY host_key
+      |                               ORDER BY hk ASC, doc_id ASC) AS BIGINT)
+      |         AS rn
+      |FROM h
+      |QUALIFY rn <= $HostCap""".stripMargin)
+  )
+
+  // ------------------------------------------------------- safety gate
+
+  /** Demo blocklist: `dup` is the fixture corpus's one rare token
+    * (~5 % of documents), so the gate demonstrably fires without
+    * gutting the corpus; the other entries never occur, exercising the
+    * multi-term path. A deployment binds its own per-language C4-class
+    * list here — the LIST is config, the machinery is the operator. */
+  private[graft] val Blocklist = Seq("contraband", "dup", "zzzunsafe")
+
+  private def blockLit: Column = array(Blocklist.map(lit): _*)
+
+  /** Safety verdict as one row-local struct —
+    * `(n_hits, hit_terms, blocked)` from a text column. The list rides
+    * the expression as a literal array (effectively a broadcast — C4
+    * lists are a few hundred terms; at genuinely large list scale the
+    * explode + broadcast-join formulation replaces the HOF, same
+    * semantics). Reason-coded like the quarantine dead-letter: every
+    * document keeps a row, `blocked` + `hit_terms` say why. */
+  private[graft] def safetyCols(text: Column): Column =
+    letBound(filter(TextOps.tokens(coalesce(text, lit(""))),
+                    t => array_contains(blockLit, t))) { hits =>
+      struct(
+        size(hits).cast("long").as("n_hits"),
+        array_join(array_sort(array_distinct(hits)), ",").as("hit_terms"),
+        (size(hits) > 0).cast("int").as("blocked"))
+    }
+
+  /** The blocklist as a DuckDB list literal. */
+  private[queries] val blockListSql: String =
+    Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The safety gate's survivor predicate in oracle SQL — shared by the
+    * standalone oracle and the curation-chain compositions (the
+    * `repGateSql` discipline: one statement of the inequality). */
+  private[queries] def safeSql(textExpr: String): String =
+    s"NOT list_has_any(string_split(COALESCE($textExpr, ''), ' '), $blockListSql)"
+
+  /**
+   * C4-class safety wordlist gate: token membership against the
+   * blocklist, reason-coded per document. Slots between the repetition
+   * gate and the quality classifier in the curation chain
+   * ([[CurationQueries.curatedCorpus]] / `pretrainCorpus` — composition
+   * containment spec-pinned), and streams as a stateless projection
+   * (`q_stream_safety`).
+   */
+  val qSafetyFilter = Q(
+    "q_safety_filter",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), safetyCols(col("text")).as("v"))
+        .select(col("doc_id"), col("v.n_hits").as("n_hits"),
+                col("v.hit_terms").as("hit_terms"),
+                col("v.blocked").as("blocked")),
+    Some(s"""WITH h AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(COALESCE(text, ''), ' '),
+      |                     x -> list_contains($blockListSql, x)) AS hits
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(hits) AS BIGINT) AS n_hits,
+      |       COALESCE(array_to_string(list_sort(list_distinct(hits)), ','), '')
+      |         AS hit_terms,
+      |       CAST(len(hits) > 0 AS INTEGER) AS blocked
+      |FROM h""".stripMargin)
+  )
+
+  // --------------------------------------- normalization / mojibake
+
+  /** Planted normalization fixture: per `doc_id % 5`, append a
+    * decomposed-NFC tail (`e` + U+0301), a mojibake tail (`Ã©` — UTF-8
+    * `é` read as Latin-1), an already-clean `é` tail, or nothing. The
+    * clean-`é`-at-end case is the repair rule's safety proof in the
+    * gate itself: 0xE9 as a final byte is malformed UTF-8, so the
+    * strict decode refuses and genuine Latin-1 text survives verbatim. */
+  private def plantedTextCol(docId: Column, text: Column): Column =
+    concat(text,
+      when(pmod(docId, lit(5)) === 1, lit(" nfc:café"))
+        .when(pmod(docId, lit(5)) === 2, lit(" moji:cafÃ©"))
+        .when(pmod(docId, lit(5)) === 3, lit(" clean:café"))
+        .otherwise(lit("")))
+
+  /**
+   * Unicode normalization + mojibake repair behind the gate — repair
+   * first (bytes must be fixed before canonical composition sees
+   * them), then NFC ([[graft.expr.MojibakeRepair]] /
+   * [[graft.expr.NfcNormalize]] — codegen'd expressions, no UDFs).
+   * The oracle replays NFC GENERALLY via DuckDB's `nfc_normalize`;
+   * the repair leg is replayed through the planted construction (the
+   * one double-encoded codepoint the fixture plants) because DuckDB
+   * has no Latin-1 byte reinterpretation — the general repair rule is
+   * property-tested in `TextNormalizeSpec` instead, including the
+   * planted-pair-collapse-under-[[TextOps.contentHash]] invariant the
+   * normalized-content dedup key needs.
+   */
+  val qTextNormalize = Q(
+    "q_text_normalize",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                plantedTextCol(col("doc_id"), col("text")).as("ptext"))
+        .select(col("doc_id"), col("ptext"),
+                TextOps.repairMojibake(col("ptext")).as("rep"))
+        .select(col("doc_id"), col("ptext"), col("rep"),
+                TextOps.nfc(col("rep")).as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+                (col("rep") =!= col("ptext")).cast("int").as("repaired"),
+                (col("norm_text") =!= col("ptext")).cast("int").as("changed")),
+    Some("""WITH p AS (
+      |  SELECT doc_id,
+      |         text || CASE CAST(doc_id % 5 AS INTEGER)
+      |                   WHEN 1 THEN ' nfc:cafe' || chr(769)
+      |                   WHEN 2 THEN ' moji:caf' || chr(195) || chr(169)
+      |                   WHEN 3 THEN ' clean:caf' || chr(233)
+      |                   ELSE '' END AS ptext
+      |  FROM documents WHERE text IS NOT NULL
+      |), r AS (
+      |  SELECT doc_id, ptext,
+      |         CASE WHEN CAST(doc_id % 5 AS INTEGER) = 2
+      |              THEN replace(ptext, chr(195) || chr(169), chr(233))
+      |              ELSE ptext END AS rep
+      |  FROM p
+      |)
+      |SELECT doc_id, nfc_normalize(rep) AS norm_text,
+      |       CAST(rep <> ptext AS INTEGER) AS repaired,
+      |       CAST(nfc_normalize(rep) <> ptext AS INTEGER) AS changed
+      |FROM r""".stripMargin)
+  )
+
+  // ------------------------------------------------- HTML extraction
+
+  /** Block-splitting tag set: the HTML block-level elements — text
+    * between two of these is one classification unit (the jusText
+    * segmentation rule). Inline tags (`<a>`, `<b>`, …) deliberately do
+    * NOT split: their text belongs to the enclosing block. */
+  private val BlockTagRe =
+    "(?i)</?(?:html|head|body|title|p|div|h[1-6]|ul|ol|li|nav|header|footer|aside|section|article|table|tr|td|th|br)(?:\\s[^>]*)?/?>"
+
+  private val AnchorTextRe = "(?is)<a[^>]*>([^<]*)</a>"
+
+  /** Minimum tokens for a content block (below this, a block can't be
+    * judged and boilerplate is the safe default — the jusText "short"
+    * rule). */
+  private val MinBlockTok = 4
+
+  /** The stopword list the density rule uses — shared with
+    * [[TextStatsQueries]]'s quality scoring so "function-word density"
+    * means one thing in this library. */
+  private def stopLit: Column = array(TextStatsQueries.Stopwords.map(lit): _*)
+
+  /** Decode the five HTML entities the pipeline guarantees to unescape
+    * (`&lt; &gt; &quot; &#39;` first, `&amp;` LAST — the classic
+    * double-unescape ordering bug, avoided by construction). */
+  private def entityDecode(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+
+  /**
+   * jusText-lite boilerplate extraction as ONE row-local expression
+   * tree — `struct(text, n_blocks, n_content)` from raw HTML:
+   *
+   *  1. drop `<script>`/`<style>` bodies and comments (separate regex
+   *     passes — RE2 has no backreferences, and the oracle runs RE2);
+   *  2. segment on block-level tags ([[BlockTagRe]]);
+   *  3. per block: anchor-text length (link density, measured BEFORE
+   *     tag-stripping), then strip inline tags, collapse whitespace,
+   *     decode entities;
+   *  4. classify: content iff ≥ [[MinBlockTok]] tokens AND ≥ 1
+   *     stopword AND link chars < half the text (integer
+   *     cross-multiplication — the stopword-density + link-density
+   *     boilerplate rule);
+   *  5. join content blocks in document order.
+   *
+   * Every intermediate is [[letBound]] (each block's regex chain runs
+   * once, not once per reference). Stateless per row: no shuffle, and
+   * the streaming face applies it verbatim.
+   */
+  private[graft] def htmlExtractCols(html: Column): Column =
+    letBound(split(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+            "(?is)<style[^>]*>.*?</style>", " "),
+          "(?s)<!--.*?-->", " "),
+        BlockTagRe)) { bs =>
+      letBound(transform(bs, b =>
+          letBound(entityDecode(trim(regexp_replace(
+              regexp_replace(b, "<[^>]*>", " "), "\\s+", " ")))) { t =>
+            letBound(filter(split(t, " "), tk => tk =!= "")) { toks =>
+              struct(
+                t.as("t"),
+                size(toks).cast("long").as("n_tok"),
+                size(filter(toks, tk => array_contains(stopLit, tk)))
+                  .cast("long").as("n_stop"),
+                length(array_join(
+                  regexp_extract_all(b, lit(AnchorTextRe), lit(1)), ""))
+                  .cast("long").as("lc"))
+            }
+          })) { cs =>
+        letBound(filter(cs, c =>
+            c.getField("n_tok") >= MinBlockTok &&
+              c.getField("n_stop") >= 1 &&
+              c.getField("lc") * 2 < length(c.getField("t")))) { keep =>
+          struct(
+            array_join(transform(keep, c => c.getField("t")), " ").as("text"),
+            size(filter(cs, c => c.getField("n_tok") > 0)).cast("long")
+              .as("n_blocks"),
+            size(keep).cast("long").as("n_content"))
+        }
+      }
+    }
+
+  /** Synthetic-HTML fixture: the document's tokens split across a `<p>`
+    * and a `<div>` (the content blocks), wrapped in the boilerplate a
+    * real page carries — title/h1 (too short), nav + link list (no
+    * stopwords, link-dense), script/style bodies (must vanish), a
+    * planted `&amp;` entity, and a copyright footer. Expected
+    * extraction is closed-form: the two halves of the original text
+    * (entity tail included on `doc_id % 3 = 0`), iff each half passes
+    * the density rule. */
+  private[graft] def htmlCol(docId: Column, text: Column): Column =
+    letBound(TextOps.tokens(text)) { toks =>
+      letBound(ceil(size(toks) / lit(2.0)).cast("int")) { h =>
+        concat(
+          lit("<html><head><title>Doc "), docId.cast("string"),
+          lit("</title><style>p {color: red}</style>" +
+              "<script>var x = 1 && 2;</script></head><body>" +
+              "<nav><a href=\"/\">Home</a> <a href=\"/products\">Products" +
+              "</a> <a href=\"/about\">About</a></nav>"),
+          lit("<h1>Doc "), docId.cast("string"), lit("</h1><p>"),
+          array_join(slice(toks, lit(1), h), " "),
+          lit("</p>"),
+          when(pmod(docId, lit(3)) === 0,
+               concat(lit("<div class=\"main\">"),
+                      array_join(slice(toks, h + 1, size(toks) - h), " "),
+                      lit(" tail &amp; done</div>")))
+            .otherwise(
+               concat(lit("<div>"),
+                      array_join(slice(toks, h + 1, size(toks) - h), " "),
+                      lit("</div>"))),
+          lit("<ul><li><a href=\"/next\">Next page</a></li>" +
+              "<li><a href=\"/prev\">Previous page</a></li></ul>" +
+              "<footer>Copyright 2026 Example Corp All rights reserved" +
+              "</footer></body></html>"))
+      }
+    }
+
+  /**
+   * HTML boilerplate extraction behind the gate — the crawl front
+   * door: the synthetic page per document through the full
+   * [[htmlExtractCols]] pass. The oracle replays the WHOLE general
+   * algorithm in DuckDB (same regexes under RE2, same density
+   * inequality, same ordering), not the fixture's expected answer —
+   * plus `WebQueriesSpec` pins the closed-form expectation
+   * independently (nav/footer/title die, halves survive, entities
+   * decode, script bodies never leak).
+   */
+  val qHtmlExtract = Q(
+    "q_html_extract",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                htmlExtractCols(htmlCol(col("doc_id"), col("text"))).as("e"))
+        .select(col("doc_id"), col("e.text").as("text"),
+                col("e.n_blocks").as("n_blocks"),
+                col("e.n_content").as("n_content")),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), hx AS (
+      |  SELECT doc_id,
+      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |          || '</title><style>p {color: red}</style>'
+      |          || '<script>var x = 1 && 2;</script></head><body>'
+      |          || '<nav><a href="/">Home</a> <a href="/products">Products'
+      |          || '</a> <a href="/about">About</a></nav>'
+      |          || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      |          || array_to_string(toks[1 : CAST(CEIL(len(toks) / 2.0) AS BIGINT)], ' ')
+      |          || '</p>'
+      |          || CASE WHEN doc_id % 3 = 0 THEN
+      |               '<div class="main">'
+      |               || array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ')
+      |               || ' tail &amp; done</div>'
+      |             ELSE
+      |               '<div>'
+      |               || array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ')
+      |               || '</div>'
+      |             END
+      |          || '<ul><li><a href="/next">Next page</a></li>'
+      |          || '<li><a href="/prev">Previous page</a></li></ul>'
+      |          || '<footer>Copyright 2026 Example Corp All rights reserved'
+      |          || '</footer></body></html>' AS html
+      |  FROM d
+      |), pre AS (
+      |  SELECT doc_id,
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |           '(?s)<!--.*?-->', ' ', 'g') AS ph
+      |  FROM hx
+      |), c0 AS (
+      |  SELECT doc_id,
+      |         string_split_regex(ph, '$BlockTagRe') AS bs
+      |  FROM pre
+      |), bx AS (
+      |  SELECT doc_id, unnest(bs) AS b,
+      |         unnest(generate_series(1, len(bs))) AS i
+      |  FROM c0
+      |), tb AS (
+      |  SELECT doc_id, i,
+      |         replace(replace(replace(replace(replace(
+      |           trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+      |                               '\\s+', ' ', 'g')),
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |           '&#39;', chr(39)), '&amp;', '&') AS t,
+      |         COALESCE(length(array_to_string(
+      |           regexp_extract_all(b, '$AnchorTextRe', 1), '')), 0) AS lc
+      |  FROM bx
+      |), tt AS (
+      |  SELECT doc_id, i, t, lc,
+      |         CASE WHEN t = '' THEN 0
+      |              ELSE len(string_split(t, ' ')) END AS n_tok,
+      |         CASE WHEN t = '' THEN 0
+      |              ELSE len(list_filter(string_split(t, ' '),
+      |                     x -> list_contains(${TextStatsQueries.Stopwords
+                                 .map(w => s"'$w'").mkString("[", ", ", "]")}, x)))
+      |              END AS n_stop
+      |  FROM tb
+      |), agg AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN n_tok >= $MinBlockTok AND n_stop >= 1
+      |                          AND lc * 2 < length(t) THEN t END,
+      |                    ' ' ORDER BY i) AS text,
+      |         CAST(COUNT(CASE WHEN n_tok > 0 THEN 1 END) AS BIGINT)
+      |           AS n_blocks,
+      |         CAST(COUNT(CASE WHEN n_tok >= $MinBlockTok AND n_stop >= 1
+      |                          AND lc * 2 < length(t) THEN 1 END) AS BIGINT)
+      |           AS n_content
+      |  FROM tt GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(agg.text, '') AS text,
+      |       COALESCE(agg.n_blocks, 0) AS n_blocks,
+      |       COALESCE(agg.n_content, 0) AS n_content
+      |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)
+  )
+
+  val all: Seq[Q] =
+    Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract)
+}

@@ -28,6 +28,21 @@ object TextOps {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Unicode NFC normalization ([[graft.expr.NfcNormalize]] — codegen'd;
+    * DuckDB replays as `nfc_normalize`). */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** UTF-8-as-Latin-1 double-encoding repair
+    * ([[graft.expr.MojibakeRepair]] — whole-string, strict-decode-gated;
+    * see [[graft.expr.TextNormalizeOps.repairMojibake]]). */
+  def repairMojibake(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.MojibakeRepair(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** THE content-identity key for exact dedup — md5 of normalized text.
     * Single definition shared by the batch pass
     * ([[graft.queries.DedupQueries]] `q_dedup_exact`) and the streaming

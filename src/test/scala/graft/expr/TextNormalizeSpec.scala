@@ -1,0 +1,97 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.text.TextOps
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The normalization expressions: NFC closed cases, the mojibake repair
+  * rule's safety asymmetry, codegen/interpreted agreement, and the
+  * planted-pair-collapse invariant the normalized dedup key needs.
+  * All non-ASCII is spelled as \u escapes — a composed-vs-decomposed
+  * distinction must never depend on editor normalization. */
+class TextNormalizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Decomposed = "café"   // e + combining acute
+  private val Composed = "café"      // é, NFC form
+  private val Mojibake = "cafÃ©" // UTF-8 é read as Latin-1
+
+  private def nfc1(s: String): String =
+    Seq(s).toDF("t").select(TextOps.nfc(col("t"))).head().getString(0)
+  private def rep1(s: String): String =
+    Seq(s).toDF("t").select(TextOps.repairMojibake(col("t"))).head().getString(0)
+
+  test("NFC: decomposed composes, composed and ASCII untouched") {
+    assert(nfc1(Decomposed) === Composed)
+    assert(nfc1(Composed) === Composed)
+    assert(nfc1("plain ascii") === "plain ascii")
+    val n = Seq[String](null).toDF("t").select(TextOps.nfc(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("mojibake: double-encoded repairs, genuine Latin-1 survives") {
+    assert(rep1(Mojibake) === Composed)
+    // multi-char: "héllo wörld" double-encoded
+    val clean = "héllo wörld"
+    val moji = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    assert(rep1(moji) === clean)
+    // genuine Latin-1 prose: é at end of string is malformed as UTF-8
+    assert(rep1(Composed) === Composed)
+    // é before an ASCII char: 0xE9 then 0x20 is also malformed
+    assert(rep1(Composed + " bar") === Composed + " bar")
+    // pure ASCII untouched; chars beyond U+00FF disqualify the rule
+    assert(rep1("plain") === "plain")
+    val mixed = "mix́ " + Mojibake
+    assert(rep1(mixed) === mixed)
+  }
+
+  test("interpreted kernels agree with the column (codegen) path") {
+    val inputs = Seq(Decomposed, Mojibake, Composed, "ascii only", "",
+                     "Ã©Ã¨")
+    val viaCol = inputs.toDF("t")
+      .select(col("t").as("in"), TextOps.nfc(col("t")).as("n"),
+              TextOps.repairMojibake(col("t")).as("r"))
+      .collect()
+    viaCol.foreach { row =>
+      val s = UTF8String.fromString(row.getString(0))
+      assert(TextNormalizeOps.nfc(s).toString === row.getString(1))
+      assert(TextNormalizeOps.repairMojibake(s).toString === row.getString(2))
+    }
+  }
+
+  test("repair round-trips arbitrary Latin-1-plane double-encodings") {
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.choose('\u00a1', '\u00ff'))).map(_.mkString)
+    for (seed <- 1L to 200L) {
+      val sample = gen(Gen.Parameters.default, Seed(seed)).get
+      val moji = new String(sample.getBytes("UTF-8"), "ISO-8859-1")
+      val repaired = TextNormalizeOps
+        .repairMojibake(UTF8String.fromString(moji)).toString
+      assert(repaired === sample, s"seed $seed")
+    }
+  }
+
+  test("planted mojibake/NFC pairs collapse under the normalized dedup key") {
+    val pairs = Seq(
+      (s"$Decomposed the plan", s"$Composed the plan"),
+      (s"$Mojibake menu", s"$Composed menu"))
+    pairs.zipWithIndex.foreach { case ((dirty, clean), i) =>
+      val df = Seq((2L * i, dirty), (2L * i + 1, clean)).toDF("doc_id", "text")
+      val keys = df.select(
+          TextOps.contentHash(TextOps.nfc(TextOps.repairMojibake(col("text")))))
+        .collect().map(_.getString(0)).toSeq
+      assert(keys.distinct.size === 1,
+             s"pair $i must share one normalized content hash")
+      // and WITHOUT normalization they do not — the operator earns its keep
+      val raw = df.select(TextOps.contentHash(col("text")))
+        .collect().map(_.getString(0)).toSeq
+      assert(raw.distinct.size === 2)
+    }
+  }
+}

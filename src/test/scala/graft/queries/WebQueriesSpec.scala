@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the crawl-front-door semantics: URL canonical-equivalence
+  * classes, the safety gate's reason coding, and the HTML extractor's
+  * closed-form behavior on planted boilerplate. */
+class WebQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canonOf(urls: String*): Seq[(String, String)] =
+    urls.toDF("url")
+      .select(WebQueries.urlCanonicalCols(col("url")).as("c"))
+      .select("c.canonical_url", "c.host_key")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  test("canonical-equivalence classes collapse; distinctions survive") {
+    // one class: scheme/host case, default port, param order, fragment
+    val variants = canonOf(
+      "HTTP://WWW.Example.COM:80/a/b?y=2&x=1#frag",
+      "http://www.example.com/a/b?x=1&y=2",
+      "Http://Www.Example.Com:80/a/b?y=2&x=1")
+    assert(variants.distinct ===
+      Seq(("http://www.example.com/a/b?x=1&y=2", "example.com")))
+
+    // distinctions that MUST survive: non-default port, path, params
+    val kept = canonOf(
+      "https://example.com:8443/a",
+      "https://example.com/a",
+      "https://example.com/a?x=1")
+    assert(kept.map(_._1).distinct.size === 3)
+    // https default port strips; empty path normalizes to /
+    assert(canonOf("HTTPS://example.com:443").head._1 ===
+      "https://example.com/")
+    // www. strips only as a PREFIX label
+    assert(canonOf("http://wwwx.example.com/").head._2 ===
+      "wwwx.example.com")
+  }
+
+  test("safety gate: reason coding, multiplicity, and containment") {
+    val d = Seq(
+      (1L, "clean text the a of"),
+      (2L, "dup dup appears twice dup"),
+      (3L, "contraband and dup together"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"), WebQueries.safetyCols(col("text")).as("v"))
+      .select(col("doc_id"), col("v.n_hits"), col("v.hit_terms"), col("v.blocked"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(rows(1L) === ((0L, "", 0)))
+    assert(rows(2L) === ((3L, "dup", 1)))          // occurrences counted, terms distinct
+    assert(rows(3L) === ((2L, "contraband,dup", 1))) // sorted, comma-joined
+    assert(rows(4L) === ((0L, "", 0)))             // null text: clean, not null row
+  }
+
+  test("html extraction: boilerplate dies, content survives, entities decode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull).limit(20)
+    val out = docs
+      .select(col("doc_id"), col("text"),
+              WebQueries.htmlExtractCols(
+                WebQueries.htmlCol(col("doc_id"), col("text"))).as("e"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val orig = r.getString(1)
+      val e = r.getStruct(2)
+      val text = e.getString(0)
+      // boilerplate NEVER leaks: nav, footer, link list, script/style bodies
+      for (bad <- Seq("Home", "Products", "Copyright", "Next page",
+                      "color: red", "var x"))
+        assert(!text.contains(bad), s"doc $id leaked boilerplate '$bad'")
+      // the two halves of the original text survive iff they pass the
+      // density rule — reconstruct the rule here independently
+      val toks = orig.split(" ").toSeq
+      val h = math.ceil(toks.size / 2.0).toInt
+      val p1 = toks.take(h).mkString(" ")
+      val p2t = toks.drop(h).mkString(" ")
+      val p2 = if (id % 3 == 0) s"$p2t tail & done" else p2t
+      val stop = Set("the", "a", "and", "of", "to")
+      def content(s: String) = {
+        val t = s.split(" ").filter(_.nonEmpty)
+        t.length >= 4 && t.exists(stop)
+      }
+      val expected = Seq(p1, p2).filter(content).mkString(" ")
+      assert(text === expected, s"doc $id extraction mismatch")
+      // the entity tail decodes (&amp; -> &) when the div half survives
+      if (id % 3 == 0 && content(p2))
+        assert(text.endsWith("tail & done"), s"doc $id entity decode")
+    }
+  }
+
+  test("html extraction: a stopword-free link farm extracts to empty") {
+    val html = Seq(
+      ("<html><body><nav><a href=\"/x\">One two three four five</a></nav>" +
+       "<p>short</p><div><a href=\"/y\">Link link link link</a></div>" +
+       "</body></html>"))
+      .toDF("html")
+    val r = html.select(WebQueries.htmlExtractCols(col("html")).as("e"))
+      .select("e.text", "e.n_content").head()
+    assert(r.getString(0) === "")
+    assert(r.getLong(1) === 0L)
+  }
+}
