@@ -266,7 +266,10 @@ object CurationQueries {
    * pieces: duplicate removal ([[DedupQueries.dedupedCorpus]]: exact
    * normalized-content edges ∪ MinHash near-dup candidate pairs →
    * connected components → one canonical doc per cluster), then the
-   * repetition quality gate, then the deterministic split assignment.
+   * repetition quality gate, then the safety wordlist gate
+   * ([[WebQueries.qSafetyFilter]] — the C4-class stage between
+   * repetition and the downstream quality/classifier passes), then the
+   * deterministic split assignment.
    * Returns the surviving documents with their `split` column.
    * Driver-gated end-to-end via [[qCuratedCorpus]] (the stages are also
    * individually behind their own oracle rows) and contract-tested in
@@ -280,16 +283,19 @@ object CurationQueries {
     val kept = DedupQueries.dedupedCorpus(s, dir, verify)
     val repetitive = qRepetitionFilter.fn(s, dir)
       .filter(col("repetitive") === 1).select(col("doc_id").as("rep_id"))
+    val blocked = WebQueries.safetyFrame(Tables.read(s, dir, "documents"))
+      .filter(col("blocked") === 1).select(col("doc_id").as("blk_id"))
     val splits = qSplitAssign.fn(s, dir).select("doc_id", "split")
     kept
       .join(repetitive, col("doc_id") === col("rep_id"), "left_anti")
+      .join(blocked, col("doc_id") === col("blk_id"), "left_anti")
       .join(splits, Seq("doc_id"))
   }
 
   /** [[curatedCorpus]] (LSH-candidate mode) over an ARBITRARY
     * `(doc_id, text, …)` frame — the `graft_curate` TVF delegate. Same
-    * composition, same order: dedup → repetition gate → split column;
-    * returns the surviving rows with their `split`. */
+    * composition, same order: dedup → repetition gate → safety gate →
+    * split column; returns the surviving rows with their `split`. */
   def curatedCorpusOf(docsDf: DataFrame): DataFrame = {
     val kept = DedupQueries.dedupedCorpusOf(docsDf)
     // collision-proof working name: the input is an ARBITRARY conforming
@@ -298,8 +304,12 @@ object CurationQueries {
     val repetitive = repetitionSignals(docsDf)
       .filter(col("repetitive") === 1)
       .select(col("doc_id").as("__graft_rep_id"))
+    val blocked = WebQueries.safetyFrame(docsDf.select("doc_id", "text"))
+      .filter(col("blocked") === 1)
+      .select(col("doc_id").as("__graft_blk_id"))
     kept
       .join(repetitive, col("doc_id") === col("__graft_rep_id"), "left_anti")
+      .join(blocked, col("doc_id") === col("__graft_blk_id"), "left_anti")
       .withColumn("split", splitName(splitBucket(col("text"))))
   }
 
@@ -329,6 +339,9 @@ object CurationQueries {
                             "COALESCE(rua.n_types, 0)",
                             "COALESCE(rua.n_tok, 0)")}
       |),
+      |safe AS (
+      |  SELECT doc_id FROM documents WHERE ${WebQueries.safeSql("text")}
+      |),
       |sp AS (
       |  SELECT doc_id, ${splitCaseSql("b")} AS split
       |  FROM (SELECT doc_id, $splitBucketSql AS b FROM documents)
@@ -336,7 +349,8 @@ object CurationQueries {
       |SELECT k.doc_id, sp.split
       |FROM kept k
       |JOIN sp ON sp.doc_id = k.doc_id
-      |WHERE k.doc_id NOT IN (SELECT doc_id FROM rep)""".stripMargin)
+      |WHERE k.doc_id NOT IN (SELECT doc_id FROM rep)
+      |  AND k.doc_id IN (SELECT doc_id FROM safe)""".stripMargin)
   )
 
   /** Shard size (docs per training shard) and permutation seed for
@@ -1282,6 +1296,7 @@ object CurationQueries {
                                  "COALESCE(rba.n_bigrams, 0)",
                                  "COALESCE(rua.n_types, 0)",
                                  "COALESCE(rua.n_tok, 0)")})
+      |    AND ${WebQueries.safeSql("dd.text")}
       |),
       |td AS (
       |  SELECT doc_id, lang, md5('tmix:' || COALESCE(text, '')) AS h
@@ -1317,7 +1332,11 @@ object CurationQueries {
     val survivors = docsDf.join(kept, Seq("doc_id"), "left_semi")
     val repetitive = repetitionSignals(survivors.select("doc_id", "text"))
       .filter(col("repetitive") === 1).select("doc_id")
-    temperatureMixture(survivors.join(repetitive, Seq("doc_id"), "left_anti"),
+    val blocked = WebQueries.safetyFrame(survivors.select("doc_id", "text"))
+      .filter(col("blocked") === 1).select("doc_id")
+    temperatureMixture(survivors
+                         .join(repetitive, Seq("doc_id"), "left_anti")
+                         .join(blocked, Seq("doc_id"), "left_anti"),
                        "lang")
   }
 

@@ -1601,6 +1601,52 @@ object StreamingQueries {
     TextStatsQueries.qBpeEncode.oracle
   )
 
+  /**
+   * The safety wordlist gate AT INGEST — the blocklist is a broadcast
+   * literal inside a stateless projection ([[WebQueries.safetyFrame]]
+   * applied verbatim per micro-batch), so arriving documents are
+   * reason-coded in the same trigger that lands them: the dead-letter
+   * discipline of [[qStreamQuarantine]] for the curation chain's
+   * safety stage. Batch oracle verbatim.
+   */
+  val qStreamSafety = Q(
+    "q_stream_safety",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.safetyFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_safety"),
+    WebQueries.qSafetyFilter.oracle
+  )
+
+  /**
+   * Unicode normalization + mojibake repair AT INGEST — the codegen'd
+   * [[graft.expr.MojibakeRepair]]/[[graft.expr.NfcNormalize]]
+   * expressions are pure row functions, so
+   * [[WebQueries.normalizeFrame]] runs per micro-batch unchanged (the
+   * transcode-at-the-front-door posture E1 establishes for bytes,
+   * applied at the codepoint layer). Batch oracle verbatim.
+   */
+  val qStreamNormalize = Q(
+    "q_stream_normalize",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.normalizeFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_normalize"),
+    WebQueries.qTextNormalize.oracle
+  )
+
+  /**
+   * HTML boilerplate extraction AT INGEST — the crawl front door as a
+   * stream: [[WebQueries.htmlExtractFrame]]'s regex/HOF tree is
+   * stateless per row, so each arriving page extracts in its own
+   * micro-batch with zero state store. Batch oracle verbatim.
+   */
+  val qStreamHtml = Q(
+    "q_stream_html",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.htmlExtractFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_html"),
+    WebQueries.qHtmlExtract.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
@@ -1613,5 +1659,6 @@ object StreamingQueries {
                         qStreamDsir, qStreamIntradoc, qStreamQuarantine,
                         qStreamPhash, qStreamAudioFp, qStreamIndex,
                         qStreamSourceReport,
-                        qStreamAnn, qStreamHardNegatives)
+                        qStreamAnn, qStreamHardNegatives,
+                        qStreamSafety, qStreamNormalize, qStreamHtml)
 }

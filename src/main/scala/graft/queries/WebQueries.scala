@@ -239,14 +239,18 @@ object WebQueries {
    * containment spec-pinned), and streams as a stateless projection
    * (`q_stream_safety`).
    */
+  /** [[qSafetyFilter]]'s body over an ARBITRARY `(doc_id, text, …)`
+    * frame — stateless per row, so the streaming face
+    * (`q_stream_safety`) applies it verbatim. */
+  private[graft] def safetyFrame(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), safetyCols(col("text")).as("v"))
+      .select(col("doc_id"), col("v.n_hits").as("n_hits"),
+              col("v.hit_terms").as("hit_terms"),
+              col("v.blocked").as("blocked"))
+
   val qSafetyFilter = Q(
     "q_safety_filter",
-    (s, dir) =>
-      Tables.read(s, dir, "documents")
-        .select(col("doc_id"), safetyCols(col("text")).as("v"))
-        .select(col("doc_id"), col("v.n_hits").as("n_hits"),
-                col("v.hit_terms").as("hit_terms"),
-                col("v.blocked").as("blocked")),
+    (s, dir) => safetyFrame(Tables.read(s, dir, "documents")),
     Some(s"""WITH h AS (
       |  SELECT doc_id,
       |         list_filter(string_split(COALESCE(text, ''), ' '),
@@ -289,20 +293,25 @@ object WebQueries {
    * planted-pair-collapse-under-[[TextOps.contentHash]] invariant the
    * normalized-content dedup key needs.
    */
+  /** [[qTextNormalize]]'s body (fixture plant + repair + NFC + change
+    * flags) over an ARBITRARY `(doc_id, text, …)` frame — stateless per
+    * row, so the streaming face (`q_stream_normalize`) applies it
+    * verbatim. */
+  private[graft] def normalizeFrame(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              plantedTextCol(col("doc_id"), col("text")).as("ptext"))
+      .select(col("doc_id"), col("ptext"),
+              TextOps.repairMojibake(col("ptext")).as("rep"))
+      .select(col("doc_id"), col("ptext"), col("rep"),
+              TextOps.nfc(col("rep")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+              (col("rep") =!= col("ptext")).cast("int").as("repaired"),
+              (col("norm_text") =!= col("ptext")).cast("int").as("changed"))
+
   val qTextNormalize = Q(
     "q_text_normalize",
-    (s, dir) =>
-      Tables.read(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-                plantedTextCol(col("doc_id"), col("text")).as("ptext"))
-        .select(col("doc_id"), col("ptext"),
-                TextOps.repairMojibake(col("ptext")).as("rep"))
-        .select(col("doc_id"), col("ptext"), col("rep"),
-                TextOps.nfc(col("rep")).as("norm_text"))
-        .select(col("doc_id"), col("norm_text"),
-                (col("rep") =!= col("ptext")).cast("int").as("repaired"),
-                (col("norm_text") =!= col("ptext")).cast("int").as("changed")),
+    (s, dir) => normalizeFrame(Tables.read(s, dir, "documents")),
     Some("""WITH p AS (
       |  SELECT doc_id,
       |         text || CASE CAST(doc_id % 5 AS INTEGER)
@@ -459,16 +468,20 @@ object WebQueries {
    * independently (nav/footer/title die, halves survive, entities
    * decode, script bodies never leak).
    */
+  /** [[qHtmlExtract]]'s body (fixture page + extraction) over an
+    * ARBITRARY `(doc_id, text, …)` frame — stateless per row, so the
+    * streaming face (`q_stream_html`) applies it verbatim. */
+  private[graft] def htmlExtractFrame(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              htmlExtractCols(htmlCol(col("doc_id"), col("text"))).as("e"))
+      .select(col("doc_id"), col("e.text").as("text"),
+              col("e.n_blocks").as("n_blocks"),
+              col("e.n_content").as("n_content"))
+
   val qHtmlExtract = Q(
     "q_html_extract",
-    (s, dir) =>
-      Tables.read(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-                htmlExtractCols(htmlCol(col("doc_id"), col("text"))).as("e"))
-        .select(col("doc_id"), col("e.text").as("text"),
-                col("e.n_blocks").as("n_blocks"),
-                col("e.n_content").as("n_content")),
+    (s, dir) => htmlExtractFrame(Tables.read(s, dir, "documents")),
     Some(s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks
       |  FROM documents WHERE text IS NOT NULL

@@ -18,7 +18,10 @@ class CurationQueriesSpec extends SparkSpec {
       (0L, "spam spam spam spam spam spam", "en", "s", 29L),   // degenerate
       (1L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
       (2L, "hello", "en", "s", 5L),                            // no bigrams
-      (3L, "  The QUICK brown fox jumps over a lazy dog ", "en", "s", 44L)
+      (3L, "  The QUICK brown fox jumps over a lazy dog ", "en", "s", 44L),
+      // clean by every other rule (distinct tokens, unique text) but
+      // carries two blocklist terms — ONLY the safety gate can drop it
+      (4L, "contraband wares of the dup market a to", "en", "s", 39L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -92,6 +95,31 @@ class CurationQueriesSpec extends SparkSpec {
     assert(viaQ.sameElements(viaLib))
     assert(viaQ.map(_._1).sameElements(Array(1L, 2L)))
     assert(CurationQueries.qCuratedCorpus.oracle.nonEmpty)
+  }
+
+  test("safety gate slots in the chain: clean-but-unsafe doc dropped, containment holds") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // doc 4 passes dedup (unique) and repetition (all-distinct tokens)…
+    val rep = CurationQueries.qRepetitionFilter.fn(spark, dir)
+      .filter(col("doc_id") === 4L).select("repetitive").head().getInt(0)
+    assert(rep === 0)
+    // …and is reason-coded by the safety gate alone
+    val v = WebQueries.safetyFrame(docs).filter(col("doc_id") === 4L)
+      .select("n_hits", "hit_terms", "blocked").head()
+    assert(v.getLong(0) === 2L)
+    assert(v.getString(1) === "contraband,dup")
+    assert(v.getInt(2) === 1)
+    // containment: every curated survivor is safe (blocked ∩ curated = ∅)
+    val curated = CurationQueries.curatedCorpus(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val blocked = WebQueries.safetyFrame(docs)
+      .filter(col("blocked") === 1).select("doc_id").as[Long].collect().toSet
+    assert(blocked.contains(4L))
+    assert(curated.intersect(blocked).isEmpty)
+    // same stage, same effect in the pretrain composition
+    val pretrain = CurationQueries.pretrainCorpusOf(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pretrain.intersect(blocked).isEmpty)
   }
 
   test("q_token_packing: contiguous per-source packs under the budget") {
