@@ -566,7 +566,108 @@ object LayoutQueries {
       |WHERE term = (SELECT t FROM pt)""".stripMargin)
   )
 
+  /** Per-(term, doc) position-list cap for the POSITIONAL index — the
+    * PostingsCap discipline applied to positions: the stored artifact
+    * stays bounded per row no matter how often a term repeats in one
+    * document (a 2 M-token document may repeat a stop-term 100 k
+    * times; the first [[PhrasePosCap]] ascending positions are the
+    * stored prefix, and the oracle replays the SAME cap, so gate
+    * semantics never depend on the tail). */
+  private[queries] val PhrasePosCap = 64
+
+  /** Materialize the POSITIONAL inverted index —
+    * `(term, doc_id, positions)` with ascending capped positions —
+    * under the same 64-bucket term-hash layout as [[writeIndex]]
+    * (`<outDir>/pos/tbucket=<b>/`), so a phrase probe prunes to the
+    * phrase terms' buckets exactly like the term probe. */
+  private[queries] def writePhraseIndex(s: SparkSession, dir: String,
+                                        outDir: String): Unit =
+    Tables.read(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              posexplode(graft.text.TextOps.tokens(col("text")))
+                .as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(slice(sort_array(collect_list(col("pos"))), 1, PhrasePosCap)
+             .as("positions"))
+      .withColumn("tbucket", pmod(xxhash64(col("term")),
+                                  lit(TermBuckets.toLong)))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions("tbucket", "term")
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$outDir/pos")
+
+  /**
+   * PHRASE probe through the stored POSITIONAL index — the capability
+   * the first-16-posting prefix of [[qIndexProbe]]'s artifact cannot
+   * answer (VERDICT r15 gap 5): positions make adjacency queries
+   * answerable FROM THE ARTIFACT, without re-reading the corpus. The
+   * phrase is data-derived (the first two tokens of the lowest-doc_id
+   * document — the [[qIndexProbe]] discipline, so the gate runs on any
+   * corpus); each term's postings come from ONE pruned bucket
+   * directory (`PhraseIndexSpec` asserts the prune and the pushed
+   * `term =` filter), and adjacency is a row-local HOF over the two
+   * position arrays after a doc_id equi-join of the two term frames —
+   * cost scales with the PHRASE TERMS' posting lists, never the corpus
+   * or the vocabulary. The oracle recomputes positional postings from
+   * scratch (same 0-based positions, same [[PhrasePosCap]]) and the
+   * same adjacency count.
+   */
+  val qIndexPhrase = Q(
+    "q_index_phrase",
+    (s, dir) => {
+      val out = derivedDir(s, dir, "pos-index")
+      writePhraseIndex(s, dir, out)
+      val rows = Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .orderBy(col("doc_id"))
+        .select(element_at(split(col("text"), " "), 1).as("t1"),
+                element_at(split(col("text"), " "), 2).as("t2"))
+        .head(1)
+      require(rows.nonEmpty,
+              s"$dir/documents has no non-null text to derive a phrase " +
+                "from — probe an explicit phrase instead")
+      val (t1, t2) = (rows.head.getString(0), rows.head.getString(1))
+      require(t1 != null, "probe document has no first token")
+      val idx = s.read.parquet(s"$out/pos")
+      def side(t: String, posAs: String) =
+        idx.filter(col("tbucket") === pmod(xxhash64(lit(t)),
+                                           lit(TermBuckets.toLong)) &&
+                     col("term") === t)
+          .select(col("doc_id"), col("positions").as(posAs))
+      side(t1, "pa").join(side(t2, "pb"), Seq("doc_id"))
+        .select(col("doc_id"),
+                size(filter(col("pa"),
+                            p => array_contains(col("pb"), p + 1)))
+                  .cast("long").as("n_matches"))
+        .filter(col("n_matches") > 0)
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), pt AS (
+      |  SELECT toks AS tk FROM d ORDER BY doc_id LIMIT 1
+      |), px AS (
+      |  SELECT doc_id, unnest(toks) AS term,
+      |         unnest(generate_series(0, len(toks) - 1)) AS pos
+      |  FROM d
+      |), pl AS (
+      |  SELECT term, doc_id,
+      |         list_slice(list(pos ORDER BY pos), 1, $PhrasePosCap) AS ps
+      |  FROM px
+      |  WHERE term = (SELECT tk[1] FROM pt) OR term = (SELECT tk[2] FROM pt)
+      |  GROUP BY 1, 2
+      |), a AS (SELECT doc_id, ps FROM pl WHERE term = (SELECT tk[1] FROM pt)),
+      |b AS (SELECT doc_id, ps FROM pl WHERE term = (SELECT tk[2] FROM pt))
+      |SELECT a.doc_id,
+      |       CAST(len(list_filter(a.ps, p -> list_contains(b.ps, p + 1)))
+      |            AS BIGINT) AS n_matches
+      |FROM a JOIN b ON a.doc_id = b.doc_id
+      |WHERE len(list_filter(a.ps, p -> list_contains(b.ps, p + 1))) > 0""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qZorder3Prune,
                         qBackfill, qBucketJoin,
-                        qCompactFiles, qIndexProbe, qIndexAppend)
+                        qCompactFiles, qIndexProbe, qIndexAppend,
+                        qIndexPhrase)
 }
