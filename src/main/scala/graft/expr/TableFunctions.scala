@@ -669,6 +669,63 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_html_extract(table, 'htmlCol')` — jusText-lite boilerplate
+    * extraction over a named HTML column
+    * ([[graft.queries.WebQueries.htmlExtractOf]]). */
+  val htmlExtract: TVF = (
+    new FunctionIdentifier("graft_html_extract"),
+    info("graft_html_extract", "graft_html_extract(table, 'htmlCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_html_extract"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.WebQueries.htmlExtractOf(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_normalize(docsTable)` — mojibake repair + NFC over `text`
+    * ([[graft.queries.WebQueries.normalizeTextOf]]). */
+  val normalizeText: TVF = (
+    new FunctionIdentifier("graft_normalize"),
+    info("graft_normalize", "graft_normalize(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_normalize"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.WebQueries.normalizeTextOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_safety(docsTable)` — blocklist membership with reason codes
+    * ([[graft.queries.WebQueries.safetyFrame]]). */
+  val safety: TVF = (
+    new FunctionIdentifier("graft_safety"),
+    info("graft_safety", "graft_safety(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_safety"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.WebQueries.safetyFrame(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_url_canonical(table, 'urlCol')` — canonical URL + host key
+    * columns appended ([[graft.queries.WebQueries.urlCanonicalOf]]). */
+  val urlCanonical: TVF = (
+    new FunctionIdentifier("graft_url_canonical"),
+    info("graft_url_canonical", "graft_url_canonical(table, 'urlCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_url_canonical"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.WebQueries.urlCanonicalOf(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -678,7 +735,8 @@ object GraftTableFunctions {
                           cms, invertedIndex, mergeUpsert, corpusDiff,
                           chunk, tfidf, lmScore,
                           dsirScore, intradocDedup, canonicalDedup,
-                          temperatureMixture, pretrain)
+                          temperatureMixture, pretrain,
+                          htmlExtract, normalizeText, safety, urlCanonical)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -1329,7 +1329,19 @@ object CurationQueries {
     * `graft_pretrain('docs')` TVF delegate. */
   def pretrainCorpusOf(docsDf: DataFrame): DataFrame = {
     val kept = DedupQueries.canonicalCorpusOf(docsDf).select("doc_id")
-    val survivors = docsDf.join(kept, Seq("doc_id"), "left_semi")
+    // The canonical-survivor frame has THREE consumers (repetition
+    // signals, safety gate, mixture draw). Pin-by-consumer-count (the
+    // spanDedupCdc policy): ≥ 2 consumers → checkpoint. Measured A/B,
+    // isolated at sf0.1, 3 runs each (round 16, BASELINE.md):
+    // uncheckpointed 10.5/10.5/11.5 s vs checkpointed 8.7/9.1/9.1 s —
+    // a ~14 % win, modest because ReuseExchange already dedupes the
+    // identical consumer subtrees inside the one composed DAG and the
+    // dedup fixpoint checkpoints internally; the checkpoint's real
+    // value is severing the triple-consumer lineage so the composed
+    // plan cannot regress when a consumer stops being subtree-identical
+    // (exactly what adding the safety stage did to the r15 plan).
+    val survivors =
+      checkpointCompact(docsDf.join(kept, Seq("doc_id"), "left_semi"))
     val repetitive = repetitionSignals(survivors.select("doc_id", "text"))
       .filter(col("repetitive") === 1).select("doc_id")
     val blocked = WebQueries.safetyFrame(survivors.select("doc_id", "text"))

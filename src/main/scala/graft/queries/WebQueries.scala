@@ -293,21 +293,35 @@ object WebQueries {
    * planted-pair-collapse-under-[[TextOps.contentHash]] invariant the
    * normalized-content dedup key needs.
    */
-  /** [[qTextNormalize]]'s body (fixture plant + repair + NFC + change
-    * flags) over an ARBITRARY `(doc_id, text, …)` frame — stateless per
-    * row, so the streaming face (`q_stream_normalize`) applies it
-    * verbatim. */
-  private[graft] def normalizeFrame(d: DataFrame): DataFrame =
-    d.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-              plantedTextCol(col("doc_id"), col("text")).as("ptext"))
-      .select(col("doc_id"), col("ptext"),
-              TextOps.repairMojibake(col("ptext")).as("rep"))
+  /** The normalization pass (repair → NFC → change flags) over a
+    * `(doc_id, ptext)` frame — the shared tail of the gate's
+    * fixture-planted face and the TVF's direct face. */
+  private def normalizeTail(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("ptext"),
+             TextOps.repairMojibake(col("ptext")).as("rep"))
       .select(col("doc_id"), col("ptext"), col("rep"),
               TextOps.nfc(col("rep")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
               (col("rep") =!= col("ptext")).cast("int").as("repaired"),
               (col("norm_text") =!= col("ptext")).cast("int").as("changed"))
+
+  /** [[qTextNormalize]]'s body (fixture plant + repair + NFC + change
+    * flags) over an ARBITRARY `(doc_id, text, …)` frame — stateless per
+    * row, so the streaming face (`q_stream_normalize`) applies it
+    * verbatim. */
+  private[graft] def normalizeFrame(d: DataFrame): DataFrame =
+    normalizeTail(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                plantedTextCol(col("doc_id"), col("text")).as("ptext")))
+
+  /** The normalization operator WITHOUT the gate's fixture plant —
+    * repair + NFC over the `text` column as-is (the `graft_normalize`
+    * TVF delegate for real, possibly-dirty corpora). */
+  private[graft] def normalizeTextOf(d: DataFrame): DataFrame =
+    normalizeTail(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text").as("ptext")))
 
   val qTextNormalize = Q(
     "q_text_normalize",
@@ -468,16 +482,35 @@ object WebQueries {
    * independently (nav/footer/title die, halves survive, entities
    * decode, script bodies never leak).
    */
+  /** The extraction operator over an ARBITRARY frame's named HTML
+    * column (the `graft_html_extract` TVF delegate — real pages, no
+    * fixture): `(doc_id, text, n_blocks, n_content)`. */
+  private[graft] def htmlExtractOf(d: DataFrame,
+                                   htmlColName: String): DataFrame =
+    d.select(col("doc_id"), htmlExtractCols(col(htmlColName)).as("e"))
+      .select(col("doc_id"), col("e.text").as("text"),
+              col("e.n_blocks").as("n_blocks"),
+              col("e.n_content").as("n_content"))
+
   /** [[qHtmlExtract]]'s body (fixture page + extraction) over an
     * ARBITRARY `(doc_id, text, …)` frame — stateless per row, so the
     * streaming face (`q_stream_html`) applies it verbatim. */
   private[graft] def htmlExtractFrame(d: DataFrame): DataFrame =
-    d.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-              htmlExtractCols(htmlCol(col("doc_id"), col("text"))).as("e"))
-      .select(col("doc_id"), col("e.text").as("text"),
-              col("e.n_blocks").as("n_blocks"),
-              col("e.n_content").as("n_content"))
+    htmlExtractOf(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                htmlCol(col("doc_id"), col("text")).as("__graft_html")),
+      "__graft_html")
+
+  /** URL canonicalization over an ARBITRARY frame's named URL column
+    * (the `graft_url_canonical` TVF delegate): the input columns plus
+    * `canonical_url` and `host_key`. */
+  private[graft] def urlCanonicalOf(d: DataFrame,
+                                    urlColName: String): DataFrame =
+    d.withColumn("__graft_canon", urlCanonicalCols(col(urlColName)))
+      .withColumn("canonical_url", col("__graft_canon.canonical_url"))
+      .withColumn("host_key", col("__graft_canon.host_key"))
+      .drop("__graft_canon")
 
   val qHtmlExtract = Q(
     "q_html_extract",

@@ -453,4 +453,41 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(g.getMessage.contains("positive"))
   }
+
+  test("front-door TVFs ≡ their Scala operators") {
+    import graft.queries.WebQueries
+    corpus.createOrReplaceTempView("corpus_docs")
+    // safety: reason-coded verdicts, row-for-row
+    assert(spark.sql("SELECT * FROM graft_safety('corpus_docs')")
+             .collect().toSet ===
+           WebQueries.safetyFrame(corpus).collect().toSet)
+    // normalize: DIRECT text face (no fixture plant) — ASCII corpus is
+    // a fixpoint: norm_text = text, no repairs, no changes
+    val norm = spark.sql("SELECT * FROM graft_normalize('corpus_docs')")
+    assert(norm.collect().toSet ===
+           WebQueries.normalizeTextOf(corpus).collect().toSet)
+    assert(norm.where("repaired = 1 OR changed = 1").count() === 0)
+    // html extraction over a named column
+    val pages = Seq(
+      (1L, "<html><body><nav><a href=\"/\">Home</a></nav>" +
+           "<p>the quick brown fox jumps over a lazy dog</p></body></html>"))
+      .toDF("doc_id", "html")
+    pages.createOrReplaceTempView("tvf_pages")
+    val ex = spark.sql(
+        "SELECT * FROM graft_html_extract('tvf_pages', 'html')")
+      .collect()
+    assert(ex.toSet ===
+           WebQueries.htmlExtractOf(pages, "html").collect().toSet)
+    assert(ex.head.getAs[String]("text") ===
+           "the quick brown fox jumps over a lazy dog")
+    // url canonicalization appends the derived columns
+    val urls = Seq((1L, "HTTP://WWW.Example.COM:80/a?b=2&a=1#f"))
+      .toDF("id", "url")
+    urls.createOrReplaceTempView("tvf_urls")
+    val cu = spark.sql(
+        "SELECT * FROM graft_url_canonical('tvf_urls', 'url')").collect()
+    assert(cu.head.getAs[String]("canonical_url") ===
+           "http://www.example.com/a?a=1&b=2")
+    assert(cu.head.getAs[String]("host_key") === "example.com")
+  }
 }

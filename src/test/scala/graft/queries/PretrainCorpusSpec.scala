@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The composition must be exactly its stages: every drawn doc is a
-  * canonical survivor, none is repetitive, and the draw equals the
-  * temperature mixture run standalone on the gated set. */
+  * canonical survivor, none is repetitive, none is safety-blocked, and
+  * the draw equals the temperature mixture run standalone on the gated
+  * set. */
 class PretrainCorpusSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,13 +24,20 @@ class PretrainCorpusSpec extends SparkSpec {
         spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
       .filter(col("repetitive") === 1)
       .select("doc_id").as[Long].collect().toSet
+    val blocked = WebQueries
+      .safetyFrame(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+      .filter(col("blocked") === 1)
+      .select("doc_id").as[Long].collect().toSet
     out.foreach { case (id, _, _) =>
       assert(kept.contains(id), s"doc $id not a canonical survivor")
       assert(!repetitive.contains(id), s"doc $id is repetitive")
+      assert(!blocked.contains(id), s"doc $id is safety-blocked")
     }
     val gated = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id").isin(kept.toSeq: _*) &&
-              !col("doc_id").isin(repetitive.toSeq: _*))
+              !col("doc_id").isin(repetitive.toSeq: _*) &&
+              !col("doc_id").isin(blocked.toSeq: _*))
     val standalone = CurationQueries.temperatureMixture(gated, "lang")
       .select("doc_id", "lang", "rn").as[(Long, String, Long)].collect()
     assert(out.sortBy(_._1).toSeq === standalone.sortBy(_._1).toSeq,
