@@ -726,6 +726,22 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_split_cluster(docsTable)` — group-aware train/val/test split:
+    * every document keyed to its dedup component's CANONICAL member, so a
+    * near-dup pair never straddles a train/eval boundary
+    * ([[graft.queries.CurationQueries.splitClusterOf]]). */
+  val splitCluster: TVF = (
+    new FunctionIdentifier("graft_split_cluster"),
+    info("graft_split_cluster", "graft_split_cluster(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_split_cluster"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.splitClusterOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -736,7 +752,8 @@ object GraftTableFunctions {
                           chunk, tfidf, lmScore,
                           dsirScore, intradocDedup, canonicalDedup,
                           temperatureMixture, pretrain,
-                          htmlExtract, normalizeText, safety, urlCanonical)
+                          htmlExtract, normalizeText, safety, urlCanonical,
+                          splitCluster)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

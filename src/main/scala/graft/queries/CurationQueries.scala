@@ -166,6 +166,55 @@ object CurationQueries {
   )
 
   /**
+   * Group-aware (near-dup-cluster) train/val/test split: every document
+   * in a dedup component gets the split of its CANONICAL (min-id)
+   * member, so a near-duplicate pair can never straddle a train/eval
+   * boundary. [[qSplitAssign]] pins only EXACT duplicates together
+   * (content-hash keying); when a pipeline deliberately retains
+   * near-duplicates — they ARE distinct documents — content keying
+   * still scatters them, and a val doc with a 95 %-identical twin in
+   * train is leakage. Keying the split on the canonical member's
+   * content closes the hole at near-dup granularity (the group-shuffle
+   * split discipline at corpus scale); the 80/10/10 bucket expressions
+   * are [[splitBucket]]/[[splitName]], shared with [[qSplitAssign]], so
+   * the two splits agree on every singleton.
+   *
+   * Scale shape: labels come from [[DedupQueries.clusterIds]] (the
+   * three components regimes — scales with the LSH edge OUTPUT, not the
+   * corpus); the canonical's bucket is computed from text BEFORE the
+   * join, so the cluster join exchanges only 16-byte
+   * (cluster_id, bucket) rows — text never shuffles.
+   */
+  lazy val qSplitCluster = Q(
+    "q_split_cluster",
+    (s, dir) => splitByCluster(Tables.read(s, dir, "documents"),
+                               DedupQueries.clusterIds(s, dir)),
+    Some(s"""${DedupQueries.clusterIdsCte},
+      |cb AS (SELECT doc_id AS cluster_id, $splitBucketSql AS bucket
+      |       FROM documents)
+      |SELECT c.doc_id, c.cluster_id, cb.bucket,
+      |       ${splitCaseSql("cb.bucket")} AS split
+      |FROM clus c JOIN cb ON cb.cluster_id = c.cluster_id""".stripMargin)
+  )
+
+  /** The group-aware split projection over a `(doc_id, cluster_id)`
+    * labels frame — one body behind [[qSplitCluster]] and
+    * [[splitClusterOf]], so the gated query and the TVF can never drift
+    * on the canonical-bucket rule. */
+  private def splitByCluster(docsDf: DataFrame, labels: DataFrame): DataFrame = {
+    val canonBucket = docsDf.select(col("doc_id").as("cluster_id"),
+                                    splitBucket(col("text")).as("bucket"))
+    labels.join(canonBucket, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"),
+              splitName(col("bucket")).as("split"))
+  }
+
+  /** [[qSplitCluster]] over an ARBITRARY `(doc_id, text, …)` frame — the
+    * `graft_split_cluster(table)` TVF delegate. */
+  def splitClusterOf(docsDf: DataFrame): DataFrame =
+    splitByCluster(docsDf, DedupQueries.clusterIdsOf(docsDf))
+
+  /**
    * Deterministic stratified sampling as a library call: per-stratum keep
    * rates (percent, 0–100) applied via a salted content hash, NOT
    * `rand()`: the sample is reproducible, partitioning-invariant, and —
@@ -500,6 +549,87 @@ object CurationQueries {
       .withColumn("rn", col("grnk") - col("off"))
       .filter(col("rn") <= col("keep_n"))
       .select("doc_id", groupCol, "rn")
+  }
+
+  /** Per-language upsampling weights in THOUSANDTHS for
+    * [[qUpsampleEpoch]] (a deployment binds its own mixture): 1000 = pass
+    * through, >1000 repeats (2500 = 2 copies always + a third for 50 % of
+    * docs), <1000 downsamples. Integer mills keep the fractional-copy
+    * decision exactly replayable — no float thresholds. */
+  private val UpsampleMills =
+    Seq("en" -> 1000, "de" -> 2500, "es" -> 1200, "fr" -> 3000, "zh" -> 500)
+  private val UpsampleSalt = "upsample:"
+
+  /**
+   * Deterministic weight-based UPSAMPLING — the epoch-plan expansion a
+   * pretraining pipeline runs when the mixture calls for repeating
+   * high-quality sources (weights > 1), the dual of [[qMixtureSample]]
+   * (which can only DRAW DOWN to a target). Each document materializes
+   * `⌊w⌋ + [h < frac(w)]` copies, where h is a per-doc salted-hash draw
+   * in mills — so a 2.5× language yields every doc twice plus a third
+   * copy for a deterministic, partitioning-invariant half of them, and
+   * expected copy mass is exact. Each copy carries its index plus a
+   * per-copy permutation key, so the expanded corpus feeds
+   * [[qShuffleExport]]'s global-order machinery directly and the copies
+   * of one document scatter across the epoch instead of training
+   * back-to-back.
+   *
+   * Scale shape: one stateless projection + a ≤⌈max w⌉-bounded
+   * `explode(sequence(…))` — no shuffle, no state, fanout bounded by the
+   * largest weight; the decision hashes doc_id (16 bytes through the
+   * expression), never text.
+   */
+  lazy val qUpsampleEpoch = Q(
+    "q_upsample_epoch",
+    (s, dir) => upsampleFrame(Tables.read(s, dir, "documents")),
+    Some(s"""WITH w AS (
+      |  SELECT * FROM (VALUES ${UpsampleMills.map { case (l, m) => s"('$l', $m)" }
+                                             .mkString(", ")}) AS t(lang, wm)
+      |), d AS (
+      |  SELECT doc_id, documents.lang, wm,
+      |         ${DedupQueries.hex32(
+                   s"md5('$UpsampleSalt' || CAST(doc_id AS VARCHAR))")} % 1000 AS h
+      |  FROM documents JOIN w ON documents.lang = w.lang
+      |), n AS (
+      |  SELECT doc_id, lang,
+      |         CAST(wm // 1000 + CASE WHEN h < wm % 1000 THEN 1 ELSE 0 END
+      |              AS BIGINT) AS n_copies
+      |  FROM d
+      |), e AS (
+      |  SELECT doc_id, lang, n_copies,
+      |         unnest(generate_series(1, n_copies)) AS copy
+      |  FROM n WHERE n_copies > 0
+      |)
+      |SELECT doc_id, lang, n_copies, CAST(copy AS BIGINT) AS copy,
+      |       md5('epoch:' || CAST(doc_id AS VARCHAR) || ':'
+      |           || CAST(copy AS VARCHAR)) AS pkey
+      |FROM e""".stripMargin)
+  )
+
+  /** The upsampling expansion over an arbitrary `(doc_id, lang, …)`
+    * frame — ONE body behind [[qUpsampleEpoch]] and the streaming face
+    * ([[graft.streaming.StreamingCuration]]-style, gated as
+    * `q_stream_upsample`), so batch and ingest can never drift on a
+    * copy-count decision. Stateless projection + bounded explode: safe
+    * in append mode with no state store. */
+  private[graft] def upsampleFrame(docsDf: DataFrame): DataFrame = {
+    val wm = UpsampleMills.foldLeft(lit(0L)) { case (acc, (l, m)) =>
+      when(col("lang") === l, m.toLong).otherwise(acc)
+    }
+    docsDf
+      .select(col("doc_id"), col("lang"), wm.as("wm"),
+              pmod(TextOps.md5Prefix32(
+                     md5(concat(lit(UpsampleSalt),
+                                col("doc_id").cast("string")))),
+                   lit(1000L)).as("h"))
+      .withColumn("n_copies",
+                  expr("wm div 1000") +
+                    when(col("h") < col("wm") % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+              explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .withColumn("pkey", md5(concat_ws(":", lit("epoch"), col("doc_id"),
+                                        col("copy"))))
   }
 
   /** Chunk geometry for [[qChunkOverlap]]: width and stride in tokens
@@ -1515,7 +1645,8 @@ object CurationQueries {
       |FROM top CROSS JOIN tau""".stripMargin)
   )
 
-  val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign,
+  val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign, qSplitCluster,
+                        qUpsampleEpoch,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport, qSourceCap,

@@ -853,6 +853,32 @@ object DedupQueries {
       |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin)
   )
 
+  /** (doc_id, cluster_id) for EVERY document under the FULL dedup
+    * component structure — exact normalized-content edges ∪ LSH-candidate
+    * near edges, the same fixpoint [[dedupedCorpus]] keys its survivor
+    * rule on — singletons labeled as their own cluster. [[qDedupClusters]]
+    * is the near-edge-only diagnostic; this is the composition-grade
+    * labeling behind the group-aware split
+    * ([[CurationQueries.qSplitCluster]]). */
+  private[queries] def clusterIds(s: SparkSession, dir: String): DataFrame =
+    labelAll(docs(s, dir),
+             components(dedupEdges(docs(s, dir),
+                                   candidateStars(shingled(s, dir)))))
+
+  /** [[clusterIds]] over an ARBITRARY `(doc_id, text, …)` frame — the
+    * `graft_split_cluster` TVF's labeling (identical edge set to
+    * [[dedupedCorpusOf]]). */
+  private[graft] def clusterIdsOf(docsDf: DataFrame): DataFrame =
+    labelAll(docsDf, components(dedupEdges(docsDf, candidateStarsOf(docsDf))))
+
+  /** Extend a [[components]] labels frame (edge-bearing nodes only) to
+    * the WHOLE corpus: singletons become their own cluster. */
+  private def labelAll(docsDf: DataFrame, labels: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+
   /**
    * The end-to-end dedup decision as one library call: the full corpus
    * minus near-duplicates — every document whose doc_id IS its cluster's
@@ -1030,6 +1056,15 @@ object DedupQueries {
   private[queries] val dedupedKeptCte: String =
     s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
       |${keptSuffix("cand")}""".stripMargin
+
+  /** Oracle prefix replaying [[clusterIds]]: the exact∪near fixpoint
+    * ending in `clus (doc_id, cluster_id)` — every document labeled,
+    * singletons as their own cluster. */
+  private[queries] val clusterIdsCte: String =
+    s"""${candidateCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |${walkSuffix("cand")},
+      |clus AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+      |         FROM walk GROUP BY id)""".stripMargin
 
   /** The flagship composition behind the driver's correctness gate: the
     * doc_ids [[dedupedCorpus]] keeps (LSH-candidate mode) — the one-call

@@ -1647,6 +1647,23 @@ object StreamingQueries {
     WebQueries.qHtmlExtract.oracle
   )
 
+  /**
+   * Weight-based upsampling AT INGEST — the epoch expansion of
+   * `q_upsample_epoch` ([[CurationQueries.upsampleFrame]], shared not
+   * copied) per micro-batch: an arriving document materializes its
+   * ⌊w⌋ + [h < frac(w)] copies and their per-copy permutation keys in
+   * the trigger that lands it. Stateless projection + weight-bounded
+   * explode — append mode, no watermark, no state store. Batch oracle
+   * verbatim.
+   */
+  val qStreamUpsample = Q(
+    "q_stream_upsample",
+    (s, dir) => runToSink(s, dir,
+      CurationQueries.upsampleFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_upsample"),
+    CurationQueries.qUpsampleEpoch.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
@@ -1660,5 +1677,6 @@ object StreamingQueries {
                         qStreamPhash, qStreamAudioFp, qStreamIndex,
                         qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives,
-                        qStreamSafety, qStreamNormalize, qStreamHtml)
+                        qStreamSafety, qStreamNormalize, qStreamHtml,
+                        qStreamUpsample)
 }

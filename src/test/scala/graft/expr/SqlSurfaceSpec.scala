@@ -166,6 +166,21 @@ class SqlSurfaceSpec extends SparkSpec {
       .forall(Set("train", "val", "test")))
   }
 
+  test("graft_split_cluster from SQL ≡ splitClusterOf") {
+    import graft.queries.CurationQueries
+    corpus.createOrReplaceTempView("corpus_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_split_cluster('corpus_docs')")
+    val direct = CurationQueries.splitClusterOf(corpus)
+    assert(viaSql.columns.toSeq ===
+      Seq("doc_id", "cluster_id", "bucket", "split"))
+    assert(viaSql.collect().toSet === direct.collect().toSet)
+    // one row per input doc; every cluster resolves to ONE split
+    assert(viaSql.count() === corpus.count())
+    val perCluster = viaSql.select("cluster_id", "split").distinct()
+      .groupBy("cluster_id").count().select("count").as[Long].collect()
+    assert(perCluster.forall(_ === 1L))
+  }
+
   test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {
     import graft.session.Sessionize
     import org.apache.spark.sql.functions.{col, timestamp_micros}

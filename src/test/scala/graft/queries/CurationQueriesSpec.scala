@@ -135,4 +135,72 @@ class CurationQueriesSpec extends SparkSpec {
     // pack ids are nondecreasing in doc order within the source
     assert(rows.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
+
+  /** Fixture for the group-aware split: docs 10/11 share their cyclic
+    * 3-gram shingle SET (every band signature equal ⇒ LSH candidate pair
+    * by construction) but differ in normalized content — a near-dup,
+    * not an exact dup. Their content buckets are 8 (val) and 6 (train):
+    * the plain hash split provably scatters them across the boundary. */
+  private lazy val clusterDir: String = {
+    val d = Files.createTempDirectory("graft-splitcluster").toString
+    Seq(
+      (10L, "alpha beta gamma alpha beta gamma", "en", "s", 33L),
+      (11L, "alpha beta gamma alpha beta gamma alpha beta gamma", "en", "s", 50L),
+      (12L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),
+      // exact dup (case/whitespace) of 12 — an exact edge, not LSH
+      (13L, "  The QUICK brown fox jumps over a lazy DOG ", "en", "s", 44L),
+      (14L, "completely unrelated singleton text body here", "en", "s", 45L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_split_cluster: near-dup pair shares one split where the plain split leaks") {
+    val plain = CurationQueries.qSplitAssign.fn(spark, clusterDir)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    // the leak the operator exists for: the plain content-hash split
+    // puts the near-dup twins on OPPOSITE sides of a train/eval boundary
+    assert(plain(10L) === "val" && plain(11L) === "train")
+    val rows = CurationQueries.qSplitCluster.fn(spark, clusterDir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // near-dup pair: one cluster (canonical 10), ONE split — the
+    // canonical member's plain split
+    assert(rows(10L) === ((10L, "val")) && rows(11L) === ((10L, "val")))
+    // exact-dup pair collapses the same way (exact edges are in scope)
+    assert(rows(12L)._1 === 12L && rows(13L) === rows(12L))
+    // singleton: own cluster, split agrees with the plain assignment
+    assert(rows(14L) === ((14L, plain(14L))))
+    // determinism — never rand()-seeded
+    val again = CurationQueries.qSplitCluster.fn(spark, clusterDir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(again === rows)
+  }
+
+  test("q_upsample_epoch: exact integer copy counts, bounded fanout, per-copy keys") {
+    val d = Files.createTempDirectory("graft-upsample").toString
+    // h = first-32-md5('upsample:'+id) mod 1000, precomputed:
+    // 0→214, 1→53, 2→549, 3→294, 4→811, 5→212, 6→629, 7→763
+    Seq((0L, "a b", "de"), (2L, "c d", "de"),   // 2500: 3 and 2 copies
+        (1L, "e f", "es"), (4L, "g h", "es"),   // 1200: 2 and 1
+        (3L, "i j", "zh"), (6L, "k l", "zh"),   // 500: 1 and 0 (dropped)
+        (5L, "m n", "en"), (7L, "o p", "fr"))   // 1000: 1; 3000: 3
+      .map { case (id, t, l) => (id, t, l, "s", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CurationQueries.qUpsampleEpoch.fn(spark, d)
+      .as[(Long, String, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1)
+    val copies = byDoc.map { case (id, rs) => id -> rs.map(_._4).sorted.toSeq }
+    assert(copies === Map(0L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L),
+                          1L -> Seq(1L, 2L), 4L -> Seq(1L),
+                          3L -> Seq(1L), 5L -> Seq(1L),
+                          7L -> Seq(1L, 2L, 3L))) // 6 drawn down to zero
+    // n_copies is constant per doc and equals the copy count
+    assert(byDoc.forall { case (_, rs) =>
+      rs.map(_._3).distinct.length == 1 && rs.head._3 == rs.length })
+    // per-copy permutation keys are distinct — copies scatter in an epoch
+    assert(rows.map(_._5).distinct.length === rows.length)
+  }
 }

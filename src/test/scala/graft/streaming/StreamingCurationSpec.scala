@@ -114,6 +114,23 @@ class StreamingCurationSpec extends SparkSpec {
     assert(stream.find(_._1 == 4L).get === ((4L, 0L, 0L, 0L, 0L, 0L, 0)))
   }
 
+  test("upsampleFrame on a stream equals q_upsample_epoch on the same rows") {
+    val cols = Seq("doc_id", "lang", "n_copies", "copy", "pkey")
+    val stream = streamed(CurationQueries.upsampleFrame)
+      .selectExpr(cols: _*)
+      .as[(Long, String, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._4))
+    val batch = CurationQueries.qUpsampleEpoch.fn(spark, batchDir)
+      .selectExpr(cols: _*)
+      .as[(Long, String, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._4))
+    assert(stream.toSeq === batch.toSeq)
+    // copies arrive in the SAME micro-batch as their document (stateless
+    // explode): every doc's copy set is complete and 1..n_copies
+    assert(stream.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4).sorted.toSeq == (1L to rs.head._3) })
+  }
+
   test("sampled on a stream equals stratifiedSample on the same rows") {
     val rates = Map("en" -> 50)
     val stream = streamed(StreamingCuration.sampled(_, "lang", rates, 90))
