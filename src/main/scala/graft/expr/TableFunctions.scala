@@ -742,6 +742,22 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_boilerplate(docsTable, minDocs)` — repeated-line boilerplate
+    * stripping over any multi-line `(doc_id, text, …)` table: lines whose
+    * hash appears in ≥ minDocs documents are dropped from every document
+    * ([[graft.queries.WebQueries.boilerplateLinesOf]]). */
+  val boilerplate: TVF = (
+    new FunctionIdentifier("graft_boilerplate"),
+    info("graft_boilerplate", "graft_boilerplate(docsTable, minDocs)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_boilerplate"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.WebQueries.boilerplateLinesOf(
+        active.table(strArg(args, 0, fn)), longArg(args, 1, fn).toInt)
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -753,7 +769,7 @@ object GraftTableFunctions {
                           dsirScore, intradocDedup, canonicalDedup,
                           temperatureMixture, pretrain,
                           htmlExtract, normalizeText, safety, urlCanonical,
-                          splitCluster)
+                          splitCluster, boilerplate)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -1664,6 +1664,24 @@ object StreamingQueries {
     CurationQueries.qUpsampleEpoch.oracle
   )
 
+  /**
+   * Repeated-line boilerplate stripping AT INGEST — the
+   * `q_boilerplate_lines` billing split made literal: the frequent-line
+   * hash set is built OFFLINE on the standing corpus (the bounded
+   * artifact — ≤ BoilerCap 32-byte hashes), then rides the stateless
+   * drop projection as a literal array, so an arriving page is stripped
+   * of corpus-chrome in the trigger that lands it. Batch oracle
+   * verbatim.
+   */
+  val qStreamBoilerplate = Q(
+    "q_stream_boilerplate",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.boilerplateFrame(Tables.read(s, dir, "documents"),
+                                  tableStream(s, dir, "documents")),
+      "graft_q_stream_boilerplate"),
+    WebQueries.qBoilerplateLines.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
@@ -1678,5 +1696,5 @@ object StreamingQueries {
                         qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
-                        qStreamUpsample)
+                        qStreamUpsample, qStreamBoilerplate)
 }

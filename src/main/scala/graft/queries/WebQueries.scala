@@ -596,6 +596,150 @@ object WebQueries {
       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)
   )
 
+  // ------------------------------------------- repeated-line boilerplate
+
+  /** Multi-line fixture for the repeated-line filter (the [[htmlCol]]
+    * discipline — the testdata's documents are single-line): a
+    * per-SOURCE nav header and copyright footer (shared by every doc of
+    * that source — corpus-frequent by construction, the way real nav/
+    * footer chrome repeats across a site's pages) around the document's
+    * two content half-lines. */
+  private[graft] def lineTextCol(source: Column, text: Column): Column =
+    letBound(TextOps.tokens(text)) { toks =>
+      letBound(ceil(size(toks) / lit(2.0)).cast("int")) { h =>
+        concat(
+          lit("site "), source, lit(" navigation menu\n"),
+          array_join(slice(toks, lit(1), h), " "), lit("\n"),
+          array_join(slice(toks, h + 1, size(toks) - h), " "), lit("\n"),
+          lit("copyright "), source, lit(" all rights reserved"))
+      }
+    }
+
+  /** [[lineTextCol]]'s fixture in oracle SQL. (One physical line: this
+    * fragment interpolates into an outer `.stripMargin` oracle — a
+    * continuation line starting with `||` would lose a pipe to the
+    * outer strip.) */
+  private def lineTextSql: String =
+    "'site ' || source || ' navigation menu' || chr(10) || " +
+      "array_to_string(toks[1 : CAST(CEIL(len(toks) / 2.0) AS BIGINT)], ' ') || " +
+      "chr(10) || " +
+      "array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ') || " +
+      "chr(10) || 'copyright ' || source || ' all rights reserved'"
+
+  /** Documents-per-line threshold for [[qBoilerplateLines]] (a 100 TB
+    * deployment binds minDocs as a corpus FRACTION — e.g. 0.1 % — which
+    * bounds |frequent| ≤ lines-per-doc × 1/fraction by geometry alone). */
+  private[graft] val BoilerMinDocs = 5
+
+  /** Hard bound on the broadcast frequent-line set — the explicit-error
+    * guard of the bounded-collect discipline (weight tables, centroid
+    * frames): past this, the minDocs threshold is set wrong for the
+    * corpus, and silently broadcasting an unbounded set would be the
+    * real failure. */
+  private val BoilerCap = 65536
+
+  /** The corpus-frequent LINE-HASH set: md5 per distinct line per doc →
+    * count docs per hash → hashes in ≥ `minDocs` docs. The aggregation
+    * exchanges 32-byte hex hashes, never line text, and boilerplate is
+    * heavy-hitter-small by definition — the collect is a bounded
+    * artifact (≤ [[BoilerCap]], explicit error beyond). */
+  private[graft] def frequentLineHashes(lined: DataFrame,
+                                        minDocs: Int): Seq[String] = {
+    val fr = lined
+      .select(explode(array_distinct(split(col("__graft_ltext"), "\n")))
+                .as("line"))
+      .groupBy(md5(col("line")).as("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs)
+      .select("h").collect().map(_.getString(0)).toSeq
+    require(fr.length <= BoilerCap,
+            s"frequent-line set ${fr.length} exceeds BoilerCap=$BoilerCap — " +
+              "minDocs is set wrong for this corpus")
+    fr
+  }
+
+  /** The stateless drop-frequent-lines projection — ONE body behind the
+    * batch gate, the TVF delegate, and the streaming face: keep a
+    * document's lines whose md5 is not in the frozen frequent set,
+    * re-joined in order. */
+  private def dropLinesCol(ltext: Column, frequent: Seq[String]): Column = {
+    val fl = typedLit(frequent)
+    letBound(split(ltext, "\n")) { lines =>
+      letBound(filter(lines, l => !array_contains(fl, md5(l)))) { kept =>
+        struct(size(lines).cast("long").as("n_lines"),
+               size(kept).cast("long").as("n_kept"),
+               array_join(kept, "\n").as("clean"))
+      }
+    }
+  }
+
+  /** Repeated-line boilerplate removal (the C4/MassiveText line-dedup
+    * class): lines appearing in ≥ minDocs documents of the STANDING
+    * corpus are chrome (nav, footers, cookie banners), stripped from
+    * every document. Two passes, the [[graft.queries.StreamingQueries]]
+    * billing split: an offline frequency aggregation over compact line
+    * hashes builds the frozen frequent set; the strip itself is a
+    * stateless per-row projection (zero text shuffle — the corpus never
+    * moves), so it streams verbatim. `standing` and `arrivals` are the
+    * same frame in the batch gate and corpus-vs-stream in the face. */
+  private[graft] def boilerplateFrame(standing: DataFrame,
+                                      arrivals: DataFrame): DataFrame = {
+    def lined(d: DataFrame) = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              lineTextCol(col("source"), col("text")).as("__graft_ltext"))
+    val freq = frequentLineHashes(lined(standing), BoilerMinDocs)
+    lined(arrivals)
+      .select(col("doc_id"),
+              dropLinesCol(col("__graft_ltext"), freq).as("b"))
+      .select(col("doc_id"), col("b.n_lines").as("n_lines"),
+              col("b.n_kept").as("n_kept"), col("b.clean").as("clean"))
+  }
+
+  /** [[qBoilerplateLines]] over an ARBITRARY multi-line `(doc_id, text)`
+    * frame (no fixture synth) — the `graft_boilerplate(table, minDocs)`
+    * TVF delegate: input columns plus `n_lines`/`n_kept`/`clean`. */
+  def boilerplateLinesOf(docsDf: DataFrame,
+                         minDocs: Int = BoilerMinDocs): DataFrame = {
+    val lined = docsDf.filter(col("text").isNotNull)
+      .withColumn("__graft_ltext", col("text"))
+    val freq = frequentLineHashes(lined, minDocs)
+    lined
+      .withColumn("b", dropLinesCol(col("__graft_ltext"), freq))
+      .withColumn("n_lines", col("b.n_lines"))
+      .withColumn("n_kept", col("b.n_kept"))
+      .withColumn("clean", col("b.clean"))
+      .drop("__graft_ltext", "b")
+  }
+
+  val qBoilerplateLines = Q(
+    "q_boilerplate_lines",
+    (s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      boilerplateFrame(d, d)
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), lx AS (
+      |  SELECT doc_id, string_split($lineTextSql, chr(10)) AS lines
+      |  FROM d
+      |), ln AS (
+      |  SELECT DISTINCT doc_id, md5(unnest(lines)) AS h FROM lx
+      |), fr AS (
+      |  SELECT h FROM (SELECT h, COUNT(*) AS n FROM ln GROUP BY 1)
+      |  WHERE n >= $BoilerMinDocs
+      |), fa AS (
+      |  SELECT COALESCE(list(h), []) AS fl FROM fr
+      |)
+      |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+      |       CAST(len(list_filter(lines, x -> NOT list_contains(fl, md5(x))))
+      |            AS BIGINT) AS n_kept,
+      |       array_to_string(
+      |         list_filter(lines, x -> NOT list_contains(fl, md5(x))),
+      |         chr(10)) AS clean
+      |FROM lx, fa""".stripMargin)
+  )
+
   val all: Seq[Q] =
-    Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract)
+    Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
+        qBoilerplateLines)
 }

@@ -181,6 +181,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(perCluster.forall(_ === 1L))
   }
 
+  test("graft_boilerplate from SQL ≡ boilerplateLinesOf") {
+    import graft.queries.WebQueries
+    val docs = Seq(
+      (1L, "top nav menu\nunique content alpha\nsite footer legal"),
+      (2L, "top nav menu\nunique content beta\nsite footer legal"),
+      (3L, "top nav menu\nunique content gamma\nsite footer legal"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bp_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_boilerplate('bp_docs', 3)")
+      .select("doc_id", "n_lines", "n_kept", "clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val direct = WebQueries.boilerplateLinesOf(docs, minDocs = 3)
+      .select("doc_id", "n_lines", "n_kept", "clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(viaSql.toSeq === direct.toSeq)
+    assert(viaSql.head === ((1L, 3L, 1L, "unique content alpha")))
+  }
+
   test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {
     import graft.session.Sessionize
     import org.apache.spark.sql.functions.{col, timestamp_micros}

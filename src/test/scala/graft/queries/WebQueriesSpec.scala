@@ -107,4 +107,31 @@ class WebQueriesSpec extends SparkSpec {
     assert(r.getString(0) === "")
     assert(r.getLong(1) === 0L)
   }
+
+  test("boilerplate lines: corpus-frequent chrome dies, unique content survives") {
+    // 6 docs share a 3-line chrome (nav/banner/footer ≥ minDocs=5);
+    // each carries one unique content line; one RARE chrome line (2
+    // docs < minDocs) must survive — frequency is the rule, not shape
+    val mk = (id: Long, c: String, rare: Boolean) =>
+      (id, "top nav menu\ncookie banner text here\n" + c +
+             (if (rare) "\nrare promo line" else "") + "\nsite footer legal")
+    val docs = Seq(
+      mk(1L, "unique content alpha", true), mk(2L, "unique content beta", true),
+      mk(3L, "unique content gamma", false), mk(4L, "unique content delta", false),
+      mk(5L, "unique content epsilon", false), mk(6L, "unique content zeta", false)
+    ).toDF("doc_id", "text")
+    val out = WebQueries.boilerplateLinesOf(docs, minDocs = 5)
+      .select("doc_id", "n_lines", "n_kept", "clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // chrome (3 lines × 6 docs) stripped everywhere; content + the rare
+    // line survive
+    assert(out(0) === ((1L, 5L, 2L, "unique content alpha\nrare promo line")))
+    assert(out(2) === ((3L, 4L, 1L, "unique content gamma")))
+    assert(out.forall { case (_, nl, nk, clean) =>
+      nk == clean.split("\n").length && nl - nk == 3 })
+    // threshold honesty: at minDocs=2 the rare promo line is chrome too
+    val strict = WebQueries.boilerplateLinesOf(docs, minDocs = 2)
+      .filter(col("doc_id") === 1L).select("clean").as[String].head()
+    assert(strict === "unique content alpha")
+  }
 }
