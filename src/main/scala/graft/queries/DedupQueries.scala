@@ -2814,6 +2814,78 @@ object DedupQueries {
   )
 
   /**
+   * Per-document contamination SCORE — the GPT-3-class dirtiness
+   * metric: for every eval-side document, the fraction of its distinct
+   * 13-grams that appear verbatim anywhere in the train side, in basis
+   * points (integer — exactly replayable). [[qExactOverlap]] answers
+   * "which pairs overlap"; this answers the decision question an eval
+   * pipeline actually asks per example — "how much of this document is
+   * in the training set" — with the drop rule being a threshold on
+   * `dirty_bp`. No stop-gram guard here, deliberately: the guard exists
+   * to bound the pairing join's per-gram fanout, but this query's train
+   * side is a DISTINCT gram-key SET probed by left-semi join — at most
+   * one hit per (eval doc, gram), no fanout to bound — and the metric
+   * must count common grams too (boilerplate IS contamination for a
+   * memorization check). Documents with no 13-grams (< 13 tokens) carry
+   * no overlap evidence and are absent from the report.
+   *
+   * Shape at 100 TB: same 128-bit gram keys and (gh, gh2)-checkpointed
+   * exchange as [[qExactOverlap]] (grams travel as 16-byte keys, never
+   * strings); the train key set is a distinct-aggregate over that
+   * partitioning (exchange-free) and the probe is a semi join on the
+   * same keys.
+   */
+  lazy val qContaminationScore = Q(
+    "q_contamination_score",
+    (s, dir) => {
+      val grams = distributeBy(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"),
+                CurationQueries.splitName(
+                  CurationQueries.splitBucket(col("text"))).as("split"),
+                explode(array_distinct(overlapGrams(col("text")))).as("g"))
+        .select(col("doc_id"), col("split"),
+                xxhash64(col("g")).as("gh"),
+                xxhash64(col("g"), lit(1L)).as("gh2"))
+      val byKey = checkpointCompact(distributeBy(grams, col("gh"), col("gh2")))
+      val trainKeys = byKey.filter(col("split") === "train")
+        .select("gh", "gh2").distinct()
+      val evalG = byKey.filter(col("split") =!= "train")
+      val hits = evalG.join(trainKeys, Seq("gh", "gh2"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      evalG.groupBy("doc_id", "split").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("n_grams"),
+                coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("dirty_bp", expr("n_hit * 10000 div n_grams"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp AS (
+      |  SELECT doc_id, ${CurationQueries.splitCaseSql("b")} AS split
+      |  FROM (SELECT doc_id, ${CurationQueries.splitBucketSql} AS b FROM documents)
+      |),
+      |g AS (
+      |  SELECT DISTINCT d.doc_id, sp.split, md5(gram) AS gh
+      |  FROM (SELECT doc_id,
+      |               unnest(list_transform(generate_series(1, len(toks) - ${OverlapN - 1}),
+      |                        i -> array_to_string(toks[i:i+${OverlapN - 1}], ' '))) AS gram
+      |        FROM d) d
+      |  JOIN sp ON sp.doc_id = d.doc_id
+      |),
+      |tk AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+      |ev AS (SELECT doc_id, split, gh FROM g WHERE split <> 'train'),
+      |n AS (
+      |  SELECT doc_id, ANY_VALUE(split) AS split,
+      |         CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |         CAST(SUM(CASE WHEN gh IN (SELECT gh FROM tk)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM ev GROUP BY doc_id
+      |)
+      |SELECT doc_id, split, n_grams, n_hit,
+      |       n_hit * 10000 // n_grams AS dirty_bp
+      |FROM n""".stripMargin)
+  )
+
+  /**
    * Incremental dedup: which documents of a NEW batch survive against an
    * EXISTING corpus — the continuous-ingest form of the dedup family
    * (the whole-corpus ops assume a frozen corpus; a production pipeline
@@ -3085,7 +3157,7 @@ object DedupQueries {
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
-    qDecontaminate, qExactOverlap,
+    qDecontaminate, qExactOverlap, qContaminationScore,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qIntradocDedup, qSubstrDedup, qSubstrIncremental,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,

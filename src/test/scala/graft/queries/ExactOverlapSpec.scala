@@ -62,4 +62,30 @@ class ExactOverlapSpec extends SparkSpec {
     // and nothing else: output is exactly the family-1 cross pairs
     assert(pairs === (for (t <- fam1Train; e <- fam1Eval) yield (t, e)).toSet)
   }
+
+  test("contamination score: exact integer basis points, common grams count") {
+    val sp = splits
+    val rows = DedupQueries.qContaminationScore.fn(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // report covers exactly the eval-side docs (every doc has ≥ 1 gram)
+    assert(rows.keySet === sp.filter(_._2 != "train").keySet)
+    rows.values.foreach { case (id, split, nGrams, nHit, bp) =>
+      assert(split === sp(id))
+      assert(nGrams === 2L || (id >= 100L && id < 120L && nGrams === 1L))
+      assert(bp === nHit * 10000L / nGrams)
+      if (id < 30L) {
+        // family 1: the shared body gram is in train; the tail gram not
+        assert(nHit === 1L && bp === 5000L, s"doc $id")
+      } else if (id < 120L) {
+        // family 2: the single 13-gram is unique per doc — clean
+        assert(nHit === 0L && bp === 0L, s"doc $id")
+      } else {
+        // family 3: the df=40 common gram is EXCLUDED from q_exact_overlap
+        // by the stop-gram guard but COUNTS here — boilerplate is still
+        // memorizable contamination
+        assert(nHit === 1L && bp === 5000L, s"doc $id")
+      }
+    }
+  }
 }
