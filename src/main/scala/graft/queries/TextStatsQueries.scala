@@ -293,6 +293,108 @@ object TextStatsQueries {
   private[graft] def piiRedact(text: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Secret-shaped patterns (RE2 ∩ Java regex, the [[EmailRe]]
+    * discipline): cloud access-key ids, 32–64-char lowercase hex blobs
+    * (API secrets, auth tokens), and `sk-`-prefixed bearer tokens.
+    * Shape-based classes — the scrub a pipeline runs so leaked
+    * credentials never reach a training shard; entropy scoring is the
+    * natural extension, the regex classes are the contract. */
+  private val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  private val HexSecretRe = "\\b[0-9a-f]{32,64}\\b"
+  private val BearerRe = "sk-[A-Za-z0-9]{20,48}"
+
+  /** The secret-scrub expressions — shared batch/stream
+    * (the [[piiRedact]] discipline). Bearer and AWS classes redact
+    * before hex: their payloads can never match the hex class (length
+    * and alphabet disjoint by the seeding contract), but real-world
+    * tokens can nest, and first-match-wins on the specific class is the
+    * defensible order. */
+  private[graft] def secretAwsCount(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(AwsKeyRe)).cast("long")
+  private[graft] def secretHexCount(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(HexSecretRe)).cast("long")
+  private[graft] def secretBearerCount(text: org.apache.spark.sql.Column) =
+    regexp_count(text, lit(BearerRe)).cast("long")
+  private[graft] def secretRedact(text: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, AwsKeyRe, "<SECRET:AWS>"),
+        BearerRe, "<SECRET:TOKEN>"),
+      HexSecretRe, "<SECRET:HEX>")
+
+  /**
+   * Secret/credential scrub — [[qPiiScrub]]'s sibling for the material
+   * that must NEVER train: access keys, hex API secrets, bearer tokens.
+   * The fixture corpus carries none, so the gate SEEDS one class per
+   * doc_id residue (mod 4; residue 3 stays clean): an AKIA key with a
+   * digit→uppercase-translated id body, the doc's md5 as a genuine
+   * 32-hex secret, an `sk-` token with a digit→letter body — disjoint
+   * alphabets/lengths, so classes can't cross-match and every count is
+   * exactly 0 or 1 by construction. Same stateless one-projection shape
+   * as the PII gate; `clean_hash` turns any cross-engine boundary drift
+   * into a hash mismatch.
+   */
+  val qSecretScrub = Q(
+    "q_secret_scrub",
+    (s, dir) => {
+      val seeded = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+               concat(lit(" aws AKIA"),
+                      translate(lpad(col("doc_id").cast("string"), 16, "0"),
+                                "0123456789", "ABCDEFGHIJ"),
+                      lit(" end")))
+            .when(col("doc_id") % 4 === 1,
+                  concat(lit(" token "),
+                         md5(col("doc_id").cast("string")), lit(" end")))
+            .when(col("doc_id") % 4 === 2,
+                  concat(lit(" bearer sk-"),
+                         translate(lpad(col("doc_id").cast("string"), 24, "0"),
+                                   "0123456789", "abcdefghij"),
+                         lit(" end")))
+            .otherwise(lit(""))).as("text"))
+      seeded.select(
+        col("doc_id"),
+        secretAwsCount(col("text")).as("n_aws"),
+        secretHexCount(col("text")).as("n_hex"),
+        secretBearerCount(col("text")).as("n_tokens"),
+        md5(secretRedact(col("text"))).as("clean_hash"))
+        .withColumn("secret_free",
+                    (col("n_aws") === 0 && col("n_hex") === 0 &&
+                       col("n_tokens") === 0).cast("int"))
+    },
+    Some(s"""WITH seeded AS (
+      |  SELECT doc_id,
+      |         text || CASE
+      |           WHEN doc_id % 4 = 0 THEN ' aws AKIA' ||
+      |             translate(lpad(CAST(doc_id AS VARCHAR), 16, '0'),
+      |                       '0123456789', 'ABCDEFGHIJ') || ' end'
+      |           WHEN doc_id % 4 = 1 THEN ' token ' ||
+      |             md5(CAST(doc_id AS VARCHAR)) || ' end'
+      |           WHEN doc_id % 4 = 2 THEN ' bearer sk-' ||
+      |             translate(lpad(CAST(doc_id AS VARCHAR), 24, '0'),
+      |                       '0123456789', 'abcdefghij') || ' end'
+      |           ELSE '' END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$AwsKeyRe')) AS BIGINT) AS n_aws,
+      |       CAST(len(regexp_extract_all(text, '$HexSecretRe')) AS BIGINT) AS n_hex,
+      |       CAST(len(regexp_extract_all(text, '$BearerRe')) AS BIGINT) AS n_tokens,
+      |       md5(regexp_replace(
+      |             regexp_replace(
+      |               regexp_replace(text, '$AwsKeyRe', '<SECRET:AWS>', 'g'),
+      |               '$BearerRe', '<SECRET:TOKEN>', 'g'),
+      |             '$HexSecretRe', '<SECRET:HEX>', 'g')) AS clean_hash,
+      |       CAST(len(regexp_extract_all(text, '$AwsKeyRe')) = 0
+      |            AND len(regexp_extract_all(text, '$HexSecretRe')) = 0
+      |            AND len(regexp_extract_all(text, '$BearerRe')) = 0 AS INT)
+      |         AS secret_free
+      |FROM seeded""".stripMargin)
+  )
+
   /**
    * PII scrub — the redaction pass a training-data pipeline runs before
    * anything leaves the raw zone: count and redact email addresses and
@@ -1601,7 +1703,8 @@ object TextStatsQueries {
 
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
-    qQuantiles, qPiiScrub, qNgramTopk, qBm25, qBpePairs, qHllRegisters,
+    qQuantiles, qPiiScrub, qSecretScrub, qNgramTopk, qBm25, qBpePairs,
+    qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
     qBpeFertility, qBpeVocab

@@ -74,6 +74,20 @@ object StreamingCuration {
     * stateless per-row projection; the redacted `clean_text` (not a
     * hash — the stream's consumer wants the scrubbed payload) feeds the
     * downstream pipeline. */
+  /** Secret/credential scrub on a stream — the exact expressions of
+    * `q_secret_scrub` ([[TextStatsQueries.secretRedact]] and friends —
+    * shared, not copied): class counts, the redacted payload, and a
+    * `secret_free` flag, per arriving row. */
+  def withSecretScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_aws", TextStatsQueries.secretAwsCount(col("text")))
+      .withColumn("n_hex", TextStatsQueries.secretHexCount(col("text")))
+      .withColumn("n_tokens", TextStatsQueries.secretBearerCount(col("text")))
+      .withColumn("clean_text", TextStatsQueries.secretRedact(col("text")))
+      .withColumn("secret_free",
+                  (col("n_aws") === 0 && col("n_hex") === 0 &&
+                     col("n_tokens") === 0).cast("int"))
+
   def withPiiScrub(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_emails", TextStatsQueries.piiEmailCount(col("text")))
