@@ -451,6 +451,56 @@ object CurationQueries {
       |FROM r""".stripMargin)
   )
 
+  /**
+   * Export manifest — the reproducibility contract of the training
+   * export: per shard of [[qShuffleExport]]'s deterministic order, the
+   * document count, the position range (pos_hi − pos_lo + 1 = n_docs ⇔
+   * the shard is a contiguous rank block), and an ORDER-INVARIANT
+   * content checksum (bit_xor of per-doc 32-bit content hashes — any
+   * task/partition order yields the same value, which is what lets a
+   * re-export, a backfill, or a second cluster verify shard identity
+   * without comparing payloads). The audit a pipeline stores next to
+   * the shards and re-derives after every re-export; a single changed,
+   * dropped, or duplicated document flips its shard's xor.
+   *
+   * Scale shape: the manifest aggregation ships (shard, pos, 32-bit
+   * hash) — text never leaves its scan — and yields one row per shard.
+   */
+  lazy val qExportManifest = Q(
+    "q_export_manifest",
+    (s, dir) => {
+      val h = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+                coalesce(TextOps.md5Prefix32(md5(col("text"))), lit(0L))
+                  .as("h32"))
+      qShuffleExport.fn(s, dir)
+        .join(h, Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+             min("pos").as("pos_lo"), max("pos").as("pos_hi"),
+             expr("bit_xor(h32)").as("content_xor"))
+    },
+    Some(s"""WITH k AS (
+      |  SELECT doc_id,
+      |         md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS kk
+      |  FROM documents
+      |),
+      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kk, doc_id) AS pos
+      |      FROM k),
+      |h AS (SELECT doc_id,
+      |             COALESCE(${DedupQueries.hex32("md5(text)")}, 0) AS h32
+      |      FROM documents),
+      |j AS (
+      |  SELECT r.doc_id, CAST((pos - 1) // $ShardDocs AS BIGINT) AS shard,
+      |         CAST(pos AS BIGINT) AS pos, h.h32
+      |  FROM r JOIN h ON h.doc_id = r.doc_id
+      |)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(pos) AS pos_lo, MAX(pos) AS pos_hi,
+      |       bit_xor(h32) AS content_xor
+      |FROM j GROUP BY shard""".stripMargin)
+  )
+
   /** Target mixture for [[qMixtureSample]], integer percents summing to
     * 100 (a deployment binds its own mixture; unlisted groups are
     * excluded). */
@@ -1648,7 +1698,8 @@ object CurationQueries {
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign, qSplitCluster,
                         qUpsampleEpoch,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
-                        qCuratedCorpus, qShuffleExport, qChunkOverlap,
+                        qCuratedCorpus, qShuffleExport, qExportManifest,
+                        qChunkOverlap,
                         qDecileAssign, qWinsorize, qSourceReport, qSourceCap,
                         qQualityClassifier, qBpePacking,
                         qDsirWeights, qDsirResample, qPrioritySample,

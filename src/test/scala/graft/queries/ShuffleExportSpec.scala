@@ -50,4 +50,31 @@ class ShuffleExportSpec extends SparkSpec {
     assert(a.map(_._3).toSeq !== (1L to nDocs).toSeq,
       "permutation must differ from doc_id order")
   }
+
+  test("export manifest: contiguity, coverage, and a content change flips exactly its shard") {
+    def manifest(dir: String): Map[Long, (Long, Long, Long, Long)] =
+      CurationQueries.qExportManifest.fn(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val m = manifest(fixtureDir)
+    assert(m.values.map(_._1).sum === nDocs.toLong, "manifest covers every doc")
+    m.foreach { case (s, (n, lo, hi, _)) =>
+      assert(hi - lo + 1 === n, s"shard $s must be a contiguous block")
+    }
+    assert(m === manifest(fixtureDir), "re-derived manifest is identical")
+    // mutate ONE document's content (same ids ⇒ same permutation): only
+    // that doc's shard checksum may change, every other row is identical
+    val dir2 = Files.createTempDirectory("graft-manifest2").toString
+    (0 until nDocs).map(i =>
+        (i.toLong, if (i == 123) "tampered payload" else s"doc number $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val m2 = manifest(dir2)
+    val changedShard = CurationQueries.qShuffleExport.fn(spark, fixtureDir)
+      .filter(col("doc_id") === 123L).select("shard").as[Long].head()
+    assert(m2(changedShard)._4 !== m(changedShard)._4,
+      "the tampered doc's shard xor must flip")
+    assert((m - changedShard) === (m2 - changedShard),
+      "every other shard row is byte-identical")
+  }
 }
