@@ -2814,6 +2814,38 @@ object DedupQueries {
   )
 
   /**
+   * Per-SOURCE duplication report — the data-quality dashboard number a
+   * corpus owner tracks per ingest feed: for every source, how many
+   * documents it contributed, how many are non-canonical members of a
+   * dedup component (the docs [[dedupedCorpus]] would delete), and the
+   * duplication rate in basis points. Duplication clusters by FEED in
+   * practice (mirrors, scrapers, re-crawls), so the per-source cut is
+   * what localizes a regression to the feed that caused it. Same
+   * component structure as the dedup compositions ([[clusterIds]] —
+   * exact ∪ LSH-candidate edges), so the report's "dupes" are exactly
+   * the composition's deletions, never a drifted re-definition.
+   */
+  lazy val qDedupReport = Q(
+    "q_dedup_report",
+    (s, dir) =>
+      clusterIds(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum((col("doc_id") =!= col("cluster_id")).cast("long"))
+               .as("n_dupes"))
+        .withColumn("dup_bp", expr("n_dupes * 10000 div n_docs")),
+    Some(s"""$clusterIdsCte
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_dupes,
+      |       CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+      |            * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+      |FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+      |GROUP BY d.source""".stripMargin)
+  )
+
+  /**
    * Per-document contamination SCORE — the GPT-3-class dirtiness
    * metric: for every eval-side document, the fraction of its distinct
    * 13-grams that appear verbatim anywhere in the train side, in basis
@@ -3157,7 +3189,7 @@ object DedupQueries {
   lazy val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qNgramJaccard, qDedupSimhash, qSimhashPairs,
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
-    qDecontaminate, qExactOverlap, qContaminationScore,
+    qDecontaminate, qExactOverlap, qContaminationScore, qDedupReport,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qIntradocDedup, qSubstrDedup, qSubstrIncremental,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,

@@ -132,6 +132,21 @@ class DedupQueriesSpec extends SparkSpec {
     assert(keptVerified === kept)
   }
 
+  test("q_dedup_report: per-source dupes are exactly dedupedCorpus's deletions") {
+    val rep = q("q_dedup_report")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // one doc per source; family {0,1,2,3} collapses on canonical 0, so
+    // s1/s2/s3's doc is a dupe, s0's canonical and s4's singleton are not
+    assert(rep === Map("s0" -> ((1L, 0L, 0L)), "s1" -> ((1L, 1L, 10000L)),
+                       "s2" -> ((1L, 1L, 10000L)), "s3" -> ((1L, 1L, 10000L)),
+                       "s4" -> ((1L, 0L, 0L))))
+    // the contract: total dupes == docs the dedup composition deletes
+    val corpus = spark.read.parquet(s"$dir/documents.parquet").count()
+    val kept = DedupQueries.dedupedCorpus(spark, dir).count()
+    assert(rep.values.map(_._2).sum === corpus - kept)
+  }
+
   test("boundedBucketStars: components identical to full bucket pairs, including under the skew cap") {
     import org.apache.spark.sql.functions.{col, struct}
     // buckets: b1 = {1,2,3} (kept clique vs star), b2 = {3,9} (chains b1),
