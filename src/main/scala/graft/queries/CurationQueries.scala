@@ -469,12 +469,23 @@ object CurationQueries {
   lazy val qExportManifest = Q(
     "q_export_manifest",
     (s, dir) => {
-      val h = Tables.read(s, dir, "documents")
+      // the content hash rides the SAME ranked frame rather than joining
+      // back post-rank: the sort keys (pkey, doc_id) are identical to
+      // [[qShuffleExport]]'s, so the permutation and shard cut are the
+      // same by construction, and the manifest needs one scan and zero
+      // joins (plan-audited: 4 shuffles / 2 BHJ with the join, 2 / 1
+      // without — the rank's range exchange plus the shard groupBy)
+      val keyed = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
+                md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+                  .as("pkey"),
                 coalesce(TextOps.md5Prefix32(md5(col("text"))), lit(0L))
                   .as("h32"))
-      qShuffleExport.fn(s, dir)
-        .join(h, Seq("doc_id"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.operators.GlobalRank
+        .withGlobalRank(keyed, Seq(col("pkey"), col("doc_id")), parts, "pos")
+        .select(col("h32"), expr(s"(pos - 1) div $ShardDocs").as("shard"),
+                col("pos"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
              min("pos").as("pos_lo"), max("pos").as("pos_hi"),
