@@ -473,8 +473,9 @@ object CurationQueries {
       // back post-rank: the sort keys (pkey, doc_id) are identical to
       // [[qShuffleExport]]'s, so the permutation and shard cut are the
       // same by construction, and the manifest needs one scan and zero
-      // joins (plan-audited: 4 shuffles / 2 BHJ with the join, 2 / 1
-      // without — the rank's range exchange plus the shard groupBy)
+      // joins (plan-audited: the joined form cost 2 BHJ / 9 jobs over a
+      // second documents scan; inlined it is GlobalRank's own shape —
+      // q_shuffle_export's 3 exchanges — plus the one shard groupBy)
       val keyed = Tables.read(s, dir, "documents")
         .select(col("doc_id"),
                 md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
