@@ -674,25 +674,79 @@ object CurationQueries {
     * `q_stream_upsample`), so batch and ingest can never drift on a
     * copy-count decision. Stateless projection + bounded explode: safe
     * in append mode with no state store. */
-  private[graft] def upsampleFrame(docsDf: DataFrame): DataFrame = {
+  /** Input columns + `n_copies` — the copy-count DECISION alone (no
+    * explode), shared by [[upsampleFrame]] (which materializes the
+    * copies) and [[qTokenBudget]] (which only needs to MULTIPLY by the
+    * count — expanding the corpus to count it would be the
+    * anti-pattern). */
+  private[graft] def withUpsampleCopies(docsDf: DataFrame): DataFrame = {
     val wm = UpsampleMills.foldLeft(lit(0L)) { case (acc, (l, m)) =>
       when(col("lang") === l, m.toLong).otherwise(acc)
     }
     docsDf
-      .select(col("doc_id"), col("lang"), wm.as("wm"),
-              pmod(TextOps.md5Prefix32(
-                     md5(concat(lit(UpsampleSalt),
-                                col("doc_id").cast("string")))),
-                   lit(1000L)).as("h"))
+      .withColumn("__wm", wm)
+      .withColumn("__h", pmod(TextOps.md5Prefix32(
+                                md5(concat(lit(UpsampleSalt),
+                                           col("doc_id").cast("string")))),
+                              lit(1000L)))
       .withColumn("n_copies",
-                  expr("wm div 1000") +
-                    when(col("h") < col("wm") % 1000, 1L).otherwise(0L))
+                  expr("__wm div 1000") +
+                    when(col("__h") < col("__wm") % 1000, 1L).otherwise(0L))
+      .drop("__wm", "__h")
+  }
+
+  private[graft] def upsampleFrame(docsDf: DataFrame): DataFrame =
+    withUpsampleCopies(docsDf.select(col("doc_id"), col("lang")))
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("lang"), col("n_copies"),
               explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .withColumn("pkey", md5(concat_ws(":", lit("epoch"), col("doc_id"),
                                         col("copy"))))
-  }
+
+  /**
+   * Epoch token BUDGET — the planning artifact a pretraining run is
+   * sized from: per language, the raw document/token mass and the mass
+   * the upsampling mixture actually trains on (Σ n_copies, Σ n_copies ×
+   * tokens). This is the number that decides whether the mixture fits
+   * the compute budget BEFORE any expansion runs — so it multiplies by
+   * the copy decision instead of exploding the corpus ([[upsampleFrame]]
+   * shares the identical decision column, so the budget and the
+   * expansion can never disagree). One scan, one |langs|-row aggregate.
+   */
+  lazy val qTokenBudget = Q(
+    "q_token_budget",
+    (s, dir) =>
+      withUpsampleCopies(
+        Tables.read(s, dir, "documents")
+          .filter(col("lang").isInCollection(UpsampleMills.map(_._1)))
+          .select(col("doc_id"), col("lang"),
+                  size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tok").as("raw_tokens"),
+             sum("n_copies").as("epoch_docs"),
+             sum(col("n_tok") * col("n_copies")).as("epoch_tokens")),
+    Some(s"""WITH w AS (
+      |  SELECT * FROM (VALUES ${UpsampleMills.map { case (l, m) => s"('$l', $m)" }
+                                             .mkString(", ")}) AS t(lang, wm)
+      |), d AS (
+      |  SELECT documents.lang, wm,
+      |         len(string_split(text, ' ')) AS n_tok,
+      |         ${DedupQueries.hex32(
+                   s"md5('$UpsampleSalt' || CAST(doc_id AS VARCHAR))")} % 1000 AS h
+      |  FROM documents JOIN w ON documents.lang = w.lang
+      |), n AS (
+      |  SELECT lang, n_tok,
+      |         wm // 1000 + CASE WHEN h < wm % 1000 THEN 1 ELSE 0 END
+      |           AS n_copies
+      |  FROM d
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+      |       CAST(SUM(n_copies) AS BIGINT) AS epoch_docs,
+      |       CAST(SUM(n_tok * n_copies) AS BIGINT) AS epoch_tokens
+      |FROM n GROUP BY lang""".stripMargin)
+  )
 
   /** Chunk geometry for [[qChunkOverlap]]: width and stride in tokens
     * (stride < width ⇒ 50 % overlap here). */
@@ -1708,7 +1762,7 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(qRepetitionFilter, qSplitAssign, qSplitCluster,
-                        qUpsampleEpoch,
+                        qUpsampleEpoch, qTokenBudget,
                         qStratifiedSample, qMixtureSample, qTokenPacking,
                         qCuratedCorpus, qShuffleExport, qExportManifest,
                         qChunkOverlap,
