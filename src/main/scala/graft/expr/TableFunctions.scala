@@ -758,6 +758,55 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_upsample(docsTable)` — deterministic weight-based epoch
+    * upsampling over any `(doc_id, lang, …)` table: one row per
+    * materialized copy with its index and permutation key
+    * ([[graft.queries.CurationQueries.upsampleFrame]], library-default
+    * mixture — the `graft_curate` config convention). */
+  val upsample: TVF = (
+    new FunctionIdentifier("graft_upsample"),
+    info("graft_upsample", "graft_upsample(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_upsample"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.upsampleFrame(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_secret_scrub(docsTable)` — secret/credential class counts,
+    * redacted text, and a `secret_free` flag appended
+    * ([[graft.streaming.StreamingCuration.withSecretScrub]] — the shared
+    * batch/stream expression body). */
+  val secretScrub: TVF = (
+    new FunctionIdentifier("graft_secret_scrub"),
+    info("graft_secret_scrub", "graft_secret_scrub(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_secret_scrub"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.streaming.StreamingCuration.withSecretScrub(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_contamination(trainTable, evalTable)` — per-eval-document
+    * exact-13-gram contamination score in basis points
+    * ([[graft.queries.DedupQueries.contaminationScoreOf]]). */
+  val contamination: TVF = (
+    new FunctionIdentifier("graft_contamination"),
+    info("graft_contamination", "graft_contamination(trainTable, evalTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_contamination"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      val s = active
+      graft.queries.DedupQueries.contaminationScoreOf(
+        s.table(strArg(args, 0, fn)), s.table(strArg(args, 1, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -769,7 +818,8 @@ object GraftTableFunctions {
                           dsirScore, intradocDedup, canonicalDedup,
                           temperatureMixture, pretrain,
                           htmlExtract, normalizeText, safety, urlCanonical,
-                          splitCluster, boilerplate)
+                          splitCluster, boilerplate,
+                          upsample, secretScrub, contamination)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

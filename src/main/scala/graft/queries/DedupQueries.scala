@@ -2917,6 +2917,32 @@ object DedupQueries {
       |FROM n""".stripMargin)
   )
 
+  /** [[qContaminationScore]] over ARBITRARY train/eval frames (each
+    * `(doc_id, text, …)`) — the `graft_contamination('train', 'eval')`
+    * TVF delegate and the two-table generalization (the
+    * [[decontaminatePairs]] pattern): per eval document, distinct-gram
+    * count, hits against the train gram-key set, and `dirty_bp`. Same
+    * 128-bit keys, same semi-join probe shape; doc_ids may collide
+    * across the two tables without merging documents. */
+  def contaminationScoreOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    def grams(d: DataFrame) = d
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              explode(array_distinct(overlapGrams(col("text")))).as("g"))
+      .select(col("doc_id"),
+              xxhash64(col("g")).as("gh"),
+              xxhash64(col("g"), lit(1L)).as("gh2"))
+    val trainKeys = grams(train).select("gh", "gh2").distinct()
+    val evalG = grams(eval)
+    val hits = evalG.join(trainKeys, Seq("gh", "gh2"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+              coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("dirty_bp", expr("n_hit * 10000 div n_grams"))
+  }
+
   /**
    * Incremental dedup: which documents of a NEW batch survive against an
    * EXISTING corpus — the continuous-ingest form of the dedup family
