@@ -1665,6 +1665,22 @@ object StreamingQueries {
   )
 
   /**
+   * The composed crawl-admission decision AT INGEST — the whole front
+   * door (extract → normalize → safety → verdict,
+   * [[WebQueries.crawlAdmitFrame]] — shared, not copied) as one
+   * stateless projection chain per micro-batch: an arriving page is
+   * admitted or reason-coded in the trigger that lands it. Batch
+   * oracle verbatim.
+   */
+  val qStreamCrawl = Q(
+    "q_stream_crawl",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.crawlAdmitFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_crawl"),
+    WebQueries.qCrawlAdmit.oracle
+  )
+
+  /**
    * Repeated-line boilerplate stripping AT INGEST — the
    * `q_boilerplate_lines` billing split made literal: the frequent-line
    * hash set is built OFFLINE on the standing corpus (the bounded
@@ -1696,5 +1712,5 @@ object StreamingQueries {
                         qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
-                        qStreamUpsample, qStreamBoilerplate)
+                        qStreamUpsample, qStreamBoilerplate, qStreamCrawl)
 }

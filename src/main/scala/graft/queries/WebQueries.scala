@@ -512,10 +512,13 @@ object WebQueries {
       .withColumn("host_key", col("__graft_canon.host_key"))
       .drop("__graft_canon")
 
-  val qHtmlExtract = Q(
-    "q_html_extract",
-    (s, dir) => htmlExtractFrame(Tables.read(s, dir, "documents")),
-    Some(s"""WITH d AS (
+  /** [[qHtmlExtract]]'s oracle CTE chain (fixture page build →
+    * strip → block split → per-block signals → per-doc `agg`), shared
+    * with the composed crawl-admission oracle ([[qCrawlAdmit]]) so the
+    * two can never drift on the extraction replay. Ends at `agg`;
+    * `d` holds every non-null-text doc. */
+  private def htmlOracleCte: String =
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks
       |  FROM documents WHERE text IS NOT NULL
       |), hx AS (
@@ -589,11 +592,84 @@ object WebQueries {
       |                          AND lc * 2 < length(t) THEN 1 END) AS BIGINT)
       |           AS n_content
       |  FROM tt GROUP BY doc_id
-      |)
-      |SELECT d.doc_id, COALESCE(agg.text, '') AS text,
-      |       COALESCE(agg.n_blocks, 0) AS n_blocks,
-      |       COALESCE(agg.n_content, 0) AS n_content
-      |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)
+      |)""".stripMargin
+
+  val qHtmlExtract = Q(
+    "q_html_extract",
+    (s, dir) => htmlExtractFrame(Tables.read(s, dir, "documents")),
+    // plain concat, NOT an interpolated stripMargin: the fragment is
+    // already stripped and its lines start with `||` — a second outer
+    // strip would eat one pipe (the documented fragment hazard)
+    Some(htmlOracleCte + "\n" +
+      """SELECT d.doc_id, COALESCE(agg.text, '') AS text,
+        |       COALESCE(agg.n_blocks, 0) AS n_blocks,
+        |       COALESCE(agg.n_content, 0) AS n_content
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin)
+  )
+
+  // ------------------------------------------------- crawl admission
+
+  /** The composed front-door ADMISSION decision over an arbitrary
+    * `(doc_id, text, …)` frame — extract (jusText-lite) → normalize
+    * (repair → NFC) → safety wordlist → verdict, one stateless
+    * projection chain built from the SHARED gate bodies
+    * ([[htmlExtractFrame]], [[TextOps.repairMojibake]]/[[TextOps.nfc]],
+    * [[safetyCols]]) so the composition can never drift from the
+    * standalone gates. Streams verbatim (`q_stream_crawl`). */
+  private[graft] def crawlAdmitFrame(d: DataFrame): DataFrame =
+    htmlExtractFrame(d)
+      .select(col("doc_id"), col("n_content"),
+              TextOps.nfc(TextOps.repairMojibake(col("text"))).as("norm_text"))
+      .select(col("doc_id"), col("n_content"),
+              length(col("norm_text")).cast("long").as("n_chars"),
+              safetyCols(col("norm_text")).as("v"))
+      .select(col("doc_id"), col("n_content"), col("n_chars"),
+              col("v.n_hits").as("n_hits"), col("v.blocked").as("blocked"))
+      .withColumn("admitted",
+                  (col("n_content") >= 1 && col("blocked") === 0 &&
+                     col("n_chars") > 0).cast("int"))
+
+  /**
+   * The crawl front door as ONE decision — what a crawler's ingest
+   * actually runs per page: boilerplate-extract the fixture page,
+   * normalize the extraction, screen it against the safety list, and
+   * admit iff content survived (n_content ≥ 1, non-empty after
+   * normalization) and nothing is blocked. Reason-coded like the
+   * quarantine discipline: every page keeps a row, the columns say why
+   * it fell. Zero shuffle end to end.
+   *
+   * Oracle: the shared [[htmlOracleCte]] chained into `nfc_normalize` +
+   * the safety list filter. The repair leg is replayed as identity:
+   * the extracted fixture text is pure ASCII by construction (vocab
+   * tokens + the decoded `&`), and [[TextOps.repairMojibake]] is
+   * provably identity on ASCII (its strict-decode gate requires high
+   * bytes) — the general repair rule carries its own property tests
+   * (the [[qTextNormalize]] discipline).
+   */
+  lazy val qCrawlAdmit = Q(
+    "q_crawl_admit",
+    (s, dir) => crawlAdmitFrame(Tables.read(s, dir, "documents")),
+    Some(htmlOracleCte + ",\n" +
+      s"""ex AS (
+         |  SELECT d.doc_id, COALESCE(agg.text, '') AS etext,
+         |         COALESCE(agg.n_content, 0) AS n_content
+         |  FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |), nx AS (
+         |  SELECT doc_id, n_content, nfc_normalize(etext) AS norm_text
+         |  FROM ex
+         |), sx AS (
+         |  SELECT doc_id, n_content,
+         |         CAST(length(norm_text) AS BIGINT) AS n_chars,
+         |         list_filter(string_split(norm_text, ' '),
+         |                     x -> list_contains($blockListSql, x)) AS hits
+         |  FROM nx
+         |)
+         |SELECT doc_id, n_content, n_chars,
+         |       CAST(len(hits) AS BIGINT) AS n_hits,
+         |       CAST(len(hits) > 0 AS INT) AS blocked,
+         |       CAST(n_content >= 1 AND len(hits) = 0 AND n_chars > 0
+         |            AS INT) AS admitted
+         |FROM sx""".stripMargin)
   )
 
   // ------------------------------------------- repeated-line boilerplate
@@ -741,5 +817,5 @@ object WebQueries {
 
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
-        qBoilerplateLines)
+        qBoilerplateLines, qCrawlAdmit)
 }

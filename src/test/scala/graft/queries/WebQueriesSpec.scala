@@ -108,6 +108,26 @@ class WebQueriesSpec extends SparkSpec {
     assert(r.getLong(1) === 0L)
   }
 
+  test("crawl admission: each reason path fells a page independently") {
+    // fixture pages build from these texts via htmlCol; the halves land
+    // in <p>/<div> content blocks
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog again"), // clean → admit
+      (2L, "the quick contraband fox jumps over a lazy dog"),  // safety fells
+      (3L, "x1 x2"),            // too short: no block reaches MinBlockTok=4
+      (4L, null: String)        // null text: filtered before the page build
+    ).toDF("doc_id", "text")
+    val out = WebQueries.crawlAdmitFrame(docs)
+      .select("doc_id", "n_content", "n_hits", "blocked", "admitted")
+      .as[(Long, Long, Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 0L, 0, 1)))
+    // blocked page: content extracted fine, the safety stage alone fells it
+    assert(out(2L)._2 >= 1L && out(2L)._4 === 1 && out(2L)._5 === 0)
+    // link-farm/short page: nothing reaches the content rule
+    assert(out(3L)._2 === 0L && out(3L)._5 === 0)
+    assert(!out.contains(4L))
+  }
+
   test("boilerplate lines: corpus-frequent chrome dies, unique content survives") {
     // 6 docs share a 3-line chrome (nav/banner/footer ≥ minDocs=5);
     // each carries one unique content line; one RARE chrome line (2
