@@ -749,9 +749,12 @@ object CurationQueries {
   )
 
   /** Chunk geometry for [[qChunkOverlap]]: width and stride in tokens
-    * (stride < width ⇒ 50 % overlap here). */
-  private val ChunkW = 20
-  private val ChunkS = 10
+    * (stride < width ⇒ 50 % overlap here). `final val` literals — the
+    * compiler constant-folds them into [[chunkCteSql]], which
+    * TextStatsQueries may call BEFORE this object's fields initialize
+    * (the mutual-reference cycle; a plain val would read as 0 there). */
+  private final val ChunkW = 20
+  private final val ChunkS = 10
 
   /**
    * OVERLAPPING sliding-window chunker — retrieval/RAG prep: split each
@@ -769,10 +772,16 @@ object CurationQueries {
    * projection + explode — no shuffle anywhere: the chunker pipelines
    * inside whole-stage codegen and scales embarrassingly.
    */
-  val qChunkOverlap = Q(
-    "q_chunk_overlap",
-    (s, dir) => chunkOverlap(docs(s, dir)),
-    Some(s"""WITH d AS (
+  /** [[chunkOverlap]]'s oracle replay as a CTE chain ending in
+    * `chunks(doc_id, chunk_id, chunk_text, n_tokens)` — shared by the
+    * standalone gate and the span-level language-mixture oracle
+    * ([[TextStatsQueries.qLangMixture]]). Fragment lines never start
+    * with `|` — safe under an outer stripMargin. A `def`, not a `val`:
+    * TextStatsQueries reads it while ITS object initializes and the two
+    * objects reference each other — the [[DedupQueries.qExactOverlap]]
+    * acyclic-initialization discipline. */
+  private[queries] def chunkCteSql: String =
+    s"""d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  WHERE text IS NOT NULL
       |), x AS (
@@ -784,14 +793,21 @@ object CurationQueries {
       |                THEN (l - $ChunkW + $ChunkS - 1) // $ChunkS
       |                ELSE 0 END)) AS i
       |  FROM x
-      |)
-      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-      |       array_to_string(
-      |         toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ')
-      |         AS chunk_text,
-      |       CAST(len(toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW])
-      |            AS BIGINT) AS n_tokens
-      |FROM c""".stripMargin)
+      |), chunks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |         array_to_string(
+      |           toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ')
+      |           AS chunk_text,
+      |         CAST(len(toks[i * $ChunkS + 1 : i * $ChunkS + $ChunkW])
+      |              AS BIGINT) AS n_tokens
+      |  FROM c
+      |)""".stripMargin
+
+  val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, dir) => chunkOverlap(docs(s, dir)),
+    Some(s"""WITH $chunkCteSql
+      |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks""".stripMargin)
   )
 
   /** [[qChunkOverlap]]'s body over an ARBITRARY `(doc_id, text)`

@@ -138,6 +138,47 @@ object TextStatsQueries {
       |FROM m""".stripMargin)
   )
 
+  /** Per-doc (doc_id, lang, tok, cnt) token counts — the shared training
+    * input of the language-profile queries ([[qLangId]],
+    * [[qLangMixture]]): hash-distributed before the explode, aggregated
+    * to per-doc counts, checkpoint-materialized because every consumer
+    * reads it at least twice. */
+  private def docTokCounts(s: SparkSession, dir: String): DataFrame =
+    checkpointCompact(
+      docs(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+                explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Per-language top-10 token profile — the ONE training stage behind
+    * both language queries (drift-proof by construction). ≤10 rows per
+    * language at ANY corpus size — always broadcast by the consumers. */
+  private def langTopTokens(tokCounts: DataFrame): DataFrame = {
+    val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
+    tokCounts.groupBy("lang", "tok").agg(sum("cnt").as("c"))
+      .withColumn("r", row_number().over(wf))
+      .filter(col("r") <= 10)
+      .select(col("lang").as("cand_lang"), col("tok").as("ctok"))
+  }
+
+  /** The profile training in oracle SQL: CTEs `tok`, `freq`, `top` —
+    * shared by the [[qLangId]] and [[qLangMixture]] oracles. (Fragment
+    * lines never start with `|` — safe under an outer stripMargin.) */
+  private val langTopCteSql: String =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), freq AS (
+      |  SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+      |), top AS (
+      |  SELECT lang AS cand_lang, tok AS ctok FROM (
+      |    SELECT lang, tok,
+      |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+      |    FROM freq
+      |  ) WHERE r <= 10
+      |)""".stripMargin
+
   /** Language identification by corpus-trained token profiles: top-10
     * tokens per language (frequency-ranked, deterministic tiebreak), then
     * each doc is classified to the language whose profile it overlaps most.
@@ -156,18 +197,8 @@ object TextStatsQueries {
       // the whole scan+explode+count subtree (Catalyst shares no work
       // across DAG branches) — the q_ngram_jaccard share-the-chain
       // pattern; measured ~2x less explode work at sf0.1.
-      val tokCounts = checkpointCompact(
-        docs(s, dir)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("lang"),
-                  explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "lang", "tok")
-          .agg(count(lit(1)).as("cnt")))
-      val wf = Window.partitionBy("lang").orderBy(col("c").desc, col("tok").asc)
-      val top = tokCounts.groupBy("lang", "tok").agg(sum("cnt").as("c"))
-        .withColumn("r", row_number().over(wf))
-        .filter(col("r") <= 10)
-        .select(col("lang").as("cand_lang"), col("tok").as("ctok"))
+      val tokCounts = docTokCounts(s, dir)
+      val top = langTopTokens(tokCounts)
       val docTok = tokCounts.select("doc_id", "tok")
       val wp = Window.partitionBy("doc_id").orderBy(col("ov").desc, col("cand_lang").asc)
       // top is ≤10 rows per language at ANY corpus size — always broadcast
@@ -187,17 +218,7 @@ object TextStatsQueries {
             .cast("int").as("is_correct")
         )
     },
-    Some("""WITH tok AS (
-      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
-      |), freq AS (
-      |  SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
-      |), top AS (
-      |  SELECT lang AS cand_lang, tok AS ctok FROM (
-      |    SELECT lang, tok,
-      |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
-      |    FROM freq
-      |  ) WHERE r <= 10
-      |), dt AS (
+    Some(s"""WITH $langTopCteSql, dt AS (
       |  SELECT DISTINCT doc_id, tok FROM tok
       |), ov AS (
       |  SELECT doc_id, cand_lang, COUNT(*) AS ov
@@ -214,6 +235,97 @@ object TextStatsQueries {
       |       COALESCE(p.cand_lang, 'und') AS pred_lang,
       |       CAST(d.lang = COALESCE(p.cand_lang, 'und') AS INT) AS is_correct
       |FROM documents d LEFT JOIN pick p ON p.doc_id = d.doc_id""".stripMargin)
+  )
+
+  /**
+   * Span-level language MIXTURE detection — the curation check document-
+   * level lang-ID cannot make: a document that is half one language and
+   * half another classifies confidently at the doc level and still
+   * poisons monolingual training. Every overlapping chunk
+   * ([[CurationQueries.chunkOverlap]] — the retrieval chunker, shared
+   * not copied) votes against the SAME corpus-trained profiles as
+   * [[qLangId]] ([[langTopTokens]] — one training stage, drift-proof);
+   * per document: chunk count, voted-chunk count, distinct predicted
+   * languages, the majority language (deterministic tiebreak), and the
+   * `mixed` flag (≥ 2 languages predicted across chunks).
+   *
+   * Scale shape: the profile is a ≤10-rows-per-language broadcast; chunk
+   * votes aggregate on (doc_id, chunk_id) and the majority pick on
+   * doc_id — every window is per-chunk or per-doc, never global. Chunks
+   * with no profile overlap cast no vote (absent from `n_voted`), and a
+   * doc whose chunks never vote reports `und`, the [[qLangId]] rule.
+   */
+  lazy val qLangMixture = Q(
+    "q_lang_mixture",
+    (s, dir) => {
+      val top = langTopTokens(docTokCounts(s, dir))
+      val chunks = CurationQueries.chunkOverlap(docs(s, dir))
+      val ct = chunks.select(
+        col("doc_id"), col("chunk_id"),
+        explode(array_distinct(TextOps.tokens(col("chunk_text")))).as("tok"))
+      val wv = Window.partitionBy("doc_id", "chunk_id")
+        .orderBy(col("ov").desc, col("cand_lang").asc)
+      val pick = ct.join(broadcast(top), col("tok") === col("ctok"))
+        .groupBy("doc_id", "chunk_id", "cand_lang")
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("r", row_number().over(wv))
+        .filter(col("r") === 1)
+        .select("doc_id", "chunk_id", "cand_lang")
+      val wMaj = Window.partitionBy("doc_id")
+        .orderBy(col("nch").desc, col("cand_lang").asc)
+      val docAgg = pick.groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("nch"))
+        .withColumn("rm", row_number().over(wMaj))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_langs"),
+             sum("nch").as("n_voted"),
+             max(when(col("rm") === 1, col("cand_lang"))).as("major_lang"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(docAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+                coalesce(col("n_voted"), lit(0L)).as("n_voted"),
+                coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+                coalesce(col("major_lang"), lit("und")).as("major_lang"))
+        .withColumn("mixed", (col("n_langs") >= 2).cast("int"))
+    },
+    Some(s"""WITH $langTopCteSql,
+      |${CurationQueries.chunkCteSql},
+      |ct AS (
+      |  SELECT DISTINCT doc_id, chunk_id,
+      |         unnest(string_split(chunk_text, ' ')) AS tok
+      |  FROM chunks
+      |), ov AS (
+      |  SELECT doc_id, chunk_id, cand_lang, COUNT(*) AS ov
+      |  FROM ct JOIN top ON ct.tok = top.ctok
+      |  GROUP BY 1, 2, 3
+      |), pick AS (
+      |  SELECT doc_id, chunk_id, cand_lang FROM (
+      |    SELECT doc_id, chunk_id, cand_lang,
+      |           row_number() OVER (PARTITION BY doc_id, chunk_id
+      |                              ORDER BY ov DESC, cand_lang ASC) AS r
+      |    FROM ov
+      |  ) WHERE r = 1
+      |), pl AS (
+      |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS nch
+      |  FROM pick GROUP BY 1, 2
+      |), da AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |         CAST(SUM(nch) AS BIGINT) AS n_voted,
+      |         MAX(CASE WHEN rm = 1 THEN cand_lang END) AS major_lang
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                     ORDER BY nch DESC, cand_lang ASC) AS rm
+      |        FROM pl)
+      |  GROUP BY doc_id
+      |), nc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      |  FROM chunks GROUP BY doc_id
+      |)
+      |SELECT nc.doc_id, nc.n_chunks,
+      |       COALESCE(da.n_voted, 0) AS n_voted,
+      |       COALESCE(da.n_langs, 0) AS n_langs,
+      |       COALESCE(da.major_lang, 'und') AS major_lang,
+      |       CAST(COALESCE(da.n_langs, 0) >= 2 AS INT) AS mixed
+      |FROM nc LEFT JOIN da ON da.doc_id = nc.doc_id""".stripMargin)
   )
 
   /** Multimodal metadata surface: documents carried as opaque binary
@@ -1702,7 +1814,8 @@ object TextStatsQueries {
   )
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQualityScore, qLangId, qMultimodalMeta,
+    qTextStats, qTokenCount, qQualityScore, qLangId, qLangMixture,
+    qMultimodalMeta,
     qQuantiles, qPiiScrub, qSecretScrub, qNgramTopk, qBm25, qBpePairs,
     qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
