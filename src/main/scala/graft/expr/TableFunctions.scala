@@ -807,6 +807,24 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_lang_mixture(docsTable)` — span-level language-mixture
+    * detection over any `(doc_id, text, lang, …)` table: per document,
+    * chunk-vote counts, distinct predicted languages, the majority
+    * language, and the `mixed` flag
+    * ([[graft.queries.TextStatsQueries.langMixtureOf]] — profiles
+    * trained on that table's own labels). */
+  val langMixture: TVF = (
+    new FunctionIdentifier("graft_lang_mixture"),
+    info("graft_lang_mixture", "graft_lang_mixture(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_lang_mixture"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.TextStatsQueries.langMixtureOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -819,7 +837,7 @@ object GraftTableFunctions {
                           temperatureMixture, pretrain,
                           htmlExtract, normalizeText, safety, urlCanonical,
                           splitCluster, boilerplate,
-                          upsample, secretScrub, contamination)
+                          upsample, secretScrub, contamination, langMixture)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -144,8 +144,13 @@ object TextStatsQueries {
     * to per-doc counts, checkpoint-materialized because every consumer
     * reads it at least twice. */
   private def docTokCounts(s: SparkSession, dir: String): DataFrame =
+    docTokCountsOf(docs(s, dir))
+
+  /** [[docTokCounts]] over an arbitrary `(doc_id, lang, text, …)`
+    * frame. */
+  private def docTokCountsOf(docsDf: DataFrame): DataFrame =
     checkpointCompact(
-      docs(s, dir)
+      docsDf
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"),
                 explode(TextOps.tokens(col("text"))).as("tok"))
@@ -255,11 +260,12 @@ object TextStatsQueries {
    * with no profile overlap cast no vote (absent from `n_voted`), and a
    * doc whose chunks never vote reports `und`, the [[qLangId]] rule.
    */
-  lazy val qLangMixture = Q(
-    "q_lang_mixture",
-    (s, dir) => {
-      val top = langTopTokens(docTokCounts(s, dir))
-      val chunks = CurationQueries.chunkOverlap(docs(s, dir))
+  /** [[qLangMixture]]'s body over an ARBITRARY `(doc_id, text, lang, …)`
+    * frame — profiles trained on THAT frame's labels, the
+    * `graft_lang_mixture(table)` TVF delegate. */
+  def langMixtureOf(docsDf: DataFrame): DataFrame = {
+      val top = langTopTokens(docTokCountsOf(docsDf))
+      val chunks = CurationQueries.chunkOverlap(docsDf)
       val ct = chunks.select(
         col("doc_id"), col("chunk_id"),
         explode(array_distinct(TextOps.tokens(col("chunk_text")))).as("tok"))
@@ -287,7 +293,11 @@ object TextStatsQueries {
                 coalesce(col("n_langs"), lit(0L)).as("n_langs"),
                 coalesce(col("major_lang"), lit("und")).as("major_lang"))
         .withColumn("mixed", (col("n_langs") >= 2).cast("int"))
-    },
+  }
+
+  lazy val qLangMixture = Q(
+    "q_lang_mixture",
+    (s, dir) => langMixtureOf(docs(s, dir)),
     Some(s"""WITH $langTopCteSql,
       |${CurationQueries.chunkCteSql},
       |ct AS (

@@ -239,6 +239,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(ctSql.find(_._1 == 2L).get._3 === 0L)
   }
 
+  test("graft_lang_mixture from SQL ≡ langMixtureOf") {
+    import graft.queries.TextStatsQueries
+    val aTok = (1 to 10).map(i => s"alang$i").mkString(" ")
+    val bTok = (1 to 10).map(i => s"blang$i").mkString(" ")
+    val docs = ((0L until 5L).map(i => (i, s"$aTok $aTok", "aa")) ++
+                (10L until 15L).map(i => (i, s"$bTok $bTok", "bb")) ++
+                Seq((99L, s"$aTok $aTok $bTok $bTok", "aa")))
+      .toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("lm_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_lang_mixture('lm_docs')")
+      .as[(Long, Long, Long, Long, String, Int)].collect().sortBy(_._1)
+    val direct = TextStatsQueries.langMixtureOf(docs)
+      .as[(Long, Long, Long, Long, String, Int)].collect().sortBy(_._1)
+    assert(viaSql.toSeq === direct.toSeq)
+    val byId = viaSql.map(r => r._1 -> r).toMap
+    assert(byId(0L)._6 === 0 && byId(10L)._6 === 0)
+    assert(byId(99L)._4 === 2L && byId(99L)._6 === 1) // bilingual flags mixed
+  }
+
   test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {
     import graft.session.Sessionize
     import org.apache.spark.sql.functions.{col, timestamp_micros}
