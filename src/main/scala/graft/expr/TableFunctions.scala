@@ -825,6 +825,51 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_crawl_admit(docsTable)` — the composed crawl front door as
+    * one reason-coded admission decision per page
+    * ([[graft.queries.WebQueries.crawlAdmitFrame]]). */
+  val crawlAdmit: TVF = (
+    new FunctionIdentifier("graft_crawl_admit"),
+    info("graft_crawl_admit", "graft_crawl_admit(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_crawl_admit"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.WebQueries.crawlAdmitFrame(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_export_manifest(docsTable)` — per-shard counts, position
+    * ranges, and order-invariant content checksums of the deterministic
+    * export ([[graft.queries.CurationQueries.exportManifestOf]]). */
+  val exportManifest: TVF = (
+    new FunctionIdentifier("graft_export_manifest"),
+    info("graft_export_manifest", "graft_export_manifest(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_export_manifest"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.exportManifestOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_token_budget(docsTable)` — per-language raw vs trained-on
+    * token mass under the upsampling mixture
+    * ([[graft.queries.CurationQueries.tokenBudgetOf]]). */
+  val tokenBudget: TVF = (
+    new FunctionIdentifier("graft_token_budget"),
+    info("graft_token_budget", "graft_token_budget(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_token_budget"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.CurationQueries.tokenBudgetOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -837,7 +882,8 @@ object GraftTableFunctions {
                           temperatureMixture, pretrain,
                           htmlExtract, normalizeText, safety, urlCanonical,
                           splitCluster, boilerplate,
-                          upsample, secretScrub, contamination, langMixture)
+                          upsample, secretScrub, contamination, langMixture,
+                          crawlAdmit, exportManifest, tokenBudget)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

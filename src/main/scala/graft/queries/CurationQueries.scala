@@ -466,32 +466,51 @@ object CurationQueries {
    * Scale shape: the manifest aggregation ships (shard, pos, 32-bit
    * hash) — text never leaves its scan — and yields one row per shard.
    */
+  /** [[qExportManifest]]'s body over an ARBITRARY `(doc_id, text, …)`
+    * frame — the `graft_export_manifest(table)` TVF delegate. */
+  def exportManifestOf(docsDf: DataFrame): DataFrame = {
+    val keyed = docsDf
+      .select(col("doc_id"),
+              md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+                .as("pkey"),
+              coalesce(TextOps.md5Prefix32(md5(col("text"))), lit(0L))
+                .as("h32"))
+    val parts = docsDf.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    graft.operators.GlobalRank
+      .withGlobalRank(keyed, Seq(col("pkey"), col("doc_id")), parts, "pos")
+      .select(col("h32"), expr(s"(pos - 1) div $ShardDocs").as("shard"),
+              col("pos"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           min("pos").as("pos_lo"), max("pos").as("pos_hi"),
+           expr("bit_xor(h32)").as("content_xor"))
+  }
+
+  /** [[qTokenBudget]]'s body over an ARBITRARY `(doc_id, text, lang, …)`
+    * frame — the `graft_token_budget(table)` TVF delegate. */
+  def tokenBudgetOf(docsDf: DataFrame): DataFrame =
+    withUpsampleCopies(
+      docsDf
+        .filter(col("lang").isInCollection(UpsampleMills.map(_._1)))
+        .select(col("doc_id"), col("lang"),
+                size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tok").as("raw_tokens"),
+           sum("n_copies").as("epoch_docs"),
+           sum(col("n_tok") * col("n_copies")).as("epoch_tokens"))
+
   lazy val qExportManifest = Q(
     "q_export_manifest",
-    (s, dir) => {
-      // the content hash rides the SAME ranked frame rather than joining
-      // back post-rank: the sort keys (pkey, doc_id) are identical to
-      // [[qShuffleExport]]'s, so the permutation and shard cut are the
-      // same by construction, and the manifest needs one scan and zero
-      // joins (plan-audited: the joined form cost 2 BHJ / 9 jobs over a
-      // second documents scan; inlined it is GlobalRank's own shape —
-      // q_shuffle_export's 3 exchanges — plus the one shard groupBy)
-      val keyed = Tables.read(s, dir, "documents")
-        .select(col("doc_id"),
-                md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
-                  .as("pkey"),
-                coalesce(TextOps.md5Prefix32(md5(col("text"))), lit(0L))
-                  .as("h32"))
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      graft.operators.GlobalRank
-        .withGlobalRank(keyed, Seq(col("pkey"), col("doc_id")), parts, "pos")
-        .select(col("h32"), expr(s"(pos - 1) div $ShardDocs").as("shard"),
-                col("pos"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-             min("pos").as("pos_lo"), max("pos").as("pos_hi"),
-             expr("bit_xor(h32)").as("content_xor"))
-    },
+    // the content hash rides the SAME ranked frame rather than joining
+    // back post-rank: the sort keys (pkey, doc_id) are identical to
+    // [[qShuffleExport]]'s, so the permutation and shard cut are the
+    // same by construction, and the manifest needs one scan and zero
+    // joins (plan-audited: the joined form cost 2 BHJ / 9 jobs over a
+    // second documents scan; inlined it is GlobalRank's own shape —
+    // q_shuffle_export's 3 exchanges — plus the one shard groupBy)
+    (s, dir) => exportManifestOf(Tables.read(s, dir, "documents")),
     Some(s"""WITH k AS (
       |  SELECT doc_id,
       |         md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS kk
@@ -715,17 +734,7 @@ object CurationQueries {
    */
   lazy val qTokenBudget = Q(
     "q_token_budget",
-    (s, dir) =>
-      withUpsampleCopies(
-        Tables.read(s, dir, "documents")
-          .filter(col("lang").isInCollection(UpsampleMills.map(_._1)))
-          .select(col("doc_id"), col("lang"),
-                  size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-             sum("n_tok").as("raw_tokens"),
-             sum("n_copies").as("epoch_docs"),
-             sum(col("n_tok") * col("n_copies")).as("epoch_tokens")),
+    (s, dir) => tokenBudgetOf(Tables.read(s, dir, "documents")),
     Some(s"""WITH w AS (
       |  SELECT * FROM (VALUES ${UpsampleMills.map { case (l, m) => s"('$l', $m)" }
                                              .mkString(", ")}) AS t(lang, wm)

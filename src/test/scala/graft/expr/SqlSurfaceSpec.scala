@@ -258,6 +258,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byId(99L)._4 === 2L && byId(99L)._6 === 1) // bilingual flags mixed
   }
 
+  test("graft_crawl_admit / graft_export_manifest / graft_token_budget from SQL ≡ library calls") {
+    import graft.queries.{CurationQueries, WebQueries}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog again", "en"),
+      (2L, "the quick contraband fox jumps over a lazy dog", "de"),
+      (3L, "another perfectly ordinary document about the spark engine", "fr"))
+      .toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("fd_docs")
+
+    val caSql = spark.sql("SELECT * FROM graft_crawl_admit('fd_docs')")
+    assert(caSql.collect().toSet ===
+      WebQueries.crawlAdmitFrame(docs).collect().toSet)
+    assert(caSql.filter($"doc_id" === 2L).select("admitted").as[Int].head() === 0)
+    assert(caSql.filter($"doc_id" === 1L).select("admitted").as[Int].head() === 1)
+
+    val emSql = spark.sql("SELECT * FROM graft_export_manifest('fd_docs')")
+    assert(emSql.collect().toSet ===
+      CurationQueries.exportManifestOf(docs).collect().toSet)
+    assert(emSql.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .as[Long].head() === 3L)
+
+    val tbSql = spark.sql("SELECT * FROM graft_token_budget('fd_docs')")
+    assert(tbSql.collect().toSet ===
+      CurationQueries.tokenBudgetOf(docs).collect().toSet)
+    // fr weight 3.0 ⇒ epoch mass is exactly 3× raw for doc 3
+    val fr = tbSql.filter($"lang" === "fr")
+      .select("raw_tokens", "epoch_tokens").as[(Long, Long)].head()
+    assert(fr._2 === fr._1 * 3)
+  }
+
   test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {
     import graft.session.Sessionize
     import org.apache.spark.sql.functions.{col, timestamp_micros}
