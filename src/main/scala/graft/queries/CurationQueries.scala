@@ -699,7 +699,13 @@ object CurationQueries {
     * count — expanding the corpus to count it would be the
     * anti-pattern). */
   private[graft] def withUpsampleCopies(docsDf: DataFrame): DataFrame = {
-    val wm = UpsampleMills.foldLeft(lit(0L)) { case (acc, (l, m)) =>
+    // Unlisted (and null) langs default to 1000 mills = PASS-THROUGH,
+    // not 0 (round-16 ADVICE: a weight table is a mixture adjustment,
+    // and an epoch plan that silently DELETES every document in a
+    // language the table forgot is the unsafe default). The gated
+    // fixtures are unaffected — every fixture lang is listed — and
+    // qTokenBudget filters to listed langs explicitly.
+    val wm = UpsampleMills.foldLeft(lit(1000L)) { case (acc, (l, m)) =>
       when(col("lang") === l, m.toLong).otherwise(acc)
     }
     docsDf

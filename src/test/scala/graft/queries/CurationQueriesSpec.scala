@@ -203,4 +203,16 @@ class CurationQueriesSpec extends SparkSpec {
     // per-copy permutation keys are distinct — copies scatter in an epoch
     assert(rows.map(_._5).distinct.length === rows.length)
   }
+
+  test("upsample: unlisted and null langs pass through at 1 copy") {
+    // round-16 ADVICE: a weight table is a mixture ADJUSTMENT — a lang
+    // the table doesn't list (or a null lang) must not be silently
+    // deleted; the safe default is pass-through (1000 mills = 1 copy).
+    val d = Seq((10L, "xx"), (11L, null: String), (12L, "zz"))
+      .toDF("doc_id", "lang")
+    val out = CurationQueries.upsampleFrame(d)
+      .select("doc_id", "n_copies", "copy")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out === Array((10L, 1L, 1L), (11L, 1L, 1L), (12L, 1L, 1L)))
+  }
 }

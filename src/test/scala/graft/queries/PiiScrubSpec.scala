@@ -48,4 +48,28 @@ class PiiScrubSpec extends SparkSpec {
     // not unbounded greed
     assert(texts(2) === "double <EMAIL> <EMAIL> and <PHONE> <PHONE>3 tails")
   }
+
+  test("secret scrub: oversized and uppercase hex runs fail closed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // round-16 ADVICE: with the old {32,64} bound, a 128-hex key
+    // matched NOTHING (no boundary-delimited 32–64 substring exists
+    // inside a longer word run) and uppercase hex escaped entirely
+    val hex128 = "0123456789abcdef" * 8
+    val upper64 = "0123456789ABCDEF" * 4
+    val rows = Seq(
+      (1L, s"leaked $hex128 key"),
+      (2L, s"leaked $upper64 key"),
+      (3L, "leaked " + "0123456789abcdef" * 2 + " key"),  // exactly 32
+      (4L, "short deadbeefdeadbeefdeadbeef run"))          // 24 < 32: clean
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+              TextStatsQueries.secretHexCount(col("text")).as("n"),
+              TextStatsQueries.secretRedact(col("text")).as("clean"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) === ((1L, "leaked <SECRET:HEX> key")))
+    assert(rows(2L) === ((1L, "leaked <SECRET:HEX> key")))
+    assert(rows(3L)._1 === 1L)
+    assert(rows(4L) === ((0L, "short deadbeefdeadbeefdeadbeef run")))
+  }
 }
