@@ -726,6 +726,22 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_warc_extract(table, 'warcCol')` — WARC container ingestion:
+    * one row per response record with header fields, truncation
+    * quarantine flag, and the boilerplate-extracted payload
+    * ([[graft.queries.WebQueries.warcExtractOf]]). */
+  val warcExtract: TVF = (
+    new FunctionIdentifier("graft_warc_extract"),
+    info("graft_warc_extract", "graft_warc_extract(table, 'warcCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_warc_extract"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.WebQueries.warcExtractOf(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn))
+        .queryExecution.logical
+    }
+  )
+
   /** `graft_split_cluster(docsTable)` — group-aware train/val/test split:
     * every document keyed to its dedup component's CANONICAL member, so a
     * near-dup pair never straddles a train/eval boundary
@@ -883,7 +899,8 @@ object GraftTableFunctions {
                           htmlExtract, normalizeText, safety, urlCanonical,
                           splitCluster, boilerplate,
                           upsample, secretScrub, contamination, langMixture,
-                          crawlAdmit, exportManifest, tokenBudget)
+                          crawlAdmit, exportManifest, tokenBudget,
+                          warcExtract)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -1681,6 +1681,23 @@ object StreamingQueries {
   )
 
   /**
+   * WARC container ingestion AT INGEST — the true crawl arrival shape:
+   * a micro-batch of WARC container strings is framed into records,
+   * header-parsed, truncation-quarantined, and boilerplate-extracted
+   * ([[WebQueries.warcExtractFrame]] — shared, not copied) in the
+   * trigger that lands it. Stateless per row (record framing and the
+   * HTTP split are row-local expressions), so append mode with no
+   * state store. Batch oracle verbatim.
+   */
+  val qStreamWarc = Q(
+    "q_stream_warc",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.warcExtractFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_warc"),
+    WebQueries.qWarcExtract.oracle
+  )
+
+  /**
    * Repeated-line boilerplate stripping AT INGEST — the
    * `q_boilerplate_lines` billing split made literal: the frequent-line
    * hash set is built OFFLINE on the standing corpus (the bounded
@@ -1712,5 +1729,6 @@ object StreamingQueries {
                         qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
-                        qStreamUpsample, qStreamBoilerplate, qStreamCrawl)
+                        qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
+                        qStreamWarc)
 }

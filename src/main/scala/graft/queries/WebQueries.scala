@@ -539,57 +539,60 @@ object WebQueries {
       .withColumn("host_key", col("__graft_canon.host_key"))
       .drop("__graft_canon")
 
-  /** [[qHtmlExtract]]'s oracle CTE chain (fixture page build →
-    * strip → block split → per-block signals → per-doc `agg`), shared
-    * with the composed crawl-admission oracle ([[qCrawlAdmit]]) so the
-    * two can never drift on the extraction replay. Ends at `agg`;
-    * `d` holds every non-null-text doc. */
-  private def htmlOracleCte: String =
-    s"""WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks
-      |  FROM documents WHERE text IS NOT NULL
-      |), hx AS (
-      |  SELECT doc_id,
-      |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-      |          || '</title><style>p {color: red}</style>'
-      |          || '<script>var x = 1 && 2;</script></head><body>'
-      |          || '<nav><a href="/">Home</a> <a href="/products">Products'
-      |          || '</a> <a href="/about">About</a></nav>'
-      |          || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
-      |          || array_to_string(toks[1 : CAST(CEIL(len(toks) / 2.0) AS BIGINT)], ' ')
-      |          || '</p>'
-      |          || CASE WHEN doc_id % 3 = 0 THEN
-      |               '<div class="main">'
-      |               || array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ')
-      |               || ' tail &amp; done</div>'
-      |             ELSE
-      |               '<div>'
-      |               || array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ')
-      |               || '</div>'
-      |             END
-      |          || '<ul><li><a href="/next">Next page</a></li>'
-      |          || '<li><a href="/prev">Previous page</a></li></ul>'
-      |          || '<footer>Copyright 2026 Example Corp All rights reserved'
-      |          || '</footer></body></html>' AS html
-      |  FROM d
-      |), pre AS (
-      |  SELECT doc_id,
+  /** [[htmlCol]]'s fixture page in oracle SQL, over a CTE exposing
+    * `doc_id` and `toks`. NOTE `||` sits at line ENDS (the [[urlSql]]
+    * fragment discipline): this constant interpolates into s-strings
+    * whose `.stripMargin` runs AFTER interpolation, so an embedded line
+    * starting with `||` would lose its first pipe. */
+  private def pageSqlExpr: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>p {color: red}</style>' ||
+      |'<script>var x = 1 && 2;</script></head><body>' ||
+      |'<nav><a href="/">Home</a> <a href="/products">Products' ||
+      |'</a> <a href="/about">About</a></nav>' ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      |array_to_string(toks[1 : CAST(CEIL(len(toks) / 2.0) AS BIGINT)], ' ') ||
+      |'</p>' ||
+      |CASE WHEN doc_id % 3 = 0 THEN
+      |    '<div class="main">' ||
+      |    array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ') ||
+      |    ' tail &amp; done</div>'
+      |  ELSE
+      |    '<div>' ||
+      |    array_to_string(toks[CAST(CEIL(len(toks) / 2.0) AS BIGINT) + 1 : len(toks)], ' ') ||
+      |    '</div>'
+      |  END ||
+      |'<ul><li><a href="/next">Next page</a></li>' ||
+      |'<li><a href="/prev">Previous page</a></li></ul>' ||
+      |'<footer>Copyright 2026 Example Corp All rights reserved' ||
+      |'</footer></body></html>'""".stripMargin
+
+  /** The GENERAL jusText-lite extraction replay in oracle SQL — the CTE
+    * chain `pre → c0 → bx → tb → tt → agg` keyed by `keys`, reading
+    * `($keys, html)` from CTE `src`; `agg` yields `($keys, text,
+    * n_blocks, n_content)`. ONE statement of the replay shared by the
+    * html-extract, crawl-admit, and WARC oracles, so the three can
+    * never drift on the extraction algorithm. Returned PRE-stripped
+    * (append with `+`, never re-stripMargin — the fragment hazard). */
+  private def htmlChainSql(src: String, keys: String): String =
+    s"""pre AS (
+      |  SELECT $keys,
       |         regexp_replace(
       |           regexp_replace(
       |             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
       |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
       |           '(?s)<!--.*?-->', ' ', 'g') AS ph
-      |  FROM hx
+      |  FROM $src
       |), c0 AS (
-      |  SELECT doc_id,
+      |  SELECT $keys,
       |         string_split_regex(ph, '$BlockTagRe') AS bs
       |  FROM pre
       |), bx AS (
-      |  SELECT doc_id, unnest(bs) AS b,
+      |  SELECT $keys, unnest(bs) AS b,
       |         unnest(generate_series(1, len(bs))) AS i
       |  FROM c0
       |), tb AS (
-      |  SELECT doc_id, i,
+      |  SELECT $keys, i,
       |         replace(replace(replace(replace(replace(
       |           trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
       |                               '\\s+', ' ', 'g')),
@@ -599,7 +602,7 @@ object WebQueries {
       |           regexp_extract_all(b, '$AnchorTextRe', 1), '')), 0) AS lc
       |  FROM bx
       |), tt AS (
-      |  SELECT doc_id, i, t, lc,
+      |  SELECT $keys, i, t, lc,
       |         CASE WHEN t = '' THEN 0
       |              ELSE len(string_split(t, ' ')) END AS n_tok,
       |         CASE WHEN t = '' THEN 0
@@ -609,7 +612,7 @@ object WebQueries {
       |              END AS n_stop
       |  FROM tb
       |), agg AS (
-      |  SELECT doc_id,
+      |  SELECT $keys,
       |         string_agg(CASE WHEN n_tok >= $MinBlockTok AND n_stop >= 1
       |                          AND lc * 2 < length(t) THEN t END,
       |                    ' ' ORDER BY i) AS text,
@@ -618,8 +621,22 @@ object WebQueries {
       |         CAST(COUNT(CASE WHEN n_tok >= $MinBlockTok AND n_stop >= 1
       |                          AND lc * 2 < length(t) THEN 1 END) AS BIGINT)
       |           AS n_content
-      |  FROM tt GROUP BY doc_id
+      |  FROM tt GROUP BY $keys
       |)""".stripMargin
+
+  /** [[qHtmlExtract]]'s oracle CTE chain (fixture page build →
+    * [[htmlChainSql]] keyed by doc_id), shared with the composed
+    * crawl-admission oracle ([[qCrawlAdmit]]) so the two can never
+    * drift on the extraction replay. Ends at `agg`; `d` holds every
+    * non-null-text doc. */
+  private def htmlOracleCte: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), hx AS (
+      |  SELECT doc_id, $pageSqlExpr AS html
+      |  FROM d
+      |), """.stripMargin + htmlChainSql("hx", "doc_id")
 
   val qHtmlExtract = Q(
     "q_html_extract",
@@ -859,7 +876,237 @@ object WebQueries {
       |FROM lx, fa""".stripMargin)
   )
 
+  // ------------------------------------------------- WARC ingestion
+
+  /** CRLF as a Scala literal and as oracle SQL — the WARC/HTTP framing
+    * delimiter (ISO 28500: record headers and HTTP headers are
+    * CRLF-terminated; the header block ends at the first blank line). */
+  private val CRLF = "\r\n"
+  private val CrlfSql = "(chr(13) || chr(10))"
+
+  /** Multi-record WARC fixture per document (the [[htmlCol]]/
+    * [[MediaSynth]] discipline — closed-form in both engines): a
+    * warcinfo record and a request record (both must be SKIPPED by the
+    * type filter), a well-formed response record whose HTTP payload
+    * carries the document's fixture page, and — for `doc_id % 5 = 0` —
+    * a TRUNCATED response record (declared Content-Length exceeds the
+    * bytes present) that must quarantine, not parse. Content-Length of
+    * the dynamic payload is computed with `length()` in BOTH engines
+    * (the fixture page is ASCII by construction, so chars = octets). */
+  private[graft] def warcCol(docId: Column, text: Column): Column =
+    letBound(urlCol(docId)) { url =>
+      letBound(concat(
+          lit("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" +
+              CRLF + CRLF),
+          htmlCol(docId, text))) { resp =>
+        concat(
+          lit("WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
+              "Content-Length: 10" + CRLF + CRLF + "software g" +
+              CRLF + CRLF),
+          lit("WARC/1.0" + CRLF + "WARC-Type: request" + CRLF +
+              "WARC-Target-URI: "), url,
+          lit(CRLF + "Content-Length: 18" + CRLF + CRLF +
+              "GET /docs HTTP/1.1" + CRLF + CRLF),
+          lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+              "WARC-Target-URI: "), url,
+          lit(CRLF + "Content-Length: "), length(resp).cast("string"),
+          lit(CRLF + CRLF), resp, lit(CRLF + CRLF),
+          when(pmod(docId, lit(5)) === 0,
+               concat(
+                 lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+                     "WARC-Target-URI: "), url,
+                 lit(CRLF + "Content-Length: "),
+                 (length(resp) + 7).cast("string"),
+                 lit(CRLF + CRLF), substring(resp, 1, 40)))
+            .otherwise(lit("")))
+      }
+    }
+
+  /**
+   * WARC record parse as one row-local expression tree — container
+   * string → `array<struct(wtype, uri, clen, truncated, status,
+   * body)>`, one element per record in container order:
+   *
+   *  1. frame on the `WARC/1.0\r\n` version line (record starts; the
+   *     string-typed face assumes payloads don't open a line with the
+   *     magic — true of HTML text; an octet-exact reader over binary
+   *     WARC would frame on Content-Length offsets instead, which is a
+   *     sequential scan, not a row-local expression);
+   *  2. per record: header block = up to the first blank line; named
+   *     fields by `regexp_extract` (no `(?m)` anchors — Java and RE2
+   *     disagree on `$` before `\r\n`, so the patterns match the field
+   *     name + CRLF-free tail instead);
+   *  3. payload = the declared Content-Length prefix of the rest;
+   *     fewer bytes present than declared ⇒ `truncated = 1` (the
+   *     quarantine reason — a partial payload must never parse as a
+   *     complete page);
+   *  4. HTTP split: status from the response line, body after the
+   *     first blank line.
+   *
+   * Stateless per row (the front-door operator class): no shuffle, and
+   * the streaming face applies it verbatim.
+   */
+  private[graft] def warcRecordsCol(warc: Column): Column =
+    letBound(split(warc, "WARC/1\\.0\r\n")) { recs0 =>
+      transform(slice(recs0, lit(2), greatest(size(recs0) - 1, lit(0))), r =>
+        letBound(substring_index(r, CRLF + CRLF, 1)) { hdr =>
+          letBound(r.substr(length(hdr) + 5, length(r))) { rest =>
+            letBound(regexp_extract(hdr, "Content-Length: ([0-9]+)", 1)
+                       .cast("long")) { clen =>
+              letBound(when(length(rest) >= clen,
+                            rest.substr(lit(1), clen.cast("int")))
+                         .otherwise(rest)) { payload =>
+                struct(
+                  regexp_extract(hdr, "WARC-Type: ([^\r\n]+)", 1)
+                    .as("wtype"),
+                  regexp_extract(hdr, "WARC-Target-URI: ([^\r\n]+)", 1)
+                    .as("uri"),
+                  clen.as("clen"),
+                  (length(rest) < clen).cast("int").as("truncated"),
+                  regexp_extract(payload, "^HTTP/1\\.[01] ([0-9]+)", 1)
+                    .as("status"),
+                  payload.substr(
+                    length(substring_index(payload, CRLF + CRLF, 1)) + 5,
+                    length(payload)).as("body"))
+              }
+            }
+          }
+        })
+    }
+
+  /** WARC response extraction over an ARBITRARY frame's named WARC
+    * column (the `graft_warc_extract` TVF delegate): one row per
+    * RESPONSE record — `(doc_id, rec_idx, uri, status, clen,
+    * truncated, text, n_content)`, rec_idx 1-based over ALL records
+    * (the framing proof). Non-response records (warcinfo, request,
+    * metadata) never emit rows; a truncated record keeps its row with
+    * `truncated = 1` and an EMPTY extraction — reason-coded
+    * quarantine, never a partial-page parse. */
+  private[graft] def warcExtractOf(d: DataFrame,
+                                   warcColName: String): DataFrame =
+    d.select(col("doc_id"),
+             posexplode(warcRecordsCol(col(warcColName)))
+               .as(Seq("__pos", "__r")))
+      .filter(col("__r.wtype") === "response")
+      .select(col("doc_id"), (col("__pos") + 1).cast("long").as("rec_idx"),
+              col("__r.uri").as("uri"), col("__r.status").as("status"),
+              col("__r.clen").as("clen"),
+              col("__r.truncated").as("truncated"),
+              when(col("__r.truncated") === 0,
+                   htmlExtractCols(col("__r.body")))
+                .otherwise(struct(lit("").as("text"),
+                                  lit(0L).as("n_blocks"),
+                                  lit(0L).as("n_content"))).as("e"))
+      .select(col("doc_id"), col("rec_idx"), col("uri"), col("status"),
+              col("clen"), col("truncated"),
+              col("e.text").as("text"),
+              col("e.n_content").as("n_content"))
+
+  /** [[qWarcExtract]]'s body (fixture container + parse + extraction)
+    * over an ARBITRARY `(doc_id, text, …)` frame — stateless per row,
+    * so the streaming face (`q_stream_warc`) applies it verbatim. */
+  private[graft] def warcExtractFrame(d: DataFrame): DataFrame =
+    warcExtractOf(
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                warcCol(col("doc_id"), col("text")).as("__graft_warc")),
+      "__graft_warc")
+
+  /**
+   * WARC container ingestion — the crawl's TRUE front door (round-16
+   * VERDICT #2): real crawls arrive as WARC record containers, not
+   * one-page-per-row parquet. Per document the gate builds the
+   * closed-form multi-record container, parses record headers and the
+   * HTTP payload split as expressions, quarantines the planted
+   * truncated record, and feeds the surviving response bodies to the
+   * SAME [[htmlExtractCols]] every downstream gate consumes. The
+   * oracle replays the WHOLE chain generally — container build, record
+   * framing, header fields, Content-Length truncation check, HTTP
+   * split, and the shared [[htmlChainSql]] extraction keyed by
+   * (doc_id, rec_idx) — never the fixture's expected answer.
+   */
+  lazy val qWarcExtract = Q(
+    "q_warc_extract",
+    (s, dir) => warcExtractFrame(Tables.read(s, dir, "documents")),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), pg AS (
+      |  SELECT doc_id, $urlSql AS url,
+      |         'HTTP/1.1 200 OK' || $CrlfSql || 'Content-Type: text/html' ||
+      |         $CrlfSql || $CrlfSql || $pageSqlExpr AS resp
+      |  FROM d
+      |), wx AS (
+      |  SELECT doc_id,
+      |         'WARC/1.0' || $CrlfSql || 'WARC-Type: warcinfo' || $CrlfSql ||
+      |         'Content-Length: 10' || $CrlfSql || $CrlfSql || 'software g' ||
+      |         $CrlfSql || $CrlfSql ||
+      |         'WARC/1.0' || $CrlfSql || 'WARC-Type: request' || $CrlfSql ||
+      |         'WARC-Target-URI: ' || url || $CrlfSql ||
+      |         'Content-Length: 18' || $CrlfSql || $CrlfSql ||
+      |         'GET /docs HTTP/1.1' || $CrlfSql || $CrlfSql ||
+      |         'WARC/1.0' || $CrlfSql || 'WARC-Type: response' || $CrlfSql ||
+      |         'WARC-Target-URI: ' || url || $CrlfSql ||
+      |         'Content-Length: ' || CAST(length(resp) AS VARCHAR) ||
+      |         $CrlfSql || $CrlfSql || resp || $CrlfSql || $CrlfSql ||
+      |         CASE WHEN doc_id % 5 = 0 THEN
+      |           'WARC/1.0' || $CrlfSql || 'WARC-Type: response' || $CrlfSql ||
+      |           'WARC-Target-URI: ' || url || $CrlfSql ||
+      |           'Content-Length: ' || CAST(length(resp) + 7 AS VARCHAR) ||
+      |           $CrlfSql || $CrlfSql || substr(resp, 1, 40)
+      |         ELSE '' END AS warc
+      |  FROM pg
+      |), rs AS (
+      |  SELECT doc_id,
+      |         string_split(warc, 'WARC/1.0' || $CrlfSql) AS recs
+      |  FROM wx
+      |), rx AS (
+      |  SELECT doc_id, unnest(recs[2:]) AS r,
+      |         unnest(generate_series(1, len(recs) - 1)) AS rec_idx
+      |  FROM rs
+      |), h1 AS (
+      |  SELECT doc_id, rec_idx, r,
+      |         split_part(r, $CrlfSql || $CrlfSql, 1) AS hdr
+      |  FROM rx
+      |), h2 AS (
+      |  SELECT doc_id, rec_idx,
+      |         regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1) AS wtype,
+      |         regexp_extract(hdr, 'WARC-Target-URI: ([^\\r\\n]+)', 1) AS uri,
+      |         CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1)
+      |              AS BIGINT) AS clen,
+      |         substr(r, length(hdr) + 5) AS rest
+      |  FROM h1
+      |), h3 AS (
+      |  SELECT doc_id, rec_idx, wtype, uri, clen,
+      |         CAST(length(rest) < clen AS INT) AS truncated,
+      |         CASE WHEN length(rest) >= clen
+      |              THEN substr(rest, 1, CAST(clen AS INT))
+      |              ELSE rest END AS payload
+      |  FROM h2
+      |), resp0 AS (
+      |  SELECT doc_id, rec_idx, uri, clen, truncated,
+      |         regexp_extract(payload, '^HTTP/1\\.[01] ([0-9]+)', 1)
+      |           AS status,
+      |         substr(payload,
+      |                length(split_part(payload,
+      |                                  $CrlfSql || $CrlfSql, 1)) + 5)
+      |           AS body
+      |  FROM h3 WHERE wtype = 'response'
+      |), gx AS (
+      |  SELECT doc_id, rec_idx, body AS html
+      |  FROM resp0 WHERE truncated = 0
+      |), """.stripMargin + htmlChainSql("gx", "doc_id, rec_idx") + "\n" +
+      """SELECT r.doc_id, r.rec_idx, r.uri, r.status, r.clen, r.truncated,
+        |       CASE WHEN r.truncated = 1 THEN ''
+        |            ELSE COALESCE(agg.text, '') END AS text,
+        |       CASE WHEN r.truncated = 1 THEN 0
+        |            ELSE COALESCE(agg.n_content, 0) END AS n_content
+        |FROM resp0 r
+        |LEFT JOIN agg ON agg.doc_id = r.doc_id
+        |             AND agg.rec_idx = r.rec_idx""".stripMargin)
+  )
+
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
-        qBoilerplateLines, qCrawlAdmit)
+        qBoilerplateLines, qCrawlAdmit, qWarcExtract)
 }

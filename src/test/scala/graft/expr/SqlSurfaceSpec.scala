@@ -611,5 +611,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cu.head.getAs[String]("canonical_url") ===
            "http://www.example.com/a?a=1&b=2")
     assert(cu.head.getAs[String]("host_key") === "example.com")
+    // warc extraction over a named container column: response record
+    // parses, its page extracts; the request record emits no row
+    val crlf = "\r\n"
+    val page = "<html><body><p>the quick brown fox jumps over a lazy dog" +
+      "</p></body></html>"
+    val resp = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$page"
+    val warc =
+      s"WARC/1.0${crlf}WARC-Type: request${crlf}WARC-Target-URI: " +
+        s"http://x/${crlf}Content-Length: 18$crlf${crlf}GET /docs HTTP/1.1" +
+        s"$crlf$crlf" +
+        s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: " +
+        s"http://x/${crlf}Content-Length: ${resp.length}$crlf$crlf$resp"
+    val wdocs = Seq((1L, warc)).toDF("doc_id", "warc")
+    wdocs.createOrReplaceTempView("tvf_warc")
+    val wr = spark.sql(
+        "SELECT * FROM graft_warc_extract('tvf_warc', 'warc')").collect()
+    assert(wr.toSet ===
+           WebQueries.warcExtractOf(wdocs, "warc").collect().toSet)
+    assert(wr.length === 1)
+    assert(wr.head.getAs[Long]("rec_idx") === 2L)
+    assert(wr.head.getAs[String]("status") === "200")
+    assert(wr.head.getAs[Int]("truncated") === 0)
+    assert(wr.head.getAs[String]("text") ===
+           "the quick brown fox jumps over a lazy dog")
   }
 }

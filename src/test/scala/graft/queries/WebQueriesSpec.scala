@@ -189,6 +189,37 @@ class WebQueriesSpec extends SparkSpec {
     assert(strict === "unique content alpha")
   }
 
+  test("warc ingestion: multi-record framing, type filter, truncation quarantine") {
+    val docs = Seq(
+      (5L, "the quick brown fox jumps over a lazy dog again"),  // %5=0: +trunc record
+      (7L, "a small stream of words flows into the wide sea"))  // well-formed only
+      .toDF("doc_id", "text")
+    val out = WebQueries.warcExtractFrame(docs)
+      .select("doc_id", "rec_idx", "status", "truncated", "text", "n_content")
+      .as[(Long, Long, String, Int, String, Long)]
+      .collect().groupBy(_._1)
+
+    // framing: warcinfo=1 and request=2 NEVER emit; the good response is
+    // record 3 of the container; the planted truncated record is 4
+    assert(out(7L).map(_._2).toSeq === Seq(3L))
+    assert(out(5L).map(_._2).sorted.toSeq === Seq(3L, 4L))
+
+    // the good record parses: HTTP status from the payload's response
+    // line, extraction == the html gate's extraction of the same page
+    val good = out(5L).find(_._2 == 3L).get
+    assert(good._3 === "200" && good._4 === 0)
+    val htmlText = docs.filter(col("doc_id") === 5L)
+      .select(WebQueries.htmlExtractCols(
+        WebQueries.htmlCol(col("doc_id"), col("text"))).getField("text"))
+      .as[String].head()
+    assert(good._5 === htmlText && good._6 >= 1L)
+
+    // the truncated record quarantines: flagged, EMPTY extraction — a
+    // partial payload must never parse as a complete page
+    val trunc = out(5L).find(_._2 == 4L).get
+    assert(trunc._4 === 1 && trunc._5 === "" && trunc._6 === 0L)
+  }
+
   test("boilerplate cap guard trips BEFORE an oversized driver pull") {
     // round-16 VERDICT weak item: the limit(cap+1) precedes the collect,
     // so a mis-set minDocs fails with the explicit error after pulling
