@@ -2518,7 +2518,7 @@ object DedupQueries {
     * drift between the two (bucket derivation, sort order) would break
     * the probe's layout contract silently. */
   private def writeBands(docsDf: DataFrame, outDir: String,
-                         mode: String): Unit =
+                         mode: String): Unit = {
     bandSignaturesOf(docsDf.select("doc_id", "text"))
       .select("band", "sig0", "sig1").distinct()
       .withColumn("bband",
@@ -2528,6 +2528,10 @@ object DedupQueries {
       .sortWithinPartitions("bband", "band", "sig0", "sig1")
       .write.mode(mode).partitionBy("bband")
       .parquet(s"$outDir/bands")
+    // atomic publish: the probe reads ONLY committed files, so a torn
+    // append (crash before this line) is invisible, never half-served
+    graft.sources.AtomicPublish.commit(docsDf.sparkSession, outDir)
+  }
 
   /** Surviving arrivals of an INCREMENTAL near-dup pass against a
     * stored band index: a batch document dies iff any of its band
@@ -2541,7 +2545,7 @@ object DedupQueries {
   private[graft] def dedupAgainstBandIndex(s: SparkSession,
                                            layoutDir: String,
                                            batch: DataFrame): DataFrame = {
-    val idx = s.read.parquet(s"$layoutDir/bands")
+    val idx = graft.sources.AtomicPublish.readCommitted(s, layoutDir, "bands")
       .select("band", "sig0", "sig1")
     val hits = bandSignaturesOf(batch.select("doc_id", "text"))
       .join(idx, Seq("band", "sig0", "sig1"), "left_semi")

@@ -448,7 +448,7 @@ object LayoutQueries {
     * (`overwrite`) and incremental append share it, so the two can
     * never drift on bucketing or sort order. */
   private def writeIndexRows(docsDf: DataFrame, outDir: String,
-                             mode: String): Unit =
+                             mode: String): Unit = {
     TextStatsQueries.invertedIndex(docsDf)
       .withColumn("tbucket", pmod(xxhash64(col("term")),
                                   lit(TermBuckets.toLong)))
@@ -456,6 +456,10 @@ object LayoutQueries {
       .sortWithinPartitions("tbucket", "term")
       .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$outDir/terms")
+    // atomic publish (the writeBands discipline): build and append
+    // both commit, so probes never serve a torn partial-row set
+    graft.sources.AtomicPublish.commit(docsDf.sparkSession, outDir)
+  }
 
   /** The maintenance half of the stored index: an arriving batch's
     * PARTIAL index rows append under their term buckets. Partial rows
@@ -475,7 +479,7 @@ object LayoutQueries {
     * prefixes merged as sort-then-cap over the flattened parts. */
   private[queries] def compactIndex(s: SparkSession,
                                     outDir: String): DataFrame =
-    s.read.parquet(s"$outDir/terms")
+    graft.sources.AtomicPublish.readCommitted(s, outDir, "terms")
       .groupBy("term")
       .agg(sum("df").as("df"), sum("total_tf").as("total_tf"),
            array_join(
@@ -537,7 +541,7 @@ object LayoutQueries {
               s"$dir/documents has no non-null text to derive a probe " +
                 "term from — probe an explicit term instead")
       val t = rows.head.getString(0)
-      s.read.parquet(s"$out/terms")
+      graft.sources.AtomicPublish.readCommitted(s, out, "terms")
         .filter(col("tbucket") === pmod(xxhash64(lit(t)),
                                         lit(TermBuckets.toLong)) &&
                   col("term") === t)
@@ -581,7 +585,7 @@ object LayoutQueries {
     * (`<outDir>/pos/tbucket=<b>/`), so a phrase probe prunes to the
     * phrase terms' buckets exactly like the term probe. */
   private[queries] def writePhraseIndex(s: SparkSession, dir: String,
-                                        outDir: String): Unit =
+                                        outDir: String): Unit = {
     Tables.read(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -596,6 +600,9 @@ object LayoutQueries {
       .sortWithinPartitions("tbucket", "term")
       .write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$outDir/pos")
+    // atomic publish (the writeBands discipline)
+    graft.sources.AtomicPublish.commit(s, outDir)
+  }
 
   /**
    * PHRASE probe through the stored POSITIONAL index — the capability
@@ -629,7 +636,7 @@ object LayoutQueries {
                 "from — probe an explicit phrase instead")
       val (t1, t2) = (rows.head.getString(0), rows.head.getString(1))
       require(t1 != null, "probe document has no first token")
-      val idx = s.read.parquet(s"$out/pos")
+      val idx = graft.sources.AtomicPublish.readCommitted(s, out, "pos")
       def side(t: String, posAs: String) =
         idx.filter(col("tbucket") === pmod(xxhash64(lit(t)),
                                            lit(TermBuckets.toLong)) &&

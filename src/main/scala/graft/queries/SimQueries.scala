@@ -501,6 +501,8 @@ object SimQueries {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
     cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+    // atomic publish: probes/appends read only this committed snapshot
+    graft.sources.AtomicPublish.commit(e.sparkSession, outDir)
   }
 
   /**
@@ -527,13 +529,18 @@ object SimQueries {
    */
   def appendToIvfLayout(s: SparkSession, layoutDir: String,
                         newVecs: DataFrame): Unit = {
-    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cents = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids")
     val cells = ivfAssign1(newVecs, cents)
       .select(col("vec_id").as("cell_vid"), col("c_id").as("cell"))
     newVecs.join(cells, col("vec_id") === col("cell_vid"))
       .select(col("vec_id"), col("label"), col("q"), col("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$layoutDir/cells")
+    // publish the grown snapshot; a crash before this line leaves the
+    // appended files invisible to every committed read — torn appends
+    // cannot be served (round-16 VERDICT #3)
+    graft.sources.AtomicPublish.commit(s, layoutDir)
   }
 
   /**
@@ -547,9 +554,10 @@ object SimQueries {
    * distance (no direction, excluded from the mean by `avg`).
    */
   def ivfStaleness(s: SparkSession, layoutDir: String): DataFrame = {
-    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cents = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids")
       .select(col("c_id"), col("cq"), col("cn"))
-    s.read.parquet(s"$layoutDir/cells")
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "cells")
       .join(broadcast(cents), col("cell") === col("c_id"))
       .withColumn("qn", VectorOps.intNormSq(col("q")))
       .withColumn(
@@ -575,7 +583,8 @@ object SimQueries {
   def probeIvfLayout(s: SparkSession, layoutDir: String, queryVec: Seq[Long],
                      topK: Int = TopK, nProbe: Int = NProbe,
                      excludeVecId: Option[Long] = None): DataFrame = {
-    val probeCells = s.read.parquet(s"$layoutDir/centroids").collect()
+    val probeCells = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids").collect()
       .map { r =>
         val cq = r.getAs[scala.collection.Seq[Long]]("cq")
         val dot = cq.iterator.zip(queryVec.iterator).map { case (a, b) => a * b }.sum
@@ -584,7 +593,7 @@ object SimQueries {
       }
       .sortBy { case (key, cid) => (-key, cid) }
       .take(nProbe).map(_._2)
-    s.read.parquet(s"$layoutDir/cells")
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "cells")
       .filter(col("cell").isin(probeCells: _*))
       .filter(excludeVecId.map(id => col("vec_id") =!= id).getOrElse(lit(true)))
       .withColumn("dot", VectorOps.intDot(col("q"), typedLit(queryVec)))
@@ -1120,6 +1129,10 @@ object SimQueries {
         .repartition(col("cbucket"))
         .write.mode("overwrite").partitionBy("cbucket")
         .parquet(s"$outDir/centroids")
+    // atomic publish AFTER both halves: the build's own members
+    // re-read above is pre-publish private state; everything outside
+    // this function reads only the committed snapshot
+    graft.sources.AtomicPublish.commit(e.sparkSession, outDir)
   }
 
   /** Per-cluster floor-mean centroid over a `(cluster_id, cbucket, q)`
@@ -1167,9 +1180,10 @@ object SimQueries {
     * same way + one aggregation; zero-norm members carry a null
     * distance (excluded from the mean by `avg`). */
   def clusterStaleness(s: SparkSession, layoutDir: String): DataFrame = {
-    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cents = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids")
       .select(col("cluster_id"), col("cbucket"), col("cq"), col("cn"))
-    s.read.parquet(s"$layoutDir/members")
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "members")
       .select(col("cluster_id"), col("cbucket"), col("q"))
       .join(cents, Seq("cbucket", "cluster_id"))
       .withColumn("qn", VectorOps.intNormSq(col("q")))
@@ -1195,7 +1209,8 @@ object SimQueries {
    */
   def probeClusters(s: SparkSession, layoutDir: String,
                     vecId: Long): DataFrame = {
-    val members = s.read.parquet(s"$layoutDir/members")
+    val members = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "members")
     val rows = members.filter(col("vec_id") === vecId)
       .select(col("cluster_id"), col("cbucket")).head(1)
     require(rows.nonEmpty,
@@ -1252,7 +1267,8 @@ object SimQueries {
   private[queries] def clusterRouter(s: SparkSession,
                                      layoutDir: String)
       : (DataFrame, DataFrame) = {
-    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cents = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids")
       .select(col("cluster_id"), col("cq"), col("cn"))
       .filter(col("cn") > 0)
     // router stride computed IN the plan (the ivfSeeds discipline):
@@ -1314,6 +1330,9 @@ object SimQueries {
       .sortWithinPartitions("cbucket", "vec_id")
       .write.mode("append").partitionBy("cbucket")
       .parquet(s"$layoutDir/members")
+    // publish the grown snapshot (the appendToIvfLayout discipline):
+    // a crash before this line leaves the appended files invisible
+    graft.sources.AtomicPublish.commit(s, layoutDir)
   }
 
   /** Cluster-balanced sampling OVER STORED LABELS — [[clusterSampleOf]]
@@ -1326,7 +1345,7 @@ object SimQueries {
                               budget: Int = ClusterBudget): DataFrame = {
     val wRank = Window.partitionBy("cluster_id")
       .orderBy(col("h").asc, col("vec_id").asc)
-    s.read.parquet(s"$layoutDir/members")
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "members")
       .select(col("vec_id"), col("cluster_id"))
       .withColumn("h", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
       .withColumn("rn", row_number().over(wRank).cast("long"))
@@ -1394,7 +1413,8 @@ object SimQueries {
       val e = quantized(s, dir)
       writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
       appendToClusters(s, out, e.filter(col("vec_id") % 2 =!= 0))
-      s.read.parquet(s"$out/members").select("vec_id", "cluster_id")
+      graft.sources.AtomicPublish.readCommitted(s, out, "members")
+        .select("vec_id", "cluster_id")
     },
     Some(s"""${semanticClustersCteOn(
                "eb",
@@ -1500,9 +1520,10 @@ object SimQueries {
     * with no vector carry a null dist² (excluded from inertia/max,
     * counted in n_members — both engines' null-skipping aggregates). */
   def clusterQualityOf(s: SparkSession, layoutDir: String): DataFrame = {
-    val cents = s.read.parquet(s"$layoutDir/centroids")
+    val cents = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "centroids")
       .select(col("cluster_id"), col("cbucket"), col("cq"))
-    s.read.parquet(s"$layoutDir/members")
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "members")
       .select(col("cluster_id"), col("cbucket"), col("q"))
       .join(cents, Seq("cbucket", "cluster_id"))
       .withColumn("dist2", VectorOps.intL2Sq(col("q"), col("cq")))

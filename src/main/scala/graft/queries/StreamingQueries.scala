@@ -1132,7 +1132,8 @@ object StreamingQueries {
                   .otherwise(0)),
             1).getField("cluster_id").as("cluster_id"))
       val sunk = runToSink(s, dir, assigned, "graft_q_stream_cluster_assign")
-      s.read.parquet(s"$out/members").select("vec_id", "cluster_id")
+      graft.sources.AtomicPublish.readCommitted(s, out, "members")
+        .select("vec_id", "cluster_id")
         .unionByName(sunk.select("vec_id", "cluster_id"))
     },
     SimQueries.qClusterAppend.oracle

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Manifest-and-rename COMMIT PROTOCOL for the incrementally-maintained
+ * index layouts (round-16 VERDICT #3): the band index, the inverted /
+ * phrase / span / gram indexes, and the IVF / cluster ANN layouts are
+ * all "frozen state" materialized as parquet directories and grown by
+ * `mode("append")` writes — and a bare directory append is NOT atomic:
+ * a writer that dies between task commits leaves a torn layout that a
+ * directory-listing read happily serves as if complete.
+ *
+ * The protocol (the snapshot discipline of the table-format family —
+ * Iceberg/Delta-class semantics reduced to the single-writer,
+ * append-only case this library's layouts need):
+ *
+ *  - Writers append data files however they like, then [[commit]]:
+ *    the full data-file listing `(relative path, length)` is written
+ *    to a TEMP manifest and ATOMICALLY RENAMED over `_graft_commit`
+ *    (HDFS/POSIX rename semantics; an object-store deployment swaps
+ *    the rename for a conditional put — the protocol shape is
+ *    unchanged). The manifest carries a monotonic version and an
+ *    order-invariant content checksum (the `q_export_manifest` xor
+ *    discipline) so two layouts can be compared by identity without
+ *    listing payloads.
+ *  - Readers use [[readCommitted]]: they read EXACTLY the manifest's
+ *    file set — never the directory listing — so files from an
+ *    uncommitted (torn) append are INVISIBLE, not half-served; and
+ *    they verify every manifest entry exists at its recorded length,
+ *    REFUSING loudly when the committed state itself is damaged
+ *    (a deleted/truncated data file) or when no commit exists at all.
+ *
+ * Single-writer contract (the cadence every incremental gate already
+ * runs): one maintenance process per layout; concurrent writers would
+ * need the table-format family's optimistic manifest CAS, which is
+ * deliberately out of scope — the failure mode this closes is the
+ * TORN append, not the racing one.
+ *
+ * Scale shape: the manifest is one small file listing file-level
+ * metadata (a 100 TB layout is ~10⁵ files — a few MB of manifest);
+ * commit cost is one `listFiles` pass + one rename, independent of
+ * data volume; read-side verification is metadata-only (`getFileStatus`
+ * per manifest entry, no data reads).
+ */
+object AtomicPublish {
+
+  /** The committed-manifest name. A dot-prefixed temp sibling is
+    * renamed over it — readers never observe a partial manifest. */
+  val ManifestName = "_graft_commit"
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def qualified(s: SparkSession, dir: String): (FileSystem, Path) = {
+    val raw = new Path(dir)
+    val f = fsOf(s, raw)
+    (f, f.makeQualified(raw))
+  }
+
+  /** Recursive data-file listing as `(relative path, length)`, sorted.
+    * Skips metadata (`_*`, `.*` — including the manifest itself and
+    * Spark `_SUCCESS` markers) and in-flight `_temporary` trees. */
+  private def listDataFiles(f: FileSystem, root: Path): Seq[(String, Long)] = {
+    if (!f.exists(root)) return Seq.empty
+    val rootUri = root.toUri
+    val it = f.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+          !rel.contains("_temporary/"))
+        buf += ((rel, st.getLen))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  /** Order-invariant layout identity: xor of per-file md5-prefix hashes
+    * over `path:length` — the `q_export_manifest` checksum shape, so a
+    * re-export or a second cluster can verify layout identity without
+    * reading payloads. */
+  private def contentXor(files: Seq[(String, Long)]): Long =
+    files.foldLeft(0L) { case (acc, (p, l)) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$l".getBytes("UTF-8"))
+      acc ^ java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+
+  /** Parse a manifest body → (version, contentXor, files). */
+  private def parse(body: String): (Long, Long, Seq[(String, Long)]) = {
+    val lines = body.split("\n").filter(_.nonEmpty)
+    var version = 0L
+    var xor = 0L
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    lines.foreach { l =>
+      l.split("\t") match {
+        case Array("v", v)    => version = v.toLong
+        case Array("x", x)    => xor = x.toLong
+        case Array("f", p, n) => files += ((p, n.toLong))
+        case other => throw new IllegalArgumentException(
+          s"$ManifestName: unparseable line '${other.mkString("\t")}'")
+      }
+    }
+    (version, xor, files.toSeq)
+  }
+
+  private def readManifest(f: FileSystem,
+                           root: Path): Option[(Long, Long, Seq[(String, Long)])] = {
+    val mf = new Path(root, ManifestName)
+    if (!f.exists(mf)) None
+    else {
+      val in = f.open(mf)
+      val body = try {
+        val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+      Some(parse(body))
+    }
+  }
+
+  /** PUBLISH the layout's current data files as the new committed
+    * snapshot: list → write temp manifest → atomic rename-over. Call
+    * after every build or append; a crash BEFORE commit leaves the new
+    * files invisible to [[readCommitted]], a crash AFTER is fully
+    * committed — there is no in-between observable state. Returns the
+    * new version. */
+  def commit(s: SparkSession, layoutDir: String): Long = {
+    val (f, root) = qualified(s, layoutDir)
+    val files = listDataFiles(f, root)
+    val version = readManifest(f, root).map(_._1).getOrElse(0L) + 1L
+    val body = (Seq(s"v\t$version", s"x\t${contentXor(files)}") ++
+      files.map { case (p, l) => s"f\t$p\t$l" }).mkString("\n")
+    val tmp = new Path(root, s".$ManifestName.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // FileContext.rename(OVERWRITE): atomic replace on HDFS/POSIX —
+    // FileSystem.rename refuses an existing destination on local FS,
+    // and delete-then-rename would open a no-manifest window.
+    FileContext.getFileContext(root.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(root, ManifestName), Options.Rename.OVERWRITE)
+    version
+  }
+
+  /** The committed snapshot's (version, contentXor) — layout identity
+    * for audit/comparison. Refuses an uncommitted layout. */
+  def committedVersion(s: SparkSession, layoutDir: String): (Long, Long) = {
+    val (f, root) = qualified(s, layoutDir)
+    val m = readManifest(f, root).getOrElse(uncommitted(layoutDir))
+    (m._1, m._2)
+  }
+
+  private def uncommitted(dir: String): Nothing =
+    throw new IllegalStateException(
+      s"layout $dir has no $ManifestName — refusing to read uncommitted " +
+        "state (build/append must publish via AtomicPublish.commit)")
+
+  /** The committed ABSOLUTE file paths under `sub/`, each verified to
+    * exist at its recorded length. Refuses (explicit error, never a
+    * silent partial read) when the layout has no commit or a committed
+    * file is missing/resized — damaged committed state must stop the
+    * probe, not serve wrong answers. */
+  private def committedFiles(s: SparkSession, layoutDir: String,
+                             sub: String): Seq[String] = {
+    val (f, root) = qualified(s, layoutDir)
+    val m = readManifest(f, root).getOrElse(uncommitted(layoutDir))
+    val prefix = sub.stripSuffix("/") + "/"
+    val entries = m._3.filter(_._1.startsWith(prefix))
+    entries.foreach { case (rel, len) =>
+      val p = new Path(root, rel)
+      val ok = f.exists(p) && f.getFileStatus(p).getLen == len
+      if (!ok) throw new IllegalStateException(
+        s"layout $layoutDir commit v${m._1} lists $rel @ $len bytes but " +
+          "the file is missing or resized — committed state is damaged; " +
+          "refusing to serve it")
+    }
+    entries.map { case (rel, _) => new Path(root, rel).toString }
+  }
+
+  /** Read a layout component's COMMITTED file set (never the directory
+    * listing — torn-append orphans are invisible). `basePath` keeps
+    * partition-directory columns (`cell=`, `cbucket=`, `bucket=`)
+    * parsing exactly as a directory read would, so partition pruning
+    * above this scan is unchanged. */
+  def readCommitted(s: SparkSession, layoutDir: String,
+                    sub: String): DataFrame = {
+    val files = committedFiles(s, layoutDir, sub)
+    require(files.nonEmpty,
+            s"layout $layoutDir has no committed files under $sub/")
+    // basePath from the SAME qualified root as the file paths, so the
+    // partition-directory parse never sees a scheme mismatch
+    val (_, root) = qualified(s, layoutDir)
+    s.read.option("basePath", new Path(root, sub).toString)
+      .parquet(files: _*)
+  }
+}

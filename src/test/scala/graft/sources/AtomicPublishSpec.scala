@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the layout commit protocol (round-16 VERDICT #3): committed
+  * reads serve EXACTLY the published snapshot — a torn append is
+  * invisible, a damaged committed file refuses loudly, an uncommitted
+  * layout is never served. */
+class AtomicPublishSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-publish").toString
+
+  test("uncommitted layout refuses; commit publishes; versions are monotonic") {
+    val dir = tmp()
+    (1L to 10L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.partitionBy("bucket").parquet(s"$dir/data")
+    // data exists on disk, but no commit — the probe must refuse, not
+    // serve the directory listing
+    val e = intercept[IllegalStateException] {
+      AtomicPublish.readCommitted(spark, dir, "data")
+    }
+    assert(e.getMessage.contains("no _graft_commit"))
+
+    val v1 = AtomicPublish.commit(spark, dir)
+    assert(v1 === 1L)
+    assert(AtomicPublish.readCommitted(spark, dir, "data").count() === 10L)
+    // partition-directory columns parse exactly as a directory read would
+    assert(AtomicPublish.readCommitted(spark, dir, "data")
+             .filter(col("bucket") === 1).count() === 4L)
+
+    val v2 = AtomicPublish.commit(spark, dir)
+    assert(v2 === 2L)
+    assert(AtomicPublish.committedVersion(spark, dir)._1 === 2L)
+  }
+
+  test("a torn append is INVISIBLE until committed, fully visible after") {
+    val dir = tmp()
+    (1L to 10L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.partitionBy("bucket").parquet(s"$dir/data")
+    AtomicPublish.commit(spark, dir)
+    val (_, xorBefore) = AtomicPublish.committedVersion(spark, dir)
+
+    // simulate the crash-between-write-and-commit: the append's files
+    // land, the manifest does not
+    (11L to 15L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    val seen = AtomicPublish.readCommitted(spark, dir, "data")
+      .select("id").as[Long].collect().sorted
+    assert(seen.toSeq === (1L to 10L),
+           "torn-append orphan files leaked into a committed read")
+    // identity is snapshot identity: unchanged until the commit
+    assert(AtomicPublish.committedVersion(spark, dir)._2 === xorBefore)
+
+    // the (recovered) writer re-publishes: everything becomes visible
+    AtomicPublish.commit(spark, dir)
+    assert(AtomicPublish.readCommitted(spark, dir, "data").count() === 15L)
+    assert(AtomicPublish.committedVersion(spark, dir)._2 !== xorBefore)
+  }
+
+  test("damaged committed state refuses loudly instead of serving partial data") {
+    val dir = tmp()
+    (1L to 10L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.partitionBy("bucket").parquet(s"$dir/data")
+    AtomicPublish.commit(spark, dir)
+    // delete one COMMITTED data file out from under the manifest
+    val victim = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "data"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val e = intercept[IllegalStateException] {
+      AtomicPublish.readCommitted(spark, dir, "data").count()
+    }
+    assert(e.getMessage.contains("missing or resized"))
+  }
+
+  test("end-to-end on a real layout: IVF append publishes atomically") {
+    val dir = tmp()
+    // the library's own quantized-embedding shape (qIvfAppend's split)
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(40)
+      .select(col("vec_id"), col("label"),
+              graft.vector.VectorOps.quantize(col("embedding")).as("q"))
+      .localCheckpoint()
+    graft.queries.SimQueries.writeIvfLayoutOf(
+      e.filter(col("vec_id") <= 20), dir)
+    val v1 = AtomicPublish.committedVersion(spark, dir)._1
+    val total = e.count()
+    graft.queries.SimQueries.appendToIvfLayout(
+      spark, dir, e.filter(col("vec_id") > 20))
+    // the append bumped the snapshot and the probe sees the union
+    assert(AtomicPublish.committedVersion(spark, dir)._1 === v1 + 1)
+    assert(AtomicPublish.readCommitted(spark, dir, "cells").count() === total)
+  }
+}
