@@ -1,0 +1,145 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared constants of the BYTE-level tokenizer face — one definition
+  * for the expression, the learning pass, and every oracle replay. */
+object ByteBpeOps {
+
+  /**
+   * GPT-2-CLASS regex pre-tokenizer, restricted to the RE2 ∩ Java
+   * subset so the oracle replays it verbatim (the [[graft.queries
+   * .TextStatsQueries]] EmailRe discipline): letter runs, digit runs,
+   * and punctuation runs, each optionally ABSORBING one leading space
+   * (the GPT-2 signature — word-boundary information becomes part of
+   * the token), plus bare space runs. Divergence from the original
+   * GPT-2 pattern, stated: no `'s/'t/…` contraction specials and no
+   * `\s+(?!\S)` lookahead (RE2 has neither), so contractions split at
+   * the apostrophe and a run of 2+ spaces becomes ONE whitespace
+   * pretoken instead of donating its last space to the next word —
+   * deterministic and engine-identical, which is the contract that
+   * matters here.
+   */
+  val PreTokRe = " ?[\\p{L}]+| ?[0-9]+| ?[^ \\p{L}0-9]+| +"
+
+  /** Uppercase hex of a string's UTF-8 bytes — the byte-level unit
+    * alphabet. Each initial unit is ONE byte as its 2-digit hex pair;
+    * merges concatenate pairs. Hex-pair rendering is the PORTABLE
+    * stand-in for GPT-2's byte-to-unicode remap: `hex()` computes the
+    * identical string over the identical UTF-8 bytes in Spark and
+    * DuckDB, so the oracle can derive the same initial units without a
+    * 256-entry remap table in both engines. */
+  def hexBytes(s: String): String = {
+    val b = s.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(Character.toUpperCase(Character.forDigit((b(i) >> 4) & 0xF, 16)))
+      sb.append(Character.toUpperCase(Character.forDigit(b(i) & 0xF, 16)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The merge fixpoint shared verbatim with [[BpeEncode]]: among all
+    * adjacent unit pairs present in the rank table, merge the
+    * lowest-ranked (leftmost on ties) until no adjacent pair is
+    * ranked. Mutates `units` in place. */
+  def mergeLoop(units: scala.collection.mutable.ArrayBuffer[String],
+                rank: java.util.HashMap[String, Integer],
+                sep: String): Unit = {
+    var done = false
+    while (!done && units.length > 1) {
+      var bestR = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < units.length - 1) {
+        val r = rank.get(units(i) + sep + units(i + 1))
+        if (r != null && r < bestR) { bestR = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        units(bestI) = units(bestI) + units(bestI + 1)
+        units.remove(bestI + 1)
+      }
+    }
+  }
+}
+
+/**
+ * BYTE-level BPE encode with regex pre-tokenization — the GPT-2-class
+ * tokenizer face (round-16 VERDICT #4): [[BpeEncode]] is char-level
+ * within whitespace words, which misstates fertility and packing on
+ * non-ASCII corpora (an `é` is ONE char-level unit but TWO bytes — a
+ * byte-level tokenizer must learn the `C3A9` merge or pay two units).
+ * This expression pre-tokenizes with [[ByteBpeOps.PreTokRe]], starts
+ * each pretoken as its UTF-8 BYTES (hex pairs — see
+ * [[ByteBpeOps.hexBytes]]), and runs the identical merge fixpoint as
+ * the char-level face ([[ByteBpeOps.mergeLoop]] — one body, two
+ * expressions, so the two faces cannot drift on merge semantics).
+ *
+ * Same execution shape as [[BpeEncode]]: row-local loop inside the
+ * generated stage, merge table as a reference object, zero shuffles.
+ * Output units are hex strings; their concatenation per pretoken is
+ * exactly `hex(pretoken)` (losslessness — `ByteBpeSpec` pins it).
+ */
+case class ByteBpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_byte_bpe_encode requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def prettyName: String = "graft_byte_bpe_encode"
+
+  /** U+001F pair-key separator — [[BpeEncode]]'s convention. Bare
+    * concatenation would alias keys here: merged units have even hex
+    * length, so ("AB","CDEF") and ("ABCD","EF") would collide. */
+  private val PairSep = "\u001f"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, r) => m.put(p, Int.box(r)) }
+    m
+  }
+
+  @transient private lazy val preTok =
+    java.util.regex.Pattern.compile(ByteBpeOps.PreTokRe)
+
+  def encode(text: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = preTok.matcher(text.toString)
+    while (m.find()) {
+      val h = ByteBpeOps.hexBytes(m.group())
+      val units = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < h.length) { units += h.substring(i, i + 2); i += 2 }
+      ByteBpeOps.mergeLoop(units, rank, PairSep)
+      units.foreach(u => out += UTF8String.fromString(u))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpe", this, classOf[ByteBpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeEncode =
+    copy(child = newChild)
+}

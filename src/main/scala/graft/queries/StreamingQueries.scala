@@ -1603,6 +1603,28 @@ object StreamingQueries {
   )
 
   /**
+   * BYTE-level BPE encode AT INGEST — [[qStreamBpe]]'s billing split
+   * on the GPT-2-class face: the byte merge table is learned OFFLINE
+   * on the standing corpus (bounded collect), then rides the
+   * codegen'd [[graft.expr.ByteBpeEncode]] projection per micro-batch
+   * (regex pre-tokenization + the hex-pair merge fixpoint are
+   * row-local — no state store). Batch oracle verbatim.
+   */
+  val qStreamByteBpe = Q(
+    "q_stream_byte_bpe",
+    (s, dir) => {
+      val merges = TextStatsQueries.byteBpeLearnMerges(
+        TextStatsQueries.byteDocsOf(Tables.read(s, dir, "documents")))
+      runToSink(s, dir,
+        TextStatsQueries.byteBpeEncodedOf(
+          TextStatsQueries.byteDocsOf(tableStream(s, dir, "documents")),
+          merges),
+        "graft_q_stream_byte_bpe")
+    },
+    TextStatsQueries.qByteBpeEncode.oracle
+  )
+
+  /**
    * The safety wordlist gate AT INGEST — the blocklist is a broadcast
    * literal inside a stateless projection ([[WebQueries.safetyFrame]]
    * applied verbatim per micro-batch), so arriving documents are
@@ -1729,6 +1751,7 @@ object StreamingQueries {
                         qStreamPhash, qStreamAudioFp, qStreamIndex,
                         qStreamSourceReport,
                         qStreamAnn, qStreamHardNegatives,
+                        qStreamByteBpe,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
                         qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
                         qStreamWarc)

@@ -831,6 +831,42 @@ object TextStatsQueries {
     merges
   }
 
+  /** The one statement of the merge-FIXPOINT replay (`enc` → `fin` →
+    * `sb`): reads `c0(doc_id, wpos, u)` (initial unit lists) and
+    * `mta(pairs)` (the ranked merge list as one array), emits the
+    * final subword rows `sb(doc_id, wpos, sub, spos)`. Shared by the
+    * char-level ([[bpeSbCte]]) and BYTE-level (`byteSbCte`) encodes so
+    * the two alphabets replay ONE merge semantics. Pre-stripped —
+    * append with `+`, never re-stripMargin (the fragment hazard). */
+  private lazy val bpeFixpointSql: String =
+    """enc AS (
+      |  SELECT doc_id, wpos, u FROM c0
+      |  UNION ALL
+      |  SELECT doc_id, wpos,
+      |         list_concat(list_concat(u[1:bi-1], [u[bi] || u[bi+1]]),
+      |                     u[bi+2:]) AS u
+      |  FROM (
+      |    SELECT e.doc_id, e.wpos, e.u,
+      |           (list_sort(list_filter(
+      |              list_transform(generate_series(1, len(e.u) - 1),
+      |                i -> {'r': list_position(m.pairs,
+      |                             e.u[i] || chr(31) || e.u[i+1]),
+      |                      'i': i}),
+      |              x -> x.r IS NOT NULL AND x.r > 0))[1]).i AS bi
+      |    FROM enc e CROSS JOIN mta m
+      |  ) WHERE bi IS NOT NULL
+      |), fin AS (
+      |  SELECT doc_id, wpos, u FROM (
+      |    SELECT doc_id, wpos, u,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+      |                              ORDER BY len(u) ASC) AS rn
+      |    FROM enc) WHERE rn = 1
+      |), sb AS (
+      |  SELECT doc_id, wpos, unnest(u) AS sub,
+      |         unnest(generate_series(1, len(u))) AS spos
+      |  FROM fin
+      |)""".stripMargin
+
   /** The BPE replay shared by [[qBpeEncode]] and the packing
     * composition (`q_bpe_packing`) — the learned merge table, the
     * recursive one-merge-per-step fixpoint, and the exploded final
@@ -861,33 +897,8 @@ object TextStatsQueries {
       |         list_transform(generate_series(1, length(word)),
       |                        i -> word[i]) AS u
       |  FROM w
-      |), enc AS (
-      |  SELECT doc_id, wpos, u FROM c0
-      |  UNION ALL
-      |  SELECT doc_id, wpos,
-      |         list_concat(list_concat(u[1:bi-1], [u[bi] || u[bi+1]]),
-      |                     u[bi+2:]) AS u
-      |  FROM (
-      |    SELECT e.doc_id, e.wpos, e.u,
-      |           (list_sort(list_filter(
-      |              list_transform(generate_series(1, len(e.u) - 1),
-      |                i -> {'r': list_position(m.pairs,
-      |                             e.u[i] || chr(31) || e.u[i+1]),
-      |                      'i': i}),
-      |              x -> x.r IS NOT NULL AND x.r > 0))[1]).i AS bi
-      |    FROM enc e CROSS JOIN mta m
-      |  ) WHERE bi IS NOT NULL
-      |), fin AS (
-      |  SELECT doc_id, wpos, u FROM (
-      |    SELECT doc_id, wpos, u,
-      |           ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
-      |                              ORDER BY len(u) ASC) AS rn
-      |    FROM enc) WHERE rn = 1
-      |), sb AS (
-      |  SELECT doc_id, wpos, unnest(u) AS sub,
-      |         unnest(generate_series(1, len(u))) AS spos
-      |  FROM fin
-      |), dn AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM d)""".stripMargin
+      |), """.stripMargin + bpeFixpointSql + """,
+      |dn AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM d)""".stripMargin
 
   /**
    * BPE tokenizer APPLY: encode every document into subword units under
@@ -1002,6 +1013,188 @@ object TextStatsQueries {
     },
     Some(s"""$bpeSbCte
       |SELECT CAST(rnk AS BIGINT) AS rnk, pair FROM mt""".stripMargin)
+  )
+
+  // ------------------------------------------ byte-level BPE (GPT-2 class)
+
+  /** Merge count for the byte-level face — [[BpeMerges]]' bound, same
+    * recursion-cost rationale. */
+  private val ByteBpeMerges = 32
+
+  /** Non-ASCII fixture tail appended to every document for the
+    * byte-level gates (the [[graft.queries.WebQueries]] plant
+    * discipline): an `é` (2 UTF-8 bytes), a `№` (3 bytes), and a
+    * digit run — the material where char-level and byte-level
+    * tokenization PROVABLY diverge (`ByteBpeSpec` pins the
+    * divergence) and the regex pre-tokenizer's letter/symbol/digit
+    * classes all fire. Built from the same codepoints in both
+    * engines. */
+  private val ByteTail = " café №" + "42"
+  private val ByteTailSql =
+    "' caf' || chr(233) || ' ' || chr(8470) || '42'"
+
+  /** The documents frame the byte-level gates run on: non-null text
+    * with the planted non-ASCII tail. */
+  private def byteDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+              concat(col("text"), lit(ByteTail)).as("text"))
+
+  /** The regex pre-tokenizer as a Column —
+    * [[graft.expr.ByteBpeOps.PreTokRe]], full matches in order. */
+  private def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(graft.expr.ByteBpeOps.PreTokRe), lit(0))
+
+  /** Learn the byte-level ranked merge list: occurrence-weighted
+    * adjacent BYTE pairs (hex-pair units over each pretoken's UTF-8
+    * bytes — `hex()` is engine-identical), top-[[ByteBpeMerges]] by
+    * (count DESC, pair ASC) — [[bpeLearnMerges]]' strict ranking over
+    * the byte alphabet. Bounded driver collect. */
+  private[graft] def byteBpeLearnMerges(d: DataFrame,
+                                        k: Int = ByteBpeMerges): Seq[String] =
+    d.filter(col("text").isNotNull)
+      .select(explode(preTokens(col("text"))).as("w"))
+      .select(hex(col("w")).as("h"))
+      .filter(length(col("h")) >= 4)
+      .select(explode(transform(
+        sequence(lit(1), (length(col("h")) / lit(2)).cast("int") - 1),
+        i => concat(col("h").substr(i * 2 - 1, lit(2)), lit(BpeSep),
+                    col("h").substr(i * 2 + 1, lit(2))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /** The byte-level replay: fixture tail, regex pre-tokenization,
+    * hex-pair initial units, the SHARED merge fixpoint
+    * ([[bpeFixpointSql]] — one statement for both alphabets). Defines
+    * `p` (planted docs), `sb(doc_id, wpos, sub, spos)`, `mt`, and
+    * `dn(doc_id, n_pretokens)`. */
+  private[queries] lazy val byteSbCte: String =
+    s"""WITH RECURSIVE
+      |p AS (
+      |  SELECT doc_id, lang, text || $ByteTailSql AS btext
+      |  FROM documents WHERE text IS NOT NULL
+      |), w0 AS (
+      |  SELECT doc_id,
+      |         regexp_extract_all(btext, '${graft.expr.ByteBpeOps.PreTokRe}')
+      |           AS toks
+      |  FROM p
+      |), w AS (
+      |  SELECT doc_id, unnest(toks) AS word,
+      |         unnest(generate_series(1, len(toks))) AS wpos
+      |  FROM w0
+      |), hxw AS (
+      |  SELECT doc_id, wpos, hex(word) AS h FROM w
+      |), pc AS (
+      |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT substr(h, 2*i-1, 2) || chr(31) || substr(h, 2*i+1, 2) AS pair
+      |    FROM (SELECT h, unnest(generate_series(1, length(h)//2 - 1)) AS i
+      |          FROM hxw WHERE length(h) >= 4)
+      |  ) GROUP BY pair
+      |), mt AS (
+      |  SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rnk
+      |  FROM pc QUALIFY rnk <= $ByteBpeMerges
+      |), mta AS (SELECT list(pair ORDER BY rnk) AS pairs FROM mt),
+      |c0 AS (
+      |  SELECT doc_id, wpos,
+      |         list_transform(generate_series(1, length(h)//2),
+      |                        i -> substr(h, 2*i-1, 2)) AS u
+      |  FROM hxw
+      |), """.stripMargin + bpeFixpointSql + """,
+      |dn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pretokens
+      |       FROM w0)""".stripMargin
+
+  /**
+   * BYTE-level BPE encode with regex pre-tokenization — the
+   * GPT-2-class tokenizer face (round-16 VERDICT #4), gated like
+   * [[qBpeEncode]]: per document, pretoken count, final unit count,
+   * and the md5 over every unit in order — so the oracle's recursive
+   * replay (the SHARED [[bpeFixpointSql]] fixpoint over hex-pair
+   * units) must reproduce every byte-merge of every pretoken to
+   * hash-match. The non-ASCII plant makes the byte/char divergence
+   * load-bearing: `é` costs two units here unless the corpus-learned
+   * merges contain `C3·A9`, which is exactly what fertility on
+   * non-ASCII corpora must surface (char-level provably cannot — one
+   * codepoint, one unit, the [[graft.expr.ByteBpeEncode]] scaladoc).
+   * Same scale shape as the char face: bounded learn collect +
+   * zero-shuffle codegen'd projection.
+   */
+  /** The byte-level gate plant over an ARBITRARY `(doc_id, text, …)`
+    * frame — stateless, so the streaming face applies it verbatim. */
+  private[graft] def byteDocsOf(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .withColumn("text", concat(col("text"), lit(ByteTail)))
+
+  /** [[qByteBpeEncode]]'s scored projection under a FROZEN merge list
+    * — one body behind the batch gate and the streaming face
+    * (`q_stream_byte_bpe`), so the two cannot drift on a unit. */
+  private[graft] def byteBpeEncodedOf(d: DataFrame,
+                                      merges: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val subs = ColumnBridge.column(graft.expr.ByteBpeEncode(
+      ColumnBridge.expression(col("text")), merges))
+    d.select(col("doc_id"),
+             size(preTokens(col("text"))).cast("long").as("n_pretokens"),
+             subs.as("subs"))
+      .select(col("doc_id"), col("n_pretokens"),
+              size(col("subs")).cast("long").as("n_units"),
+              md5(array_join(col("subs"), BpeSep)).as("unit_hash"))
+  }
+
+  lazy val qByteBpeEncode = Q(
+    "q_byte_bpe_encode",
+    (s, dir) => {
+      val d = byteDocs(s, dir)
+      byteBpeEncodedOf(d, byteBpeLearnMerges(d))
+    },
+    Some(s"""$byteSbCte
+      |SELECT dn.doc_id, dn.n_pretokens,
+      |       COALESCE(sx.ns, 0) AS n_units,
+      |       COALESCE(sx.h, md5('')) AS unit_hash
+      |FROM dn LEFT JOIN (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+      |         md5(string_agg(sub, chr(31) ORDER BY wpos, spos)) AS h
+      |  FROM sb GROUP BY doc_id) sx ON dn.doc_id = sx.doc_id""".stripMargin)
+  )
+
+  /**
+   * BYTE-level tokenizer fertility per language — [[qBpeFertility]]
+   * re-gated on the byte alphabet: units per PRETOKEN, the number that
+   * actually differs from the char face on non-ASCII text (every
+   * multi-byte codepoint the merge table didn't cover costs extra
+   * units here and is invisible there). Exact integers, same
+   * ⌊1000·units/pretokens⌋ discipline.
+   */
+  lazy val qByteBpeFertility = Q(
+    "q_byte_bpe_fertility",
+    (s, dir) => {
+      val d = byteDocs(s, dir)
+      val merges = byteBpeLearnMerges(d)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.ByteBpeEncode(
+        ColumnBridge.expression(col("text")), merges))
+      d.select(col("lang"),
+               size(preTokens(col("text"))).cast("long").as("np"),
+               size(subs).cast("long").as("nu"))
+        .groupBy("lang")
+        .agg(sum("np").as("n_pretokens"), sum("nu").as("n_units"))
+        .withColumn("fertility_x1000",
+                    expr("(1000 * n_units) div n_pretokens"))
+    },
+    Some(s"""$byteSbCte,
+      |nsd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nu FROM sb GROUP BY doc_id
+      |), t AS (
+      |  SELECT p.lang, dn.n_pretokens, COALESCE(nsd.nu, 0) AS nu
+      |  FROM dn JOIN p ON p.doc_id = dn.doc_id
+      |  LEFT JOIN nsd ON nsd.doc_id = dn.doc_id
+      |)
+      |SELECT lang, CAST(SUM(n_pretokens) AS BIGINT) AS n_pretokens,
+      |       CAST(SUM(nu) AS BIGINT) AS n_units,
+      |       (1000 * CAST(SUM(nu) AS BIGINT))
+      |         // CAST(SUM(n_pretokens) AS BIGINT) AS fertility_x1000
+      |FROM t GROUP BY lang""".stripMargin)
   )
 
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
@@ -1837,6 +2030,6 @@ object TextStatsQueries {
     qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
-    qBpeFertility, qBpeVocab
+    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility
   )
 }
