@@ -1439,6 +1439,180 @@ object TextStatsQueries {
       .agg((min(col("bin")) * HistBinW).cast("long").as("approx_lo"))
   }
 
+  /** Sample capacity and level range for [[qKllQuantiles]] — K bounds
+    * the sketch (and the one window it sorts); 2¹⁶ max downsampling
+    * covers corpora to ~K·2¹⁶ values, explicit error beyond (the
+    * BoilerCap discipline). */
+  private[graft] val KllK = 256
+  private val KllMaxLevel = 16
+  private val KllPs = Seq(25L, 50L, 75L, 90L, 99L)
+  private val KllSalt = "kll:"
+
+  /**
+   * MERGEABLE rank-error-bounded quantile sketch — the missing
+   * mergeable-summary member beside HLL-max / CMS-sum / hist-sum
+   * (round-16 VERDICT #5): [[qHistQuantiles]]' equi-width bins lose
+   * ALL rank information inside a bin (a skewed corpus can put 90 % of
+   * its mass in one bin, and p25..p90 all answer the same edge —
+   * `KllSketchSpec` pins exactly that failure), while this sketch's
+   * error is bounded in RANK, not value.
+   *
+   * Construction — KLL-CLASS with the compaction coin replaced by a
+   * deterministic hash: an item survives to level L iff
+   * `h(doc_id) mod 2^L = 0` (h = 32-bit md5 prefix — the portable
+   * universal-hash base every sketch here uses), and the sketch level
+   * L* is the smallest L whose survivor count fits the capacity
+   * [[KllK]]. This makes the WHOLE sketch a closed-form function of
+   * the value multiset — independent of partitioning, insertion
+   * order, and merge order — which is what a 1000-executor build must
+   * have and what true KLL's order-dependent compactor cascade cannot
+   * give (its coin sequence depends on arrival order, so two runs of
+   * the same corpus would disagree; the tradeoff is Bernoulli-sampling
+   * rank error O(n/√K) w.h.p. instead of KLL's tighter cascade bound
+   * — stated, measured in the spec, and the right trade when
+   * replayability gates correctness). Merge is EXACT, not just
+   * error-bounded: downsample both sides to the common level, union,
+   * downsample while over capacity — provably equal to the closed
+   * form on the union (`KllSketchSpec` merge law).
+   *
+   * Rank query (pure integer arithmetic, engine-identical): with the
+   * sample sorted, percentile p answers the smallest sample value
+   * whose sample-rank satisfies `rank·100 ≥ p·|sample|` — the
+   * level weight cancels from both sides, so no power-of-two ever
+   * crosses the gate.
+   *
+   * Shape at scale: one map-combinable level-count aggregate (17
+   * rows), one broadcast of the 1-row level choice, one filtered scan
+   * keeping ≤ [[KllK]] rows, one bounded window over the sample.
+   */
+  val qKllQuantiles = Q(
+    "q_kll_quantiles",
+    (s, dir) => kllQuantiles(
+      docs(s, dir).filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars").as("v"))),
+    Some(s"""WITH v AS (
+      |  SELECT doc_id, n_chars AS v,
+      |         ${DedupQueries.hex32(s"md5('$KllSalt' || CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |), ls AS (
+      |  SELECT t.L,
+      |         CAST(COUNT(*) FILTER (
+      |           WHERE h % CAST(POWER(2, t.L) AS BIGINT) = 0) AS BIGINT) AS c
+      |  FROM v, (VALUES (${(0 to KllMaxLevel).mkString("), (")})) AS t(L)
+      |  GROUP BY t.L
+      |), lv AS (
+      |  SELECT CAST(MIN(L) AS BIGINT) AS lvl FROM ls WHERE c <= $KllK
+      |), smp AS (
+      |  SELECT v.v, v.h, v.doc_id, lv.lvl
+      |  FROM v, lv
+      |  WHERE h % CAST(POWER(2, lv.lvl) AS BIGINT) = 0
+      |), r AS (
+      |  SELECT v, lvl,
+      |         ROW_NUMBER() OVER (ORDER BY v, h, doc_id) AS rn,
+      |         COUNT(*) OVER () AS cnt
+      |  FROM smp
+      |)
+      |SELECT CAST(p.p AS BIGINT) AS p, CAST(MIN(v) AS BIGINT) AS est,
+      |       CAST(MIN(lvl) AS BIGINT) AS level,
+      |       CAST(MIN(cnt) AS BIGINT) AS sample_n
+      |FROM r, (VALUES (${KllPs.mkString("), (")})) AS p(p)
+      |WHERE rn * 100 >= p.p * cnt
+      |GROUP BY p.p""".stripMargin)
+  )
+
+  /** [[qKllQuantiles]]' body over an ARBITRARY `(doc_id, v)` frame —
+    * the sketch build + rank query as one plan. Errors explicitly if
+    * even level [[KllMaxLevel]] cannot fit the capacity (corpus beyond
+    * the configured range — raise KllMaxLevel, the cap discipline). */
+  private[graft] def kllQuantiles(d: DataFrame): DataFrame = {
+    val v = d.select(
+      col("doc_id"), col("v"),
+      TextOps.md5Prefix32(
+        md5(concat(lit(KllSalt), col("doc_id").cast("string")))).as("h"))
+    val lv = v
+      .select(explode(array((0 to KllMaxLevel).map(l => lit(l.toLong)): _*))
+                .as("L"),
+              col("h"))
+      .groupBy("L")
+      .agg(count(when(pmod(col("h"),
+                           pow(lit(2), col("L")).cast("long")) === 0,
+                      1)).as("c"))
+      .filter(col("c") <= KllK)
+      // raise_error fires only when NO level fits (lazy coalesce) —
+      // out-of-range corpora fail loudly, never silently empty
+      .agg(coalesce(min(col("L")),
+                    raise_error(lit(
+                      s"q_kll_quantiles: no level <= $KllMaxLevel fits " +
+                        s"capacity $KllK - raise KllMaxLevel"))).as("lvl"))
+    val wR = Window.orderBy("v", "h", "doc_id")
+    val wC = Window.partitionBy()
+    v.crossJoin(broadcast(lv))
+      .filter(pmod(col("h"), pow(lit(2), col("lvl")).cast("long")) === 0)
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wC))
+      .select(col("v"), col("lvl"), col("rn"), col("cnt"),
+              explode(array(KllPs.map(lit): _*)).as("p"))
+      .filter(col("rn") * 100 >= col("p") * col("cnt"))
+      .groupBy("p")
+      .agg(min(col("v")).cast("long").as("est"),
+           min(col("lvl")).cast("long").as("level"),
+           min(col("cnt")).cast("long").as("sample_n"))
+  }
+
+  /** The sketch as a VALUE — (level, sample rows) — for the merge-law
+    * machinery and its spec. Rows are (v, h, doc_id); the sample is
+    * ≤ [[KllK]] rows by construction (bounded collect). */
+  private[graft] final case class KllSketch(level: Int,
+                                            rows: Seq[(Long, Long, Long)])
+
+  /** Build the sketch for a `(doc_id, v)` frame — the same closed form
+    * [[kllQuantiles]] queries through, materialized as a value. */
+  private[graft] def kllSketchOf(d: DataFrame): KllSketch = {
+    val v = d.select(
+        col("doc_id").cast("long").as("doc_id"), col("v").cast("long").as("v"),
+        TextOps.md5Prefix32(
+          md5(concat(lit(KllSalt), col("doc_id").cast("string")))).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0))).toSeq
+    var l = 0
+    var s = v
+    while (s.length > KllK && l < KllMaxLevel) {
+      l += 1
+      val m = 1L << l
+      s = s.filter(_._2 % m == 0)
+    }
+    require(s.length <= KllK,
+            s"no level <= $KllMaxLevel fits capacity $KllK")
+    KllSketch(l, s.sortBy(r => (r._1, r._2, r._3)))
+  }
+
+  /** MERGE two sketches: downsample both to the common (max) level,
+    * union, downsample while over capacity — provably equal to the
+    * closed form on the unioned multiset (`KllSketchSpec` asserts the
+    * equality exactly, not within error: survivor counts are monotone
+    * in level, so the union's minimal fitting level is ≥ both inputs'
+    * and the downsample walk finds exactly it). */
+  private[graft] def kllMerge(a: KllSketch, b: KllSketch): KllSketch = {
+    var l = math.max(a.level, b.level)
+    var s = (a.rows ++ b.rows).filter(_._2 % (1L << l) == 0)
+    while (s.length > KllK) {
+      l += 1
+      require(l <= KllMaxLevel,
+              s"no level <= $KllMaxLevel fits capacity $KllK")
+      s = s.filter(_._2 % (1L << l) == 0)
+    }
+    KllSketch(l, s.sortBy(r => (r._1, r._2, r._3)))
+  }
+
+  /** Answer percentile `p` FROM the sketch alone — the identical
+    * integer rank rule [[kllQuantiles]] runs in-plan (weight cancels). */
+  private[graft] def kllQuery(sk: KllSketch, p: Long): Long = {
+    val cnt = sk.rows.length.toLong
+    require(cnt > 0, "empty sketch")
+    sk.rows.zipWithIndex
+      .collectFirst { case ((v, _, _), i) if (i + 1) * 100 >= p * cnt => v }
+      .get
+  }
+
   /** Keywords kept per document by [[qTfidfTerms]]. */
   private[graft] val TfidfK = 3
 
@@ -2030,6 +2204,6 @@ object TextStatsQueries {
     qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
-    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility
+    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility, qKllQuantiles
   )
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the KLL-class quantile sketch (round-16 VERDICT #5): the EXACT
+  * merge law, partitioning invariance, the measured rank-error bound
+  * on a skewed distribution, and the equi-width-histogram failure mode
+  * it exists to fix. */
+class KllSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Heavy-tailed fixture: 90 % of values tiny (0..40), 10 % spread
+    * 1 000..100 000 — the length-distribution shape a real corpus has
+    * and equi-width bins handle worst. */
+  private def skewed(n: Int) = (1L to n.toLong).map { i =>
+    val v = if (i % 10 != 0) (i * 7) % 41 else 1000L + (i * 631) % 99000
+    (i, v)
+  }
+
+  test("merge-then-query EQUALS query-union — exactly, not within error") {
+    val all = skewed(4000)
+    val (a, b) = all.partition(_._1 % 2 == 0)
+    val skAll = TextStatsQueries.kllSketchOf(all.toDF("doc_id", "v"))
+    val skA = TextStatsQueries.kllSketchOf(a.toDF("doc_id", "v"))
+    val skB = TextStatsQueries.kllSketchOf(b.toDF("doc_id", "v"))
+    val merged = TextStatsQueries.kllMerge(skA, skB)
+    // the sketch is a closed-form function of the multiset: merging
+    // the halves reproduces the whole — level AND sample, bit for bit
+    assert(merged.level === skAll.level)
+    assert(merged.rows === skAll.rows)
+    // and so every quantile answer agrees
+    for (p <- Seq(25L, 50L, 75L, 90L, 99L))
+      assert(TextStatsQueries.kllQuery(merged, p) ===
+             TextStatsQueries.kllQuery(skAll, p))
+  }
+
+  test("merge is associative/order-invariant (three-way, both orders)") {
+    val all = skewed(3000)
+    val parts = all.groupBy(_._1 % 3).values.toSeq
+    val sks = parts.map(p => TextStatsQueries.kllSketchOf(p.toDF("doc_id", "v")))
+    val m1 = TextStatsQueries.kllMerge(TextStatsQueries.kllMerge(sks(0), sks(1)), sks(2))
+    val m2 = TextStatsQueries.kllMerge(sks(2), TextStatsQueries.kllMerge(sks(1), sks(0)))
+    assert(m1.level === m2.level)
+    assert(m1.rows === m2.rows)
+  }
+
+  test("rank error is bounded on the skewed distribution; in-plan face agrees") {
+    val all = skewed(5000)
+    val sorted = all.map(_._2).sorted
+    val n = sorted.length
+    val sk = TextStatsQueries.kllSketchOf(all.toDF("doc_id", "v"))
+    // Bernoulli-sampling bound: with K=256 samples, observed rank error
+    // should sit well inside 10% of n (O(n/sqrt(K)) w.h.p.)
+    for (p <- Seq(25L, 50L, 75L, 90L, 99L)) {
+      val est = TextStatsQueries.kllQuery(sk, p)
+      val rank = sorted.count(_ <= est)
+      val target = (p * n + 99) / 100
+      assert(math.abs(rank - target) <= n / 10,
+             s"p$p: est $est has rank $rank, target $target")
+    }
+    // the in-plan gate face computes the same answers as the value face
+    val inPlan = TextStatsQueries.kllQuantiles(all.toDF("doc_id", "v"))
+      .select("p", "est").as[(Long, Long)].collect().toMap
+    for (p <- Seq(25L, 50L, 75L, 90L, 99L))
+      assert(inPlan(p) === TextStatsQueries.kllQuery(sk, p))
+    // partitioning invariance: the plan answer is identical at any width
+    val repart = TextStatsQueries.kllQuantiles(
+      all.toDF("doc_id", "v").repartition(13))
+      .select("p", "est").as[(Long, Long)].collect().toMap
+    assert(repart === inPlan)
+  }
+
+  test("the failure q_hist_quantiles cannot avoid: one bin swallows the ranks") {
+    // 90% of mass inside one 64-wide bin: the equi-width histogram
+    // answers the SAME lower edge for p25/p50/p75 (rank information
+    // destroyed), while the sketch separates the tail percentiles
+    val all = skewed(5000)
+    val hist = TextStatsQueries.histQuantiles(
+        all.map { case (i, v) => ("xx", v) }.toDF("lang", "n_chars"))
+      .select("p", "approx_lo").as[(Long, Long)].collect().toMap
+    assert(hist(25L) === 0L && hist(50L) === 0L && hist(75L) === 0L)
+    val sk = TextStatsQueries.kllSketchOf(all.toDF("doc_id", "v"))
+    val p99 = TextStatsQueries.kllQuery(sk, 99L)
+    assert(p99 >= 1000L, s"sketch must resolve the tail, got $p99")
+    // and the sketch's small-percentile answers are real values from
+    // the head, not a shared bin edge artifact
+    assert(TextStatsQueries.kllQuery(sk, 50L) < 41L)
+  }
+}
