@@ -22,6 +22,9 @@ final case class PhashRecord(media_id: Long, phash: Long)
 final case class AudioFpRecord(media_id: Long, fingerprint: Long,
                                n_samples: Long, sample_rate: Int)
 
+/** Multi-frame video signature row ([[MediaOps.videoPhash]]). */
+final case class VideoPhashRecord(media_id: Long, n_frames: Long, vsim: Long)
+
 final case class AudioFeatures(sampleRate: Int, nChannels: Int,
                                nSamples: Long, meanAbsX1000: Long,
                                histogram: Array[Long])
@@ -179,6 +182,59 @@ object MediaOps {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap { m =>
       decodeImage(m.content).map(img => PhashRecord(m.media_id, aHash64(img)))
+    })
+  }
+
+  /** Per-frame aHashes of a MULTI-FRAME container (animated GIF — the
+    * one frame-sequence format the JDK decodes without new codecs;
+    * round-16 VERDICT #7). Frame enumeration goes through the reader
+    * API (`getNumImages`/`read(i)`) — `ImageIO.read` returns only frame
+    * 0. None when no reader accepts the bytes or it holds no frames
+    * (the caller's fallback path, never a hot-path exception). */
+  def gifFramePhashes(content: Array[Byte]): Option[Array[Long]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some(Array.tabulate(n)(i => aHash64(r.read(i))))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-video TEMPORAL signature: majority vote of each bit across
+    * the frames' aHashes (ties set the bit — deterministic, and with
+    * this library's fixture geometry ties cannot occur). Majority
+    * voting makes the signature invariant to frame ORDER and robust to
+    * small insertions/deletions — a frame-shifted or lightly-extended
+    * duplicate lands at hamming ≈ 0, which is what lets the SAME
+    * Manku block-band machinery that dedups images and text serve as
+    * temporal video near-dup ([[graft.queries.MediaQueries]]
+    * `q_video_dedup`). One `(media_id, n_frames, vsim)` row per
+    * decodable multi-frame payload; row-local like every codec pass. */
+  def videoPhash(spark: SparkSession, media: DataFrame): Dataset[VideoPhashRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { m =>
+      gifFramePhashes(m.content).map { hs =>
+        val n = hs.length
+        var sig = 0L
+        var j = 0
+        while (j < 64) {
+          var votes = 0
+          var i = 0
+          while (i < n) { if (((hs(i) >>> j) & 1L) == 1L) votes += 1; i += 1 }
+          if (2 * votes >= n) sig |= (1L << j)
+          j += 1
+        }
+        VideoPhashRecord(m.media_id, n.toLong, sig)
+      }
     })
   }
 

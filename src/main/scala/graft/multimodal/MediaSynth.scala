@@ -96,6 +96,16 @@ object MediaSynth {
     * pixel is bright (see `q_image_phash`'s oracle). */
   def stripePng(c: Int, flip: Boolean, salt: Int = 0,
                 bright: Int = 200, dark: Int = 40): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(stripeImage(c, flip, salt, bright, dark), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The stripe card as a raw image — [[stripePng]] without the encode,
+    * so multi-frame containers ([[animatedGif]]) can assemble frames
+    * from the same closed-form card family. */
+  def stripeImage(c: Int, flip: Boolean, salt: Int = 0,
+                  bright: Int = 200, dark: Int = 40): BufferedImage = {
     require(c >= 1 && c <= 7, s"stripe boundary out of range: $c")
     require(salt >= 0 && salt < 128, s"salt out of range: $salt")
     val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
@@ -111,9 +121,54 @@ object MediaSynth {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode frames as one ANIMATED GIF via the JDK's sequence writer —
+    * the multi-frame container the video face decodes
+    * ([[MediaOps.gifFramePhashes]]). GIF palettizes; the two-tone gray
+    * cards use ≤ 3 distinct colors, so the round-trip is LOSSLESS for
+    * this family (the decode contract `VideoPhashSpec` pins). */
+  def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "animated gif needs at least one frame")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
+  }
+
+  /** One multi-frame VIDEO (animated GIF) per doc_id: `3 + id % 3`
+    * frames — all the doc's [[syntheticCards]] stripe card (the STILL)
+    * except the last, which toggles the card's noise pixel (the MOTION
+    * frame, hamming 1 from the still). Majority-vote frame hashing
+    * ([[MediaOps.videoPhash]]) therefore recovers EXACTLY the still
+    * card's aHash — the same closed form `q_image_phash` replays — and
+    * the signature is invariant to frame order and small extensions
+    * (the temporal near-dup contract `VideoPhashSpec` pins). */
+  def syntheticVideos(spark: SparkSession, docIds: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = (id % 7 + 1).toInt
+        val flip = id % 13 == 0
+        val salt = SaltCode(((id / 7) % 8).toInt)
+        val n = (3 + id % 3).toInt
+        val still = stripeImage(c, flip, salt)
+        val motion = stripeImage(c, !flip, salt)
+        val bytes = animatedGif(Seq.fill(n - 1)(still) :+ motion)
+        MediaRecord(id, "video", bytes.length.toLong, bytes)
+      })
   }
 
   /** Two-level STEP tone: `p` windows of amplitude `a1` then the rest

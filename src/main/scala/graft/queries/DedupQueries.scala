@@ -549,7 +549,7 @@ object DedupQueries {
     * the property that matters at 100 TB — and complete at k = 3.)
     * Candidate cost stays bucket-local and skew-guarded — never n².
     * [[qSimhashPairs]] is this over [[simhashFrame]]. */
-  private[queries] def simhashPairs(sim: DataFrame,
+  private[graft] def simhashPairs(sim: DataFrame,
                                     maxBucket: Int = MaxBucket): DataFrame = {
     def block(b: Int): Column = b match {
       case 0 => col("sim_lo").bitwiseAND(lit(65535L))

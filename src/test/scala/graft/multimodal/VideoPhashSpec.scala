@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the multi-frame video face (round-16 VERDICT #7): lossless GIF
+  * frame round-trip, full frame enumeration (not just frame 0), and
+  * the temporal contract — a FRAME-SHIFTED duplicate lands at hamming
+  * 0 and is caught by the Manku pair machinery. */
+class VideoPhashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stillH = MediaOps.aHash64(MediaSynth.stripeImage(3, false, 29))
+  private def motionH = MediaOps.aHash64(MediaSynth.stripeImage(3, true, 29))
+
+  test("animated GIF round-trips every frame losslessly") {
+    val frames = Seq(
+      MediaSynth.stripeImage(3, false, 29),
+      MediaSynth.stripeImage(3, false, 29),
+      MediaSynth.stripeImage(3, true, 29),
+      MediaSynth.stripeImage(6, false, 0))
+    val hs = MediaOps.gifFramePhashes(MediaSynth.animatedGif(frames)).get
+    // all four frames enumerate (ImageIO.read alone would see only
+    // frame 0) and each hashes to its PNG-path card hash
+    assert(hs.length === 4)
+    assert(hs.toSeq === frames.map(MediaOps.aHash64))
+    // the still/motion pair differ in exactly the noise-pixel bit
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) === 1)
+  }
+
+  test("majority signature: frame order and light extension do not change it") {
+    val still = MediaSynth.stripeImage(3, false, 29)
+    val motion = MediaSynth.stripeImage(3, true, 29)
+    def sigOf(frames: Seq[java.awt.image.BufferedImage]): Long = {
+      val media = Seq(MediaRecord(1L, "video",
+        0L, MediaSynth.animatedGif(frames))).toDF()
+      MediaOps.videoPhash(spark, media).head().vsim
+    }
+    val a = Seq(still, still, motion)
+    val shifted = Seq(motion, still, still)        // the planted shift
+    val extended = Seq(still, still, motion, still) // light extension
+    assert(sigOf(a) === stillH)
+    assert(sigOf(shifted) === sigOf(a))
+    assert(sigOf(extended) === sigOf(a))
+    // a genuinely different video (other stripe family) is far away
+    val other = MediaSynth.stripeImage(6, false, 29)
+    assert(java.lang.Long.bitCount(sigOf(Seq(other, other, motion)) ^ sigOf(a)) >= 3)
+  }
+
+  test("frame-shifted duplicate is CAUGHT by the temporal near-dup pass") {
+    val still = MediaSynth.stripeImage(3, false, 29)
+    val motion = MediaSynth.stripeImage(3, true, 29)
+    val far = MediaSynth.stripeImage(7, false, 105)
+    val media = Seq(
+      MediaRecord(1L, "video", 0L,
+        MediaSynth.animatedGif(Seq(still, still, motion))),
+      MediaRecord(2L, "video", 0L,                  // shifted duplicate of 1
+        MediaSynth.animatedGif(Seq(motion, still, still))),
+      MediaRecord(3L, "video", 0L,                  // unrelated video
+        MediaSynth.animatedGif(Seq(far, far, far)))
+    ).toDF()
+    val sim = MediaOps.videoPhash(spark, media).toDF()
+      .select(col("media_id").as("doc_id"),
+              col("vsim").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
+              shiftrightunsigned(col("vsim"), 32).as("sim_hi"))
+    val pairs = graft.queries.DedupQueries.simhashPairs(sim)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0L)))
+  }
+}
