@@ -653,25 +653,88 @@ object WebQueries {
 
   // ------------------------------------------------- crawl admission
 
+  /** Robots-class DISALLOW rules as config-as-data (the [[Blocklist]]
+    * convention — the LIST is config, the machinery is the operator):
+    * `(host_key, path_prefix)` pairs, a page is robots-blocked iff a
+    * rule's host matches its canonical host and its path starts with
+    * the rule's prefix — the effective shape of a compiled
+    * robots.txt Disallow set. The first rule fells the fixture's
+    * `src0` host; the second never matches the fixture (the
+    * multi-rule path is exercised without gutting the corpus). */
+  private[graft] val RobotsDisallow: Seq[(String, String)] =
+    Seq(("src0.example.com", "/docs"),
+        ("src3.example.com", "/private"))
+
+  /** License allowlist (config-as-data): only openly-licensed pages
+    * train. The plant ([[licenseCol]]) cycles six labels so both the
+    * allowed and disallowed paths carry mass. */
+  private[graft] val LicenseAllow = Seq("cc-by", "cc0", "public-domain")
+
+  private val LicensePlant =
+    Seq("cc-by", "cc0", "public-domain", "cc-by",
+        "all-rights-reserved", "unknown")
+
+  /** Planted license metadata per doc_id — closed-form in both
+    * engines (a real crawl carries this column from its source). */
+  private[graft] def licenseCol(docId: Column): Column =
+    LicensePlant.zipWithIndex.foldLeft(lit(LicensePlant.last)) {
+      case (acc, (l, i)) => when(pmod(docId, lit(6)) === i, lit(l)).otherwise(acc)
+    }
+
+  private def licenseSql: String =
+    "CASE CAST(doc_id % 6 AS INTEGER) " +
+      LicensePlant.zipWithIndex.map { case (l, i) => s"WHEN $i THEN '$l'" }
+        .mkString(" ") + " END"
+
+  /** The path component of a raw URL (robots rules match on it). */
+  private def urlPathCol(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Robots verdict: 1 iff any [[RobotsDisallow]] rule matches
+    * (host equality + path prefix) — a literal fold, the stateless
+    * config-broadcast shape of the safety gate. */
+  private def robotsBlockCol(hostKey: Column, path: Column): Column =
+    RobotsDisallow.foldLeft(lit(false)) { case (acc, (h, p)) =>
+      acc || (hostKey === h && path.startsWith(p))
+    }.cast("int")
+
+  /** The robots rule set in oracle SQL over `(host_key, pth)`. */
+  private def robotsBlockSql: String =
+    RobotsDisallow.map { case (h, p) =>
+      s"(host_key = '$h' AND pth LIKE '$p%')"
+    }.mkString("(", " OR ", ")")
+
   /** The composed front-door ADMISSION decision over an arbitrary
     * `(doc_id, text, …)` frame — extract (jusText-lite) → normalize
-    * (repair → NFC) → safety wordlist → verdict, one stateless
-    * projection chain built from the SHARED gate bodies
-    * ([[htmlExtractFrame]], [[TextOps.repairMojibake]]/[[TextOps.nfc]],
-    * [[safetyCols]]) so the composition can never drift from the
-    * standalone gates. Streams verbatim (`q_stream_crawl`). */
+    * (repair → NFC) → safety wordlist → robots disallow → license
+    * allowlist → verdict, one stateless projection chain built from
+    * the SHARED gate bodies ([[htmlExtractFrame]],
+    * [[TextOps.repairMojibake]]/[[TextOps.nfc]], [[safetyCols]],
+    * [[urlCanonicalCols]]' host key, the [[RobotsDisallow]]/
+    * [[LicenseAllow]] config) so the composition can never drift from
+    * the standalone gates. Reason-coded throughout: every page keeps
+    * a row, and each of content/safety/robots/license says
+    * independently why it fell. Streams verbatim (`q_stream_crawl`). */
   private[graft] def crawlAdmitFrame(d: DataFrame): DataFrame =
     htmlExtractFrame(d)
       .select(col("doc_id"), col("n_content"),
               TextOps.nfc(TextOps.repairMojibake(col("text"))).as("norm_text"))
       .select(col("doc_id"), col("n_content"),
               length(col("norm_text")).cast("long").as("n_chars"),
-              safetyCols(col("norm_text")).as("v"))
+              safetyCols(col("norm_text")).as("v"),
+              urlCol(col("doc_id")).as("__u"))
       .select(col("doc_id"), col("n_content"), col("n_chars"),
-              col("v.n_hits").as("n_hits"), col("v.blocked").as("blocked"))
+              col("v.n_hits").as("n_hits"), col("v.blocked").as("blocked"),
+              robotsBlockCol(
+                urlCanonicalCols(col("__u")).getField("host_key"),
+                urlPathCol(col("__u"))).as("robots_block"),
+              licenseCol(col("doc_id")).as("license"))
+      .withColumn("license_ok",
+                  col("license").isInCollection(LicenseAllow).cast("int"))
       .withColumn("admitted",
                   (col("n_content") >= 1 && col("blocked") === 0 &&
-                     col("n_chars") > 0).cast("int"))
+                     col("n_chars") > 0 && col("robots_block") === 0 &&
+                     col("license_ok") === 1).cast("int"))
 
   /**
    * The crawl front door as ONE decision — what a crawler's ingest
@@ -707,14 +770,33 @@ object WebQueries {
          |         list_filter(${safetyTokensSql("norm_text")},
          |                     x -> list_contains($blockListSql, x)) AS hits
          |  FROM nx
+         |), ux AS (
+         |  SELECT doc_id, $urlSql AS url FROM documents
+         |), rx AS (
+         |  SELECT doc_id,
+         |         regexp_replace(lower(regexp_extract(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), '^(\\[[^\\]]*\\]|[^:]*)', 1)), '^www\\.', '') AS host_key,
+         |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
+         |  FROM ux
+         |), px AS (
+         |  SELECT rx.doc_id,
+         |         CAST($robotsBlockSql AS INT) AS robots_block,
+         |         $licenseSql AS license
+         |  FROM rx
          |)
-         |SELECT doc_id, n_content, n_chars,
+         |SELECT sx.doc_id, n_content, n_chars,
          |       CAST(len(hits) AS BIGINT) AS n_hits,
          |       CAST(len(hits) > 0 AS INT) AS blocked,
+         |       px.robots_block, px.license,
+         |       CAST(px.license IN ($licenseAllowSql) AS INT) AS license_ok,
          |       CAST(n_content >= 1 AND len(hits) = 0 AND n_chars > 0
+         |            AND px.robots_block = 0
+         |            AND px.license IN ($licenseAllowSql)
          |            AS INT) AS admitted
-         |FROM sx""".stripMargin)
+         |FROM sx JOIN px ON px.doc_id = sx.doc_id""".stripMargin)
   )
+
+  private def licenseAllowSql: String =
+    LicenseAllow.map(l => s"'$l'").mkString(", ")
 
   // ------------------------------------------- repeated-line boilerplate
 

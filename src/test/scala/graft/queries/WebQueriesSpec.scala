@@ -144,22 +144,46 @@ class WebQueriesSpec extends SparkSpec {
 
   test("crawl admission: each reason path fells a page independently") {
     // fixture pages build from these texts via htmlCol; the halves land
-    // in <p>/<div> content blocks
+    // in <p>/<div> content blocks. Clean text used on every id whose
+    // reason under test is NOT content/safety:
+    val clean = "the quick brown fox jumps over a lazy dog again"
     val docs = Seq(
-      (1L, "the quick brown fox jumps over a lazy dog again"), // clean → admit
-      (2L, "the quick contraband fox jumps over a lazy dog"),  // safety fells
+      (1L, clean),                                            // all gates pass → admit
+      (2L, "the quick contraband fox jumps over a lazy dog"), // safety fells
       (3L, "x1 x2"),            // too short: no block reaches MinBlockTok=4
-      (4L, null: String)        // null text: filtered before the page build
+      (4L, null: String),       // null text: filtered before the page build
+      (15L, clean),             // 15%5=0 → src0 host: ROBOTS fells alone
+                                //   (15%6=3 → cc-by, license fine)
+      (16L, clean)              // 16%6=4 → all-rights-reserved: LICENSE
+                                //   fells alone (16%5=1, robots fine)
     ).toDF("doc_id", "text")
     val out = WebQueries.crawlAdmitFrame(docs)
-      .select("doc_id", "n_content", "n_hits", "blocked", "admitted")
-      .as[(Long, Long, Long, Int, Int)].collect().map(r => r._1 -> r).toMap
-    assert(out(1L) === ((1L, 2L, 0L, 0, 1)))
+      .select("doc_id", "n_content", "n_hits", "blocked", "robots_block",
+              "license_ok", "admitted")
+      .as[(Long, Long, Long, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 0L, 0, 0, 1, 1)))
     // blocked page: content extracted fine, the safety stage alone fells it
-    assert(out(2L)._2 >= 1L && out(2L)._4 === 1 && out(2L)._5 === 0)
+    assert(out(2L)._2 >= 1L && out(2L)._4 === 1 && out(2L)._7 === 0)
     // link-farm/short page: nothing reaches the content rule
-    assert(out(3L)._2 === 0L && out(3L)._5 === 0)
+    assert(out(3L)._2 === 0L && out(3L)._7 === 0)
     assert(!out.contains(4L))
+    // robots disallow fells alone — every other gate clean
+    assert(out(15L)._4 === 0 && out(15L)._5 === 1 && out(15L)._6 === 1 &&
+           out(15L)._7 === 0)
+    // license allowlist fells alone — every other gate clean
+    assert(out(16L)._4 === 0 && out(16L)._5 === 0 && out(16L)._6 === 0 &&
+           out(16L)._7 === 0)
+    // CONTAINMENT: the verdict is exactly the AND of its reason codes —
+    // no hidden rule admits or fells a page the columns don't explain
+    val rows = WebQueries.crawlAdmitFrame(docs)
+      .select("n_content", "n_chars", "blocked", "robots_block",
+              "license_ok", "admitted")
+      .as[(Long, Long, Int, Int, Int, Int)].collect()
+    rows.foreach { case (nc, nch, bl, rb, lo, adm) =>
+      val expect = if (nc >= 1 && bl == 0 && nch > 0 && rb == 0 && lo == 1) 1 else 0
+      assert(adm === expect)
+    }
   }
 
   test("boilerplate lines: corpus-frequent chrome dies, unique content survives") {
