@@ -886,6 +886,45 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_kll_quantiles(table, 'idCol', 'valCol')` — the mergeable
+    * rank-error-bounded quantile sketch queried in-plan
+    * ([[graft.queries.TextStatsQueries.kllQuantiles]]): one
+    * (p, est, level, sample_n) row per target percentile. */
+  val kllQuantiles: TVF = (
+    new FunctionIdentifier("graft_kll_quantiles"),
+    info("graft_kll_quantiles", "graft_kll_quantiles(table, 'idCol', 'valCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_kll_quantiles"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      graft.queries.TextStatsQueries.kllQuantiles(
+        active.table(strArg(args, 0, fn))
+          .select(org.apache.spark.sql.functions.col(strArg(args, 1, fn))
+                    .as("doc_id"),
+                  org.apache.spark.sql.functions.col(strArg(args, 2, fn))
+                    .as("v")))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_byte_bpe(docsTable)` — GPT-2-class byte-level BPE: merges
+    * learned on the table's text, every document encoded
+    * ([[graft.queries.TextStatsQueries.byteBpeEncodedOf]]). Like
+    * `graft_boilerplate`, the learn pass runs at resolution (bounded
+    * merge-table collect). */
+  val byteBpe: TVF = (
+    new FunctionIdentifier("graft_byte_bpe"),
+    info("graft_byte_bpe", "graft_byte_bpe(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_byte_bpe"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      val d = active.table(strArg(args, 0, fn))
+        .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      graft.queries.TextStatsQueries.byteBpeEncodedOf(
+        d, graft.queries.TextStatsQueries.byteBpeLearnMerges(d))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -900,7 +939,7 @@ object GraftTableFunctions {
                           splitCluster, boilerplate,
                           upsample, secretScrub, contamination, langMixture,
                           crawlAdmit, exportManifest, tokenBudget,
-                          warcExtract)
+                          warcExtract, kllQuantiles, byteBpe)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -636,4 +636,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(wr.head.getAs[String]("text") ===
            "the quick brown fox jumps over a lazy dog")
   }
+
+  test("graft_kll_quantiles / graft_byte_bpe from SQL ≡ library calls") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextStatsQueries
+    // kll: over an arbitrary (id, value) table
+    val vals = (1L to 500L).map(i => (i, (i * 37) % 1000)).toDF("id", "n")
+    vals.createOrReplaceTempView("tvf_vals")
+    val kllSql = spark.sql(
+      "SELECT * FROM graft_kll_quantiles('tvf_vals', 'id', 'n')")
+    val kllDirect = TextStatsQueries.kllQuantiles(
+      vals.select(col("id").as("doc_id"), col("n").as("v")))
+    assert(kllSql.collect().toSet === kllDirect.collect().toSet)
+    assert(kllSql.count() === 5L)
+    // byte bpe: learned merges + encode over the corpus
+    corpus.createOrReplaceTempView("corpus_docs")
+    val bSql = spark.sql("SELECT * FROM graft_byte_bpe('corpus_docs')")
+    val d = corpus.filter(col("text").isNotNull)
+    val bDirect = TextStatsQueries.byteBpeEncodedOf(
+      d, TextStatsQueries.byteBpeLearnMerges(d))
+    assert(bSql.collect().toSet === bDirect.collect().toSet)
+  }
 }
