@@ -1721,6 +1721,23 @@ object StreamingQueries {
   )
 
   /**
+   * The COMPLETE crawl ingest AT INGEST — [[qStreamWarc]] composed to
+   * the admission verdict: an arriving WARC container is framed,
+   * truncation-quarantined, extracted, normalized, safety/robots/
+   * license-screened, and every page reason-coded in the trigger that
+   * lands it ([[WebQueries.warcAdmitFrame]] — shared, not copied).
+   * Stateless end to end; append mode, no state store. Batch oracle
+   * verbatim.
+   */
+  val qStreamWarcAdmit = Q(
+    "q_stream_warc_admit",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.warcAdmitFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_warc_admit"),
+    WebQueries.qWarcAdmit.oracle
+  )
+
+  /**
    * Repeated-line boilerplate stripping AT INGEST — the
    * `q_boilerplate_lines` billing split made literal: the frequent-line
    * hash set is built OFFLINE on the standing corpus (the bounded
@@ -1754,5 +1771,5 @@ object StreamingQueries {
                         qStreamByteBpe,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
                         qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
-                        qStreamWarc)
+                        qStreamWarc, qStreamWarcAdmit)
 }

@@ -244,6 +244,40 @@ class WebQueriesSpec extends SparkSpec {
     assert(trunc._4 === 1 && trunc._5 === "" && trunc._6 === 0L)
   }
 
+  test("warc admission end-to-end: every reason path fells a page independently") {
+    val clean = "the quick brown fox jumps over a lazy dog again"
+    val docs = Seq(
+      (1L, clean),                                            // admit (cc0)
+      (2L, "the quick contraband fox jumps over a lazy dog"), // safety fells
+      (15L, clean),            // 15%5=0 → src0 host in the record URI: robots
+      (16L, clean),            // 16%6=4 → all-rights-reserved: license
+      (5L, clean)              // %5=0 plants a TRUNCATED extra record (and
+                               //   its good record is robots-felled: src0)
+    ).toDF("doc_id", "text")
+    val out = WebQueries.warcAdmitFrame(docs)
+      .select("doc_id", "rec_idx", "truncated", "blocked", "robots_block",
+              "license_ok", "admitted")
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.head }
+    assert(out((1L, 3L)) === ((1L, 3L, 0, 0, 0, 1, 1)))
+    assert(out((2L, 3L))._4 === 1 && out((2L, 3L))._7 === 0)   // safety
+    assert(out((15L, 3L))._5 === 1 && out((15L, 3L))._7 === 0) // robots
+    assert(out((16L, 3L))._6 === 0 && out((16L, 3L))._7 === 0) // license
+    // the truncated record quarantines regardless of any other gate
+    assert(out((5L, 4L))._3 === 1 && out((5L, 4L))._7 === 0)
+    // and the verdict is exactly the AND of its reasons on every row
+    WebQueries.warcAdmitFrame(docs)
+      .select("truncated", "n_content", "n_chars", "blocked",
+              "robots_block", "license_ok", "admitted")
+      .as[(Int, Long, Long, Int, Int, Int, Int)].collect()
+      .foreach { case (tr, nc, nch, bl, rb, lo, adm) =>
+        val expect =
+          if (tr == 0 && nc >= 1 && bl == 0 && nch > 0 && rb == 0 && lo == 1) 1
+          else 0
+        assert(adm === expect)
+      }
+  }
+
   test("boilerplate cap guard trips BEFORE an oversized driver pull") {
     // round-16 VERDICT weak item: the limit(cap+1) precedes the collect,
     // so a mis-set minDocs fails with the explicit error after pulling
