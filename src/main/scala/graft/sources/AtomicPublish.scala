@@ -134,6 +134,15 @@ object AtomicPublish {
     val version = readManifest(f, root).map(_._1).getOrElse(0L) + 1L
     val body = (Seq(s"v\t$version", s"x\t${contentXor(files)}") ++
       files.map { case (p, l) => s"f\t$p\t$l" }).mkString("\n")
+    // retained per-version manifest FIRST (unique name, never
+    // overwritten): the snapshot-isolation artifact — a reader pinned
+    // to version N keeps resolving N's exact file set after any number
+    // of later commits (append-only layouts never delete files, so
+    // old snapshots stay intact; an overwrite REBUILD invalidates
+    // them, and the pinned read then refuses as damaged — correct).
+    val vfile = new Path(root, s"$ManifestName.v$version")
+    val vout = f.create(vfile, true)
+    try vout.write(body.getBytes("UTF-8")) finally vout.close()
     val tmp = new Path(root, s".$ManifestName.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -186,8 +195,46 @@ object AtomicPublish {
     * parsing exactly as a directory read would, so partition pruning
     * above this scan is unchanged. */
   def readCommitted(s: SparkSession, layoutDir: String,
-                    sub: String): DataFrame = {
-    val files = committedFiles(s, layoutDir, sub)
+                    sub: String): DataFrame =
+    readResolved(s, layoutDir, sub, committedFiles(s, layoutDir, sub))
+
+  /** SNAPSHOT-PINNED read: resolve `sub/` through the RETAINED
+    * manifest of `version`, not the latest — the isolation primitive
+    * that lets a long-running probe keep one consistent view while
+    * the maintenance writer appends and commits underneath it
+    * (append-only layouts never delete files, so an old snapshot's
+    * file set stays intact; after an overwrite REBUILD the pinned
+    * read refuses as damaged — the honest outcome). */
+  def readCommittedAt(s: SparkSession, layoutDir: String,
+                      sub: String, version: Long): DataFrame = {
+    val (f, root) = qualified(s, layoutDir)
+    val vfile = new Path(root, s"$ManifestName.v$version")
+    if (!f.exists(vfile)) throw new IllegalStateException(
+      s"layout $layoutDir has no retained manifest for version $version")
+    val in = f.open(vfile)
+    val body = try {
+      val bytes = new Array[Byte](f.getFileStatus(vfile).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    val (v, _, entries) = parse(body)
+    require(v == version, s"manifest $vfile claims version $v")
+    val prefix = sub.stripSuffix("/") + "/"
+    val sel = entries.filter(_._1.startsWith(prefix))
+    sel.foreach { case (rel, len) =>
+      val p = new Path(root, rel)
+      val ok = f.exists(p) && f.getFileStatus(p).getLen == len
+      if (!ok) throw new IllegalStateException(
+        s"layout $layoutDir snapshot v$version lists $rel @ $len bytes " +
+          "but the file is missing or resized — the pinned snapshot is " +
+          "gone (rebuilt layout?); refusing to serve it")
+    }
+    readResolved(s, layoutDir, sub,
+                 sel.map { case (rel, _) => new Path(root, rel).toString })
+  }
+
+  private def readResolved(s: SparkSession, layoutDir: String,
+                           sub: String, files: Seq[String]): DataFrame = {
     require(files.nonEmpty,
             s"layout $layoutDir has no committed files under $sub/")
     // basePath from the SAME qualified root as the file paths, so the

@@ -81,6 +81,30 @@ class AtomicPublishSpec extends SparkSpec {
     assert(e.getMessage.contains("missing or resized"))
   }
 
+  test("snapshot isolation: a version-pinned reader survives later commits") {
+    val dir = tmp()
+    (1L to 10L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.partitionBy("bucket").parquet(s"$dir/data")
+    val v1 = AtomicPublish.commit(spark, dir)
+    // the maintenance writer appends and commits TWICE underneath
+    (11L to 15L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    AtomicPublish.commit(spark, dir)
+    (16L to 20L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    val v3 = AtomicPublish.commit(spark, dir)
+    // the pinned reader still sees EXACTLY v1's rows; latest sees all
+    assert(AtomicPublish.readCommittedAt(spark, dir, "data", v1)
+             .select("id").as[Long].collect().sorted.toSeq === (1L to 10L))
+    assert(AtomicPublish.readCommitted(spark, dir, "data").count() === 20L)
+    assert(v3 === v1 + 2)
+    // a version that never existed refuses with the explicit error
+    val e = intercept[IllegalStateException] {
+      AtomicPublish.readCommittedAt(spark, dir, "data", 99L)
+    }
+    assert(e.getMessage.contains("no retained manifest"))
+  }
+
   test("end-to-end on a real layout: IVF append publishes atomically") {
     val dir = tmp()
     // the library's own quantized-embedding shape (qIvfAppend's split)
