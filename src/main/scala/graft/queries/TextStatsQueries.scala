@@ -1559,6 +1559,96 @@ object TextStatsQueries {
            min(col("cnt")).cast("long").as("sample_n"))
   }
 
+  /**
+   * PER-GROUP sketch quantiles — [[qKllQuantiles]] partitioned by a
+   * group key (here language), completing the replacement of
+   * [[qHistQuantiles]]' per-lang equi-width bins with the rank-error
+   * family: each group gets its OWN level (the smallest fitting its
+   * capacity — small groups stay at level 0 = exact), its own ≤
+   * [[KllK]] sample, and the same integer rank rule. The rank window
+   * partitions BY GROUP, so it scales out with group count (never a
+   * global single-partition sort), and each partition holds ≤ K rows.
+   */
+  val qKllByLang = Q(
+    "q_kll_by_lang",
+    (s, dir) => kllQuantilesBy(
+      docs(s, dir).filter(col("n_chars").isNotNull)
+        .select(col("lang").as("g"), col("doc_id"), col("n_chars").as("v"))),
+    Some(s"""WITH v AS (
+      |  SELECT lang AS g, doc_id, n_chars AS v,
+      |         ${DedupQueries.hex32(s"md5('$KllSalt' || CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |), ls AS (
+      |  SELECT g, t.L,
+      |         CAST(COUNT(*) FILTER (
+      |           WHERE h % CAST(POWER(2, t.L) AS BIGINT) = 0) AS BIGINT) AS c
+      |  FROM v, (VALUES (${(0 to KllMaxLevel).mkString("), (")})) AS t(L)
+      |  GROUP BY g, t.L
+      |), lv AS (
+      |  SELECT g, CAST(MIN(L) AS BIGINT) AS lvl FROM ls
+      |  WHERE c <= $KllK GROUP BY g
+      |), smp AS (
+      |  SELECT v.g, v.v, v.h, v.doc_id, lv.lvl
+      |  FROM v JOIN lv ON lv.g = v.g
+      |  WHERE h % CAST(POWER(2, lv.lvl) AS BIGINT) = 0
+      |), r AS (
+      |  SELECT g, v, lvl,
+      |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, h, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY g) AS cnt
+      |  FROM smp
+      |)
+      |SELECT g AS lang, CAST(p.p AS BIGINT) AS p,
+      |       CAST(MIN(v) AS BIGINT) AS est,
+      |       CAST(MIN(lvl) AS BIGINT) AS level,
+      |       CAST(MIN(cnt) AS BIGINT) AS sample_n
+      |FROM r, (VALUES (${KllPs.mkString("), (")})) AS p(p)
+      |WHERE rn * 100 >= p.p * cnt
+      |GROUP BY g, p.p""".stripMargin)
+  )
+
+  /** [[qKllByLang]]'s body over an ARBITRARY `(g, doc_id, v)` frame. */
+  private[graft] def kllQuantilesBy(d: DataFrame): DataFrame = {
+    val v = d.select(
+      col("g"), col("doc_id"), col("v"),
+      TextOps.md5Prefix32(
+        md5(concat(lit(KllSalt), col("doc_id").cast("string")))).as("h"))
+    val lv = v
+      .select(col("g"),
+              explode(array((0 to KllMaxLevel).map(l => lit(l.toLong)): _*))
+                .as("L"),
+              col("h"))
+      .groupBy("g", "L")
+      .agg(count(when(pmod(col("h"),
+                           pow(lit(2), col("L")).cast("long")) === 0,
+                      1)).as("c"))
+      .filter(col("c") <= KllK)
+      .groupBy("g")
+      .agg(min(col("L")).as("lvl"))
+    // a group that fits NO level must fail loudly, not vanish from the
+    // output (the global gate's raise_error discipline, per group)
+    val lvAll = v.select("g").distinct()
+      .join(lv, Seq("g"), "left")
+      .select(col("g"),
+              coalesce(col("lvl"),
+                       raise_error(lit(
+                         s"q_kll_by_lang: a group fits no level <= " +
+                           s"$KllMaxLevel at capacity $KllK"))).as("lvl"))
+    val wR = Window.partitionBy("g").orderBy("v", "h", "doc_id")
+    val wC = Window.partitionBy("g")
+    v.join(broadcast(lvAll), Seq("g"))
+      .filter(pmod(col("h"), pow(lit(2), col("lvl")).cast("long")) === 0)
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wC))
+      .select(col("g"), col("v"), col("lvl"), col("rn"), col("cnt"),
+              explode(array(KllPs.map(lit): _*)).as("p"))
+      .filter(col("rn") * 100 >= col("p") * col("cnt"))
+      .groupBy("g", "p")
+      .agg(min(col("v")).cast("long").as("est"),
+           min(col("lvl")).cast("long").as("level"),
+           min(col("cnt")).cast("long").as("sample_n"))
+      .withColumnRenamed("g", "lang")
+  }
+
   /** The sketch as a VALUE — (level, sample rows) — for the merge-law
     * machinery and its spec. Rows are (v, h, doc_id); the sample is
     * ≤ [[KllK]] rows by construction (bounded collect). */
@@ -2204,6 +2294,6 @@ object TextStatsQueries {
     qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
-    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility, qKllQuantiles
+    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility, qKllQuantiles, qKllByLang
   )
 }

@@ -73,6 +73,28 @@ class KllSketchSpec extends SparkSpec {
     assert(repart === inPlan)
   }
 
+  test("per-group face: each group answers from its own sketch; small groups exact") {
+    val all = skewed(4000).map { case (i, v) => (if (i % 3 == 0) "aa" else "bb", i, v) }
+    val byLang = TextStatsQueries.kllQuantilesBy(all.toDF("g", "doc_id", "v"))
+      .select("lang", "p", "est").as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+    // each group's answers equal its own standalone sketch — grouping
+    // never leaks another group's values into a quantile
+    for (g <- Seq("aa", "bb")) {
+      val own = TextStatsQueries.kllSketchOf(
+        all.filter(_._1 == g).map(r => (r._2, r._3)).toDF("doc_id", "v"))
+      for (p <- Seq(25L, 50L, 75L, 90L, 99L))
+        assert(byLang(g)(p) === TextStatsQueries.kllQuery(own, p), s"$g p$p")
+    }
+    // a group under capacity stays at level 0: EXACT quantiles
+    val tiny = (1L to 100L).map(i => ("cc", i + 1000L, i))
+    val exact = TextStatsQueries.kllQuantilesBy(tiny.toDF("g", "doc_id", "v"))
+      .select("p", "est", "level").as[(Long, Long, Long)].collect()
+    assert(exact.forall(_._3 === 0L))
+    val m = exact.map(r => r._1 -> r._2).toMap
+    assert(m(50L) === 50L && m(99L) === 99L && m(25L) === 25L)
+  }
+
   test("the failure q_hist_quantiles cannot avoid: one bin swallows the ranks") {
     // 90% of mass inside one 64-wide bin: the equi-width histogram
     // answers the SAME lower edge for p25/p50/p75 (rank information
