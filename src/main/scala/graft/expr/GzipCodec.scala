@@ -1,0 +1,87 @@
+package graft.expr
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernels for the gzip codec expressions (the
+ * [[TextNormalizeOps]] discipline: interpreted and codegen paths share
+ * one body). Real crawls arrive as `.warc.gz` members — the
+ * reference's own feed is gzip (`encoding_update.py:10-36`, the E1
+ * transcode), so the engine's WARC front door needs the decompression
+ * leg as a row-local operator, not a pre-step.
+ */
+object GzipCodecOps {
+
+  /** UTF-8 text → gzip member bytes (the fixture-plant direction). */
+  def gzip(s: UTF8String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new GZIPOutputStream(bos)
+    try out.write(s.getBytes) finally out.close()
+    bos.toByteArray
+  }
+
+  /** Gzip member bytes → UTF-8 text; NULL on malformed input (the
+    * drop-malformed quarantine discipline — a torn or truncated
+    * member must become an accountable null, never a hot-path
+    * exception). 64 KiB copy blocks, the reference's own block size. */
+  def gunzip(b: Array[Byte]): UTF8String =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b), 65536)
+      val bos = new ByteArrayOutputStream(math.max(64, b.length * 4))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      UTF8String.fromBytes(bos.toByteArray)
+    } catch { case _: java.io.IOException => null }
+}
+
+/** `string → binary`: gzip-compress a text column. The fixture-plant
+  * half of the pair; a deployment mostly reads. */
+case class GzipEncode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gzip requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_gzip"
+  override def nullSafeEval(input: Any): Any =
+    GzipCodecOps.gzip(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.GzipCodecOps.gzip($c);")
+  override protected def withNewChildInternal(newChild: Expression): GzipEncode =
+    copy(child = newChild)
+}
+
+/** `binary → string`: strict gzip decode; malformed members yield NULL
+  * (reason-codable by the caller — the WARC gzip gate counts them). */
+case class GzipDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gunzip requires binary, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // malformed input decodes to null
+  override def prettyName: String = "graft_gunzip"
+  override def nullSafeEval(input: Any): Any =
+    GzipCodecOps.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.GzipCodecOps.gunzip($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): GzipDecode =
+    copy(child = newChild)
+}

@@ -1299,7 +1299,46 @@ object WebQueries {
          |                AND px.rec_idx = sx.rec_idx""".stripMargin)
   )
 
+  /** Gzip codec columns ([[graft.expr.GzipEncode]]/[[graft.expr
+    * .GzipDecode]] — codegen'd, no UDF): real crawls arrive as
+    * `.warc.gz` members, and the reference's own feed is gzip
+    * (`encoding_update.py:10-36`) — the E1 transcode discipline at
+    * crawl reality, folded into the scan as a row-local expression. */
+  private def gzipCol(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.GzipEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  private[graft] def gunzipCol(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.GzipDecode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /**
+   * GZIP WARC ingestion — the container as it actually arrives
+   * (`.warc.gz`): the fixture container is gzip-COMPRESSED to binary
+   * and the gate decompresses it row-locally
+   * ([[graft.expr.GzipDecode]] — strict; a malformed member decodes
+   * to an accountable NULL, spec-pinned) before the identical
+   * [[warcExtractOf]] parse. Oracle: [[qWarcExtract]]'s SQL verbatim
+   * — gzip is lossless, so the compressed face must reproduce the
+   * plain face bit for bit (any drift in the codec leg, the binary
+   * round-trip, or null handling hash-mismatches here); the codec
+   * itself carries its own spec (`GzipCodecSpec`, the E1 rule).
+   */
+  lazy val qWarcGzip = Q(
+    "q_warc_gzip",
+    (s, dir) => warcExtractOf(
+      Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                gunzipCol(gzipCol(warcCol(col("doc_id"), col("text"))))
+                  .as("__graft_warc")),
+      "__graft_warc"),
+    qWarcExtract.oracle
+  )
+
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
-        qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit)
+        qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit, qWarcGzip)
 }

@@ -1,0 +1,51 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkSpec
+
+/** Pins the gzip codec pair (the reference's E1 transcode discipline
+  * at crawl reality): lossless round-trip including non-ASCII, and the
+  * strict-decode quarantine rule — malformed members become NULL, not
+  * exceptions. */
+class GzipCodecSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def gz(c: org.apache.spark.sql.Column) =
+    ColumnBridge.column(GzipEncode(ColumnBridge.expression(c)))
+  private def gunzip(c: org.apache.spark.sql.Column) =
+    ColumnBridge.column(GzipDecode(ColumnBridge.expression(c)))
+
+  test("round-trip is identity, including multi-byte text and CRLF framing") {
+    val texts = Seq(
+      "plain ascii",
+      "café № 42 — multi-byte",
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n",
+      "")
+    val out = texts.toDF("t")
+      .select(col("t"), gunzip(gz(col("t"))).as("rt"))
+      .as[(String, String)].collect()
+    out.foreach { case (t, rt) => assert(rt === t) }
+    // and null propagates (no phantom empty members)
+    assert(Seq(null.asInstanceOf[String]).toDF("t")
+             .select(gunzip(gz(col("t")))).head().isNullAt(0))
+  }
+
+  test("malformed members decode to an accountable NULL, never an exception") {
+    val good = "a valid member"
+    val okBytes = GzipCodecOps.gzip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(good))
+    val out = Seq(
+      ("ok", okBytes),
+      ("garbage", Array[Byte](1, 2, 3, 4, 5)),
+      ("truncated", okBytes.take(okBytes.length / 2)))
+      .toDF("kind", "b")
+      .select(col("kind"), gunzip(col("b")).as("t"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("ok") === Some(good))
+    assert(out("garbage") === None)
+    assert(out("truncated") === None)
+  }
+}
