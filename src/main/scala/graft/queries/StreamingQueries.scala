@@ -1738,6 +1738,21 @@ object StreamingQueries {
   )
 
   /**
+   * GZIP WARC ingestion AT INGEST — `.warc.gz` members decoded
+   * row-locally (strict [[graft.expr.GzipDecode]], malformed members
+   * → accountable NULLs) and parsed in the trigger that lands them:
+   * the compressed-arrival shape of [[qStreamWarc]], stateless end to
+   * end. Batch oracle verbatim (the lossless-codec rule).
+   */
+  val qStreamWarcGzip = Q(
+    "q_stream_warc_gzip",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.warcGzipFrame(tableStream(s, dir, "documents")),
+      "graft_q_stream_warc_gzip"),
+    WebQueries.qWarcExtract.oracle
+  )
+
+  /**
    * Repeated-line boilerplate stripping AT INGEST — the
    * `q_boilerplate_lines` billing split made literal: the frequent-line
    * hash set is built OFFLINE on the standing corpus (the bounded
@@ -1771,5 +1786,5 @@ object StreamingQueries {
                         qStreamByteBpe,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
                         qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
-                        qStreamWarc, qStreamWarcAdmit)
+                        qStreamWarc, qStreamWarcAdmit, qStreamWarcGzip)
 }

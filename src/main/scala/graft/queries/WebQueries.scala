@@ -1326,15 +1326,21 @@ object WebQueries {
    * round-trip, or null handling hash-mismatches here); the codec
    * itself carries its own spec (`GzipCodecSpec`, the E1 rule).
    */
-  lazy val qWarcGzip = Q(
-    "q_warc_gzip",
-    (s, dir) => warcExtractOf(
-      Tables.read(s, dir, "documents")
-        .filter(col("text").isNotNull)
+  /** [[qWarcGzip]]'s body (fixture container → gzip → strict decode →
+    * parse) over an ARBITRARY `(doc_id, text, …)` frame — stateless
+    * per row, so the streaming face (`q_stream_warc_gzip`) applies it
+    * verbatim. */
+  private[graft] def warcGzipFrame(d: DataFrame): DataFrame =
+    warcExtractOf(
+      d.filter(col("text").isNotNull)
         .select(col("doc_id"),
                 gunzipCol(gzipCol(warcCol(col("doc_id"), col("text"))))
                   .as("__graft_warc")),
-      "__graft_warc"),
+      "__graft_warc")
+
+  lazy val qWarcGzip = Q(
+    "q_warc_gzip",
+    (s, dir) => warcGzipFrame(Tables.read(s, dir, "documents")),
     qWarcExtract.oracle
   )
 
