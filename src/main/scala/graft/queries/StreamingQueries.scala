@@ -1770,6 +1770,40 @@ object StreamingQueries {
     WebQueries.qBoilerplateLines.oracle
   )
 
+  /**
+   * Binary `.warc.gz` FILE ingestion AT INGEST — the landing-dir
+   * shape a real crawl runs: container FILES arrive in a directory,
+   * the binaryFile stream source picks each up whole (one task per
+   * container, the same per-file parallelism as the batch scan), and
+   * the octet-exact member walk + extraction
+   * ([[WebQueries.warcFilesExtract]] — shared, not copied) lands the
+   * pages in the trigger that saw the file. Stateless end to end;
+   * append mode, no state store. Batch oracle verbatim.
+   */
+  val qStreamWarcFiles = Q(
+    "q_stream_warc_files",
+    (s, dir) => runToSink(s, dir,
+      WebQueries.warcFilesExtract(
+        s.readStream.format("binaryFile")
+          // the binaryFile source's FIXED schema, stated explicitly —
+          // file STREAM sources can't infer (the files may not exist
+          // yet when the query is planned)
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("modificationTime",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("length",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType))))
+          .option("pathGlobFilter", "*.warc.gz")
+          .load(WebQueries.warcFilesDir(s, dir))
+          .select(col("content"))),
+      "graft_q_stream_warc_files"),
+    WebQueries.qWarcFiles.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
@@ -1786,5 +1820,6 @@ object StreamingQueries {
                         qStreamByteBpe,
                         qStreamSafety, qStreamNormalize, qStreamHtml,
                         qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
-                        qStreamWarc, qStreamWarcAdmit, qStreamWarcGzip)
+                        qStreamWarc, qStreamWarcAdmit, qStreamWarcGzip,
+                        qStreamWarcFiles)
 }

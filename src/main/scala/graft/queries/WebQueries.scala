@@ -1009,11 +1009,19 @@ object WebQueries {
    * string → `array<struct(wtype, uri, clen, truncated, status,
    * body)>`, one element per record in container order:
    *
-   *  1. frame on the `WARC/1.0\r\n` version line (record starts; the
-   *     string-typed face assumes payloads don't open a line with the
-   *     magic — true of HTML text; an octet-exact reader over binary
-   *     WARC would frame on Content-Length offsets instead, which is a
-   *     sequential scan, not a row-local expression);
+   *  1. frame on the `WARC/1.0\r\n` version line. PRECISELY (round-17
+   *     ADVICE): the split fires on ANY occurrence of the magic in the
+   *     string — not just at record offsets — so this face assumes the
+   *     container's payloads never CONTAIN the 10-char sequence
+   *     `WARC/1.0\r\n` anywhere (true of the fixture and of typical
+   *     HTML text, false of e.g. crawled WARC documentation); and the
+   *     Content-Length truncation check in step 3 compares CHARACTER
+   *     counts against the declared octet count, so it is exact only
+   *     for ASCII payloads. Containers that violate either assumption
+   *     belong to the octet-exact BINARY face ([[warcBinRecordsOf]] /
+   *     `q_warc_files`), which frames on Content-Length byte offsets
+   *     over per-record gzip members and tolerates mid-payload magic
+   *     and multi-byte payloads;
    *  2. per record: header block = up to the first blank line; named
    *     fields by `regexp_extract` (no `(?m)` anchors — Java and RE2
    *     disagree on `$` before `\r\n`, so the patterns match the field
@@ -1344,7 +1352,251 @@ object WebQueries {
     qWarcExtract.oracle
   )
 
+  // --------------------------------------- binary WARC FILE ingestion
+
+  /** Shard count for the planted `.warc.gz` container files — sized to
+    * the local session's parallelism; a real crawl has thousands of
+    * ~1 GB containers and the reader scales by FILE (binaryFile scan =
+    * one task per file), which is exactly how crawl corpora shard. */
+  private val WarcFileCount = 32
+
+  /** Mid-payload record magic (round-17 VERDICT #1's adversarial case):
+    * a page ABOUT the WARC format legitimately contains the magic line
+    * — the string face's delimiter split mis-frames on it; the binary
+    * face must not. Planted as an HTML comment so the extraction text
+    * is untouched (comments are stripped before the block split). */
+  private val WarcMagicPlant =
+    "<!--" + CRLF + "WARC/1.0" + CRLF + "WARC-Type: fake" + CRLF +
+      "Content-Length: 999" + CRLF + CRLF + "-->"
+  private val WarcMagicPlantSql =
+    s"'<!--' || $CrlfSql || 'WARC/1.0' || $CrlfSql || 'WARC-Type: fake' || " +
+      s"$CrlfSql || 'Content-Length: 999' || $CrlfSql || $CrlfSql || '-->'"
+
+  /** Multi-byte UTF-8 payload plant (é = 2 octets, Ж = 2 octets):
+    * makes character count ≠ octet count, so a reader that frames or
+    * truncation-checks by CHARACTERS mis-frames — Content-Length is
+    * defined in octets. Also an extraction-invisible comment. */
+  private val WarcNonAsciiPlant = "<!-- caf\u00e9 \u0416 -->"
+  private val WarcNonAsciiPlantSql =
+    "'<!-- caf' || chr(233) || ' ' || chr(1046) || ' -->'"
+
+  /** The response page for the FILE face: the shared [[htmlCol]]
+    * fixture plus the two adversarial plants (doc_id-keyed so both
+    * carry mass at every SF). */
+  private def warcFilePageCol(docId: Column, text: Column): Column =
+    concat(htmlCol(docId, text),
+           when(pmod(docId, lit(7)) === 0, lit(WarcMagicPlant))
+             .otherwise(lit("")),
+           when(pmod(docId, lit(3)) === 1, lit(WarcNonAsciiPlant))
+             .otherwise(lit("")))
+
+  /** Per-document record STRINGS for the container writer —
+    * `array<struct(rec_idx, rec)>`, the [[warcCol]] record set (two
+    * skip-type records, a well-formed response, a planted truncated
+    * response for `doc_id % 5 = 0`) with two FILE-face deltas: every
+    * record carries a `WARC-Record-ID: <urn:graft:doc:idx>` (mandatory
+    * in real WARC; the file face's row identity, since one FILE holds
+    * many documents), and Content-Length is the payload's OCTET count
+    * (`length(encode(...))`), not its character count — the plants
+    * above make the difference observable. */
+  private[graft] def warcFileRecordsCol(docId: Column, text: Column): Column =
+    letBound(urlCol(docId)) { url =>
+      letBound(concat(
+          lit("HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" +
+              CRLF + CRLF),
+          warcFilePageCol(docId, text))) { resp =>
+        letBound(length(encode(resp, "UTF-8")).cast("long")) { clen =>
+          def rid(i: Int): Column =
+            concat(lit("<urn:graft:"), docId.cast("string"), lit(s":$i>"))
+          array(
+            struct(
+              lit(1).as("rec_idx"),
+              concat(lit("WARC/1.0" + CRLF + "WARC-Type: warcinfo" + CRLF +
+                         "WARC-Record-ID: "), rid(1),
+                     lit(CRLF + "Content-Length: 10" + CRLF + CRLF +
+                         "software g" + CRLF + CRLF)).as("rec")),
+            struct(
+              lit(2).as("rec_idx"),
+              concat(lit("WARC/1.0" + CRLF + "WARC-Type: request" + CRLF +
+                         "WARC-Record-ID: "), rid(2),
+                     lit(CRLF + "WARC-Target-URI: "), url,
+                     lit(CRLF + "Content-Length: 18" + CRLF + CRLF +
+                         "GET /docs HTTP/1.1" + CRLF + CRLF)).as("rec")),
+            struct(
+              lit(3).as("rec_idx"),
+              concat(lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+                         "WARC-Record-ID: "), rid(3),
+                     lit(CRLF + "WARC-Target-URI: "), url,
+                     lit(CRLF + "Content-Length: "), clen.cast("string"),
+                     lit(CRLF + CRLF), resp, lit(CRLF + CRLF)).as("rec")),
+            struct(
+              lit(4).as("rec_idx"),
+              when(pmod(docId, lit(5)) === 0,
+                   concat(lit("WARC/1.0" + CRLF + "WARC-Type: response" +
+                              CRLF + "WARC-Record-ID: "), rid(4),
+                          lit(CRLF + "WARC-Target-URI: "), url,
+                          lit(CRLF + "Content-Length: "),
+                          (clen + 7).cast("string"),
+                          lit(CRLF + CRLF), substring(resp, 1, 40)))
+                .otherwise(lit(null).cast("string")).as("rec")))
+        }
+      }
+    }
+
+  /** Build the `.warc.gz` container FILES for a testdata dir, once per
+    * process ([[LayoutQueries.derivedDir]] scratch, `_SUCCESS`-marked):
+    * records hash to [[WarcFileCount]] shards by doc_id, each file is
+    * the concatenation of per-RECORD gzip members in (doc_id, rec_idx)
+    * order — the real crawl container layout ([[graft.expr.WarcBinOps]]
+    * scaladoc). The write is a distributed `foreachPartition` (one
+    * shard's rows per task — rows were repartitioned BY the shard key),
+    * each task streaming members straight to its file via the Hadoop
+    * FS API: no driver-side collect at any corpus size. */
+  private val warcBuildLock = new Object
+  private[graft] def warcFilesDir(s: SparkSession, sfDir: String): String =
+    warcBuildLock.synchronized {
+      val dir = LayoutQueries.derivedDir(s, sfDir, "warcfiles")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+      if (!fs.exists(marker)) {
+        fs.mkdirs(root)
+        val recs = Tables.read(s, sfDir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+                  explode(warcFileRecordsCol(col("doc_id"), col("text")))
+                    .as("r"))
+          .filter(col("r.rec").isNotNull)
+          .select(pmod(col("doc_id"), lit(WarcFileCount)).cast("int").as("fk"),
+                  col("doc_id"), col("r.rec_idx").as("rec_idx"),
+                  encode(col("r.rec"), "UTF-8").as("rec"))
+        val dirStr = dir
+        recs.repartition(WarcFileCount, col("fk"))
+          .sortWithinPartitions("fk", "doc_id", "rec_idx")
+          .select(col("fk"), col("rec"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              // executor-side FS handle: tasks re-resolve from the path
+              // (default conf), the cluster-portable pattern for sinks
+              // outside the DataFrame writers
+              val tfs = new org.apache.hadoop.fs.Path(dirStr)
+                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+              var cur = -1
+              var out: org.apache.hadoop.fs.FSDataOutputStream = null
+              try {
+                it.foreach { row =>
+                  val fk = row.getInt(0)
+                  if (fk != cur) { // rows are shard-sorted: one open per shard
+                    if (out != null) out.close()
+                    out = tfs.create(new org.apache.hadoop.fs.Path(
+                      dirStr, f"part-$fk%05d.warc.gz"), true)
+                    cur = fk
+                  }
+                  out.write(graft.expr.WarcBinOps.gzipMember(
+                    row.getAs[Array[Byte]](1)))
+                }
+              } finally if (out != null) out.close()
+            }
+          }
+        fs.create(marker, true).close()
+      }
+      dir
+    }
+
+  /** [[graft.expr.WarcBinRecords]] as a Column. */
+  private[graft] def warcBinRecordsCol(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.WarcBinRecords(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** The octet-exact extraction chain over a binary `content` column
+    * of container bytes — explode members, keep responses, quarantine
+    * truncated records, feed surviving bodies to the SAME
+    * [[htmlExtractCols]] every downstream gate consumes. Stateless per
+    * file row, so the streaming face (`q_stream_warc_files`) applies
+    * it verbatim over a binaryFile stream. */
+  private[graft] def warcFilesExtract(bin: DataFrame): DataFrame =
+    bin.select(explode(warcBinRecordsCol(col("content"))).as("__r"))
+      .filter(col("__r.wtype") === "response")
+      .select(
+        regexp_extract(col("__r.rid"), "^<urn:graft:([0-9]+):[0-9]+>$", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("__r.rid"), "^<urn:graft:[0-9]+:([0-9]+)>$", 1)
+          .cast("long").as("rec_idx"),
+        col("__r.uri").as("uri"), col("__r.status").as("status"),
+        col("__r.clen").as("clen"), col("__r.truncated").as("truncated"),
+        when(col("__r.truncated") === 0, htmlExtractCols(col("__r.body")))
+          .otherwise(struct(lit("").as("text"), lit(0L).as("n_blocks"),
+                            lit(0L).as("n_content"))).as("e"))
+      .select(col("doc_id"), col("rec_idx"), col("uri"), col("status"),
+              col("clen"), col("truncated"),
+              col("e.text").as("text"),
+              col("e.n_content").as("n_content"))
+
+  /** [[qWarcFiles]]'s oracle: replay the container CLOSED-FORM from
+    * the documents parquet — page + plants, HTTP wrap, octet
+    * Content-Length (`strlen` = bytes in DuckDB) — and the parse's
+    * OBSERVABLE result per record type: one extracted row per
+    * response, one quarantined row per planted truncated record. The
+    * file write → gzip-member split → byte framing legs exist only on
+    * the Spark side; equality of the final rows is exactly what
+    * proves them (the fixture's plants make every framing shortcut —
+    * delimiter split, character counting — produce DIFFERENT rows). */
+  private def warcFilesOracle: String = s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), wpg AS (
+      |  SELECT doc_id, $urlSql AS url,
+      |         $pageSqlExpr ||
+      |         CASE WHEN doc_id % 7 = 0 THEN $WarcMagicPlantSql
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 3 = 1 THEN $WarcNonAsciiPlantSql
+      |              ELSE '' END AS html
+      |  FROM d
+      |), wrsp AS (
+      |  SELECT doc_id, url, html,
+      |         'HTTP/1.1 200 OK' || $CrlfSql || 'Content-Type: text/html' ||
+      |         $CrlfSql || $CrlfSql || html AS resp
+      |  FROM wpg
+      |), """.stripMargin + htmlChainSql("wrsp", "doc_id") + "\n" +
+    """SELECT w.doc_id, CAST(3 AS BIGINT) AS rec_idx, w.url AS uri,
+      |       '200' AS status, CAST(strlen(w.resp) AS BIGINT) AS clen,
+      |       0 AS truncated,
+      |       COALESCE(agg.text, '') AS text,
+      |       CAST(COALESCE(agg.n_content, 0) AS BIGINT) AS n_content
+      |FROM wrsp w LEFT JOIN agg ON agg.doc_id = w.doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(4 AS BIGINT), url, '200',
+      |       CAST(strlen(resp) + 7 AS BIGINT), 1, '', CAST(0 AS BIGINT)
+      |FROM wrsp WHERE doc_id % 5 = 0""".stripMargin
+
+  /**
+   * Octet-exact WARC FILE ingestion — the front door eating the real
+   * input format from real files (round-17 VERDICT #1): multi-member
+   * `.warc.gz` files (one gzip member per record, many documents per
+   * file) are WRITTEN to a landing dir, read back as BINARY files
+   * (`binaryFile` scan — one task per container, how crawl corpora
+   * parallelize), framed by gzip-member boundaries + Content-Length
+   * OCTET offsets ([[graft.expr.WarcBinOps]] — never the delimiter
+   * split), and fed to the shared extraction chain. The fixture
+   * plants the two cases the string face documents away: the record
+   * magic INSIDE a payload (`doc_id % 7 = 0`) and multi-byte UTF-8
+   * payloads where chars ≠ octets (`doc_id % 3 = 1`) — a reader with
+   * either shortcut fails this gate's hash.
+   */
+  lazy val qWarcFiles = Q(
+    "q_warc_files",
+    (s, dir) =>
+      warcFilesExtract(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.warc.gz")
+          .load(warcFilesDir(s, dir))
+          .select(col("content"))),
+    Some(warcFilesOracle)
+  )
+
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
-        qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit, qWarcGzip)
+        qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit, qWarcGzip,
+        qWarcFiles)
 }

@@ -112,11 +112,22 @@ object AtomicPublish {
     val mf = new Path(root, ManifestName)
     if (!f.exists(mf)) None
     else {
+      // Read the OPENED stream to EOF — never pre-size from a separate
+      // getFileStatus call (round-17 ADVICE): a concurrent commit's
+      // rename-over between open and stat can make the stat'd length
+      // disagree with the opened file (EOFException on readFully, or a
+      // truncated parse of the old manifest). The stream, once open,
+      // is one consistent file; EOF is its own length authority.
       val in = f.open(mf)
       val body = try {
-        val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8")
+        val bos = new java.io.ByteArrayOutputStream(4096)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) bos.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       Some(parse(body))
     }

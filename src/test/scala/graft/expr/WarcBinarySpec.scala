@@ -1,0 +1,157 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Octet-exact WARC container reader ([[WarcBinOps]] /
+  * [[WarcBinRecords]]) — pins exactly the two cases the string face
+  * documents away (round-17 VERDICT #1): the record magic INSIDE a
+  * payload, and multi-byte UTF-8 payloads where character counts
+  * diverge from the octet Content-Length. Plus the member-boundary
+  * resync after a truncated record and the malformed-container
+  * quarantine. */
+class WarcBinarySpec extends SparkSpec {
+
+  private val CRLF = "\r\n"
+
+  private def record(wtype: String, rid: String, uri: String,
+                     payload: Array[Byte],
+                     declaredLen: Option[Long] = None): Array[Byte] = {
+    val hdr = new StringBuilder("WARC/1.0").append(CRLF)
+      .append(s"WARC-Type: $wtype").append(CRLF)
+      .append(s"WARC-Record-ID: $rid").append(CRLF)
+    if (uri.nonEmpty) hdr.append(s"WARC-Target-URI: $uri").append(CRLF)
+    hdr.append(s"Content-Length: ${declaredLen.getOrElse(payload.length.toLong)}")
+      .append(CRLF).append(CRLF)
+    hdr.toString.getBytes(UTF_8) ++ payload ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  private def container(recs: Array[Byte]*): Array[Byte] =
+    recs.map(WarcBinOps.gzipMember).reduce(_ ++ _)
+
+  private def rows(bytes: Array[Byte]): Seq[Row] = {
+    val arr = WarcBinOps.records(bytes)
+    assert(arr != null, "container unexpectedly quarantined")
+    val t = WarcBinOps.recordType
+    arr.asInstanceOf[GenericArrayData].array.toSeq.map { r =>
+      val ir = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      Row(
+        Option(ir.getUTF8String(0)).map(_.toString).orNull,
+        Option(ir.getUTF8String(1)).map(_.toString).orNull,
+        Option(ir.getUTF8String(2)).map(_.toString).orNull,
+        if (ir.isNullAt(3)) null else ir.getLong(3),
+        ir.getInt(4),
+        Option(ir.getUTF8String(5)).map(_.toString).orNull,
+        Option(ir.getUTF8String(6)).map(_.toString).orNull)
+    }
+  }
+
+  private def http(body: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF$CRLF$body")
+      .getBytes(UTF_8)
+
+  test("member walk: one record per gzip member, fields parsed, container order") {
+    val c = container(
+      record("warcinfo", "<urn:a:1>", "", "software g".getBytes(UTF_8)),
+      record("request", "<urn:a:2>", "http://h/x",
+             s"GET /x HTTP/1.1$CRLF$CRLF".getBytes(UTF_8)),
+      record("response", "<urn:a:3>", "http://h/x", http("<p>hello</p>")))
+    val rs = rows(c)
+    assert(rs.map(_.getString(1)) === Seq("warcinfo", "request", "response"))
+    assert(rs.map(_.getString(0)) === Seq("<urn:a:1>", "<urn:a:2>", "<urn:a:3>"))
+    assert(rs(2).getString(2) === "http://h/x")
+    assert(rs(2).getString(5) === "200")
+    assert(rs(2).getString(6) === "<p>hello</p>")
+    assert(rs.forall(_.getInt(4) == 0))
+  }
+
+  test("mid-payload record magic does NOT split the record (the string-face trap)") {
+    val body = s"<p>about warc</p><!--${CRLF}WARC/1.0${CRLF}WARC-Type: fake$CRLF$CRLF-->"
+    val c = container(
+      record("response", "<urn:b:1>", "http://h/a", http(body)),
+      record("response", "<urn:b:2>", "http://h/b", http("<p>next</p>")))
+    val rs = rows(c)
+    // exactly TWO records — a delimiter-split reader would see three
+    assert(rs.size === 2)
+    assert(rs(0).getString(6) === body) // magic retained inside the body
+    assert(rs(1).getString(0) === "<urn:b:2>")
+  }
+
+  test("multi-byte UTF-8 payload: Content-Length counts OCTETS, not characters") {
+    val body = "café Ж" // 7 chars, 9 octets
+    val payload = http(body)
+    assert(new String(payload, UTF_8).length < payload.length)
+    val rs = rows(container(
+      record("response", "<urn:c:1>", "http://h/c", payload)))
+    // octet-declared length is exact: not truncated, body byte-exact
+    assert(rs.head.getInt(4) === 0)
+    assert(rs.head.get(3) === payload.length.toLong)
+    assert(rs.head.getString(6) === body)
+    // a CHARACTER-counting declaration (the string face's arithmetic)
+    // under-declares by 2 octets here — the reader, correctly counting
+    // octets, slices the payload SHORT: the body visibly loses bytes,
+    // which is exactly the divergence the fixture plant makes the
+    // q_warc_files hash detect
+    val charCount = new String(payload, UTF_8).length.toLong
+    val rs2 = rows(container(
+      record("response", "<urn:c:2>", "http://h/c", payload,
+             declaredLen = Some(charCount))))
+    assert(rs2.head.getInt(4) === 0) // separator absorbs the shortfall
+    assert(rs2.head.getString(6) !== body)
+  }
+
+  test("truncated record quarantines itself; the NEXT member still parses (resync)") {
+    val full = http("<p>page one</p>")
+    val cut = full.take(40)
+    val c = container(
+      record("response", "<urn:d:1>", "http://h/1", cut,
+             declaredLen = Some(full.length.toLong + 7)),
+      record("response", "<urn:d:2>", "http://h/2", http("<p>page two</p>")))
+    val rs = rows(c)
+    assert(rs.size === 2)
+    assert(rs(0).getInt(4) === 1) // truncated
+    assert(rs(0).getString(5) === "200") // status still read from the prefix
+    assert(rs(1).getInt(4) === 0) // member boundary resynced framing
+    assert(rs(1).getString(6) === "<p>page two</p>")
+  }
+
+  test("malformed container bytes quarantine as NULL, never throw") {
+    assert(WarcBinOps.records("not gzip at all".getBytes(UTF_8)) == null)
+    val good = container(record("response", "<urn:e:1>", "", http("x")))
+    val torn = good.take(good.length - 6) // torn trailer
+    assert(WarcBinOps.records(torn) == null)
+    val corrupt = good.clone()
+    corrupt(15) = (corrupt(15) ^ 0x55).toByte // flip deflate bytes
+    // corrupt deflate either nulls or (rarely) inflates to garbage that
+    // still frames — assert no throw is the contract
+    WarcBinOps.records(corrupt)
+  }
+
+  test("expression roundtrip inside a DataFrame plan (codegen path)") {
+    import scala.jdk.CollectionConverters._
+    val c = container(
+      record("warcinfo", "<urn:f:1>", "", "software g".getBytes(UTF_8)),
+      record("response", "<urn:f:2>", "http://h/f", http("<p>df</p>")))
+    val df = spark.createDataFrame(
+      Seq(Row(c)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = df.select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          WarcBinRecords(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              org.apache.spark.sql.functions.col("content"))))).as("r"))
+      .select("r.wtype", "r.status", "r.body")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("warcinfo", "response"))
+    assert(out(1).getString(1) === "200")
+    assert(out(1).getString(2) === "<p>df</p>")
+  }
+}
