@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** robots.txt document parser ([[WebQueries.robotsRulesCol]] /
+  * [[WebQueries.robotsVerdictCol]]) — REP semantics pinned on
+  * hand-built documents: user-agent-run group assignment, specific
+  * agent shadowing `*`, longest-match precedence, Allow-wins ties,
+  * empty-value rules ignored, comments stripped, case-folded
+  * directives and agent names. */
+class RobotsParseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** verdict (n_rules, n_match, allowed) for `agent` on `path`. */
+  private def judge(txt: String, agent: String, path: String): (Long, Long, Int) = {
+    val Row(nr: Long, nm: Long, a: Int) =
+      Seq(txt).toDF("txt")
+        .select(WebQueries.robotsVerdictCol(
+          WebQueries.robotsRulesCol(col("txt")), agent, lit(path)).as("v"))
+        .select("v.n_rules", "v.n_match", "v.allowed")
+        .head()
+    (nr, nm, a)
+  }
+
+  private def rules(txt: String): Seq[(String, Int, String)] =
+    Seq(txt).toDF("txt")
+      .select(explode(WebQueries.robotsRulesCol(col("txt"))).as("r"))
+      .select("r.agent", "r.allow", "r.prefix")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+
+  test("user-agent RUN groups: rules attach to the most recent run, per member agent") {
+    val txt =
+      """User-agent: A
+        |User-agent: B
+        |Disallow: /x
+        |User-agent: C
+        |Allow: /y
+        |""".stripMargin
+    assert(rules(txt) === Seq(
+      ("a", 0, "/x"), ("b", 0, "/x"), // the A+B run, both members
+      ("c", 1, "/y"))) // C starts a NEW run (a rule intervened)
+  }
+
+  test("specific agent group SHADOWS the * group entirely") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /private
+        |""".stripMargin
+    // graftbot is named → only its group applies: / is NOT disallowed
+    assert(judge(txt, "graftbot", "/docs") === ((1L, 0L, 1)))
+    assert(judge(txt, "graftbot", "/private/x") === ((1L, 1L, 0)))
+    // an unnamed agent falls back to * and is blocked everywhere
+    assert(judge(txt, "otherbot", "/docs") === ((1L, 1L, 0)))
+  }
+
+  test("longest matching prefix wins; on a length tie Allow wins") {
+    val txt =
+      """User-agent: *
+        |Disallow: /docs
+        |Allow: /docs/public
+        |""".stripMargin
+    assert(judge(txt, "g", "/docs/secret")._3 === 0) // shorter Disallow
+    assert(judge(txt, "g", "/docs/public/a")._3 === 1) // longer Allow wins
+    val tie =
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /p
+        |""".stripMargin
+    assert(judge(tie, "g", "/p/x")._3 === 1) // same length → Allow wins
+  }
+
+  test("empty Disallow is ignored; unknown directives ignored but end a UA run") {
+    val txt =
+      """User-agent: *
+        |Disallow:
+        |Crawl-delay: 10
+        |User-agent: late
+        |Disallow: /z
+        |""".stripMargin
+    // the empty rule vanished; Crawl-delay ended the * run, so
+    // `User-agent: late` started a NEW group owning /z
+    assert(rules(txt) === Seq(("late", 0, "/z")))
+    assert(judge(txt, "g", "/anything")._3 === 1)
+  }
+
+  test("comments and case: directives/agents fold, values keep case") {
+    val txt =
+      """# header comment
+        |USER-AGENT: GraftBot  # trailing comment
+        |DISALLOW: /Docs
+        |""".stripMargin
+    assert(rules(txt) === Seq(("graftbot", 0, "/Docs")))
+    assert(judge(txt, "graftbot", "/Docs/1")._3 === 0)
+    assert(judge(txt, "graftbot", "/docs/1")._3 === 1) // path case-sensitive
+  }
+
+  test("no matching group and empty document → everything allowed") {
+    assert(judge("User-agent: evil\nDisallow: /\n", "graftbot", "/x") ===
+      ((0L, 0L, 1)))
+    assert(judge("", "graftbot", "/x") === ((0L, 0L, 1)))
+    assert(judge("   \n# only comments\n", "graftbot", "/x") === ((0L, 0L, 1)))
+  }
+
+  test("rules before any user-agent line belong to no group (dropped)") {
+    val txt =
+      """Disallow: /orphan
+        |User-agent: *
+        |Disallow: /real
+        |""".stripMargin
+    assert(rules(txt) === Seq(("*", 0, "/real")))
+  }
+}
