@@ -1352,7 +1352,7 @@ object DedupQueries {
     "q_semantic_dedup",
     (s, dir) => semanticDedup(SimQueries.quantizedFrame(s, dir),
                               gateCellCap(s, dir)),
-    Some(s"""${SimQueries.ivfCte},
+    Some(s"""${SimQueries.ivfCteDerived},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
       |         CAST(list_sum(list_transform(e.q, x -> x * x)) AS BIGINT) AS nsq
@@ -1376,13 +1376,13 @@ object DedupQueries {
     * ([[semanticCellCap]]) — the default for every semantic pass. */
   private[graft] val DeriveCellCap = 0L
 
-  /** Target per-cell occupancy for the semantic pair stages. Matches the
-    * IVF seed stride ([[SimQueries]] `CentStride`), so the derived cap
-    * collapses to the gated `MaxCents` everywhere at or below
-    * `MaxCents·SemTargetCell` = 51 200 vectors — which is why the
-    * sf-scale oracles (fixtures ≤ 2 000 embeddings) replay the same
-    * trained-IVF CTE unchanged. */
-  private[graft] val SemTargetCell = 200L
+  /** Target per-cell occupancy for the semantic pair stages (alias —
+    * the value lives in [[SimQueries]] next to `CentStride` for
+    * init-order safety; see its scaladoc). The semantic oracles
+    * replay the derivation in SQL ([[SimQueries.ivfCteDerived]]), so
+    * derived caps above `MaxCents` no longer fall outside the
+    * oracle-replayable surface. */
+  private[graft] def SemTargetCell: Long = SimQueries.SemTargetCell
 
   /** Cell cap for an n-vector semantic pass: `max(MaxCents,
     * ⌈n/SemTargetCell⌉)` — hold CELL SIZE (not cell count) constant, so
@@ -1417,23 +1417,15 @@ object DedupQueries {
   /** The gate-side cap: derived from a cheap count of the RAW
     * embeddings table (metadata-backed parquet count — no quantize
     * projection, no repartition exchange; the derived-default count on
-    * the quantized frame cost ~1 s of pure shuffle at sf0.1), and
-    * REQUIRED to land on the fixed `MaxCents` the shared trained-IVF
-    * oracle CTE replays. Past 51 200 vectors the derived cap diverges
-    * from the oracle's — without this guard the gate would
-    * hash-mismatch mysteriously on an oversized fixture; with it, it
-    * fails loudly naming the bound (oversized corpora profile through
-    * `SemDedupProfile` with explicit caps instead). */
-  private[graft] def gateCellCap(s: SparkSession, dir: String): Long = {
-    val cap = semanticCellCap(Tables.read(s, dir, "embeddings").count())
-    require(cap == SimQueries.MaxCents,
-      s"semantic-gate fixture exceeds the oracle-replayable bound: derived " +
-        s"cellCap $cap != MaxCents ${SimQueries.MaxCents} (the DuckDB oracle " +
-        "replays the fixed-cap trained-IVF CTE, valid to " +
-        s"${SimQueries.MaxCents * SemTargetCell} vectors) — use a smaller " +
-        "fixture, or call the library function with an explicit cap")
-    cap
-  }
+    * the quantized frame cost ~1 s of pure shuffle at sf0.1). The
+    * semantic oracles replay the SAME derivation in SQL
+    * ([[SimQueries.ivfCteDerived]]'s `capc` CTE — `GREATEST(MaxCents,
+    * ⌈n/SemTargetCell⌉)` over the same source), so the gates run at
+    * ANY corpus size — the former `require(cap == MaxCents)` refusal
+    * past 51 200 vectors (round-17 VERDICT #3) is gone because the
+    * bound it guarded is gone. */
+  private[graft] def gateCellCap(s: SparkSession, dir: String): Long =
+    semanticCellCap(Tables.read(s, dir, "embeddings").count())
 
   /** [[qSemanticDedup]]'s body over an ARBITRARY quantized
     * `(vec_id, label, q)` frame — factored so specs and non-testdata
@@ -1501,7 +1493,7 @@ object DedupQueries {
     "q_semantic_decontam",
     (s, dir) => semanticDecontam(SimQueries.quantizedFrame(s, dir),
                                  gateCellCap(s, dir)),
-    Some(s"""${SimQueries.ivfCte},
+    Some(s"""${SimQueries.ivfCteDerived},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
       |         CAST(list_sum(list_transform(e.q, x -> x * x)) AS BIGINT) AS nsq

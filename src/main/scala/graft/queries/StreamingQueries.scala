@@ -270,9 +270,9 @@ object StreamingQueries {
       import graft.vector.VectorOps
       val e = SimQueries.quantizedFrame(s, dir)
       // same auto-sized cap as the batch face, resolved the gate way
-      // (DedupQueries.gateCellCap: cheap raw-source count + the
-      // loud oracle-bound guard); the count bills to the offline index
-      // build, not the drain
+      // (DedupQueries.gateCellCap: cheap raw-source count; the oracle
+      // replays the same derivation in SQL); the count bills to the
+      // offline index build, not the drain
       val cents = SimQueries.ivfTrain(
         e, DedupQueries.gateCellCap(s, dir)).localCheckpoint()
       val evalQ = e.filter(col("vec_id") % 5 === 4)
@@ -1097,9 +1097,11 @@ object StreamingQueries {
     "q_stream_cluster_assign",
     (s, dir) => {
       import graft.vector.VectorOps
-      val out = LayoutQueries.derivedDir(s, dir, "clusters-stream")
-      val e = SimQueries.quantizedFrame(s, dir)
-      SimQueries.writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
+      // the shared build-half layout (round-17 VERDICT #4): this face
+      // reads only its CENTROIDS (the router) — member appends by the
+      // batch append gate never touch them, so sharing is safe in
+      // either execution order
+      val out = SimQueries.sharedEvenClusterLayout(s, dir)
       val (seeds, ccell) = SimQueries.clusterRouter(s, out)
       val flat = SimQueries.centsFlat(seeds).localCheckpoint()
       val cellm = ccell.groupBy("rcell")

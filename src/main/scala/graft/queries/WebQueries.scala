@@ -686,6 +686,133 @@ object WebQueries {
       LicensePlant.zipWithIndex.map { case (l, i) => s"WHEN $i THEN '$l'" }
         .mkString(" ") + " END"
 
+  // --------------------------------------- license detection from content
+
+  /** In-page license markers, one per [[LicensePlant]] label (round-17
+    * VERDICT #6: detect license FROM page content, don't plant
+    * metadata): the three real-world marker classes — a
+    * `rel="license"` link (the HTML spec's license relation), an
+    * SPDX-License-Identifier tag, and a rights meta — cycling the SAME
+    * six labels as [[licenseCol]], with cc-by planted through BOTH
+    * marker classes (doc 0 via rel-link, doc 3 via SPDX) so each
+    * detection path carries mass. Markers are appended after
+    * `</html>` as tag-only/comment content: tags strip to empty text
+    * and comments strip before the block split, so the extraction
+    * result is IDENTICAL to [[htmlCol]]'s — the detector composes into
+    * the admission chain without touching the extraction oracle. */
+  private val LicenseMarkers: Seq[String] = Seq(
+    "<link rel=\"license\" href=\"https://creativecommons.org/licenses/by/4.0/\">",
+    "<!-- SPDX-License-Identifier: CC0-1.0 -->",
+    "<link rel=\"license\" href=\"https://creativecommons.org/publicdomain/mark/1.0/\">",
+    "<!-- SPDX-License-Identifier: CC-BY-4.0 -->",
+    "<meta name=\"rights\" content=\"All Rights Reserved\">",
+    "")
+
+  /** [[htmlCol]] plus the doc's license marker — the page a licensed
+    * crawl actually serves. */
+  private[graft] def licensedPageCol(docId: Column, text: Column): Column =
+    concat(htmlCol(docId, text),
+           LicenseMarkers.zipWithIndex.foldLeft(lit("")) { case (acc, (m, i)) =>
+             when(pmod(docId, lit(6)) === i, lit(m)).otherwise(acc)
+           })
+
+  private def licenseMarkerSql: String =
+    "CASE CAST(doc_id % 6 AS INTEGER) " +
+      LicenseMarkers.zipWithIndex.map { case (m, i) =>
+        s"WHEN $i THEN '${m.replace("'", "''")}'"
+      }.mkString(" ") + " ELSE '' END"
+
+  /**
+   * License detection over raw page HTML —
+   * `struct(rel_href, spdx_id, license)`, pure row-local regex chain
+   * (position-independent: markers can sit anywhere in the page).
+   * Detection order = specificity order: (1) the `rel="license"`
+   * link's href mapped by the CC URL namespace (attribute order
+   * handled by extracting the TAG first, then its href); (2) an SPDX
+   * identifier anywhere (comment, meta, source); (3) an
+   * all-rights-reserved rights meta; else `unknown`. The label set is
+   * [[LicensePlant]]'s, so the detected value drops into the existing
+   * [[LicenseAllow]] admission leg unchanged.
+   */
+  private[graft] def licenseDetectCol(html: Column): Column =
+    letBound(regexp_extract(
+        regexp_extract(html, "(?i)<[^>]*rel=[\"']license[\"'][^>]*>", 0),
+        "(?i)href=[\"']([^\"']+)[\"']", 1)) { href =>
+      letBound(lower(regexp_extract(
+          html, "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1))) { spdx =>
+        letBound(lower(regexp_extract(
+            html,
+            "(?i)<meta[^>]*name=[\"']rights[\"'][^>]*content=[\"']([^\"']*)[\"']",
+            1))) { rights =>
+          struct(
+            href.as("rel_href"), spdx.as("spdx_id"),
+            when(href.contains("/licenses/by"), "cc-by")
+              .when(href.contains("/publicdomain/zero"), "cc0")
+              .when(href.contains("/publicdomain/mark"), "public-domain")
+              .when(spdx.startsWith("cc-by"), "cc-by")
+              .when(spdx.startsWith("cc0"), "cc0")
+              .when(rights.rlike("all rights reserved"), "all-rights-reserved")
+              .otherwise("unknown").as("license"))
+        }
+      }
+    }
+
+  /** The detection replay in oracle SQL over a `(doc_id, html)` CTE
+    * `src` — same regexes under RE2, same precedence CASE. */
+  private def licenseDetectSql(src: String): String =
+    s"""SELECT doc_id,
+      |       regexp_extract(
+      |         regexp_extract(html, '(?i)<[^>]*rel=["'']license["''][^>]*>', 0),
+      |         '(?i)href=["'']([^"'']+)["'']', 1) AS rel_href,
+      |       lower(regexp_extract(html,
+      |         'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)) AS spdx_id,
+      |       lower(regexp_extract(html,
+      |         '(?i)<meta[^>]*name=["'']rights["''][^>]*content=["'']([^"'']*)["'']',
+      |         1)) AS rights
+      |FROM $src""".stripMargin
+
+  /**
+   * License detection behind the gate: the marker-bearing fixture page
+   * per document, detected by [[licenseDetectCol]]. The oracle replays
+   * the page build + the WHOLE detection chain (tag isolation, href
+   * extraction, SPDX scan, rights meta, precedence CASE) — and the
+   * detected label provably equals the [[licenseCol]] plant cycle,
+   * which is what lets [[crawlAdmitFrame]] run detection while its
+   * oracle keeps the plant.
+   */
+  lazy val qLicenseDetect = Q(
+    "q_license_detect",
+    (s, dir) =>
+      Tables.read(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                licenseDetectCol(
+                  licensedPageCol(col("doc_id"), col("text"))).as("v"))
+        .select(col("doc_id"), col("v.rel_href").as("rel_href"),
+                col("v.spdx_id").as("spdx_id"),
+                col("v.license").as("license")),
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), hx AS (
+      |  SELECT doc_id, $pageSqlExpr || $licenseMarkerSql AS html
+      |  FROM d
+      |), lx AS (
+      |""".stripMargin + licenseDetectSql("hx") + "\n" +
+      """)
+        |SELECT doc_id, rel_href, spdx_id,
+        |       CASE WHEN contains(rel_href, '/licenses/by') THEN 'cc-by'
+        |            WHEN contains(rel_href, '/publicdomain/zero') THEN 'cc0'
+        |            WHEN contains(rel_href, '/publicdomain/mark')
+        |              THEN 'public-domain'
+        |            WHEN starts_with(spdx_id, 'cc-by') THEN 'cc-by'
+        |            WHEN starts_with(spdx_id, 'cc0') THEN 'cc0'
+        |            WHEN regexp_matches(rights, 'all rights reserved')
+        |              THEN 'all-rights-reserved'
+        |            ELSE 'unknown' END AS license
+        |FROM lx""".stripMargin)
+  )
+
   /** The path component of a raw URL (robots rules match on it). */
   private def urlPathCol(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
@@ -951,19 +1078,33 @@ object WebQueries {
     * a row, and each of content/safety/robots/license says
     * independently why it fell. Streams verbatim (`q_stream_crawl`). */
   private[graft] def crawlAdmitFrame(d: DataFrame): DataFrame =
-    htmlExtractFrame(d)
-      .select(col("doc_id"), col("n_content"),
-              TextOps.nfc(TextOps.repairMojibake(col("text"))).as("norm_text"))
+    d.filter(col("text").isNotNull)
+      // the marker-bearing page ONCE; extraction and license detection
+      // both read it (extraction is provably identical to the plain
+      // [[htmlCol]] page — markers are tag-only/comment content after
+      // </html> — so the oracle's shared extraction replay still holds)
+      .select(col("doc_id"),
+              licensedPageCol(col("doc_id"), col("text")).as("__graft_html"))
+      .select(col("doc_id"),
+              htmlExtractCols(col("__graft_html")).as("e"),
+              licenseDetectCol(col("__graft_html")).getField("license")
+                .as("__license"))
+      .select(col("doc_id"), col("e.n_content").as("n_content"),
+              TextOps.nfc(TextOps.repairMojibake(col("e.text")))
+                .as("norm_text"),
+              col("__license"))
       .select(col("doc_id"), col("n_content"),
               length(col("norm_text")).cast("long").as("n_chars"),
               safetyCols(col("norm_text")).as("v"),
-              urlCol(col("doc_id")).as("__u"))
+              urlCol(col("doc_id")).as("__u"), col("__license"))
       .select(col("doc_id"), col("n_content"), col("n_chars"),
               col("v.n_hits").as("n_hits"), col("v.blocked").as("blocked"),
               robotsBlockCol(
                 urlCanonicalCols(col("__u")).getField("host_key"),
                 urlPathCol(col("__u"))).as("robots_block"),
-              licenseCol(col("doc_id")).as("license"))
+              // DETECTED from page content since round 18 — provably
+              // equal to the licenseCol plant the oracle replays
+              col("__license").as("license"))
       .withColumn("license_ok",
                   col("license").isInCollection(LicenseAllow).cast("int"))
       .withColumn("admitted",
@@ -1833,5 +1974,5 @@ object WebQueries {
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
         qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit, qWarcGzip,
-        qWarcFiles, qRobotsParse)
+        qWarcFiles, qRobotsParse, qLicenseDetect)
 }

@@ -23,9 +23,22 @@ object ClusterAppendProfile {
     val out = java.nio.file.Files.createTempDirectory("graft-cl-app-soak").toString
     val e = SimQueries.quantizedFrame(s, dir)
     val n = e.count()
+    // sub-phase split (round-18: attribute the build bill): fixpoint
+    // vs the layout write (members + centroids + commit)
+    val tf0 = System.nanoTime()
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val labels = graft.operators.ConnectedComponents.labels(
+      SimQueries.mutualEdgesOf(evens)).localCheckpoint()
+    val tFix = (System.nanoTime() - tf0) / 1e9
+    val tm0 = System.nanoTime()
+    SimQueries.writeClustersOf(evens, out, withCentroids = false,
+                               labels0 = Some(labels))
+    val tMem = (System.nanoTime() - tm0) / 1e9
     val t0 = System.nanoTime()
-    SimQueries.writeClustersOf(e.filter(col("vec_id") % 2 === 0), out)
+    SimQueries.writeClustersOf(evens, out, labels0 = Some(labels))
     val tBuild = (System.nanoTime() - t0) / 1e9
+    println(f"[cl-append-profile] fixpoint=$tFix%.1f s " +
+            f"members_only=$tMem%.1f s members+cents=$tBuild%.1f s")
     val nCents = s.read.parquet(s"$out/centroids").count()
     val t1 = System.nanoTime()
     SimQueries.appendToClusters(s, out, e.filter(col("vec_id") % 2 =!= 0))

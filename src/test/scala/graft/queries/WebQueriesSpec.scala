@@ -293,4 +293,55 @@ class WebQueriesSpec extends SparkSpec {
     assert(WebQueries.frequentLineHashes(lined, minDocs = 2, cap = 5)
              .length === 5)
   }
+
+  test("license detection: marker classes, attribute order, precedence, position") {
+    def detect(html: String): (String, String, String) = {
+      val Row(h: String, s: String, l: String) =
+        Seq(html).toDF("html")
+          .select(WebQueries.licenseDetectCol(col("html")).as("v"))
+          .select("v.rel_href", "v.spdx_id", "v.license").head()
+      (h, s, l)
+    }
+    // rel-license link, href BEFORE rel (attribute order must not matter)
+    assert(detect("""<a href="https://creativecommons.org/licenses/by/4.0/" rel="license">x</a>""")._3
+      === "cc-by")
+    // link element, rel first; position anywhere in the page
+    assert(detect("""<p>body</p><link rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/"><p>more</p>""")._3
+      === "cc0")
+    assert(detect("""<link rel="license" href="https://creativecommons.org/publicdomain/mark/1.0/">""")._3
+      === "public-domain")
+    // SPDX in a comment; case-insensitive id
+    assert(detect("<!-- SPDX-License-Identifier: CC-BY-4.0 -->")._3 === "cc-by")
+    assert(detect("<!-- SPDX-License-Identifier: cc0-1.0 -->")._3 === "cc0")
+    // rights meta
+    assert(detect("""<meta name="rights" content="All Rights Reserved">""")._3
+      === "all-rights-reserved")
+    // precedence: rel-license beats SPDX beats rights meta
+    assert(detect(
+      """<link rel="license" href="https://creativecommons.org/publicdomain/mark/1.0/">
+        |<!-- SPDX-License-Identifier: CC0-1.0 -->""".stripMargin)._3
+      === "public-domain")
+    // nothing detectable → unknown (plain footer text is NOT a marker)
+    assert(detect("<footer>Copyright 2026 All rights reserved</footer>")._3
+      === "unknown")
+    // a non-CC rel-license href detects nothing downstream → unknown
+    assert(detect("""<link rel="license" href="https://example.com/eula">""")._3
+      === "unknown")
+  }
+
+  test("license markers are extraction-invisible: licensed page ≡ plain page") {
+    val docs = (0L to 11L).map(id => (id, "alpha beta gamma delta epsilon " +
+        "zeta the and is of eta theta iota")).toDF("doc_id", "text")
+    val plain = docs.select(col("doc_id"),
+        WebQueries.htmlExtractCols(
+          WebQueries.htmlCol(col("doc_id"), col("text"))).as("e"))
+      .select(col("doc_id"), col("e.text"), col("e.n_blocks"), col("e.n_content"))
+      .collect().map(_.toSeq).toSeq
+    val licensed = docs.select(col("doc_id"),
+        WebQueries.htmlExtractCols(
+          WebQueries.licensedPageCol(col("doc_id"), col("text"))).as("e"))
+      .select(col("doc_id"), col("e.text"), col("e.n_blocks"), col("e.n_content"))
+      .collect().map(_.toSeq).toSeq
+    assert(licensed === plain)
+  }
 }
