@@ -474,6 +474,38 @@ object LayoutQueries {
                                      outDir: String): Unit =
     writeIndexRows(batch, outDir, "append")
 
+  /** STREAMING COMPACTION under the manifest protocol (round-17
+    * VERDICT #7): fold a DRAINED micro-batch sink of per-document
+    * index partials `(doc_id, term, tf)` — the `q_stream_index` sink
+    * shape — into the committed index layout as ONE atomic version:
+    * the batch's term-keyed partial rows (the same mergeable trio
+    * [[appendToIndex]] appends) land under their buckets, then the
+    * manifest commits. A compactor that dies between the file append
+    * and the commit leaves a TORN batch that [[graft.sources
+    * .AtomicPublish.readCommitted]] readers provably never see
+    * (`StreamCompactionSpec`); `commitAfter = false` IS that crash,
+    * as a test seam — production callers never pass it. */
+  private[queries] def compactStreamSink(partials: DataFrame,
+                                         outDir: String,
+                                         commitAfter: Boolean = true): Unit = {
+    partials.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+           graft.operators.TopK.topK(TextStatsQueries.PostingsCap)(
+             -col("doc_id"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"), col("total_tf"),
+              array_join(transform(col("top.items"),
+                                   x => x.getField("id").cast("string")),
+                         ",").as("postings"))
+      .withColumn("tbucket", pmod(xxhash64(col("term")),
+                                  lit(TermBuckets.toLong)))
+      .repartition(col("tbucket"))
+      .sortWithinPartitions("tbucket", "term")
+      .write.mode("append").partitionBy("tbucket")
+      .parquet(s"$outDir/terms")
+    if (commitAfter)
+      graft.sources.AtomicPublish.commit(partials.sparkSession, outDir)
+  }
+
   /** Compact a stored index's partial rows into final per-term rows:
     * one term-keyed aggregate — additive counters summed, posting
     * prefixes merged as sort-then-cap over the flattened parts. */

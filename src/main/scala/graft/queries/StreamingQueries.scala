@@ -779,16 +779,15 @@ object StreamingQueries {
         .select(col("doc_id"), col("tc.term").as("term"),
                 col("tc.tf").as("tf"))
       val sunk = runToSink(s, dir, partial, "graft_q_stream_index")
-      sunk.groupBy("term").agg(
-          count(lit(1)).as("df"),
-          sum("tf").as("total_tf"),
-          graft.operators.TopK.topK(TextStatsQueries.PostingsCap)(
-            -col("doc_id"), col("doc_id")).as("top"))
-        .select(col("term"), col("df"), col("total_tf"),
-                array_join(
-                  transform(col("top.items"),
-                            x => x.getField("id").cast("string")),
-                  ",").as("postings"))
+      // EXACTLY-ONCE COMPACTION (round-17 VERDICT #7): the drained
+      // sink folds into a committed index layout under the
+      // AtomicPublish manifest — one atomic version per compaction,
+      // so a torn compactor can't publish a partial index — and the
+      // gate's answer is read back THROUGH the committed snapshot
+      // (same final merge as before; oracle unchanged).
+      val layout = streamDir(s, dir, s"idxlayout-${System.nanoTime()}")
+      LayoutQueries.compactStreamSink(sunk, layout)
+      LayoutQueries.compactIndex(s, layout)
     },
     TextStatsQueries.qInvertedIndex.oracle
   )

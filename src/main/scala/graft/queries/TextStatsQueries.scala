@@ -1075,15 +1075,35 @@ object TextStatsQueries {
       |p AS (
       |  SELECT doc_id, lang, text || $ByteTailSql AS btext
       |  FROM documents WHERE text IS NOT NULL
-      |), w0 AS (
+      |), w00 AS (
+      |  -- two-pass replay of the GPT-2 lookahead branch (RE2 has no
+      |  -- lookahead): sentinel-split each multi-whitespace run before
+      |  -- its donated last space, then pre-tokenize per segment with
+      |  -- the lookahead-free pattern — equivalence to the single-pass
+      |  -- Java regex is property-pinned in ByteBpeSpec
       |  SELECT doc_id,
-      |         regexp_extract_all(btext, '${graft.expr.ByteBpeOps.PreTokRe}')
-      |           AS toks
+      |         regexp_replace(btext, '(\\s+)(\\s[^\\s])',
+      |                        '\\1' || chr(30) || '\\2', 'g') AS b2
       |  FROM p
+      |), sg AS (
+      |  SELECT doc_id, unnest(string_split(b2, chr(30))) AS seg,
+      |         unnest(generate_series(1, len(string_split(b2, chr(30)))))
+      |           AS sgp
+      |  FROM w00
+      |), wt AS (
+      |  SELECT doc_id, sgp,
+      |         regexp_extract_all(seg,
+      |           '${graft.expr.ByteBpeOps.PreTokReNoLookahead
+                      .replace("'", "''")}') AS toks
+      |  FROM sg
       |), w AS (
-      |  SELECT doc_id, unnest(toks) AS word,
-      |         unnest(generate_series(1, len(toks))) AS wpos
-      |  FROM w0
+      |  SELECT doc_id, word,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sgp, tp)
+      |           AS wpos
+      |  FROM (
+      |    SELECT doc_id, sgp, unnest(toks) AS word,
+      |           unnest(generate_series(1, len(toks))) AS tp
+      |    FROM wt)
       |), hxw AS (
       |  SELECT doc_id, wpos, hex(word) AS h FROM w
       |), pc AS (
@@ -1102,8 +1122,11 @@ object TextStatsQueries {
       |                        i -> substr(h, 2*i-1, 2)) AS u
       |  FROM hxw
       |), """.stripMargin + bpeFixpointSql + """,
-      |dn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pretokens
-      |       FROM w0)""".stripMargin
+      |dn AS (
+      |  -- every doc carries the planted tail, so >= 1 pretoken: the
+      |  -- plain GROUP BY covers every doc of p
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens
+      |  FROM w GROUP BY doc_id)""".stripMargin
 
   /**
    * BYTE-level BPE encode with regex pre-tokenization — the

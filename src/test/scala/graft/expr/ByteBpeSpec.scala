@@ -32,16 +32,60 @@ class ByteBpeSpec extends SparkSpec {
                 .as("p"))
       .as[Seq[String]].head()
 
-  test("pre-tokenizer: leading-space attachment, class splits, space runs") {
-    // the GPT-2 signature: a single space attaches to the following
-    // letter/digit/punct run; classes split each other; 2+ spaces
-    // form a standalone whitespace pretoken (the documented no-lookahead
-    // divergence from the original pattern)
+  test("pre-tokenizer: the PUBLISHED GPT-2 tokenization, verbatim") {
+    // round-17 VERDICT #5: the two former divergences are CLOSED.
+    // (1) contraction specials: it's → it + 's (not ' + s)
+    // (2) the \s+(?!\S) lookahead: a 2+-space run donates its LAST
+    //     space to the following word
     assert(preToks("hello world, it's 42  done café") ===
-      Seq("hello", " world", ",", " it", "'", "s", " 42", "  ",
-          "done", " café"))
+      Seq("hello", " world", ",", " it", "'s", " 42", " ",
+          " done", " café"))
     // digits never glue to letters; punctuation runs stay together
     assert(preToks("abc123!?x") === Seq("abc", "123", "!?", "x"))
+    // every contraction special, mid-sentence
+    assert(preToks("I'll they're we've I'm you'd isn't it's") ===
+      Seq("I", "'ll", " they", "'re", " we", "'ve", " I", "'m",
+          " you", "'d", " isn", "'t", " it", "'s"))
+    // multi-space donation across runs; trailing run stays whole
+    assert(preToks("a   b  ") === Seq("a", "  ", " b", "  "))
+    // newline/tab runs: no space-absorption, lookahead still donates
+    assert(preToks("a\n\nb") === Seq("a", "\n", "\n", "b"))
+    assert(preToks("x\t  y") === Seq("x", "\t ", " y"))
+  }
+
+  test("two-pass lookahead-free replay (the DuckDB oracle) equals the single-pass pattern") {
+    // the oracle cannot run (?!\S) under RE2; it sentinel-splits each
+    // multi-whitespace run before its donated last space, then applies
+    // PreTokReNoLookahead per segment. Property: for ANY layout of
+    // words and whitespace runs, concatenated per-segment matches ==
+    // the single-pass Java tokenization.
+    def twoPass(s: String): Seq[String] = {
+      val b2 = s.replaceAll("(\\s+)(\\s[^\\s])", "$1\u001e$2")
+      val p = java.util.regex.Pattern.compile(ByteBpeOps.PreTokReNoLookahead)
+      b2.split("\u001e", -1).toSeq.flatMap { seg =>
+        val m = p.matcher(seg)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) out += m.group()
+        out
+      }
+    }
+    def onePass(s: String): Seq[String] = {
+      val p = java.util.regex.Pattern.compile(ByteBpeOps.PreTokRe)
+      val m = p.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    val words = Seq("ab", "c", "42", "it's", "café", "!?", "№")
+    val gaps = Seq("", " ", "  ", "   ", "\n", "\n\n", "\t ", " \t  ", "\t")
+    val rnd = new scala.util.Random(18)
+    (1 to 500).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val s = (0 until n).map(_ =>
+        gaps(rnd.nextInt(gaps.size)) + words(rnd.nextInt(words.size)))
+        .mkString + gaps(rnd.nextInt(gaps.size))
+      assert(twoPass(s) === onePass(s), s"layout: ${s.replace("\n", "\\n")}")
+    }
   }
 
   test("byte alphabet: hex pairs, lossless, multi-byte codepoints split") {
