@@ -133,6 +133,168 @@ object IngestQueries {
       |SELECT line, reason FROM bad WHERE reason IS NOT NULL""".stripMargin)
   )
 
+  // ------------------------------------------- JSONL.gz FILE ingestion
+
+  /** Shard count for the planted `.jsonl.gz` corpus files — the
+    * binaryFile scan parallelizes by FILE (one task per container),
+    * which is exactly how corpus dumps shard; a real interchange drop
+    * has thousands of ~100 MB files and this reader's cost scales with
+    * the file count, never the driver. */
+  private val JsonlFileCount = 32
+
+  /** Adversarial text tail planted for `doc_id % 3 = 1`: raw newline +
+    * double quote + tab + a multi-byte codepoint — every character
+    * class the JSON encoder must escape (or carry as multi-byte UTF-8
+    * through the gzip leg). With the tail in play, LINE framing is
+    * only safe because `to_json` escapes the newline — a writer that
+    * didn't escape (or a reader that unescaped before splitting)
+    * mis-frames exactly these documents and hash-mismatches. */
+  private val JsonlTail = "\n\"x\t café"
+  private val JsonlTailSql =
+    "chr(10) || '\"x' || chr(9) || ' caf' || chr(233)"
+
+  /** The planted corpus frame shared by writer and oracle: complete
+    * rows only (an interchange dump carries no half-records — nulls
+    * are the PARSER's output domain, for malformed lines), with the
+    * escape-class tail on every third document. */
+  private def jsonlDocs(s: org.apache.spark.sql.SparkSession,
+                        sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.read(s, sfDir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+              col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"),
+              when(pmod(col("doc_id"), lit(3)) === 1,
+                   concat(col("text"), lit(JsonlTail)))
+                .otherwise(col("text")).as("text"),
+              col("n_chars"))
+
+  private val JsonlDocsWhereSql =
+    "text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL"
+  private val JsonlTextSql =
+    s"CASE WHEN doc_id % 3 = 1 THEN text || $JsonlTailSql ELSE text END"
+
+  /** Build the `.jsonl.gz` corpus FILES for a testdata dir, once per
+    * process ([[LayoutQueries.derivedDir]] scratch, `_SUCCESS`-marked)
+    * — the [[graft.queries.WebQueries]] warcFilesDir discipline over
+    * the OTHER interchange format corpora actually ship in: one JSON
+    * object per line (`to_json` over the typed struct), whole file one
+    * gzip stream, records hashed to [[JsonlFileCount]] shards by
+    * doc_id. For `doc_id % 13 = 5` a CORRUPT line is planted after the
+    * good one (the JSON truncated mid-string — never parseable), so
+    * the reader's malformed-line rejection is hash-load-bearing, not
+    * assumed. Distributed `foreachPartition` write, one shard per
+    * task, no driver collect at any corpus size. */
+  private val jsonlBuildLock = new Object
+  private[graft] def jsonlFilesDir(s: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): String =
+    jsonlBuildLock.synchronized {
+      val dir = LayoutQueries.derivedDir(s, sfDir, "jsonlfiles")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+      if (!fs.exists(marker)) {
+        fs.mkdirs(root)
+        val lines = jsonlDocs(s, sfDir)
+          .select(col("doc_id"),
+                  to_json(struct(col("doc_id"), col("lang"), col("text"),
+                                 col("n_chars"))).as("line"))
+          .select(pmod(col("doc_id"), lit(JsonlFileCount)).cast("int")
+                    .as("fk"),
+                  col("doc_id"), lit(1).as("line_idx"), col("line"))
+          .unionAll(
+            jsonlDocs(s, sfDir)
+              .filter(pmod(col("doc_id"), lit(13)) === 5)
+              .select(col("doc_id"),
+                      substring(to_json(struct(col("doc_id"), col("lang"),
+                                               col("text"), col("n_chars"))),
+                                1, 25).as("line"))
+              .select(pmod(col("doc_id"), lit(JsonlFileCount)).cast("int")
+                        .as("fk"),
+                      col("doc_id"), lit(2).as("line_idx"), col("line")))
+        val dirStr = dir
+        lines.repartition(JsonlFileCount, col("fk"))
+          .sortWithinPartitions("fk", "doc_id", "line_idx")
+          .select(col("fk"), encode(col("line"), "UTF-8").as("line"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val tfs = new org.apache.hadoop.fs.Path(dirStr)
+                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+              var cur = -1
+              var out: java.util.zip.GZIPOutputStream = null
+              try {
+                it.foreach { row =>
+                  val fk = row.getInt(0)
+                  if (fk != cur) { // shard-sorted rows: one open per shard
+                    if (out != null) out.close()
+                    out = new java.util.zip.GZIPOutputStream(
+                      tfs.create(new org.apache.hadoop.fs.Path(
+                        dirStr, f"part-$fk%05d.jsonl.gz"), true), 65536)
+                    cur = fk
+                  }
+                  out.write(row.getAs[Array[Byte]](1))
+                  out.write('\n')
+                }
+              } finally if (out != null) out.close()
+            }
+          }
+        fs.create(marker, true).close()
+      }
+      dir
+    }
+
+  /** The JSONL parse chain over a binary `content` column of container
+    * bytes: strict gunzip ([[WebQueries.gunzipCol]] — a torn file
+    * decodes to an accountable null, never an exception), newline
+    * framing (safe BECAUSE the writer escaped — the [[JsonlTail]]
+    * plant), `from_json` against the typed schema, and the
+    * drop-malformed discipline: only FULLY-parsed rows survive.
+    * All-fields-non-null is the complete-parse test by construction —
+    * the planted corpus carries no null fields, so a null can only
+    * mean `from_json` failed (partial results included:
+    * `spark.sql.json.enablePartialResults` may salvage a truncated
+    * line's doc_id, but never its text). Stateless per file row, so
+    * the streaming face applies it verbatim. */
+  private[graft] def jsonlFilesParse(
+      bin: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    bin.select(explode(split(WebQueries.gunzipCol(col("content")), "\n"))
+                 .as("line"))
+      .filter(length(col("line")) > 0)
+      .select(from_json(col("line"), schema).as("j"))
+      .filter(col("j.doc_id").isNotNull && col("j.lang").isNotNull &&
+              col("j.text").isNotNull && col("j.n_chars").isNotNull)
+      .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+              col("j.text").as("text"), col("j.n_chars").as("n_chars"))
+  }
+
+  /**
+   * JSONL.gz corpus-file ingestion — the interchange format training
+   * corpora actually ship in, read from REAL files (`binaryFile` scan,
+   * one task per container): gunzip → line-frame → `from_json` →
+   * drop-malformed. The oracle never sees the files — it selects the
+   * planted rows straight from `documents` — so the whole
+   * write-escape-compress-read-parse loop must be lossless to
+   * hash-match: the escape-class tail (`doc_id % 3 = 1`) proves
+   * framing + escape round trip, the truncated-JSON plant
+   * (`doc_id % 13 = 5`) proves malformed lines are dropped rather
+   * than half-parsed, and the multi-byte codepoints prove the gzip
+   * leg is octet-exact.
+   */
+  lazy val qJsonlFiles = Q(
+    "q_jsonl_files",
+    (s, dir) =>
+      jsonlFilesParse(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.jsonl.gz")
+          .load(jsonlFilesDir(s, dir))
+          .select(col("content"))),
+    Some(s"""SELECT doc_id, lang, $JsonlTextSql AS text, n_chars
+      |FROM documents WHERE $JsonlDocsWhereSql""".stripMargin)
+  )
+
   val all: Seq[Q] = Seq(qTsvParse, qHitsExport, qProfileColumns,
-                        qTsvQuarantine)
+                        qTsvQuarantine, qJsonlFiles)
 }

@@ -1805,6 +1805,35 @@ object StreamingQueries {
     WebQueries.qWarcFiles.oracle
   )
 
+  /**
+   * JSONL.gz corpus files as a STREAM — the landing-directory
+   * arrival mode of [[IngestQueries.qJsonlFiles]]: a binaryFile
+   * stream watches the dump directory and the identical parse chain
+   * ([[IngestQueries.jsonlFilesParse]] — shared, not copied) lands
+   * the typed rows in the trigger that saw the file. Stateless end to
+   * end; append mode, no state store. Batch oracle verbatim.
+   */
+  val qStreamJsonlFiles = Q(
+    "q_stream_jsonl_files",
+    (s, dir) => runToSink(s, dir,
+      IngestQueries.jsonlFilesParse(
+        s.readStream.format("binaryFile")
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("modificationTime",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("length",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.BinaryType))))
+          .option("pathGlobFilter", "*.jsonl.gz")
+          .load(IngestQueries.jsonlFilesDir(s, dir))
+          .select(col("content"))),
+      "graft_q_stream_jsonl_files"),
+    IngestQueries.qJsonlFiles.oracle
+  )
+
   val all: Seq[Q] = Seq(qStreamDecontam, qStreamSessionize, qStreamDedup,
                         qStreamCurate, qStreamSessionizeState, qStreamJoin,
                         qStreamFeed, qStreamMedia, qStreamWindowed, qStreamHll,
@@ -1822,5 +1851,5 @@ object StreamingQueries {
                         qStreamSafety, qStreamNormalize, qStreamHtml,
                         qStreamUpsample, qStreamBoilerplate, qStreamCrawl,
                         qStreamWarc, qStreamWarcAdmit, qStreamWarcGzip,
-                        qStreamWarcFiles)
+                        qStreamWarcFiles, qStreamJsonlFiles)
 }

@@ -1220,6 +1220,42 @@ object TextStatsQueries {
       |FROM t GROUP BY lang""".stripMargin)
   )
 
+  /**
+   * Byte-BPE DECODE round trip — the tokenizer's losslessness stated
+   * as a gate: encode every document, decode the unit stream back
+   * (`unhex ∘ concat` — units are hex byte strings, so decode is pure
+   * built-ins, no custom expression), and the result must equal the
+   * ORIGINAL text byte for byte. The oracle never replays the
+   * tokenizer at all — it just selects the input text — so the gate
+   * proves three structural facts at once: the GPT-2 pre-tokenizer
+   * PARTITIONS the string (no character lost between matches), the
+   * hex-pair unit alphabet covers every UTF-8 byte, and no merge in
+   * the learned table alters the byte stream. Any of the three
+   * failing mis-decodes some document and hash-mismatches here. The
+   * non-ASCII plant ([[byteDocs]]) keeps multi-byte codepoints
+   * load-bearing in the round trip.
+   *
+   * Scale shape: [[qByteBpeEncode]]'s — bounded merge-list collect +
+   * one zero-shuffle codegen'd projection; decode adds only row-local
+   * built-ins (`array_join`/`unhex`/`decode`) inside the same
+   * whole-stage span.
+   */
+  lazy val qByteBpeRoundtrip = Q(
+    "q_byte_bpe_roundtrip",
+    (s, dir) => {
+      val d = byteDocs(s, dir)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.ByteBpeEncode(
+        ColumnBridge.expression(col("text")), byteBpeLearnMerges(d)))
+      d.select(col("doc_id"), subs.as("subs"))
+        .select(col("doc_id"),
+                decode(unhex(array_join(col("subs"), "")), "UTF-8")
+                  .as("decoded"))
+    },
+    Some(s"""SELECT doc_id, text || $ByteTailSql AS decoded
+      |FROM documents WHERE text IS NOT NULL""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -2317,6 +2353,7 @@ object TextStatsQueries {
     qHllRegisters,
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
-    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility, qKllQuantiles, qKllByLang
+    qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility,
+    qByteBpeRoundtrip, qKllQuantiles, qKllByLang
   )
 }

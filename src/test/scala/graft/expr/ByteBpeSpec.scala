@@ -133,4 +133,24 @@ class ByteBpeSpec extends SparkSpec {
     val u = byteUnits("é", merges)
     assert(u.length === 1 || u.head === "C3A9")
   }
+
+  test("decode round trip: unhex∘concat inverts encode on every class") {
+    // the q_byte_bpe_roundtrip column chain, pinned on adversarial
+    // inputs: contractions, multi-space donation, multi-byte
+    // codepoints (2/3/4-octet), control chars, and empty pretokens
+    val inputs = Seq(
+      "it's  a   test", "hello world", " café № Ж ☃ 😀",
+      "tabs\tand\nnewlines\r\n", "", "   ", "a'll'veó",
+      "mixed123 punct!?; end ")
+    val merges = graft.queries.TextStatsQueries.byteBpeLearnMerges(
+      inputs.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+        .toDF("doc_id", "lang", "text"), 16)
+    val decoded = inputs.toDF("t")
+      .select(ColumnBridge.column(
+                ByteBpeEncode(ColumnBridge.expression(col("t")), merges))
+                .as("u"))
+      .select(decode(unhex(array_join(col("u"), "")), "UTF-8").as("d"))
+      .as[String].collect().toSeq
+    assert(decoded === inputs)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the JSONL.gz ingestion chain ([[IngestQueries.jsonlFilesParse]])
+  * on hand-built container bytes: escape round trip (newline / quote /
+  * tab / multi-byte inside a field survives line framing), malformed-line
+  * rejection, blank-line tolerance, and the torn-file null discipline. */
+class JsonlFilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def parse(contents: Array[Byte]*) =
+    IngestQueries.jsonlFilesParse(
+      contents.toSeq.toDF("content"))
+      .orderBy("doc_id")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  private def gz(s: String): Array[Byte] =
+    graft.expr.GzipCodecOps.gzip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("escape classes round-trip through write-compress-read-parse") {
+    // the writer's exact form: to_json over the typed struct
+    val evil = "line1\nline2\t\"quoted\" café Ж"
+    val lines = Seq((1L, "en", evil, 7L), (2L, "de", "plain", 5L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .select(to_json(struct($"doc_id", $"lang", $"text", $"n_chars")))
+      .as[String].collect()
+    // one file, trailing newline (the writer always emits one per line)
+    val rows = parse(gz(lines.mkString("", "\n", "\n")))
+    assert(rows === Seq((1L, "en", evil, 7L), (2L, "de", "plain", 5L)))
+  }
+
+  test("malformed lines drop; partial salvage never emits a row") {
+    val good = """{"doc_id":3,"lang":"fr","text":"ok","n_chars":2}"""
+    val bad = Seq(
+      good.take(25),                 // truncated mid-string (the plant)
+      "not json at all",             // garbage
+      """{"doc_id":9,"lang":"en"}""", // schema-valid prefix, fields missing
+      ""                             // blank line (trailing-newline case)
+    )
+    val rows = parse(gz((good +: bad).mkString("", "\n", "\n")))
+    assert(rows === Seq((3L, "fr", "ok", 2L)))
+  }
+
+  test("torn gzip file decodes to an accountable nothing, not a throw") {
+    val whole = gz("""{"doc_id":4,"lang":"en","text":"x","n_chars":1}""" + "\n")
+    val torn = whole.take(whole.length - 5)
+    assert(parse(torn) === Seq.empty)
+    // and a torn file alongside a good one doesn't poison the scan
+    assert(parse(torn, whole) === Seq((4L, "en", "x", 1L)))
+  }
+}
