@@ -2685,6 +2685,81 @@ object DedupQueries {
       |FROM nxt""".stripMargin)
   )
 
+  /**
+   * Versioned MERGE (SCD-2 semantics): the same changelog as
+   * [[qMergeUpsert]], but instead of producing the next snapshot it
+   * produces the row-versioned HISTORY — every change CLOSES the
+   * prior version (`valid_to` = the change epoch) and upserts OPEN a
+   * new one, deletes close without a successor, untouched rows stay
+   * open. This is the audit/reproducibility face of corpus
+   * maintenance: "which exact text was doc X at epoch E" is a range
+   * predicate over the history, which is what a trained-model
+   * provenance question reduces to.
+   *
+   * Shape at 100 TB: ONE left join of the snapshot against the
+   * changelog's distinct 8-byte keys decides open-vs-closed per row
+   * (broadcast at refresh scale — a changelog is orders of magnitude
+   * under the snapshot), then the new versions union in with no
+   * further exchange; snapshot text crosses no shuffle, exactly the
+   * [[mergeUpsert]] discipline with a conditional `valid_to` instead
+   * of an anti-join drop.
+   */
+  private[graft] def scd2Merge(snapshot: DataFrame, changes: DataFrame,
+                               epoch: Long): DataFrame = {
+    val keys = changes.select("doc_id").distinct()
+      .withColumn("__chg", lit(1))
+    snapshot.join(keys, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), lit(0L).as("valid_from"),
+              when(col("__chg") === 1, lit(epoch)).cast("long")
+                .as("valid_to"))
+      .unionAll(changes.filter(col("op") === "upsert")
+        .select(col("doc_id"), col("text"), lit(epoch).as("valid_from"),
+                lit(null).cast("long").as("valid_to")))
+  }
+
+  /** The gate over [[qMergeUpsert]]'s exact changelog fixture; output
+    * ships (doc_id, content hash, validity interval), never text. */
+  val qScd2Merge = Q(
+    "q_scd2_merge",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val changes =
+        d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("delete").as("op"),
+                  lit(null).cast("string").as("text"))
+          .unionAll(d.filter(col("doc_id") % 7 === 1)
+            .select(col("doc_id"), lit("upsert").as("op"),
+                    reverse(col("text")).as("text")))
+          .unionAll(d.filter(col("doc_id") % 7 === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+                    lit("upsert").as("op"), col("text")))
+      scd2Merge(d, changes, epoch = 1L)
+        .select(col("doc_id"), TextOps.contentHash(col("text")).as("h"),
+                col("valid_from"), col("valid_to"))
+    },
+    Some("""WITH ch AS (
+      |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert', reverse(text)
+      |  FROM documents WHERE doc_id % 7 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'upsert', text
+      |  FROM documents WHERE doc_id % 7 = 2
+      |), k AS (SELECT DISTINCT doc_id FROM ch)
+      |SELECT d.doc_id,
+      |       md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS h,
+      |       CAST(0 AS BIGINT) AS valid_from,
+      |       CASE WHEN k.doc_id IS NOT NULL THEN CAST(1 AS BIGINT) END
+      |         AS valid_to
+      |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+      |UNION ALL
+      |SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+      |       CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+      |FROM ch WHERE op = 'upsert'""".stripMargin)
+  )
+
   /** 13 tokens — the GPT-3/Pile convention for exact-overlap
     * decontamination. */
   private val OverlapN = 13
@@ -3216,6 +3291,6 @@ object DedupQueries {
     qIntradocDedup, qSubstrDedup, qSubstrIncremental,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qMinhashIncremental,
-    qDedupBloom, qCorpusDiff, qMergeUpsert
+    qDedupBloom, qCorpusDiff, qMergeUpsert, qScd2Merge
   )
 }

@@ -511,7 +511,19 @@ object LayoutQueries {
     * prefixes merged as sort-then-cap over the flattened parts. */
   private[queries] def compactIndex(s: SparkSession,
                                     outDir: String): DataFrame =
-    graft.sources.AtomicPublish.readCommitted(s, outDir, "terms")
+    compactIndexRows(
+      graft.sources.AtomicPublish.readCommitted(s, outDir, "terms"))
+
+  /** [[compactIndex]] against a PINNED snapshot version instead of the
+    * latest commit — the time-travel read of the same layout. */
+  private[queries] def compactIndexAt(s: SparkSession, outDir: String,
+                                      version: Long): DataFrame =
+    compactIndexRows(
+      graft.sources.AtomicPublish.readCommittedAt(s, outDir, "terms",
+                                                  version))
+
+  private def compactIndexRows(rows: DataFrame): DataFrame =
+    rows
       .groupBy("term")
       .agg(sum("df").as("df"), sum("total_tf").as("total_tf"),
            array_join(
@@ -544,6 +556,59 @@ object LayoutQueries {
     },
     TextStatsQueries.qInvertedIndex.oracle
   )
+
+  /**
+   * TIME-TRAVEL read as an oracle gate — snapshot isolation stated
+   * against an independent replay, not just the AtomicPublishSpec
+   * simulation: build the index from HALF the corpus (commit v1),
+   * append the other half (commit v2), then compact the layout
+   * PINNED at v1 ([[graft.sources.AtomicPublish.readCommittedAt]]).
+   * The oracle recomputes the index over the v1 half only, so any
+   * leak of v2's files into the pinned read — a listing-based
+   * resolve, a manifest mix-up, retained-manifest damage — surfaces
+   * extra postings and hash-mismatches. This is the guarantee a
+   * long-running 100 TB probe depends on while maintenance appends
+   * commit underneath it.
+   *
+   * Scale shape: [[qIndexAppend]]'s (the same build + append bill);
+   * the pinned read itself is an explicit-file-set parquet scan —
+   * same pruning as the latest-commit read, zero extra cost.
+   */
+  val qSnapshotRead = Q(
+    "q_snapshot_read",
+    (s, dir) => {
+      val out = derivedDir(s, dir, "inv-index-snap")
+      val docs = Tables.read(s, dir, "documents")
+      snapBuildLock.synchronized {
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_SNAP_V2")
+        if (!fs.exists(marker)) { // build at most once per process
+          writeIndexRows(docs.filter(col("doc_id") % 2 === 0), out,
+                         "overwrite")
+          appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), out)
+          fs.create(marker, true).close()
+        }
+      }
+      compactIndexAt(s, out, version = 1L)
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+      |), tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |       CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |       array_to_string(
+      |         list_transform(
+      |           list_slice(list(doc_id ORDER BY doc_id), 1,
+      |                      ${TextStatsQueries.PostingsCap}),
+      |           x -> CAST(x AS VARCHAR)), ',') AS postings
+      |FROM tf GROUP BY term""".stripMargin)
+  )
+
+  private val snapBuildLock = new Object
 
   /**
    * Term probe THROUGH the stored inverted-index layout — the
@@ -708,5 +773,5 @@ object LayoutQueries {
   val all: Seq[Q] = Seq(qPartitionPrune, qZorderPrune, qZorder3Prune,
                         qBackfill, qBucketJoin,
                         qCompactFiles, qIndexProbe, qIndexAppend,
-                        qIndexPhrase)
+                        qIndexPhrase, qSnapshotRead)
 }
