@@ -925,6 +925,61 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_jsonl_parse(table, 'binCol')` — the JSONL.gz parse chain
+    * (strict gunzip → newline framing → `from_json` → drop-malformed)
+    * over any table's binary container column
+    * ([[graft.queries.IngestQueries.jsonlFilesParse]]). */
+  val jsonlParse: TVF = (
+    new FunctionIdentifier("graft_jsonl_parse"),
+    info("graft_jsonl_parse", "graft_jsonl_parse(table, 'binCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_jsonl_parse"
+      require(args.length == 2, s"$fn takes exactly 2 arguments")
+      graft.queries.IngestQueries.jsonlFilesParse(
+        active.table(strArg(args, 0, fn))
+          .select(org.apache.spark.sql.functions.col(strArg(args, 1, fn))
+                    .as("content")))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_scd2_merge(snapshotTable, changesTable, epoch)` — the
+    * versioned-history MERGE: every changed key's prior row closes at
+    * `epoch`, upserts open a new version, untouched rows stay open
+    * ([[graft.queries.DedupQueries.scd2Merge]]). */
+  val scd2Merge: TVF = (
+    new FunctionIdentifier("graft_scd2_merge"),
+    info("graft_scd2_merge",
+         "graft_scd2_merge(snapshotTable, changesTable, epoch)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_scd2_merge"
+      require(args.length == 3, s"$fn takes exactly 3 arguments")
+      graft.queries.DedupQueries.scd2Merge(
+        active.table(strArg(args, 0, fn)),
+        active.table(strArg(args, 1, fn)), longArg(args, 2, fn))
+        .queryExecution.logical
+    }
+  )
+
+  /** `graft_robots_check(table, 'robotsCol', 'agent', 'pathCol')` —
+    * RFC 9309 robots.txt judgment from SQL: parse the named robots
+    * DOCUMENT column, judge the named path for the agent, append
+    * `n_rules`/`n_match`/`allowed`
+    * ([[graft.queries.WebQueries.robotsCheckOf]]). */
+  val robotsCheck: TVF = (
+    new FunctionIdentifier("graft_robots_check"),
+    info("graft_robots_check",
+         "graft_robots_check(table, 'robotsCol', 'agent', 'pathCol')"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_robots_check"
+      require(args.length == 4, s"$fn takes exactly 4 arguments")
+      graft.queries.WebQueries.robotsCheckOf(
+        active.table(strArg(args, 0, fn)), strArg(args, 1, fn),
+        strArg(args, 2, fn), strArg(args, 3, fn))
+        .queryExecution.logical
+    }
+  )
+
   val all: Seq[TVF] = Seq(asofJoin, rangeJoin, components, topk, globalRank,
                           dedup, decontaminate, curate, sessionize,
                           spanDedup, substrDedup, sourceCap,
@@ -939,7 +994,8 @@ object GraftTableFunctions {
                           splitCluster, boilerplate,
                           upsample, secretScrub, contamination, langMixture,
                           crawlAdmit, exportManifest, tokenBudget,
-                          warcExtract, kllQuantiles, byteBpe)
+                          warcExtract, kllQuantiles, byteBpe,
+                          jsonlParse, scd2Merge, robotsCheck)
 
   /** Register every table function on an already-built session (tests,
     * notebooks) — the registry twin of the `GraftFunctions` pattern. */

@@ -970,6 +970,19 @@ object WebQueries {
       s"         CASE WHEN h <> 3 THEN ${sqlStr(RobotsFixStar)}\n" +
       s"              ELSE '' END"
 
+  /** robots.txt check over an ARBITRARY frame (the `graft_robots_check`
+    * TVF delegate): parse the named robots DOCUMENT column, judge the
+    * named path column for `agent`, append the verdict columns. */
+  private[graft] def robotsCheckOf(d: DataFrame, robotsColName: String,
+                                   agent: String,
+                                   pathColName: String): DataFrame = {
+    val v = robotsVerdictCol(robotsRulesCol(col(robotsColName)),
+                             agent, col(pathColName))
+    d.select(col("*"), v.getField("n_rules").as("n_rules"),
+             v.getField("n_match").as("n_match"),
+             v.getField("allowed").as("allowed"))
+  }
+
   /**
    * robots.txt parsing behind the gate: each fixture host's robots
    * DOCUMENT parsed by [[robotsRulesCol]], group-selected and

@@ -657,4 +657,42 @@ class SqlSurfaceSpec extends SparkSpec {
       d, TextStatsQueries.byteBpeLearnMerges(d))
     assert(bSql.collect().toSet === bDirect.collect().toSet)
   }
+
+  test("graft_jsonl_parse / graft_scd2_merge / graft_robots_check ≡ library calls") {
+    import org.apache.spark.sql.functions.{col, lit, to_json, struct}
+    // jsonl: a hand-gzipped two-line container, one line corrupt
+    val line = Seq((7L, "en", "hello", 5L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .select(to_json(struct($"doc_id", $"lang", $"text", $"n_chars")))
+      .as[String].head()
+    val bytes = GzipCodecOps.gzip(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        line + "\nnot json\n"))
+    Seq(bytes).toDF("payload").createOrReplaceTempView("tvf_jsonl")
+    val jRows = spark.sql(
+      "SELECT * FROM graft_jsonl_parse('tvf_jsonl', 'payload')").collect()
+    assert(jRows.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((7L, "hello")))
+    // scd2: one update, one untouched key
+    Seq((1L, "old"), (2L, "keep")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_snap")
+    Seq((1L, "upsert", "new")).toDF("doc_id", "op", "text")
+      .createOrReplaceTempView("tvf_ch")
+    val hist = spark.sql(
+      "SELECT * FROM graft_scd2_merge('tvf_snap', 'tvf_ch', 5)")
+    val direct = graft.queries.DedupQueries.scd2Merge(
+      spark.table("tvf_snap"), spark.table("tvf_ch"), 5L)
+    assert(hist.collect().toSet === direct.collect().toSet)
+    val open = hist.filter("valid_to IS NULL").select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(open === Set((1L, "new"), (2L, "keep")))
+    // robots: longest-match precedence from SQL
+    Seq(("User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+         "/private/ok/page"))
+      .toDF("robots", "path").createOrReplaceTempView("tvf_robots")
+    val v = spark.sql(
+      "SELECT allowed FROM graft_robots_check('tvf_robots', 'robots', " +
+        "'graftbot', 'path')").as[Int].head()
+    assert(v === 1) // the longer Allow wins over the Disallow prefix
+  }
 }
