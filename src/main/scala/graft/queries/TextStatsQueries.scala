@@ -1256,6 +1256,79 @@ object TextStatsQueries {
       |FROM documents WHERE text IS NOT NULL""".stripMargin)
   )
 
+  /** Per-shard token budget for [[qTokenShards]] — small so every SF
+    * cuts many shards; a deployment's 2²⁰-token shards change the
+    * constant, not the shape. */
+  private val ShardBudget = 512L
+
+  /**
+   * Tokenize → pack → SHARD CHECKSUMS — the final artifact of a
+   * pretraining data pipeline, gated end to end: byte-BPE encode every
+   * document, greedy-pack documents into fixed-budget shards in
+   * deterministic (lang, doc_id) order (the `q_token_packing`
+   * discipline over the REAL tokenizer's counts instead of whitespace
+   * counts), and emit one row per shard with an ORDER-SENSITIVE md5
+   * over the concatenated unit stream. The checksum is the contract a
+   * shard consumer (a training loader) can verify byte for byte —
+   * unlike the export manifest's order-invariant membership checksum,
+   * this one pins the exact token SEQUENCE, so a packing permutation,
+   * a dropped unit, or a merge divergence all hash-mismatch. The
+   * oracle replays tokenizer + packing + checksum wholesale (the
+   * shared [[byteSbCte]] fixpoint feeding the same window/div
+   * arithmetic).
+   *
+   * Scale shape: the encode is the zero-shuffle codegen'd expression;
+   * packing windows partition by lang (shards are per-stream, the
+   * production layout — no single-task global window); the shard
+   * aggregate groups by (lang, pack) with per-doc payloads ordered by
+   * a post-agg sort of collected (doc_id, payload) structs — shard
+   * SIZE is budget-bounded, so the collected list is ~budget units,
+   * never corpus-sized.
+   */
+  lazy val qTokenShards = Q(
+    "q_token_shards",
+    (s, dir) => {
+      val d = byteDocs(s, dir)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val subs = ColumnBridge.column(graft.expr.ByteBpeEncode(
+        ColumnBridge.expression(col("text")), byteBpeLearnMerges(d)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("lang"), subs.as("subs"))
+        .select(col("doc_id"), col("lang"),
+                size(col("subs")).cast("long").as("n_units"),
+                array_join(col("subs"), BpeSep).as("payload"))
+        .withColumn("tok_before", coalesce(sum("n_units").over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"tok_before div $ShardBudget"))
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_units").as("n_tokens"),
+             md5(array_join(
+               transform(array_sort(collect_list(struct(col("doc_id"),
+                                                        col("payload")))),
+                         x => x.getField("payload")),
+               "")).as("shard_md5"))
+    },
+    Some(s"""$byteSbCte,
+      |pay AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units,
+      |         string_agg(sub, chr(31) ORDER BY wpos, spos) AS payload
+      |  FROM sb GROUP BY doc_id
+      |), pk AS (
+      |  SELECT p.lang, p.doc_id, pay.n_units, pay.payload,
+      |         CAST(COALESCE(SUM(pay.n_units) OVER (
+      |           PARTITION BY p.lang ORDER BY p.doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS tok_before
+      |  FROM pay JOIN p ON p.doc_id = pay.doc_id
+      |)
+      |SELECT lang, tok_before // $ShardBudget AS shard_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_units) AS BIGINT) AS n_tokens,
+      |       md5(string_agg(payload, chr(30) ORDER BY doc_id)) AS shard_md5
+      |FROM pk GROUP BY lang, tok_before // $ShardBudget""".stripMargin)
+  )
+
   /** BM25 query terms (fixture-vocabulary words; a deployment binds its
     * own query at call time) and top-K cut for [[qBm25]]. */
   private val Bm25Terms = Seq("spark", "join", "fast", "window")
@@ -2354,6 +2427,6 @@ object TextStatsQueries {
     qCmsSketch, qHistQuantiles, qInvertedIndex, qTfidfTerms, qCooccurTopk,
     qTextrank, qLmScore, qLmScoreSplit, qLmScoreSmooth, qBpeEncode,
     qBpeFertility, qBpeVocab, qByteBpeEncode, qByteBpeFertility,
-    qByteBpeRoundtrip, qKllQuantiles, qKllByLang
+    qByteBpeRoundtrip, qTokenShards, qKllQuantiles, qKllByLang
   )
 }
