@@ -1653,7 +1653,14 @@ object WebQueries {
   lazy val qWarcAdmit = Q(
     "q_warc_admit",
     (s, dir) => warcAdmitFrame(Tables.read(s, dir, "documents")),
-    Some(warcParseOracleCte + ", " + htmlChainSql("gx", "doc_id, rec_idx") +
+    Some(warcAdmitOracleCtes + "\nSELECT * FROM adm")
+  )
+
+  /** The whole admission replay as CTEs ending in `adm` (one statement,
+    * two consumers: [[qWarcAdmit]] selects it verbatim,
+    * [[qAdmitFunnel]] aggregates it — the dedupedKeptCte discipline). */
+  private lazy val warcAdmitOracleCtes: String =
+    warcParseOracleCte + ", " + htmlChainSql("gx", "doc_id, rec_idx") +
       s""",
          |wa AS (
          |  SELECT r.doc_id, r.rec_idx, r.uri, r.truncated,
@@ -1680,20 +1687,58 @@ object WebQueries {
          |         CAST($robotsBlockSql AS INT) AS robots_block,
          |         $licenseSql AS license
          |  FROM rbx
-         |)
-         |SELECT sx.doc_id, sx.rec_idx, sx.truncated, sx.n_content,
-         |       sx.n_chars,
-         |       CAST(len(hits) AS BIGINT) AS n_hits,
-         |       CAST(len(hits) > 0 AS INT) AS blocked,
-         |       px.robots_block, px.license,
-         |       CAST(px.license IN ($licenseAllowSql) AS INT) AS license_ok,
-         |       CAST(sx.truncated = 0 AND sx.n_content >= 1
-         |            AND len(hits) = 0 AND sx.n_chars > 0
-         |            AND px.robots_block = 0
-         |            AND px.license IN ($licenseAllowSql)
-         |            AS INT) AS admitted
-         |FROM sx JOIN px ON px.doc_id = sx.doc_id
-         |                AND px.rec_idx = sx.rec_idx""".stripMargin)
+         |),
+         |adm AS (
+         |  SELECT sx.doc_id, sx.rec_idx, sx.truncated, sx.n_content,
+         |         sx.n_chars,
+         |         CAST(len(hits) AS BIGINT) AS n_hits,
+         |         CAST(len(hits) > 0 AS INT) AS blocked,
+         |         px.robots_block, px.license,
+         |         CAST(px.license IN ($licenseAllowSql) AS INT) AS license_ok,
+         |         CAST(sx.truncated = 0 AND sx.n_content >= 1
+         |              AND len(hits) = 0 AND sx.n_chars > 0
+         |              AND px.robots_block = 0
+         |              AND px.license IN ($licenseAllowSql)
+         |              AS INT) AS admitted
+         |  FROM sx JOIN px ON px.doc_id = sx.doc_id
+         |                  AND px.rec_idx = sx.rec_idx
+         |)""".stripMargin
+
+  /**
+   * Admission FUNNEL — the drop accounting every crawl operation
+   * watches: each record classified by its FIRST failing stage in
+   * pipeline order (truncated → empty extract → empty normalize →
+   * safety → robots → license → admitted), counted per stage. The
+   * first-failure attribution is what makes the report actionable
+   * (a page both robots-blocked and unsafe charges the EARLIER
+   * stage, so stage counts sum to the record count and a stage's
+   * row reads as "what this stage alone removed from what reached
+   * it"). Oracle: the identical CASE over the shared admission
+   * replay ([[warcAdmitOracleCtes]]). One zero-shuffle chain plus a
+   * 7-group aggregate — free at any scale.
+   */
+  lazy val qAdmitFunnel = Q(
+    "q_admit_funnel",
+    (s, dir) =>
+      warcAdmitFrame(Tables.read(s, dir, "documents"))
+        .select(when(col("truncated") === 1, "truncated")
+                  .when(col("n_content") < 1, "empty_extract")
+                  .when(col("n_chars") === 0, "empty_norm")
+                  .when(col("blocked") === 1, "safety")
+                  .when(col("robots_block") === 1, "robots")
+                  .when(col("license_ok") === 0, "license")
+                  .otherwise("admitted").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n")),
+    Some(warcAdmitOracleCtes + """
+      |SELECT CASE WHEN truncated = 1 THEN 'truncated'
+      |            WHEN n_content < 1 THEN 'empty_extract'
+      |            WHEN n_chars = 0 THEN 'empty_norm'
+      |            WHEN blocked = 1 THEN 'safety'
+      |            WHEN robots_block = 1 THEN 'robots'
+      |            WHEN license_ok = 0 THEN 'license'
+      |            ELSE 'admitted' END AS stage,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM adm GROUP BY 1""".stripMargin)
   )
 
   /** Gzip codec columns ([[graft.expr.GzipEncode]]/[[graft.expr
@@ -1987,5 +2032,5 @@ object WebQueries {
   val all: Seq[Q] =
     Seq(qUrlCanonical, qHostCap, qSafetyFilter, qTextNormalize, qHtmlExtract,
         qBoilerplateLines, qCrawlAdmit, qWarcExtract, qWarcAdmit, qWarcGzip,
-        qWarcFiles, qRobotsParse, qLicenseDetect)
+        qWarcFiles, qRobotsParse, qLicenseDetect, qAdmitFunnel)
 }

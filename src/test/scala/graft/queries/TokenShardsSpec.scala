@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the q_token_shards contract: the shard checksum is
+  * ORDER-SENSITIVE over the unit stream (the loader-verifiable
+  * property that distinguishes it from the export manifest's
+  * membership-only checksum), and the per-lang packing is
+  * deterministic in doc_id order regardless of input row order. */
+class TokenShardsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the gate's aggregate shape over a hand-built (doc_id, lang,
+  // payload, n_units) frame — small enough to reason about exactly
+  private def shards(rows: Seq[(Long, String, String, Long)], budget: Long) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    rows.toDF("doc_id", "lang", "payload", "n_units")
+      .withColumn("tok_before", coalesce(sum("n_units").over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"tok_before div $budget"))
+      .groupBy("lang", "shard_id")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"),
+                                                 col("payload")))),
+                  x => x.getField("payload")),
+        "")).as("shard_md5"))
+      .orderBy("lang", "shard_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+  }
+
+  test("checksum is order-sensitive; packing is input-order-invariant") {
+    val base = Seq((1L, "en", "AA", 2L), (2L, "en", "BB", 2L),
+                   (3L, "en", "CC", 2L), (4L, "de", "DD", 2L))
+    val out = shards(base, budget = 4L)
+    // en: docs 1,2 fill shard 0 (tok_before 0,2), doc 3 opens shard 1
+    assert(out.map(t => (t._1, t._2)) ===
+      Seq(("de", 0L), ("en", 0L), ("en", 1L)))
+    // input ROW order must not matter (doc_id order is the contract)
+    assert(shards(base.reverse, 4L) === out)
+    // but swapping two documents' CONTENT (same sizes, same packing)
+    // must change the shard checksum — the sequence is pinned, not
+    // just the membership
+    val swapped = Seq((1L, "en", "BB", 2L), (2L, "en", "AA", 2L),
+                      (3L, "en", "CC", 2L), (4L, "de", "DD", 2L))
+    val out2 = shards(swapped, 4L)
+    assert(out2.map(t => (t._1, t._2)) === out.map(t => (t._1, t._2)))
+    assert(out2.head._3 === out.head._3)          // de shard untouched
+    assert(out2(1)._3 !== out(1)._3)              // en shard 0 differs
+  }
+
+  test("an oversized document fills a shard alone; the next doc reopens") {
+    val out = shards(Seq((1L, "en", "X", 10L), (2L, "en", "Y", 1L)), 4L)
+    assert(out.map(t => (t._1, t._2)) === Seq(("en", 0L), ("en", 2L)))
+  }
+}
