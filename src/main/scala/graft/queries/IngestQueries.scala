@@ -212,13 +212,16 @@ object IngestQueries {
                         .as("fk"),
                       col("doc_id"), lit(2).as("line_idx"), col("line")))
         val dirStr = dir
+        val confKv = WebQueries.hadoopConfKv(s)
         lines.repartition(JsonlFileCount, col("fk"))
           .sortWithinPartitions("fk", "doc_id", "line_idx")
           .select(col("fk"), encode(col("line"), "UTF-8").as("line"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
             if (it.hasNext) {
+              // driver-conf rebuild, not a default Configuration(): keeps
+              // session filesystem settings (s3a creds etc.) at task level
               val tfs = new org.apache.hadoop.fs.Path(dirStr)
-                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+                .getFileSystem(WebQueries.hadoopConfOf(confKv))
               var cur = -1
               var out: java.util.zip.GZIPOutputStream = null
               try {

@@ -584,6 +584,15 @@ object LayoutQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_SNAP_V2")
         if (!fs.exists(marker)) { // build at most once per process
+          // CRASH RECOVERY: no marker + leftover state means a prior
+          // build died mid-way (e.g. between writeIndexRows and the
+          // marker). Re-entering with mode=overwrite would delete v1's
+          // parquet files while the retained .v1 manifest still lists
+          // them, making the pinned compactIndexAt(version=1) below
+          // fail PERSISTENTLY. Wipe the derived dir so the retained v1
+          // manifest always matches freshly written files.
+          val outPath = new org.apache.hadoop.fs.Path(out)
+          if (fs.exists(outPath)) fs.delete(outPath, true)
           writeIndexRows(docs.filter(col("doc_id") % 2 === 0), out,
                          "overwrite")
           appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), out)

@@ -761,6 +761,12 @@ object TextStatsQueries {
     * [[graft.expr.BpeEncode]]'s convention and the oracle's `chr(31)`. */
   private[graft] val BpeSep = "\u001f"
 
+  /** Record separator (U+001E) between doc payloads inside a shard
+    * checksum — kept as an escaped constant (not a raw byte) so formatters
+    * and copy-paste cannot silently strip it; the DuckDB oracle uses
+    * chr(30). Mirrored by [[graft.queries.TokenShardsSpec]]. */
+  private[graft] val ShardSep = "\u001e"
+
   /** Learn the ranked merge list: occurrence-weighted adjacent
     * single-CODEPOINT pairs over corpus words, top-[[BpeMerges]] by
     * (count DESC, pair ASC) — a STRICT row-numbered ranking, unlike
@@ -1307,7 +1313,7 @@ object TextStatsQueries {
                transform(array_sort(collect_list(struct(col("doc_id"),
                                                         col("payload")))),
                          x => x.getField("payload")),
-               "")).as("shard_md5"))
+               ShardSep)).as("shard_md5"))
     },
     Some(s"""$byteSbCte,
       |pay AS (

@@ -976,6 +976,12 @@ object WebQueries {
   private[graft] def robotsCheckOf(d: DataFrame, robotsColName: String,
                                    agent: String,
                                    pathColName: String): DataFrame = {
+    val verdictCols = Seq("n_rules", "n_match", "allowed")
+    val clash = d.columns.filter(verdictCols.contains)
+    require(clash.isEmpty,
+            s"robots check input already has column(s) ${clash.mkString(", ")}" +
+              " — the verdict appends n_rules/n_match/allowed; rename or drop" +
+              " them first to avoid ambiguous references downstream")
     val v = robotsVerdictCol(robotsRulesCol(col(robotsColName)),
                              agent, col(pathColName))
     d.select(col("*"), v.getField("n_rules").as("n_rules"),
@@ -1887,6 +1893,28 @@ object WebQueries {
     * each task streaming members straight to its file via the Hadoop
     * FS API: no driver-side collect at any corpus size. */
   private val warcBuildLock = new Object
+  /** The driver's hadoop configuration flattened to serializable
+    * key-value pairs for shipping into executor-side closures
+    * (`foreachPartition` file writers). Spark's own
+    * `SerializableConfiguration` is `private[spark]` at the Scala
+    * level, so the portable route is the explicit entry dump. */
+  private[graft] def hadoopConfKv(s: SparkSession): Array[(String, String)] = {
+    val it = s.sparkContext.hadoopConfiguration.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  /** Rebuild a hadoop `Configuration` from [[hadoopConfKv]] pairs on
+    * the executor (loadDefaults=false: the driver dump is authoritative,
+    * including settings the executor's default resources lack). */
+  private[graft] def hadoopConfOf(kv: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private[graft] def warcFilesDir(s: SparkSession, sfDir: String): String =
     warcBuildLock.synchronized {
       val dir = LayoutQueries.derivedDir(s, sfDir, "warcfiles")
@@ -1905,16 +1933,18 @@ object WebQueries {
                   col("doc_id"), col("r.rec_idx").as("rec_idx"),
                   encode(col("r.rec"), "UTF-8").as("rec"))
         val dirStr = dir
+        val confKv = WebQueries.hadoopConfKv(s)
         recs.repartition(WarcFileCount, col("fk"))
           .sortWithinPartitions("fk", "doc_id", "rec_idx")
           .select(col("fk"), col("rec"))
           .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
             if (it.hasNext) {
-              // executor-side FS handle: tasks re-resolve from the path
-              // (default conf), the cluster-portable pattern for sinks
-              // outside the DataFrame writers
+              // executor-side FS handle rebuilt from the DRIVER's hadoop
+              // conf (serialized as key-value pairs) — a default
+              // Configuration() here would drop session-level filesystem
+              // settings (e.g. s3a credentials) at the task level
               val tfs = new org.apache.hadoop.fs.Path(dirStr)
-                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+                .getFileSystem(WebQueries.hadoopConfOf(confKv))
               var cur = -1
               var out: org.apache.hadoop.fs.FSDataOutputStream = null
               try {

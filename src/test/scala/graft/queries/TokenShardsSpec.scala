@@ -27,7 +27,7 @@ class TokenShardsSpec extends SparkSpec {
         transform(array_sort(collect_list(struct(col("doc_id"),
                                                  col("payload")))),
                   x => x.getField("payload")),
-        "")).as("shard_md5"))
+        TextStatsQueries.ShardSep)).as("shard_md5"))
       .orderBy("lang", "shard_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .toSeq
