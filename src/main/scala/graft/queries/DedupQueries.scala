@@ -1392,16 +1392,17 @@ object DedupQueries {
     * (BASELINE.md round-13) — exactly the growth this flattens
     * (round-14 ADVICE/VERDICT item 2).
     *
-    * The broadcast ceiling the fixed cap was protecting: the
-    * cell-assignment pass broadcasts one flattened centroid row of
-    * cap·(dim+2) longs ([[SimQueries.centsFlat]]), now O(n/200·dim) —
-    * ~8 MB per 10⁶ cells at dim 16, so fine to ~10⁸–10⁹ vectors on any
-    * real executor; beyond that a deployment goes hierarchical (coarse
-    * MaxCents-level quantizer routing to per-cell fine quantizers)
-    * rather than re-capping, because a fixed cap silently degrades the
-    * pair stage back to quadratic. The ANN search surface keeps the
-    * hard `MaxCents` cap — its contract is a bounded DRIVER collect at
-    * probe time, not bounded pair work. */
+    * Beyond `MaxCents` cells the quantizer is HIERARCHICAL
+    * ([[SimQueries.trainCellQuantizer]]): a `√cap`-cell coarse level
+    * routes each vector to a per-coarse-cell fine quantizer, so the
+    * assignment pass costs ~2√cap dot products per vector instead of
+    * the flat cap — the n·k (= n²/200) flat argmax was the one
+    * superlinear stage left in the semantic family (round-18 VERDICT
+    * item 1). Broadcasts stay KB-to-MB at every level: one coarse
+    * matrix ≤ MaxCents·(dim+2) longs, fine matrices cap·(dim+2) longs
+    * total. The ANN search surface keeps the hard `MaxCents` cap — its
+    * contract is a bounded DRIVER collect at probe time, not bounded
+    * pair work. */
   private[graft] def semanticCellCap(n: Long): Long =
     math.max(SimQueries.MaxCents, (n + SemTargetCell - 1) / SemTargetCell)
 
@@ -1441,14 +1442,14 @@ object DedupQueries {
     * replays. */
   private[graft] def semanticDedup(
       e: DataFrame, cellCap: Long = DeriveCellCap): DataFrame = {
-    val cents = SimQueries.ivfTrain(e, resolveCellCap(cellCap, e))
-      .localCheckpoint()
+    val qz = SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e))
     // (vec_id, cell, q, nsq) — checkpointed: feeds both self-join sides
-    // AND the anti-join left, i.e. 3 consumers of the n·k assignment
+    // AND the anti-join left, i.e. 3 consumers of the assignment (which
+    // is broadcast-only in both quantizer regimes — the former n·k
+    // flat argmax beyond MaxCents cells was the one superlinear stage
+    // left in the semantic family, round-18 VERDICT item 1)
     val m = checkpointCompact(
-      e.join(SimQueries.ivfAssign1(e, cents)
-               .select(col("vec_id").as("m_vid"), col("c_id")),
-             col("vec_id") === col("m_vid"))
+      SimQueries.assignCells(e.select(col("vec_id"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),
                 VectorOps.intNormSq(col("q")).as("nsq")))
     val a = m.select(col("vec_id").as("a_id"), col("cell"),
@@ -1522,13 +1523,10 @@ object DedupQueries {
       minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
     val union = train.select("vec_id", "q")
       .unionByName(eval0.select("vec_id", "q"))
-    val cents = SimQueries.ivfTrain(union, resolveCellCap(cellCap, union))
-      .localCheckpoint()
+    val qz = SimQueries.trainCellQuantizer(union,
+                                           resolveCellCap(cellCap, union))
     def assigned(e: DataFrame): DataFrame =
-      e.select("vec_id", "q")
-        .join(SimQueries.ivfAssign1(e, cents)
-                .select(col("vec_id").as("m_vid"), col("c_id")),
-              col("vec_id") === col("m_vid"))
+      SimQueries.assignCells(e.select("vec_id", "q"), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),
                 VectorOps.intNormSq(col("q")).as("nsq"))
     val t = assigned(train)
@@ -1550,12 +1548,9 @@ object DedupQueries {
   private[graft] def semanticDecontam(
       e: DataFrame, cellCap: Long = DeriveCellCap,
       minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
-    val cents = SimQueries.ivfTrain(e, resolveCellCap(cellCap, e))
-      .localCheckpoint()
+    val qz = SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e))
     val m = checkpointCompact(
-      e.join(SimQueries.ivfAssign1(e, cents)
-               .select(col("vec_id").as("m_vid"), col("c_id")),
-             col("vec_id") === col("m_vid"))
+      SimQueries.assignCells(e.select(col("vec_id"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),
                 VectorOps.intNormSq(col("q")).as("nsq")))
     val train = m.filter(col("vec_id") % 5 =!= 4)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,6 +407,316 @@ object SimQueries {
   private[queries] def quantizedFrame(s: SparkSession, dir: String): DataFrame =
     quantized(s, dir)
 
+  // ───── hierarchical (two-level) cell quantizer ─────────────────────────
+  //
+  // The semantic pair stages hold CELL SIZE constant (cellCap ∝ n,
+  // DedupQueries.semanticCellCap), which keeps pair work linear — but a
+  // FLAT quantizer then pays an n·k assignment (k = n/SemTargetCell ⇒
+  // O(n²/200)): the one superlinear stage left in the semantic family
+  // (round-18 VERDICT item 1, measured 25× cost at 100× data). The fix is
+  // the standard two-level IVF route: a small COARSE quantizer (≈ √cap
+  // cells, hard-capped at MaxCents) routes each vector to a coarse cell,
+  // and per-coarse-cell FINE quantizers (sized so total fine cells ≈ cap,
+  // per-cell occupancy ≈ n/cap) split each coarse cell. Assignment work
+  // per vector drops from k dot products to C + cap/C ≈ 2√cap, i.e.
+  // total O(n·√(n/200)) with KB-scale broadcasts at every level — the
+  // deployment path previously documented (but unbuilt) at
+  // DedupQueries.semanticCellCap.
+  //
+  // Regimes and oracles: for cap ≤ MaxCents this is EXACTLY the flat
+  // (ivfTrain + ivfAssign1) chain — every production semantic gate runs
+  // flat at fixture scale, so their derived-cap oracles (ivfCteDerived)
+  // replay them unchanged. The hierarchical math itself is oracle-gated
+  // by q_cell_assign_hier, which FORCES cap > MaxCents at fixture scale
+  // and replays the full two-level derivation in SQL (hierCte). Beyond
+  // MaxCents·SemTargetCell vectors the production gates take the
+  // hierarchical path, whose derivation is exactly the one that gate
+  // pins — DuckDB cannot execute those corpus sizes either way.
+
+  /** Coarse-level cell count for a hierarchical pass: `√cap` balances
+    * the two assignment legs (C + cap/C minimized at C = √cap), floored
+    * at 16 so tiny over-MaxCents caps still get a real routing level and
+    * hard-capped at MaxCents — the same broadcast/driver bound the ANN
+    * surface pins ([[MaxCents]] scaladoc). */
+  private[queries] def hierCoarseCap(cap: Long): Long =
+    math.max(16L, math.min(MaxCents,
+      math.ceil(math.sqrt(cap.toDouble)).toLong))
+
+  /** A trained cell quantizer: flat (`cents` only) for `cap ≤ MaxCents`,
+    * two-level (`coarse` + per-coarse-cell `fine` table) beyond. Both
+    * shapes assign any frame via [[assignCells]] with broadcast-only
+    * joins — nothing n·k is ever materialized. `fine` rows are
+    * `(cc, f_id, fq, fn)`: coarse cell id, fine id within the cell
+    * (dense from 0), trained centroid, squared norm. */
+  private[graft] final case class CellQuantizer(
+      cap: Long,
+      cents: Option[DataFrame],
+      coarse: Option[DataFrame],
+      fine: Option[DataFrame])
+
+  /** Global fine cell id: `cc · cap + f_id` — unique because
+    * `f_id < cap` by construction. Id-space contract: coarse ids are
+    * seed vec_ids, so callers need `max(vec_id) < Long.MaxValue / cap`
+    * (9.2·10¹⁸ / cap — astronomically clear of any real corpus). */
+  private def hierCellId(cap: Long, cc: Column, f: Column): Column =
+    cc * lit(cap) + f
+
+  /** One-row-per-coarse-cell flattening of the fine table — the
+    * second-level analogue of [[centsFlat]], broadcast for the
+    * per-cell argmax. Total payload ≈ cap·(dim+2) longs, the same
+    * bound the flat derived-cap broadcast already carried. */
+  private def fineFlat(fine: DataFrame): DataFrame =
+    fine.groupBy(col("cc"))
+      .agg(array_sort(collect_list(struct(col("f_id"), col("fq"),
+                                          col("fn")))).as("fc"))
+      .select(col("cc").as("__fcc"),
+              transform(col("fc"), x => x.getField("f_id")).as("__fids"),
+              flatten(transform(col("fc"), x => x.getField("fq")))
+                .as("__fqs"),
+              transform(col("fc"), x => x.getField("fn")).as("__fns"))
+
+  /** Append the quantizer's cell id to `df` as `c_id` — broadcast-only
+    * plan in both regimes (flat: one crossJoin of the one-row centroid
+    * matrix; hier: the same for the coarse level, then a broadcast
+    * equi-join on the coarse cell for the fine argmax), so the SAME
+    * code assigns a 10⁹-row corpus or a 10³-row streaming micro-batch.
+    * A coarse cell whose fine centroids all degenerated to zero norm
+    * (dropped in training, like the flat path's `cn > 0` filter)
+    * falls back to fine id 0 — the row keeps A cell rather than
+    * silently vanishing from an inner join. */
+  private[graft] def assignCells(df: DataFrame, qz: CellQuantizer,
+                                 qCol: String = "q"): DataFrame = qz match {
+    case CellQuantizer(_, Some(cents), _, _) =>
+      df.crossJoin(broadcast(centsFlat(cents)))
+        .withColumn("c_id",
+          element_at(col("cids"),
+            VectorOps.ivfNearest(col(qCol), col("cqs"), col("cns")) + 1))
+        .drop("cids", "cqs", "cns")
+    case CellQuantizer(cap, _, Some(coarse), Some(fine)) =>
+      df.crossJoin(broadcast(centsFlat(coarse)))
+        .withColumn("__cc",
+          element_at(col("cids"),
+            VectorOps.ivfNearest(col(qCol), col("cqs"), col("cns")) + 1))
+        .drop("cids", "cqs", "cns")
+        .join(broadcast(fineFlat(fine)), col("__cc") === col("__fcc"), "left")
+        .withColumn("c_id",
+          hierCellId(cap, col("__cc"),
+            coalesce(
+              element_at(col("__fids"),
+                VectorOps.ivfNearest(col(qCol), col("__fqs"), col("__fns"))
+                  + 1),
+              lit(0L))))
+        .drop("__cc", "__fcc", "__fids", "__fqs", "__fns")
+    case _ => throw new IllegalStateException("malformed CellQuantizer")
+  }
+
+  /** Train a cell quantizer over a quantized `(vec_id, q, …)` frame.
+    * `cap ≤ MaxCents` → the flat [[ivfTrain]] chain (byte-identical to
+    * the pre-hierarchical path — the regime every fixture-scale oracle
+    * replays). Beyond: coarse [[ivfTrain]] at [[hierCoarseCap]] cells,
+    * then per-coarse-cell fine training — seeds every
+    * `⌈n_c/⌈n_c/⌈n/cap⌉⌉⌉`-th member in vec_id rank order (dense fine
+    * ids fall out of the stride draw: `f_id = r0 div stride`), one
+    * Lloyd floor-mean iteration within the cell, zero-norm fine cells
+    * dropped. Every constant is derived relationally (count aggregates
+    * broadcast back over the frame), so the chain stays lazy and the
+    * q_cell_assign_hier oracle replays each step closed-form.
+    *
+    * Scale notes: the rank window partitions by coarse cell — n/C rows
+    * per partition (≤ a few hundred thousand at any derived cap; a
+    * deployment with pathological skew salts the window's cell key).
+    * Both centroid artifacts are `localCheckpoint`ed: ≤ C + cap compact
+    * rows, re-read by every consumer assignment. */
+  private[graft] def trainCellQuantizer(e: DataFrame,
+                                        cap: Long): CellQuantizer = {
+    if (cap <= MaxCents) {
+      CellQuantizer(cap, Some(ivfTrain(e, cap).localCheckpoint()),
+                    None, None)
+    } else {
+      val coarse = ivfTrain(e, hierCoarseCap(cap)).localCheckpoint()
+      val m = checkpointCompact(
+        assignCells(e.select(col("vec_id"), col("q")),
+                    CellQuantizer(cap, Some(coarse), None, None))
+          .select(col("vec_id"), col("c_id").as("cc"), col("q")))
+      val wCell = Window.partitionBy("cc").orderBy("vec_id")
+      val ranked = m.withColumn(
+        "r0", (row_number().over(wCell) - 1).cast("long"))
+      // per-cell fine plan: target occupancy t = ⌈n/cap⌉, fine cells
+      // fcap = ⌈n_c/t⌉ (proportional allocation, Σ fcap ≈ cap), seed
+      // stride fs = ⌈n_c/fcap⌉ — all integer-exact in doubles (< 2⁵³)
+      val nRow = m.agg(count(lit(1)).as("__n"))
+      val plan = m.groupBy("cc").agg(count(lit(1)).as("n_c"))
+        .crossJoin(broadcast(nRow))
+        .withColumn("t", ceil(col("__n").cast("double") / cap.toDouble)
+                           .cast("long"))
+        .withColumn("fcap", ceil(col("n_c").cast("double") /
+                                 col("t").cast("double")).cast("long"))
+        .withColumn("fs", ceil(col("n_c").cast("double") /
+                               col("fcap").cast("double")).cast("long"))
+        .select("cc", "fs")
+      val seeds = ranked.join(broadcast(plan), "cc")
+        .filter(col("r0") % col("fs") === 0)
+        .select(col("cc"), expr("r0 div fs").as("f_id"),
+                col("q").as("fq"), VectorOps.intNormSq(col("q")).as("fn"))
+      val seedsFlat = seeds.groupBy(col("cc"))
+        .agg(array_sort(collect_list(struct(col("f_id"), col("fq"),
+                                            col("fn")))).as("fc"))
+        .select(col("cc"),
+                transform(col("fc"), x => x.getField("f_id")).as("__fids"),
+                flatten(transform(col("fc"), x => x.getField("fq")))
+                  .as("__fqs"),
+                transform(col("fc"), x => x.getField("fn")).as("__fns"))
+      val fine = m.join(broadcast(seedsFlat), "cc")
+        .select(col("cc"),
+                element_at(col("__fids"),
+                  VectorOps.ivfNearest(col("q"), col("__fqs"), col("__fns"))
+                    + 1).as("f_id"),
+                posexplode(col("q")))
+        .groupBy("cc", "f_id", "pos")
+        .agg(sum("col").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("mv", floor(col("sv").cast("double") / col("cnt"))
+                            .cast("long"))
+        .groupBy("cc", "f_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+               .as("pm"))
+        .select(col("cc"), col("f_id"),
+                transform(col("pm"), x => x.getField("mv")).as("fq"))
+        .withColumn("fn", VectorOps.intNormSq(col("fq")))
+        .filter(col("fn") > 0)
+        .localCheckpoint()
+      CellQuantizer(cap, None, Some(coarse), Some(fine))
+    }
+  }
+
+  /** The quantizer's centroid table in the flat `(c_id, cq, cn)` shape
+    * — what consumers that score against centroids (or probe a small
+    * side with [[ivfAssign1]]) read; ≤ cap compact rows either way. */
+  private[graft] def quantizerCents(qz: CellQuantizer): DataFrame =
+    qz match {
+      case CellQuantizer(_, Some(cents), _, _) => cents
+      case CellQuantizer(cap, _, _, Some(fine)) =>
+        fine.select(hierCellId(cap, col("cc"), col("f_id")).as("c_id"),
+                    col("fq").as("cq"), col("fn").as("cn"))
+      case _ => throw new IllegalStateException("malformed CellQuantizer")
+    }
+
+  /** Cell cap for [[qCellAssignHier]] — deliberately ABOVE [[MaxCents]]
+    * so the gate forces the hierarchical regime at fixture scale, where
+    * DuckDB can replay the whole two-level derivation. */
+  private[queries] val HierGateCap = 320L
+
+  /** Full DuckDB replay of the two-level derivation at literal cap
+    * `cap`: the coarse chain is [[ivfCteOn]] at [[hierCoarseCap]] cells
+    * (stride floor `min(CentStride, C)` — exactly [[ivfSeeds]]' floor,
+    * which the ≥ MaxCents callers never see below CentStride), then the
+    * fine plan/seed/train/assign CTEs mirror [[trainCellQuantizer]]
+    * step for step: rank-stride seeds with dense `f_id = r0 div fs`,
+    * one floor-mean Lloyd iteration per coarse cell, zero-norm fine
+    * cells dropped, and the [[assignCells]] fallback (`COALESCE(f, 0)`)
+    * for a coarse cell whose fine centroids all degenerated. */
+  private[queries] def hierCte(cap: Long): String = {
+    val c = hierCoarseCap(cap)
+    s"""${ivfCteOn("e", capSql = c.toString,
+                   strideFloor = math.min(CentStride.toLong, c).toString)},
+      |mh AS (
+      |  SELECT ce.vec_id, ce.cell AS cc, e.q,
+      |         ROW_NUMBER() OVER (PARTITION BY ce.cell
+      |                            ORDER BY ce.vec_id ASC) - 1 AS r0
+      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |),
+      |hplan AS (
+      |  SELECT cc,
+      |         CAST(CEIL(COUNT(*) / CAST(
+      |           CEIL((SELECT COUNT(*) FROM mh) / $cap.0) AS DOUBLE))
+      |           AS BIGINT) AS fcap,
+      |         COUNT(*) AS n_c
+      |  FROM mh GROUP BY cc
+      |),
+      |hstr AS (
+      |  SELECT cc, CAST(CEIL(n_c / CAST(fcap AS DOUBLE)) AS BIGINT) AS fs
+      |  FROM hplan
+      |),
+      |hseed AS (
+      |  SELECT m.cc, m.r0 // s.fs AS f_id, m.q AS fq,
+      |         CAST(list_sum(list_transform(m.q, x -> x * x)) AS BIGINT)
+      |           AS fn
+      |  FROM mh m JOIN hstr s ON s.cc = m.cc
+      |  WHERE m.r0 % s.fs = 0
+      |),
+      |hrk0 AS (
+      |  SELECT m.vec_id, m.cc, f.f_id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY m.vec_id
+      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(m.q)),
+      |                            i -> m.q[i] * f.fq[i])) AS BIGINT)
+      |                    / sqrt(CAST(f.fn AS DOUBLE)) DESC,
+      |                    f.f_id ASC) AS crn
+      |  FROM mh m JOIN hseed f ON f.cc = m.cc
+      |),
+      |hmem AS (
+      |  SELECT a.cc, a.f_id,
+      |         unnest(generate_series(1, len(m.q))) AS pos,
+      |         unnest(m.q) AS v
+      |  FROM (SELECT vec_id, cc, f_id FROM hrk0 WHERE crn = 1) a
+      |  JOIN mh m ON m.vec_id = a.vec_id
+      |),
+      |htc AS (
+      |  SELECT cc, f_id,
+      |         list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT)
+      |              ORDER BY pos) AS fq
+      |  FROM (SELECT cc, f_id, pos, CAST(SUM(v) AS BIGINT) AS sv,
+      |               COUNT(*) AS cnt
+      |        FROM hmem GROUP BY cc, f_id, pos)
+      |  GROUP BY cc, f_id
+      |),
+      |hcents AS (
+      |  SELECT cc, f_id, fq,
+      |         CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) AS fn
+      |  FROM htc
+      |  WHERE CAST(list_sum(list_transform(fq, x -> x * x)) AS BIGINT) > 0
+      |),
+      |hrk AS (
+      |  SELECT m.vec_id, f.f_id,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY m.vec_id
+      |           ORDER BY CAST(list_sum(list_transform(generate_series(1, len(m.q)),
+      |                            i -> m.q[i] * f.fq[i])) AS BIGINT)
+      |                    / sqrt(CAST(f.fn AS DOUBLE)) DESC,
+      |                    f.f_id ASC) AS crn
+      |  FROM mh m JOIN hcents f ON f.cc = m.cc
+      |),
+      |hcell AS (
+      |  SELECT m.vec_id, m.cc * $cap + COALESCE(a.f_id, 0) AS cell
+      |  FROM mh m
+      |  LEFT JOIN (SELECT vec_id, f_id FROM hrk WHERE crn = 1) a
+      |    ON a.vec_id = m.vec_id
+      |)""".stripMargin
+  }
+
+  /**
+   * The HIERARCHICAL assignment itself behind the oracle gate, FORCED
+   * into the two-level regime ([[HierGateCap]] > MaxCents) at fixture
+   * scale: every vector's final cell id `cc·cap + f_id` from the
+   * coarse-route → fine-argmax chain, with the whole derivation —
+   * coarse seeding/training at `√cap` cells, per-cell proportional
+   * fine allocation, the rank-stride seed draw, the in-cell Lloyd
+   * iteration, the degenerate-cell fallback — replayed closed-form by
+   * DuckDB ([[hierCte]]). The production semantic gates run this path
+   * only beyond MaxCents·SemTargetCell vectors (where no SQL engine
+   * replays anything); this gate is what pins that regime's math at a
+   * size the oracle CAN execute, exactly the byte-BPE roundtrip gate's
+   * proof-by-small-instance discipline.
+   */
+  val qCellAssignHier = Q(
+    "q_cell_assign_hier",
+    (s, dir) =>
+      assignCells(quantized(s, dir).select(col("vec_id"), col("q")),
+                  trainCellQuantizer(quantized(s, dir), HierGateCap))
+        .select(col("vec_id"), col("c_id").as("cell")),
+    Some(s"""${hierCte(HierGateCap)}
+      |SELECT vec_id, cell FROM hcell""".stripMargin)
+  )
+
   /** Shared DuckDB replay of the full IVF training chain — capped stride
     * seeding through trained-cell assignment — referenced by
     * `q_sim_search_ivf`, `q_ivf_probe`, AND (via the parameterized
@@ -426,16 +736,29 @@ object SimQueries {
     * this removes the bound instead of guarding it). The ANN search
     * gates keep the fixed-cap [[ivfCte]]: their contract is a bounded
     * probe-time collect, not bounded pair work. */
-  private[queries] def ivfCteDerived: String = ivfCteOn(
-    "e",
-    extra = s"""
+  private[queries] val capcCte: String = s"""
       |capc AS (
       |  SELECT GREATEST($MaxCents,
       |                  CAST(CEIL(COUNT(*) / $SemTargetCell.0)
       |                       AS BIGINT)) AS cap
       |  FROM e
-      |),""".stripMargin,
-    capSql = "(SELECT cap FROM capc)")
+      |),""".stripMargin
+
+  private[queries] def ivfCteDerived: String =
+    ivfCteOn("e", extra = capcCte, capSql = "(SELECT cap FROM capc)")
+
+  /** Sentinel: derive the cell cap from the corpus count at call time
+    * ([[resolveCap]]) — the library default for the whole graph/cluster
+    * family, so cells hold ~SemTargetCell members at ANY corpus size
+    * (fixed MaxCents cells meant per-cell pair work grew n²/256 — the
+    * round-18 q_semantic_clusters 25×-at-100× soak row). */
+  private[queries] val DeriveCap = 0L
+
+  /** Resolve a caller cap: explicit wins; [[DeriveCap]] counts the
+    * frame (one metadata-cheap action — gates skip it by passing
+    * [[graft.queries.DedupQueries.gateCellCap]]'s raw-table count). */
+  private[queries] def resolveCap(e: DataFrame, cap: Long): Long =
+    if (cap > 0) cap else DedupQueries.semanticCellCap(e.count())
 
   /** [[ivfCte]] with the TRAINING side parameterized: stride, seeds, and
     * the Lloyd floor-mean read `$train` (a CTE the caller prepends —
@@ -446,10 +769,12 @@ object SimQueries {
     * frozen centroids from the build half, all vectors assigned to
     * them — which is precisely what [[appendToIvfLayout]] materializes. */
   private[queries] def ivfCteOn(train: String, extra: String = "",
-                                capSql: String = MaxCents.toString): String =
+                                capSql: String = MaxCents.toString,
+                                strideFloor: String =
+                                  CentStride.toString): String =
     s"""$quantCte,$extra
       |st AS (
-      |  SELECT GREATEST($CentStride,
+      |  SELECT GREATEST($strideFloor,
       |                  CAST(CEIL(COUNT(*) / CAST($capSql AS DOUBLE)) AS BIGINT)) AS stride
       |  FROM $train
       |),
@@ -835,8 +1160,9 @@ object SimQueries {
    */
   val qKnnGraph = Q(
     "q_knn_graph",
-    (s, dir) => knnGraphOf(quantized(s, dir)),
-    Some(s"""$ivfCte,
+    (s, dir) => knnGraphOf(quantized(s, dir),
+                           cellCap = DedupQueries.gateCellCap(s, dir)),
+    Some(s"""$ivfCteDerived,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q
       |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
@@ -869,8 +1195,9 @@ object SimQueries {
    */
   val qHardNegatives = Q(
     "q_hard_negatives",
-    (s, dir) => hardNegativesOf(quantized(s, dir)),
-    Some(s"""$ivfCte,
+    (s, dir) => hardNegativesOf(quantized(s, dir),
+                                cellCap = DedupQueries.gateCellCap(s, dir)),
+    Some(s"""$ivfCteDerived,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q, e.label
       |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
@@ -894,12 +1221,10 @@ object SimQueries {
   /** [[qHardNegatives]]'s body over an ARBITRARY quantized
     * `(vec_id, q, label, …)` frame. */
   private[graft] def hardNegativesOf(e: DataFrame, k: Int = GraphK,
-                                     cellCap: Long = MaxCents): DataFrame = {
-    val cents = ivfTrain(e, cellCap).localCheckpoint()
+                                     cellCap: Long = DeriveCap): DataFrame = {
+    val qz = trainCellQuantizer(e, resolveCap(e, cellCap))
     val m = checkpointCompact(
-      e.join(ivfAssign1(e, cents)
-               .select(col("vec_id").as("m_vid"), col("c_id")),
-             col("vec_id") === col("m_vid"))
+      assignCells(e.select(col("vec_id"), col("label"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),
                 col("label")))
     val a = m.select(col("vec_id").as("src"), col("cell"),
@@ -919,12 +1244,10 @@ object SimQueries {
   /** [[qKnnGraph]]'s body over an ARBITRARY quantized `(vec_id, q, …)`
     * frame — the library/TVF entry point (`k`, `cellCap` free). */
   private[graft] def knnGraphOf(e: DataFrame, k: Int = GraphK,
-                                cellCap: Long = MaxCents): DataFrame = {
-    val cents = ivfTrain(e, cellCap).localCheckpoint()
+                                cellCap: Long = DeriveCap): DataFrame = {
+    val qz = trainCellQuantizer(e, resolveCap(e, cellCap))
     val m = checkpointCompact(
-      e.join(ivfAssign1(e, cents)
-               .select(col("vec_id").as("m_vid"), col("c_id")),
-             col("vec_id") === col("m_vid"))
+      assignCells(e.select(col("vec_id"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q")))
     val a = m.select(col("vec_id").as("src"), col("cell"),
                      col("q").as("qa"))
@@ -968,7 +1291,7 @@ object SimQueries {
     * share: an edge survives iff each endpoint ranks the other in its
     * top-K. */
   private[graft] def mutualEdgesOf(e: DataFrame, k: Int = GraphK,
-                                   cellCap: Long = MaxCents): DataFrame = {
+                                   cellCap: Long = DeriveCap): DataFrame = {
     val edges = knnGraphOf(e, k, cellCap).select("src", "dst")
     edges.as("x").join(
         edges.as("y"),
@@ -983,7 +1306,7 @@ object SimQueries {
     * expensive half, and the cluster GATES all derive from the same
     * two inputs. */
   private[graft] def semanticClustersOf(e: DataFrame, k: Int = GraphK,
-                                        cellCap: Long = MaxCents,
+                                        cellCap: Long = DeriveCap,
                                         labels0: Option[DataFrame] = None)
       : DataFrame = {
     val labels = labels0.getOrElse(
@@ -1026,7 +1349,8 @@ object SimQueries {
       if (!fs.exists(marker)) {
         val e0 = quantized(s, dir)
         val e = if (evenHalf) e0.filter(col("vec_id") % 2 === 0) else e0
-        graft.operators.ConnectedComponents.labels(mutualEdgesOf(e))
+        graft.operators.ConnectedComponents.labels(
+            mutualEdgesOf(e, cellCap = DedupQueries.gateCellCap(s, dir)))
           .write.mode("overwrite").parquet(s"$out/labels")
         fs.create(marker, true).close()
       }
@@ -1094,7 +1418,7 @@ object SimQueries {
     * mutual edges, components, and labels all read `$t` only) while the
     * surrounding query still sees every vector of `e`. */
   private def semanticClustersCteOn(t: String, extra: String = ""): String =
-    s"""${ivfCteOn(t, extra)},
+    s"""${ivfCteOn(t, capcCte + extra, capSql = "(SELECT cap FROM capc)")},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, t0.q
       |  FROM cell ce JOIN $t t0 ON t0.vec_id = ce.vec_id
@@ -1148,7 +1472,8 @@ object SimQueries {
    */
   val qClusterSample = Q(
     "q_cluster_sample",
-    (s, dir) => clusterSampleOf(quantized(s, dir)),
+    (s, dir) => clusterSampleOf(quantized(s, dir),
+                                cellCap = DedupQueries.gateCellCap(s, dir)),
     Some(s"""$semanticClustersCte,
       |cs AS (
       |  SELECT vec_id, cluster_id,
@@ -1165,7 +1490,7 @@ object SimQueries {
 
   /** [[qClusterSample]]'s body over an ARBITRARY quantized frame. */
   private[graft] def clusterSampleOf(e: DataFrame, k: Int = GraphK,
-                                     cellCap: Long = MaxCents,
+                                     cellCap: Long = DeriveCap,
                                      budget: Int = ClusterBudget): DataFrame = {
     val wRank = Window.partitionBy("cluster_id")
       .orderBy(col("h").asc, col("vec_id").asc)
@@ -1216,7 +1541,7 @@ object SimQueries {
     * from the just-written members scan (compact columnar read), not by
     * re-running the label join. */
   def writeClustersOf(e: DataFrame, outDir: String, k: Int = GraphK,
-                      cellCap: Long = MaxCents,
+                      cellCap: Long = DeriveCap,
                       withCentroids: Boolean = true,
                       labels0: Option[DataFrame] = None): Unit = {
     // one label join, not two: semanticClustersOf's (vec_id, cluster_id)
@@ -1781,8 +2106,9 @@ object SimQueries {
    */
   val qPagerank = Q(
     "q_pagerank",
-    (s, dir) => pageRankOf(quantized(s, dir)),
-    Some(s"""$ivfCte,
+    (s, dir) => pageRankOf(quantized(s, dir),
+                           cellCap = DedupQueries.gateCellCap(s, dir)),
+    Some(s"""$ivfCteDerived,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q
       |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
@@ -1828,7 +2154,7 @@ object SimQueries {
     * library entry point (`iters`, `k`, `cellCap` free). */
   private[graft] def pageRankOf(e: DataFrame, iters: Int = PrIters,
                                 k: Int = GraphK,
-                                cellCap: Long = MaxCents): DataFrame =
+                                cellCap: Long = DeriveCap): DataFrame =
     pageRankOnEdges(e.select(col("vec_id").as("id")),
                     knnGraphOf(e, k, cellCap).select("src", "dst"), iters)
       .select(col("id").as("vec_id"), col("rank_fp"))
@@ -1877,8 +2203,9 @@ object SimQueries {
    */
   val qTriangleCount = Q(
     "q_triangle_count",
-    (s, dir) => triangleCountOf(quantized(s, dir)),
-    Some(s"""$ivfCte,
+    (s, dir) => triangleCountOf(quantized(s, dir),
+                                cellCap = DedupQueries.gateCellCap(s, dir)),
+    Some(s"""$ivfCteDerived,
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q
       |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
@@ -1920,7 +2247,7 @@ object SimQueries {
 
   /** [[qTriangleCount]]'s body over an ARBITRARY quantized frame. */
   private[graft] def triangleCountOf(e: DataFrame, k: Int = GraphK,
-                                     cellCap: Long = MaxCents): DataFrame =
+                                     cellCap: Long = DeriveCap): DataFrame =
     trianglesOnMutual(e.select(col("vec_id")),
                       checkpointCompact(mutualEdgesOf(e, k, cellCap)))
 
@@ -1953,5 +2280,5 @@ object SimQueries {
                         qClusterSample, qClusterProbe, qClusterSampleStored,
                         qClusterAppend, qClusterQuality,
                         qEmbedStats, qPagerank, qTriangleCount,
-                        qHardNegatives)
+                        qHardNegatives, qCellAssignHier)
 }

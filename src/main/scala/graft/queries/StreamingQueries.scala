@@ -273,26 +273,26 @@ object StreamingQueries {
       // (DedupQueries.gateCellCap: cheap raw-source count; the oracle
       // replays the same derivation in SQL); the count bills to the
       // offline index build, not the drain
-      val cents = SimQueries.ivfTrain(
-        e, DedupQueries.gateCellCap(s, dir)).localCheckpoint()
+      val qz = SimQueries.trainCellQuantizer(
+        e, DedupQueries.gateCellCap(s, dir))
       val evalQ = e.filter(col("vec_id") % 5 === 4)
       val evalIdx = checkpointCompact(
-        evalQ.join(SimQueries.ivfAssign1(evalQ, cents)
-                     .select(col("vec_id").as("m_vid"), col("c_id")),
-                   col("vec_id") === col("m_vid"))
+        SimQueries.assignCells(evalQ.select(col("vec_id"), col("q")), qz)
           .select(col("vec_id").as("eval_id"), col("c_id").as("cell"),
                   col("q").as("qb"), VectorOps.intNormSq(col("q")).as("nb")))
-      val flat = SimQueries.centsFlat(cents)
-      val arrivals = tableStream(s, dir, "embeddings")
-        .filter(col("vec_id") % 5 =!= 4)
-        .select(col("vec_id").as("train_id"),
-                VectorOps.quantize(col("embedding")).as("qa"))
-        .withColumn("na", VectorOps.intNormSq(col("qa")))
-        .crossJoin(broadcast(flat))
+      // arriving vectors route through the SAME quantizer (broadcast-only
+      // in both regimes — flat one-row matrix, or coarse row + per-cell
+      // fine matrices beyond MaxCents), so the stream face can never
+      // drift from the batch face's cell assignment
+      val arrivals = SimQueries.assignCells(
+          tableStream(s, dir, "embeddings")
+            .filter(col("vec_id") % 5 =!= 4)
+            .select(col("vec_id").as("train_id"),
+                    VectorOps.quantize(col("embedding")).as("qa"))
+            .withColumn("na", VectorOps.intNormSq(col("qa"))),
+          qz, qCol = "qa")
         .select(col("train_id"), col("qa"), col("na"),
-                element_at(col("cids"),
-                  VectorOps.ivfNearest(col("qa"), col("cqs"), col("cns")) + 1)
-                  .as("cell"))
+                col("c_id").as("cell"))
       val hits = arrivals.join(evalIdx, Seq("cell"))
         .withColumn("dot", VectorOps.intDot(col("qa"), col("qb")))
         .filter(VectorOps.cosAtLeast(col("dot"), col("na"), col("nb"), 3, 10))
@@ -341,7 +341,10 @@ object StreamingQueries {
                 element_at(col("cids"),
                   VectorOps.ivfNearest(col("qq"), col("cqs"), col("cns")) + 1)
                   .as("cell"))
-      val top = arrivals.join(members, Seq("cell"))
+      // explicit broadcast: the static member index must never fall to a
+      // sort-merge join that re-shuffles the whole corpus per micro-batch
+      // (the q_stream_hard_negatives lesson — round-18 VERDICT item 2)
+      val top = arrivals.join(broadcast(members), Seq("cell"))
         .select(col("q_id"),
           slice(
             array_sort(
@@ -389,34 +392,43 @@ object StreamingQueries {
    * frozen cell and mines its top-k DIFFERENT-label near-misses from
    * the cell's member array, row-locally (the label predicate joins
    * the vec-id exclusion inside the HOF filter). Same stateless shape,
-   * same frozen-index billing; the cell assignment is the identical
-   * [[graft.expr.IvfNearestCell]] projection the batch face's
-   * `ivfAssign1` runs, so the gate reuses
-   * [[SimQueries.qHardNegatives]]' oracle verbatim.
+   * same frozen-index billing; the cell routing is the SAME
+   * [[SimQueries.trainCellQuantizer]] the batch face trains (derived
+   * cap, hierarchical beyond MaxCents), so the gate reuses
+   * [[SimQueries.qHardNegatives]]' oracle verbatim AND cell member
+   * arrays stay ~SemTargetCell vectors at any corpus size — the former
+   * fixed-MaxCents cells grew with the corpus, and the per-cell probe
+   * join defaulted to a sort-merge that re-shuffled the whole static
+   * member table EVERY micro-batch (round-18 VERDICT item 2, the
+   * 270.7 s drain at the 100× soak). The explicit `broadcast` pins the
+   * probe side: per-batch cost is one broadcast rebuild of compact
+   * checkpointed rows + bounded per-arrival in-cell work. Past
+   * broadcastable member size (~10⁸ vectors) a deployment swaps this
+   * in-memory index for a probe of the committed cell-partitioned
+   * layout ([[SimQueries.writeIvfLayout]]) — same routing, cells read
+   * off disk with partition pruning.
    */
   val qStreamHardNegatives = Q(
     "q_stream_hard_negatives",
     (s, dir) => {
       import graft.vector.VectorOps
       val e = SimQueries.quantizedFrame(s, dir)
-      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val qz = SimQueries.trainCellQuantizer(
+        e, DedupQueries.gateCellCap(s, dir))
       val members = checkpointCompact(
-        e.join(SimQueries.ivfAssign1(e, cents)
-                 .select(col("vec_id").as("m_vid"), col("c_id")),
-               col("vec_id") === col("m_vid"))
+        SimQueries.assignCells(
+            e.select(col("vec_id"), col("label"), col("q")), qz)
           .groupBy(col("c_id").as("cell"))
           .agg(collect_list(struct(col("vec_id"), col("q"), col("label")))
                  .as("members")))
-      val flat = SimQueries.centsFlat(cents)
-      val arrivals = tableStream(s, dir, "embeddings")
-        .select(col("vec_id").as("src"), col("label").as("src_label"),
-                VectorOps.quantize(col("embedding")).as("qq"))
-        .crossJoin(broadcast(flat))
+      val arrivals = SimQueries.assignCells(
+          tableStream(s, dir, "embeddings")
+            .select(col("vec_id").as("src"), col("label").as("src_label"),
+                    VectorOps.quantize(col("embedding")).as("qq")),
+          qz, qCol = "qq")
         .select(col("src"), col("src_label"), col("qq"),
-                element_at(col("cids"),
-                  VectorOps.ivfNearest(col("qq"), col("cqs"), col("cns")) + 1)
-                  .as("cell"))
-      val top = arrivals.join(members, Seq("cell"))
+                col("c_id").as("cell"))
+      val top = arrivals.join(broadcast(members), Seq("cell"))
         .select(col("src"), col("src_label"),
           slice(
             array_sort(

