@@ -856,6 +856,23 @@ object GraftTableFunctions {
     }
   )
 
+  /** `graft_admit_funnel(docsTable)` — the crawl admission funnel:
+    * each record charged to its FIRST failing stage in pipeline order
+    * (truncated → empty_extract → empty_norm → safety → robots →
+    * license → admitted), counted per stage
+    * ([[graft.queries.WebQueries.admitFunnelOf]]). */
+  val admitFunnel: TVF = (
+    new FunctionIdentifier("graft_admit_funnel"),
+    info("graft_admit_funnel", "graft_admit_funnel(docsTable)"),
+    (args: Seq[Expression]) => {
+      val fn = "graft_admit_funnel"
+      require(args.length == 1, s"$fn takes exactly 1 argument")
+      graft.queries.WebQueries.admitFunnelOf(
+        active.table(strArg(args, 0, fn)))
+        .queryExecution.logical
+    }
+  )
+
   /** `graft_export_manifest(docsTable)` — per-shard counts, position
     * ranges, and order-invariant content checksums of the deterministic
     * export ([[graft.queries.CurationQueries.exportManifestOf]]). */
@@ -993,7 +1010,7 @@ object GraftTableFunctions {
                           htmlExtract, normalizeText, safety, urlCanonical,
                           splitCluster, boilerplate,
                           upsample, secretScrub, contamination, langMixture,
-                          crawlAdmit, exportManifest, tokenBudget,
+                          crawlAdmit, admitFunnel, exportManifest, tokenBudget,
                           warcExtract, kllQuantiles, byteBpe,
                           jsonlParse, scd2Merge, robotsCheck)
 

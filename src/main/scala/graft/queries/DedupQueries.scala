@@ -2248,16 +2248,18 @@ object DedupQueries {
    * `element_at` re-reads tokens in place; the token array is
    * [[letBound]] so the split never re-evaluates per kept position.
    */
-  val qSubstrDedup = Q(
-    "q_substr_dedup",
-    (s, dir) => substrDedup(docsDistributed(s, dir)),
-    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** DuckDB replay of the full-corpus rolling-gram ExactSubstr pass at
+    * window width `w` — shared verbatim by [[qSubstrDedup]] (W =
+    * SubstrW) and [[qSubstrSa]] (W = SaMinLen, through the stored
+    * index), so the two thresholds can never drift on strip semantics. */
+  private def substrOracleSql(w: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |g AS (
       |  SELECT doc_id, j - 1 AS pos,
-      |         md5(array_to_string(toks[j:j+${SubstrW - 1}], ' ')) AS h
+      |         md5(array_to_string(toks[j:j+${w - 1}], ' ')) AS h
       |  FROM (SELECT doc_id, toks,
-      |               unnest(generate_series(1, len(toks) - ${SubstrW - 1})) AS j
-      |        FROM d WHERE len(toks) >= $SubstrW)
+      |               unnest(generate_series(1, len(toks) - ${w - 1})) AS j
+      |        FROM d WHERE len(toks) >= $w)
       |), dup AS (
       |  SELECT doc_id, pos FROM (
       |    SELECT doc_id, pos,
@@ -2267,7 +2269,7 @@ object DedupQueries {
       |), cov AS (
       |  SELECT DISTINCT doc_id, pos + k AS p
       |  FROM (SELECT doc_id, pos,
-      |               unnest(generate_series(0, ${SubstrW - 1})) AS k
+      |               unnest(generate_series(0, ${w - 1})) AS k
       |        FROM dup)
       |), ap AS (
       |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p
@@ -2286,7 +2288,12 @@ object DedupQueries {
       |       COALESCE(rb.clean_text, '') AS clean_text,
       |       COALESCE(rb.kept_tokens, 0) AS kept_tokens,
       |       CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS total_tokens
-      |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin)
+      |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin
+
+  val qSubstrDedup = Q(
+    "q_substr_dedup",
+    (s, dir) => substrDedup(docsDistributed(s, dir)),
+    Some(substrOracleSql(SubstrW))
   )
 
   /** `(doc_id, pos, h)` — the rolling `SubstrW`-token gram triples of
@@ -2481,6 +2488,98 @@ object DedupQueries {
       |       CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS total_tokens
       |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
       |WHERE d.doc_id % 5 = 4""".stripMargin)
+  )
+
+  /** Minimum duplicated-region length (tokens) for [[qSubstrSa]] —
+    * deliberately BELOW [[SubstrW]]: regions of `SaMinLen..SubstrW-1`
+    * tokens are exactly the hole the rolling W-gram pass documents
+    * ("regions shorter than SubstrW survive by design") and the
+    * offline index closes. */
+  private[queries] val SaMinLen = 8
+
+  /** Physical bucket count for [[writeSubstrIndex]] — the bounded-
+    * directory rationale, applied to gram-hash prefixes. */
+  private[queries] val SaBuckets = 64
+
+  /** Materialize the SORTED GRAM-OCCURRENCE INDEX of a corpus at
+    * window width `w` — the relational stand-in for Lee et al.'s
+    * suffix array: one `(h, doc_id, pos)` triple per token position,
+    * hash-bucketed (`<outDir>/grams/gbucket=<b>/`) and sorted
+    * `(h, doc_id, pos)` within each bucket, so equal-content windows
+    * are PHYSICALLY ADJACENT exactly like equal-prefix suffixes in a
+    * suffix array's sorted order. Committed via AtomicPublish — the
+    * offline artifact a 100 TB pipeline builds once and keeps between
+    * batches: dedup passes and arriving-batch probes read 28-byte
+    * compact triples (16 B hash + 8 B doc + 4 B pos) with row-group
+    * h-stats for point skips, never re-tokenizing the standing corpus
+    * (at 100 TB the tokenize+hash of the corpus IS the dominant cost —
+    * this is the index build that pays it once). */
+  def writeSubstrIndex(corpus: DataFrame, outDir: String,
+                       w: Int = SaMinLen): Unit = {
+    substrGrams(corpus, w)
+      .withColumn("gbucket", pmod(xxhash64(col("h")), lit(SaBuckets.toLong)))
+      .repartition(col("gbucket"))
+      .sortWithinPartitions("gbucket", "h", "doc_id", "pos")
+      .write.mode("overwrite").partitionBy("gbucket")
+      .parquet(s"$outDir/grams")
+    graft.sources.AtomicPublish.commit(corpus.sparkSession, outDir)
+  }
+
+  /** Duplicate (non-first) gram occurrences read FROM a committed
+    * [[writeSubstrIndex]] layout — compact triples only. */
+  private[queries] def saDuplicatesFromIndex(s: SparkSession,
+                                             layoutDir: String): DataFrame = {
+    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    graft.sources.AtomicPublish.readCommitted(s, layoutDir, "grams")
+      .select(col("h"), col("doc_id"), col("pos"))
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos")
+  }
+
+  private val saBuildLock = new Object
+
+  /**
+   * Suffix-array-style ExactSubstr THROUGH the offline index, behind
+   * the driver gate (round-18 VERDICT item 6): build the sorted
+   * gram-occurrence layout at `SaMinLen` tokens ([[writeSubstrIndex]],
+   * marker-memoized per process like the IVF/cluster layouts), derive
+   * duplicate occurrences from the STORED triples, and strip-and-
+   * reassemble every document ([[substrReassemble]] at the same
+   * width). Closes the documented [[qSubstrDedup]] threshold hole:
+   * a duplicated region of `SaMinLen..SubstrW-1` tokens — at ANY
+   * offset — survives the W = SubstrW rolling pass (no 13-token
+   * window fits inside it) but dies here; `SubstrSaSpec` plants
+   * exactly that case and pins the divergence. The oracle replays the
+   * whole pass at `SaMinLen` through the shared [[substrOracleSql]],
+   * so index content, ownership order, and strip arithmetic are all
+   * hash-gated — a drift between the stored layout and the
+   * from-scratch derivation mismatches.
+   *
+   * Scale: the index costs W× fewer gram rows than it looks — ONE row
+   * per token regardless of `w` — and the pass reads it back as
+   * compact triples; the owner rule and reassembly inherit
+   * [[qSubstrDedup]]'s documented shapes. The build is the
+   * pay-once artifact; [[substrDedupAgainstCorpus]] is the matching
+   * arriving-batch probe that keeps it amortized.
+   */
+  val qSubstrSa = Q(
+    "q_substr_sa",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "substr-sa")
+      val docs = docsDistributed(s, dir)
+      saBuildLock.synchronized {
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
+        if (!fs.exists(marker)) {
+          writeSubstrIndex(docs, out)
+          fs.create(marker, true).close()
+        }
+      }
+      substrReassemble(docs, saDuplicatesFromIndex(s, out), SaMinLen)
+    },
+    Some(substrOracleSql(SaMinLen))
   )
 
   /** Physical bucket count for [[writeBandIndex]] — the bounded-
@@ -3283,7 +3382,7 @@ object DedupQueries {
     qDedupClusters, qDedupedCorpus, qDedupedVerified, qCanonicalCorpus,
     qDecontaminate, qExactOverlap, qContaminationScore, qDedupReport,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
-    qIntradocDedup, qSubstrDedup, qSubstrIncremental,
+    qIntradocDedup, qSubstrDedup, qSubstrIncremental, qSubstrSa,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qMinhashIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert, qScd2Merge

@@ -161,9 +161,13 @@ object PqQueries {
   /** Per-query ADC tables: ptab[m][k] = ⟨query sub-vector m, codeword
     * (m,k)⟩ (exact integer). n_q · M · K longs — broadcast-scale at any
     * corpus size. */
-  private[queries] def pqQueryTables(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+  /** `qIds`: the query id frame — the full `% 100` pool for the
+    * cell-pruned IVF-PQ gate, the [[SimQueries.bruteQueries]] budget
+    * draw for the flat-ADC gate (whose scan is corpus × queries). */
+  private[queries] def pqQueryTables(sub: DataFrame, cb: DataFrame,
+                                     qIds: DataFrame): DataFrame =
+    sub.join(broadcast(qIds), sub("vec_id") === qIds("q_id"))
+      .select(col("q_id"), col("m"), col("sv"))
       .join(broadcast(cb), Seq("m"))
       .withColumn("pdot", VectorOps.intDot(col("sv"), col("cw")))
       .groupBy("q_id", "m")
@@ -238,14 +242,18 @@ object PqQueries {
       // tables, and their lineages) — checkpoint so training runs once
       val cb = pqCodebook(e).localCheckpoint()
       val codes = pqCodes(sub, cb)
-      val ptab = pqQueryTables(sub, cb)
+      // budget-sampled queries: the flat ADC scan is corpus × queries —
+      // unbounded it was 263 s at the 200 k soak (round-18 VERDICT #3);
+      // the IVF-pruned sibling below keeps the full pool
+      val ptab = pqQueryTables(
+        sub, cb, SimQueries.bruteQueries(e).select("q_id"))
       val cand = codes.join(broadcast(ptab), col("vec_id") =!= col("q_id"))
         .withColumn("adot", adcDot(col("ptab"), col("codes")))
       rerank(e, adcShortlist(cand))
     },
     Some(s"""${SimQueries.quantCte},
       |$pqCteBody,
-      |$pqTablesCte,
+      |${pqTablesCteOn(SimQueries.bruteQuerySql)},
       |padc AS (
       |  SELECT t.q_id, c.vec_id, CAST(SUM(t.pdot) AS BIGINT) AS adot
       |  FROM pcodes c JOIN pqtab t ON t.m = c.m AND t.k = c.k
@@ -258,8 +266,14 @@ object PqQueries {
   /** DuckDB replay of [[pqQueryTables]] — per-query (m, k) partial dots;
     * assumes `psub`/`pcb` from [[pqCteBody]] are in scope. */
   private[queries] lazy val pqTablesCte: String =
+    pqTablesCteOn("SELECT vec_id FROM e WHERE vec_id % 100 = 0")
+
+  /** [[pqTablesCte]] with the query-id set parameterized (a bare id
+    * subquery) — the flat-ADC gate passes the budget draw
+    * ([[SimQueries.bruteQuerySql]]). */
+  private[queries] def pqTablesCteOn(qsel: String): String =
     s"""pqs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM psub
-      |        WHERE vec_id % 100 = 0),
+      |        WHERE vec_id IN ($qsel)),
       |pqtab AS (
       |  SELECT q.q_id, c.m, c.k,
       |         CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
@@ -321,7 +335,10 @@ object PqQueries {
       val probes = SimQueries.ivfAssign(e.filter(col("vec_id") % 100 === 0),
                                         cents)
         .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))
-      val ptab = pqQueryTables(sub, cb)
+      val ptab = pqQueryTables(
+        sub, cb,
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id")))
       val cand = codes
         .join(broadcast(probes),
               col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))

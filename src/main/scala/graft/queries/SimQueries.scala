@@ -47,25 +47,67 @@ object SimQueries {
       |  FROM embeddings
       |)""".stripMargin
 
-  /** Brute-force exact top-k by integer dot product: every 100th vector is
-    * a query; scan all candidates; row_number per query. The baseline every
-    * ANN variant is measured against. */
+  /** Query budget for the two BRUTE-FORCE scan baselines
+    * ([[qSimSearch]], `q_pq_search`): the candidate query pool
+    * (`vec_id % 100 = 0`) grows with the corpus, so an unbounded brute
+    * scan is n²/100 — 318 s at the 200 k-vector soak (round-18 VERDICT
+    * item 3) for a baseline whose JOB is recall reference, not
+    * throughput. The gates keep the [[qClusterSample]] md5-rank draw:
+    * the `BruteQueryBudget` hash-smallest pool members, deterministic
+    * under any partitioning and replayed by the oracle with the same
+    * ORDER BY/LIMIT — at fixture scale the pool is under budget, so
+    * the draw is the identity and every sibling recall spec still
+    * compares like for like. Scan work is then n·budget (linear);
+    * the FULL-pool brute scan remains available to specs via an
+    * explicit query frame. */
+  private[queries] val BruteQueryBudget = 256
+
+  /** The sampled brute query set `(q_id, qq)` — see
+    * [[BruteQueryBudget]]. */
+  private[queries] def bruteQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .withColumn("__h",
+                  md5(concat(lit("bq:"), col("vec_id").cast("string"))))
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .limit(BruteQueryBudget)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+
+  /** DuckDB replay of [[bruteQueries]]' id draw (a bare id subquery —
+    * callers wrap it in their own CTE shapes). */
+  private[queries] val bruteQuerySql: String =
+    "SELECT vec_id FROM e WHERE vec_id % 100 = 0 " +
+      "ORDER BY md5('bq:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC " +
+      s"LIMIT $BruteQueryBudget"
+
+  /** Brute-force exact top-k by integer dot product over the
+    * budget-sampled query draw ([[BruteQueryBudget]]); scan all
+    * candidates; top-k per query through the BOUNDED map-combining
+    * aggregate ([[graft.operators.TopK]]) — the rank-window
+    * formulation shuffled all n·budget scored rows into `budget`
+    * window partitions (51 M rows into 256 tasks at the 200 k-vector
+    * soak), where the aggregate ships ≤ k rows per (query, map task)
+    * and replays the window's (dot DESC, vec_id ASC) order exactly
+    * (no nulls here, so the documented null-parity caveat is moot).
+    * The recall baseline every ANN variant is measured against. */
   val qSimSearch = Q(
     "q_sim_search",
     (s, dir) => {
       val e = quantized(s, dir)
-      val queries = e.select(col("vec_id").as("q_id"), col("q").as("qq"))
-        .filter(col("q_id") % 100 === 0)
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("dot").desc, col("vec_id").asc)
+      val queries = bruteQueries(e)
       e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-        .withColumn("dot", VectorOps.intDot(col("qq"), col("q")))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= TopK)
-        .select("q_id", "vec_id", "dot", "rnk")
+        .select(col("q_id"), VectorOps.intDot(col("qq"), col("q")).as("dot"),
+                col("vec_id"))
+        .groupBy("q_id")
+        .agg(graft.operators.TopK.topK(TopK)(col("dot"), col("vec_id"))
+               .as("top"))
+        .select(col("q_id"), posexplode(col("top.items")).as(Seq("p", "t")))
+        .select(col("q_id"), col("t.id").as("vec_id"),
+                col("t.v").as("dot"),
+                (col("p") + 1).cast("long").as("rnk"))
     },
     Some(s"""$quantCte,
-      |qs AS (SELECT vec_id AS q_id, q AS qq FROM e WHERE vec_id % 100 = 0),
+      |qs AS (SELECT vec_id AS q_id, q AS qq FROM e
+      |       WHERE vec_id IN ($bruteQuerySql)),
       |p AS (
       |  SELECT q_id, vec_id,
       |         CAST(list_sum(list_transform(generate_series(1, len(q)),

@@ -1723,18 +1723,22 @@ object WebQueries {
    * replay ([[warcAdmitOracleCtes]]). One zero-shuffle chain plus a
    * 7-group aggregate — free at any scale.
    */
+  /** [[qAdmitFunnel]]'s body over an ARBITRARY documents frame — the
+    * `graft_admit_funnel` TVF delegate. */
+  private[graft] def admitFunnelOf(docs: DataFrame): DataFrame =
+    warcAdmitFrame(docs)
+      .select(when(col("truncated") === 1, "truncated")
+                .when(col("n_content") < 1, "empty_extract")
+                .when(col("n_chars") === 0, "empty_norm")
+                .when(col("blocked") === 1, "safety")
+                .when(col("robots_block") === 1, "robots")
+                .when(col("license_ok") === 0, "license")
+                .otherwise("admitted").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n"))
+
   lazy val qAdmitFunnel = Q(
     "q_admit_funnel",
-    (s, dir) =>
-      warcAdmitFrame(Tables.read(s, dir, "documents"))
-        .select(when(col("truncated") === 1, "truncated")
-                  .when(col("n_content") < 1, "empty_extract")
-                  .when(col("n_chars") === 0, "empty_norm")
-                  .when(col("blocked") === 1, "safety")
-                  .when(col("robots_block") === 1, "robots")
-                  .when(col("license_ok") === 0, "license")
-                  .otherwise("admitted").as("stage"))
-        .groupBy("stage").agg(count(lit(1)).as("n")),
+    (s, dir) => admitFunnelOf(Tables.read(s, dir, "documents")),
     Some(warcAdmitOracleCtes + """
       |SELECT CASE WHEN truncated = 1 THEN 'truncated'
       |            WHEN n_content < 1 THEN 'empty_extract'

@@ -286,6 +286,14 @@ class SqlSurfaceSpec extends SparkSpec {
     val fr = tbSql.filter($"lang" === "fr")
       .select("raw_tokens", "epoch_tokens").as[(Long, Long)].head()
     assert(fr._2 === fr._1 * 3)
+
+    val afSql = spark.sql("SELECT * FROM graft_admit_funnel('fd_docs')")
+    assert(afSql.collect().toSet ===
+      WebQueries.admitFunnelOf(docs).collect().toSet)
+    // first-failure attribution: stage counts sum to the record total
+    val recs = WebQueries.warcAdmitFrame(docs).count()
+    assert(afSql.agg(org.apache.spark.sql.functions.sum("n"))
+      .as[Long].head() === recs)
   }
 
   test("graft_sessionize from SQL ≡ Sessionize.visits (incl. exact-gap boundary)") {

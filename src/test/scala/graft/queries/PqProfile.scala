@@ -39,7 +39,10 @@ object PqProfile {
     t("subspaces count")(sub.count())
     val cb = t("pqCodebook+ckpt")(PqQueries.pqCodebook(e).localCheckpoint())
     t("pqCodes (encode)")(PqQueries.pqCodes(sub, cb).count())
-    t("pqQueryTables")(PqQueries.pqQueryTables(sub, cb).count())
+    t("pqQueryTables")(PqQueries.pqQueryTables(
+      sub, cb,
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"))).count())
     t("full q_ivfpq_search")(PqQueries.qIvfPqSearch.fn(s, dir).count())
     t("full q_ivfpq_search again")(PqQueries.qIvfPqSearch.fn(s, dir).count())
     s.stop()
