@@ -1413,7 +1413,7 @@ object DedupQueries {
     * GATES do: [[gateCellCap]] counts the raw source instead, skipping
     * the quantized frame's repartition shuffle). */
   private def resolveCellCap(cellCap: Long, e: DataFrame): Long =
-    if (cellCap > 0) cellCap else semanticCellCap(e.count())
+    SimQueries.resolveCap(e, cellCap) // one resolver repo-wide
 
   /** The gate-side cap: derived from a cheap count of the RAW
     * embeddings table (metadata-backed parquet count — no quantize
@@ -2537,6 +2537,30 @@ object DedupQueries {
       .select("doc_id", "pos")
   }
 
+  /** Strip an ARRIVING batch against the COMMITTED gram index — the
+    * probe that actually amortizes [[writeSubstrIndex]]: the standing
+    * corpus participates as compact DISTINCT 16-byte hashes read back
+    * from the layout (never re-tokenized — the pay-once contract), the
+    * batch's grams AT THE SAME WIDTH mark corpus-known occurrences (all
+    * of them die — the [[substrDedupAgainstCorpus]] rule) or
+    * batch-internal non-first occurrences, and covered tokens strip.
+    * The 8..12-token regions the W = SubstrW probe passes through are
+    * caught here because the index and the probe share `w`. */
+  def substrDedupAgainstIndex(s: SparkSession, layoutDir: String,
+                              batch: DataFrame,
+                              w: Int = SaMinLen): DataFrame = {
+    val corpusH = graft.sources.AtomicPublish
+      .readCommitted(s, layoutDir, "grams")
+      .select("h").distinct()
+    val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
+    val dup = substrGrams(batch, w)
+      .join(corpusH.withColumn("in_corpus", lit(1)), Seq("h"), "left")
+      .withColumn("rn", row_number().over(wOwn))
+      .filter(col("in_corpus").isNotNull || col("rn") > 1)
+      .select("doc_id", "pos")
+    substrReassemble(batch, dup, w)
+  }
+
   private val saBuildLock = new Object
 
   /**
@@ -2560,8 +2584,9 @@ object DedupQueries {
    * per token regardless of `w` — and the pass reads it back as
    * compact triples; the owner rule and reassembly inherit
    * [[qSubstrDedup]]'s documented shapes. The build is the
-   * pay-once artifact; [[substrDedupAgainstCorpus]] is the matching
-   * arriving-batch probe that keeps it amortized.
+   * pay-once artifact; [[substrDedupAgainstIndex]] is the matching
+   * arriving-batch probe (same width, corpus as stored hashes — the
+   * corpus is never re-tokenized after the build).
    */
   val qSubstrSa = Q(
     "q_substr_sa",

@@ -600,15 +600,11 @@ object SimQueries {
         .filter(col("r0") % col("fs") === 0)
         .select(col("cc"), expr("r0 div fs").as("f_id"),
                 col("q").as("fq"), VectorOps.intNormSq(col("q")).as("fn"))
-      val seedsFlat = seeds.groupBy(col("cc"))
-        .agg(array_sort(collect_list(struct(col("f_id"), col("fq"),
-                                            col("fn")))).as("fc"))
-        .select(col("cc"),
-                transform(col("fc"), x => x.getField("f_id")).as("__fids"),
-                flatten(transform(col("fc"), x => x.getField("fq")))
-                  .as("__fqs"),
-                transform(col("fc"), x => x.getField("fn")).as("__fns"))
-      val fine = m.join(broadcast(seedsFlat), "cc")
+      // the seed table has exactly the fine `(cc, f_id, fq, fn)` shape,
+      // so the SAME flattening serves both Lloyd legs — one statement,
+      // no way for the seed-assign and final-assign layouts to drift
+      val seedsFlat = fineFlat(seeds)
+      val fine = m.join(broadcast(seedsFlat), col("cc") === col("__fcc"))
         .select(col("cc"),
                 element_at(col("__fids"),
                   VectorOps.ivfNearest(col("q"), col("__fqs"), col("__fns"))
@@ -630,47 +626,39 @@ object SimQueries {
     }
   }
 
-  /** The quantizer's centroid table in the flat `(c_id, cq, cn)` shape
-    * — what consumers that score against centroids (or probe a small
-    * side with [[ivfAssign1]]) read; ≤ cap compact rows either way. */
-  private[graft] def quantizerCents(qz: CellQuantizer): DataFrame =
-    qz match {
-      case CellQuantizer(_, Some(cents), _, _) => cents
-      case CellQuantizer(cap, _, _, Some(fine)) =>
-        fine.select(hierCellId(cap, col("cc"), col("f_id")).as("c_id"),
-                    col("fq").as("cq"), col("fn").as("cn"))
-      case _ => throw new IllegalStateException("malformed CellQuantizer")
-    }
 
   /** Cell cap for [[qCellAssignHier]] — deliberately ABOVE [[MaxCents]]
     * so the gate forces the hierarchical regime at fixture scale, where
     * DuckDB can replay the whole two-level derivation. */
   private[queries] val HierGateCap = 320L
 
-  /** Full DuckDB replay of the two-level derivation at literal cap
-    * `cap`: the coarse chain is [[ivfCteOn]] at [[hierCoarseCap]] cells
-    * (stride floor `min(CentStride, C)` — exactly [[ivfSeeds]]' floor,
-    * which the ≥ MaxCents callers never see below CentStride), then the
-    * fine plan/seed/train/assign CTEs mirror [[trainCellQuantizer]]
-    * step for step: rank-stride seeds with dense `f_id = r0 div fs`,
-    * one floor-mean Lloyd iteration per coarse cell, zero-norm fine
-    * cells dropped, and the [[assignCells]] fallback (`COALESCE(f, 0)`)
-    * for a coarse cell whose fine centroids all degenerated. */
-  private[queries] def hierCte(cap: Long): String = {
-    val c = hierCoarseCap(cap)
-    s"""${ivfCteOn("e", capSql = c.toString,
-                   strideFloor = math.min(CentStride.toLong, c).toString)},
+  /** The two-level derivation as CTEs ending in `hcell(vec_id, cell)`,
+    * parameterized for BOTH oracle shapes: the forced-regime gate
+    * ([[qCellAssignHier]] — literal `capSql`/`ccapSql`) and the
+    * dual-regime derived chain ([[dualCellCtes]] — scalar subqueries
+    * over `capc`). Coarse level = [[ivfChainOn]] at `ccapSql` cells
+    * (prefix "c"; stride floor `LEAST(CentStride, ccap)` — exactly
+    * [[ivfSeeds]]' floor), then the fine plan/seed/train/assign CTEs
+    * mirror [[trainCellQuantizer]] step for step: rank-stride seeds
+    * with dense `f_id = r0 div fs`, one floor-mean Lloyd iteration per
+    * coarse cell, zero-norm fine cells dropped, and the
+    * [[assignCells]] fallback (`COALESCE(f, 0)`) for a coarse cell
+    * whose fine centroids all degenerated. */
+  private[queries] def hierChainOn(train: String, capSql: String,
+                                   ccapSql: String): String =
+    s"""${ivfChainOn(train, ccapSql,
+                     s"LEAST($CentStride, $ccapSql)", "hc")},
       |mh AS (
-      |  SELECT ce.vec_id, ce.cell AS cc, e.q,
+      |  SELECT ce.vec_id, ce.cell AS cc, t0.q,
       |         ROW_NUMBER() OVER (PARTITION BY ce.cell
       |                            ORDER BY ce.vec_id ASC) - 1 AS r0
-      |  FROM cell ce JOIN e ON e.vec_id = ce.vec_id
+      |  FROM hccell ce JOIN $train t0 ON t0.vec_id = ce.vec_id
       |),
       |hplan AS (
       |  SELECT cc,
       |         CAST(CEIL(COUNT(*) / CAST(
-      |           CEIL((SELECT COUNT(*) FROM mh) / $cap.0) AS DOUBLE))
-      |           AS BIGINT) AS fcap,
+      |           CEIL((SELECT COUNT(*) FROM mh) / CAST($capSql AS DOUBLE))
+      |           AS DOUBLE)) AS BIGINT) AS fcap,
       |         COUNT(*) AS n_c
       |  FROM mh GROUP BY cc
       |),
@@ -728,10 +716,33 @@ object SimQueries {
       |  FROM mh m JOIN hcents f ON f.cc = m.cc
       |),
       |hcell AS (
-      |  SELECT m.vec_id, m.cc * $cap + COALESCE(a.f_id, 0) AS cell
+      |  SELECT m.vec_id, m.cc * $capSql + COALESCE(a.f_id, 0) AS cell
       |  FROM mh m
       |  LEFT JOIN (SELECT vec_id, f_id FROM hrk WHERE crn = 1) a
       |    ON a.vec_id = m.vec_id
+      |)""".stripMargin
+
+  /** The DUAL-REGIME cell assignment: flat chain (prefix "f") AND
+    * hierarchical chain in one statement, the final `cell` CTE
+    * selecting whichever regime the derived `capc` cap picks — so the
+    * derived-cap oracles replay the Scala path at ANY corpus size a
+    * SQL engine can execute, including the 51 200..10⁶-vector band
+    * where the cap exceeds MaxCents but DuckDB still runs (the
+    * round-19 review finding: a flat-only replay would false-fail
+    * there). At fixture scale the union's hier branch computes a
+    * small discarded result (cap = MaxCents ⇒ flat wins); its SQL is
+    * the SAME builder the forced-cap [[qCellAssignHier]] gate
+    * hash-verifies. */
+  private[queries] def dualCellCtes(train: String): String = {
+    val capd = "(SELECT cap FROM capc)"
+    val ccap = s"(SELECT GREATEST(16, LEAST($MaxCents, " +
+      "CAST(CEIL(SQRT(cap)) AS BIGINT))) FROM capc)"
+    s"""${ivfChainOn(train, capd, CentStride.toString, "f")},
+      |${hierChainOn(train, capd, ccap)},
+      |cell AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM fcell WHERE $capd <= $MaxCents
+      |  UNION ALL
+      |  SELECT vec_id, cell FROM hcell WHERE $capd > $MaxCents
       |)""".stripMargin
   }
 
@@ -755,7 +766,9 @@ object SimQueries {
       assignCells(quantized(s, dir).select(col("vec_id"), col("q")),
                   trainCellQuantizer(quantized(s, dir), HierGateCap))
         .select(col("vec_id"), col("c_id").as("cell")),
-    Some(s"""${hierCte(HierGateCap)}
+    Some(s"""$quantCte,
+      |${hierChainOn("e", HierGateCap.toString,
+                     hierCoarseCap(HierGateCap).toString)}
       |SELECT vec_id, cell FROM hcell""".stripMargin)
   )
 
@@ -774,17 +787,15 @@ object SimQueries {
     * closed-form [[graft.queries.DedupQueries.semanticCellCap]]
     * computes (round-17 VERDICT #3: the fixed-cap CTE made the gates
     * refuse past MaxCents·SemTargetCell = 51 200 vectors; this removed
-    * the bound instead of guarding it). REGIME BOUNDARY, stated
-    * honestly: this CTE replays the FLAT derivation, which is the
-    * Scala path exactly while the derived cap stays ≤ MaxCents
-    * (n ≤ 51 200 — every fixture/oracle scale). Beyond that the Scala
-    * side trains HIERARCHICALLY ([[trainCellQuantizer]]) and this flat
-    * replay no longer mirrors it — at those sizes no SQL engine
-    * executes the oracle either way; the hierarchical math itself is
-    * oracle-gated at fixture scale by [[qCellAssignHier]]'s forced-cap
-    * replay ([[hierCte]]). The ANN search gates keep the fixed-cap
-    * [[ivfCte]]: their contract is a bounded probe-time collect, not
-    * bounded pair work. */
+    * the bound instead of guarding it) — and, since round 19, the
+    * assignment replay is DUAL-REGIME ([[dualCellCtes]]): the `cell`
+    * CTE switches between the flat chain and the hierarchical chain on
+    * the same cap comparison [[trainCellQuantizer]] makes, so the
+    * oracle mirrors the Scala path at ANY corpus size a SQL engine can
+    * execute — including past the 51 200-vector boundary where the
+    * Scala side goes two-level. The ANN search gates keep the
+    * fixed-cap [[ivfCte]]: their contract is a bounded probe-time
+    * collect, not bounded pair work. */
   private[queries] val capcCte: String = s"""
       |capc AS (
       |  SELECT GREATEST($MaxCents,
@@ -794,7 +805,8 @@ object SimQueries {
       |),""".stripMargin
 
   private[queries] def ivfCteDerived: String =
-    ivfCteOn("e", extra = capcCte, capSql = "(SELECT cap FROM capc)")
+    s"""$quantCte,$capcCte
+      |${dualCellCtes("e")}""".stripMargin
 
   /** Sentinel: derive the cell cap from the corpus count at call time
     * ([[resolveCap]]) — the library default for the whole graph/cluster
@@ -822,20 +834,30 @@ object SimQueries {
                                 strideFloor: String =
                                   CentStride.toString): String =
     s"""$quantCte,$extra
-      |st AS (
+      |${ivfChainOn(train, capSql, strideFloor, "")}"""
+
+  /** The seed→train→assign chain of [[ivfCteOn]] WITHOUT the quant
+    * prologue, every CTE name prefixed with `p` — so the dual-regime
+    * derived oracle can carry the flat chain ("f") and the
+    * hierarchical coarse chain ("c") in ONE statement without name
+    * collisions. `p = ""` is byte-identical to the historical text. */
+  private[queries] def ivfChainOn(train: String, capSql: String,
+                                  strideFloor: String,
+                                  p: String): String =
+    s"""${p}st AS (
       |  SELECT GREATEST($strideFloor,
       |                  CAST(CEIL(COUNT(*) / CAST($capSql AS DOUBLE)) AS BIGINT)) AS stride
       |  FROM $train
       |),
-      |cents0 AS (
+      |${p}cents0 AS (
       |  SELECT c_id, cq, cn FROM (
       |    SELECT vec_id AS c_id, q AS cq,
       |           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS cn,
       |           ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS srn
-      |    FROM $train WHERE vec_id % (SELECT stride FROM st) = 0
+      |    FROM $train WHERE vec_id % (SELECT stride FROM ${p}st) = 0
       |  ) WHERE srn <= $capSql
       |),
-      |rk0 AS (
+      |${p}rk0 AS (
       |  SELECT t.vec_id, c.c_id,
       |         ROW_NUMBER() OVER (
       |           PARTITION BY t.vec_id
@@ -843,30 +865,30 @@ object SimQueries {
       |                            i -> t.q[i] * c.cq[i])) AS BIGINT)
       |                    / sqrt(CAST(c.cn AS DOUBLE)) DESC,
       |                    c.c_id ASC) AS crn
-      |  FROM $train t CROSS JOIN cents0 c
+      |  FROM $train t CROSS JOIN ${p}cents0 c
       |),
-      |a0 AS (SELECT vec_id, c_id FROM rk0 WHERE crn = 1),
-      |mem AS (
-      |  SELECT a0.c_id, unnest(generate_series(1, len(t.q))) AS pos,
+      |${p}a0 AS (SELECT vec_id, c_id FROM ${p}rk0 WHERE crn = 1),
+      |${p}mem AS (
+      |  SELECT ${p}a0.c_id, unnest(generate_series(1, len(t.q))) AS pos,
       |         unnest(t.q) AS v
-      |  FROM a0 JOIN $train t ON t.vec_id = a0.vec_id
+      |  FROM ${p}a0 JOIN $train t ON t.vec_id = ${p}a0.vec_id
       |),
-      |tc AS (
+      |${p}tc AS (
       |  SELECT c_id,
       |         list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT)
       |              ORDER BY pos) AS cq
       |  FROM (SELECT c_id, pos, CAST(SUM(v) AS BIGINT) AS sv,
       |               COUNT(*) AS cnt
-      |        FROM mem GROUP BY c_id, pos)
+      |        FROM ${p}mem GROUP BY c_id, pos)
       |  GROUP BY c_id
       |),
-      |cents AS (
+      |${p}cents AS (
       |  SELECT c_id, cq,
       |         CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn
-      |  FROM tc
+      |  FROM ${p}tc
       |  WHERE CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) > 0
       |),
-      |rk AS (
+      |${p}rk AS (
       |  SELECT e.vec_id, c.c_id,
       |         ROW_NUMBER() OVER (
       |           PARTITION BY e.vec_id
@@ -874,9 +896,9 @@ object SimQueries {
       |                            i -> e.q[i] * c.cq[i])) AS BIGINT)
       |                    / sqrt(CAST(c.cn AS DOUBLE)) DESC,
       |                    c.c_id ASC) AS crn
-      |  FROM e CROSS JOIN cents c
+      |  FROM e CROSS JOIN ${p}cents c
       |),
-      |cell AS (SELECT vec_id, c_id AS cell FROM rk WHERE crn = 1)""".stripMargin
+      |${p}cell AS (SELECT vec_id, c_id AS cell FROM ${p}rk WHERE crn = 1)""".stripMargin
 
   /**
    * Materialize the trained-IVF index as a physical layout: every vector
@@ -1467,7 +1489,8 @@ object SimQueries {
     * mutual edges, components, and labels all read `$t` only) while the
     * surrounding query still sees every vector of `e`. */
   private def semanticClustersCteOn(t: String, extra: String = ""): String =
-    s"""${ivfCteOn(t, capcCte + extra, capSql = "(SELECT cap FROM capc)")},
+    s"""$quantCte,${capcCte + extra}
+      |${dualCellCtes(t)},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, t0.q
       |  FROM cell ce JOIN $t t0 ON t0.vec_id = ce.vec_id
@@ -1485,7 +1508,7 @@ object SimQueries {
       |                              ORDER BY dot DESC, dst ASC) AS rnk
       |    FROM p) WHERE rnk <= $GraphK
       |),
-      |mut AS (
+      |mut AS MATERIALIZED (
       |  SELECT k1.src AS a, k1.dst AS b
       |  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
       |  WHERE k1.src < k1.dst

@@ -72,9 +72,12 @@ class HierQuantizerSpec extends SparkSpec {
     assert(perCell.sum <= cap + coarseK,      // Σ⌈n_c/t⌉ ≤ cap + C
            s"total fine cells ${perCell.sum} above cap+$coarseK")
     perCell.foreach(k => assert(k <= cap))
-    // a vector's work: coarseK + its cell's fine count — strictly below
-    // the flat regime's cap dot products once cap ≫ MaxCents
-    assert(coarseK + perCell.max <= cap + coarseK)
+    // a vector's work: coarseK + its cell's fine count — the round-18
+    // VERDICT #1 property this spec exists to pin: materially below the
+    // flat regime's cap dot products (a fine-allocation bug that piles
+    // ~cap fine cells into one coarse cell fails this)
+    assert(coarseK + perCell.max < cap / 2,
+           s"hier work $coarseK+${perCell.max} not below cap/2 = ${cap / 2}")
   }
 
   test("hier regime: streaming-shape frames route to trained cells") {

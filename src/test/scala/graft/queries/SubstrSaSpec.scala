@@ -57,6 +57,35 @@ class SubstrSaSpec extends SparkSpec {
     assert(viaIdx.toSeq === direct.toSeq)
   }
 
+  test("arriving-batch probe reads the stored index, catches the short dup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sa3").toString
+    // corpus = docs 1 and 3 (doc 1 owns the block); batch = doc 2
+    val corpus = frame.filter($"doc_id" =!= 2L)
+    DedupQueries.writeSubstrIndex(corpus, dir)
+    val batch = frame.filter($"doc_id" === 2L)
+    val probed = DedupQueries.substrDedupAgainstIndex(spark, dir, batch)
+      .select("doc_id", "kept_tokens").as[(Long, Long)].collect().toMap
+    // doc 2's 10-token copy is corpus-known at w = 8 → fully stripped,
+    // WITHOUT re-tokenizing the corpus (only stored hashes participate)
+    assert(probed === Map(2L -> 10L))
+    // equivalence: the probe ≡ the inline corpus-recompute formulation
+    // at the same width (what substrDedupAgainstCorpus does at W)
+    val inline = {
+      val ch = DedupQueries.substrGrams(corpus, DedupQueries.SaMinLen).select("h").distinct()
+      val wOwn = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy(col("doc_id"), col("pos"))
+      val dup = DedupQueries.substrGrams(batch, DedupQueries.SaMinLen)
+        .join(ch.withColumn("ic", lit(1)), Seq("h"), "left")
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(wOwn))
+        .filter(col("ic").isNotNull || col("rn") > 1)
+        .select("doc_id", "pos")
+      DedupQueries.substrReassemble(batch, dup, DedupQueries.SaMinLen)
+    }
+    assert(DedupQueries.substrDedupAgainstIndex(spark, dir, batch)
+             .collect().toSet === inline.collect().toSet)
+  }
+
   test("stored layout: one triple per token position, sorted by (h, doc, pos)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sa2").toString
     DedupQueries.writeSubstrIndex(frame, dir)
