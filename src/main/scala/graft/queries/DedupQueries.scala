@@ -2441,20 +2441,20 @@ object DedupQueries {
 
   /** [[qSpanIncremental]]'s %5 arrival split applied to
     * [[substrDedupAgainstCorpus]]. */
-  val qSubstrIncremental = Q(
-    "q_substr_incremental",
-    (s, dir) => {
-      val docs = docsDistributed(s, dir)
-      substrDedupAgainstCorpus(docs.filter(col("doc_id") % 5 =!= 4),
-                               docs.filter(col("doc_id") % 5 === 4))
-    },
-    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** DuckDB replay of the corpus-vs-batch (%5 split) incremental
+    * substring strip at window width `w` — shared by
+    * [[qSubstrIncremental]] (W = SubstrW, inline corpus grams) and
+    * [[qSubstrSaProbe]] (W = SaMinLen, corpus grams through the stored
+    * index — the replay is the same because the index IS the corpus
+    * gram set). */
+  private def substrIncrOracleSql(w: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |g AS (
       |  SELECT doc_id, j - 1 AS pos,
-      |         md5(array_to_string(toks[j:j+${SubstrW - 1}], ' ')) AS h
+      |         md5(array_to_string(toks[j:j+${w - 1}], ' ')) AS h
       |  FROM (SELECT doc_id, toks,
-      |               unnest(generate_series(1, len(toks) - ${SubstrW - 1})) AS j
-      |        FROM d WHERE len(toks) >= $SubstrW)
+      |               unnest(generate_series(1, len(toks) - ${w - 1})) AS j
+      |        FROM d WHERE len(toks) >= $w)
       |), cg AS (
       |  SELECT DISTINCT h FROM g WHERE doc_id % 5 <> 4
       |), dup AS (
@@ -2467,7 +2467,7 @@ object DedupQueries {
       |), cov AS (
       |  SELECT DISTINCT doc_id, pos + k AS p
       |  FROM (SELECT doc_id, pos,
-      |               unnest(generate_series(0, ${SubstrW - 1})) AS k
+      |               unnest(generate_series(0, ${w - 1})) AS k
       |        FROM dup)
       |), ap AS (
       |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p
@@ -2487,7 +2487,16 @@ object DedupQueries {
       |       COALESCE(rb.kept_tokens, 0) AS kept_tokens,
       |       CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS total_tokens
       |FROM d LEFT JOIN rb ON d.doc_id = rb.doc_id
-      |WHERE d.doc_id % 5 = 4""".stripMargin)
+      |WHERE d.doc_id % 5 = 4""".stripMargin
+
+  val qSubstrIncremental = Q(
+    "q_substr_incremental",
+    (s, dir) => {
+      val docs = docsDistributed(s, dir)
+      substrDedupAgainstCorpus(docs.filter(col("doc_id") % 5 =!= 4),
+                               docs.filter(col("doc_id") % 5 === 4))
+    },
+    Some(substrIncrOracleSql(SubstrW))
   )
 
   /** Minimum duplicated-region length (tokens) for [[qSubstrSa]] —
@@ -2605,6 +2614,37 @@ object DedupQueries {
       substrReassemble(docs, saDuplicatesFromIndex(s, out), SaMinLen)
     },
     Some(substrOracleSql(SaMinLen))
+  )
+
+  /**
+   * The ARRIVING-BATCH face of the stored substring index, behind the
+   * driver gate — the [[qSubstrIncremental]] %5-split replay at the
+   * index's own width: the even corpus is indexed ONCE
+   * ([[writeSubstrIndex]], marker-memoized), the eval batch probes the
+   * COMMITTED layout ([[substrDedupAgainstIndex]] — corpus as stored
+   * hashes, never re-tokenized), and the 8..12-token regions the
+   * W = SubstrW incremental face passes through die here. The oracle
+   * is the shared split replay at `SaMinLen` — identical because the
+   * stored index IS the corpus gram set ([[SubstrSaSpec]] pins that
+   * equivalence structurally; this gate pins it by hash).
+   */
+  val qSubstrSaProbe = Q(
+    "q_substr_sa_probe",
+    (s, dir) => {
+      val out = LayoutQueries.derivedDir(s, dir, "substr-sa-corpus")
+      val docs = docsDistributed(s, dir)
+      saBuildLock.synchronized {
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
+        if (!fs.exists(marker)) {
+          writeSubstrIndex(docs.filter(col("doc_id") % 5 =!= 4), out)
+          fs.create(marker, true).close()
+        }
+      }
+      substrDedupAgainstIndex(s, out, docs.filter(col("doc_id") % 5 === 4))
+    },
+    Some(substrIncrOracleSql(SaMinLen))
   )
 
   /** Physical bucket count for [[writeBandIndex]] — the bounded-
@@ -3408,6 +3448,7 @@ object DedupQueries {
     qDecontaminate, qExactOverlap, qContaminationScore, qDedupReport,
     qDocFingerprint, qDedupEmbed, qSemanticDedup, qSemanticDecontam, qSpanDedup,
     qIntradocDedup, qSubstrDedup, qSubstrIncremental, qSubstrSa,
+    qSubstrSaProbe,
     qSpanCdc, qSpanCdcIncremental, qSpanIncremental, qDedupIncremental,
     qMinhashIncremental,
     qDedupBloom, qCorpusDiff, qMergeUpsert, qScd2Merge
