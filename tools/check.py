@@ -45,7 +45,17 @@ def main():
     out = args[1] if len(args) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # testdata ships single-file tables; SoakGen full-mode dirs are
+        # directory-shaped — glob those so mid-scale oracle runs (e.g.
+        # the 60k-vector dual-regime check) work against soak corpora.
+        # A soak dir may also lack the TPC-H tables entirely (docs-only
+        # mode): skip absent tables so --only runs on what exists.
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/**/*.parquet')")
+        elif os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     if only is not None:
         # a typo'd name silently intersected away would print '0 pass /
