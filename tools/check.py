@@ -44,18 +44,27 @@ def main():
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = args[1] if len(args) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
+    registered = 0
     for t in TABLES:
         # testdata ships single-file tables; SoakGen full-mode dirs are
         # directory-shaped — glob those so mid-scale oracle runs (e.g.
         # the 60k-vector dual-regime check) work against soak corpora.
         # A soak dir may also lack the TPC-H tables entirely (docs-only
-        # mode): skip absent tables so --only runs on what exists.
+        # mode): skip absent tables so --only runs on what exists — but
+        # say so per table, and a sfDir with NO tables at all (a typo'd
+        # path) must fail here, not as opaque binder errors per query.
         path = f"{sf}/{t}.parquet"
         if os.path.isdir(path):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/**/*.parquet')")
+            registered += 1
         elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+            registered += 1
+        else:
+            print(f"NOTE: table '{t}' absent at {path} — skipped")
+    if registered == 0:
+        sys.exit(f"no tables found under {sf} — wrong sfDir?")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     if only is not None:
         # a typo'd name silently intersected away would print '0 pass /
