@@ -2531,13 +2531,59 @@ object DedupQueries {
       .sortWithinPartitions("gbucket", "h", "doc_id", "pos")
       .write.mode("overwrite").partitionBy("gbucket")
       .parquet(s"$outDir/grams")
+    // The layout records ITS OWN window width (ADVICE r19): gram hashes
+    // at different widths never collide, so a probe at the wrong w would
+    // silently match zero corpus grams and under-strip instead of
+    // failing. Written before commit so the manifest covers it — a
+    // reader can never see a committed layout without its width.
+    writeSaWidth(corpus.sparkSession, outDir, w)
     graft.sources.AtomicPublish.commit(corpus.sparkSession, outDir)
   }
 
+  /** Name of the width-record file inside a [[writeSubstrIndex]]
+    * layout — one ASCII integer, the gram window the index was built
+    * at. */
+  private val SaWidthFile = "_GRAFT_GRAM_W"
+
+  private def writeSaWidth(s: SparkSession, outDir: String, w: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, SaWidthFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(w.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    o.close()
+  }
+
+  /** Enforce the width contract of a committed substring-gram layout:
+    * the probe's `w` must equal the build's recorded `w`, else the
+    * probe's hashes share no domain with the stored ones and the pass
+    * would under-strip SILENTLY. A pre-width layout (no record file) is
+    * also an error — rebuild it; guessing a width would re-create the
+    * silent mismatch this guard exists to kill. */
+  private def requireSaWidth(s: SparkSession, layoutDir: String,
+                             w: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(layoutDir, SaWidthFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+            s"substring index at $layoutDir records no gram width " +
+              s"($SaWidthFile missing) — rebuild with writeSubstrIndex")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "US-ASCII")
+      .mkString.trim
+    finally in.close()
+    require(body == w.toString,
+            s"substring index at $layoutDir was built at gram width " +
+              s"$body; probe asked for $w — same-width is required " +
+              "(different-width gram hashes never collide)")
+  }
+
   /** Duplicate (non-first) gram occurrences read FROM a committed
-    * [[writeSubstrIndex]] layout — compact triples only. */
+    * [[writeSubstrIndex]] layout — compact triples only. `w` is the
+    * width the CALLER will reassemble at; it must match the build
+    * ([[requireSaWidth]]) or covered-token arithmetic is wrong. */
   private[queries] def saDuplicatesFromIndex(s: SparkSession,
-                                             layoutDir: String): DataFrame = {
+                                             layoutDir: String,
+                                             w: Int = SaMinLen): DataFrame = {
+    requireSaWidth(s, layoutDir, w)
     val wOwn = Window.partitionBy("h").orderBy(col("doc_id"), col("pos"))
     graft.sources.AtomicPublish.readCommitted(s, layoutDir, "grams")
       .select(col("h"), col("doc_id"), col("pos"))
@@ -2558,6 +2604,7 @@ object DedupQueries {
   def substrDedupAgainstIndex(s: SparkSession, layoutDir: String,
                               batch: DataFrame,
                               w: Int = SaMinLen): DataFrame = {
+    requireSaWidth(s, layoutDir, w)
     val corpusH = graft.sources.AtomicPublish
       .readCommitted(s, layoutDir, "grams")
       .select("h").distinct()

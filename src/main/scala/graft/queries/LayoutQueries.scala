@@ -591,8 +591,21 @@ object LayoutQueries {
           // them, making the pinned compactIndexAt(version=1) below
           // fail PERSISTENTLY. Wipe the derived dir so the retained v1
           // manifest always matches freshly written files.
+          //
+          // Scope (ADVICE r19): the wipe fires only on DETECTED torn
+          // state — a non-empty dir without the marker — never on a
+          // merely-existing empty dir. Cross-process: [[derivedDir]]
+          // keys the path by THIS JVM's pid, so no other process can
+          // be mid-build inside this dir; the only torn state here is
+          // our own earlier attempt in this same process (or a
+          // recycled pid's garbage, which is exactly what the wipe is
+          // for). A deployment that points several processes at one
+          // SHARED layout dir must go through AtomicPublish commits,
+          // not this per-process scratch path.
           val outPath = new org.apache.hadoop.fs.Path(out)
-          if (fs.exists(outPath)) fs.delete(outPath, true)
+          val torn = fs.exists(outPath) &&
+            fs.listStatus(outPath).nonEmpty
+          if (torn) fs.delete(outPath, true)
           writeIndexRows(docs.filter(col("doc_id") % 2 === 0), out,
                          "overwrite")
           appendToIndex(docs.filter(col("doc_id") % 2 =!= 0), out)

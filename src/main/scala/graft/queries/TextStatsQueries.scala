@@ -1794,23 +1794,32 @@ object TextStatsQueries {
                                             rows: Seq[(Long, Long, Long)])
 
   /** Build the sketch for a `(doc_id, v)` frame — the same closed form
-    * [[kllQuantiles]] queries through, materialized as a value. */
+    * [[kllQuantiles]] queries through, materialized as a value.
+    *
+    * The level search runs IN-PLAN (ADVICE r19: the old form collected
+    * the whole input frame to the driver before filtering): pass 1
+    * aggregates the survivor count per candidate level (≤ KllMaxLevel+1
+    * rows to the driver — survivor counts are monotone non-increasing
+    * in level, so the first fitting level is the walk's answer); pass 2
+    * collects only that level's survivors, ≤ [[KllK]] rows by the pick.
+    * Both collects are bounded regardless of input size. */
   private[graft] def kllSketchOf(d: DataFrame): KllSketch = {
-    val v = d.select(
+    val hashed = d.select(
         col("doc_id").cast("long").as("doc_id"), col("v").cast("long").as("v"),
         TextOps.md5Prefix32(
           md5(concat(lit(KllSalt), col("doc_id").cast("string")))).as("h"))
+    val counts = hashed
+      .select(explode(sequence(lit(0), lit(KllMaxLevel))).as("l"), col("h"))
+      .filter(expr("h % shiftleft(1L, l) = 0"))
+      .groupBy("l").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val level = (0 to KllMaxLevel)
+      .find(l => counts.getOrElse(l, 0L) <= KllK)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no level <= $KllMaxLevel fits capacity $KllK"))
+    val s = hashed.filter(col("h") % lit(1L << level) === 0)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0))).toSeq
-    var l = 0
-    var s = v
-    while (s.length > KllK && l < KllMaxLevel) {
-      l += 1
-      val m = 1L << l
-      s = s.filter(_._2 % m == 0)
-    }
-    require(s.length <= KllK,
-            s"no level <= $KllMaxLevel fits capacity $KllK")
-    KllSketch(l, s.sortBy(r => (r._1, r._2, r._3)))
+    KllSketch(level, s.sortBy(r => (r._1, r._2, r._3)))
   }
 
   /** MERGE two sketches: downsample both to the common (max) level,

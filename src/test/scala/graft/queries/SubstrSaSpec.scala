@@ -86,6 +86,22 @@ class SubstrSaSpec extends SparkSpec {
              .collect().toSet === inline.collect().toSet)
   }
 
+  test("width mismatch between build and probe is an ERROR, not a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sa4").toString
+    DedupQueries.writeSubstrIndex(frame, dir, w = DedupQueries.SaMinLen)
+    // a probe at a different width would hash into a disjoint gram
+    // domain and silently strip nothing (ADVICE r19) — it must throw
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.substrDedupAgainstIndex(spark, dir,
+        frame.filter($"doc_id" === 2L), w = DedupQueries.SaMinLen + 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("gram width"))
+    // and the recorded width itself round-trips: same-width probe runs
+    assert(DedupQueries.substrDedupAgainstIndex(
+             spark, dir, frame.filter($"doc_id" === 2L)).count() === 1)
+  }
+
   test("stored layout: one triple per token position, sorted by (h, doc, pos)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sa2").toString
     DedupQueries.writeSubstrIndex(frame, dir)
