@@ -1351,7 +1351,8 @@ object DedupQueries {
   val qSemanticDedup = Q(
     "q_semantic_dedup",
     (s, dir) => semanticDedup(SimQueries.quantizedFrame(s, dir),
-                              gateCellCap(s, dir)),
+                              gateCellCap(s, dir),
+                              qz0 = Some(SimQueries.gateQuantizer(s, dir))),
     Some(s"""${SimQueries.ivfCteDerived},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
@@ -1441,8 +1442,10 @@ object DedupQueries {
     * fixture scale that is exactly the gated `MaxCents` the oracle
     * replays. */
   private[graft] def semanticDedup(
-      e: DataFrame, cellCap: Long = DeriveCellCap): DataFrame = {
-    val qz = SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e))
+      e: DataFrame, cellCap: Long = DeriveCellCap,
+      qz0: Option[SimQueries.CellQuantizer] = None): DataFrame = {
+    val qz = qz0.getOrElse(
+      SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e)))
     // (vec_id, cell, q, nsq) — checkpointed: feeds both self-join sides
     // AND the anti-join left, i.e. 3 consumers of the assignment (which
     // is broadcast-only in both quantizer regimes — the former n·k
@@ -1493,7 +1496,9 @@ object DedupQueries {
   val qSemanticDecontam = Q(
     "q_semantic_decontam",
     (s, dir) => semanticDecontam(SimQueries.quantizedFrame(s, dir),
-                                 gateCellCap(s, dir)),
+                                 gateCellCap(s, dir),
+                                 qz0 =
+                                   Some(SimQueries.gateQuantizer(s, dir))),
     Some(s"""${SimQueries.ivfCteDerived},
       |m AS (
       |  SELECT ce.vec_id, ce.cell, e.q,
@@ -1547,8 +1552,10 @@ object DedupQueries {
     * [[qDedupIncremental]] replay convention), τ = num/den. */
   private[graft] def semanticDecontam(
       e: DataFrame, cellCap: Long = DeriveCellCap,
-      minCosNum: Int = 3, minCosDen: Int = 10): DataFrame = {
-    val qz = SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e))
+      minCosNum: Int = 3, minCosDen: Int = 10,
+      qz0: Option[SimQueries.CellQuantizer] = None): DataFrame = {
+    val qz = qz0.getOrElse(
+      SimQueries.trainCellQuantizer(e, resolveCellCap(cellCap, e)))
     val m = checkpointCompact(
       SimQueries.assignCells(e.select(col("vec_id"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),

@@ -327,7 +327,7 @@ object PqQueries {
     (s, dir) => {
       val e = SimQueries.quantizedFrame(s, dir)
       val sub = subspaces(e)
-      val cents = SimQueries.ivfTrain(e).localCheckpoint()
+      val cents = SimQueries.sharedIvfCents(s, dir)
       val cells = SimQueries.ivfAssign1(e, cents)
         .select(col("vec_id"), col("c_id").as("cell"))
       val cb = pqCodebook(e).localCheckpoint()
