@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the WARC record-offset index (round-19 VERDICT missing #3):
+  * boundaries equal the direct member walk, byte-range slices parse to
+  * the identical records, the probe face reproduces the direct face's
+  * rows exactly, malformed containers quarantine identically on both
+  * faces, and — the point — record work SPLITS INSIDE a container
+  * instead of serializing on container count. */
+class WarcOffsetIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One container of n records; record i's body is distinct. */
+  private def container(n: Int, tag: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { i =>
+      val body = s"<html><p>body $tag $i</p></html>"
+      val resp = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$i:3>\r\n" +
+        s"WARC-Target-URI: http://x.test/$tag/$i\r\n" +
+        s"Content-Length: ${resp.getBytes("UTF-8").length}\r\n\r\n$resp"
+      bos.write(graft.expr.WarcBinOps.gzipMember(rec.getBytes("UTF-8")))
+    }
+    bos.toByteArray
+  }
+
+  private lazy val warcDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-woff").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "one.warc.gz"), container(7, "a"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, "two.warc.gz"), container(5, "b"))
+    d
+  }
+
+  test("offset boundaries: slices at (off, len) re-parse to the member walk") {
+    val bytes = container(7, "a")
+    val offs = graft.expr.WarcBinOps.memberOffsets(bytes)
+    assert(offs != null && offs.numElements() === 7)
+    val direct = graft.expr.WarcBinOps.records(bytes)
+    (0 until 7).foreach { i =>
+      val m = offs.getStruct(i, 2)
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, m.getLong(0).toInt, (m.getLong(0) + m.getLong(1)).toInt)
+      val rec = graft.expr.WarcBinOps.records(slice)
+      assert(rec != null && rec.numElements() === 1)
+      assert(rec.getStruct(0, 7).getString(0) ===
+               direct.getStruct(i, 7).getString(0)) // same rid per position
+    }
+    // boundaries tile the container exactly
+    val last = offs.getStruct(6, 2)
+    assert(last.getLong(0) + last.getLong(1) === bytes.length.toLong)
+  }
+
+  test("probe face ≡ direct face, with intra-container parallelism") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-woff-idx").toString
+    WebQueries.writeWarcOffsetIndex(spark, warcDir, idxDir)
+    assert(spark.read.parquet(s"$idxDir/offsets").count() === 12)
+    val slices = WebQueries.warcSlicesViaIndex(spark, idxDir, 6)
+    // 12 records across 2 containers split over 6 range partitions —
+    // MORE tasks than containers, the serialization the index removes
+    assert(slices.rdd.getNumPartitions === 6)
+    val viaIdx = WebQueries.warcFilesExtract(slices)
+      .select("doc_id", "rec_idx", "uri", "status", "clen", "truncated",
+              "text", "n_content")
+      .as[(Long, Long, String, String, Long, Int, String, Long)]
+      .collect().sorted
+    val direct = WebQueries.warcFilesExtract(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+          .load(warcDir).select(col("content")))
+      .select("doc_id", "rec_idx", "uri", "status", "clen", "truncated",
+              "text", "n_content")
+      .as[(Long, Long, String, String, Long, Int, String, Long)]
+      .collect().sorted
+    assert(viaIdx.nonEmpty && viaIdx.toSeq === direct.toSeq)
+  }
+
+  test("malformed container: zero index rows — both faces quarantine alike") {
+    val bad = java.nio.file.Files.createTempDirectory("graft-woff-bad").toString
+    val torn = container(3, "c").dropRight(9) // torn trailer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bad, "torn.warc.gz"), torn)
+    assert(graft.expr.WarcBinOps.memberOffsets(torn) == null)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-woff-bidx").toString
+    WebQueries.writeWarcOffsetIndex(spark, bad, idxDir)
+    assert(spark.read.parquet(s"$idxDir/offsets").count() === 0)
+    assert(graft.expr.WarcBinOps.records(torn) == null) // direct agrees
+  }
+}
