@@ -2172,7 +2172,13 @@ object WebQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
         if (!fs.exists(marker)) {
+          // greppable build/probe split for the soak attribution: the
+          // index build is the pay-once leg (≈ one direct parse); the
+          // probe leg is what repeats per pass
+          val t0 = System.nanoTime()
           writeWarcOffsetIndex(s, wdir, out)
+          System.err.println(
+            f"[graft-warc] offset-index build_s=${(System.nanoTime() - t0) / 1e9}%.1f")
           fs.create(marker, true).close()
         }
       }
