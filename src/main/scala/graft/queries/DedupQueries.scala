@@ -861,9 +861,35 @@ object DedupQueries {
     * labeling behind the group-aware split
     * ([[CurationQueries.qSplitCluster]]). */
   private[queries] def clusterIds(s: SparkSession, dir: String): DataFrame =
-    labelAll(docs(s, dir),
-             components(dedupEdges(docs(s, dir),
-                                   candidateStars(shingled(s, dir)))))
+    labelAll(docs(s, dir), cachedDedupComponents(s, dir))
+
+  private val dedupCompLock = new Object
+
+  /** Per-process parquet memo of the TEXT-dedup component labels
+    * `(id, lbl)` over the candidate-star ∪ exact edge set — the
+    * `cachedClusterLabels` discipline applied to the text family:
+    * SIX gates (deduped/canonical/curated/pretrain corpus, dedup
+    * report, split-by-cluster) each re-ran the banding + component
+    * fixpoint per bench pass (round-19 VERDICT item 2). Deterministic
+    * in (code, input); every consumer's oracle still replays the whole
+    * fixpoint independently, so the memo cannot mask a regression —
+    * the first consumer's hash would catch it. Arbitrary-frame
+    * surfaces ([[clusterIdsOf]], [[dedupedCorpusOf]],
+    * [[canonicalCorpusOf]]) stay self-contained. */
+  private def cachedDedupComponents(s: SparkSession, dir: String): DataFrame =
+    dedupCompLock.synchronized {
+      val out = LayoutQueries.derivedDir(s, dir, "dedup-components")
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
+      if (!fs.exists(marker)) {
+        components(dedupEdges(docs(s, dir),
+                              candidateStars(shingled(s, dir))))
+          .write.mode("overwrite").parquet(s"$out/labels")
+        fs.create(marker, true).close()
+      }
+      s.read.parquet(s"$out/labels")
+    }
 
   /** [[clusterIds]] over an ARBITRARY `(doc_id, text, …)` frame — the
     * `graft_split_cluster` TVF's labeling (identical edge set to
@@ -900,11 +926,12 @@ object DedupQueries {
    */
   def dedupedCorpus(s: SparkSession, dir: String,
                     verify: Boolean = false): DataFrame = {
-    val nearPairs =
-      if (verify) qNgramJaccard.fn(s, dir)
-        .filter(col("near_dup") === 1).select("a_id", "b_id")
-      else candidateStars(shingled(s, dir))
-    dedupeWithPairs(docs(s, dir), nearPairs)
+    if (verify)
+      dedupeWithPairs(docs(s, dir),
+                      qNgramJaccard.fn(s, dir)
+                        .filter(col("near_dup") === 1).select("a_id", "b_id"))
+    else // the candidate-mode fixpoint is the shared per-process memo
+      dedupeWithComponents(docs(s, dir), cachedDedupComponents(s, dir))
   }
 
   /** [[dedupedCorpus]] (LSH-candidate mode) over an ARBITRARY
@@ -937,10 +964,17 @@ object DedupQueries {
     * (both modes) and [[dedupedCorpusOf]], so the corpus-level and
     * arbitrary-frame surfaces cannot drift. */
   private def dedupeWithPairs(docsDf: DataFrame,
-                              nearPairs: DataFrame): DataFrame = {
-    // paired docs that are NOT their component's min are the removals;
-    // everything else (canonical ids + singletons) survives
-    val removed = components(dedupEdges(docsDf, nearPairs))
+                              nearPairs: DataFrame): DataFrame =
+    dedupeWithComponents(docsDf, components(dedupEdges(docsDf, nearPairs)))
+
+  /** The min-survivor rule over an ALREADY-RESOLVED component frame —
+    * the seam that lets the gate path reuse
+    * [[cachedDedupComponents]]: paired docs that are NOT their
+    * component's min are the removals; everything else (canonical ids
+    * + singletons) survives. */
+  private def dedupeWithComponents(docsDf: DataFrame,
+                                   comp: DataFrame): DataFrame = {
+    val removed = comp
       .filter(col("id") =!= col("lbl")).select(col("id"))
     docsDf.join(removed, col("doc_id") === col("id"), "left_anti")
   }
@@ -1135,12 +1169,14 @@ object DedupQueries {
    * wants alongside the kept ids.
    */
   def canonicalCorpus(s: SparkSession, dir: String): DataFrame =
-    canonicalCorpusOf(docs(s, dir))
+    canonicalCorpusOf(docs(s, dir),
+                      comp0 = Some(cachedDedupComponents(s, dir)))
 
   /** [[canonicalCorpus]] over an ARBITRARY `(doc_id, text, n_chars, …)`
     * frame — the `graft_canonical_dedup('t')` TVF delegate. */
-  def canonicalCorpusOf(d: DataFrame): DataFrame = {
-    val comp = components(dedupEdges(d, candidateStarsOf(d)))
+  def canonicalCorpusOf(d: DataFrame,
+                        comp0: Option[DataFrame] = None): DataFrame = {
+    val comp = comp0.getOrElse(components(dedupEdges(d, candidateStarsOf(d))))
     val mem = d.select(col("doc_id"), col("n_chars"))
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), col("n_chars"),
