@@ -587,15 +587,6 @@ object SimQueries {
                 .as("__fqs"),
               transform(col("fc"), x => x.getField("fn")).as("__fns"))
 
-  /** Append the quantizer's cell id to `df` as `c_id` — broadcast-only
-    * plan in both regimes (flat: one crossJoin of the one-row centroid
-    * matrix; hier: the same for the coarse level, then a broadcast
-    * equi-join on the coarse cell for the fine argmax), so the SAME
-    * code assigns a 10⁹-row corpus or a 10³-row streaming micro-batch.
-    * A coarse cell whose fine centroids all degenerated to zero norm
-    * (dropped in training, like the flat path's `cn > 0` filter)
-    * falls back to fine id 0 — the row keeps A cell rather than
-    * silently vanishing from an inner join. */
   /** Fine-table broadcast ceiling for [[assignCells]]' hierarchical
     * regime, in FINE CELLS: the broadcast payload is ≈ cap·(dim+2)
     * longs (round-19 VERDICT missing #1 — GBs once cap reaches the
@@ -608,6 +599,16 @@ object SimQueries {
     * `fineBroadcast = Some(false)` below its own payload math. */
   private[queries] val FineBroadcastMaxCells = 1L << 18
 
+  /** Append the quantizer's cell id to `df` as `c_id` — nothing
+    * corpus-scale ever ships: flat regime = one crossJoin of the
+    * one-row centroid matrix; hier = the same for the coarse level,
+    * then the fine argmax joined on the coarse cell — broadcast below
+    * [[FineBroadcastMaxCells]], sort-merge beyond (or as forced by
+    * `fineBroadcast`). The SAME code assigns a 10⁹-row corpus or a
+    * 10³-row streaming micro-batch. A coarse cell whose fine centroids
+    * all degenerated to zero norm (dropped in training, like the flat
+    * path's `cn > 0` filter) falls back to fine id 0 — the row keeps A
+    * cell rather than silently vanishing from an inner join. */
   private[graft] def assignCells(df: DataFrame, qz: CellQuantizer,
                                  qCol: String = "q",
                                  fineBroadcast: Option[Boolean] = None)
@@ -918,7 +919,7 @@ object SimQueries {
    * quantizer cap ([[HierGateCap]]), same derivation, so the oracle is
    * [[qCellAssignHier]]'s VERBATIM — any drift between the stored fine
    * table and the in-memory one, or between the shuffle and broadcast
-   * join results, hash-mismatches here. `CellAssignStoredSpec` keeps
+   * join results, hash-mismatches here. `HierQuantizerSpec` keeps
    * the plan-level assert this row can't express (no broadcast on the
    * fine join; the layout scan feeds it).
    */

@@ -133,6 +133,13 @@ object StreamingQueries {
       s.createDataFrame(s.sparkContext
                           .emptyRDD[org.apache.spark.sql.Row], src.schema))
       .schema
+    // a zero-batch drain appends nothing — pre-create the sink dir so
+    // the schema-stated read-back below returns a typed empty frame
+    // instead of failing on a missing path (the runToSink parquet sink
+    // creates its dir on start; foreachBatch has no sink to do it)
+    val outPath = new org.apache.hadoop.fs.Path(s"$base/out")
+    outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .mkdirs(outPath)
     val q = src.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) =>
