@@ -16,9 +16,21 @@ object Bench {
     // round-12). Exactly the sizing a real deployment does as data grows;
     // distributeBy pins to this same conf, so the knob flows everywhere.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE coalesces post-shuffle partitions by BYTES with a 1 MB floor per
+    // partition (spark.sql.adaptive.coalescePartitions.minPartitionSize).
+    // Round-21 A/B'd lowering the floor to 16k (so AQE's parallelism-first
+    // target governs tiny shuffles): the warm in-JVM interleaved A/B
+    // measured it NEUTRAL-TO-WORSE on every probed family (q_pretrain_corpus
+    // 6.8→9.3 s, q_cell_assign_hier 3.4→5.7, q_ivfpq_search 4.3→5.2,
+    // q_bpe_encode 1.5→2.2; OPTIMIZATION_r21.md "global AQE floor") — the
+    // extra tasks cost more than the added parallelism buys on exchanges
+    // this small, confirming the round-11 byte-coalescing verdict. The knob
+    // stays env-overridable for future hosts; the default is Spark's.
+    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minCoalesce)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts fixture encoding varies by driver generation; see Tables.tsUs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

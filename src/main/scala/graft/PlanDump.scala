@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-deliverable helper: dump `.explain("formatted")` for a list of
+  * BATCH gates, before (`spark.graft.fanout.parts=1`) and after (conf
+  * unset → fan-out at defaultParallelism), into PLAN_OUT (plans/r21/).
+  * Streaming gates are excluded by the caller: their `fn` RUNS the
+  * drain and returns the sink read-back, whose plan is just a scan. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = sys.env.getOrElse("PLAN_OUT", "plans/r21")
+    val names = sys.env.getOrElse("PLAN_QUERIES", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (n <- names; (tag, conf) <- Seq("before" -> "1", "after" -> "0")) {
+      if (conf == "1") spark.conf.set("spark.graft.fanout.parts", "1")
+      else spark.conf.unset("spark.graft.fanout.parts")
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${n}_$tag.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[plandump] wrote $outDir/${n}_$tag.txt")
+      } catch {
+        case e: Throwable =>
+          println(s"[plandump] $n $tag FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-JVM interleaved conf A/B harness (dev tooling, not part of the
+  * driver contract): runs the named gates with a session conf alternating
+  * between values, multiple reps, and prints per-(query, value) medians.
+  * Same process + interleaving is the only attribution-safe shape on a
+  * host whose wall-clock band swings 2x between runs (BASELINE.md) —
+  * process-level A/B pairs were measured drowning a 2x code effect.
+  *
+  *   SCRATCH_QUERIES=q_a,q_b SCRATCH_KEY=spark.graft.fanout.parts \
+  *   SCRATCH_VALS=1,32 SCRATCH_REPS=3 sbt "runMain graft.Scratch"
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = sys.env.getOrElse("SCRATCH_QUERIES",
+      "q_pretrain_corpus,q_simhash_pairs,q_ivfpq_search,q_admit_funnel,q_bpe_encode")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val key = sys.env.getOrElse("SCRATCH_KEY",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val vals = sys.env.getOrElse("SCRATCH_VALS", "1m,16k").split(',').toSeq
+    val reps = sys.env.getOrElse("SCRATCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val results = scala.collection.mutable.Map
+      .empty[(String, String), Vector[Double]].withDefaultValue(Vector())
+    for (r <- 1 to reps; v <- vals; n <- names) {
+      spark.conf.set(key, v)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      graft.queries.StreamingQueries.StreamObservability.resetDrain()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      results((n, v)) :+= secs
+      println(f"[scratch] rep=$r conf=$v%-4s $n%-28s $secs%8.3f s")
+    }
+    println("[scratch] ==== medians ====")
+    for (n <- names; v <- vals) {
+      val xs = results((n, v)).sorted
+      val med = xs(xs.size / 2)
+      println(f"[scratch] $n%-28s $v%-4s median=$med%8.3f runs=${xs.map(x => f"$x%.2f").mkString("/")}")
+    }
+    spark.stop()
+  }
+}

@@ -308,13 +308,9 @@ object DedupQueries {
   private def cachedBandSigs(s: SparkSession, dir: String): DataFrame =
     bandSigsLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "band-sigs")
-      val root = new org.apache.hadoop.fs.Path(out)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         bandSignaturesOf(docsDistributed(s, dir).select("doc_id", "text"))
           .write.mode("overwrite").parquet(s"$out/sigs")
-        fs.create(marker, true).close()
       }
       s.read.parquet(s"$out/sigs")
     }
@@ -924,14 +920,10 @@ object DedupQueries {
   private def cachedDedupComponents(s: SparkSession, dir: String): DataFrame =
     dedupCompLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "dedup-components")
-      val root = new org.apache.hadoop.fs.Path(out)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         components(dedupEdges(docs(s, dir),
                               candidateStarsSigned(cachedBandSigs(s, dir))))
           .write.mode("overwrite").parquet(s"$out/labels")
-        fs.create(marker, true).close()
       }
       s.read.parquet(s"$out/labels")
     }
@@ -2738,12 +2730,8 @@ object DedupQueries {
       val out = LayoutQueries.derivedDir(s, dir, "substr-sa")
       val docs = docsDistributed(s, dir)
       saBuildLock.synchronized {
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-        if (!fs.exists(marker)) {
+        LayoutQueries.buildOnce(s, out, dir) {
           writeSubstrIndex(docs, out)
-          fs.create(marker, true).close()
         }
       }
       substrReassemble(docs, saDuplicatesFromIndex(s, out), SaMinLen)
@@ -2769,12 +2757,8 @@ object DedupQueries {
       val out = LayoutQueries.derivedDir(s, dir, "substr-sa-corpus")
       val docs = docsDistributed(s, dir)
       saBuildLock.synchronized {
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-        if (!fs.exists(marker)) {
+        LayoutQueries.buildOnce(s, out, dir) {
           writeSubstrIndex(docs.filter(col("doc_id") % 5 =!= 4), out)
-          fs.create(marker, true).close()
         }
       }
       substrDedupAgainstIndex(s, out, docs.filter(col("doc_id") % 5 === 4))

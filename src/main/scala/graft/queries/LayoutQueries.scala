@@ -59,6 +59,71 @@ object LayoutQueries {
     dir
   }
 
+  /** Order-invariant metadata fingerprint of a source dir's data files
+    * — `(name, length, mtime)` per file, md5-folded, prefixed with the
+    * file count. Metadata-only (no data reads); a changed, added, or
+    * removed file flips it. */
+  private[queries] def sourceFingerprint(s: SparkSession,
+                                         srcDir: String): String = {
+    val p = new Path(srcDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    var x = 0L
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$name:${st.getLen}:${st.getModificationTime}"
+                    .getBytes("UTF-8"))
+        x ^= java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+        n += 1
+      }
+    }
+    f"$n:$x%016x"
+  }
+
+  /** Build-at-most-once guard for the per-process derived-artifact memos
+    * (gate quantizer, IVF centroids, band signatures, dedup components,
+    * cluster labels/layouts, stream layouts, offset indexes) with the
+    * SOURCE FINGERPRINT folded into the marker — round-20 ADVICE
+    * (medium): a bare existence marker silently served stale artifacts
+    * when the source dir's content changed under a live process (the
+    * incremental-ingest cadence the append APIs support) or when a
+    * durable `spark.graft.layoutRoot` met a recycled pid. The guard
+    * rebuilds whenever the recorded fingerprint mismatches the current
+    * one, DELETING the artifact root first so stale tables and
+    * secondary markers (e.g. the cluster gate's `_GRAFT_APPENDED`)
+    * cannot survive into the fresh build. Legacy empty markers read as
+    * a mismatch — an upgrade rebuilds once, never serves stale.
+    * Callers keep their own per-JVM locks; this guard adds the
+    * cross-call input check, not mutual exclusion. */
+  private[queries] def buildOnce(s: SparkSession, outDir: String,
+                                 srcDir: String)(build: => Unit): Unit = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_GRAFT_BUILT")
+    val fp = sourceFingerprint(s, srcDir)
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          Some(new String(out.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    if (!current.contains(fp)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      build
+      val o = fs.create(marker, true)
+      try o.write(fp.getBytes("UTF-8")) finally o.close()
+    }
+  }
+
   /** Root for engine-derived physical layouts, keyed by the source dir's
     * basename PLUS a hash of its fully-qualified path — two corpora that
     * share a basename (a copied `sf0.01/`) must not collide on one cache

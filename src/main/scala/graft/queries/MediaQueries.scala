@@ -48,6 +48,10 @@ object MediaQueries {
   val qMediaDecode = Q(
     "q_media_decode",
     (s, dir) => {
+      // NOT fanned out (round-21 warm A/B: 0.99→1.38 s widened — the
+      // mixed decode's per-task provider setup outweighs the row work at
+      // fixture scale; contrast the image/video faces below, where the
+      // PNG/GIF decode dominates and fanOut wins 1.4→0.36 s)
       val media = MediaSynth.syntheticMedia(
         s, Tables.read(s, dir, "documents").select("doc_id"))
       decodedProjection(MediaOps.extractFeatures(s, media.toDF()).toDF())
@@ -126,8 +130,12 @@ object MediaQueries {
   val qImagePhash = Q(
     "q_image_phash",
     (s, dir) => {
+      // fanOut: the PNG synth + REAL ImageIO decode chain is the codec
+      // class and the fixture is one parquet row group — single scan task
+      // without the exchange (round-21 warm A/B: 0.59→0.33 s here,
+      // 1.40→0.36 s on the video face)
       val cards = MediaSynth.syntheticCards(
-        s, Tables.read(s, dir, "documents").select("doc_id"))
+        s, fanOut(Tables.read(s, dir, "documents").select("doc_id")))
       MediaOps.imagePhash(s, cards.toDF()).toDF()
     },
     Some(s"""WITH $phashCte
@@ -158,8 +166,8 @@ object MediaQueries {
     "q_image_dedup",
     (s, dir) => {
       val cards = MediaSynth.syntheticCards(
-        s, Tables.read(s, dir, "documents")
-          .filter(col("doc_id") < 20000).select("doc_id"))
+        s, fanOut(Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 20000).select("doc_id")))
       val sim = MediaOps.imagePhash(s, cards.toDF()).toDF()
         .select(col("media_id").as("doc_id"),
                 col("phash").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
@@ -200,7 +208,7 @@ object MediaQueries {
     "q_video_phash",
     (s, dir) => {
       val vids = MediaSynth.syntheticVideos(
-        s, Tables.read(s, dir, "documents").select("doc_id"))
+        s, fanOut(Tables.read(s, dir, "documents").select("doc_id")))
       MediaOps.videoPhash(s, vids.toDF()).toDF()
     },
     Some(s"""WITH $phashCte
@@ -223,8 +231,8 @@ object MediaQueries {
     "q_video_dedup",
     (s, dir) => {
       val vids = MediaSynth.syntheticVideos(
-        s, Tables.read(s, dir, "documents")
-          .filter(col("doc_id") < 20000).select("doc_id"))
+        s, fanOut(Tables.read(s, dir, "documents")
+          .filter(col("doc_id") < 20000).select("doc_id")))
       val sim = MediaOps.videoPhash(s, vids.toDF()).toDF()
         .select(col("media_id").as("doc_id"),
                 col("vsim").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
@@ -263,6 +271,8 @@ object MediaQueries {
   val qAudioFingerprint = Q(
     "q_audio_fingerprint",
     (s, dir) => {
+      // NOT fanned out — the q_media_decode A/B verdict (0.78→1.65 s
+      // widened: WAV synth+decode is cheap per row, task setup is not)
       val steps = MediaSynth.syntheticSteps(
         s, Tables.read(s, dir, "documents").select("doc_id"))
       MediaOps.audioFingerprint(s, steps.toDF()).toDF()

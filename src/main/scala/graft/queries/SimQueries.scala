@@ -55,10 +55,7 @@ object SimQueries {
     trainedMemoLock.synchronized {
       val cap = DedupQueries.gateCellCap(s, dir)
       val out = LayoutQueries.derivedDir(s, dir, "gate-quantizer")
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         trainCellQuantizer(quantized(s, dir), cap) match {
           case CellQuantizer(_, Some(cents), _, _) =>
             cents.write.mode("overwrite").parquet(s"$out/cents")
@@ -67,7 +64,6 @@ object SimQueries {
             fine.write.mode("overwrite").parquet(s"$out/fine")
           case _ => throw new IllegalStateException("malformed CellQuantizer")
         }
-        fs.create(marker, true).close()
       }
       if (cap <= MaxCents)
         CellQuantizer(cap, Some(s.read.parquet(s"$out/cents")), None, None)
@@ -83,13 +79,9 @@ object SimQueries {
                                       dir: String): DataFrame =
     trainedMemoLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "ivf-cents")
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         ivfTrain(quantized(s, dir))
           .write.mode("overwrite").parquet(s"$out/cents")
-        fs.create(marker, true).close()
       }
       s.read.parquet(s"$out/cents")
     }
@@ -928,13 +920,9 @@ object SimQueries {
     (s, dir) => {
       val out = LayoutQueries.derivedDir(s, dir, "quantizer-layout")
       qzLayoutLock.synchronized {
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-        if (!fs.exists(marker)) {
+        LayoutQueries.buildOnce(s, out, dir) {
           writeQuantizerLayout(
             s, trainCellQuantizer(quantized(s, dir), HierGateCap), out)
-          fs.create(marker, true).close()
         }
       }
       assignCells(quantized(s, dir).select(col("vec_id"), col("q")),
@@ -1517,6 +1505,10 @@ object SimQueries {
                                      qz0: Option[CellQuantizer] = None)
       : DataFrame = {
     val qz = qz0.getOrElse(trainCellQuantizer(e, resolveCap(e, cellCap)))
+    // NOT fanned out (round-21 warm A/B: pinning the assignment + cell
+    // join width read 1.18→1.66 s — the in-cell dot work at fixture scale
+    // is under task overhead, and at soak scale AQE's byte-coalescing
+    // already widens the 100 MB+ exchange; the q_sim_search rule)
     val m = checkpointCompact(
       assignCells(e.select(col("vec_id"), col("label"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q"),
@@ -1542,6 +1534,7 @@ object SimQueries {
                                 qz0: Option[CellQuantizer] = None)
       : DataFrame = {
     val qz = qz0.getOrElse(trainCellQuantizer(e, resolveCap(e, cellCap)))
+    // NOT fanned out — see hardNegativesOf (round-21 warm A/B)
     val m = checkpointCompact(
       assignCells(e.select(col("vec_id"), col("q")), qz)
         .select(col("vec_id"), col("c_id").as("cell"), col("q")))
@@ -1641,10 +1634,7 @@ object SimQueries {
     clusterLabelsLock.synchronized {
       val out = LayoutQueries.derivedDir(
         s, dir, if (evenHalf) "cluster-labels-even" else "cluster-labels-all")
-      val root = new org.apache.hadoop.fs.Path(out)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         val e0 = quantized(s, dir)
         val e = if (evenHalf) e0.filter(col("vec_id") % 2 === 0) else e0
         // the FULL-corpus fixpoint shares the per-process gate
@@ -1655,7 +1645,6 @@ object SimQueries {
             mutualEdgesOf(e, cellCap = DedupQueries.gateCellCap(s, dir),
                           qz0 = qz0))
           .write.mode("overwrite").parquet(s"$out/labels")
-        fs.create(marker, true).close()
       }
       s.read.parquet(s"$out/labels")
     }
@@ -1676,13 +1665,9 @@ object SimQueries {
                                            dir: String): String =
     clusterBuildLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "clusters-shared")
-      val root = new org.apache.hadoop.fs.Path(out)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         writeClustersOf(quantized(s, dir), out,
                         labels0 = Some(cachedClusterLabels(s, dir, false)))
-        fs.create(marker, true).close()
       }
       out
     }
@@ -1697,14 +1682,10 @@ object SimQueries {
                                                dir: String): String =
     clusterBuildLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "clusters-even")
-      val root = new org.apache.hadoop.fs.Path(out)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         writeClustersOf(quantized(s, dir).filter(col("vec_id") % 2 === 0),
                         out,
                         labels0 = Some(cachedClusterLabels(s, dir, true)))
-        fs.create(marker, true).close()
       }
       out
     }

@@ -142,8 +142,16 @@ object StreamingQueries {
       .mkdirs(outPath)
     val q = src.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        perBatch(b.toDF()).write.mode("append").parquet(s"$base/out"); ()
+                       batchId: Long) =>
+        // batchId-keyed subdirectory + overwrite = idempotent under batch
+        // retry / query restart (round-20 ADVICE: a bare mode("append")
+        // re-run after a partial write duplicates rows — foreachBatch has
+        // no transaction log of its own, so the batchId is the epoch
+        // marker per Spark's foreachBatch idempotency guidance). The
+        // read-back below lists nested dirs recursively; the dir name is
+        // deliberately NOT k=v so no partition column is inferred.
+        perBatch(b.toDF()).write.mode("overwrite")
+          .parquet(s"$base/out/batch-$batchId"); ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -158,7 +166,8 @@ object StreamingQueries {
           s"rows=${progress.map(_.numInputRows).sum} " +
           s"batch_ms=${progress.map(_.durationMs.getOrDefault("triggerExecution", 0L)).mkString(",")}")
     } finally qr.stop()
-    s.read.schema(outSchema).parquet(s"$base/out")
+    s.read.schema(outSchema)
+      .option("recursiveFileLookup", "true").parquet(s"$base/out")
   }
 
   /** A single-FILE parquet table as a file stream: a non-glob path makes
@@ -281,6 +290,8 @@ object StreamingQueries {
       val (c2raw, c1raw) = TextStatsQueries.lmCounts(d)
       val c2 = checkpointCompact(c2raw)
       val c1 = checkpointCompact(c1raw)
+      // NOT fanned out (round-21 warm A/B: 2.62→3.03 s widened — the
+      // bigram scoring is lighter than the added stream exchange)
       val scoreLog = runToSink(s, dir,
         TextStatsQueries.lmBigramScores(
           tableStream(s, dir, "documents").select("doc_id", "text"), c2, c1),
@@ -535,12 +546,8 @@ object StreamingQueries {
   private def sharedStreamIvfLayout(s: SparkSession, dir: String): String =
     streamIvfLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "ivf-stream")
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         SimQueries.writeIvfLayout(s, dir, out)
-        fs.create(marker, true).close()
       }
       out
     }
@@ -584,6 +591,14 @@ object StreamingQueries {
     * directory count fixed while `cbucket IN` still prunes). */
   private val MemberBuckets = 64L
 
+  /** Largest distinct-cell set a micro-batch may fold into literal
+    * `cell IN (...)` filters before [[hardNegativesFromLayoutBatch]]
+    * switches to the broadcast-semi-join form — the
+    * [[SimQueries.MaxCents]]-class bound the batch probe face already
+    * enjoys, applied here because the hier quantizer this face routes
+    * through can mint 10⁶+ fine cells (round-20 ADVICE). */
+  private val InFilterMaxCells = 256
+
   /** The committed cell-partitioned MEMBER layout for the hard-negative
     * probe face: every corpus vector under its quantizer cell's hash
     * bucket, sorted within partitions by (cell, vec_id) for row-group
@@ -594,10 +609,7 @@ object StreamingQueries {
   private def sharedMembersLayout(s: SparkSession, dir: String): String =
     membersLayoutLock.synchronized {
       val out = LayoutQueries.derivedDir(s, dir, "hardneg-members")
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
+      LayoutQueries.buildOnce(s, out, dir) {
         val e = SimQueries.quantizedFrame(s, dir)
         SimQueries.assignCells(
             e.select(col("vec_id"), col("label"), col("q")),
@@ -611,7 +623,6 @@ object StreamingQueries {
           .write.mode("overwrite").partitionBy("cbucket")
           .parquet(s"$out/members")
         graft.sources.AtomicPublish.commit(s, out)
-        fs.create(marker, true).close()
       }
       out
     }
@@ -635,13 +646,32 @@ object StreamingQueries {
               col("c_id").as("cell"))
     val cellRows = routed.select(col("cell")).distinct()
       .withColumn("cbucket", pmod(xxhash64(col("cell")), lit(MemberBuckets)))
+      // a micro-batch touching an enormous distinct-cell set must not
+      // fold into literal IN lists (driver collect + plan blowup on the
+      // very beyond-broadcast path this face exists for — round-20
+      // ADVICE); past the cap the routed cell set joins the member scan
+      // instead, keeping only the BOUNDED bucket IN as the partition
+      // filter (≤ MemberBuckets literals by construction)
+      .limit(InFilterMaxCells + 1)
       .collect()
-    val cells = cellRows.map(_.getLong(0)).toSeq
-    val buckets = cellRows.map(_.getLong(1)).distinct.toSeq
-    val cand = graft.sources.AtomicPublish
+    val members = graft.sources.AtomicPublish
       .readCommitted(s, layoutDir, "members")
-      .filter(col("cbucket").isin(buckets: _*) &&
-                col("cell").isin(cells: _*))
+    val cand =
+      if (cellRows.length <= InFilterMaxCells) {
+        val cells = cellRows.map(_.getLong(0)).toSeq
+        val buckets = cellRows.map(_.getLong(1)).distinct.toSeq
+        members.filter(col("cbucket").isin(buckets: _*) &&
+                         col("cell").isin(cells: _*))
+      } else {
+        val routedCells = routed.select(col("cell")).distinct()
+          .withColumn("cbucket",
+                      pmod(xxhash64(col("cell")), lit(MemberBuckets)))
+        val buckets = routedCells.select("cbucket").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ MemberBuckets rows
+        members.filter(col("cbucket").isin(buckets: _*))
+          .join(broadcast(routedCells.select("cell")), Seq("cell"),
+                "left_semi")
+      }
     val wRank = Window.partitionBy("src")
       .orderBy(col("dot").desc, col("vec_id").asc)
     routed.join(cand, Seq("cell"))
@@ -1279,8 +1309,8 @@ object StreamingQueries {
           .select("doc_id", "text"))
         .select("band", "sig0", "sig1").distinct()
         .withColumn("hit", lit(1)).localCheckpoint()
-      val arriving = tableStream(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 4)
+      val arriving = fanOut(tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4))
       val flagged = arriving
         .select(col("doc_id"),
                 explode(DedupQueries.bandSigArrayCol(col("text"))).as("b"))
@@ -1457,7 +1487,9 @@ object StreamingQueries {
       stats.count()
       try runToSink(s, dir,
         graft.streaming.StreamingTfidf.tfidfHits(
-          tableStream(s, dir, "documents").select("doc_id", "text"),
+          // fanOut: the per-row HOF scoring is compute-dense and the
+          // staged fixture is one file -> one scan task (round-21)
+          fanOut(tableStream(s, dir, "documents").select("doc_id", "text")),
           stats, TextStatsQueries.TfidfK),
         "graft_q_stream_tfidf")
       finally stats.unpersist()
@@ -1576,8 +1608,10 @@ object StreamingQueries {
           .select("band", "sig0", "sig1").distinct())
       // native codegen'd probe (BloomFilterMightContain), not a UDF —
       // see DedupQueries.bloomProbe
-      val arrivals = tableStream(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 4)
+      // fanOut: both consumers run per-row hashing / band signing over
+      // a one-file scan (round-21)
+      val arrivals = fanOut(tableStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4))
       val exactHits = arrivals
         .withColumn("__ch", TextOps.contentHash(col("text")))
         .filter(DedupQueries.bloomProbe(bloom, col("__ch")))
@@ -1793,8 +1827,8 @@ object StreamingQueries {
     "q_stream_dsir",
     (s, dir) => {
       val w = CurationQueries.trainDsirWeights(s, dir)
-      val arrivals = tableStream(s, dir, "documents")
-        .filter(col("text").isNotNull)
+      val arrivals = fanOut(tableStream(s, dir, "documents")
+        .filter(col("text").isNotNull))
       val feats = CurationQueries.dsirFeatsCol(col("text"))
       val scored = arrivals.select(
           col("doc_id"), col("lang"),

@@ -524,7 +524,11 @@ object WebQueries {
     * streaming face (`q_stream_html`) applies it verbatim. */
   private[graft] def htmlExtractFrame(d: DataFrame): DataFrame =
     htmlExtractOf(
-      d.filter(col("text").isNotNull)
+      // fanOut BEFORE the page synth + extraction: the chain is the
+      // regex-heavy codec class, and the bench fixture arrives as one
+      // parquet row group — without the exchange the whole extraction
+      // runs in a single scan task (round-21; guide §2.5 input skew)
+      fanOut(d.filter(col("text").isNotNull))
         .select(col("doc_id"),
                 htmlCol(col("doc_id"), col("text")).as("__graft_html")),
       "__graft_html")
@@ -1097,7 +1101,9 @@ object WebQueries {
     * a row, and each of content/safety/robots/license says
     * independently why it fell. Streams verbatim (`q_stream_crawl`). */
   private[graft] def crawlAdmitFrame(d: DataFrame): DataFrame =
-    d.filter(col("text").isNotNull)
+    // fanOut: single-row-group fixture + extraction/normalize/safety
+    // chain — the codec class (see htmlExtractFrame)
+    fanOut(d.filter(col("text").isNotNull))
       // the marker-bearing page ONCE; extraction and license detection
       // both read it (extraction is provably identical to the plain
       // [[htmlCol]] page — markers are tag-only/comment content after
@@ -1492,7 +1498,9 @@ object WebQueries {
     * so the streaming face (`q_stream_warc`) applies it verbatim. */
   private[graft] def warcExtractFrame(d: DataFrame): DataFrame =
     warcExtractOf(
-      d.filter(col("text").isNotNull)
+      // fanOut: WARC synth + record parse + extraction — the codec
+      // class (see htmlExtractFrame)
+      fanOut(d.filter(col("text").isNotNull))
         .select(col("doc_id"),
                 warcCol(col("doc_id"), col("text")).as("__graft_warc")),
       "__graft_warc")
@@ -1638,7 +1646,10 @@ object WebQueries {
     * streaming face applies it verbatim. */
   private[graft] def warcAdmitFrame(d: DataFrame): DataFrame =
     warcAdmitOf(
-      d.filter(col("text").isNotNull)
+      // fanOut: the full admission chain (WARC synth + parse + extract +
+      // normalize + safety + robots + license) — the heaviest codec-class
+      // chain in the library (see htmlExtractFrame)
+      fanOut(d.filter(col("text").isNotNull))
         .select(col("doc_id"),
                 warcCol(col("doc_id"), col("text")).as("__graft_warc")),
       "__graft_warc")
@@ -1784,7 +1795,9 @@ object WebQueries {
     * verbatim. */
   private[graft] def warcGzipFrame(d: DataFrame): DataFrame =
     warcExtractOf(
-      d.filter(col("text").isNotNull)
+      // fanOut: gzip encode + strict decode + parse + extraction — the
+      // codec class with the literal codec on top (see htmlExtractFrame)
+      fanOut(d.filter(col("text").isNotNull))
         .select(col("doc_id"),
                 gunzipCol(gzipCol(warcCol(col("doc_id"), col("text"))))
                   .as("__graft_warc")),
@@ -2124,9 +2137,16 @@ object WebQueries {
         val conf = hadoopConfOf(confKv)
         var curPath: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        // release on EVERY task exit path — early stop (limit/take),
+        // downstream exception, task kill — not just iterator drain
+        // (round-20 ADVICE: the hasNext-side close leaked one handle per
+        // task for any consumer that stopped early)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         val slices = it.map { k =>
           if (k.path != curPath) {
-            if (in != null) in.close()
+            closeIn()
             val p = new org.apache.hadoop.fs.Path(new java.net.URI(k.path))
             in = p.getFileSystem(conf).open(p)
             curPath = k.path
@@ -2135,10 +2155,10 @@ object WebQueries {
           in.readFully(k.off, b, 0, k.len.toInt)
           WarcSlice(b)
         }
-        new Iterator[WarcSlice] { // close the tail stream at drain
+        new Iterator[WarcSlice] { // drain-time close stays as an optimization
           def hasNext: Boolean = {
             val h = slices.hasNext
-            if (!h && in != null) { in.close(); in = null }
+            if (!h) closeIn()
             h
           }
           def next(): WarcSlice = slices.next()
@@ -2168,10 +2188,7 @@ object WebQueries {
       val wdir = warcFilesDir(s, dir)
       val out = LayoutQueries.derivedDir(s, dir, "warc-offsets")
       warcIdxLock.synchronized {
-        val fs = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(out, "_GRAFT_BUILT")
-        if (!fs.exists(marker)) {
+        LayoutQueries.buildOnce(s, out, wdir) {
           // greppable build/probe split for the soak attribution: the
           // index build is the pay-once leg (≈ one direct parse); the
           // probe leg is what repeats per pass
@@ -2179,7 +2196,6 @@ object WebQueries {
           writeWarcOffsetIndex(s, wdir, out)
           System.err.println(
             f"[graft-warc] offset-index build_s=${(System.nanoTime() - t0) / 1e9}%.1f")
-          fs.create(marker, true).close()
         }
       }
       warcFilesExtract(warcSlicesViaIndex(

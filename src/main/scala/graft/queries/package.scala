@@ -35,6 +35,53 @@ package object queries {
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
 
+  /** Round-robin fan-out of a SMALL, compute-dense frame to the session's
+    * parallelism — the fix for the round-21 finding that every sf bench
+    * table is ONE parquet row group, so a scan is ONE task and every
+    * "zero-shuffle" per-row-heavy chain above it (WARC synth → record
+    * parse → HTML extraction, media decode, BPE encode, feed-line parse)
+    * ran single-threaded while `local[32]` idled (optimization guide
+    * §2.5 "input skew … repartition immediately after the read").
+    *
+    * Scale-adaptive, not a local[32] constant: a batch frame that ALREADY
+    * has ≥ parallelism partitions (any real multi-row-group corpus) passes
+    * through untouched — the exchange exists only where the scan cannot
+    * supply parallelism, and moves the compact pre-explosion rows, never
+    * the fanned-out intermediate (§8's "shuffle the proxy, not the
+    * payload"). Streaming frames skip the partition probe (`.rdd` is
+    * undefined pre-materialization) and always widen: micro-batches are
+    * trigger-bounded, which is the same small-and-dense shape. The target
+    * honors `spark.graft.fanout.parts` (set ≤ 1 to disable — the A/B
+    * switch) and defaults to the scheduler's `defaultParallelism`, so the
+    * driver's lower-core bench runs re-derive it instead of inheriting a
+    * 32-wide constant. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val target = s.conf.getOption("spark.graft.fanout.parts")
+      .map(_.trim.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    if (target <= 1) df
+    else if (!df.isStreaming && df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
+  /** [[fanOut]] keyed: hash-distribute by `keys` at the fan-out target —
+    * for compute-dense stages whose DOWNSTREAM (a key-equi-join, a
+    * clustered aggregate) needs the key partitioning, so the pinned
+    * exchange is also the one the join/aggregate reuses instead of
+    * planting a second planner-managed (and AQE-recoalesced) shuffle.
+    * Same already-wide pass-through and `spark.graft.fanout.parts`
+    * kill-switch as [[fanOut]]. */
+  private[graft] def fanOutBy(df: DataFrame, keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val target = s.conf.getOption("spark.graft.fanout.parts")
+      .map(_.trim.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    if (target <= 1) df
+    else if (!df.isStreaming && df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, keys: _*)
+  }
+
   /** `localCheckpoint` at DISK_ONLY — the storage level for CORPUS- or
     * EDGE-scale checkpoints (exploded gram/shingle tables, pair lists,
     * edge frames). Chosen by eliminating the two memory-resident levels

@@ -35,13 +35,30 @@ object StreamingCuration {
 
   /** Occurrence count of the heaviest element of an array column,
     * computed per row with higher-order functions (no explode, no
-    * shuffle): count each distinct element, take the max. O(types ×
-    * tokens) per document — per-row work a stream can afford, replacing
-    * the batch formulation's exploded groupBy. */
-  private def topCount(arr: Column): Column =
-    coalesce(array_max(transform(array_distinct(arr),
-                                 t => size(filter(arr, x => x === t)))),
-             lit(0)).cast("long")
+    * shuffle). Formulation: ONE run-length pass over the SORTED array
+    * (equal elements are adjacent after `array_sort`, so the max
+    * multiplicity is the longest run) — O(n log n) per row, replacing
+    * the round-20 `array_distinct × filter-count` shape whose
+    * O(types × tokens) double scan dominated the q_stream_curate drain
+    * (round-21 warm A/B: batch_ms 3.6 s → see OPTIMIZATION_r21.md).
+    * Identical integers: max run length of the sorted array IS the max
+    * element multiplicity; null/empty arrays still yield 0. */
+  private def topCount(arr: Column): Column = {
+    val stepped = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+             lit(0L).as("best")),
+      (acc, x) => {
+        val run2 = when(acc.getField("prev").isNotNull &&
+                          x === acc.getField("prev"),
+                        acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run2.as("run"),
+               greatest(acc.getField("best"), run2).as("best"))
+      },
+      acc => acc.getField("best"))
+    coalesce(stepped, lit(0)).cast("long")
+  }
 
   /** The Gopher-style repetition signals and gate of
     * `q_repetition_filter`, scored per incoming document: token
