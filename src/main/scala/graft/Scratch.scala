@@ -40,7 +40,12 @@ object Scratch {
       System.gc()
       graft.queries.StreamingQueries.StreamObservability.resetDrain()
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.getOrElse("SCRATCH_ACTION", "count") == "checksum") {
+        import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+          .agg(expr("bit_xor(__h)")).head()
+      } else df.count()
       val secs = (System.nanoTime() - t0) / 1e9
       results((n, v)) :+= secs
       println(f"[scratch] rep=$r conf=$v%-4s $n%-28s $secs%8.3f s")

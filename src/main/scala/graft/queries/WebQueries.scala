@@ -2069,6 +2069,10 @@ object WebQueries {
     "q_warc_files",
     (s, dir) =>
       warcFilesExtract(
+        // NOT fanned out (round-21 checksum A/B: 0.42->0.50 s widened —
+        // and at soak scale a round-robin exchange would ship whole
+        // container payloads for no placement gain; the scale path is
+        // the offset-index probe face, not a payload shuffle)
         s.read.format("binaryFile")
           .option("pathGlobFilter", "*.warc.gz")
           .load(warcFilesDir(s, dir))

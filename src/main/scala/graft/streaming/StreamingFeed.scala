@@ -36,7 +36,10 @@ object StreamingFeed {
       .schema("value STRING")
       .csv(path)
 
-  /** Parsed hit stream with event-time columns (ts is unix seconds). */
+  /** Parsed hit stream with event-time columns (ts is unix seconds).
+    * NOT fanned out before the parse (round-21 warm A/B: 3.90→4.31 s
+    * widened — the session-window state commit, not the single-task
+    * 14-field parse, dominates this gate's micro-batch). */
   def parsedStream(spark: SparkSession, path: String,
                    encoding: String = "UTF-8"): DataFrame =
     HitParser.parse(rawFeedStream(spark, path, encoding))
