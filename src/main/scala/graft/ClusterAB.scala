@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** In-JVM interleaved A/B for the CLUSTER-LAYOUT BUILD (dev tooling, the
+  * [[Scratch]] discipline applied where Scratch cannot reach): the
+  * cluster gates memoize their layout per process (`buildOnce`), so
+  * re-running a gate in one JVM never re-times the build. This main
+  * calls the build directly into a FRESH output dir per rep, alternating
+  * `spark.graft.cluster.overlap` (true = checkpoint + two concurrent
+  * write jobs; false = round-21 sequential members-write → members-scan →
+  * centroids-write), labels pre-warmed so the measured window is exactly
+  * the phase the conf switches.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SCRATCH_REPS=3 \
+  *     sbt "runMain graft.ClusterAB"
+  */
+object ClusterAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SCRATCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-cluster-ab").toString
+    // warm the label cache once so rep timings exclude the fixpoint
+    graft.queries.SimQueries.clusterBuildBench(
+      spark, sfDir, s"$scratch/warmup")
+    val results = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector())
+    var n = 0
+    for (r <- 1 to reps; v <- Seq("true", "false")) {
+      spark.conf.set("spark.graft.cluster.overlap", v)
+      System.gc()
+      n += 1
+      val t0 = System.nanoTime()
+      graft.queries.SimQueries.clusterBuildBench(spark, sfDir, s"$scratch/b$n")
+      val secs = (System.nanoTime() - t0) / 1e9
+      results(v) :+= secs
+      println(f"[cluster-ab] rep=$r overlap=$v%-5s $secs%8.3f s")
+    }
+    println("[cluster-ab] ==== medians ====")
+    for (v <- Seq("true", "false")) {
+      val xs = results(v).sorted
+      println(f"[cluster-ab] overlap=$v%-5s median=${xs(xs.size / 2)}%8.3f " +
+        s"runs=${xs.map(x => f"$x%.2f").mkString("/")}")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    spark.stop()
+  }
+}

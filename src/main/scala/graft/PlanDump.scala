@@ -6,12 +6,18 @@ import org.apache.spark.sql.SparkSession
   * BATCH gates, before (`spark.graft.fanout.parts=1`) and after (conf
   * unset → fan-out at defaultParallelism), into PLAN_OUT (plans/r21/).
   * Streaming gates are excluded by the caller: their `fn` RUNS the
-  * drain and returns the sink read-back, whose plan is just a scan. */
+  * drain and returns the sink read-back, whose plan is just a scan.
+  *
+  * PLAN_TAG=before|after switches to single-tag mode for CODE-change
+  * rounds (r22): dump each gate once under that tag with the session
+  * conf untouched — the before/after pair then brackets a code edit
+  * (two invocations of this main on the two trees), not a conf flip. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outDir = sys.env.getOrElse("PLAN_OUT", "plans/r21")
+    val tagOnly = sys.env.get("PLAN_TAG")
     val names = sys.env.getOrElse("PLAN_QUERIES", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder()
@@ -23,9 +29,13 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    for (n <- names; (tag, conf) <- Seq("before" -> "1", "after" -> "0")) {
+    val modes = tagOnly match {
+      case Some(t) => Seq(t -> "asis")
+      case None    => Seq("before" -> "1", "after" -> "0")
+    }
+    for (n <- names; (tag, conf) <- modes) {
       if (conf == "1") spark.conf.set("spark.graft.fanout.parts", "1")
-      else spark.conf.unset("spark.graft.fanout.parts")
+      else if (conf == "0") spark.conf.unset("spark.graft.fanout.parts")
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val plan = df.queryExecution.explainString(

@@ -1839,41 +1839,88 @@ object SimQueries {
     // directly is the same left join with the payload already aboard
     val labels = labels0.getOrElse(graft.operators.ConnectedComponents.labels(
       mutualEdgesOf(e, k, cellCap)))
-    e.join(labels, col("vec_id") === col("id"), "left")
+    val labeled0 = e.join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"), col("label"), col("q"),
               coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
       .withColumn("cbucket",
               pmod(xxhash64(col("cluster_id")), lit(ClusterBuckets.toLong)))
-      // cluster rows by the partition column before the partitioned
-      // write — same rationale as writeIvfLayoutOf. The within-task
-      // sort leads with cbucket ON PURPOSE: the dynamic-partition
-      // writer requires partition-column ordering and would re-sort by
-      // cbucket alone (destroying any bare vec_id order — Spark's sort
-      // is not stable); leading with it satisfies that requirement by
-      // prefix, so the vec_id order SURVIVES into each bucket's files.
-      // vec_id-sorted files give tight per-row-group min/max on
-      // vec_id, which is what lets probeClusters' point lookup skip
-      // row groups instead of scanning every bucket file end-to-end
-      // (round-14 VERDICT item 8; ClusterLayoutSpec asserts the
-      // physical order and the footer stats).
-      .repartition(col("cbucket"))
-      .sortWithinPartitions("cbucket", "vec_id")
-      .write.mode("overwrite").partitionBy("cbucket")
-      .parquet(s"$outDir/members")
-    // opt-out for consumers that only probe/sample members: the centroid
-    // half costs a members re-scan + a (cluster, dim) aggregate + a
-    // second bucketed write, and only the staleness/SemDeDup readers
-    // need it (the two label-only gates measured ~+2 s each at sf0.1)
-    if (withCentroids)
-      clusterCentroidsOf(e.sparkSession.read.parquet(s"$outDir/members"))
+    // With centroids, the labeled frame has TWO consumers (members write
+    // + centroid aggregate) → checkpoint by the pin-by-consumer-count
+    // policy, then submit the two INDEPENDENT writes from two threads
+    // (optimization guide §2.6 "overlap independent jobs": the centroid
+    // aggregate back-fills executors freed by the members write's tail).
+    // Until round 22 the centroid half RE-SCANNED the just-written
+    // members table, which serialized the two jobs AND paid a second
+    // corpus read; aggregating the checkpointed frame reads the same
+    // rows (pure materialization of the same join), so the stored
+    // centroids are value-identical — the append/quality oracles replay
+    // the floor-mean from the member set either way. Kill-switch
+    // `spark.graft.cluster.overlap=false` restores the sequential
+    // re-scan shape (the in-JVM A/B instrument, fanout.parts style).
+    val overlap = withCentroids &&
+      e.sparkSession.conf.getOption("spark.graft.cluster.overlap")
+        .forall(_.trim.toBoolean)
+    val labeled = if (overlap) checkpointCompact(labeled0) else labeled0
+    def writeMembers(): Unit =
+      labeled
+        // cluster rows by the partition column before the partitioned
+        // write — same rationale as writeIvfLayoutOf. The within-task
+        // sort leads with cbucket ON PURPOSE: the dynamic-partition
+        // writer requires partition-column ordering and would re-sort by
+        // cbucket alone (destroying any bare vec_id order — Spark's sort
+        // is not stable); leading with it satisfies that requirement by
+        // prefix, so the vec_id order SURVIVES into each bucket's files.
+        // vec_id-sorted files give tight per-row-group min/max on
+        // vec_id, which is what lets probeClusters' point lookup skip
+        // row groups instead of scanning every bucket file end-to-end
+        // (round-14 VERDICT item 8; ClusterLayoutSpec asserts the
+        // physical order and the footer stats).
+        .repartition(col("cbucket"))
+        .sortWithinPartitions("cbucket", "vec_id")
+        .write.mode("overwrite").partitionBy("cbucket")
+        .parquet(s"$outDir/members")
+    def writeCentroids(src: DataFrame): Unit =
+      clusterCentroidsOf(src)
         .repartition(col("cbucket"))
         .write.mode("overwrite").partitionBy("cbucket")
         .parquet(s"$outDir/centroids")
+    if (overlap) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val centroidsF = Future {
+        writeCentroids(labeled.select("cluster_id", "cbucket", "q"))
+      }
+      // a members-write failure must not leave the centroid job dangling
+      // in the background (it writes into this build's private dir):
+      // always wait for it; rethrow its own failure after.
+      try writeMembers()
+      finally Await.ready(centroidsF, Duration.Inf)
+      Await.result(centroidsF, Duration.Inf)
+    } else {
+      writeMembers()
+      // opt-out for consumers that only probe/sample members: the centroid
+      // half costs a members re-scan + a (cluster, dim) aggregate + a
+      // second bucketed write, and only the staleness/SemDeDup readers
+      // need it (the two label-only gates measured ~+2 s each at sf0.1)
+      if (withCentroids)
+        writeCentroids(e.sparkSession.read.parquet(s"$outDir/members"))
+    }
     // atomic publish AFTER both halves: the build's own members
     // re-read above is pre-publish private state; everything outside
     // this function reads only the committed snapshot
     graft.sources.AtomicPublish.commit(e.sparkSession, outDir)
   }
+
+  /** Dev-only timing hook for [[writeClustersOf]] ([[graft.ClusterAB]]):
+    * the gate-facing builds are buildOnce-memoized per process, so an
+    * in-JVM interleaved A/B must call the build directly into a FRESH
+    * outDir with the (warm) cached labels supplied — isolating exactly
+    * the member+centroid write phase the overlap conf switches. */
+  private[graft] def clusterBuildBench(s: SparkSession, dir: String,
+                                       outDir: String): Unit =
+    writeClustersOf(quantized(s, dir), outDir,
+                    labels0 = Some(cachedClusterLabels(s, dir, false)))
 
   /** Per-cluster floor-mean centroid over a `(cluster_id, cbucket, q)`
     * members frame — [[ivfTrain]]'s exact-arithmetic centroid shape
