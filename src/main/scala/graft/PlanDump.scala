@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * PLAN_TAG=before|after switches to single-tag mode for CODE-change
   * rounds (r22): dump each gate once under that tag with the session
   * conf untouched — the before/after pair then brackets a code edit
-  * (two invocations of this main on the two trees), not a conf flip. */
+  * (two invocations of this main on the two trees), not a conf flip.
+  * PLAN_CONF=key=val[,key=val…] pins session confs first (e.g. a
+  * round's kill-switch, to reconstruct the pre-change shape). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,6 +30,11 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("PLAN_CONF").foreach(_.split(',').map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val modes = tagOnly match {
       case Some(t) => Seq(t -> "asis")

@@ -850,8 +850,19 @@ object SimQueries {
   val qCellAssignHier = Q(
     "q_cell_assign_hier",
     (s, dir) =>
+      // the two hier-regime gates consume the SAME HierGateCap training
+      // (round 22): this face re-trained per call what q_cell_assign_
+      // stored's layout memo already holds — one two-level training
+      // (coarse Lloyd loop + per-cell fine training) per process now
+      // serves both, the gateQuantizer/sharedIvfCents discipline. The
+      // faces stay distinct where their contracts differ: this one
+      // keeps the BROADCAST fine join (auto regime), the stored gate
+      // forces the shuffle join; training is deterministic in (code,
+      // input) and the shared oracle replays the whole derivation, so
+      // the memo cannot mask a regression.
       assignCells(quantized(s, dir).select(col("vec_id"), col("q")),
-                  trainCellQuantizer(quantized(s, dir), HierGateCap))
+                  quantizerFromLayout(s, hierQuantizerLayout(s, dir),
+                                      HierGateCap))
         .select(col("vec_id"), col("c_id").as("cell")),
     Some(s"""$quantCte,
       |${hierChainOn("e", HierGateCap.toString,
@@ -898,6 +909,23 @@ object SimQueries {
 
   private val qzLayoutLock = new Object
 
+  /** The committed HierGateCap quantizer layout for a testdata dir,
+    * trained AT MOST ONCE per process (fingerprinted buildOnce, pid-keyed
+    * dir) — shared by [[qCellAssignHier]] (broadcast fine join) and
+    * [[qCellAssignStored]] (forced shuffle fine join): both faces assign
+    * against the IDENTICAL trained artifact, differing only in the join
+    * regime their contracts pin. */
+  private[queries] def hierQuantizerLayout(s: SparkSession,
+                                           dir: String): String =
+    qzLayoutLock.synchronized {
+      val out = LayoutQueries.derivedDir(s, dir, "quantizer-layout")
+      LayoutQueries.buildOnce(s, out, dir) {
+        writeQuantizerLayout(
+          s, trainCellQuantizer(quantized(s, dir), HierGateCap), out)
+      }
+      out
+    }
+
   /**
    * LAYOUT-BACKED cell assignment behind the driver gate — the
    * [[qCellAssignHier]] math with BOTH scale substitutions a
@@ -917,19 +945,12 @@ object SimQueries {
    */
   val qCellAssignStored = Q(
     "q_cell_assign_stored",
-    (s, dir) => {
-      val out = LayoutQueries.derivedDir(s, dir, "quantizer-layout")
-      qzLayoutLock.synchronized {
-        LayoutQueries.buildOnce(s, out, dir) {
-          writeQuantizerLayout(
-            s, trainCellQuantizer(quantized(s, dir), HierGateCap), out)
-        }
-      }
+    (s, dir) =>
       assignCells(quantized(s, dir).select(col("vec_id"), col("q")),
-                  quantizerFromLayout(s, out, HierGateCap),
+                  quantizerFromLayout(s, hierQuantizerLayout(s, dir),
+                                      HierGateCap),
                   fineBroadcast = Some(false))
-        .select(col("vec_id"), col("c_id").as("cell"))
-    },
+        .select(col("vec_id"), col("c_id").as("cell")),
     qCellAssignHier.oracle
   )
 
