@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -233,15 +233,36 @@ object PqQueries {
     * shortlist cut, AND the re-rank — a regression anywhere in the chain
     * (seed stride, floor-mean, dense re-key, table order, lookup index
     * base) hash-mismatches here. */
+  /** The (codebook, codes) pair for a testdata dir, trained and encoded
+    * AT MOST ONCE per process (fingerprinted buildOnce, pid-keyed dir —
+    * round 22): the flat-ADC and IVF-PQ gates each trained an IDENTICAL
+    * codebook and encoded the IDENTICAL corpus per call. Deterministic
+    * in (code, input); both gates' oracles replay training + encoding
+    * from scratch, so the memo cannot mask a regression — the
+    * [[SimQueries.gateQuantizer]]/dsirFeatureFrame discipline. At 100 TB
+    * this memo IS the production artifact: the codes table is the stored
+    * index, written once and probed by every search. */
+  private val pqMemoLock = new Object
+  private def sharedPqArtifacts(s: SparkSession,
+                                dir: String): (DataFrame, DataFrame) =
+    pqMemoLock.synchronized {
+      val out = LayoutQueries.derivedDir(s, dir, "pq-codebook")
+      LayoutQueries.buildOnce(s, out, dir) {
+        val e = SimQueries.quantizedFrame(s, dir)
+        val cb = pqCodebook(e).localCheckpoint()
+        cb.write.mode("overwrite").parquet(s"$out/cb")
+        pqCodes(subspaces(e), cb).write.mode("overwrite")
+          .parquet(s"$out/codes")
+      }
+      (s.read.parquet(s"$out/cb"), s.read.parquet(s"$out/codes"))
+    }
+
   val qPqSearch = Q(
     "q_pq_search",
     (s, dir) => {
       val e = SimQueries.quantizedFrame(s, dir)
       val sub = subspaces(e)
-      // tiny (≤ M·K rows) but read by three consumers (encode, query
-      // tables, and their lineages) — checkpoint so training runs once
-      val cb = pqCodebook(e).localCheckpoint()
-      val codes = pqCodes(sub, cb)
+      val (cb, codes) = sharedPqArtifacts(s, dir)
       // budget-sampled queries: the flat ADC scan is corpus × queries —
       // unbounded it was 263 s at the 200 k soak (round-18 VERDICT #3);
       // the IVF-pruned sibling below keeps the full pool
@@ -330,8 +351,8 @@ object PqQueries {
       val cents = SimQueries.sharedIvfCents(s, dir)
       val cells = SimQueries.ivfAssign1(e, cents)
         .select(col("vec_id"), col("c_id").as("cell"))
-      val cb = pqCodebook(e).localCheckpoint()
-      val codes = pqCodes(sub, cb).join(cells, Seq("vec_id"))
+      val (cb, codes0) = sharedPqArtifacts(s, dir)
+      val codes = codes0.join(cells, Seq("vec_id"))
       val probes = SimQueries.ivfAssign(e.filter(col("vec_id") % 100 === 0),
                                         cents)
         .select(col("vec_id").as("q_id"), col("c_id").as("p_cell"))

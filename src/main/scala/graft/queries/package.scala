@@ -54,7 +54,21 @@ package object queries {
     * honors `spark.graft.fanout.parts` (set ≤ 1 to disable — the A/B
     * switch) and defaults to the scheduler's `defaultParallelism`, so the
     * driver's lower-core bench runs re-derive it instead of inheriting a
-    * 32-wide constant. */
+    * 32-wide constant.
+    *
+    * STREAMING DEPLOYMENT NOTE (round-21 VERDICT item 4, closed as a
+    * pinned operating rule): because a streaming frame admits no width
+    * probe, the exchange is UNCONDITIONAL on stream faces — correct for
+    * the library's landing-dir/file-replay shape (a micro-batch is a
+    * handful of files feeding per-row-heavy chains), but on a source
+    * that already delivers wide micro-batches (Kafka with ≥ parallelism
+    * partitions, a high-file-rate directory with maxFilesPerTrigger ≥
+    * parallelism) it ships every row once for no placement gain — set
+    * `spark.graft.fanout.parts=1` on such deployments. The exchange
+    * carries the compact PRE-explosion rows by construction (every call
+    * site is below the parse/decode, above the scan), so the misconfig
+    * cost is bounded at one pass of input bytes per trigger, never the
+    * fanned-out intermediate. */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val target = s.conf.getOption("spark.graft.fanout.parts")
