@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. A query that throws is recorded under "errors" and
-  * flips the exit code — a failure must never be timed as a success. */
+  * prints the full per-query JSON line followed by a compact summary-only
+  * JSON line (the LAST stdout line — recorders that keep only a short
+  * stdout tail still capture one complete object). A query that throws is
+  * recorded under "errors" and flips the exit code — a failure must never
+  * be timed as a success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
